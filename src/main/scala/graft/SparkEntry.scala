@@ -1,13 +1,40 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{Cleaning, Events, Multimodal, Relational, TextOps, Vectors}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query registry layout:
+  *   q01–q20 graft.queries.Relational — scans/filters/projections/joins/
+  *            windows/aggregations/rollup/set-ops/top-k (SURVEY §2.3–§2.8)
+  *   q21–q25 graft.queries.Events     — JSON column ops, time windows,
+  *            sessionization (SURVEY §7.5)
+  *   q26–q34 graft.queries.TextOps    — dedup/fingerprint/MinHash/SimHash/
+  *            Jaccard/token/quality/language ops
+  *   q36–q39 graft.queries.Vectors    — cosine top-k, LSH buckets,
+  *            embedding near-dup
+  *   q50–q53 graft.queries.Cleaning   — the reference pipeline's operator
+  *            semantics (P*, W1, G1, G2) replayed on the test tables
+  *   q55–q56 graft.queries.Multimodal — binary columns + frame sampling
+  */
 object SparkEntry {
+
+  val allQueries: Seq[Q] =
+    Relational.all ++ Events.all ++ TextOps.all ++ Vectors.all ++
+      Cleaning.all ++ Multimodal.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    allQueries.find(_.name == "q05_regional_revenue").get
+      .build(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allQueries.map(q => q.name -> q.build).toMap
+
+  /** For each key in queries, equivalent SQL runnable by DuckDB on
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    allQueries.flatMap(q => q.oracle.map(o => q.name -> o.trim)).toMap
 }

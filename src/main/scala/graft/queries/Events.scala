@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators over the `events` table: JSON column access,
+  * time-bucketed aggregation, and gap-based sessionization.
+  *
+  * `events.ts` is nanosecond-precision parquet; Spark reads it truncated
+  * to microseconds, so every oracle casts to TIMESTAMP (µs) first and all
+  * arithmetic is done in whole microseconds (FIXTURES.md caveat).
+  *
+  * Scale notes: sessionization shuffles once on user_id (the natural
+  * partition key at 100 TB); time-bucket aggregation is a plain two-phase
+  * hash aggregate on (bucket, event_type).
+  */
+object Events {
+  import Det._
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private val sessionGapUs: Long = 30L * 60 * 1000 * 1000 // 30 min
+
+  val all: Seq[Q] = Seq(
+    // ---------------------------------------------------------------- q21
+    // JSON column extraction (get_json_object ≅ json_extract_string).
+    Q(
+      "q21_events_json",
+      Some("""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type""")
+    ) { (s, dir) =>
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(k).as("sum_k"),
+          min(k).as("min_k"), max(k).as("max_k"))
+    },
+
+    // ---------------------------------------------------------------- q22
+    // Tumbling time window: hourly counts per event type.
+    Q(
+      "q22_time_window",
+      Some("""
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_bucket,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2""")
+    ) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour_bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    },
+
+    // ---------------------------------------------------------------- q23
+    // Gap-based sessionization (lag + cumulative flag), 30-minute gap.
+    // Batch analogue of the Structured Streaming session_window path in
+    // graft.streaming; oracle works in whole microseconds.
+    Q(
+      "q23_sessionize",
+      Some("""
+        SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
+          SELECT user_id,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+          FROM (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN prev_us IS NULL
+                             OR epoch_us(CAST(ts AS TIMESTAMP)) - prev_us > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM (
+              SELECT user_id, ts, event_id,
+                     LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+              FROM events) a) b) c
+        GROUP BY user_id""")
+    ) { (s, dir) =>
+      val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(order))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull
+            || unix_micros(col("ts")) - col("prev_us") > sessionGapUs, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(cum))
+        .groupBy(col("user_id"))
+        .agg(max(col("sess_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+    },
+
+    // ---------------------------------------------------------------- q24
+    // Session-level stats: duration and size of each session.
+    Q(
+      "q24_session_stats",
+      Some("""
+        SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, COUNT(*) AS n_events,
+               MAX(epoch_us(CAST(ts AS TIMESTAMP))) - MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS duration_us
+        FROM (
+          SELECT user_id, ts,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+          FROM (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN prev_us IS NULL
+                             OR epoch_us(CAST(ts AS TIMESTAMP)) - prev_us > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM (
+              SELECT user_id, ts, event_id,
+                     LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+              FROM events) a) b) c
+        GROUP BY user_id, CAST(sess_id AS BIGINT)""")
+    ) { (s, dir) =>
+      val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(order))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull
+            || unix_micros(col("ts")) - col("prev_us") > sessionGapUs, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(cum))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("duration_us"))
+    },
+
+    // ---------------------------------------------------------------- q25
+    // Lag/lead analytics: per-user time since previous event, bucketed.
+    Q(
+      "q25_event_gaps",
+      Some("""
+        SELECT event_type,
+               COUNT(*) AS n_with_prev,
+               CAST(SUM(CASE WHEN gap_us <= 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_minute
+        FROM (
+          SELECT event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP))
+                   - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          FROM events) t
+        WHERE gap_us IS NOT NULL
+        GROUP BY event_type""")
+    ) { (s, dir) =>
+      val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(order))
+        .filter(col("gap_us").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_with_prev"),
+          sum(when(col("gap_us") <= 60000000L, 1L).otherwise(0L)).as("n_within_minute"))
+    },
+  )
+}

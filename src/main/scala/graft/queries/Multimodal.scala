@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque binary payloads with typed
+  * metadata, content hashing and a deterministic fake "decode" stage.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic stand-in (see
+  * graft.multimodal.BinaryDecode for the mapPartitions plumbing that a
+  * real codec would slot into); everything Spark-side — schema, binary
+  * columns, partitioning, batch shape — is real.
+  *
+  * Payload bytes are synthesized from `documents.text` (UTF-8), so the
+  * DuckDB oracle can replay the hashing on the string image of the same
+  * bytes (DuckDB 1.0 has no md5(BLOB)).
+  */
+object Multimodal {
+
+  val all: Seq[Q] = Seq(
+    // ---------------------------------------------------------------- q55
+    // Binary payload + typed metadata + content hash + "thumbnail" hash.
+    Q(
+      "q55_multimodal_meta",
+      Some("""
+        SELECT doc_id,
+               length(text) AS n_bytes,
+               md5(text) AS content_hash,
+               md5(substring(text, 1, 64)) AS thumb_hash,
+               CASE WHEN length(text) % 3 = 0 THEN 'image/png'
+                    WHEN length(text) % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS mime
+        FROM documents""")
+    ) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+        .select(
+          col("doc_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("content_hash"),
+          md5(substring(col("text"), 1, 64).cast("binary")).as("thumb_hash"),
+          when(length(col("payload")) % 3 === 0, "image/png")
+            .when(length(col("payload")) % 3 === 1, "audio/wav")
+            .otherwise("video/mp4").as("mime"))
+    },
+
+    // ---------------------------------------------------------------- q56
+    // Frame sampling shape: split the payload into fixed 32-byte frames
+    // (the batch shape a real decoder would consume), keep per-frame
+    // hashes. Rows explode by frame — the real plumbing of a
+    // frame-sample operator.
+    Q(
+      "q56_frame_sample",
+      Some("""
+        SELECT doc_id, frame_no,
+               md5(substring(text, CAST(frame_no * 32 + 1 AS INT), 32)) AS frame_hash
+        FROM (
+          SELECT doc_id, text, unnest(range(0, CAST(ceil(length(text) / 32.0) AS BIGINT))) AS frame_no
+          FROM documents) t""")
+    ) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(0, cast(ceil(length(text) / 32.0) as bigint) - 1)"))
+            .as("frame_no"))
+        .select(col("doc_id"), col("frame_no"),
+          md5(expr("substring(text, cast(frame_no * 32 + 1 as int), 32)").cast("binary"))
+            .as("frame_hash"))
+    },
+  )
+}

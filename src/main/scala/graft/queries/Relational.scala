@@ -1,0 +1,415 @@
+package graft.queries
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator coverage (SURVEY.md §2.3–§2.8 semantics,
+  * re-expressed over the TPC-H-ish test tables): scans, filters,
+  * projections, joins (broadcast / shuffle / semi / anti), windows,
+  * aggregations, rollups, set ops, sorts and top-k.
+  *
+  * Scale notes (100 TB thinking):
+  *   - dimension tables (region/nation/part/supplier) are always
+  *     broadcast; fact-fact joins shuffle on their join keys only after
+  *     filters are pushed to the parquet scan;
+  *   - aggregations are plain hash aggregates (partial + final) with no
+  *     row explosion; windows partition by high-cardinality keys.
+  */
+object Relational {
+  import Det._
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val all: Seq[Q] = Seq(
+    // ---------------------------------------------------------------- q01
+    // TPC-H Q1 shape: scan + filter + hash aggregate (partial/final).
+    Q(
+      "q01_pricing_summary",
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus""")
+    ) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // ---------------------------------------------------------------- q02
+    // Pure filter + projection: predicates and column pruning must reach
+    // the parquet scan (PushedFilters / ReadSchema).
+    Q(
+      "q02_filter_project",
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+          AND l_quantity < 24""")
+    ) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01 00:00:00"))
+          && col("l_shipdate") < to_timestamp(lit("1996-01-01 00:00:00"))
+          && col("l_quantity") < 24)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    },
+
+    // ---------------------------------------------------------------- q03
+    // TPC-H Q3 shape: selective dim filter -> join -> agg -> top-k.
+    // Top-k is deterministic: revenue is decimal-exact, orderkey breaks ties.
+    Q(
+      "q03_top_orders",
+      Some("""
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+               CAST(o_orderdate AS DATE) AS o_orderdate
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10""")
+    ) { (s, dir) =>
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00"))),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .filter(col("l_shipdate") > to_timestamp(lit("1995-03-15 00:00:00"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+    },
+
+    // ---------------------------------------------------------------- q04
+    // Broadcast join: part is a dimension -> broadcast, no shuffle of part.
+    Q(
+      "q04_broadcast_join",
+      Some("""
+        SELECT p_brand, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand""")
+    ) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+    },
+
+    // ---------------------------------------------------------------- q05
+    // TPC-H Q5 shape: five-way join; all dims broadcast, facts shuffle once.
+    Q(
+      "q05_regional_revenue",
+      Some("""
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        FROM customer
+          JOIN orders   ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN nation   ON c_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name IN ('ASIA', 'EUROPE')
+        GROUP BY n_name""")
+    ) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+    },
+
+    // ---------------------------------------------------------------- q06
+    // TPC-H Q6 shape: scalar aggregate over a pushed-down range filter.
+    Q(
+      "q06_forecast_revenue",
+      Some("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24""")
+    ) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01 00:00:00"))
+          && col("l_shipdate") < to_timestamp(lit("1996-01-01 00:00:00"))
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // ---------------------------------------------------------------- q07
+    // Left-semi join (EXISTS): customers having at least one big order.
+    Q(
+      "q07_semi_join",
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 100000)""")
+    ) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 100000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    },
+
+    // ---------------------------------------------------------------- q08
+    // Left-anti join (NOT EXISTS): customers with no orders at all.
+    Q(
+      "q08_anti_join",
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 450000)""")
+    ) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 450000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    },
+
+    // ---------------------------------------------------------------- q09
+    // Window rank + deterministic survivor: top order per customer
+    // (SURVEY.md W1 semantics with a canonical total order).
+    Q(
+      "q09_window_topn",
+      Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) t
+        WHERE rn = 1""")
+    ) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    },
+
+    // ---------------------------------------------------------------- q10
+    // Running window aggregate with explicit ROWS frame.
+    Q(
+      "q10_window_running",
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        FROM orders""")
+    ) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_spend"))
+    },
+
+    // ---------------------------------------------------------------- q11
+    // Distinct aggregate: per-nation customer stats.
+    Q(
+      "q11_distinct_agg",
+      Some("""
+        SELECT c_nationkey, COUNT(DISTINCT c_mktsegment) AS n_segments,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+        FROM customer GROUP BY c_nationkey""")
+    ) { (s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(countDistinct(col("c_mktsegment")).as("n_segments"),
+          count(lit(1)).as("n_customers"),
+          dsum(col("c_acctbal")).as("total_bal"))
+    },
+
+    // ---------------------------------------------------------------- q12
+    // Global sort + limit (TakeOrdered at execution; no full sort shuffle).
+    Q(
+      "q12_topk_orders",
+      Some("""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""")
+    ) { (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(15)
+        .select("o_orderkey", "o_totalprice")
+    },
+
+    // ---------------------------------------------------------------- q13
+    // UNION ALL of heterogeneous sources mapped to a common schema.
+    Q(
+      "q13_union_all",
+      Some("""
+        SELECT c_custkey AS id, c_name AS name, 'customer' AS src FROM customer
+        UNION ALL
+        SELECT s_suppkey AS id, s_name AS name, 'supplier' AS src FROM supplier""")
+    ) { (s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          lit("customer").as("src"))
+        .unionAll(t(s, dir, "supplier")
+          .select(col("s_suppkey").as("id"), col("s_name").as("name"),
+            lit("supplier").as("src")))
+    },
+
+    // ---------------------------------------------------------------- q14
+    // EXCEPT (set difference): nations with customers but no suppliers.
+    Q(
+      "q14_except",
+      Some("""
+        SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT DISTINCT s_nationkey AS nationkey FROM supplier""")
+    ) { (s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+        .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")).distinct())
+    },
+
+    // ---------------------------------------------------------------- q15
+    // CASE bucketing + aggregate (conditional expressions stay in codegen).
+    Q(
+      "q15_case_bucket",
+      Some("""
+        SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                    WHEN o_totalprice < 150000 THEN 'medium'
+                    ELSE 'large' END AS bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM orders GROUP BY 1""")
+    ) { (s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("bucket",
+          when(col("o_totalprice") < 50000, "small")
+            .when(col("o_totalprice") < 150000, "medium")
+            .otherwise("large"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+    },
+
+    // ---------------------------------------------------------------- q16
+    // Scalar string functions (SURVEY.md P2/P6 family).
+    Q(
+      "q16_string_funcs",
+      Some("""
+        SELECT c_custkey,
+               UPPER(c_name) AS name_upper,
+               LENGTH(c_name) AS name_len,
+               SUBSTRING(c_name, 1, 8) AS name_prefix,
+               c_mktsegment || ':' || c_name AS tagged,
+               REPLACE(c_name, '#', '-') AS name_clean
+        FROM customer""")
+    ) { (s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        length(col("c_name")).cast("long").as("name_len"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        concat(col("c_mktsegment"), lit(":"), col("c_name")).as("tagged"),
+        regexp_replace(col("c_name"), "#", "-").as("name_clean"))
+    },
+
+    // ---------------------------------------------------------------- q17
+    // Date/time extraction functions (SURVEY.md P7 family).
+    Q(
+      "q17_date_funcs",
+      Some("""
+        SELECT CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(month(o_orderdate) AS INT) AS mo,
+               CAST(quarter(o_orderdate) AS INT) AS qtr,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1, 2, 3""")
+    ) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          quarter(col("o_orderdate")).as("qtr"))
+        .agg(count(lit(1)).as("n_orders"))
+    },
+
+    // ---------------------------------------------------------------- q18
+    // ROLLUP hierarchy (SURVEY.md G2's family as a native rollup).
+    Q(
+      "q18_rollup",
+      Some("""
+        SELECT COALESCE(c_mktsegment, '') AS segment,
+               COALESCE(c_nationkey, -1) AS nationkey,
+               COUNT(*) AS n
+        FROM customer GROUP BY ROLLUP(c_mktsegment, c_nationkey)""")
+    ) { (s, dir) =>
+      t(s, dir, "customer")
+        .rollup(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("c_mktsegment"), lit("")).as("segment"),
+          coalesce(col("c_nationkey"), lit(-1)).as("nationkey"),
+          col("n"))
+    },
+
+    // ---------------------------------------------------------------- q19
+    // HAVING (post-aggregation filter).
+    Q(
+      "q19_having",
+      Some("""
+        SELECT o_custkey, COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12""")
+    ) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 12)
+    },
+
+    // ---------------------------------------------------------------- q20
+    // Scalar subquery: orders above the (deterministic) global mean.
+    Q(
+      "q20_scalar_subquery",
+      Some("""
+        SELECT COUNT(*) AS n_above,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_above
+        FROM orders
+        WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) FROM orders)""")
+    ) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val thr = o.agg(davg(col("o_totalprice")).as("thr"))
+      o.join(broadcast(thr))
+        .filter(col("o_totalprice") > col("thr"))
+        .agg(count(lit(1)).as("n_above"), dsum(col("o_totalprice")).as("sum_above"))
+    },
+  )
+}

@@ -1,0 +1,248 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data text operators over `documents`: exact dedup, document
+  * fingerprinting, n-gram Jaccard near-dup, MinHash signatures + LSH
+  * banding, SimHash, token counting, quality scoring and language-ID
+  * heuristics.
+  *
+  * Cross-engine determinism: hashing is md5 (identical lowercase hex in
+  * Spark and DuckDB) or explicit integer arithmetic over ASCII codes —
+  * never an engine-private hash. Shingling is only applied where
+  * length(text) >= 3 (Spark's `sequence` would go descending on a
+  * negative span, DuckDB's `range` would return empty).
+  *
+  * Scale notes: everything here is embarrassingly parallel per document
+  * except the candidate joins, which are banded (MinHash buckets) so the
+  * shuffle key is the band signature, never a cross join.
+  */
+object TextOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** 3-gram character shingles, distinct, Spark side. */
+  private val shinglesExpr =
+    "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))"
+
+  /** Same shingles, DuckDB side (range upper bound is exclusive). */
+  private val shinglesSql =
+    "list_distinct(list_transform(range(1, length(text) - 1), i -> substr(text, CAST(i AS INT), 3)))"
+
+  /** Knuth multiplicative 32-bit hash of one 3-gram, from ASCII codes —
+    * exact BIGINT arithmetic, identical in both engines. */
+  private def gramHashSql(g: String): String =
+    s"((ascii(substr($g, 1, 1)) * 961 + ascii(substr($g, 2, 1)) * 31 + ascii(substr($g, 3, 1))) * 2654435761) % 4294967296"
+
+  private val simhashBits = 16
+
+  val all: Seq[Q] = Seq(
+    // ---------------------------------------------------------------- q26
+    // Exact deduplication: group by content hash, canonical survivor.
+    Q(
+      "q26_dedup_exact",
+      Some("""
+        SELECT md5(text) AS fp, MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(text)""")
+    ) { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_copies"))
+    },
+
+    // ---------------------------------------------------------------- q27
+    // Token counting: whitespace tokens + distinct-token vocabulary.
+    Q(
+      "q27_token_stats",
+      Some("""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_unique,
+               length(text) AS n_chars
+        FROM documents""")
+    ) { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"),
+        size(array_distinct(split(col("text"), " ", -1))).cast("long").as("n_unique"),
+        length(col("text")).cast("long").as("n_chars"))
+    },
+
+    // ---------------------------------------------------------------- q28
+    // Quality scoring: lexical-diversity and word-shape ratios.
+    Q(
+      "q28_quality_score",
+      Some("""
+        SELECT doc_id,
+               len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) AS diversity,
+               (length(text) - length(replace(text, ' ', ''))) AS n_spaces,
+               length(regexp_replace(text, '[a-z ]', '', 'g')) AS n_nonalpha,
+               CASE WHEN len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) >= 0.5
+                    THEN 1 ELSE 0 END AS keep_flag
+        FROM documents""")
+    ) { (s, dir) =>
+      val toks = split(col("text"), " ", -1)
+      val diversity = size(array_distinct(toks)) / size(toks)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        diversity.as("diversity"),
+        (length(col("text")) - length(regexp_replace(col("text"), " ", "")))
+          .cast("long").as("n_spaces"),
+        length(regexp_replace(col("text"), "[a-z ]", "")).cast("long").as("n_nonalpha"),
+        when(diversity >= 0.5, 1).otherwise(0).as("keep_flag"))
+    },
+
+    // ---------------------------------------------------------------- q29
+    // Language-ID heuristic: stopword-hit counting via replace-all
+    // (occurrence counts are exact integer math in both engines).
+    Q(
+      "q29_lang_heuristic",
+      Some("""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT)) AS BIGINT) AS the_hits,
+               CAST(SUM(CAST((length(text) - length(replace(text, ' data ', ''))) / 6 AS BIGINT)) AS BIGINT) AS data_hits,
+               CAST(SUM(CASE WHEN (length(text) - length(replace(text, ' the ', ''))) / 5 > 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_guessed_en
+        FROM documents GROUP BY lang""")
+    ) { (s, dir) =>
+      def hits(w: String): org.apache.spark.sql.Column =
+        (length(col("text")) - length(regexp_replace(col("text"), w, ""))) / w.length
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(hits(" the ").cast("long")).as("the_hits"),
+          sum(hits(" data ").cast("long")).as("data_hits"),
+          sum(when(hits(" the ") > 0, 1L).otherwise(0L)).as("n_guessed_en"))
+    },
+
+    // ---------------------------------------------------------------- q30
+    // Document fingerprinting: md5 over whitespace-normalized text.
+    Q(
+      "q30_fingerprint",
+      Some("""
+        SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        FROM documents""")
+    ) { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+    },
+
+    // ---------------------------------------------------------------- q31
+    // n-gram Jaccard similarity between neighbouring documents (the
+    // verify step of a near-dup pipeline; candidate pairing is banded
+    // elsewhere, here pairs are id-adjacent to stay deterministic).
+    Q(
+      "q31_ngram_jaccard",
+      Some(s"""
+        WITH sh AS (
+          SELECT doc_id, $shinglesSql AS grams
+          FROM documents WHERE length(text) >= 3)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_filter(a.grams, g -> list_contains(b.grams, g))) AS n_common,
+               len(list_filter(a.grams, g -> list_contains(b.grams, g)))
+                 / (len(a.grams) + len(b.grams) - len(list_filter(a.grams, g -> list_contains(b.grams, g)))) AS jaccard
+        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""")
+    ) { (s, dir) =>
+      val sh = t(s, dir, "documents")
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"), expr(shinglesExpr).as("grams"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
+      a.join(b, col("doc_b") === col("doc_a") + 1)
+        .withColumn("n_common",
+          size(array_intersect(col("grams_a"), col("grams_b"))).cast("long"))
+        .select(col("doc_a"), col("doc_b"), col("n_common"),
+          (col("n_common") / (size(col("grams_a")) + size(col("grams_b")) - col("n_common")))
+            .as("jaccard"))
+    },
+
+    // ---------------------------------------------------------------- q32
+    // MinHash signatures: per-seed minimum of md5(seed || shingle).
+    // Lexicographic min over identical hex strings — engine-agnostic.
+    Q(
+      "q32_minhash_signature",
+      Some(s"""
+        SELECT doc_id,
+               list_min(list_transform($shinglesSql, g -> md5('0' || g))) AS mh0,
+               list_min(list_transform($shinglesSql, g -> md5('1' || g))) AS mh1,
+               list_min(list_transform($shinglesSql, g -> md5('2' || g))) AS mh2,
+               list_min(list_transform($shinglesSql, g -> md5('3' || g))) AS mh3
+        FROM documents WHERE length(text) >= 3""")
+    ) { (s, dir) =>
+      t(s, dir, "documents")
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"),
+          expr(s"array_min(transform($shinglesExpr, g -> md5(concat('0', g))))").as("mh0"),
+          expr(s"array_min(transform($shinglesExpr, g -> md5(concat('1', g))))").as("mh1"),
+          expr(s"array_min(transform($shinglesExpr, g -> md5(concat('2', g))))").as("mh2"),
+          expr(s"array_min(transform($shinglesExpr, g -> md5(concat('3', g))))").as("mh3"))
+    },
+
+    // ---------------------------------------------------------------- q33
+    // LSH banding over the MinHash signature: bucket on (mh0, mh1);
+    // buckets with >1 doc are near-dup candidates. The shuffle key is
+    // the band — at 100 TB this is a plain hash-partitioned groupBy,
+    // never a cross join.
+    Q(
+      "q33_minhash_bands",
+      Some(s"""
+        WITH sig AS (
+          SELECT doc_id,
+                 list_min(list_transform($shinglesSql, g -> md5('0' || g))) AS mh0,
+                 list_min(list_transform($shinglesSql, g -> md5('1' || g))) AS mh1
+          FROM documents WHERE length(text) >= 3)
+        SELECT mh0, mh1, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+        FROM sig GROUP BY mh0, mh1""")
+    ) { (s, dir) =>
+      t(s, dir, "documents")
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"),
+          expr(s"array_min(transform($shinglesExpr, g -> md5(concat('0', g))))").as("mh0"),
+          expr(s"array_min(transform($shinglesExpr, g -> md5(concat('1', g))))").as("mh1"))
+        .groupBy(col("mh0"), col("mh1"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+    },
+
+    // ---------------------------------------------------------------- q34
+    // SimHash: per-bit majority vote over shingle hashes (explode ->
+    // 16 conditional sums -> recombine). Integer-exact in both engines.
+    Q(
+      "q34_simhash",
+      Some {
+        val votes = (0 until simhashBits)
+          .map(b => s"CAST(SUM(2 * ((h >> $b) & 1) - 1) AS BIGINT) AS v$b").mkString(",\n                 ")
+        val bits = (0 until simhashBits)
+          .map(b => s"(CASE WHEN v$b >= 0 THEN 1 ELSE 0 END) * ${1L << b}").mkString(" + ")
+        s"""
+        WITH grams AS (
+          SELECT doc_id, unnest($shinglesSql) AS g
+          FROM documents WHERE length(text) >= 3),
+        hashed AS (
+          SELECT doc_id, ${gramHashSql("g")} AS h FROM grams),
+        votes AS (
+          SELECT doc_id,
+                 $votes
+          FROM hashed GROUP BY doc_id)
+        SELECT doc_id, $bits AS simhash FROM votes"""
+      }
+    ) { (s, dir) =>
+      val hashed = t(s, dir, "documents")
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"), explode(expr(shinglesExpr)).as("g"))
+        .select(col("doc_id"), expr(gramHashSql("g")).as("h"))
+      val votes = hashed.groupBy(col("doc_id")).agg(
+        sum(expr("2 * (shiftright(h, 0) & 1) - 1")).as("v0"),
+        (1 until simhashBits).map(b =>
+          sum(expr(s"2 * (shiftright(h, $b) & 1) - 1")).as(s"v$b")): _*)
+      votes.select(col("doc_id"),
+        (0 until simhashBits)
+          .map(b => expr(s"(CASE WHEN v$b >= 0 THEN 1 ELSE 0 END) * ${1L << b}"))
+          .reduce(_ + _).as("simhash"))
+    },
+  )
+}
