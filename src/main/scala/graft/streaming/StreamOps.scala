@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming counterparts of the batch event operators
+  * (SURVEY.md §7.5): the same session / window / dedup semantics
+  * expressed as incremental plans — readStream → transform →
+  * writeStream, with watermarks bounding state.
+  *
+  * At 100 TB-day scale the state store is partitioned by the grouping
+  * key (user_id / event_id), so each micro-batch shuffles once on that
+  * key; the watermark caps state size.
+  */
+object StreamOps {
+
+  /** Gap-based sessions via native session_window (the streaming
+    * equivalent of the batch lag+cumsum sessionization in
+    * graft.queries.Events q23). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("session"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session.start").as("session_start"),
+        col("session.end").as("session_end"), col("n_events"))
+
+  /** Tumbling-window counts per event type (streaming analogue of q22). */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"))
+
+  /** Exactly-once event-id dedup with watermark-bounded state. */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+}

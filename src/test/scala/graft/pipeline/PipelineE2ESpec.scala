@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** End-to-end medallion run on an injected page source with dirty rows
+  * (FIXTURES.md A); covers S1–S4, K1–K5, P*, F*, W1, G1–G7, D1–D3. */
+class PipelineE2ESpec extends SparkSpec {
+
+  /** Three pages: page sizes 3,3,2 with per_page=3 (short page ends the
+    * no-Link walk); includes dup ids, blanks, bad lat/long, and a
+    * state_province fallback. */
+  private object FakeSource extends Bronze.PageSource {
+    private val pages = Map(
+      1 -> """[
+        {"id":"b1","name":"Alpha","brewery_type":"micro","country":"US","state":"CA","city":"LA","postal_code":"1","latitude":"34.0","longitude":"-118.0"},
+        {"id":"b2","name":"  Beta  ","brewery_type":" brewpub ","country":" US ","state":"","state_province":"NY","city":"NYC","postal_code":"2","latitude":"40.7","longitude":"-74.0"},
+        {"id":"b1","name":"Alpha","brewery_type":"micro","country":"US","state":"CA","city":"LA","postal_code":"1","latitude":"34.0","longitude":"-118.0"}]""",
+      2 -> """[
+        {"id":"b3","name":"Gamma","brewery_type":"nano","country":"DE","state":"BY","city":"M","postal_code":"3","latitude":"999","longitude":"11.5"},
+        {"id":"b4","name":"","brewery_type":"micro","country":"US","state":"CA"},
+        {"id":"b5","name":"Eps","brewery_type":"micro","country":"US","state":"CA","latitude":"not-a-number","longitude":""}]""",
+      3 -> """[
+        {"id":"b6","name":"Zeta","brewery_type":"large","country":"US","state":"TX","city":"A","postal_code":"6","latitude":"30.2","longitude":"-97.7"},
+        {"id":"b7","name":"Eta","brewery_type":"micro","country":"US","state":"TX"}]""")
+
+    var calls: List[Int] = Nil
+
+    override def fetch(page: Int, perPage: Int): Bronze.Page = {
+      calls = page :: calls
+      val body = pages.getOrElse(page, "[]")
+      val n = if (pages.contains(page)) (if (page == 3) 2 else 3) else 0
+      Bronze.Page(body, n, None)
+    }
+  }
+
+  private def settings(root: String) = Settings(
+    lakeRoot = s"$root/lake",
+    bronzePrefix = "bronze-layer", silverPrefix = "silver-layer",
+    goldPrefix = "gold-layer", warehouseRoot = s"$root/warehouse",
+    apiUrl = "http://unused", perPage = 3)
+
+  test("full pipeline: dirty pages → silver rows → gold counts; rerun idempotent") {
+    val root = Files.createTempDirectory("graft-e2e").toString
+    val st = settings(root)
+    val d = "2026-01-15"
+
+    val report = Pipeline.run(spark, st, FakeSource, Some(d), retryDelayMs = 0)
+
+    assert(report.pages === 3)
+    assert(report.records === 8)
+    // b1 dedup'd; b3 dropped (lat 999); b4 dropped (blank name) → b1,b2,b5,b6,b7
+    assert(report.silverRows === 5)
+    assert(report.allChecksPassed, report.checks.toString)
+
+    // silver layout: ingestion_date root partitioned by country/state
+    val silver = spark.read.parquet(st.silverDir(d))
+    assert(silver.schema.fieldNames.toSet ===
+      Schemas.silver.fieldNames.toSet)
+    // state_province fallback surfaced in the partition column
+    assert(silver.filter(col("id") === "b2").head().getAs[String]("state") === "NY")
+
+    // gold warehouse: this run's slice
+    val hist = spark.read.parquet(st.warehouseTableDir)
+      .filter(col("ingestion_date") === to_date(lit(d)))
+    val counts = hist.collect()
+      .map(r => (r.getAs[String]("country"), r.getAs[String]("state"),
+        r.getAs[String]("brewery_type")) -> r.getAs[Long]("brewery_count"))
+      .toMap
+    assert(counts(("US", "CA", "micro")) === 2) // b1, b5
+    assert(counts(("US", "NY", "brewpub")) === 1)
+    assert(counts(("US", "TX", "large")) === 1)
+    assert(counts(("US", "TX", "micro")) === 1)
+    assert(counts.values.sum === 5)
+
+    // exports exist at all four grains
+    val byType = spark.read.parquet(s"${st.goldBaseDir(d)}/by_type")
+    assert(byType.agg(sum("brewery_count")).head().getLong(0) === 5)
+
+    // idempotent rerun: same end state, no duplication (D1/D2)
+    val report2 = Pipeline.run(spark, st, FakeSource, Some(d), retryDelayMs = 0)
+    assert(report2.silverRows === 5)
+    val hist2 = spark.read.parquet(st.warehouseTableDir)
+      .filter(col("ingestion_date") === to_date(lit(d)))
+    assert(hist2.agg(sum("brewery_count")).head().getLong(0) === 5)
+
+    // a second date accumulates history instead of replacing it
+    val d2 = "2026-01-16"
+    Pipeline.run(spark, st, FakeSource, Some(d2), retryDelayMs = 0)
+    val allHist = spark.read.parquet(st.warehouseTableDir)
+    assert(allHist.select("ingestion_date").distinct().count() === 2)
+  }
+
+  test("no-Link pagination stops on short page") {
+    FakeSource.calls = Nil
+    val root = Files.createTempDirectory("graft-pg").toString
+    val (pages, records) =
+      Bronze.ingest(spark, settings(root), FakeSource, "2026-02-01")
+    assert(pages === 3 && records === 8)
+    // short page 3 (2 < per_page 3) stopped the walk — page 4 never fetched
+    assert(!FakeSource.calls.contains(4))
+  }
+}
