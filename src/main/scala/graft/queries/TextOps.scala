@@ -162,25 +162,30 @@ object TextOps {
     },
 
     // ---------------------------------------------------------------- q32
-    // MinHash signatures: per-seed minimum of md5(seed || shingle).
-    // Lexicographic min over identical hex strings — engine-agnostic.
+    // MinHash signatures via the custom codegen'd expression
+    // (graft.functions.MinHashSignature): one md5 per shingle, digest
+    // split into four 8-hex-char band minima — one pass, no
+    // intermediate shingle arrays. The oracle replays the identical
+    // math as SQL (min is duplicate-insensitive, so distinct shingles
+    // change nothing).
     Q(
       "q32_minhash_signature",
       Some(s"""
         SELECT doc_id,
-               list_min(list_transform($shinglesSql, g -> md5('0' || g))) AS mh0,
-               list_min(list_transform($shinglesSql, g -> md5('1' || g))) AS mh1,
-               list_min(list_transform($shinglesSql, g -> md5('2' || g))) AS mh2,
-               list_min(list_transform($shinglesSql, g -> md5('3' || g))) AS mh3
+               list_min(list_transform($shinglesSql, g -> substr(md5(g), 1, 8)))  AS mh0,
+               list_min(list_transform($shinglesSql, g -> substr(md5(g), 9, 8)))  AS mh1,
+               list_min(list_transform($shinglesSql, g -> substr(md5(g), 17, 8))) AS mh2,
+               list_min(list_transform($shinglesSql, g -> substr(md5(g), 25, 8))) AS mh3
         FROM documents WHERE length(text) >= 3""")
     ) { (s, dir) =>
       t(s, dir, "documents")
         .filter(length(col("text")) >= 3)
+        .withColumn("sig", graft.functions.MinHash.minhashSignature(col("text")))
         .select(col("doc_id"),
-          expr(s"array_min(transform($shinglesExpr, g -> md5(concat('0', g))))").as("mh0"),
-          expr(s"array_min(transform($shinglesExpr, g -> md5(concat('1', g))))").as("mh1"),
-          expr(s"array_min(transform($shinglesExpr, g -> md5(concat('2', g))))").as("mh2"),
-          expr(s"array_min(transform($shinglesExpr, g -> md5(concat('3', g))))").as("mh3"))
+          element_at(col("sig"), 1).as("mh0"),
+          element_at(col("sig"), 2).as("mh1"),
+          element_at(col("sig"), 3).as("mh2"),
+          element_at(col("sig"), 4).as("mh3"))
     },
 
     // ---------------------------------------------------------------- q33
@@ -193,18 +198,17 @@ object TextOps {
       Some(s"""
         WITH sig AS (
           SELECT doc_id,
-                 list_min(list_transform($shinglesSql, g -> md5('0' || g))) AS mh0,
-                 list_min(list_transform($shinglesSql, g -> md5('1' || g))) AS mh1
+                 list_min(list_transform($shinglesSql, g -> substr(md5(g), 1, 8))) AS mh0,
+                 list_min(list_transform($shinglesSql, g -> substr(md5(g), 9, 8))) AS mh1
           FROM documents WHERE length(text) >= 3)
         SELECT mh0, mh1, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
         FROM sig GROUP BY mh0, mh1""")
     ) { (s, dir) =>
       t(s, dir, "documents")
         .filter(length(col("text")) >= 3)
-        .select(col("doc_id"),
-          expr(s"array_min(transform($shinglesExpr, g -> md5(concat('0', g))))").as("mh0"),
-          expr(s"array_min(transform($shinglesExpr, g -> md5(concat('1', g))))").as("mh1"))
-        .groupBy(col("mh0"), col("mh1"))
+        .withColumn("sig", graft.functions.MinHash.minhashSignature(col("text")))
+        .groupBy(element_at(col("sig"), 1).as("mh0"),
+          element_at(col("sig"), 2).as("mh1"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
     },
 

@@ -83,6 +83,46 @@ object Vectors {
         .select("query_id", "vec_id", "score")
     },
 
+    // ---------------------------------------------------------------- q40
+    // Same top-k semantics as q36, computed with the bounded-heap
+    // TopKAggregator (custom typed Aggregator) instead of a
+    // row_number window: map-side partial top-k means O(groups × k)
+    // shuffle bytes instead of shipping every scored candidate — the
+    // plan that survives a 100× candidate-count scale-up.
+    Q(
+      "q40_cosine_topk_heap",
+      Some(s"""
+        WITH normed AS ($quantizedSql),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                 CAST(CAST(list_aggregate(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.qv[i]), 'sum') AS BIGINT) AS DOUBLE)
+                   / sqrt(CAST(q.qn AS DOUBLE) * CAST(c.qn AS DOUBLE)) AS score
+          FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < 20 AND q.qn > 0 AND c.qn > 0)
+        SELECT query_id, vec_id, score FROM (
+          SELECT query_id, vec_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+          FROM scored) t
+        WHERE rn <= 5""")
+    ) { (s, dir) =>
+      val normed = quantized(s, dir).filter(col("qn") > 0)
+      val q = normed.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("qn").as("qqn"))
+      val scored = normed.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("dot",
+          expr("aggregate(zip_with(qqv, qv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+        .withColumn("score",
+          col("dot").cast("double") / sqrt(col("qqn").cast("double") * col("qn").cast("double")))
+      val topk = udaf(new graft.functions.TopKAggregator(5),
+        graft.functions.TopK.inputEncoder)
+      scored
+        .groupBy(col("query_id"))
+        .agg(topk(col("vec_id"), col("score")).as("topk"))
+        .select(col("query_id"), explode(col("topk")).as("hit"))
+        .select(col("query_id"), col("hit.vec_id").as("vec_id"),
+          col("hit.score").as("score"))
+    },
+
     // ---------------------------------------------------------------- q37
     // Per-label embedding statistics over the quantized vectors.
     Q(
