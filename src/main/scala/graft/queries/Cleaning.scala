@@ -52,11 +52,16 @@ object Cleaning {
         SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
           SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
                  ROW_NUMBER() OVER (PARTITION BY l_orderkey
-                                    ORDER BY l_linenumber, l_partkey) AS rn
+                                    ORDER BY l_linenumber, l_partkey,
+                                             l_quantity, l_suppkey, l_extendedprice) AS rn
           FROM lineitem) t
         WHERE rn = 1""")
     ) { (s, dir) =>
-      val w = Window.partitionBy("l_orderkey").orderBy(col("l_linenumber"), col("l_partkey"))
+      // (linenumber, partkey) is NOT unique per order in this data — the
+      // survivor order must be total or the two engines pick different rows
+      val w = Window.partitionBy("l_orderkey").orderBy(
+        col("l_linenumber"), col("l_partkey"), col("l_quantity"),
+        col("l_suppkey"), col("l_extendedprice"))
       t(s, dir, "lineitem")
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)

@@ -25,6 +25,41 @@ object Events {
   private val sessionGapUs: Long = 30L * 60 * 1000 * 1000 // 30 min
 
   val all: Seq[Q] = Seq(
+    // ---------------------------------------------------------------- q42
+    // As-of join (graft.operators.AsOfJoin): each error event matched to
+    // the user's most recent click at-or-before it. The right side is
+    // pre-aggregated to one row per (user, instant) so the match is
+    // deterministic in both engines. Oracle uses DuckDB's native ASOF.
+    Q(
+      "q42_asof_join",
+      Some("""
+        WITH clicks AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS cts,
+                 CAST(MAX(event_id) AS BIGINT) AS click_id
+          FROM events WHERE event_type = 'click'
+          GROUP BY 1, 2),
+        errors AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ets, event_id
+          FROM events WHERE event_type = 'error')
+        SELECT e.event_id, e.user_id, c.click_id,
+               epoch_us(e.ets) - epoch_us(c.cts) AS gap_us
+        FROM errors e ASOF LEFT JOIN clicks c
+          ON e.user_id = c.user_id AND e.ets >= c.cts""")
+    ) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").as("cts"))
+        .agg(max(col("event_id")).as("click_id"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.operators.AsOfJoin.joinAsOf(
+        errors, clicks, keys = Seq("user_id"),
+        leftTime = "ts", rightTime = "cts",
+        payload = Seq("click_id", "cts"))
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("cts"))).as("gap_us"))
+    },
+
     // ---------------------------------------------------------------- q21
     // JSON column extraction (get_json_object ≅ json_extract_string).
     Q(

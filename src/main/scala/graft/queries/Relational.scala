@@ -302,6 +302,66 @@ object Relational {
         .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")).distinct())
     },
 
+    // ---------------------------------------------------------------- q41
+    // INTERSECT (set intersection with distinct semantics).
+    Q(
+      "q41_intersect",
+      Some("""
+        SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT DISTINCT s_nationkey AS nationkey FROM supplier""")
+    ) { (s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+        .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")).distinct())
+    },
+
+    // ---------------------------------------------------------------- q43
+    // PIVOT: market segments to columns (explicit value list keeps the
+    // output schema static — the scalable form; inferred pivots need an
+    // extra distinct pass over the data).
+    Q(
+      "q43_pivot_segments",
+      Some("""
+        SELECT c_nationkey,
+               CAST(COUNT(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END) AS BIGINT) AS automobile,
+               CAST(COUNT(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 END) AS BIGINT) AS building,
+               CAST(COUNT(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 END) AS BIGINT) AS furniture,
+               CAST(COUNT(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 END) AS BIGINT) AS household,
+               CAST(COUNT(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 END) AS BIGINT) AS machinery
+        FROM customer GROUP BY c_nationkey""")
+    ) { (s, dir) =>
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      val pivoted = t(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .pivot("c_mktsegment", segs)
+        .count()
+      // rename before lowercasing: drop()/withColumn are case-insensitive
+      // by default, so adding "automobile" next to "AUTOMOBILE" collides
+      val renamed = segs.foldLeft(pivoted)(
+        (df, seg) => df.withColumnRenamed(seg, s"v_$seg"))
+      renamed.select(col("c_nationkey") +:
+        segs.map(seg => coalesce(col(s"v_$seg"), lit(0L)).as(seg.toLowerCase)): _*)
+    },
+
+    // ---------------------------------------------------------------- q44
+    // Exact interpolated percentiles (median / p90). Both engines sort
+    // and linearly interpolate over identical double inputs.
+    Q(
+      "q44_percentiles",
+      Some("""
+        SELECT o_orderstatus,
+               quantile_cont(o_totalprice, 0.5) AS median_price,
+               quantile_cont(o_totalprice, 0.9) AS p90_price,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_orderstatus""")
+    ) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("percentile(o_totalprice, 0.5)").as("median_price"),
+          expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+          count(lit(1)).as("n"))
+    },
+
     // ---------------------------------------------------------------- q15
     // CASE bucketing + aggregate (conditional expressions stay in codegen).
     Q(

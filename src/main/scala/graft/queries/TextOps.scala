@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data text operators over `documents`: exact dedup, document
@@ -210,6 +211,50 @@ object TextOps {
         .groupBy(element_at(col("sig"), 1).as("mh0"),
           element_at(col("sig"), 2).as("mh1"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+    },
+
+    // ---------------------------------------------------------------- q35
+    // tf-idf-style term scoring with exact integer weights
+    // (score = tf * 1e6 div df — engine-identical, unlike ln()).
+    // Token explode -> per-doc tf -> doc-frequency join -> top-3 terms
+    // per document with a total-order tiebreak.
+    Q(
+      "q35_tfidf_topterms",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        tf AS (
+          SELECT doc_id, token, COUNT(*) AS tf FROM toks
+          WHERE token <> '' GROUP BY doc_id, token),
+        df AS (
+          SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks
+          WHERE token <> '' GROUP BY token),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.token,
+                 CAST((tf.tf * 1000000 * (SELECT n_docs FROM n)) // df.df AS BIGINT) AS score
+          FROM tf JOIN df ON tf.token = df.token)
+        SELECT doc_id, token, score FROM (
+          SELECT doc_id, token, score,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, token) AS rn
+          FROM scored) t
+        WHERE rn <= 3""")
+    ) { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("token"))
+        .filter(col("token") =!= "")
+      val tf = toks.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df = toks.groupBy(col("token"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = t(s, dir, "documents").count()
+      val scored = tf.join(df, "token")
+        .withColumn("score", expr(s"(tf * 1000000 * ${nDocs}L) div df"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("token"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "token", "score")
     },
 
     // ---------------------------------------------------------------- q34
