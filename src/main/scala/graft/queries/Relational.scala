@@ -343,6 +343,37 @@ object Relational {
         segs.map(seg => coalesce(col(s"v_$seg"), lit(0L)).as(seg.toLowerCase)): _*)
     },
 
+    // ---------------------------------------------------------------- q45
+    // HLL sketch: approx_count_distinct. No oracle — sketch estimates
+    // are engine-specific by construction (rows-only check); the exact
+    // distinct count sits alongside for sanity.
+    Q("q45_approx_distinct", None) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          count(lit(1)).as("n"))
+    },
+
+    // ---------------------------------------------------------------- q46
+    // Salted skew join (graft.operators.SkewJoin): same result set as
+    // the plain equi-join — salting only reshapes the shuffle — so the
+    // unsalted SQL join is the oracle.
+    Q(
+      "q46_salted_join",
+      Some("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus""")
+    ) { (s, dir) =>
+      val li = t(s, dir, "lineitem").withColumnRenamed("l_orderkey", "orderkey")
+      val o = t(s, dir, "orders").withColumnRenamed("o_orderkey", "orderkey")
+      graft.operators.SkewJoin.saltedJoin(li, o, Seq("orderkey"), salts = 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    },
+
     // ---------------------------------------------------------------- q44
     // Exact interpolated percentiles (median / p90). Both engines sort
     // and linearly interpolate over identical double inputs.
