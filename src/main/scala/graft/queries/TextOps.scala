@@ -277,21 +277,15 @@ object TextOps {
           SELECT doc_id,
                  $votes
           FROM hashed GROUP BY doc_id)
-        SELECT doc_id, $bits AS simhash FROM votes"""
+        SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM votes"""
       }
     ) { (s, dir) =>
-      val hashed = t(s, dir, "documents")
+      // one-pass codegen'd kernel (graft.functions.SimHash16) — replaces
+      // the explode + 16-vote-aggregate formulation; identical math
+      t(s, dir, "documents")
         .filter(length(col("text")) >= 3)
-        .select(col("doc_id"), explode(expr(shinglesExpr)).as("g"))
-        .select(col("doc_id"), expr(gramHashSql("g")).as("h"))
-      val votes = hashed.groupBy(col("doc_id")).agg(
-        sum(expr("2 * (shiftright(h, 0) & 1) - 1")).as("v0"),
-        (1 until simhashBits).map(b =>
-          sum(expr(s"2 * (shiftright(h, $b) & 1) - 1")).as(s"v$b")): _*)
-      votes.select(col("doc_id"),
-        (0 until simhashBits)
-          .map(b => expr(s"(CASE WHEN v$b >= 0 THEN 1 ELSE 0 END) * ${1L << b}"))
-          .reduce(_ + _).as("simhash"))
+        .select(col("doc_id"),
+          graft.functions.SimHash.simhash16(col("text")).as("simhash"))
     },
   )
 }

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** Structured Streaming counterparts of the batch event operators
   * (SURVEY.md §7.5): the same session / window / dedup semantics
@@ -38,4 +39,34 @@ object StreamOps {
   def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicates("event_id")
+
+  final case class EventRow(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String)
+
+  final case class UserRunning(
+      user_id: Long, n_events: Long, n_errors: Long, flagged: Boolean)
+
+  /** Custom keyed state via mapGroupsWithState: per-user running
+    * totals + an error-rate flag, carried across micro-batches. The
+    * state store is partitioned by user_id, so this shuffles each
+    * micro-batch once on the key and holds O(users) state.
+    */
+  def runningUserStats(events: Dataset[EventRow],
+      flagAfterErrors: Long = 3): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Long), UserRunning](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[(Long, Long)]) =>
+          val (n0, e0) = state.getOption.getOrElse((0L, 0L))
+          var n = n0
+          var e = e0
+          rows.foreach { r =>
+            n += 1
+            if (r.event_type == "error") e += 1
+          }
+          state.update((n, e))
+          UserRunning(uid, n, e, e >= flagAfterErrors)
+      }
+  }
 }

@@ -65,6 +65,34 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup").count() === 2)
   }
 
+  test("mapGroupsWithState carries per-user state across micro-batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-state")
+    Files.writeString(dir.resolve("a-b1.json"), Seq(
+      """{"event_id":1,"ts":"2026-01-01T10:00:00.000Z","user_id":1,"event_type":"error"}""",
+      """{"event_id":2,"ts":"2026-01-01T10:01:00.000Z","user_id":1,"event_type":"error"}""",
+      """{"event_id":3,"ts":"2026-01-01T10:02:00.000Z","user_id":2,"event_type":"click"}""").mkString("\n"))
+    val b2 = dir.resolve("b-b2.json")
+    Files.writeString(b2, Seq(
+      """{"event_id":4,"ts":"2026-01-01T10:03:00.000Z","user_id":1,"event_type":"error"}""",
+      """{"event_id":5,"ts":"2026-01-01T10:04:00.000Z","user_id":2,"event_type":"view"}""").mkString("\n"))
+    b2.toFile.setLastModified(System.currentTimeMillis() + 10000)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(dir.toString)
+      .as[StreamOps.EventRow]
+    val q = StreamOps.runningUserStats(stream, flagAfterErrors = 3)
+      .writeStream.format("memory").queryName("running")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // last update per user wins: user 1 reaches 3 events / 3 errors
+    // (flagged — state carried from batch 1), user 2 reaches 2 / 0
+    val last = spark.table("running").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+    assert(last(1L) === ((3L, 3L, true)))
+    assert(last(2L) === ((2L, 0L, false)))
+  }
+
   test("tumbling hourly counts over a stream") {
     val in = writeInput(
       """{"event_id":1,"ts":"2026-01-01T10:00:00.000Z","user_id":1,"event_type":"click"}""",
