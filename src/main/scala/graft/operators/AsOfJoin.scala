@@ -31,6 +31,32 @@ object AsOfJoin {
     * @param rightTime  right ordering column name
     * @param payload    right columns to carry onto matches (as-of values)
     */
+  /** Native whole-operator route (graft.plans.AsOfJoinExec): a custom
+    * LogicalPlan planned by a custom Strategy into a streaming-merge
+    * SparkPlan — one co-partitioning shuffle per side, O(n+m) merge with
+    * a single buffered right row, no union/window machinery. Output is
+    * all left columns then all right columns (nulls when unmatched);
+    * single key column, single time column per side.
+    */
+  def joinAsOfNative(left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightKey: String,
+      rightTime: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    val lPlan = Bridge.analyzed(left)
+    val rPlan = Bridge.analyzed(right)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) = p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"column $n not found"))
+    Bridge.ofRows(spark, graft.plans.AsOfJoinPlan(
+      lPlan, rPlan,
+      attr(lPlan, key), attr(rPlan, rightKey),
+      attr(lPlan, leftTime), attr(rPlan, rightTime)))
+  }
+
   def joinAsOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq

@@ -60,6 +60,42 @@ object Events {
           (unix_micros(col("ts")) - unix_micros(col("cts"))).as("gap_us"))
     },
 
+    // ---------------------------------------------------------------- q47
+    // Same as-of semantics as q42, executed by the native custom
+    // operator (graft.plans.AsOfJoinExec — LogicalPlan + Strategy +
+    // streaming-merge SparkPlan) instead of the union+window
+    // composition. Same DuckDB ASOF oracle: three independent
+    // implementations of one semantic must agree.
+    Q(
+      "q47_asof_native",
+      Some("""
+        WITH clicks AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS cts,
+                 CAST(MAX(event_id) AS BIGINT) AS click_id
+          FROM events WHERE event_type = 'click'
+          GROUP BY 1, 2),
+        errors AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ets, event_id
+          FROM events WHERE event_type = 'error')
+        SELECT e.event_id, e.user_id, c.click_id,
+               epoch_us(e.ets) - epoch_us(c.cts) AS gap_us
+        FROM errors e ASOF LEFT JOIN clicks c
+          ON e.user_id = c.user_id AND e.ets >= c.cts""")
+    ) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("c_user"), col("ts").as("cts"))
+        .agg(max(col("event_id")).as("click_id"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.operators.AsOfJoin.joinAsOfNative(
+        errors, clicks,
+        key = "user_id", leftTime = "ts",
+        rightKey = "c_user", rightTime = "cts")
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("cts"))).as("gap_us"))
+    },
+
     // ---------------------------------------------------------------- q21
     // JSON column extraction (get_json_object ≅ json_extract_string).
     Q(
