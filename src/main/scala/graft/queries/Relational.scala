@@ -32,7 +32,7 @@ object Relational {
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
                COUNT(*) AS count_order
         FROM lineitem
@@ -46,7 +46,7 @@ object Relational {
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
           sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-            .cast("double").as("sum_disc_price"),
+            .cast(org.apache.spark.sql.types.DecimalType(18, 4)).cast("double").as("sum_disc_price"),
           davg(col("l_quantity")).as("avg_qty"),
           count(lit(1)).as("count_order"))
     },
@@ -77,7 +77,7 @@ object Relational {
       "q03_top_orders",
       Some("""
         SELECT l_orderkey,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
                CAST(o_orderdate AS DATE) AS o_orderdate
         FROM customer JOIN orders ON c_custkey = o_custkey
                       JOIN lineitem ON l_orderkey = o_orderkey
@@ -97,7 +97,7 @@ object Relational {
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
         .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-          .cast("double").as("revenue"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)).cast("double").as("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(desc("revenue"), col("l_orderkey"))
         .limit(10)
@@ -125,7 +125,7 @@ object Relational {
       "q05_regional_revenue",
       Some("""
         SELECT n_name,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
         FROM customer
           JOIN orders   ON c_custkey = o_custkey
           JOIN lineitem ON l_orderkey = o_orderkey
@@ -145,7 +145,7 @@ object Relational {
         .filter(col("r_name").isin("ASIA", "EUROPE"))
         .groupBy(col("n_name"))
         .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-          .cast("double").as("revenue"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)).cast("double").as("revenue"))
     },
 
     // ---------------------------------------------------------------- q06
@@ -153,7 +153,7 @@ object Relational {
     Q(
       "q06_forecast_revenue",
       Some("""
-        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
                COUNT(*) AS n_rows
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
@@ -167,7 +167,7 @@ object Relational {
           && col("l_discount").between(0.05, 0.07)
           && col("l_quantity") < 24)
         .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
-          .cast("double").as("revenue"),
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)).cast("double").as("revenue"),
           count(lit(1)).as("n_rows"))
     },
 
