@@ -149,17 +149,16 @@ object TextOps {
                  / (len(a.grams) + len(b.grams) - len(list_filter(a.grams, g -> list_contains(b.grams, g)))) AS jaccard
         FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""")
     ) { (s, dir) =>
-      val sh = t(s, dir, "documents")
-        .filter(length(col("text")) >= 3)
-        .select(col("doc_id"), expr(shinglesExpr).as("grams"))
-      val a = sh.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
+      // one-pass codegen'd kernel (graft.functions.Jaccard3): shingle
+      // sets + intersection computed per pair, no materialized gram
+      // arrays through the join shuffle — same math as the oracle
+      val docs = t(s, dir, "documents").filter(length(col("text")) >= 3)
+      val a = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
       a.join(b, col("doc_b") === col("doc_a") + 1)
-        .withColumn("n_common",
-          size(array_intersect(col("grams_a"), col("grams_b"))).cast("long"))
-        .select(col("doc_a"), col("doc_b"), col("n_common"),
-          (col("n_common") / (size(col("grams_a")) + size(col("grams_b")) - col("n_common")))
-            .as("jaccard"))
+        .withColumn("jc", graft.functions.Jaccard.jaccard3(col("text_a"), col("text_b")))
+        .select(col("doc_a"), col("doc_b"),
+          col("jc.n_common").as("n_common"), col("jc.jaccard").as("jaccard"))
     },
 
     // ---------------------------------------------------------------- q32
