@@ -27,17 +27,18 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").queryExecution.toRdd.count()
 
     // Round 0 is an unmeasured warm-up (Janino codegen compile + JIT —
-    // one-time costs amortized to zero at production scale); rounds 1–2
+    // one-time costs amortized to zero at production scale); rounds 1–3
     // measure every query and the per-query minimum is reported. Rounds
     // interleave across the whole query set so a transient host
-    // contention window cannot pin both samples of the same query.
+    // contention window (other processes sharing the box) cannot pin
+    // every sample of the same query.
     def once(q: Q): Double = {
       val t0 = System.nanoTime()
       q.build(spark, sfDir).queryExecution.toRdd.count()
       (System.nanoTime() - t0) / 1e9
     }
     val times =
-      (0 to 2).map { round =>
+      (0 to 3).map { round =>
         SparkEntry.allQueries.map { q =>
           val t =
             try once(q)
