@@ -241,6 +241,58 @@ object Relational {
           sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_spend"))
     },
 
+    // ---------------------------------------------------------------- q48
+    // RANGE window frame: per-customer spend inside a sliding 30-day
+    // event-time window (frame bounds in exact microseconds on both
+    // engines).
+    Q(
+      "q48_range_frame",
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                 OVER (PARTITION BY o_custkey ORDER BY epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                       RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+        FROM orders""")
+    ) { (s, dir) =>
+      // parquet ms timestamps read as TIMESTAMP_NTZ; cast to TIMESTAMP
+      // (session tz is UTC) before unix_micros — same instants as
+      // DuckDB's epoch_us
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(unix_micros(col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-2592000000000L, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("spend_30d"))
+    },
+
+    // ---------------------------------------------------------------- q49
+    // first_value / last_value / ntile over explicit frames.
+    Q(
+      "q49_first_last_ntile",
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               FIRST_VALUE(o_orderkey) OVER w AS first_order,
+               LAST_VALUE(o_orderkey)
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order,
+               NTILE(4) OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice, o_orderkey) AS price_quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")
+    ) { (s, dir) =>
+      val ordered = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val full = ordered.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val byPrice = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          first(col("o_orderkey")).over(ordered).as("first_order"),
+          last(col("o_orderkey")).over(full).as("last_order"),
+          ntile(4).over(byPrice).cast("long").as("price_quartile"))
+    },
+
     // ---------------------------------------------------------------- q11
     // Distinct aggregate: per-nation customer stats.
     Q(
