@@ -395,6 +395,25 @@ object Relational {
         segs.map(seg => coalesce(col(s"v_$seg"), lit(0L)).as(seg.toLowerCase)): _*)
     },
 
+    // ---------------------------------------------------------------- q57
+    // Correlated scalar subquery — Catalyst decorrelates
+    // (RewriteCorrelatedScalarSubquery) into an aggregate + join; the
+    // SQL text is identical in both engines.
+    Q(
+      "q57_correlated_subquery",
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE (SELECT MAX(o_totalprice) FROM orders
+               WHERE o_custkey = c_custkey) > 400000""")
+    ) { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("graft_q57_customer")
+      t(s, dir, "orders").createOrReplaceTempView("graft_q57_orders")
+      s.sql("""
+        SELECT c_custkey, c_name FROM graft_q57_customer
+        WHERE (SELECT MAX(o_totalprice) FROM graft_q57_orders
+               WHERE o_custkey = c_custkey) > 400000""")
+    },
+
     // ---------------------------------------------------------------- q45
     // HLL sketch: approx_count_distinct. No oracle — sketch estimates
     // are engine-specific by construction (rows-only check); the exact
