@@ -50,13 +50,22 @@ object Bench {
         }.toMap
       }
     val results = SparkEntry.allQueries.map { q =>
+      // prefer measured rounds; fall back to the warm-up round; a query
+      // that failed every round is reported as an error, excluded from
+      // the total, and fails the bench exit code (a -1 sentinel summed
+      // into the total would silently deflate it).
       val measured = times.drop(1).map(_(q.name)).filter(_ >= 0)
-      q.name -> (if (measured.nonEmpty) measured.min else times.head(q.name))
+      val fallback = Some(times.head(q.name)).filter(_ >= 0)
+      q.name -> (if (measured.nonEmpty) Some(measured.min) else fallback)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (k, Some(v)) => "\"" + k + "\":" + f"$v%.3f"
+      case (k, None)    => "\"" + k + "\":\"error\""
+    }.mkString("{", ",", "}")
+    val total = results.flatMap(_._2).sum
+    val failed = results.count(_._2.isEmpty)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed}""")
     spark.stop()
+    if (failed > 0) sys.exit(1)
   }
 }

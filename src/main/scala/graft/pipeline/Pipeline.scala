@@ -22,10 +22,12 @@ object Pipeline {
   }
 
   /** Simple retry wrapper (the engine-scope analogue of Prefect task
-    * retries: attempts = retries + 1, fixed delay). */
+    * retries: attempts = retries + 1, fixed delay). Only non-fatal
+    * failures are retried — fatal JVM errors (OOM, linkage) and
+    * interrupts propagate immediately. */
   def retry[A](attempts: Int, delayMs: Long = 5000)(f: => A): A =
     try f catch {
-      case e: Throwable if attempts > 1 =>
+      case scala.util.control.NonFatal(_) if attempts > 1 =>
         Thread.sleep(delayMs)
         retry(attempts - 1, delayMs)(f)
     }

@@ -58,9 +58,13 @@ object Multimodal {
                md5(substring(text, CAST(frame_no * 32 + 1 AS INT), 32)) AS frame_hash
         FROM (
           SELECT doc_id, text, unnest(range(0, CAST(ceil(length(text) / 32.0) AS BIGINT))) AS frame_no
-          FROM documents) t""")
+          FROM documents WHERE length(text) >= 1) t""")
     ) { (s, dir) =>
+      // length >= 1 guard: on empty text Spark's sequence(0, -1) yields
+      // the DESCENDING array [0, -1] (two bogus frames) while DuckDB's
+      // range(0, 0) yields none — zero-length documents must not explode
       Tables.load(s, dir, "documents")
+        .filter(length(col("text")) >= 1)
         .select(col("doc_id"), col("text"),
           explode(expr("sequence(0, cast(ceil(length(text) / 32.0) as bigint) - 1)"))
             .as("frame_no"))

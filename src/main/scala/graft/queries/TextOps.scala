@@ -247,9 +247,13 @@ object TextOps {
         .agg(count(lit(1)).as("tf"))
       val df = toks.groupBy(col("token"))
         .agg(countDistinct(col("doc_id")).as("df"))
-      val nDocs = t(s, dir, "documents").count()
+      // corpus size as a broadcast one-row aggregate (not a driver-side
+      // .count(), which would be a second full scan as a separate job)
+      val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(df, "token")
-        .withColumn("score", expr(s"(tf * 1000000 * ${nDocs}L) div df"))
+        .crossJoin(broadcast(n))
+        .withColumn("score", expr("(tf * 1000000 * n_docs) div df"))
+        .drop("n_docs")
       val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("token"))
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)

@@ -34,11 +34,10 @@ object Vectors {
   private val qnormSql =
     "CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS BIGINT)"
 
-  /** Sign-random-projection plane j: weight(i) = ((i*(j+3) + 7) % 11) - 5. */
-  private def planeDotExpr(j: Int): String =
-    s"aggregate(zip_with(qv, transform(sequence(1, size(qv)), i -> cast((i * ${j + 3} + 7) % 11 - 5 as bigint)), (x, w) -> x * w), 0L, (acc, x) -> acc + x)"
-  private def planeDotSql(j: Int): String =
-    s"CAST(list_aggregate(list_transform(range(1, len(qv) + 1), i -> qv[i] * ((i * ${j + 3} + 7) % 11 - 5)), 'sum') AS BIGINT)"
+  /** Multi-band LSH configuration shared by q38/q39 and their oracles:
+    * 3 bands × 6 planes (64 buckets per band). See operators/Lsh.scala
+    * for the scale rationale (r grows with log2(n) at production SF). */
+  private val lshCfg = graft.operators.Lsh.Config(bands = 3, rowsPerBand = 6)
 
   private def quantized(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
@@ -146,72 +145,75 @@ object Vectors {
     },
 
     // ---------------------------------------------------------------- q38
-    // LSH bucketing by sign-random-projection (4 planes -> 16 buckets):
-    // the scale path for ANN — bucket is the shuffle/join key.
+    // Multi-band LSH bucketing by sign-random-projection via the
+    // parameterized operators/Lsh operator (3 bands × 6 planes): each
+    // vector gets one bucket per band; (band, bucket) is the downstream
+    // shuffle/join key — the scale path for ANN.
     Q(
       "q38_lsh_buckets",
-      Some(s"""
+      Some {
+        val bands = (0 until lshCfg.bands).map { j =>
+          val b = graft.operators.Lsh.bandBucketSql("qv", j, lshCfg.rowsPerBand)
+          s"SELECT vec_id, label, $j AS band, CAST($b AS BIGINT) AS bucket FROM qd"
+        }.mkString("\n        UNION ALL\n        ")
+        s"""
         WITH qd AS (SELECT vec_id, label, $qvSql AS qv FROM embeddings)
-        SELECT vec_id, label,
-               (CASE WHEN ${planeDotSql(0)} >= 0 THEN 1 ELSE 0 END)
-             + (CASE WHEN ${planeDotSql(1)} >= 0 THEN 2 ELSE 0 END)
-             + (CASE WHEN ${planeDotSql(2)} >= 0 THEN 4 ELSE 0 END)
-             + (CASE WHEN ${planeDotSql(3)} >= 0 THEN 8 ELSE 0 END) AS bucket
-        FROM qd""")
+        $bands"""
+      }
     ) { (s, dir) =>
-      t(s, dir, "embeddings")
+      val qd = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), expr(qvExpr).as("qv"))
-        .select(col("vec_id"), col("label"),
-          ((when(expr(planeDotExpr(0)) >= 0, 1).otherwise(0))
-            + (when(expr(planeDotExpr(1)) >= 0, 2).otherwise(0))
-            + (when(expr(planeDotExpr(2)) >= 0, 4).otherwise(0))
-            + (when(expr(planeDotExpr(3)) >= 0, 8).otherwise(0))).as("bucket"))
+      graft.operators.Lsh.explodeBands(qd, "qv", lshCfg)
+        .select(col("vec_id"), col("label"), col("band"), col("bucket"))
     },
 
     // ---------------------------------------------------------------- q39
-    // Embedding-cosine near-dup pairs, LSH-blocked: candidates only form
-    // within a bucket (self-join on the bucket key, not a cross join),
-    // then exact cosine verifies. Deterministic: integer dot + one sqrt.
+    // Embedding-cosine near-dup pairs, blocked by the parameterized
+    // multi-band LSH operator: candidates form only within a
+    // (band, bucket) group (hash-partitioned self-join — never a cross
+    // join), exact cosine verifies each candidate, and the per-band
+    // candidate sets are unioned by a distinct on the verified pairs.
+    // At production scale rowsPerBand grows with log2(n), so the
+    // within-bucket pair count stays bounded (vs the round-1 fixed
+    // 16-bucket O(n²/16) blocking). Deterministic: integer dot + 1 sqrt.
     Q(
       "q39_cosine_neardup",
-      Some(s"""
+      Some {
+        val scoreSql =
+          """CAST(CAST(list_aggregate(list_transform(range(1, len(a.qv) + 1), i -> a.qv[CAST(i AS INT)] * b.qv[CAST(i AS INT)]), 'sum') AS BIGINT) AS DOUBLE)
+                 / sqrt(CAST(a.qn AS DOUBLE) * CAST(b.qn AS DOUBLE))"""
+        val bands = (0 until lshCfg.bands).map { j =>
+          val b = graft.operators.Lsh.bandBucketSql("qv", j, lshCfg.rowsPerBand)
+          s"SELECT vec_id, qv, qn, $j AS band, CAST($b AS BIGINT) AS bucket FROM withn"
+        }.mkString("\n          UNION ALL\n          ")
+        s"""
         WITH qd AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
-        withb AS (
+        withn AS (
           SELECT vec_id, qv,
-                 CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS BIGINT) AS qn,
-                 (CASE WHEN ${planeDotSql(0)} >= 0 THEN 1 ELSE 0 END)
-               + (CASE WHEN ${planeDotSql(1)} >= 0 THEN 2 ELSE 0 END)
-               + (CASE WHEN ${planeDotSql(2)} >= 0 THEN 4 ELSE 0 END)
-               + (CASE WHEN ${planeDotSql(3)} >= 0 THEN 8 ELSE 0 END) AS bucket
-          FROM qd)
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               CAST(CAST(list_aggregate(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i]), 'sum') AS BIGINT) AS DOUBLE)
-                 / sqrt(CAST(a.qn AS DOUBLE) * CAST(b.qn AS DOUBLE)) AS score
-        FROM withb a JOIN withb b ON a.bucket = b.bucket AND b.vec_id > a.vec_id
-        WHERE a.qn > 0 AND b.qn > 0
-          AND CAST(CAST(list_aggregate(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i]), 'sum') AS BIGINT) AS DOUBLE)
-                 / sqrt(CAST(a.qn AS DOUBLE) * CAST(b.qn AS DOUBLE)) >= 0.30""")
+                 CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS BIGINT) AS qn
+          FROM qd WHERE CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS BIGINT) > 0),
+        banded AS (
+          $bands)
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               $scoreSql AS score
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND b.vec_id > a.vec_id
+        WHERE $scoreSql >= 0.30"""
+      }
     ) { (s, dir) =>
-      val withb = t(s, dir, "embeddings")
+      val withn = t(s, dir, "embeddings")
         .select(col("vec_id"), expr(qvExpr).as("qv"))
         .withColumn("qn", expr(qnormExpr))
         .filter(col("qn") > 0)
-        .withColumn("bucket",
-          (when(expr(planeDotExpr(0)) >= 0, 1).otherwise(0))
-            + (when(expr(planeDotExpr(1)) >= 0, 2).otherwise(0))
-            + (when(expr(planeDotExpr(2)) >= 0, 4).otherwise(0))
-            + (when(expr(planeDotExpr(3)) >= 0, 8).otherwise(0)))
-      val a = withb.select(col("vec_id").as("vec_a"), col("qv").as("qv_a"),
-        col("qn").as("qn_a"), col("bucket"))
-      val b = withb.select(col("vec_id").as("vec_b"), col("qv").as("qv_b"),
-        col("qn").as("qn_b"), col("bucket").as("bucket_b"))
-      a.join(b, col("bucket") === col("bucket_b") && col("vec_b") > col("vec_a"))
+      val banded = graft.operators.Lsh.explodeBands(withn, "qv", lshCfg)
+      graft.operators.Lsh.selfJoinPairs(banded, "vec_id")
         .withColumn("dot",
           expr("aggregate(zip_with(qv_a, qv_b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
         .withColumn("score",
           col("dot").cast("double") / sqrt(col("qn_a").cast("double") * col("qn_b").cast("double")))
         .filter(col("score") >= 0.30)
-        .select("vec_a", "vec_b", "score")
+        .select(col("vec_id_a").as("vec_a"), col("vec_id_b").as("vec_b"), col("score"))
+        .distinct()
     },
   )
 }
