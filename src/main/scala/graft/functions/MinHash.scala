@@ -51,6 +51,42 @@ object MinHashKernel {
     }
     new GenericArrayData(mins.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
   }
+
+  /** k INDEPENDENT MinHash values (vs [[signature]]'s 4 fixed slices of
+    * one md5): hash j of a shingle is the first 8 hex chars of
+    * md5("<j>:" || shingle), so any k is available for b-bands ×
+    * r-rows banding. Equivalent to (but one pass, no gram arrays)
+    *   list_min(list_transform(shingles, g -> substr(md5(concat('<j>:', g)), 1, 8)))
+    * per seed j in [0, k). Internally the first 4 digest bytes are kept
+    * as an unsigned int (lexicographic hex order == unsigned numeric
+    * order) and hex-formatted once at the end. Returns null when
+    * length(text) < 3 (no shingles).
+    */
+  def signatureSeeded(text: UTF8String, k: Int): ArrayData = {
+    val s = text.toString
+    if (s.length < 3) return null
+    val md = MessageDigest.getInstance("MD5")
+    val prefixes = Array.tabulate(k)(j => (j + ":").getBytes("UTF-8"))
+    val mins = new Array[Int](k)
+    java.util.Arrays.fill(mins, -1) // unsigned max
+    var i = 0
+    while (i <= s.length - 3) {
+      val gram = s.substring(i, i + 3).getBytes("UTF-8")
+      var j = 0
+      while (j < k) {
+        md.reset()
+        md.update(prefixes(j))
+        val d = md.digest(gram)
+        val v = ((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) |
+          ((d(2) & 0xff) << 8) | (d(3) & 0xff)
+        if (java.lang.Integer.compareUnsigned(v, mins(j)) < 0) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(v =>
+      UTF8String.fromString(f"${v.toLong & 0xffffffffL}%08x")).asInstanceOf[Array[Any]])
+  }
 }
 
 /** Catalyst expression: `minhash_signature(text)` → array<string> of
@@ -83,6 +119,36 @@ case class MinHashSignature(child: Expression, bands: Int = 4)
   override def prettyName: String = "minhash_signature"
 }
 
+/** Catalyst expression: `minhash_k(text, k)` → array<string> of k
+  * independent per-seed minima (see MinHashKernel.signatureSeeded) —
+  * the signature for parameterized b×r LSH banding. Codegen'd for
+  * whole-stage pipelines like MinHashSignature.
+  */
+case class MinHashK(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  require(numHashes >= 1 && numHashes <= 128,
+    "minhash_k supports 1..128 independent hashes")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.signatureSeeded(input.asInstanceOf[UTF8String], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         ${ev.value} = graft.functions.MinHashKernel.signatureSeeded($c, $numHashes);
+         if (${ev.value} == null) { ${ev.isNull} = true; }
+       """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_k"
+}
+
 object MinHash {
   import org.apache.spark.sql.graftbridge.Bridge
 
@@ -90,4 +156,8 @@ object MinHash {
     * through the package-private classic.ExpressionUtils — see Bridge). */
   def minhashSignature(c: Column, bands: Int = 4): Column =
     Bridge.column(MinHashSignature(Bridge.expression(c), bands))
+
+  /** k independent per-seed MinHash minima, for b×r banding. */
+  def minhashK(c: Column, k: Int): Column =
+    Bridge.column(MinHashK(Bridge.expression(c), k))
 }

@@ -5,42 +5,56 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.MinHashSignature
+import graft.functions.{Jaccard3, MinHashK, MinHashSignature, SimHash16}
 
-/** SparkSessionExtensions entry point: registers graft's custom
-  * expressions as SQL functions, so
+/** SparkSessionExtensions entry point: registers every graft custom
+  * expression as a SQL function, so e.g.
   *   spark.sql("SELECT minhash_signature(text) FROM docs")
   * works when the session is built with
   *   .config("spark.sql.extensions", "graft.plans.GraftExtensions").
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.minhashDescriptor)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
 
-  private[plans] val minhashDescriptor
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("minhash_signature"),
-    new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
-    (args: Seq[Expression]) => args match {
-      case Seq(text) => MinHashSignature(text)
-      case Seq(text, bands) =>
-        MinHashSignature(text,
-          bands.eval().asInstanceOf[Number].intValue())
-      case _ =>
-        throw new IllegalArgumentException(
-          "minhash_signature(text[, bands]) takes 1 or 2 arguments")
+  private type Descriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def litInt(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue()
+
+  private def descriptor(name: String, clazz: Class[_])(
+      builder: PartialFunction[Seq[Expression], Expression]): Descriptor = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(clazz.getName, name),
+    (args: Seq[Expression]) =>
+      builder.applyOrElse(args, (_: Seq[Expression]) =>
+        throw new IllegalArgumentException(s"wrong argument count for $name")))
+
+  private[plans] val descriptors: Seq[Descriptor] = Seq(
+    descriptor("minhash_signature", classOf[MinHashSignature]) {
+      case Seq(text)        => MinHashSignature(text)
+      case Seq(text, bands) => MinHashSignature(text, litInt(bands))
+    },
+    descriptor("minhash_k", classOf[MinHashK]) {
+      case Seq(text, k) => MinHashK(text, litInt(k))
+    },
+    descriptor("simhash16", classOf[SimHash16]) {
+      case Seq(text) => SimHash16(text)
+    },
+    descriptor("jaccard3", classOf[Jaccard3]) {
+      case Seq(a, b) => Jaccard3(a, b)
     })
 
   /** Runtime registration on an existing session (no extensions config
     * needed — e.g. notebooks or tests sharing one session). */
-  def register(spark: SparkSession): Unit = {
-    val (_, info, builder) = minhashDescriptor
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_signature", builder, "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, builder, "built-in")
+    }
 }

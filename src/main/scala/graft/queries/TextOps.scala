@@ -260,6 +260,49 @@ object TextOps {
         .select("doc_id", "token", "score")
     },
 
+    // ---------------------------------------------------------------- q58
+    // Parameterized b×r MinHash banding (3 bands × 2 rows from k=6
+    // INDEPENDENT seeded hashes via the minhash_k expression — not
+    // slices of one md5 like q32/q33): a document lands in 3 buckets;
+    // buckets with >1 doc are the near-dup candidate groups. Union of
+    // bands = recall knob, rows per band = precision knob; the shuffle
+    // key is (band, band_key) — plain hash groupBy at any scale.
+    Q(
+      "q58_banded_dedup",
+      Some {
+        val hashes = (0 until 6).map(j =>
+          s"list_min(list_transform(grams, g -> substr(md5('$j:' || g), 1, 8))) AS h$j")
+          .mkString(",\n                 ")
+        val bands = (0 until 3).map(j =>
+          s"SELECT doc_id, $j AS band, h${2 * j} || '|' || h${2 * j + 1} AS band_key FROM mh")
+          .mkString("\n          UNION ALL ")
+        s"""
+        WITH sh AS (
+          SELECT doc_id, $shinglesSql AS grams
+          FROM documents WHERE length(text) >= 3),
+        mh AS (
+          SELECT doc_id,
+                 $hashes
+          FROM sh),
+        banded AS (
+          $bands)
+        SELECT band, band_key, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+        FROM banded GROUP BY band, band_key HAVING COUNT(*) > 1"""
+      }
+    ) { (s, dir) =>
+      val sig = t(s, dir, "documents")
+        .filter(length(col("text")) >= 3)
+        .withColumn("sig", graft.functions.MinHash.minhashK(col("text"), 6))
+      val banded = (0 until 3).map { j =>
+        sig.select(col("doc_id"), lit(j).as("band"),
+          concat_ws("|", element_at(col("sig"), 2 * j + 1),
+            element_at(col("sig"), 2 * j + 2)).as("band_key"))
+      }.reduce(_ unionAll _)
+      banded.groupBy(col("band"), col("band_key"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+        .filter(col("n_docs") > 1)
+    },
+
     // ---------------------------------------------------------------- q34
     // SimHash: per-bit majority vote over shingle hashes (explode ->
     // 16 conditional sums -> recombine). Integer-exact in both engines.

@@ -18,6 +18,37 @@ class ExtensionsSpec extends SparkSpec {
       .head().getSeq[String](0).length === 2)
   }
 
+  test("minhash_k, simhash16 and jaccard3 usable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val sig = spark.sql("SELECT minhash_k('sparkling analytics engine', 6) AS s")
+      .head().getSeq[String](0)
+    assert(sig.length === 6)
+    assert(sig.forall(_.matches("[0-9a-f]{8}")))
+    assert(sig.distinct.length > 1, "independent seeds should rarely collide")
+
+    val sh = spark.sql("SELECT simhash16('the quick brown fox') AS h")
+      .head().getLong(0)
+    assert(sh >= 0L && sh < (1L << 16))
+
+    val jc = spark.sql("SELECT jaccard3('abcdef', 'abcdef') AS j")
+      .head().getStruct(0)
+    assert(jc.getDouble(jc.fieldIndex("jaccard")) === 1.0)
+  }
+
+  test("minhash_k matches a builtin-function replay of the same math") {
+    GraftExtensions.register(spark)
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(length(col("text")) >= 3)
+    val replay = (0 until 4).map(j =>
+      expr(s"array_min(transform(array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))), g -> substring(md5(concat('$j:', g)), 1, 8)))"))
+    val bad = docs
+      .withColumn("fast", graft.functions.MinHash.minhashK(col("text"), 4))
+      .withColumn("slow", array(replay: _*))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(bad === 0L)
+  }
+
   test("salted join equals plain join") {
     import spark.implicits._
     val big = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d"))
