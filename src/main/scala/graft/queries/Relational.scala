@@ -415,15 +415,29 @@ object Relational {
     },
 
     // ---------------------------------------------------------------- q45
-    // HLL sketch: approx_count_distinct. No oracle — sketch estimates
-    // are engine-specific by construction (rows-only check); the exact
-    // distinct count sits alongside for sanity.
-    Q("q45_approx_distinct", None) { (s, dir) =>
+    // HLL sketch: approx_count_distinct at rsd=0.05. The raw estimate is
+    // engine-specific by construction, so the oracle covers the exact
+    // columns and the sketch is verified Spark-side as a boolean —
+    // |approx − exact| ≤ 3·rsd·exact (documented HLL++ error bound) —
+    // which the oracle pins to TRUE. Deterministic: HLL on the same data
+    // always yields the same estimate, so the flag cannot flap.
+    Q(
+      "q45_approx_distinct",
+      Some("""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS exact_parts,
+               COUNT(*) AS n,
+               TRUE AS hll_within_3rsd
+        FROM lineitem GROUP BY l_returnflag""")
+    ) { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("exact_parts"), col("n"),
+          (abs(col("approx_parts") - col("exact_parts"))
+            <= col("exact_parts") * 0.15).as("hll_within_3rsd"))
     },
 
     // ---------------------------------------------------------------- q46
