@@ -35,12 +35,18 @@ object AsOfJoin {
     * LogicalPlan planned by a custom Strategy into a streaming-merge
     * SparkPlan — one co-partitioning shuffle per side, O(n+m) merge with
     * a single buffered right row, no union/window machinery. Output is
-    * all left columns then all right columns (nulls when unmatched);
-    * single key column, single time column per side.
+    * all left columns then all right columns (nulls when unmatched).
+    *
+    * @param keys       (leftCol, rightCol) equi-key pairs — composite
+    *                   keys supported; any null key field never matches
+    * @param tolerance  optional max gap leftTime - rightTime, in the
+    *                   time column's native units (µs for TIMESTAMP,
+    *                   days for DATE); a best match farther back than
+    *                   this yields nulls like no match at all
     */
   def joinAsOfNative(left: DataFrame, right: DataFrame,
-      key: String, leftTime: String, rightKey: String,
-      rightTime: String): DataFrame = {
+      keys: Seq[(String, String)], leftTime: String, rightTime: String,
+      tolerance: Option[Long]): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
@@ -53,9 +59,15 @@ object AsOfJoin {
       throw new IllegalArgumentException(s"column $n not found"))
     Bridge.ofRows(spark, graft.plans.AsOfJoinPlan(
       lPlan, rPlan,
-      attr(lPlan, key), attr(rPlan, rightKey),
-      attr(lPlan, leftTime), attr(rPlan, rightTime)))
+      keys.map(k => attr(lPlan, k._1)), keys.map(k => attr(rPlan, k._2)),
+      attr(lPlan, leftTime), attr(rPlan, rightTime), tolerance))
   }
+
+  /** Single-key, no-tolerance convenience overload. */
+  def joinAsOfNative(left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightKey: String,
+      rightTime: String): DataFrame =
+    joinAsOfNative(left, right, Seq(key -> rightKey), leftTime, rightTime, None)
 
   def joinAsOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, payload: Seq[String]): DataFrame = {

@@ -14,26 +14,38 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * (LogicalPlan + Strategy + SparkPlan) for the semantics
   * graft.operators.AsOfJoin expresses by composition (union + window).
   *
-  * Semantics: for every left row, the single right row with equal key
-  * and the greatest rightTime <= leftTime (LEFT OUTER: unmatched left
-  * rows carry nulls). The right side must be unique per (key, time) for
-  * deterministic results.
+  * Semantics: for every left row, the single right row with equal keys
+  * (composite keys supported) and the greatest rightTime <= leftTime,
+  * optionally within `tolerance` time units (LEFT OUTER: unmatched or
+  * out-of-tolerance left rows carry nulls). The right side must be
+  * unique per (keys, time) for deterministic results.
   *
   * Physical execution is a streaming merge: both children are
-  * hash-partitioned on the key and sorted by (key, time) — the same
-  * requirements a sort-merge join declares, so EnsureRequirements
-  * inserts exactly one co-partitioning shuffle per side and the merge
-  * itself is a single O(n+m) pass per partition holding ONE buffered
-  * right row. Compared to the union+window formulation this skips the
-  * union and the window's row_number machinery entirely.
+  * hash-partitioned on the full key list and sorted by (keys..., time)
+  * — the same requirements a sort-merge join declares, so
+  * EnsureRequirements inserts exactly one co-partitioning shuffle per
+  * side and the merge itself is a single O(n+m) pass per partition
+  * holding ONE buffered right row. Compared to the union+window
+  * formulation this skips the union and the window's row_number
+  * machinery entirely.
+  *
+  * Buffer safety: the sorter's output iterator reuses one UnsafeRow
+  * whose backing pages are recycled as it advances, so the buffered
+  * best-candidate row is copy()'d and its key/time values are
+  * RE-EVALUATED from the copy — holding values eval'd from the live
+  * iterator row (a UTF8String or Decimal pointing into sorter pages)
+  * would silently corrupt comparisons for non-primitive key types.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,
     right: LogicalPlan,
-    leftKey: Expression,
-    rightKey: Expression,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    tolerance: Option[Long]) extends BinaryNode {
+  require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+    "as-of join needs matching non-empty key lists")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -45,8 +57,8 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lks, rks, lt, rt, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lks, rks, lt, rt, tol) :: Nil
     case _ => Nil
   }
 }
@@ -54,52 +66,96 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan,
-    leftKey: Expression,
-    rightKey: Expression,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryExecNode {
+    rightTime: Expression,
+    tolerance: Option[Long]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
+  // requireAllClusterKeys: both sides must hash on the FULL key list in
+  // the same order — a child pre-partitioned on a key subset would
+  // otherwise be accepted, breaking per-partition co-location.
   override def requiredChildDistribution: Seq[ClusteredDistribution] = Seq(
-    ClusteredDistribution(Seq(leftKey)),
-    ClusteredDistribution(Seq(rightKey)))
+    ClusteredDistribution(leftKeys, requireAllClusterKeys = true),
+    ClusteredDistribution(rightKeys, requireAllClusterKeys = true))
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
 
   override def outputPartitioning = left.outputPartitioning
 
+  /** Time arithmetic for the tolerance gap — time columns are integral
+    * under the hood (TimestampType = Long micros, DateType = Int days). */
+  private def asLong(v: Any): Long = v match {
+    case l: java.lang.Long => l.longValue()
+    case i: java.lang.Integer => i.longValue()
+    case s: java.lang.Short => s.longValue()
+    case other => throw new IllegalArgumentException(
+      s"as-of tolerance needs an integral-backed time type, got ${other.getClass}")
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
-    val lk = BindReferences.bindReference(leftKey, left.output)
+    val lks = leftKeys.map(BindReferences.bindReference(_, left.output))
     val lt = BindReferences.bindReference(leftTime, left.output)
-    val rk = BindReferences.bindReference(rightKey, right.output)
+    val rks = rightKeys.map(BindReferences.bindReference(_, right.output))
     val rt = BindReferences.bindReference(rightTime, right.output)
-    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
-      .asInstanceOf[Ordering[Any]]
+    val keyOrds: Array[Ordering[Any]] = leftKeys.map(k =>
+      TypeUtils.getInterpretedOrdering(k.dataType)
+        .asInstanceOf[Ordering[Any]]).toArray
     val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
       .asInstanceOf[Ordering[Any]]
+    val nKeys = keyOrds.length
     val nRight = right.output.length
+    val tol = tolerance
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val nullRight = new GenericInternalRow(nRight)
       val joined = new JoinedRow
 
-      // one buffered right row: the best (greatest-time) candidate seen
+      // Returns null if any key field is null (null keys never match).
+      def evalKeys(exprs: Seq[Expression], row: InternalRow): Array[Any] = {
+        val out = new Array[Any](nKeys)
+        var i = 0
+        while (i < nKeys) {
+          val v = exprs(i).eval(row)
+          if (v == null) return null
+          out(i) = v
+          i += 1
+        }
+        out
+      }
+
+      def cmpKeys(a: Array[Any], b: Array[Any]): Int = {
+        var i = 0
+        while (i < nKeys) {
+          val c = keyOrds(i).compare(a(i), b(i))
+          if (c != 0) return c
+          i += 1
+        }
+        0
+      }
+
+      // one buffered right row: the best (greatest-time) candidate seen.
+      // curRow is a copy; curKey/curTime are re-eval'd FROM the copy so
+      // they never reference recycled sorter memory.
       var curRow: InternalRow = null
-      var curKey: Any = null
-      // the not-yet-consumed head of the right iterator
+      var curKey: Array[Any] = null
+      var curTime: Any = null
+      // the not-yet-consumed head of the right iterator (values valid
+      // only until the next rIter.next() — always consumed before then)
       var nextRow: InternalRow = null
-      var nextKey: Any = null
+      var nextKey: Array[Any] = null
       var nextTime: Any = null
 
       def advanceRight(): Unit = {
         nextRow = null
         while (nextRow == null && rIter.hasNext) {
           val r = rIter.next()
-          val k = rk.eval(r)
+          val k = evalKeys(rks, r)
           val t = rt.eval(r)
           if (k != null && t != null) {
             nextRow = r; nextKey = k; nextTime = t
@@ -109,21 +165,23 @@ case class AsOfJoinExec(
       advanceRight()
 
       lIter.map { l =>
-        val k = lk.eval(l)
+        val k = evalKeys(lks, l)
         val t = lt.eval(l)
         if (k == null || t == null) {
           joined(l, nullRight)
         } else {
           // consume right rows that are still at-or-before (k, t)
           while (nextRow != null &&
-            (keyOrd.compare(nextKey, k) < 0 ||
-              (keyOrd.compare(nextKey, k) == 0 && timeOrd.compare(nextTime, t) <= 0))) {
+            (cmpKeys(nextKey, k) < 0 ||
+              (cmpKeys(nextKey, k) == 0 && timeOrd.compare(nextTime, t) <= 0))) {
             curRow = nextRow.copy() // retained beyond the iterator step
-            curKey = nextKey
+            curKey = evalKeys(rks, curRow)
+            curTime = rt.eval(curRow)
             advanceRight()
           }
-          if (curRow != null && keyOrd.compare(curKey, k) == 0) joined(l, curRow)
-          else joined(l, nullRight)
+          val matched = curRow != null && cmpKeys(curKey, k) == 0 &&
+            tol.forall(g => asLong(t) - asLong(curTime) <= g)
+          if (matched) joined(l, curRow) else joined(l, nullRight)
         }
       }
     }

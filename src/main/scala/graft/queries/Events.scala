@@ -96,6 +96,52 @@ object Events {
           (unix_micros(col("ts")) - unix_micros(col("cts"))).as("gap_us"))
     },
 
+    // ---------------------------------------------------------------- q59
+    // Native as-of join, composite key + tolerance: each error matched
+    // to the most recent click by the SAME user on the SAME calendar
+    // day, and only if the click is within 10 minutes — older matches
+    // null out exactly like no match. Oracle: DuckDB ASOF with the same
+    // two equality predicates, tolerance applied as a post-CASE (ASOF
+    // picks the greatest cts <= ets, so if THAT match is out of
+    // tolerance no in-tolerance match exists).
+    Q(
+      "q59_asof_multikey",
+      Some("""
+        WITH clicks AS (
+          SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS cday,
+                 CAST(ts AS TIMESTAMP) AS cts,
+                 CAST(MAX(event_id) AS BIGINT) AS click_id
+          FROM events WHERE event_type = 'click'
+          GROUP BY 1, 2, 3),
+        errors AS (
+          SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS eday,
+                 CAST(ts AS TIMESTAMP) AS ets, event_id
+          FROM events WHERE event_type = 'error')
+        SELECT e.event_id, e.user_id,
+               CASE WHEN epoch_us(e.ets) - epoch_us(c.cts) <= 600000000
+                    THEN c.click_id END AS click_id,
+               CASE WHEN epoch_us(e.ets) - epoch_us(c.cts) <= 600000000
+                    THEN epoch_us(e.ets) - epoch_us(c.cts) END AS gap_us
+        FROM errors e ASOF LEFT JOIN clicks c
+          ON e.user_id = c.user_id AND e.eday = c.cday AND e.ets >= c.cts""")
+    ) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("c_user"), to_date(col("ts")).as("cday"),
+          col("ts").as("cts"))
+        .agg(max(col("event_id")).as("click_id"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), to_date(col("ts")).as("eday"),
+          col("ts"), col("event_id"))
+      graft.operators.AsOfJoin.joinAsOfNative(
+        errors, clicks,
+        keys = Seq("user_id" -> "c_user", "eday" -> "cday"),
+        leftTime = "ts", rightTime = "cts",
+        tolerance = Some(600000000L)) // 10 min in µs
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("cts"))).as("gap_us"))
+    },
+
     // ---------------------------------------------------------------- q21
     // JSON column extraction (get_json_object ≅ json_extract_string).
     Q(
