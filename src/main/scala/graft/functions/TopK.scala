@@ -7,6 +7,15 @@ import org.apache.spark.sql.expressions.Aggregator
 /** One scored candidate in a similarity search. */
 final case class Scored(vec_id: Long, score: Double)
 
+/** Mutable bounded-heap aggregation buffer: `items(0 until size)` is a
+  * binary min-heap with the WORST live candidate at the root, so a
+  * full buffer rejects a non-improving candidate in O(1) and accepts
+  * an improving one in O(log k). Encodes as a struct(array, int) for
+  * spill/shuffle of partial aggregates; slots at `size` and beyond are
+  * garbage and ignored on both sides of the round-trip.
+  */
+final case class TopKBuffer(var items: Array[Scored], var size: Int)
+
 /** Bounded top-k aggregator: keeps the k best candidates per group by
   * (score desc, vec_id asc) — the scalable alternative to
   * row_number()-over-a-full-sort for ANN top-k. Map-side partial
@@ -15,27 +24,74 @@ final case class Scored(vec_id: Long, score: Double)
   * shuffle bytes, independent of candidate count per group.
   *
   * The comparator is a total order (ties broken by vec_id), so results
-  * are deterministic and oracle-comparable.
+  * are deterministic and oracle-comparable regardless of insertion or
+  * merge order.
   */
 final class TopKAggregator(k: Int)
-    extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    extends Aggregator[Scored, TopKBuffer, Seq[Scored]] {
+  require(k >= 1, s"k must be positive, got $k")
 
   private def better(a: Scored, b: Scored): Boolean =
     a.score > b.score || (a.score == b.score && a.vec_id < b.vec_id)
 
-  private def trim(s: Seq[Scored]): Seq[Scored] = s.sortWith(better).take(k)
+  /** Heap order: worse elements float to the root. */
+  private def worse(a: Scored, b: Scored): Boolean = better(b, a)
 
-  override def zero: Seq[Scored] = Nil
+  private def siftUp(h: TopKBuffer, from: Int): Unit = {
+    var i = from
+    val a = h.items(i)
+    var moving = true
+    while (moving && i > 0) {
+      val p = (i - 1) >> 1
+      if (worse(a, h.items(p))) { h.items(i) = h.items(p); i = p }
+      else moving = false
+    }
+    h.items(i) = a
+  }
 
-  override def reduce(buf: Seq[Scored], a: Scored): Seq[Scored] =
-    // fast reject: buffer full and candidate is no better than the worst
-    if (buf.length >= k && !better(a, buf.last)) buf else trim(buf :+ a)
+  private def siftDown(h: TopKBuffer): Unit = {
+    val a = h.items(0)
+    val n = h.size
+    var i = 0
+    var moving = true
+    while (moving) {
+      var c = 2 * i + 1
+      if (c >= n) moving = false
+      else {
+        if (c + 1 < n && worse(h.items(c + 1), h.items(c))) c += 1
+        if (worse(h.items(c), a)) { h.items(i) = h.items(c); i = c }
+        else moving = false
+      }
+    }
+    h.items(i) = a
+  }
 
-  override def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] = trim(x ++ y)
+  private def insert(h: TopKBuffer, a: Scored): TopKBuffer = {
+    if (h.size >= k) {
+      // full: root is the worst survivor — replace only if a beats it
+      if (better(a, h.items(0))) { h.items(0) = a; siftDown(h) }
+    } else {
+      h.items(h.size) = a
+      siftUp(h, h.size)
+      h.size += 1
+    }
+    h
+  }
 
-  override def finish(r: Seq[Scored]): Seq[Scored] = trim(r)
+  override def zero: TopKBuffer = TopKBuffer(new Array[Scored](k), 0)
 
-  override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
+  override def reduce(buf: TopKBuffer, a: Scored): TopKBuffer = insert(buf, a)
+
+  override def merge(x: TopKBuffer, y: TopKBuffer): TopKBuffer = {
+    var i = 0
+    while (i < y.size) { insert(x, y.items(i)); i += 1 }
+    x
+  }
+
+  override def finish(r: TopKBuffer): Seq[Scored] =
+    r.items.take(r.size).sortWith(better).toSeq
+
+  override def bufferEncoder: Encoder[TopKBuffer] = ExpressionEncoder()
 
   override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
 }

@@ -43,24 +43,43 @@ object SparkSessionFactory {
       spark.sparkContext.hadoopConfiguration.set(k, v)
     }
 
-  /** Builder with the engine's standard conf + S3 wiring; `cpus` sizes
-    * both the local master and shuffle partitions (production deploys
-    * override master/shuffle via spark-submit, the fs.s3a.* entries
-    * still apply). */
-  def builder(settings: Settings, appName: String = "graft",
-      cpus: Int = Runtime.getRuntime.availableProcessors): SparkSession.Builder = {
-    val b = SparkSession.builder()
-      .appName(appName)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-    s3aConf(settings).foldLeft(b) { case (bb, (k, v)) =>
-      bb.config(s"spark.hadoop.$k", v)
-    }
+  /** True when spark-submit (or the test harness) already chose a
+    * value for `key`: spark-submit materialises --master/--conf as
+    * `spark.*` system properties before the driver main runs, so a
+    * code-set builder value would override the deploy-time choice —
+    * the wrong precedence for a library. */
+  private def deployProvided(key: String): Boolean =
+    sys.props.get(key).exists(_.nonEmpty)
+
+  /** The conf entries `builder` applies — pure, unit-testable. `cpus`
+    * sizes the local master and shuffle partitions ONLY when the
+    * deployment hasn't already chosen them (`provided`); the standard
+    * conf and fs.s3a.* entries always apply. */
+  def builderConf(settings: Settings, cpus: Int,
+      provided: String => Boolean = deployProvided): Map[String, String] = {
+    val master =
+      if (provided("spark.master")) Map.empty[String, String]
+      else Map("spark.master" -> s"local[$cpus]")
+    val shuffle =
+      if (provided("spark.sql.shuffle.partitions")) Map.empty[String, String]
+      else Map("spark.sql.shuffle.partitions" -> cpus.toString)
+    master ++ shuffle ++ Map(
+      "spark.sql.session.timeZone" -> "UTC",
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.extensions" -> "graft.plans.GraftExtensions") ++
+      s3aConf(settings).map { case (k, v) => s"spark.hadoop.$k" -> v }
   }
+
+  /** Builder with the engine's standard conf + S3 wiring; master and
+    * shuffle partitions are left to spark-submit when it provided them
+    * (code-set builder conf would otherwise override the deploy-time
+    * choice and pin the app to local mode). */
+  def builder(settings: Settings, appName: String = "graft",
+      cpus: Int = Runtime.getRuntime.availableProcessors): SparkSession.Builder =
+    builderConf(settings, cpus).foldLeft(SparkSession.builder().appName(appName)) {
+      case (b, (k, v)) => b.config(k, v)
+    }
 
   def create(settings: Settings, appName: String = "graft"): SparkSession =
     builder(settings, appName).getOrCreate()

@@ -47,4 +47,27 @@ class FunctionsSpec extends SparkSpec {
       l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
     assert(agg.finish(merged) === agg.finish(viaReduce))
   }
+
+  test("TopKAggregator heap == sort-based reference for random k, n, splits") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 50) {
+      val k = 1 + rnd.nextInt(20)
+      val n = rnd.nextInt(200)
+      // duplicate scores on purpose so the vec_id tiebreak is exercised
+      val rows = Seq.fill(n)(Scored(rnd.nextInt(50).toLong, rnd.nextInt(10) / 10.0))
+      val expected = rows.sortWith((a, b) =>
+        a.score > b.score || (a.score == b.score && a.vec_id < b.vec_id)).take(k)
+
+      val agg = new TopKAggregator(k)
+      assert(agg.finish(rows.foldLeft(agg.zero)(agg.reduce)) === expected)
+
+      // merge of arbitrary 3-way splits gives the same answer
+      val (a, rest) = rows.splitAt(rnd.nextInt(n + 1))
+      val (b, c) = rest.splitAt(rnd.nextInt(rest.length + 1))
+      val merged = agg.merge(
+        agg.merge(a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce)),
+        c.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(merged) === expected)
+    }
+  }
 }

@@ -47,6 +47,28 @@ class SessionFactorySpec extends SparkSpec {
     assert(https("fs.s3a.connection.ssl.enabled") === "true")
   }
 
+  test("builderConf sets local master/shuffle only when the deploy didn't") {
+    val st = Settings.fromEnv(fakeEnv)
+
+    // bare JVM (no spark-submit): library supplies sensible local defaults
+    val bare = SparkSessionFactory.builderConf(st, cpus = 8, provided = _ => false)
+    assert(bare("spark.master") === "local[8]")
+    assert(bare("spark.sql.shuffle.partitions") === "8")
+
+    // spark-submit provided --master and --conf: builder must not override
+    val submitted = SparkSessionFactory.builderConf(st, cpus = 8,
+      provided = Set("spark.master", "spark.sql.shuffle.partitions"))
+    assert(!submitted.contains("spark.master"))
+    assert(!submitted.contains("spark.sql.shuffle.partitions"))
+
+    // the unconditional entries survive either way
+    for (conf <- Seq(bare, submitted)) {
+      assert(conf("spark.sql.extensions") === "graft.plans.GraftExtensions")
+      assert(conf("spark.hadoop.fs.s3a.endpoint") === "objectstore:9123")
+      assert(conf("spark.sql.session.timeZone") === "UTC")
+    }
+  }
+
   test("configure populates the live session's Hadoop conf") {
     SparkSessionFactory.configure(spark, Settings.fromEnv(fakeEnv))
     val hc = spark.sparkContext.hadoopConfiguration
