@@ -1,0 +1,139 @@
+package graft.plans
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SortExec, SparkPlan, TakeOrderedAndProjectExec, UnionExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
+
+/** Plan-regression suite: pins the physical-plan invariants the scale
+  * story depends on (broadcasts, pushdown, pruning, exchange counts,
+  * top-k execution). A correctness-green query whose plan silently
+  * degrades (broadcast → shuffle join, lost pushdown, extra exchange)
+  * is a 100 TB regression the oracle can never catch — these specs
+  * catch it at build time.
+  *
+  * AQE is disabled inside this suite so the STATIC planner output is
+  * pinned — deterministic regardless of runtime stats; AQE can only
+  * improve on it at runtime (it never adds exchanges).
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): SparkPlan = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private def shuffles(p: SparkPlan) =
+    p.collect { case e: ShuffleExchangeExec => e }
+
+  private def scans(p: SparkPlan) =
+    p.collect { case f: FileSourceScanExec => f }
+
+  test("q05: every join is broadcast; the only shuffle is the final agg") {
+    val p = plan("q05_regional_revenue")
+    val bhj = p.collect { case j: BroadcastHashJoinExec => j }
+    val smj = p.collect { case j: SortMergeJoinExec => j }
+    val shj = p.collect { case j: ShuffledHashJoinExec => j }
+    assert(bhj.length === 5, s"expected 5 broadcast joins:\n$p")
+    assert(smj.isEmpty && shj.isEmpty, s"no shuffle joins expected:\n$p")
+    assert(shuffles(p).length === 1, s"only the groupBy(n_name) shuffle:\n$p")
+  }
+
+  test("q04: explicit broadcast(part) stays a broadcast join") {
+    val p = plan("q04_broadcast_join")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.length === 1,
+      s"part must broadcast:\n$p")
+    assert(shuffles(p).length === 1, s"only the agg shuffle:\n$p")
+  }
+
+  test("q02: filters pushed to the parquet scan; columns pruned") {
+    val p = plan("q02_filter_project")
+    val Seq(scan) = scans(p)
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_quantity"),
+      s"range + quantity predicates must reach the scan, got: $pushed")
+    // 4 projected columns + the filter column — nothing else off disk
+    assert(scan.requiredSchema.fieldNames.toSet ===
+      Set("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"))
+  }
+
+  test("q06: pushdown + pruning on the scalar-aggregate scan") {
+    val p = plan("q06_forecast_revenue")
+    val Seq(scan) = scans(p)
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount")
+      && pushed.contains("l_quantity"),
+      s"all three predicates must reach the scan, got: $pushed")
+    assert(scan.requiredSchema.fieldNames.toSet ===
+      Set("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"))
+  }
+
+  test("q12: global sort+limit executes as TakeOrderedAndProject, no full sort") {
+    val p = plan("q12_topk_orders")
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      s"expected TakeOrderedAndProject:\n$p")
+    assert(p.collect { case s: SortExec => s }.isEmpty,
+      s"no full SortExec for a limited sort:\n$p")
+  }
+
+  test("q01: two-phase hash aggregation (map-side partial, one shuffle)") {
+    val p = plan("q01_pricing_summary")
+    val aggs = p.collect { case a: HashAggregateExec => a }
+    assert(aggs.length === 2, s"partial + final HashAggregate:\n$p")
+    assert(shuffles(p).length === 1, s"one shuffle on the group keys:\n$p")
+  }
+
+  test("q47: native as-of join — one exec, no union, bounded exchanges") {
+    val p = plan("q47_asof_native")
+    assert(p.collect { case a: AsOfJoinExec => a }.length === 1,
+      s"expected the native AsOfJoinExec:\n$p")
+    assert(p.collect { case u: UnionExec => u }.isEmpty,
+      s"native path must not union:\n$p")
+    // right side: one shuffle for the clicks pre-agg + one co-partitioning
+    // shuffle per join side = 3 total; anything more is a regression
+    assert(shuffles(p).length <= 3, s"at most 3 exchanges:\n$p")
+  }
+
+  test("q59: multikey+tolerance as-of joins on the full composite key") {
+    val p = plan("q59_asof_multikey")
+    val Seq(asof) = p.collect { case a: AsOfJoinExec => a }
+    assert(asof.leftKeys.length === 2, "composite (user, day) key")
+    assert(asof.tolerance === Some(600000000L))
+    assert(p.collect { case u: UnionExec => u }.isEmpty)
+    assert(shuffles(p).length <= 3, s"at most 3 exchanges:\n$p")
+  }
+
+  test("q39: LSH near-dup never degenerates to a cross join") {
+    val p = plan("q39_cosine_neardup")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"no cartesian product:\n$p")
+    assert(p.collect { case n: BroadcastNestedLoopJoinExec => n }.isEmpty,
+      s"no nested-loop join:\n$p")
+    val equiJoins = p.collect {
+      case j: SortMergeJoinExec => j.leftKeys
+      case j: ShuffledHashJoinExec => j.leftKeys
+      case j: BroadcastHashJoinExec => j.leftKeys
+    }
+    assert(equiJoins.exists(_.length >= 2),
+      s"self-join must be an equi-join on (band, bucket):\n$p")
+  }
+
+  test("q40: bounded-heap top-k keeps map-side partial aggregation") {
+    val p = plan("q40_cosine_topk_heap")
+    val objAggs = p.collect { case a: ObjectHashAggregateExec => a }
+    assert(objAggs.length === 2,
+      s"partial + final ObjectHashAggregate for the typed UDAF:\n$p")
+  }
+}
