@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Parameterized b-bands × r-rows MinHash LSH banding over text — the
+  * document-side twin of [[Lsh]] (which bands embedding vectors by
+  * sign-random-projection). Built on the seeded k-hash `minhash_k`
+  * expression (graft.functions.MinHashK): band j's key is the
+  * concatenation of the per-seed minima of seeds j*r .. j*r+r-1, so a
+  * config is just (bands, rowsPerBand) and callers can never mis-pair
+  * band/row indices by hand.
+  *
+  * Scale design: a document lands in `bands` buckets; near-dup
+  * candidates form ONLY within a (band, band_key) group — the shuffle
+  * key is (band, band_key), a plain hash-partitioned groupBy/join at
+  * any scale, never a cross join. Growing rowsPerBand shrinks buckets
+  * (precision: a bucket requires r simultaneous minima matches);
+  * growing bands recovers recall (union of band candidates). Band j of
+  * Config(b, r) equals band j of any config with the same r — adding
+  * bands only ADDS candidates (monotone recall, mirroring Lsh.Config).
+  *
+  * Determinism: each per-seed minimum is the first 8 hex chars of
+  * md5("<seed>:" || shingle) minimized over the distinct 3-gram
+  * shingles — replayed exactly in DuckDB by [[seededMinSql]] /
+  * [[bandKeySql]] (see the q58 oracle).
+  */
+object MinHashLsh {
+
+  /** b bands × r rows per band over k = b*r independent seeded hashes. */
+  final case class Config(bands: Int, rowsPerBand: Int) {
+    require(bands >= 1 && rowsPerBand >= 1 && bands * rowsPerBand <= 128,
+      "need 1 <= bands, 1 <= rowsPerBand, bands*rowsPerBand <= 128 (minhash_k cap)")
+    def numHashes: Int = bands * rowsPerBand
+  }
+
+  /** Band key of band `band`: the r per-seed minima of seeds
+    * band*r .. band*r+r-1 joined with '|' (minima are fixed-width hex,
+    * so the join is collision-free). */
+  def bandKeyCol(sigCol: Column, band: Int, rowsPerBand: Int): Column =
+    concat_ws("|", (0 until rowsPerBand).map(t =>
+      element_at(sigCol, band * rowsPerBand + t + 1)): _*)
+
+  /** DuckDB-side replay of one seeded minimum over a grams list column. */
+  def seededMinSql(gramsCol: String, seed: Int): String =
+    s"list_min(list_transform($gramsCol, g -> substr(md5('$seed:' || g), 1, 8)))"
+
+  /** DuckDB-side replay of [[bandKeyCol]] over per-seed columns named
+    * h0, h1, ... (as produced by [[seededMinSql]] aliases). */
+  def bandKeySql(band: Int, rowsPerBand: Int): String =
+    (0 until rowsPerBand).map(t => s"h${band * rowsPerBand + t}")
+      .mkString(" || '|' || ")
+
+  /** Explodes each row into `cfg.bands` rows with columns `band`
+    * (0-based int) and `band_key` (string). The k-hash signature is
+    * computed ONCE per input row and the band keys exploded from it —
+    * a union-of-selects formulation would re-run the md5 kernel per
+    * band (b× the CPU). Rows with no shingles (length(text) < 3 →
+    * null signature) are dropped, mirroring the oracle's
+    * WHERE length(text) >= 3 guard. */
+  def explodeBands(df: DataFrame, textCol: String, cfg: Config): DataFrame =
+    df.withColumn("__sig",
+        graft.functions.MinHash.minhashK(col(textCol), cfg.numHashes))
+      .filter(col("__sig").isNotNull)
+      .select(col("*"),
+        posexplode(array((0 until cfg.bands).map(j =>
+          bandKeyCol(col("__sig"), j, cfg.rowsPerBand)): _*))
+          .as(Seq("band", "band_key")))
+      .drop("__sig")
+
+  /** Near-dup candidate groups: (band, band_key) buckets holding more
+    * than one document, with the canonical (minimum-id) survivor. */
+  def candidateGroups(banded: DataFrame, idCol: String): DataFrame =
+    banded.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canonical_id"))
+      .filter(col("n_docs") > 1)
+}
