@@ -290,17 +290,13 @@ object TextOps {
         FROM banded GROUP BY band, band_key HAVING COUNT(*) > 1"""
       }
     ) { (s, dir) =>
-      val sig = t(s, dir, "documents")
-        .filter(length(col("text")) >= 3)
-        .withColumn("sig", graft.functions.MinHash.minhashK(col("text"), 6))
-      val banded = (0 until 3).map { j =>
-        sig.select(col("doc_id"), lit(j).as("band"),
-          concat_ws("|", element_at(col("sig"), 2 * j + 1),
-            element_at(col("sig"), 2 * j + 2)).as("band_key"))
-      }.reduce(_ unionAll _)
-      banded.groupBy(col("band"), col("band_key"))
-        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
-        .filter(col("n_docs") > 1)
+      // the shared operator (graft.operators.MinHashLsh) — one k-hash
+      // signature per row, band keys posexploded from it (the former
+      // inline union-of-selects re-ran the md5 kernel once per band)
+      val cfg = graft.operators.MinHashLsh.Config(bands = 3, rowsPerBand = 2)
+      val banded = graft.operators.MinHashLsh.explodeBands(
+        t(s, dir, "documents").select("doc_id", "text"), "text", cfg)
+      graft.operators.MinHashLsh.candidateGroups(banded, "doc_id")
     },
 
     // ---------------------------------------------------------------- q34
