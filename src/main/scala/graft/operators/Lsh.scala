@@ -101,28 +101,59 @@ object Lsh {
       .drop("band_a", "band_b", "bucket_a", "bucket_b")
   }
 
-  /** Bucket-size cap with overflow re-split: rows whose `(band, bucket)`
-    * group exceeds `maxBucket` get the bucket key extended with `extra`
-    * additional sign bits from refinement planes (indexed past the
-    * banding planes, so they are independent of every band). Pairs that
-    * agree on the refinement planes stay together — the standard
-    * bounded-recall trade for a hard bucket-size cap on skewed data.
-    * Refined keys set bit positions >= rowsPerBand + a sentinel bit, so
-    * they can never collide with un-refined buckets. */
-  def refineOversized(banded: DataFrame, qvCol: String, cfg: Config,
-      maxBucket: Int, extra: Int = 2): DataFrame = {
-    require(extra >= 1 && cfg.rowsPerBand + extra <= 61,
-      "refined bucket must still fit a signed long")
-    val sizes = banded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("__bucket_size"))
-    val sub = (0 until extra).map { t =>
-      when(expr(planeDotExpr(qvCol, cfg.planes + t)) >= 0,
-        lit(1L << t)).otherwise(lit(0L))
+  /** Bucket-width (in key bits) after `round` refinement rounds: each
+    * round appends `extra` sign bits plus one sentinel bit. */
+  def widthAfter(cfg: Config, extra: Int, round: Int): Int =
+    cfg.rowsPerBand + round * (extra + 1)
+
+  /** Refinement sub-key of round `round`: integer of the `extra` sign
+    * bits of planes cfg.planes + round*extra .. + extra-1 (indexed past
+    * the banding planes, so independent of every band AND every earlier
+    * round). */
+  def refineSubCol(qvCol: String, cfg: Config, extra: Int, round: Int): Column =
+    (0 until extra).map { u =>
+      when(expr(planeDotExpr(qvCol, cfg.planes + round * extra + u)) >= 0,
+        lit(1L << u)).otherwise(lit(0L))
     }.reduce(_ + _)
-    banded.join(sizes, Seq("band", "bucket"))
-      .withColumn("bucket",
-        when(col("__bucket_size") <= maxBucket, col("bucket"))
-          .otherwise(col("bucket") + ((sub + 1) * (1L << cfg.rowsPerBand))))
-      .drop("__bucket_size")
+
+  /** DuckDB-side replay of [[refineSubCol]]. */
+  def refineSubSql(qvCol: String, cfg: Config, extra: Int, round: Int): String =
+    (0 until extra).map { u =>
+      s"(CASE WHEN ${planeDotSql(qvCol, cfg.planes + round * extra + u)} >= 0 " +
+        s"THEN ${1L << u} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Bucket-size bound with overflow re-split, iterated for `rounds`
+    * rounds: each round counts rows per `(band, bucket)` key (a window
+    * count — ONE hash shuffle per round) and, for groups exceeding
+    * `maxBucket`, extends the key with `extra` fresh sign bits from
+    * refinement planes plus a sentinel (so refined keys can never
+    * collide with keys of any other round, and children of distinct
+    * parents stay distinct). Pairs agreeing on the refinement planes
+    * stay together — the standard bounded-recall trade on skewed data.
+    *
+    * The bound this actually gives (NOT a hard cap): after R rounds a
+    * bucket exceeds `maxBucket` only if more than `maxBucket` rows agree
+    * on all R*extra refinement planes — expected size shrinks by 2^extra
+    * per round, and truly identical vectors can never be split (nor
+    * should they be: their pairs are all true positives). Callers pick
+    * `rounds` ≈ log_{2^extra}(worstBucket / maxBucket). Every step is
+    * exact integer arithmetic replayable in DuckDB via [[refineSubSql]]
+    * + a window COUNT (see the q54 oracle). */
+  def refineOversized(banded: DataFrame, qvCol: String, cfg: Config,
+      maxBucket: Int, extra: Int = 2, rounds: Int = 1): DataFrame = {
+    require(extra >= 1 && rounds >= 1 &&
+      widthAfter(cfg, extra, rounds) <= 62,
+      "refined bucket must still fit a signed long")
+    val byKey = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    (0 until rounds).foldLeft(banded) { (df, t) =>
+      df.withColumn("__bucket_size", count(lit(1)).over(byKey))
+        .withColumn("bucket",
+          when(col("__bucket_size") <= maxBucket, col("bucket"))
+            .otherwise(col("bucket") +
+              (refineSubCol(qvCol, cfg, extra, t) + 1) *
+                (1L << widthAfter(cfg, extra, t))))
+        .drop("__bucket_size")
+    }
   }
 }

@@ -39,6 +39,21 @@ object Vectors {
     * for the scale rationale (r grows with log2(n) at production SF). */
   private val lshCfg = graft.operators.Lsh.Config(bands = 3, rowsPerBand = 6)
 
+  /** q54's deliberately coarse (skew-provoking) banding + the
+    * refinement knobs shared by its Spark side and oracle: 4 buckets
+    * per band always overflow the 60-row cap, forcing
+    * Lsh.refineOversized's re-split path at every SF. */
+  private val skewCfg = graft.operators.Lsh.Config(bands = 2, rowsPerBand = 2)
+  private val skewCap = 60
+  private val skewExtra = 2
+
+  /** Exact cosine of a candidate pair (tables aliased a/b), DuckDB
+    * side: one BIGINT dot, one double division by one sqrt — shared by
+    * q39 and q54 so both verify steps use the identical formula. */
+  private val pairScoreSql =
+    """CAST(CAST(list_aggregate(list_transform(range(1, len(a.qv) + 1), i -> a.qv[CAST(i AS INT)] * b.qv[CAST(i AS INT)]), 'sum') AS BIGINT) AS DOUBLE)
+                 / sqrt(CAST(a.qn AS DOUBLE) * CAST(b.qn AS DOUBLE))"""
+
   private def quantized(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), expr(qvExpr).as("qv"))
@@ -179,9 +194,7 @@ object Vectors {
     Q(
       "q39_cosine_neardup",
       Some {
-        val scoreSql =
-          """CAST(CAST(list_aggregate(list_transform(range(1, len(a.qv) + 1), i -> a.qv[CAST(i AS INT)] * b.qv[CAST(i AS INT)]), 'sum') AS BIGINT) AS DOUBLE)
-                 / sqrt(CAST(a.qn AS DOUBLE) * CAST(b.qn AS DOUBLE))"""
+        val scoreSql = pairScoreSql
         val bands = (0 until lshCfg.bands).map { j =>
           val b = graft.operators.Lsh.bandBucketSql("qv", j, lshCfg.rowsPerBand)
           s"SELECT vec_id, qv, qn, $j AS band, CAST($b AS BIGINT) AS bucket FROM withn"
@@ -207,6 +220,66 @@ object Vectors {
         .filter(col("qn") > 0)
       val banded = graft.operators.Lsh.explodeBands(withn, "qv", lshCfg)
       graft.operators.Lsh.selfJoinPairs(banded, "vec_id")
+        .withColumn("dot",
+          expr("aggregate(zip_with(qv_a, qv_b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+        .withColumn("score",
+          col("dot").cast("double") / sqrt(col("qn_a").cast("double") * col("qn_b").cast("double")))
+        .filter(col("score") >= 0.30)
+        .select(col("vec_id_a").as("vec_a"), col("vec_id_b").as("vec_b"), col("score"))
+        .distinct()
+    },
+
+    // ---------------------------------------------------------------- q54
+    // The skew path of q39: a DELIBERATELY coarse banding (2 bands ×
+    // 2 planes → 4 buckets per band, guaranteed oversized at every SF)
+    // capped by Lsh.refineOversized — two refinement rounds re-split
+    // any (band, bucket) group over 60 rows with 2 fresh sign bits
+    // each, then the same exact-cosine verify as q39. The oracle
+    // replays both rounds (window COUNT + sentinel-shifted key
+    // extension) so the refined bucket keys — the one skew-critical
+    // piece of the LSH story — are cross-engine verified end to end.
+    Q(
+      "q54_neardup_skewcap",
+      Some {
+        val cfg = skewCfg
+        val bands = (0 until cfg.bands).map { j =>
+          val b = graft.operators.Lsh.bandBucketSql("qv", j, cfg.rowsPerBand)
+          s"SELECT vec_id, qv, qn, $j AS band, CAST($b AS BIGINT) AS bucket FROM withn"
+        }.mkString("\n          UNION ALL\n          ")
+        def round(t: Int, from: String): String = {
+          val sub = graft.operators.Lsh.refineSubSql("qv", cfg, skewExtra, t)
+          val shift = 1L << graft.operators.Lsh.widthAfter(cfg, skewExtra, t)
+          s"""SELECT vec_id, qv, qn, band,
+             CASE WHEN COUNT(*) OVER (PARTITION BY band, bucket) <= $skewCap
+                  THEN bucket
+                  ELSE bucket + ($sub + 1) * $shift END AS bucket
+           FROM $from"""
+        }
+        s"""
+        WITH qd AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+        withn AS (
+          SELECT vec_id, qv,
+                 CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS BIGINT) AS qn
+          FROM qd WHERE CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS BIGINT) > 0),
+        banded AS (
+          $bands),
+        r0 AS (${round(0, "banded")}),
+        r1 AS (${round(1, "r0")})
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               $pairScoreSql AS score
+        FROM r1 a JOIN r1 b
+          ON a.band = b.band AND a.bucket = b.bucket AND b.vec_id > a.vec_id
+        WHERE $pairScoreSql >= 0.30"""
+      }
+    ) { (s, dir) =>
+      val withn = t(s, dir, "embeddings")
+        .select(col("vec_id"), expr(qvExpr).as("qv"))
+        .withColumn("qn", expr(qnormExpr))
+        .filter(col("qn") > 0)
+      val banded = graft.operators.Lsh.explodeBands(withn, "qv", skewCfg)
+      val refined = graft.operators.Lsh.refineOversized(
+        banded, "qv", skewCfg, maxBucket = skewCap, extra = skewExtra, rounds = 2)
+      graft.operators.Lsh.selfJoinPairs(refined, "vec_id")
         .withColumn("dot",
           expr("aggregate(zip_with(qv_a, qv_b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
         .withColumn("score",

@@ -70,4 +70,25 @@ class LshSpec extends SparkSpec {
       .join(banded, Seq("band", "bucket")).count()
     assert(overlap === 0L)
   }
+
+  test("iterated refinement keeps shrinking still-oversized buckets") {
+    val cfg = Lsh.Config(1, 2)
+    val banded = Lsh.explodeBands(quantized, "qv", cfg)
+    def maxAfter(rounds: Int): Long =
+      Lsh.refineOversized(banded, "qv", cfg, maxBucket = 10, extra = 1, rounds = rounds)
+        .groupBy("band", "bucket").count()
+        .agg(max("count")).head().getLong(0)
+    // extra=1 splits an oversized bucket into at most 2 children per
+    // round — one round cannot reach a cap of 10 from ~125-row buckets,
+    // more rounds must monotonically shrink the worst bucket
+    val sizes = Seq(1, 2, 3, 4).map(maxAfter)
+    sizes.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a, s"round added size: $sizes")
+    }
+    assert(sizes.last < sizes.head,
+      s"three extra rounds did not shrink the worst bucket: $sizes")
+    // rounds never drop or duplicate rows
+    val r4 = Lsh.refineOversized(banded, "qv", cfg, maxBucket = 10, extra = 1, rounds = 4)
+    assert(r4.count() === banded.count())
+  }
 }
