@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
-  JoinedRow, SortOrder}
+  JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.ClusteredDistribution
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -103,61 +103,47 @@ case class AsOfJoinExec(
     val lt = BindReferences.bindReference(leftTime, left.output)
     val rks = rightKeys.map(BindReferences.bindReference(_, right.output))
     val rt = BindReferences.bindReference(rightTime, right.output)
-    val keyOrds: Array[Ordering[Any]] = leftKeys.map(k =>
-      TypeUtils.getInterpretedOrdering(k.dataType)
-        .asInstanceOf[Ordering[Any]]).toArray
+    val keyTypes = leftKeys.map(_.dataType)
     val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
       .asInstanceOf[Ordering[Any]]
-    val nKeys = keyOrds.length
     val nRight = right.output.length
     val tol = tolerance
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // Key extraction and comparison are CODEGEN'd, generated here on
+      // the executor (only the bound expressions cross the closure):
+      // one UnsafeProjection per key-row slot — each reuses its own
+      // backing buffer, so the three slots never clobber one another —
+      // and one generated lexicographic comparator over the key schema.
+      // Replaces the round-2 interpreted path (per-row Array[Any] alloc
+      // + per-field boxed eval + interpreted per-field Ordering).
+      val lKeyProj = UnsafeProjection.create(lks)
+      val nextKeyProj = UnsafeProjection.create(rks)
+      val curKeyProj = UnsafeProjection.create(rks)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+
       val nullRight = new GenericInternalRow(nRight)
       val joined = new JoinedRow
 
-      // Returns null if any key field is null (null keys never match).
-      def evalKeys(exprs: Seq[Expression], row: InternalRow): Array[Any] = {
-        val out = new Array[Any](nKeys)
-        var i = 0
-        while (i < nKeys) {
-          val v = exprs(i).eval(row)
-          if (v == null) return null
-          out(i) = v
-          i += 1
-        }
-        out
-      }
-
-      def cmpKeys(a: Array[Any], b: Array[Any]): Int = {
-        var i = 0
-        while (i < nKeys) {
-          val c = keyOrds(i).compare(a(i), b(i))
-          if (c != 0) return c
-          i += 1
-        }
-        0
-      }
-
       // one buffered right row: the best (greatest-time) candidate seen.
-      // curRow is a copy; curKey/curTime are re-eval'd FROM the copy so
-      // they never reference recycled sorter memory.
+      // curRow is a copy; curKey/curTime are re-projected FROM the copy
+      // so they never reference recycled sorter memory.
       var curRow: InternalRow = null
-      var curKey: Array[Any] = null
+      var curKey: UnsafeRow = null
       var curTime: Any = null
       // the not-yet-consumed head of the right iterator (values valid
       // only until the next rIter.next() — always consumed before then)
       var nextRow: InternalRow = null
-      var nextKey: Array[Any] = null
+      var nextKey: UnsafeRow = null
       var nextTime: Any = null
 
       def advanceRight(): Unit = {
         nextRow = null
         while (nextRow == null && rIter.hasNext) {
           val r = rIter.next()
-          val k = evalKeys(rks, r)
+          val k = nextKeyProj(r)
           val t = rt.eval(r)
-          if (k != null && t != null) {
+          if (!k.anyNull && t != null) {
             nextRow = r; nextKey = k; nextTime = t
           } // rows with null key/time can never match — skip
         }
@@ -165,21 +151,22 @@ case class AsOfJoinExec(
       advanceRight()
 
       lIter.map { l =>
-        val k = evalKeys(lks, l)
+        val k = lKeyProj(l)
         val t = lt.eval(l)
-        if (k == null || t == null) {
+        if (k.anyNull || t == null) {
           joined(l, nullRight)
         } else {
           // consume right rows that are still at-or-before (k, t)
+          var cmp = if (nextRow == null) 1 else keyOrd.compare(nextKey, k)
           while (nextRow != null &&
-            (cmpKeys(nextKey, k) < 0 ||
-              (cmpKeys(nextKey, k) == 0 && timeOrd.compare(nextTime, t) <= 0))) {
+            (cmp < 0 || (cmp == 0 && timeOrd.compare(nextTime, t) <= 0))) {
             curRow = nextRow.copy() // retained beyond the iterator step
-            curKey = evalKeys(rks, curRow)
+            curKey = curKeyProj(curRow)
             curTime = rt.eval(curRow)
             advanceRight()
+            cmp = if (nextRow == null) 1 else keyOrd.compare(nextKey, k)
           }
-          val matched = curRow != null && cmpKeys(curKey, k) == 0 &&
+          val matched = curRow != null && keyOrd.compare(curKey, k) == 0 &&
             tol.forall(g => asLong(t) - asLong(curTime) <= g)
           if (matched) joined(l, curRow) else joined(l, nullRight)
         }
