@@ -19,15 +19,21 @@ object JaccardKernel {
   def jaccard3(a: UTF8String, b: UTF8String): InternalRow = {
     val sa = a.toString
     val sb = b.toString
-    if (sa.length < 3 || sb.length < 3) return null
+    // shingle by CODE POINT (see graft.functions.Shingles): matches
+    // Spark substring() and DuckDB substr() on non-BMP text
+    val cpa = Shingles.starts(sa)
+    val cpb = Shingles.starts(sb)
+    val na = cpa.length - 1
+    val nb = cpb.length - 1
+    if (na < 3 || nb < 3) return null
     val setA = new java.util.HashSet[String]()
     var i = 0
-    while (i <= sa.length - 3) { setA.add(sa.substring(i, i + 3)); i += 1 }
+    while (i <= na - 3) { setA.add(sa.substring(cpa(i), cpa(i + 3))); i += 1 }
     val setB = new java.util.HashSet[String]()
     var inter = 0
     i = 0
-    while (i <= sb.length - 3) {
-      val g = sb.substring(i, i + 3)
+    while (i <= nb - 3) {
+      val g = sb.substring(cpb(i), cpb(i + 3))
       if (setB.add(g) && setA.contains(g)) inter += 1
       i += 1
     }

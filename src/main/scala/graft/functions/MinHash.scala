@@ -27,13 +27,17 @@ object MinHashKernel {
     */
   def signature(text: UTF8String, bands: Int): ArrayData = {
     val s = text.toString
-    if (s.length < 3) return null
+    // shingle by CODE POINT (see graft.functions.Shingles): matches
+    // Spark substring() and DuckDB substr() on non-BMP text
+    val cp = Shingles.starts(s)
+    val n = cp.length - 1
+    if (n < 3) return null
     val md = MessageDigest.getInstance("MD5")
     val mins = new Array[String](bands)
     var i = 0
-    while (i <= s.length - 3) {
+    while (i <= n - 3) {
       md.reset()
-      val digest = md.digest(s.substring(i, i + 3).getBytes("UTF-8"))
+      val digest = md.digest(s.substring(cp(i), cp(i + 3)).getBytes("UTF-8"))
       val hex = new Array[Char](32)
       var b = 0
       while (b < 16) {
@@ -64,14 +68,18 @@ object MinHashKernel {
     */
   def signatureSeeded(text: UTF8String, k: Int): ArrayData = {
     val s = text.toString
-    if (s.length < 3) return null
+    // shingle by CODE POINT (see graft.functions.Shingles): matches
+    // Spark substring() and DuckDB substr() on non-BMP text
+    val cp = Shingles.starts(s)
+    val n = cp.length - 1
+    if (n < 3) return null
     val md = MessageDigest.getInstance("MD5")
     val prefixes = Array.tabulate(k)(j => (j + ":").getBytes("UTF-8"))
     val mins = new Array[Int](k)
     java.util.Arrays.fill(mins, -1) // unsigned max
     var i = 0
-    while (i <= s.length - 3) {
-      val gram = s.substring(i, i + 3).getBytes("UTF-8")
+    while (i <= n - 3) {
+      val gram = s.substring(cp(i), cp(i + 3)).getBytes("UTF-8")
       var j = 0
       while (j < k) {
         md.reset()

@@ -23,16 +23,23 @@ object SimHashKernel {
     */
   def simhash(text: UTF8String): Long = {
     val s = text.toString
-    if (s.length < 3) return -1L
+    // shingle by CODE POINT (see graft.functions.Shingles), and pack
+    // code-point values — DuckDB's ascii() returns the full code point,
+    // so charAt (a UTF-16 unit, a surrogate half for non-BMP) would
+    // diverge from the oracle's ascii()-based hash
+    val cp = Shingles.starts(s)
+    val n = cp.length - 1
+    if (n < 3) return -1L
     // dedupe by the gram STRING: the base-31 packed value collides
     // ((b+1, c-31) packs identically) and the SQL oracle's DISTINCT is
     // on the string, so a packed-value dedupe would drop votes it keeps
     val seen = new java.util.HashSet[String]()
     val votes = new Array[Int](Bits)
     var i = 0
-    while (i <= s.length - 3) {
-      if (seen.add(s.substring(i, i + 3))) {
-        val packed = s.charAt(i) * 961 + s.charAt(i + 1) * 31 + s.charAt(i + 2)
+    while (i <= n - 3) {
+      if (seen.add(s.substring(cp(i), cp(i + 3)))) {
+        val packed = s.codePointAt(cp(i)) * 961 +
+          s.codePointAt(cp(i + 1)) * 31 + s.codePointAt(cp(i + 2))
         val h = (packed.toLong * 2654435761L) % 4294967296L
         var b = 0
         while (b < Bits) {

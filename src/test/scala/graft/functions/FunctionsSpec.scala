@@ -25,6 +25,70 @@ class FunctionsSpec extends SparkSpec {
     assert(viaExpr("ab").isEmpty) // too short for a shingle → null
   }
 
+  test("kernels shingle by code point: non-BMP text matches the builtin replay") {
+    import spark.implicits._
+    // emoji are surrogate PAIRS in java.lang.String but single code
+    // points to Spark's substring()/length() and DuckDB's substr() —
+    // the builtin formulations below are exactly what the oracles
+    // replay, so kernel == builtin here means kernel == oracle on
+    // non-BMP input
+    val docs = Seq(
+      "💡🎉🚀x", // 4 code points, 7 UTF-16 units
+      "naïve 💡 text",
+      "日本語テキスト🚀",
+      "ab💡", // exactly 3 code points → exactly one shingle
+      "ab", // 2 code points → no shingles → null
+      "💡💡💡a").toDF("text")
+
+    val shingles =
+      "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))"
+
+    val mhBad = docs
+      .withColumn("fast", MinHash.minhashK(col("text"), 4))
+      .withColumn("slow", expr(
+        s"""CASE WHEN length(text) >= 3 THEN
+              transform(sequence(0, 3), j ->
+                array_min(transform($shingles,
+                  g -> substring(md5(concat(cast(j as string), ':', g)), 1, 8))))
+            END"""))
+      .filter(not(col("fast") <=> col("slow"))).count()
+    assert(mhBad === 0L, "minhash_k diverges from the code-point builtin replay")
+
+    val sigBad = docs
+      .withColumn("fast", MinHash.minhashSignature(col("text")))
+      .withColumn("slow", expr(
+        s"""CASE WHEN length(text) >= 3 THEN
+              transform(sequence(0, 3), j ->
+                array_min(transform($shingles,
+                  g -> substring(md5(g), cast(j * 8 + 1 as int), 8))))
+            END"""))
+      .filter(not(col("fast") <=> col("slow"))).count()
+    assert(sigBad === 0L, "minhash_signature diverges from the code-point builtin replay")
+
+    val jacBad = docs.as("a").crossJoin(docs.as("b"))
+      .select(col("a.text").as("ta"), col("b.text").as("tb"))
+      .withColumn("fast", Jaccard.jaccard3(col("ta"), col("tb")).getField("n_common"))
+      .withColumn("slow", expr(
+        s"""CASE WHEN length(ta) >= 3 AND length(tb) >= 3 THEN
+              cast(size(array_intersect(
+                ${shingles.replace("text", "ta")},
+                ${shingles.replace("text", "tb")})) as bigint)
+            END"""))
+      .filter(not(col("fast") <=> col("slow"))).count()
+    assert(jacBad === 0L, "jaccard3 diverges from the code-point builtin replay")
+
+    // simhash: one shingle of "ab💡" votes every bit of its hash; the
+    // hash must pack CODE POINTS (ascii() semantics), not char codes
+    val one = SimHashKernel.simhash(UTF8String.fromString("ab💡"))
+    val packed = ('a' * 961 + 'b' * 31 + 0x1F4A1).toLong
+    val h = (packed * 2654435761L) % 4294967296L
+    assert(one === (h & 0xffffL),
+      "single-shingle simhash must equal the low 16 bits of the code-point hash")
+    // surrogate-splitting would have produced a different shingle count:
+    // 4 code points → 2 distinct shingles, never 5 UTF-16-based ones
+    assert(SimHashKernel.simhash(UTF8String.fromString("ab💡cd")) !== -1L)
+  }
+
   test("MinHashSignature kernel: dup shingles don't change the minimum") {
     val a = MinHashKernel.signature(UTF8String.fromString("abcabcabc"), 4)
     val b = MinHashKernel.signature(UTF8String.fromString("abc" * 50), 4)
