@@ -47,6 +47,11 @@ object Vectors {
   private val skewCap = 60
   private val skewExtra = 2
 
+  /** q60's IVF configuration: 8 cells, 2 probed per query (at
+    * production scale nCentroids ~ √n and both knobs trade recall for
+    * scored-pair count). */
+  private val ivfCfg = graft.operators.Ivf.Config(nCentroids = 8, nProbe = 2)
+
   /** Exact cosine of a candidate pair (tables aliased a/b), DuckDB
     * side: one BIGINT dot, one double division by one sqrt — shared by
     * q39 and q54 so both verify steps use the identical formula. */
@@ -227,6 +232,73 @@ object Vectors {
         .filter(col("score") >= 0.30)
         .select(col("vec_id_a").as("vec_a"), col("vec_id_b").as("vec_b"), col("score"))
         .distinct()
+    },
+
+    // ---------------------------------------------------------------- q60
+    // IVF approximate top-k via operators/Ivf — the centroid-partitioned
+    // ANN scale path beside q38/q39's LSH route: 8 deterministic seed
+    // centroids (broadcast), map-side nearest-centroid assignment, each
+    // query probes its 2 nearest cells, and ONLY candidates in probed
+    // cells are cosine-scored (vs q36's all-pairs n·q). The probe side
+    // is broadcast too, so everything before the final per-query top-k
+    // is shuffle-free. Deterministic: integer squared-L2 with
+    // centroid_id tiebreaks; the oracle replays assignment, probing,
+    // and scoring exactly.
+    Q(
+      "q60_ivf_topk",
+      Some {
+        val cfg = ivfCfg
+        s"""
+        WITH normed0 AS ($quantizedSql),
+        normed AS (SELECT vec_id, qv, qn FROM normed0 WHERE qn > 0),
+        cents AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, qv AS cv
+          FROM (SELECT vec_id, qv FROM normed ORDER BY vec_id LIMIT ${cfg.nCentroids}) s),
+        assigned AS (
+          SELECT vec_id, qv, qn, centroid_id FROM (
+            SELECT n.vec_id, n.qv, n.qn, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                     ORDER BY ${graft.operators.Ivf.sqDistSql("n.qv", "c.cv")}, c.centroid_id) AS rn
+            FROM normed n CROSS JOIN cents c) t
+          WHERE rn = 1),
+        probed AS (
+          SELECT query_id, qqv, qqn, centroid_id FROM (
+            SELECT q.vec_id AS query_id, q.qv AS qqv, q.qn AS qqn, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                     ORDER BY ${graft.operators.Ivf.sqDistSql("q.qv", "c.cv")}, c.centroid_id) AS rn
+            FROM normed q CROSS JOIN cents c
+            WHERE q.vec_id < 20) t
+          WHERE rn <= ${cfg.nProbe}),
+        scored AS (
+          SELECT p.query_id, a.vec_id,
+                 CAST(CAST(list_aggregate(list_transform(range(1, len(p.qqv) + 1), i -> p.qqv[i] * a.qv[i]), 'sum') AS BIGINT) AS DOUBLE)
+                   / sqrt(CAST(p.qqn AS DOUBLE) * CAST(a.qn AS DOUBLE)) AS score
+          FROM probed p JOIN assigned a
+            ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id)
+        SELECT query_id, vec_id, score FROM (
+          SELECT query_id, vec_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+          FROM scored) t
+        WHERE rn <= 5"""
+      }
+    ) { (s, dir) =>
+      val base = quantized(s, dir).filter(col("qn") > 0)
+        .select("vec_id", "qv", "qn")
+      val cents = graft.operators.Ivf.seedCentroids(base, "vec_id", "qv", ivfCfg.nCentroids)
+      val candidates = graft.operators.Ivf.assign(base, "qv", cents)
+      val queries = base.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("qn").as("qqn"))
+      val probes = graft.operators.Ivf.probe(queries, "qqv", cents, ivfCfg.nProbe)
+      val scored = candidates.join(broadcast(probes), Seq("centroid_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("dot",
+          expr("aggregate(zip_with(qqv, qv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+        .withColumn("score",
+          col("dot").cast("double") / sqrt(col("qqn").cast("double") * col("qn").cast("double")))
+      val w = Window.partitionBy("query_id").orderBy(desc("score"), col("vec_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("query_id", "vec_id", "score")
     },
 
     // ---------------------------------------------------------------- q54
