@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Jaccard3, MinHashK, MinHashSignature, SimHash16}
+import graft.functions.{Jaccard3, MinHashK, MinHashSignature, SimHash16, Winnow}
 
 /** SparkSessionExtensions entry point: registers every graft custom
   * expression as a SQL function, so e.g.
@@ -48,6 +48,10 @@ object GraftExtensions {
     },
     descriptor("jaccard3", classOf[Jaccard3]) {
       case Seq(a, b) => Jaccard3(a, b)
+    },
+    descriptor("winnow", classOf[Winnow]) {
+      case Seq(text)       => Winnow(text)
+      case Seq(text, k, w) => Winnow(text, litInt(k), litInt(w))
     })
 
   /** Runtime registration on an existing session (no extensions config

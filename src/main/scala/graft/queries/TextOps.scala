@@ -299,6 +299,42 @@ object TextOps {
       graft.operators.MinHashLsh.candidateGroups(banded, "doc_id")
     },
 
+    // ---------------------------------------------------------------- q61
+    // Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    // SIGMOD 2003): rolling polynomial hash of every 5-gram (base 257,
+    // mod 2^32, code points), min hash per sliding window of 4 — any
+    // shared substring of length >= 8 guarantees a shared fingerprint,
+    // and only ~2/(w+1) of hashes are kept. The kernel
+    // (functions/Winnow) is O(n) — rolling update + monotonic-deque
+    // window minima, one pass, codegen'd; the oracle replays the same
+    // math gram-by-gram with list_min per window.
+    Q(
+      "q61_winnow_fingerprints",
+      Some {
+        val gramHash = (0 until 5).map { j =>
+          s"CAST(ascii(substr(text, CAST(i + $j AS INT), 1)) AS BIGINT)"
+        }.reduce((acc, c) => s"($acc * 257 + $c)") + " % 4294967296"
+        s"""
+        WITH hs AS (
+          SELECT doc_id,
+                 list_transform(range(1, length(text) - 3), i -> $gramHash) AS h
+          FROM documents WHERE length(text) >= 5)
+        SELECT DISTINCT doc_id, fp FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(len(h) - 3, 1) + 1),
+                   i -> list_min(list_transform(
+                          range(i, least(i + 4, len(h) + 1)),
+                          j -> h[CAST(j AS INT)])))) AS fp
+          FROM hs) t"""
+      }
+    ) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.Winnow.winnow(col("text"), 5, 4).as("fps"))
+        .filter(col("fps").isNotNull)
+        .select(col("doc_id"), explode(col("fps")).as("fp"))
+    },
+
     // ---------------------------------------------------------------- q34
     // SimHash: per-bit majority vote over shingle hashes (explode ->
     // 16 conditional sums -> recombine). Integer-exact in both engines.
