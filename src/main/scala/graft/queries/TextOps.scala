@@ -40,6 +40,17 @@ object TextOps {
 
   private val simhashBits = 16
 
+  /** q62's BPE-style pre-tokenizer: the GPT-2 pattern family —
+    * contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs, whitespace — minus the original's trailing
+    * `\s+(?!\S)` lookahead, which RE2 (DuckDB) does not support.
+    * Ordered alternation behaves identically in Java regex (Spark) and
+    * RE2: both take the leftmost-first branch. The pattern is total
+    * (every character lands in exactly one token), so token counts are
+    * a real tokenizer's, not a whitespace split's. */
+  private val bpePattern =
+    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+
   val all: Seq[Q] = Seq(
     // ---------------------------------------------------------------- q26
     // Exact deduplication: group by content hash, canonical survivor.
@@ -70,6 +81,42 @@ object TextOps {
         size(split(col("text"), " ", -1)).cast("long").as("n_tokens"),
         size(array_distinct(split(col("text"), " ", -1))).cast("long").as("n_unique"),
         length(col("text")).cast("long").as("n_chars"))
+    },
+
+    // ---------------------------------------------------------------- q62
+    // BPE-ish tokenization stats: tokens from the GPT-2-style regex
+    // (bpePattern) rather than a whitespace split — the token-count
+    // signal an LLM-data pipeline actually budgets by. Per-row regex
+    // scan, embarrassingly parallel; both engines run the identical
+    // pattern (Java regex / RE2 agree on ordered alternation).
+    Q(
+      "q62_bpe_token_stats",
+      Some {
+        val sqlPat = bpePattern.replace("'", "''") // SQL string literal escape
+        s"""
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_unique,
+               CAST(len(list_filter(toks, t -> regexp_full_match(t, ' ?\\p{L}+'))) AS BIGINT) AS n_word_tokens,
+               CAST(list_max(list_transform(toks, t -> length(t))) AS BIGINT) AS max_token_len
+        FROM (
+          SELECT doc_id, regexp_extract_all(text, '$sqlPat') AS toks
+          FROM documents WHERE length(text) > 0) t"""
+      }
+    ) { (s, dir) =>
+      // native Column API throughout — the quote inside the pattern
+      // never round-trips through a SQL literal on the Spark side
+      t(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .withColumn("toks", regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_unique"),
+          size(filter(col("toks"), t => t.rlike("^ ?\\p{L}+$"))).cast("long")
+            .as("n_word_tokens"),
+          array_max(transform(col("toks"), t => length(t))).cast("long")
+            .as("max_token_len"))
     },
 
     // ---------------------------------------------------------------- q28
