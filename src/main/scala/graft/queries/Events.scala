@@ -276,5 +276,47 @@ object Events {
         .agg(count(lit(1)).as("n_with_prev"),
           sum(when(col("gap_us") <= 60000000L, 1L).otherwise(0L)).as("n_within_minute"))
     },
+
+    // ---------------------------------------------------------------- q63
+    // Pure range join (NO equi key): every error event opens a 5-minute
+    // incident window; count the clicks (any user) falling inside each.
+    // A naive formulation is a BroadcastNestedLoopJoin — O(n·m) and a
+    // whole-side broadcast; operators/RangeJoin buckets both sides on a
+    // 5-minute granularity instead, so the plan is a hash-partitioned
+    // equi-join on the bucket (each interval lands in ≤ 2 buckets, each
+    // point in exactly 1 — every matched pair surfaces exactly once).
+    // RangeJoinSpec pins result parity with the naive theta join AND
+    // the no-nested-loop plan shape.
+    Q(
+      "q63_range_join",
+      Some("""
+        WITH incidents AS (
+          SELECT event_id AS incident_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,
+                 epoch_us(CAST(ts AS TIMESTAMP)) + 300000000 AS e_us
+          FROM events WHERE event_type = 'error'),
+        clicks AS (
+          SELECT event_id AS click_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us
+          FROM events WHERE event_type = 'click')
+        SELECT incident_id, COUNT(*) AS n_clicks,
+               MIN(click_id) AS first_click, MAX(click_id) AS last_click
+        FROM incidents i JOIN clicks c ON c.t_us >= i.s_us AND c.t_us < i.e_us
+        GROUP BY incident_id""")
+    ) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val incidents = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"),
+          unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) + 300000000L).as("e_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), unix_micros(col("ts")).as("t_us"))
+      graft.operators.RangeJoin
+        .pointInInterval(clicks, "t_us", incidents, "s_us", "e_us",
+          bucketUs = 300000000L)
+        .groupBy(col("incident_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          min(col("click_id")).as("first_click"),
+          max(col("click_id")).as("last_click"))
+    },
   )
 }
