@@ -27,13 +27,19 @@ object StreamOps {
       .select(col("user_id"), col("session.start").as("session_start"),
         col("session.end").as("session_end"), col("n_events"))
 
-  /** Tumbling-window counts per event type (streaming analogue of q22). */
+  /** Tumbling-window counts per event type (streaming analogue of q22).
+    * sum_value goes through DECIMAL(18,4) like the batch side's
+    * Det.dsum, so the incremental aggregation is order-free-exact and
+    * comparable value-for-value with q22 (StreamBatchParitySpec). */
   def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("w.start").as("hour_start"), col("event_type"), col("n"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"),
+        col("sum_value"))
 
   /** Exactly-once event-id dedup with watermark-bounded state. */
   def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =

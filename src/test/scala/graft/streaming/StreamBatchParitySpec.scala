@@ -8,20 +8,19 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 /** Streaming/batch parity on the REAL events table: the streaming
-  * session_window path (file source → StreamOps.sessionCounts →
-  * foreachBatch → parquet) must reproduce, session for session, the
-  * batch q24 sessionization — whose DuckDB oracle is green in
-  * CORRECTNESS — so the streaming operator is transitively
-  * oracle-backed rather than spec-only.
+  * operators (file source → StreamOps → foreachBatch → parquet) must
+  * reproduce the batch queries whose DuckDB oracles are green in
+  * CORRECTNESS — so the streaming paths are transitively oracle-backed
+  * rather than spec-only.
   */
 class StreamBatchParitySpec extends SparkSpec {
 
   private val gapUs = 1800000000L // 30 minutes, matching q23/q24
 
   /** Stages `events` as two chronologically-ordered source files: all
-    * real rows, then one far-future watermark-pusher row (user_id -1)
-    * whose arrival closes every real session. */
-  private def stageInput(events: DataFrame): Path = {
+    * real rows, then one far-future watermark-pusher row (user_id -1,
+    * event_type "pusher") whose arrival closes every real window. */
+  private def stageInput(events: DataFrame, pusherAfterUs: Long): Path = {
     val in = Files.createTempDirectory("graft-parity-in")
     def onePart(df: DataFrame, tmpName: String, target: String, mtimeOffsetMs: Long): Unit = {
       val tmp = in.resolve(tmpName)
@@ -33,26 +32,25 @@ class StreamBatchParitySpec extends SparkSpec {
     }
     onePart(events, "stage1", "batch1.parquet", 0L)
     val pusherTs = events.agg(max(unix_micros(col("ts")))).head().getLong(0) +
-      gapUs + 900000000L // gap + 15 min — far past every session end + watermark
+      pusherAfterUs
     onePart(events.sparkSession.range(1).select(
       lit(-1L).as("event_id"),
       timestamp_micros(lit(pusherTs)).as("ts"),
       lit(-1L).as("user_id"),
-      lit("pusher").as("event_type")), "stage2", "batch2.parquet", 10000L)
+      lit("pusher").as("event_type"),
+      lit(null).cast("double").as("value")), "stage2", "batch2.parquet", 10000L)
     in
   }
 
-  test("streaming session_window over real events equals batch q24 sessions") {
-    val dir = "/root/testdata/sf0.001"
-    val events = Tables.load(spark, dir, "events")
-      .select("event_id", "ts", "user_id", "event_type")
-    val in = stageInput(events)
+  /** One AvailableNow pass of `build(stream)` over the staged input,
+    * results parqueted via foreachBatch and read back. */
+  private def runStream(in: Path, schema: org.apache.spark.sql.types.StructType,
+      build: DataFrame => DataFrame): DataFrame = {
     val out = Files.createTempDirectory("graft-parity-out").toString
     val ckpt = Files.createTempDirectory("graft-parity-ckpt").toString
-
-    val stream = spark.readStream.schema(events.schema)
+    val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(in.toString)
-    val q = StreamOps.sessionCounts(stream, gap = "30 minutes", watermark = "1 minute")
+    val q = build(stream)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) batch.write.mode("append").parquet(out)
@@ -62,23 +60,58 @@ class StreamBatchParitySpec extends SparkSpec {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination(180000)
+    spark.read.parquet(out)
+  }
+
+  private def realEvents: DataFrame =
+    Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+
+  test("streaming session_window over real events equals batch q24 sessions") {
+    val events = realEvents
+    val in = stageInput(events, gapUs + 900000000L) // gap + 15 min
+    val result = runStream(in, events.schema,
+      st => StreamOps.sessionCounts(st, gap = "30 minutes", watermark = "1 minute"))
 
     // session_window's end is last event + gap; subtract it back so the
     // tuple matches q24's (first-to-last) duration exactly
-    val streamed = spark.read.parquet(out)
+    val streamed = result
       .filter(col("user_id") >= 0)
       .select(col("user_id"), col("n_events"),
         (unix_micros(col("session_end")) - gapUs -
           unix_micros(col("session_start"))).as("duration_us"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
 
-    val batch = SparkEntry.queries("q24_session_stats")(spark, dir)
+    val batch = SparkEntry.queries("q24_session_stats")(spark, "/root/testdata/sf0.001")
       .select(col("user_id"), col("n_events"), col("duration_us"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
 
     assert(batch.nonEmpty, "batch sessionization returned no sessions")
     assert(streamed.length === batch.length,
       s"session count mismatch: streaming ${streamed.length} vs batch ${batch.length}")
+    assert(streamed === batch)
+  }
+
+  test("streaming tumbling hourly windows over real events equal batch q22") {
+    val events = realEvents
+    val in = stageInput(events, 7200000000L) // 2 hours past the last event
+    val result = runStream(in, events.schema,
+      st => StreamOps.hourlyCounts(st, watermark = "1 minute"))
+
+    val streamed = result
+      .filter(col("event_type") =!= "pusher")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+        r.getDouble(3))).sorted
+
+    val batch = SparkEntry.queries("q22_time_window")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+        r.getDouble(3))).sorted
+
+    assert(batch.nonEmpty)
+    assert(streamed.length === batch.length,
+      s"window count mismatch: streaming ${streamed.length} vs batch ${batch.length}")
     assert(streamed === batch)
   }
 }

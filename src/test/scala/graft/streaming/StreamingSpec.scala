@@ -15,7 +15,8 @@ class StreamingSpec extends SparkSpec {
     StructField("event_id", LongType, true),
     StructField("ts", TimestampType, true),
     StructField("user_id", LongType, true),
-    StructField("event_type", StringType, true)))
+    StructField("event_type", StringType, true),
+    StructField("value", DoubleType, true)))
 
   private def writeInput(rows: String*): String = {
     val dir = Files.createTempDirectory("graft-stream-in")
