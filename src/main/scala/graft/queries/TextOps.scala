@@ -382,6 +382,63 @@ object TextOps {
         .select(col("doc_id"), explode(col("fps")).as("fp"))
     },
 
+    // ---------------------------------------------------------------- q64
+    // Winnow-fingerprint near-dup candidates: docs sharing >= 2
+    // fingerprints after dropping STOP fingerprints (document frequency
+    // > 50 — boilerplate 8-grams that would otherwise form huge
+    // buckets). The pair join runs only within one fingerprint's
+    // posting list, so with the df cap the per-bucket pair count is
+    // bounded (<= 50²/2) no matter the corpus size — the same
+    // bounded-bucket discipline as the LSH operators, here enforced by
+    // an IDF-style filter instead of key refinement.
+    Q(
+      "q64_winnow_neardup",
+      Some {
+        val gramHash = (0 until 5).map { j =>
+          s"CAST(ascii(substr(text, CAST(i + $j AS INT), 1)) AS BIGINT)"
+        }.reduce((acc, c) => s"($acc * 257 + $c)") + " % 4294967296"
+        s"""
+        WITH hs AS (
+          SELECT doc_id,
+                 list_transform(range(1, length(text) - 3), i -> $gramHash) AS h
+          FROM documents WHERE length(text) >= 5),
+        fps AS (
+          SELECT DISTINCT doc_id, fp FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(h) - 3, 1) + 1),
+                     i -> list_min(list_transform(
+                            range(i, least(i + 4, len(h) + 1)),
+                            j -> h[CAST(j AS INT)])))) AS fp
+            FROM hs) t),
+        kept AS (
+          SELECT doc_id, fp FROM (
+            SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS df
+            FROM fps) t
+          WHERE df <= 50)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS n_shared
+        FROM kept a JOIN kept b
+          ON a.fp = b.fp AND b.doc_id > a.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2"""
+      }
+    ) { (s, dir) =>
+      val fps = t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.Winnow.winnow(col("text"), 5, 4).as("fpa"))
+        .filter(col("fpa").isNotNull)
+        .select(col("doc_id"), explode(col("fpa")).as("fp"))
+      val kept = fps
+        .withColumn("df",
+          count(lit(1)).over(Window.partitionBy("fp")))
+        .filter(col("df") <= 50)
+        .select("doc_id", "fp")
+      kept.as("a").join(kept.as("b"),
+          col("a.fp") === col("b.fp") && col("b.doc_id") > col("a.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+    },
+
     // ---------------------------------------------------------------- q34
     // SimHash: per-bit majority vote over shingle hashes (explode ->
     // 16 conditional sums -> recombine). Integer-exact in both engines.
