@@ -136,4 +136,53 @@ class PlanSpec extends SparkSpec {
     assert(objAggs.length === 2,
       s"partial + final ObjectHashAggregate for the typed UDAF:\n$p")
   }
+
+  test("q54: refined-bucket near-dup stays an equi-join, no cross join") {
+    val p = plan("q54_neardup_skewcap")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"no cartesian product:\n$p")
+    assert(p.collect { case n: BroadcastNestedLoopJoinExec => n }.isEmpty,
+      s"no nested-loop join:\n$p")
+    val equiJoins = p.collect {
+      case j: SortMergeJoinExec => j.leftKeys
+      case j: ShuffledHashJoinExec => j.leftKeys
+      case j: BroadcastHashJoinExec => j.leftKeys
+    }
+    assert(equiJoins.exists(_.length >= 2),
+      s"self-join must be an equi-join on (band, refined bucket):\n$p")
+  }
+
+  test("q60: IVF search joins are broadcast-only; no cartesian, no nested loop") {
+    val p = plan("q60_ivf_topk")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty, s"$p")
+    // centroid arrays and probes attach via broadcast nested loop (the
+    // one-row cross joins) or broadcast hash join — never a shuffled or
+    // cartesian join of the candidate side
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+      p.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
+      s"candidate side must never shuffle for a join:\n$p")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"probe join must be a broadcast hash join:\n$p")
+  }
+
+  test("q63: range join executes as a bucket equi-join, never a nested loop") {
+    val p = plan("q63_range_join")
+    assert(p.collect { case n: BroadcastNestedLoopJoinExec => n }.isEmpty,
+      s"no nested-loop join:\n$p")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty, s"$p")
+    val equi = p.collect {
+      case j: SortMergeJoinExec => j
+      case j: ShuffledHashJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(equi.length === 1, s"exactly one bucket equi-join:\n$p")
+  }
+
+  test("q61/q62: document scans prune to (doc_id, text) only") {
+    for (name <- Seq("q61_winnow_fingerprints", "q62_bpe_token_stats")) {
+      val Seq(scan) = scans(plan(name))
+      assert(scan.requiredSchema.fieldNames.toSet === Set("doc_id", "text"),
+        s"$name reads more than it projects: ${scan.requiredSchema.fieldNames.toSeq}")
+    }
+  }
 }
