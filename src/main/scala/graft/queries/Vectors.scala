@@ -68,13 +68,9 @@ object Vectors {
     s"""SELECT vec_id, label, qv, $qnormSql AS qn FROM (
           SELECT vec_id, label, $qvSql AS qv FROM embeddings) q1"""
 
-  val all: Seq[Q] = Seq(
-    // ---------------------------------------------------------------- q36
-    // Brute-force cosine top-k: queries (vec_id < 20) broadcast against
-    // all candidates; rank by (score desc, vec_id) — fully deterministic.
-    Q(
-      "q36_cosine_topk",
-      Some(s"""
+  /** Brute-force cosine top-5 — the exact answer q36 registers and the
+    * ground truth q65 measures IVF recall against. */
+  private val bruteTopkSql = s"""
         WITH normed AS ($quantizedSql),
         scored AS (
           SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
@@ -86,21 +82,28 @@ object Vectors {
           SELECT query_id, vec_id, score,
                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
           FROM scored) t
-        WHERE rn <= 5""")
-    ) { (s, dir) =>
-      val normed = quantized(s, dir).filter(col("qn") > 0)
-      val q = normed.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("qn").as("qqn"))
-      val scored = normed.join(broadcast(q), col("vec_id") =!= col("query_id"))
-        .withColumn("dot",
-          expr("aggregate(zip_with(qqv, qv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
-        .withColumn("score",
-          col("dot").cast("double") / sqrt(col("qqn").cast("double") * col("qn").cast("double")))
-      val w = Window.partitionBy("query_id").orderBy(desc("score"), col("vec_id"))
-      scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
-        .select("query_id", "vec_id", "score")
-    },
+        WHERE rn <= 5"""
+
+  private def bruteTopk(s: SparkSession, dir: String): DataFrame = {
+    val normed = quantized(s, dir).filter(col("qn") > 0)
+    val q = normed.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("qn").as("qqn"))
+    val scored = normed.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(qqv, qv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+      .withColumn("score",
+        col("dot").cast("double") / sqrt(col("qqn").cast("double") * col("qn").cast("double")))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("query_id", "vec_id", "score")
+  }
+
+  val all: Seq[Q] = Seq(
+    // ---------------------------------------------------------------- q36
+    // Brute-force cosine top-k: queries (vec_id < 20) broadcast against
+    // all candidates; rank by (score desc, vec_id) — fully deterministic.
+    Q("q36_cosine_topk", Some(bruteTopkSql))(bruteTopk),
 
     // ---------------------------------------------------------------- q40
     // Same top-k semantics as q36, computed with the bounded-heap
@@ -110,19 +113,7 @@ object Vectors {
     // plan that survives a 100× candidate-count scale-up.
     Q(
       "q40_cosine_topk_heap",
-      Some(s"""
-        WITH normed AS ($quantizedSql),
-        scored AS (
-          SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-                 CAST(CAST(list_aggregate(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.qv[i]), 'sum') AS BIGINT) AS DOUBLE)
-                   / sqrt(CAST(q.qn AS DOUBLE) * CAST(c.qn AS DOUBLE)) AS score
-          FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
-          WHERE q.vec_id < 20 AND q.qn > 0 AND c.qn > 0)
-        SELECT query_id, vec_id, score FROM (
-          SELECT query_id, vec_id, score,
-                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
-          FROM scored) t
-        WHERE rn <= 5""")
+      Some(bruteTopkSql) // same exact-top-k contract as q36
     ) { (s, dir) =>
       val normed = quantized(s, dir).filter(col("qn") > 0)
       val q = normed.filter(col("vec_id") < 20)
@@ -244,9 +235,40 @@ object Vectors {
     // is shuffle-free. Deterministic: integer squared-L2 with
     // centroid_id tiebreaks; the oracle replays assignment, probing,
     // and scoring exactly.
+    Q("q60_ivf_topk", Some(ivfTopkSql))(ivfTopk),
+
+    // ---------------------------------------------------------------- q65
+    // ANN quality evaluation: per-query recall of the IVF route (q60)
+    // against exact brute force (q36) — the measurement that tunes
+    // (nCentroids, nProbe) in production. Both inputs are
+    // deterministic, so recall itself is deterministic and
+    // oracle-checkable; computation is two subplans + one broadcast-able
+    // join on (query_id, vec_id).
     Q(
-      "q60_ivf_topk",
-      Some {
+      "q65_ann_recall",
+      Some(s"""
+        SELECT bf.query_id,
+               CAST(COUNT(iv.vec_id) AS BIGINT) AS n_hits,
+               COUNT(*) AS k
+        FROM ($bruteTopkSql) bf
+        LEFT JOIN ($ivfTopkSql) iv
+          ON iv.query_id = bf.query_id AND iv.vec_id = bf.vec_id
+        GROUP BY bf.query_id""")
+    ) { (s, dir) =>
+      val bf = bruteTopk(s, dir).select("query_id", "vec_id")
+      val iv = ivfTopk(s, dir).select(col("query_id"), col("vec_id"))
+        .withColumn("hit", lit(1))
+      bf.join(iv, Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("k"))
+    },
+
+    qSkewcap,
+  )
+
+  /** IVF approximate top-5 — registered as q60 and re-used by q65
+    * (lazy: referenced from `all` above its definition). */
+  private lazy val ivfTopkSql: String = {
         val cfg = ivfCfg
         s"""
         WITH normed0 AS ($quantizedSql),
@@ -280,8 +302,9 @@ object Vectors {
                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
           FROM scored) t
         WHERE rn <= 5"""
-      }
-    ) { (s, dir) =>
+  }
+
+  private def ivfTopk(s: SparkSession, dir: String): DataFrame = {
       val base = quantized(s, dir).filter(col("qn") > 0)
         .select("vec_id", "qv", "qn")
       val cents = graft.operators.Ivf.seedCentroids(base, "vec_id", "qv", ivfCfg.nCentroids)
@@ -299,18 +322,19 @@ object Vectors {
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select("query_id", "vec_id", "score")
-    },
+  }
 
-    // ---------------------------------------------------------------- q54
-    // The skew path of q39: a DELIBERATELY coarse banding (2 bands ×
-    // 2 planes → 4 buckets per band, guaranteed oversized at every SF)
-    // capped by Lsh.refineOversized — two refinement rounds re-split
-    // any (band, bucket) group over 60 rows with 2 fresh sign bits
-    // each, then the same exact-cosine verify as q39. The oracle
-    // replays both rounds (window COUNT + sentinel-shifted key
-    // extension) so the refined bucket keys — the one skew-critical
-    // piece of the LSH story — are cross-engine verified end to end.
-    Q(
+  // ------------------------------------------------------------------ q54
+  // The skew path of q39: a DELIBERATELY coarse banding (2 bands ×
+  // 2 planes → 4 buckets per band, guaranteed oversized at every SF)
+  // capped by Lsh.refineOversized — two refinement rounds re-split
+  // any (band, bucket) group over 60 rows with 2 fresh sign bits
+  // each, then the same exact-cosine verify as q39. The oracle
+  // replays both rounds (window COUNT + sentinel-shifted key
+  // extension) so the refined bucket keys — the one skew-critical
+  // piece of the LSH story — are cross-engine verified end to end.
+  // (lazy: referenced from `all` above its definition)
+  private lazy val qSkewcap: Q = Q(
       "q54_neardup_skewcap",
       Some {
         val cfg = skewCfg
@@ -359,6 +383,5 @@ object Vectors {
         .filter(col("score") >= 0.30)
         .select(col("vec_id_a").as("vec_a"), col("vec_id_b").as("vec_b"), col("score"))
         .distinct()
-    },
-  )
+    }
 }
