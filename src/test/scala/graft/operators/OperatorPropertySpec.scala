@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.WinnowKernel
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Randomized properties for the round-4 operators, seeded scalacheck
+  * generators (the scalatest bridge artifact isn't available offline,
+  * so sampling is driven manually, mirroring pipeline/PropertySpec). */
+class OperatorPropertySpec extends SparkSpec {
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  // ---------------------------------------------------------------- RangeJoin
+
+  private val intervalGen: Gen[(Long, Long, Long)] = for {
+    id <- Gen.choose(0L, 1000000L)
+    s <- Gen.choose(0L, 100000L)
+    len <- Gen.choose(0L, 700L) // includes empty and bucket-straddling
+  } yield (id, s, s + len)
+
+  private val pointGen: Gen[(Long, Long)] = for {
+    id <- Gen.choose(0L, 1000000L)
+    t <- Gen.choose(-100L, 100700L) // includes out-of-range times
+  } yield (id, t)
+
+  test("RangeJoin == naive theta join on random intervals/points, any granularity") {
+    import spark.implicits._
+    for (seed <- 1L to 3L) {
+      val ivs = sample(Gen.listOfN(80, intervalGen), seed)
+        .zipWithIndex.map { case ((_, s, e), i) => (i.toLong, s, e) }
+      val pts = sample(Gen.listOfN(300, pointGen), seed + 100)
+        .zipWithIndex.map { case ((_, t), i) => (i.toLong, t) }
+      val intervals = ivs.toDF("iid", "s_us", "e_us")
+      val points = pts.toDF("pid", "t_us")
+      val naive = ivs.flatMap { case (iid, s, e) =>
+        pts.collect { case (pid, t) if t >= s && t < e => (iid, pid) }
+      }.toSet
+      for (bucket <- Seq(1L, 97L, 500L, 1000000L)) {
+        val got = RangeJoin.pointInInterval(points, "t_us", intervals,
+          "s_us", "e_us", bucket)
+          .select("iid", "pid").collect().map(r => (r.getLong(0), r.getLong(1)))
+        assert(got.length === got.distinct.length,
+          s"seed=$seed bucket=$bucket emitted a duplicate pair")
+        assert(got.toSet === naive, s"seed=$seed bucket=$bucket mismatch")
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- Winnow
+
+  private val textGen: Gen[String] = for {
+    n <- Gen.choose(0, 60)
+    // low-cardinality alphabet maximizes hash-tie and repeat coverage
+    cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', ' '))
+  } yield cs.mkString
+
+  /** Direct (non-rolling, non-deque) reference winnow. */
+  private def referenceWinnow(s: String, k: Int, w: Int): Option[Set[Long]] = {
+    val cps = s.codePoints().toArray
+    if (cps.length < k) return None
+    val hs = cps.sliding(k).map(g =>
+      g.foldLeft(0L)((h, c) => (h * 257 + c) & 0xFFFFFFFFL)).toArray
+    val wins =
+      if (hs.length <= w) Seq(hs.min)
+      else hs.sliding(w).map(_.min).toSeq
+    Some(wins.toSet)
+  }
+
+  test("Winnow kernel == direct reference on random strings, several (k, w)") {
+    for (seed <- 1L to 20L; (k, w) <- Seq((5, 4), (3, 2), (2, 7), (1, 1))) {
+      val s = sample(textGen, seed * 31 + k * 7 + w)
+      val got = Option(WinnowKernel.winnow(UTF8String.fromString(s), k, w))
+        .map(_.toLongArray().toSet)
+      assert(got === referenceWinnow(s, k, w), s"seed=$seed k=$k w=$w text='$s'")
+    }
+  }
+
+  // ---------------------------------------------------------------- Ivf
+
+  test("Ivf assignment argmin matches a naive per-row scan on random vectors") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(8, Gen.choose(-50L, 50L))
+    for (seed <- 1L to 2L) {
+      val vecs = sample(Gen.listOfN(60, vecGen), seed)
+        .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val df = vecs.toDF("vec_id", "qv")
+      val cents = Ivf.seedCentroids(df, "vec_id", "qv", 5)
+      val centroids = cents.collect()
+        .map(r => (r.getInt(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+      def naiveCell(v: Seq[Long]): Int =
+        centroids.map { case (cid, cv) =>
+          (v.zip(cv).map { case (x, y) => (x - y) * (x - y) }.sum, cid)
+        }.min._2
+      val got = Ivf.assign(df, "qv", cents)
+        .select("vec_id", "centroid_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toMap
+      vecs.foreach { case (id, v) =>
+        assert(got(id) === naiveCell(v), s"seed=$seed vec=$id")
+      }
+    }
+  }
+}
