@@ -74,4 +74,39 @@ object MinHashLsh {
     banded.groupBy(col("band"), col("band_key"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canonical_id"))
       .filter(col("n_docs") > 1)
+
+  /** Connected-component cluster ids over the banding graph (documents
+    * sharing any (band, band_key) bucket are one cluster) by `rounds`
+    * of min-label propagation: each round every bucket computes the
+    * minimum member label and every document takes the minimum over
+    * its buckets. Two hash shuffles per round — groupBy the bucket
+    * key, then by the document — never a pair-explosion: the bucket
+    * graph is traversed through its aggregates, so a bucket of b docs
+    * costs O(b), not O(b²).
+    *
+    * `rounds` bounds the propagated component DIAMETER (in bucket
+    * hops). With a fixed `rounds` the result is deterministic whether
+    * or not labels have converged — production callers loop until a
+    * round changes nothing (one count per round); the q66 oracle
+    * replays the same fixed number of unrolled rounds. Output:
+    * (idCol, cluster_id) for every banded document; cluster_id is the
+    * minimum document id reachable within `rounds` hops. */
+  def minLabelClusters(banded: DataFrame, idCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, "need at least one propagation round")
+    val docs = banded.select(col(idCol)).distinct()
+      .withColumn("cluster_id", col(idCol))
+    val edges = banded.select(col(idCol), col("band"), col("band_key"))
+    (0 until rounds).foldLeft(docs) { (labels, _) =>
+      val bucketMin = edges.join(labels, idCol)
+        .groupBy(col("band"), col("band_key"))
+        .agg(min(col("cluster_id")).as("bucket_min"))
+      val docMin = edges.join(bucketMin, Seq("band", "band_key"))
+        .groupBy(col(idCol))
+        .agg(min(col("bucket_min")).as("prop_min"))
+      labels.join(docMin, Seq(idCol), "left")
+        .select(col(idCol),
+          least(col("cluster_id"), coalesce(col("prop_min"), col("cluster_id")))
+            .as("cluster_id"))
+    }
+  }
 }

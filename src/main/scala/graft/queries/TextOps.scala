@@ -439,6 +439,61 @@ object TextOps {
         .filter(col("n_shared") >= 2)
     },
 
+    // ---------------------------------------------------------------- q66
+    // Dedup cluster assignment: connected components over the MinHash
+    // banding graph (docs sharing any (band, band_key) bucket are one
+    // cluster) via 3 rounds of min-label propagation
+    // (MinHashLsh.minLabelClusters). The graph is traversed through
+    // bucket AGGREGATES — two hash shuffles per round, O(bucket size)
+    // per bucket, never the O(b²) pair explosion — which is what makes
+    // transitive dedup feasible at corpus scale. Fixed rounds keep the
+    // result deterministic and oracle-replayable (3 unrolled rounds in
+    // SQL); production loops to fixpoint.
+    Q(
+      "q66_dedup_clusters",
+      Some {
+        val hashes = (0 until 6).map(j =>
+          s"list_min(list_transform(grams, g -> substr(md5('$j:' || g), 1, 8))) AS h$j")
+          .mkString(",\n                 ")
+        val bands = (0 until 3).map(j =>
+          s"SELECT doc_id, $j AS band, h${2 * j} || '|' || h${2 * j + 1} AS band_key FROM mh")
+          .mkString("\n          UNION ALL ")
+        val rounds = (0 until 3).map { t =>
+          s"""bm$t AS (
+          SELECT b.band, b.band_key, MIN(l.cluster_id) AS bucket_min
+          FROM banded b JOIN it$t l ON l.doc_id = b.doc_id
+          GROUP BY b.band, b.band_key),
+        dm$t AS (
+          SELECT b.doc_id, MIN(m.bucket_min) AS prop_min
+          FROM banded b JOIN bm$t m
+            ON m.band = b.band AND m.band_key = b.band_key
+          GROUP BY b.doc_id),
+        it${t + 1} AS (
+          SELECT l.doc_id,
+                 least(l.cluster_id, coalesce(d.prop_min, l.cluster_id)) AS cluster_id
+          FROM it$t l LEFT JOIN dm$t d ON d.doc_id = l.doc_id)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH sh AS (
+          SELECT doc_id, $shinglesSql AS grams
+          FROM documents WHERE length(text) >= 3),
+        mh AS (
+          SELECT doc_id,
+                 $hashes
+          FROM sh),
+        banded AS (
+          $bands),
+        it0 AS (SELECT DISTINCT doc_id, doc_id AS cluster_id FROM banded),
+        $rounds
+        SELECT doc_id, cluster_id FROM it3"""
+      }
+    ) { (s, dir) =>
+      val cfg = graft.operators.MinHashLsh.Config(bands = 3, rowsPerBand = 2)
+      val banded = graft.operators.MinHashLsh.explodeBands(
+        t(s, dir, "documents").select("doc_id", "text"), "text", cfg)
+      graft.operators.MinHashLsh.minLabelClusters(banded, "doc_id", rounds = 3)
+    },
+
     // ---------------------------------------------------------------- q34
     // SimHash: per-bit majority vote over shingle hashes (explode ->
     // 16 conditional sums -> recombine). Integer-exact in both engines.

@@ -69,6 +69,29 @@ class MinHashLshSpec extends SparkSpec {
       "duplicate-holding buckets must surface as candidate groups")
   }
 
+  test("min-label propagation finds connected components within the round bound") {
+    import spark.implicits._
+    // bucket graph: {1,2} {2,3} {3,4} chain + isolated {7} + pair {8,9}
+    // chain diameter is 3 bucket hops from 4 back to 1
+    val banded = Seq(
+      (1L, 0, "a"), (2L, 0, "a"),
+      (2L, 1, "b"), (3L, 1, "b"),
+      (3L, 2, "c"), (4L, 2, "c"),
+      (7L, 0, "z"),
+      (8L, 1, "y"), (9L, 1, "y")).toDF("doc_id", "band", "band_key")
+    def labels(rounds: Int): Map[Long, Long] =
+      MinHashLsh.minLabelClusters(banded, "doc_id", rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val r3 = labels(3)
+    assert(r3 === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 8L -> 8L, 9L -> 8L),
+      "3 rounds must collapse the diameter-3 chain and leave singletons alone")
+    // one round is NOT enough for the far end of the chain — the bound
+    // is real, and extra rounds past convergence change nothing
+    assert(labels(1)(4L) === 3L) // one hop: only bucket c's old min reached 4
+    assert(labels(5) === r3)
+  }
+
   test("short texts (< 3 chars, no shingles) are dropped, not nulled") {
     import spark.implicits._
     val tiny = Seq((1L, "ab"), (2L, "abcdef"), (3L, "abcdef")).toDF("doc_id", "text")
