@@ -93,9 +93,15 @@ object MinHashLsh {
     * minimum document id reachable within `rounds` hops. */
   def minLabelClusters(banded: DataFrame, idCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1, "need at least one propagation round")
-    val docs = banded.select(col(idCol)).distinct()
-      .withColumn("cluster_id", col(idCol))
+    // The edge list joins into EVERY round twice (bucket-min, then
+    // doc-min) — without materialization the upstream banding plan
+    // (including its signature kernel) would re-execute ~2·rounds
+    // times. Persist the slim projection once; Spark's ContextCleaner
+    // unpersists it when the frame becomes unreachable.
     val edges = banded.select(col(idCol), col("band"), col("band_key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = edges.select(col(idCol)).distinct()
+      .withColumn("cluster_id", col(idCol))
     (0 until rounds).foldLeft(docs) { (labels, _) =>
       val bucketMin = edges.join(labels, idCol)
         .groupBy(col("band"), col("band_key"))
