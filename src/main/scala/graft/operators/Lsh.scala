@@ -73,12 +73,15 @@ object Lsh {
 
   /** Explodes each row into `cfg.bands` rows with integer columns
     * `band` (0-based) and `bucket`. `(band, bucket)` is the downstream
-    * shuffle/join key. */
+    * shuffle/join key. All b×r plane dots come from ONE codegen'd pass
+    * over the vector (functions/SrpKernel — same math as
+    * [[bandBucketCol]], which LshSpec pins as equal; the HOF
+    * formulation evaluated interpreted lambdas per element per plane). */
   def explodeBands(df: DataFrame, qvCol: String, cfg: Config): DataFrame =
     df.select(
       col("*"),
-      posexplode(array((0 until cfg.bands).map(j =>
-        bandBucketCol(qvCol, j, cfg.rowsPerBand)): _*))
+      posexplode(graft.functions.Srp.srpBuckets(
+        col(qvCol), 0, cfg.bands, cfg.rowsPerBand))
         .as(Seq("band", "bucket")))
 
   /** Within-bucket candidate self-join: pairs `(idCol_a, idCol_b)` with
@@ -111,10 +114,8 @@ object Lsh {
     * the banding planes, so independent of every band AND every earlier
     * round). */
   def refineSubCol(qvCol: String, cfg: Config, extra: Int, round: Int): Column =
-    (0 until extra).map { u =>
-      when(expr(planeDotExpr(qvCol, cfg.planes + round * extra + u)) >= 0,
-        lit(1L << u)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    element_at(graft.functions.Srp.srpBuckets(
+      col(qvCol), cfg.planes + round * extra, 1, extra), 1)
 
   /** DuckDB-side replay of [[refineSubCol]]. */
   def refineSubSql(qvCol: String, cfg: Config, extra: Int, round: Int): String =

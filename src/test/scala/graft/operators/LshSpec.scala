@@ -71,6 +71,21 @@ class LshSpec extends SparkSpec {
     assert(overlap === 0L)
   }
 
+  test("SrpKernel buckets == the HOF bandBucketCol formulation (the oracle's math)") {
+    for ((b, r) <- Seq((1, 2), (3, 6), (2, 8))) {
+      val cfg = Lsh.Config(b, r)
+      val viaKernel = Lsh.explodeBands(quantized, "qv", cfg)
+        .select("vec_id", "band", "bucket")
+        .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+      val viaHof = quantized.select(
+          col("vec_id"),
+          posexplode(array((0 until b).map(j =>
+            Lsh.bandBucketCol("qv", j, r)): _*)).as(Seq("band", "bucket")))
+        .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+      assert(viaKernel === viaHof, s"cfg=($b, $r)")
+    }
+  }
+
   test("iterated refinement keeps shrinking still-oversized buckets") {
     val cfg = Lsh.Config(1, 2)
     val banded = Lsh.explodeBands(quantized, "qv", cfg)
