@@ -23,16 +23,22 @@ object Vectors {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  /** Quantized embedding, Spark side. */
-  private val qvExpr =
-    "transform(embedding, x -> cast(floor(cast(x as double) * 1000) as bigint))"
+  /** Quantized embedding, Spark side: the codegen'd
+    * functions/VecKernel (one compiled loop; VecMathSpec pins it equal
+    * to the HOF `transform(embedding, x -> cast(floor(...)))`
+    * formulation the oracle SQL below replays). */
+  private def qvCol = graft.functions.VecMath.quantize(col("embedding"))
   private val qvSql =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
   /** Integer squared-norm of the quantized vector. */
-  private val qnormExpr = "aggregate(qv, 0L, (acc, x) -> acc + x * x)"
+  private def qnormCol = graft.functions.VecMath.qdot(col("qv"), col("qv"))
   private val qnormSql =
     "CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS BIGINT)"
+
+  /** Integer dot of two quantized columns — the verify-stage hot loop. */
+  private def dotCol(a: String, b: String) =
+    graft.functions.VecMath.qdot(col(a), col(b))
 
   /** Multi-band LSH configuration shared by q38/q39 and their oracles:
     * 3 bands × 6 planes (64 buckets per band). See operators/Lsh.scala
@@ -61,8 +67,8 @@ object Vectors {
 
   private def quantized(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"), expr(qvExpr).as("qv"))
-      .withColumn("qn", expr(qnormExpr))
+      .select(col("vec_id"), col("label"), qvCol.as("qv"))
+      .withColumn("qn", qnormCol)
 
   private val quantizedSql =
     s"""SELECT vec_id, label, qv, $qnormSql AS qn FROM (
@@ -89,8 +95,7 @@ object Vectors {
     val q = normed.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("qn").as("qqn"))
     val scored = normed.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("dot",
-        expr("aggregate(zip_with(qqv, qv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+      .withColumn("dot", dotCol("qqv", "qv"))
       .withColumn("score",
         col("dot").cast("double") / sqrt(col("qqn").cast("double") * col("qn").cast("double")))
     val w = Window.partitionBy("query_id").orderBy(desc("score"), col("vec_id"))
@@ -119,8 +124,7 @@ object Vectors {
       val q = normed.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("qn").as("qqn"))
       val scored = normed.join(broadcast(q), col("vec_id") =!= col("query_id"))
-        .withColumn("dot",
-          expr("aggregate(zip_with(qqv, qv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+        .withColumn("dot", dotCol("qqv", "qv"))
         .withColumn("score",
           col("dot").cast("double") / sqrt(col("qqn").cast("double") * col("qn").cast("double")))
       val topk = udaf(new graft.functions.TopKAggregator(5),
@@ -173,7 +177,7 @@ object Vectors {
       }
     ) { (s, dir) =>
       val qd = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"), expr(qvExpr).as("qv"))
+        .select(col("vec_id"), col("label"), qvCol.as("qv"))
       graft.operators.Lsh.explodeBands(qd, "qv", lshCfg)
         .select(col("vec_id"), col("label"), col("band"), col("bucket"))
     },
@@ -211,13 +215,12 @@ object Vectors {
       }
     ) { (s, dir) =>
       val withn = t(s, dir, "embeddings")
-        .select(col("vec_id"), expr(qvExpr).as("qv"))
-        .withColumn("qn", expr(qnormExpr))
+        .select(col("vec_id"), qvCol.as("qv"))
+        .withColumn("qn", qnormCol)
         .filter(col("qn") > 0)
       val banded = graft.operators.Lsh.explodeBands(withn, "qv", lshCfg)
       graft.operators.Lsh.selfJoinPairs(banded, "vec_id")
-        .withColumn("dot",
-          expr("aggregate(zip_with(qv_a, qv_b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+        .withColumn("dot", dotCol("qv_a", "qv_b"))
         .withColumn("score",
           col("dot").cast("double") / sqrt(col("qn_a").cast("double") * col("qn_b").cast("double")))
         .filter(col("score") >= 0.30)
@@ -314,8 +317,7 @@ object Vectors {
       val probes = graft.operators.Ivf.probe(queries, "qqv", cents, ivfCfg.nProbe)
       val scored = candidates.join(broadcast(probes), Seq("centroid_id"))
         .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("dot",
-          expr("aggregate(zip_with(qqv, qv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+        .withColumn("dot", dotCol("qqv", "qv"))
         .withColumn("score",
           col("dot").cast("double") / sqrt(col("qqn").cast("double") * col("qn").cast("double")))
       val w = Window.partitionBy("query_id").orderBy(desc("score"), col("vec_id"))
@@ -369,15 +371,14 @@ object Vectors {
       }
     ) { (s, dir) =>
       val withn = t(s, dir, "embeddings")
-        .select(col("vec_id"), expr(qvExpr).as("qv"))
-        .withColumn("qn", expr(qnormExpr))
+        .select(col("vec_id"), qvCol.as("qv"))
+        .withColumn("qn", qnormCol)
         .filter(col("qn") > 0)
       val banded = graft.operators.Lsh.explodeBands(withn, "qv", skewCfg)
       val refined = graft.operators.Lsh.refineOversized(
         banded, "qv", skewCfg, maxBucket = skewCap, extra = skewExtra, rounds = 2)
       graft.operators.Lsh.selfJoinPairs(refined, "vec_id")
-        .withColumn("dot",
-          expr("aggregate(zip_with(qv_a, qv_b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+        .withColumn("dot", dotCol("qv_a", "qv_b"))
         .withColumn("score",
           col("dot").cast("double") / sqrt(col("qn_a").cast("double") * col("qn_b").cast("double")))
         .filter(col("score") >= 0.30)
