@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Cleaning, Events, Multimodal, Relational, TextOps, Vectors}
+import graft.queries.{Cleaning, Curation, Events, Multimodal, Relational, TextOps, Vectors}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,12 +17,15 @@ import graft.queries.{Cleaning, Events, Multimodal, Relational, TextOps, Vectors
   *   q50–q53 graft.queries.Cleaning   — the reference pipeline's operator
   *            semantics (P*, W1, G1, G2) replayed on the test tables
   *   q55–q56 graft.queries.Multimodal — binary columns + frame sampling
+  *   q67–q72 graft.queries.Curation   — split/shard, contamination,
+  *            simhash near-dup, PII redaction, repetition filter,
+  *            stratified sampling
   */
 object SparkEntry {
 
   val allQueries: Seq[Q] =
     Relational.all ++ Events.all ++ TextOps.all ++ Vectors.all ++
-      Cleaning.all ++ Multimodal.all
+      Cleaning.all ++ Multimodal.all ++ Curation.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,301 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus curation operators over `documents` — the steps a
+  * large-scale pretraining-data pipeline runs after per-document
+  * featurization (TextOps) and near-dup mining (Vectors): reproducible
+  * train/val/test splitting + sharding, benchmark-contamination
+  * screening, SimHash hamming near-dup pairs, PII redaction, Gopher-
+  * style repetition filters, and stratified sampling.
+  *
+  * Cross-engine determinism: all randomness is a Knuth multiplicative
+  * hash of `doc_id` in exact BIGINT arithmetic (never `rand()`); all
+  * ratios are one double division of exact integers; regex patterns
+  * stay in the Java∩RE2 common subset and are passed through the
+  * native Column API (SQL string literals would eat backslashes).
+  *
+  * Scale notes: every operator here is embarrassingly parallel per
+  * document except the two candidate joins, which are blocked —
+  * contamination joins only on shared 8-gram keys against a broadcast
+  * benchmark set, and the hamming near-dup joins only within a
+  * (band, band-bits) group — never a cross join.
+  */
+object Curation {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Knuth multiplicative hash of doc_id — the reproducible "random"
+    * stream behind splitting and sampling. Exact BIGINT in both
+    * engines; `salt` decorrelates independent uses. */
+  private def knuthCol(salt: Long): Column =
+    (col("doc_id") * lit(2654435761L) + lit(salt)) % lit(4294967296L)
+  private def knuthSql(salt: Long): String =
+    s"(doc_id * 2654435761 + $salt) % 4294967296"
+
+  /** Token n-gram width shared by q68 and its oracle. Production
+    * contamination screens use 8–13 token grams; the synthetic corpus'
+    * documents are short (≈15–90 tokens from a small vocabulary), so 5
+    * keeps the overlap rate realistic — and nonzero at every SF. */
+  private val gramK = 5
+
+  /** PII patterns (q70) — Java∩RE2 subset: no lookaround, no
+    * backreferences; `\b` is the ASCII word boundary in both. */
+  private val emailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val phonePat = """\b\d{3}-\d{4}\b"""
+
+  val all: Seq[Q] = Seq(
+    // ---------------------------------------------------------------- q67
+    // Reproducible train/val/test split + shard assignment: bucket 0–99
+    // from a doc_id hash picks the split (5% test, 10% val), the next
+    // hash digits pick 1 of 16 shards. No rand(), no global sort, no
+    // shuffle at all — pure per-row arithmetic, so the assignment is
+    // stable across reruns, engines, and cluster sizes; a writer then
+    // partitions output by (split, shard_id). At 100 TB this is the
+    // only split strategy that re-derives identically after a backfill.
+    Q(
+      "q67_split_shards",
+      Some(s"""
+        SELECT doc_id,
+               CASE WHEN ${knuthSql(0)} % 100 < 5 THEN 'test'
+                    WHEN ${knuthSql(0)} % 100 < 15 THEN 'val'
+                    ELSE 'train' END AS split,
+               CAST((${knuthSql(0)} // 100) % 16 AS BIGINT) AS shard_id
+        FROM documents""")
+    ) { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("h", knuthCol(0))
+        .withColumn("split",
+          when(col("h") % 100 < 5, "test")
+            .when(col("h") % 100 < 15, "val")
+            .otherwise("train"))
+        .withColumn("shard_id", expr("(h div 100) % 16"))
+        .select("doc_id", "split", "shard_id")
+    },
+
+    // ---------------------------------------------------------------- q68
+    // Benchmark-contamination screen: flag corpus documents sharing any
+    // token n-gram with the held-out benchmark set (doc_id % 97 == 0
+    // stands in for the eval suite). The benchmark's distinct n-grams
+    // are a small broadcast set; corpus docs explode their distinct
+    // n-grams and hash-join on the gram key — work is O(corpus grams),
+    // never corpus × benchmark. Per-doc distinct grams are counted
+    // BEFORE the explode (size of the deduped array), so the join side
+    // carries no second aggregation.
+    Q(
+      "q68_contamination",
+      Some(s"""
+        WITH grams AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(string_split(text, ' ')) - ${gramK - 2}),
+                   i -> array_to_string(list_slice(string_split(text, ' '), i, i + ${gramK - 1}), ' '))) AS gs
+          FROM documents),
+        bench AS (
+          SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 0),
+        corpus AS (
+          SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams, unnest(gs) AS g
+          FROM grams WHERE doc_id % 97 <> 0)
+        SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits, c.n_grams,
+               CAST(COUNT(*) AS DOUBLE) / c.n_grams AS hit_frac
+        FROM corpus c JOIN bench b ON b.g = c.g
+        GROUP BY c.doc_id, c.n_grams""")
+    ) { (s, dir) =>
+      val grams = t(s, dir, "documents")
+        .filter(size(split(col("text"), " ")) >= gramK) // sequence() would descend
+        .withColumn("gs", expr(
+          s"array_distinct(transform(sequence(1, size(split(text, ' ')) - ${gramK - 1}), " +
+            s"i -> concat_ws(' ', slice(split(text, ' '), i, $gramK))))"))
+      val bench = grams.filter(col("doc_id") % 97 === 0)
+        .select(explode(col("gs")).as("g")).distinct()
+      val corpus = grams.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
+          explode(col("gs")).as("g"))
+      corpus.join(broadcast(bench), "g")
+        .groupBy(col("doc_id"), col("n_grams"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(col("doc_id"), col("n_hits"), col("n_grams"),
+          (col("n_hits").cast("double") / col("n_grams")).as("hit_frac"))
+    },
+
+    // ---------------------------------------------------------------- q69
+    // SimHash hamming near-dup pairs: q34's 16-bit SimHash, split into
+    // 4 bands of 4 bits; by pigeonhole, any pair within hamming
+    // distance 3 agrees on at least one full band, so candidates form
+    // only inside a (band, band-bits) group — the Manku/Jain/Sarma
+    // web-dedup blocking. The candidate join runs in DISTINCT-VALUE
+    // space (Manku's dedupe-fingerprints-first move): docs collapse to
+    // their simhash value, the banded self-join pairs VALUES (bounded
+    // by 2^16 regardless of corpus size), and two hash joins on the
+    // value expand back to doc pairs — so candidate work scales with
+    // the fingerprint space, not the corpus, and exact-dup-heavy skew
+    // never re-pairs inside the blocking join. (Production config is
+    // the same plan over a 64-bit simhash with 4×16-bit bands.)
+    Q(
+      "q69_simhash_neardup",
+      Some(s"""
+        WITH sims AS (${TextOps.simhashDocsSql}),
+        banded AS (
+          SELECT doc_id, simhash, t.band, (simhash >> (4 * t.band)) & 15 AS bv
+          FROM sims, range(4) t(band))
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bv = b.bv AND b.doc_id > a.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""")
+    ) { (s, dir) =>
+      val sims = t(s, dir, "documents")
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"),
+          graft.functions.SimHash.simhash16(col("text")).as("simhash"))
+      val vals = sims.select(col("simhash").as("v")).distinct()
+      val banded = vals.select(col("v"),
+        posexplode(array((0 until 4).map(j =>
+          shiftright(col("v"), 4 * j).bitwiseAND(15)): _*))
+          .as(Seq("band", "bv")))
+      val crossVals = banded.select(col("v").as("va"), col("band"), col("bv"))
+        .join(banded.select(col("v").as("vb"), col("band"), col("bv")),
+          Seq("band", "bv"))
+        .filter(col("vb") > col("va"))
+        .select("va", "vb").distinct()
+        .withColumn("hamming",
+          bit_count(col("va").bitwiseXOR(col("vb"))).cast("long"))
+        .filter(col("hamming") <= 3)
+      // same-value pairs (hamming 0); singleton values die in the
+      // id_b > id_a filter of the expansion below
+      val valPairs = crossVals.unionByName(
+        vals.select(col("v").as("va"), col("v").as("vb"),
+          lit(0L).as("hamming")))
+      // expand value pairs back to doc pairs; each doc pair maps to
+      // exactly ONE value pair, so no distinct is needed
+      sims.select(col("simhash").as("va"), col("doc_id").as("id_a"))
+        .join(broadcast(valPairs), "va")
+        .join(sims.select(col("simhash").as("vb"), col("doc_id").as("id_b")), "vb")
+        .filter(col("va") =!= col("vb") || col("id_b") > col("id_a"))
+        .select(least(col("id_a"), col("id_b")).as("doc_a"),
+          greatest(col("id_a"), col("id_b")).as("doc_b"), col("hamming"))
+    },
+
+    // ---------------------------------------------------------------- q70
+    // PII redaction: scrub emails and phone numbers, report per-doc
+    // redaction counts plus a fingerprint of the cleaned text. The test
+    // corpus carries no PII, so each doc is first augmented with a
+    // deterministic contact line derived from doc_id — the redactor
+    // then has real matches to find, and the md5 proves both engines
+    // produced byte-identical cleaned text. Pure per-row regex work:
+    // embarrassingly parallel, no shuffle.
+    Q(
+      "q70_pii_redact",
+      Some(s"""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@mail.example.com tel 555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug_text
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(aug_text, '$emailPat')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(aug_text, '$phonePat')) AS BIGINT) AS n_phones,
+               md5(regexp_replace(regexp_replace(aug_text, '$emailPat', '<EMAIL>', 'g'),
+                                  '$phonePat', '<PHONE>', 'g')) AS red_fp
+        FROM aug""")
+    ) { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("aug_text", concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com tel 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("aug_text"), lit(emailPat), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("aug_text"), lit(phonePat), lit(0)))
+            .cast("long").as("n_phones"),
+          md5(regexp_replace(
+            regexp_replace(col("aug_text"), emailPat, "<EMAIL>"),
+            phonePat, "<PHONE>")).as("red_fp"))
+    },
+
+    // ---------------------------------------------------------------- q71
+    // Gopher-style repetition/quality filters: duplicate-word fraction,
+    // most-frequent-word fraction, and mean word length, with the keep
+    // decision applied. Mean word length needs no explode (single-space
+    // tokens: Σ|word| = len(text) − n_words + 1); the top-word count is
+    // one partial-aggregated groupBy on (doc_id, word) — the only
+    // shuffle, keyed by doc so it scales with the corpus, not n².
+    Q(
+      "q71_repetition_filter",
+      Some("""
+        WITH stats AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique,
+                 CAST(length(text) AS BIGINT) AS n_chars
+          FROM documents),
+        counts AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) e
+          GROUP BY doc_id, w),
+        tops AS (
+          SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS top_cnt FROM counts GROUP BY doc_id)
+        SELECT s.doc_id, s.n_words, s.n_unique,
+               CAST(s.n_words - s.n_unique AS DOUBLE) / s.n_words AS dup_frac,
+               CAST(t.top_cnt AS DOUBLE) / s.n_words AS top_frac,
+               CAST(s.n_chars - s.n_words + 1 AS DOUBLE) / s.n_words AS mean_word_len,
+               (CAST(s.n_words - s.n_unique AS DOUBLE) / s.n_words <= 0.3
+                 AND CAST(t.top_cnt AS DOUBLE) / s.n_words <= 0.2
+                 AND CAST(s.n_chars - s.n_words + 1 AS DOUBLE) / s.n_words BETWEEN 3 AND 10) AS keep
+        FROM stats s JOIN tops t ON t.doc_id = s.doc_id""")
+    ) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val stats = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_unique"),
+        length(col("text")).cast("long").as("n_chars"))
+      val tops = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(max(col("cnt")).as("top_cnt"))
+      val dupFrac = (col("n_words") - col("n_unique")).cast("double") / col("n_words")
+      val topFrac = col("top_cnt").cast("double") / col("n_words")
+      val meanLen = (col("n_chars") - col("n_words") + 1).cast("double") / col("n_words")
+      stats.join(tops, "doc_id")
+        .select(col("doc_id"), col("n_words"), col("n_unique"),
+          dupFrac.as("dup_frac"), topFrac.as("top_frac"),
+          meanLen.as("mean_word_len"),
+          (dupFrac <= 0.3 && topFrac <= 0.2 &&
+            meanLen.between(3, 10)).as("keep"))
+    },
+
+    // ---------------------------------------------------------------- q72
+    // Stratified 10% sample per language: rank docs inside each lang by
+    // a doc_id hash (salted differently from q67's split, so sampling
+    // and splitting are independent draws) and keep the first
+    // ceil(n/10) of each stratum. Reproducible — no rand() — and the
+    // only shuffle is the per-stratum window partition; at scale the
+    // rank-by-hash beats a global sort because each stratum sorts
+    // independently.
+    Q(
+      "q72_stratified_sample",
+      Some(s"""
+        SELECT doc_id, lang, rn FROM (
+          SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY ${knuthSql(7919)}, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY lang) AS cnt
+          FROM documents) t
+        WHERE rn <= (cnt + 9) // 10""")
+    ) { (s, dir) =>
+      val byHash = Window.partitionBy("lang").orderBy(knuthCol(7919), col("doc_id"))
+      val whole = Window.partitionBy("lang")
+      t(s, dir, "documents")
+        .withColumn("rn", row_number().over(byHash).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(whole))
+        .filter(col("rn") <= expr("(cnt + 9) div 10"))
+        .select("doc_id", "lang", "rn")
+    },
+  )
+}

@@ -40,6 +40,27 @@ object TextOps {
 
   private val simhashBits = 16
 
+  /** q34's full oracle (doc_id, simhash) — the DuckDB replay of the
+    * SimHash16 kernel's per-bit majority vote. Shared with q69's
+    * hamming near-dup, which embeds it as a subquery. */
+  private[queries] lazy val simhashDocsSql: String = {
+    val votes = (0 until simhashBits)
+      .map(b => s"CAST(SUM(2 * ((h >> $b) & 1) - 1) AS BIGINT) AS v$b").mkString(",\n                 ")
+    val bits = (0 until simhashBits)
+      .map(b => s"(CASE WHEN v$b >= 0 THEN 1 ELSE 0 END) * ${1L << b}").mkString(" + ")
+    s"""
+        WITH grams AS (
+          SELECT doc_id, unnest($shinglesSql) AS g
+          FROM documents WHERE length(text) >= 3),
+        hashed AS (
+          SELECT doc_id, ${gramHashSql("g")} AS h FROM grams),
+        votes AS (
+          SELECT doc_id,
+                 $votes
+          FROM hashed GROUP BY doc_id)
+        SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM votes"""
+  }
+
   /** q62's BPE-style pre-tokenizer: the GPT-2 pattern family —
     * contraction suffixes, space-prefixed letter runs, digit runs,
     * punctuation runs, whitespace — minus the original's trailing
@@ -499,23 +520,7 @@ object TextOps {
     // 16 conditional sums -> recombine). Integer-exact in both engines.
     Q(
       "q34_simhash",
-      Some {
-        val votes = (0 until simhashBits)
-          .map(b => s"CAST(SUM(2 * ((h >> $b) & 1) - 1) AS BIGINT) AS v$b").mkString(",\n                 ")
-        val bits = (0 until simhashBits)
-          .map(b => s"(CASE WHEN v$b >= 0 THEN 1 ELSE 0 END) * ${1L << b}").mkString(" + ")
-        s"""
-        WITH grams AS (
-          SELECT doc_id, unnest($shinglesSql) AS g
-          FROM documents WHERE length(text) >= 3),
-        hashed AS (
-          SELECT doc_id, ${gramHashSql("g")} AS h FROM grams),
-        votes AS (
-          SELECT doc_id,
-                 $votes
-          FROM hashed GROUP BY doc_id)
-        SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM votes"""
-      }
+      Some(simhashDocsSql)
     ) { (s, dir) =>
       // one-pass codegen'd kernel (graft.functions.SimHash16) — replaces
       // the explode + 16-vote-aggregate formulation; identical math
