@@ -185,4 +185,55 @@ class PlanSpec extends SparkSpec {
         s"$name reads more than it projects: ${scan.requiredSchema.fieldNames.toSeq}")
     }
   }
+
+  test("q67/q70: per-row curation ops never shuffle; scans prune") {
+    val p67 = plan("q67_split_shards")
+    assert(shuffles(p67).isEmpty, s"split/shard is pure per-row arithmetic:\n$p67")
+    val Seq(scan67) = scans(p67)
+    assert(scan67.requiredSchema.fieldNames.toSet === Set("doc_id"),
+      s"q67 needs only doc_id off disk: ${scan67.requiredSchema.fieldNames.toSeq}")
+
+    val p70 = plan("q70_pii_redact")
+    assert(shuffles(p70).isEmpty, s"redaction is pure per-row regex work:\n$p70")
+    val Seq(scan70) = scans(p70)
+    assert(scan70.requiredSchema.fieldNames.toSet === Set("doc_id", "text"),
+      s"q70 reads more than it projects: ${scan70.requiredSchema.fieldNames.toSeq}")
+  }
+
+  test("q68: contamination joins the benchmark set by broadcast, never shuffled") {
+    val p = plan("q68_contamination")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.length === 1,
+      s"the gram join must broadcast the benchmark set:\n$p")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+      p.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
+      s"corpus grams must never shuffle for the join:\n$p")
+    // benchmark-gram distinct + final per-doc agg — nothing else
+    assert(shuffles(p).length <= 2, s"at most 2 exchanges:\n$p")
+  }
+
+  test("q69: hamming near-dup never cross-joins; expansion joins broadcast the value pairs") {
+    val p = plan("q69_simhash_neardup")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"no cartesian product:\n$p")
+    assert(p.collect { case n: BroadcastNestedLoopJoinExec => n }.isEmpty,
+      s"no nested-loop join:\n$p")
+    val equiJoins = p.collect {
+      case j: SortMergeJoinExec => j.leftKeys
+      case j: ShuffledHashJoinExec => j.leftKeys
+      case j: BroadcastHashJoinExec => j.leftKeys
+    }
+    assert(equiJoins.exists(_.length >= 2),
+      s"banded self-join must be an equi-join on (band, band-bits):\n$p")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"doc expansion must broadcast the value-pair set:\n$p")
+  }
+
+  test("q72: stratified sample shuffles once — the stratum partition") {
+    val p = plan("q72_stratified_sample")
+    assert(shuffles(p).length === 1,
+      s"both windows share the lang partitioning — one exchange:\n$p")
+    val Seq(scan) = scans(p)
+    assert(scan.requiredSchema.fieldNames.toSet === Set("doc_id", "lang"),
+      s"q72 reads more than it projects: ${scan.requiredSchema.fieldNames.toSeq}")
+  }
 }
