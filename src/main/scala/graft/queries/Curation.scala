@@ -104,11 +104,11 @@ object Curation {
         FROM corpus c JOIN bench b ON b.g = c.g
         GROUP BY c.doc_id, c.n_grams""")
     ) { (s, dir) =>
+      // codegen'd one-pass kernel (functions/TokenNgramsKernel) — the
+      // HOF formulation re-split the document per gram position;
+      // NgramsSpec pins kernel == HOF == the oracle's replay
       val grams = t(s, dir, "documents")
-        .filter(size(split(col("text"), " ")) >= gramK) // sequence() would descend
-        .withColumn("gs", expr(
-          s"array_distinct(transform(sequence(1, size(split(text, ' ')) - ${gramK - 1}), " +
-            s"i -> concat_ws(' ', slice(split(text, ' '), i, $gramK))))"))
+        .withColumn("gs", graft.functions.Ngrams.tokenNgrams(col("text"), gramK))
       val bench = grams.filter(col("doc_id") % 97 === 0)
         .select(explode(col("gs")).as("g")).distinct()
       val corpus = grams.filter(col("doc_id") % 97 =!= 0)
