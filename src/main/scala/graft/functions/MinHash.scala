@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 // (Column↔Expression bridging lives in org.apache.spark.sql.classic)
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static kernel shared by interpreted eval and generated code. */
@@ -95,6 +95,52 @@ object MinHashKernel {
     new GenericArrayData(mins.map(v =>
       UTF8String.fromString(f"${v.toLong & 0xffffffffL}%08x")).asInstanceOf[Array[Any]])
   }
+
+  /** Universal-hash-family seed constants for [[signatureUniversal]]:
+    * aⱼ ∈ [1, 2³⁰] keeps every product under 2⁶² (no BIGINT overflow in
+    * either engine), bⱼ ∈ [0, 2³²). Deterministic literals — the q58
+    * oracle inlines them per seed. */
+  def seedA(j: Int): Long = ((j + 1) * 2654435761L) % 1073741789L + 1
+  def seedB(j: Int): Long = ((j + 1) * 2246822519L) % 4294967296L
+
+  /** Prime modulus of the universal family (smallest prime > 2³²). */
+  val UniversalP = 4294967311L
+
+  /** k independent MinHash values from a UNIVERSAL hash family instead
+    * of [[signatureSeeded]]'s k md5s per shingle: the 3-gram's base
+    * hash is the same exact-integer Knuth formula the other text
+    * oracles replay —
+    *   gh(g) = ((cp₀·961 + cp₁·31 + cp₂) · 2654435761) % 2³²
+    * (cpᵢ = code point of gram char i) — and hash j is
+    *   (aⱼ·gh + bⱼ) % 4294967311.
+    * This is the textbook MinHash construction (Broder; Carter–Wegman
+    * hashing): one multiply-add-mod per shingle per seed, ~20× cheaper
+    * than an md5 digest, and every step is exact BIGINT arithmetic the
+    * oracle replays verbatim. Returns null when length(text) < 3. */
+  def signatureUniversal(text: UTF8String, k: Int): ArrayData = {
+    val s = text.toString
+    val cp = Shingles.starts(s)
+    val n = cp.length - 1
+    if (n < 3) return null
+    val as = Array.tabulate(k)(seedA)
+    val bs = Array.tabulate(k)(seedB)
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i <= n - 3) {
+      val c0 = s.codePointAt(cp(i))
+      val c1 = s.codePointAt(cp(i + 1))
+      val c2 = s.codePointAt(cp(i + 2))
+      val base = ((c0 * 961L + c1 * 31L + c2) * 2654435761L) % 4294967296L
+      var j = 0
+      while (j < k) {
+        val v = (as(j) * base + bs(j)) % UniversalP
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(java.lang.Long.valueOf).asInstanceOf[Array[Any]])
+  }
 }
 
 /** Catalyst expression: `minhash_signature(text)` → array<string> of
@@ -157,6 +203,36 @@ case class MinHashK(child: Expression, numHashes: Int)
   override def prettyName: String = "minhash_k"
 }
 
+/** Catalyst expression: `minhash_fast(text, k)` → array<bigint> of k
+  * universal-hash-family minima (see MinHashKernel.signatureUniversal)
+  * — the scale-path signature for b×r banding: one multiply-add-mod
+  * per shingle per seed instead of an md5 digest. Codegen'd.
+  */
+case class MinHashFast(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  require(numHashes >= 1 && numHashes <= 128,
+    "minhash_fast supports 1..128 independent hashes")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.signatureUniversal(input.asInstanceOf[UTF8String], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         ${ev.value} = graft.functions.MinHashKernel.signatureUniversal($c, $numHashes);
+         if (${ev.value} == null) { ${ev.isNull} = true; }
+       """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_fast"
+}
+
 object MinHash {
   import org.apache.spark.sql.graftbridge.Bridge
 
@@ -168,4 +244,8 @@ object MinHash {
   /** k independent per-seed MinHash minima, for b×r banding. */
   def minhashK(c: Column, k: Int): Column =
     Bridge.column(MinHashK(Bridge.expression(c), k))
+
+  /** k universal-family MinHash minima — the cheap-hash scale path. */
+  def minhashFast(c: Column, k: Int): Column =
+    Bridge.column(MinHashFast(Bridge.expression(c), k))
 }

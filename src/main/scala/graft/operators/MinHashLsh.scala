@@ -27,23 +27,43 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLsh {
 
-  /** b bands × r rows per band over k = b*r independent seeded hashes. */
-  final case class Config(bands: Int, rowsPerBand: Int) {
+  /** b bands × r rows per band over k = b*r independent seeded hashes.
+    * `universal = true` swaps the per-seed md5 family for the
+    * Carter–Wegman universal family (`minhash_fast`, array<bigint>) —
+    * identical banding semantics, one multiply-add-mod per shingle per
+    * seed instead of an md5 digest. The md5 family stays the default
+    * (and stays oracle-exercised via q66). */
+  final case class Config(bands: Int, rowsPerBand: Int,
+      universal: Boolean = false) {
     require(bands >= 1 && rowsPerBand >= 1 && bands * rowsPerBand <= 128,
       "need 1 <= bands, 1 <= rowsPerBand, bands*rowsPerBand <= 128 (minhash_k cap)")
     def numHashes: Int = bands * rowsPerBand
   }
 
   /** Band key of band `band`: the r per-seed minima of seeds
-    * band*r .. band*r+r-1 joined with '|' (minima are fixed-width hex,
-    * so the join is collision-free). */
+    * band*r .. band*r+r-1 joined with '|' (the separator keeps the
+    * join collision-free for fixed-width hex and decimal minima
+    * alike). */
   def bandKeyCol(sigCol: Column, band: Int, rowsPerBand: Int): Column =
     concat_ws("|", (0 until rowsPerBand).map(t =>
-      element_at(sigCol, band * rowsPerBand + t + 1)): _*)
+      element_at(sigCol, band * rowsPerBand + t + 1).cast("string")): _*)
 
   /** DuckDB-side replay of one seeded minimum over a grams list column. */
   def seededMinSql(gramsCol: String, seed: Int): String =
     s"list_min(list_transform($gramsCol, g -> substr(md5('$seed:' || g), 1, 8)))"
+
+  /** DuckDB-side replay of one UNIVERSAL-family minimum (the
+    * `minhash_fast` math): gh(g) is the exact-integer Knuth 3-gram
+    * hash shared with the other text oracles; seed constants are
+    * inlined literals from [[graft.functions.MinHashKernel]]. */
+  def universalMinSql(gramsCol: String, seed: Int): String = {
+    val a = graft.functions.MinHashKernel.seedA(seed)
+    val b = graft.functions.MinHashKernel.seedB(seed)
+    val gh = "((ascii(substr(g, 1, 1)) * 961 + ascii(substr(g, 2, 1)) * 31 + " +
+      "ascii(substr(g, 3, 1))) * 2654435761) % 4294967296"
+    s"list_min(list_transform($gramsCol, g -> ($a * ($gh) + $b) % " +
+      s"${graft.functions.MinHashKernel.UniversalP}))"
+  }
 
   /** DuckDB-side replay of [[bandKeyCol]] over per-seed columns named
     * h0, h1, ... (as produced by [[seededMinSql]] aliases). */
@@ -60,7 +80,9 @@ object MinHashLsh {
     * WHERE length(text) >= 3 guard. */
   def explodeBands(df: DataFrame, textCol: String, cfg: Config): DataFrame =
     df.withColumn("__sig",
-        graft.functions.MinHash.minhashK(col(textCol), cfg.numHashes))
+        if (cfg.universal)
+          graft.functions.MinHash.minhashFast(col(textCol), cfg.numHashes)
+        else graft.functions.MinHash.minhashK(col(textCol), cfg.numHashes))
       .filter(col("__sig").isNotNull)
       .select(col("*"),
         posexplode(array((0 until cfg.bands).map(j =>

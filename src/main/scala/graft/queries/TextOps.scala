@@ -330,19 +330,23 @@ object TextOps {
 
     // ---------------------------------------------------------------- q58
     // Parameterized b×r MinHash banding (3 bands × 2 rows from k=6
-    // INDEPENDENT seeded hashes via the minhash_k expression — not
-    // slices of one md5 like q32/q33): a document lands in 3 buckets;
-    // buckets with >1 doc are the near-dup candidate groups. Union of
-    // bands = recall knob, rows per band = precision knob; the shuffle
-    // key is (band, band_key) — plain hash groupBy at any scale.
+    // INDEPENDENT hashes — not slices of one md5 like q32/q33): a
+    // document lands in 3 buckets; buckets with >1 doc are the
+    // near-dup candidate groups. Union of bands = recall knob, rows
+    // per band = precision knob; the shuffle key is (band, band_key) —
+    // plain hash groupBy at any scale. The hashes come from the
+    // UNIVERSAL family (`minhash_fast`: Carter–Wegman multiply-add-mod
+    // over the exact-integer 3-gram hash) — one arithmetic op per
+    // shingle per seed where the md5 family (still the q66 path)
+    // digests the shingle k times.
     Q(
       "q58_banded_dedup",
       Some {
         val hashes = (0 until 6).map(j =>
-          s"list_min(list_transform(grams, g -> substr(md5('$j:' || g), 1, 8))) AS h$j")
+          s"${graft.operators.MinHashLsh.universalMinSql("grams", j)} AS h$j")
           .mkString(",\n                 ")
         val bands = (0 until 3).map(j =>
-          s"SELECT doc_id, $j AS band, h${2 * j} || '|' || h${2 * j + 1} AS band_key FROM mh")
+          s"SELECT doc_id, $j AS band, CAST(h${2 * j} AS VARCHAR) || '|' || CAST(h${2 * j + 1} AS VARCHAR) AS band_key FROM mh")
           .mkString("\n          UNION ALL ")
         s"""
         WITH sh AS (
@@ -360,8 +364,9 @@ object TextOps {
     ) { (s, dir) =>
       // the shared operator (graft.operators.MinHashLsh) — one k-hash
       // signature per row, band keys posexploded from it (the former
-      // inline union-of-selects re-ran the md5 kernel once per band)
-      val cfg = graft.operators.MinHashLsh.Config(bands = 3, rowsPerBand = 2)
+      // inline union-of-selects re-ran the hash kernel once per band)
+      val cfg = graft.operators.MinHashLsh.Config(
+        bands = 3, rowsPerBand = 2, universal = true)
       val banded = graft.operators.MinHashLsh.explodeBands(
         t(s, dir, "documents").select("doc_id", "text"), "text", cfg)
       graft.operators.MinHashLsh.candidateGroups(banded, "doc_id")

@@ -25,6 +25,30 @@ class FunctionsSpec extends SparkSpec {
     assert(viaExpr("ab").isEmpty) // too short for a shingle → null
   }
 
+  test("MinHashFast matches the universal-family builtin replay (the q58 oracle's math)") {
+    import spark.implicits._
+    val docs = Seq(
+      "sparkling analytics engine", "abc", "ab", "the same the same",
+      "💡🎉🚀x", "naïve 💡 text", "日本語テキスト🚀"
+    ).toDF("text")
+    val k = 6
+    val shingles =
+      "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))"
+    val gh = "((cast(ascii(substring(g, 1, 1)) as bigint) * 961 + " +
+      "cast(ascii(substring(g, 2, 1)) as bigint) * 31 + " +
+      "cast(ascii(substring(g, 3, 1)) as bigint)) * 2654435761) % 4294967296"
+    val perSeed = (0 until k).map { j =>
+      s"array_min(transform($shingles, g -> " +
+        s"(${MinHashKernel.seedA(j)} * ($gh) + ${MinHashKernel.seedB(j)}) % ${MinHashKernel.UniversalP}))"
+    }
+    val bad = docs
+      .withColumn("fast", MinHash.minhashFast(col("text"), k))
+      .withColumn("slow", expr(
+        s"CASE WHEN length(text) >= 3 THEN array(${perSeed.mkString(", ")}) END"))
+      .filter(not(col("fast") <=> col("slow"))).count()
+    assert(bad === 0L, "minhash_fast diverges from the universal builtin replay")
+  }
+
   test("kernels shingle by code point: non-BMP text matches the builtin replay") {
     import spark.implicits._
     // emoji are surrogate PAIRS in java.lang.String but single code
