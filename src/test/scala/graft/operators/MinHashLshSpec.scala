@@ -92,6 +92,25 @@ class MinHashLshSpec extends SparkSpec {
     assert(labels(5) === r3)
   }
 
+  test("universal family keeps the banding properties: monotone recall, zero exact-dup FN") {
+    val one = candidatePairs(MinHashLsh.Config(1, 2, universal = true))
+    val three = candidatePairs(MinHashLsh.Config(3, 2, universal = true))
+    assert(one.subsetOf(three),
+      "universal band 0 seeds are shared across configs with equal r")
+
+    // exact duplicates share every per-seed minimum -> collide in all bands
+    import spark.implicits._
+    val dups = Seq((1L, "identical content here"), (2L, "identical content here"),
+      (3L, "something else entirely")).toDF("doc_id", "text")
+    val banded = MinHashLsh.explodeBands(dups, "text", MinHashLsh.Config(3, 2, universal = true))
+    val together = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"), col("a.band")).distinct().count()
+    assert(together === 3L, "the dup pair must collide in all 3 bands")
+  }
+
   test("short texts (< 3 chars, no shingles) are dropped, not nulled") {
     import spark.implicits._
     val tiny = Seq((1L, "ab"), (2L, "abcdef"), (3L, "abcdef")).toDF("doc_id", "text")
