@@ -43,6 +43,9 @@ object Curation {
     * keeps the overlap rate realistic — and nonzero at every SF. */
   private val gramK = 5
 
+  /** q73's packing window, in whitespace tokens. */
+  private val chunkTokens = 32
+
   /** PII patterns (q70) — Java∩RE2 subset: no lookaround, no
     * backreferences; `\b` is the ASCII word boundary in both. */
   private val emailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
@@ -296,6 +299,46 @@ object Curation {
         .withColumn("cnt", count(lit(1)).over(whole))
         .filter(col("rn") <= expr("(cnt + 9) div 10"))
         .select("doc_id", "lang", "rn")
+    },
+
+    // ---------------------------------------------------------------- q73
+    // Sequence-packing prep: chunk each document into fixed 32-token
+    // windows (the pre-tokenized shards a trainer packs into context
+    // windows), emitting per-chunk token counts and a content
+    // fingerprint. The token array materializes ONCE per row and every
+    // chunk slices it — pure per-row work, no shuffle; chunk ids are
+    // per-document, so downstream writers can partition by
+    // (doc_id % shards, chunk_id) without a global order.
+    Q(
+      "q73_chunk_windows",
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        pos AS (
+          SELECT doc_id, tk,
+                 unnest(range(1, (len(tk) + ${chunkTokens - 1}) // $chunkTokens + 1)) AS c
+          FROM toks),
+        chunks AS (
+          SELECT doc_id,
+                 CAST(c AS BIGINT) - 1 AS chunk_id,
+                 array_to_string(list_slice(tk, (c - 1) * $chunkTokens + 1,
+                   (c - 1) * $chunkTokens + $chunkTokens), ' ') AS chunk_text
+          FROM pos)
+        SELECT doc_id, chunk_id,
+               CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_tokens,
+               md5(chunk_text) AS chunk_fp
+        FROM chunks""")
+    ) { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("tk", split(col("text"), " "))
+        .select(col("doc_id"),
+          posexplode(expr(
+            s"transform(sequence(1, (size(tk) + ${chunkTokens - 1}) div $chunkTokens), " +
+              s"c -> concat_ws(' ', slice(tk, (c - 1) * $chunkTokens + 1, $chunkTokens)))"))
+            .as(Seq("chunk_id", "chunk_text")))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          size(split(col("chunk_text"), " ")).cast("long").as("n_tokens"),
+          md5(col("chunk_text")).as("chunk_fp"))
     },
   )
 }

@@ -228,6 +228,14 @@ class PlanSpec extends SparkSpec {
       s"doc expansion must broadcast the value-pair set:\n$p")
   }
 
+  test("q73: chunk windows never shuffle; scan prunes to (doc_id, text)") {
+    val p = plan("q73_chunk_windows")
+    assert(shuffles(p).isEmpty, s"chunking is pure per-row work:\n$p")
+    val Seq(scan) = scans(p)
+    assert(scan.requiredSchema.fieldNames.toSet === Set("doc_id", "text"),
+      s"q73 reads more than it projects: ${scan.requiredSchema.fieldNames.toSeq}")
+  }
+
   test("q72: stratified sample shuffles once — the stratum partition") {
     val p = plan("q72_stratified_sample")
     assert(shuffles(p).length === 1,
