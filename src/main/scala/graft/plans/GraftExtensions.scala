@@ -5,7 +5,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Jaccard3, MinHashK, MinHashSignature, SimHash16, Winnow}
+import graft.functions.{Jaccard3, MinHashFast, MinHashK, MinHashSignature,
+  QDot, QuantizeEmbedding, SimHash16, SrpBuckets, TokenNgrams, Winnow}
 
 /** SparkSessionExtensions entry point: registers every graft custom
   * expression as a SQL function, so e.g.
@@ -52,6 +53,22 @@ object GraftExtensions {
     descriptor("winnow", classOf[Winnow]) {
       case Seq(text)       => Winnow(text)
       case Seq(text, k, w) => Winnow(text, litInt(k), litInt(w))
+    },
+    descriptor("minhash_fast", classOf[MinHashFast]) {
+      case Seq(text, k) => MinHashFast(text, litInt(k))
+    },
+    descriptor("srp_buckets", classOf[SrpBuckets]) {
+      case Seq(qv, firstPlane, bands, rowsPerBand) =>
+        SrpBuckets(qv, litInt(firstPlane), litInt(bands), litInt(rowsPerBand))
+    },
+    descriptor("quantize_embedding", classOf[QuantizeEmbedding]) {
+      case Seq(v) => QuantizeEmbedding(v)
+    },
+    descriptor("qdot", classOf[QDot]) {
+      case Seq(a, b) => QDot(a, b)
+    },
+    descriptor("token_ngrams", classOf[TokenNgrams]) {
+      case Seq(text, k) => TokenNgrams(text, litInt(k))
     })
 
   /** Runtime registration on an existing session (no extensions config

@@ -35,6 +35,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(jc.getDouble(jc.fieldIndex("jaccard")) === 1.0)
   }
 
+  test("round-4 kernels usable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val mf = spark.sql("SELECT minhash_fast('sparkling analytics engine', 6) AS s")
+      .head().getSeq[Long](0)
+    assert(mf.length === 6)
+    assert(mf.forall(v => v >= 0L && v < 4294967311L))
+
+    val srp = spark.sql(
+      "SELECT srp_buckets(array(1L, -2L, 3L, 4L), 0, 3, 6) AS b")
+      .head().getSeq[Long](0)
+    assert(srp.length === 3)
+    assert(srp.forall(v => v >= 0L && v < 64L))
+
+    val qv = spark.sql(
+      "SELECT quantize_embedding(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT))) AS q")
+      .head().getSeq[Long](0)
+    assert(qv === Seq(500L, -500L))
+
+    val dot = spark.sql("SELECT qdot(array(2L, 3L), array(4L, 5L)) AS d")
+      .head().getLong(0)
+    assert(dot === 23L)
+
+    val ng = spark.sql("SELECT token_ngrams('a b c d', 2) AS g")
+      .head().getSeq[String](0)
+    assert(ng === Seq("a b", "b c", "c d"))
+  }
+
   test("minhash_k matches a builtin-function replay of the same math") {
     GraftExtensions.register(spark)
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
