@@ -17,9 +17,9 @@ import graft.queries.{Cleaning, Curation, Events, Multimodal, Relational, TextOp
   *   q50–q53 graft.queries.Cleaning   — the reference pipeline's operator
   *            semantics (P*, W1, G1, G2) replayed on the test tables
   *   q55–q56 graft.queries.Multimodal — binary columns + frame sampling
-  *   q67–q73 graft.queries.Curation   — split/shard, contamination,
+  *   q67–q74 graft.queries.Curation   — split/shard, contamination,
   *            simhash near-dup, PII redaction, repetition filter,
-  *            stratified sampling, chunk windows
+  *            stratified sampling, chunk windows, corpus mixing
   */
 object SparkEntry {
 

@@ -340,5 +340,53 @@ object Curation {
           size(split(col("chunk_text"), " ")).cast("long").as("n_tokens"),
           md5(col("chunk_text")).as("chunk_fp"))
     },
+
+    // ---------------------------------------------------------------- q74
+    // Corpus mixing: down-sample over-represented sources toward target
+    // weights (the SlimPajama/Dolma re-mixing step). "Quality" sources
+    // (src0–src4) get 3× weight; each doc keeps with probability
+    // min(1, target_share / actual_share), decided by an exact integer
+    // permyriad threshold against a salted doc_id hash — reproducible,
+    // no rand(), and the keep RATE per source is exact. Per-source
+    // counts are one small aggregate; both it and the one-row total
+    // BROADCAST back onto the corpus — the corpus itself never
+    // shuffles.
+    Q(
+      "q74_corpus_mix",
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, source,
+                 CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                      THEN 3 ELSE 1 END AS wt
+          FROM documents),
+        counts AS (
+          SELECT source, wt, COUNT(*) AS n_s FROM w GROUP BY source, wt),
+        tot AS (
+          SELECT CAST(SUM(n_s) AS BIGINT) AS n, CAST(SUM(wt) AS BIGINT) AS wsum
+          FROM counts)
+        SELECT d.doc_id, d.source,
+               CAST(LEAST(10000, (d.wt * t.n * 10000) // (t.wsum * c.n_s)) AS BIGINT)
+                 AS keep_permyriad,
+               (${knuthSql(104729)} % 10000) <
+                 LEAST(10000, (d.wt * t.n * 10000) // (t.wsum * c.n_s)) AS kept
+        FROM w d JOIN counts c ON c.source = d.source CROSS JOIN tot t""")
+    ) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 3L)
+            .otherwise(1L).as("wt"))
+      // target share of source s is wt_s / Σ_sources wt — the weight sum
+      // runs over SOURCES (one per source), not docs
+      val counts = docs.groupBy(col("source"), col("wt"))
+        .agg(count(lit(1)).as("n_s"))
+      val tot = counts.agg(sum(col("n_s")).as("n"), sum(col("wt")).as("wsum"))
+      val thr = least(lit(10000L),
+        expr("(wt * n * 10000) div (wsum * n_s)")).cast("long")
+      docs.join(broadcast(counts), Seq("source", "wt"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("source"),
+          thr.as("keep_permyriad"),
+          (knuthCol(104729) % 10000 < thr).as("kept"))
+    },
   )
 }

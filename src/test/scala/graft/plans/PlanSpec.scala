@@ -236,6 +236,15 @@ class PlanSpec extends SparkSpec {
       s"q73 reads more than it projects: ${scan.requiredSchema.fieldNames.toSeq}")
   }
 
+  test("q74: corpus mix broadcasts its aggregates; the corpus never shuffles for a join") {
+    val p = plan("q74_corpus_mix")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+      p.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
+      s"per-source counts and the one-row total must broadcast:\n$p")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"counts join must be a broadcast hash join:\n$p")
+  }
+
   test("q72: stratified sample shuffles once — the stratum partition") {
     val p = plan("q72_stratified_sample")
     assert(shuffles(p).length === 1,
