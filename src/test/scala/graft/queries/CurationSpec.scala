@@ -1,0 +1,75 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the curation queries that an oracle hash
+  * match alone cannot express: blocking exhaustiveness (q69 finds
+  * EVERY pair the brute force finds), lossless chunking (q73 windows
+  * reassemble to the document), and the statistical contracts of the
+  * hash-driven split/mix decisions. */
+class CurationSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q69 banding is exhaustive: equals the all-pairs hamming<=3 ground truth") {
+    val sims = graft.Tables.load(spark, sf, "documents")
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.SimHash.simhash16(col("text")).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val truth = (for {
+      (da, sa) <- sims; (db, sb) <- sims
+      if db > da && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (da, db, java.lang.Long.bitCount(sa ^ sb).toLong)).toSet
+    val got = run("q69_simhash_neardup")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === truth,
+      s"banded join must find exactly the brute-force pairs " +
+        s"(got ${got.size}, truth ${truth.size})")
+  }
+
+  test("q73 chunks reassemble losslessly to the original document") {
+    val rebuilt = run("q73_chunk_windows")
+      .join(graft.Tables.load(spark, sf, "documents").select("doc_id", "text"), "doc_id")
+      .groupBy(col("doc_id"), col("text"))
+      .agg(sum(col("n_tokens")).as("tok_sum"))
+      .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
+    assert(rebuilt.filter(col("tok_sum") =!= col("n_words")).count() === 0L,
+      "chunk token counts must partition the document's tokens exactly")
+  }
+
+  test("q67 split fractions sit near the 5/10/85 contract") {
+    val frac = run("q67_split_shards")
+      .groupBy("split").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = frac.values.sum.toDouble
+    // 500 docs; binomial 3σ bounds
+    assert(math.abs(frac.getOrElse("test", 0L) / n - 0.05) < 0.03, frac.toString)
+    assert(math.abs(frac.getOrElse("val", 0L) / n - 0.10) < 0.05, frac.toString)
+    assert(frac.getOrElse("train", 0L) / n > 0.75, frac.toString)
+    // shards cover the full range and are balanced within reason
+    val shards = run("q67_split_shards").select("shard_id").distinct().count()
+    assert(shards === 16L, "all 16 shards must be hit")
+  }
+
+  test("q74 keep decision matches its own permyriad threshold exactly per source") {
+    val rows = run("q74_corpus_mix")
+      .groupBy("source", "keep_permyriad")
+      .agg(count(lit(1)).as("n"), sum(when(col("kept"), 1L).otherwise(0L)).as("k"))
+      .collect()
+    rows.foreach { r =>
+      val (thr, n, k) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      if (thr === 10000L) assert(k === n, s"threshold 10000 must keep all: $r")
+      else {
+        // hash-uniformity: kept rate within 4σ of thr/10000 for this n
+        val p = thr / 10000.0
+        val sd = math.sqrt(p * (1 - p) / n)
+        assert(math.abs(k.toDouble / n - p) < 4 * sd + 0.02, s"keep rate off: $r")
+      }
+    }
+    assert(rows.exists(_.getLong(1) < 10000L), "some source must be down-sampled")
+  }
+}
