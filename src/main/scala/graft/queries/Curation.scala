@@ -31,11 +31,13 @@ object Curation {
 
   /** Knuth multiplicative hash of doc_id — the reproducible "random"
     * stream behind splitting and sampling. Exact BIGINT in both
-    * engines; `salt` decorrelates independent uses. */
+    * engines. The salt adds BEFORE the multiply so differently-salted
+    * streams are genuinely permuted relative to each other (a
+    * post-multiply salt would only shift the same sequence). */
   private def knuthCol(salt: Long): Column =
-    (col("doc_id") * lit(2654435761L) + lit(salt)) % lit(4294967296L)
+    ((col("doc_id") + lit(salt)) * lit(2654435761L)) % lit(4294967296L)
   private def knuthSql(salt: Long): String =
-    s"(doc_id * 2654435761 + $salt) % 4294967296"
+    s"((doc_id + $salt) * 2654435761) % 4294967296"
 
   /** Token n-gram width shared by q68 and its oracle. Production
     * contamination screens use 8–13 token grams; the synthetic corpus'
