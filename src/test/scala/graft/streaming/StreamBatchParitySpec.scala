@@ -17,10 +17,12 @@ class StreamBatchParitySpec extends SparkSpec {
 
   private val gapUs = 1800000000L // 30 minutes, matching q23/q24
 
-  /** Stages `events` as two chronologically-ordered source files: all
-    * real rows, then one far-future watermark-pusher row (user_id -1,
-    * event_type "pusher") whose arrival closes every real window. */
-  private def stageInput(events: DataFrame, pusherAfterUs: Long): Path = {
+  /** Stages `events` as chronologically-ordered source files: the real
+    * rows (`copies` times — an at-least-once feed when > 1), then one
+    * far-future watermark-pusher row (user_id -1, event_type "pusher")
+    * whose arrival closes every real window. */
+  private def stageInput(events: DataFrame, pusherAfterUs: Long,
+      copies: Int = 1): Path = {
     val in = Files.createTempDirectory("graft-parity-in")
     def onePart(df: DataFrame, tmpName: String, target: String, mtimeOffsetMs: Long): Unit = {
       val tmp = in.resolve(tmpName)
@@ -30,7 +32,8 @@ class StreamBatchParitySpec extends SparkSpec {
       Files.move(part, dst)
       dst.toFile.setLastModified(System.currentTimeMillis() + mtimeOffsetMs)
     }
-    onePart(events, "stage1", "batch1.parquet", 0L)
+    (1 to copies).foreach(c =>
+      onePart(events, s"stage1c$c", s"batch1c$c.parquet", 0L))
     val pusherTs = events.agg(max(unix_micros(col("ts")))).head().getLong(0) +
       pusherAfterUs
     onePart(events.sparkSession.range(1).select(
@@ -113,5 +116,22 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(streamed.length === batch.length,
       s"window count mismatch: streaming ${streamed.length} vs batch ${batch.length}")
     assert(streamed === batch)
+  }
+
+  test("streaming dedup of an at-least-once feed equals the exactly-once batch table") {
+    val events = realEvents
+    // stage every event TWICE (duplicate delivery within the watermark)
+    val in = stageInput(events, 7200000000L, copies = 2)
+    val result = runStream(in, events.schema,
+      st => StreamOps.dedupEvents(st, watermark = "1 hour"))
+
+    val streamed = result.filter(col("user_id") >= 0)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    val batch = events.select("event_id").collect().map(_.getLong(0)).sorted
+
+    assert(streamed.length === batch.length,
+      s"dedup must emit each event exactly once: streaming ${streamed.length} " +
+        s"vs batch ${batch.length} (duplicated feed had ${2 * batch.length})")
+    assert(streamed.toSeq === batch.toSeq)
   }
 }
