@@ -318,7 +318,9 @@ object TextOps {
       // corpus size as a broadcast one-row aggregate (not a driver-side
       // .count(), which would be a second full scan as a separate job)
       val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
-      val scored = tf.join(df, "token")
+      // the idf table is vocabulary-sized (≪ corpus) — broadcast it so
+      // the per-doc tf rows never shuffle on token
+      val scored = tf.join(broadcast(df), "token")
         .crossJoin(broadcast(n))
         .withColumn("score", expr("(tf * 1000000 * n_docs) div df"))
         .drop("n_docs")
