@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Cleaning, Curation, Events, Multimodal, Relational, TextOps, Vectors}
+import graft.queries.{Cleaning, Curation, Events, Layout, Matching, Multimodal, Relational, TextOps, Vectors}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,12 +20,19 @@ import graft.queries.{Cleaning, Curation, Events, Multimodal, Relational, TextOp
   *   q67–q74 graft.queries.Curation   — split/shard, contamination,
   *            simhash near-dup, PII redaction, repetition filter,
   *            stratified sampling, chunk windows, corpus mixing
+  *   q75–q77 graft.queries.Matching   — blocked fuzzy (edit-distance)
+  *            matching, inverted-index sparse tf-idf cosine,
+  *            bloom-prefiltered semi join
+  *   q78–q79 graft.queries.Curation   — bigram-LM quality scoring,
+  *            per-source cap
+  *   q80     graft.queries.Layout     — z-order clustering key
   */
 object SparkEntry {
 
   val allQueries: Seq[Q] =
     Relational.all ++ Events.all ++ TextOps.all ++ Vectors.all ++
-      Cleaning.all ++ Multimodal.all ++ Curation.all
+      Cleaning.all ++ Multimodal.all ++ Curation.all ++ Matching.all ++
+      Layout.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

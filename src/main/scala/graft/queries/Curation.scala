@@ -53,6 +53,9 @@ object Curation {
   private val emailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
   private val phonePat = """\b\d{3}-\d{4}\b"""
 
+  /** q79's per-source document cap. */
+  private val sourceCap = 20
+
   val all: Seq[Q] = Seq(
     // ---------------------------------------------------------------- q67
     // Reproducible train/val/test split + shard assignment: bucket 0–99
@@ -389,6 +392,83 @@ object Curation {
         .select(col("doc_id"), col("source"),
           thr.as("keep_permyriad"),
           (knuthCol(104729) % 10000 < thr).as("kept"))
+    },
+
+    // ---------------------------------------------------------------- q78
+    // n-gram LM quality scoring (the CCNet/KenLM step, integer-exact):
+    // the corpus' reference half (doc_id % 10 < 5) trains a bigram
+    // count table; every document then scores each of its bigram
+    // occurrences with a QUANTIZED log-probability floor(log2(count)) =
+    // length(bin(count)) - 1 — exact integer in both engines, immune to
+    // the libm-vs-java last-ulp drift a real ln() would hit — plus an
+    // out-of-vocabulary flag. Per-doc averages are one double division
+    // of exact integer sums. The LM table is vocabulary-bounded, so at
+    // any corpus size it BROADCASTS and scoring is one map-side pass.
+    Q(
+      "q78_bigram_lm",
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        big AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g
+          FROM tok),
+        lm AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS cnt FROM big
+          WHERE doc_id % 10 < 5 GROUP BY g),
+        scored AS (
+          SELECT b.doc_id,
+                 CASE WHEN lm.cnt IS NULL THEN 1 ELSE 0 END AS oov,
+                 CASE WHEN lm.cnt IS NULL THEN 0 ELSE length(bin(lm.cnt)) - 1 END AS qlp
+          FROM big b LEFT JOIN lm ON lm.g = b.g)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(oov) AS BIGINT) AS n_oov,
+               CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS oov_frac,
+               CAST(SUM(qlp) AS DOUBLE) / COUNT(*) AS avg_qlp
+        FROM scored GROUP BY doc_id""")
+    ) { (s, dir) =>
+      val grams = t(s, dir, "documents")
+        .withColumn("tk", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(tk) - 1), " +
+            "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))")).as("g"))
+      val lm = grams.filter(col("doc_id") % 10 < 5)
+        .groupBy("g").agg(count(lit(1)).as("cnt"))
+      grams.join(broadcast(lm), Seq("g"), "left")
+        .select(col("doc_id"),
+          when(col("cnt").isNull, 1L).otherwise(0L).as("oov"),
+          when(col("cnt").isNull, 0L)
+            .otherwise(length(bin(col("cnt"))) - 1).as("qlp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("oov")).as("n_oov"),
+          (sum(col("oov")).cast("double") / count(lit(1))).as("oov_frac"),
+          (sum(col("qlp")).cast("double") / count(lit(1))).as("avg_qlp"))
+    },
+
+    // ---------------------------------------------------------------- q79
+    // Per-source document cap (the RefinedWeb/C4 per-domain cap): rank
+    // each source's docs by a salted doc_id hash (a draw independent of
+    // q67's split and q72's sample) and keep at most `sourceCap`. Every
+    // doc is emitted with its rank and keep decision so downstream
+    // stages filter on `kept` without recomputing the window. One
+    // exchange — the per-source window partition — which scales with
+    // sources × docs-per-source, and skewed mega-domains are exactly
+    // the rows the cap discards.
+    Q(
+      "q79_source_cap",
+      Some(s"""
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY ${knuthSql(32452843L)}, doc_id) AS rn,
+               ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY ${knuthSql(32452843L)}, doc_id) <= $sourceCap AS kept
+        FROM documents""")
+    ) { (s, dir) =>
+      val bySrc = Window.partitionBy("source")
+        .orderBy(knuthCol(32452843L), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rn", row_number().over(bySrc).cast("long"))
+        .select(col("doc_id"), col("source"), col("rn"),
+          (col("rn") <= sourceCap).as("kept"))
     },
   )
 }

@@ -1,0 +1,178 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.Det.dec
+import graft.operators.BloomPrefilter
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Blocked / filtered matching operators — the join-shaped work a
+  * curation pipeline runs where a naive formulation is quadratic or
+  * shuffles the world: fuzzy (edit-distance) entity matching, sparse
+  * tf-idf cosine similarity over an inverted index, and bloom-filter
+  * runtime prefiltering of a semi join.
+  *
+  * Shared scale discipline: candidate generation is always blocked
+  * (a shared blocking key, a shared posting term, a shared bloom bit
+  * pattern) and exact verification runs only on candidates, never on
+  * the cross product. All similarity arithmetic is exact-integer until
+  * a final division/sqrt, so both engines compute bit-identical
+  * doubles (IEEE division and sqrt are correctly rounded).
+  */
+object Matching {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** q75's edit-distance ceiling: adjectives in the synthetic part
+    * vocabulary differ by ≤ 4 edits; the noun (blocking key) is shared. */
+  private val maxEdits = 4
+
+  /** q76's stop cap: bigrams appearing in more than `maxDf` documents
+    * leave the index — the posting-list bound that keeps the candidate
+    * join O(vocab × maxDf²) at ANY corpus size (same move as q64's
+    * stop-fingerprint cap). */
+  private val maxDf = 50
+
+  /** q76's report threshold. */
+  private val minCosine = 0.3
+
+  val all: Seq[Q] = Seq(
+    // ---------------------------------------------------------------- q75
+    // Fuzzy entity matching: part names within levenshtein distance 4,
+    // blocked on the trailing token. The match runs in DISTINCT-VALUE
+    // space (names dedupe before pairing — the q69 move), so the O(b²)
+    // edit-distance work scales with the name vocabulary per block,
+    // never the row count; per-name row counts ride along and a
+    // downstream expansion join could recover row pairs. Blocking
+    // contract (documented recall bound): only pairs sharing the last
+    // token are candidates — the standard sorted-neighborhood /
+    // blocking-key trade every entity-resolution system makes.
+    Q(
+      "q75_fuzzy_names",
+      Some(s"""
+        WITH names AS (
+          SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n FROM part GROUP BY p_name),
+        keyed AS (
+          SELECT p_name, n, string_split(p_name, ' ')[-1] AS blk FROM names)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+               a.n AS n_a, b.n AS n_b
+        FROM keyed a JOIN keyed b ON a.blk = b.blk AND b.p_name > a.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= $maxEdits""")
+    ) { (s, dir) =>
+      val names = t(s, dir, "part")
+        .groupBy("p_name").agg(count(lit(1)).as("n"))
+        .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+      val a = names.select(col("p_name").as("name_a"), col("n").as("n_a"),
+        col("blk"))
+      val b = names.select(col("p_name").as("name_b"), col("n").as("n_b"),
+        col("blk"))
+      a.join(b, Seq("blk"))
+        .filter(col("name_b") > col("name_a"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("dist") <= maxEdits)
+        .select("name_a", "name_b", "dist", "n_a", "n_b")
+    },
+
+    // ---------------------------------------------------------------- q76
+    // Sparse tf-idf cosine pairs over an inverted index: documents
+    // become sparse bigram vectors (tf × an exact-integer idf surrogate
+    // 10000 div df), the posting-list self-join on the bigram key
+    // generates candidates only for docs sharing an indexed bigram, and
+    // the pair dot products / norms stay in exact BIGINT until the one
+    // final cosine division. Stop-capped at df ≤ maxDf, the join is
+    // bounded by Σ df² ≤ vocab × maxDf² regardless of corpus size.
+    Q(
+      "q76_sparse_cosine",
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        big AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g
+          FROM tok),
+        tf AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS tf FROM big GROUP BY doc_id, g),
+        df AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY g),
+        wts AS (
+          SELECT tf.doc_id, tf.g, tf.tf * (10000 // df.df) AS wq
+          FROM tf JOIN df ON df.g = tf.g WHERE df.df <= $maxDf),
+        norms AS (
+          SELECT doc_id, CAST(SUM(wq * wq) AS BIGINT) AS nrm FROM wts GROUP BY doc_id),
+        dots AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(SUM(a.wq * b.wq) AS BIGINT) AS dot,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM wts a JOIN wts b ON a.g = b.g AND b.doc_id > a.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT d.doc_a, d.doc_b, d.n_shared,
+               CAST(d.dot AS DOUBLE) /
+                 (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS cosine
+        FROM dots d
+        JOIN norms na ON na.doc_id = d.doc_a
+        JOIN norms nb ON nb.doc_id = d.doc_b
+        WHERE CAST(d.dot AS DOUBLE) /
+                (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) >= $minCosine""")
+    ) { (s, dir) =>
+      val grams = t(s, dir, "documents")
+        .withColumn("tk", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(tk) - 1), " +
+            "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))")).as("g"))
+      val tf = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf)
+      val wts = tf.join(df, "g")
+        .select(col("doc_id"), col("g"),
+          (col("tf") * expr("10000 div df")).as("wq"))
+      val norms = wts.groupBy("doc_id")
+        .agg(sum(col("wq") * col("wq")).as("nrm"))
+      val dots = wts.select(col("doc_id").as("doc_a"), col("g"), col("wq").as("wa"))
+        .join(wts.select(col("doc_id").as("doc_b"), col("g"), col("wq").as("wb")), "g")
+        .filter(col("doc_b") > col("doc_a"))
+        .groupBy("doc_a", "doc_b")
+        .agg(sum(col("wa") * col("wb")).as("dot"),
+          count(lit(1)).as("n_shared"))
+      val cosine = col("dot").cast("double") /
+        (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double")))
+      dots
+        .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("nrm_a")), "doc_a")
+        .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nrm_b")), "doc_b")
+        .filter(cosine >= minCosine)
+        .select(col("doc_a"), col("doc_b"), col("n_shared"), cosine.as("cosine"))
+    },
+
+    // ---------------------------------------------------------------- q77
+    // Bloom-prefiltered semi join: revenue of line items belonging to
+    // urgent orders. The urgent orderkeys aggregate into a deterministic
+    // bloom bitmap (bitwise OR — order-independent); the bitmap
+    // broadcasts and cuts the probe side BEFORE the exact semi join's
+    // exchange, so at scale the shuffle carries only the ~⅕ candidate
+    // fraction (plus a ~2% false-positive tail the exact join removes).
+    // Semantically identical to the plain semi join — which is exactly
+    // what the oracle runs.
+    Q(
+      "q77_bloom_semi",
+      Some("""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        GROUP BY l_returnflag""")
+    ) { (s, dir) =>
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      BloomPrefilter.semiJoin(t(s, dir, "lineitem"), "l_orderkey",
+          urgent, "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          graft.Det.dsum(col("l_quantity")).as("sum_qty"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(DecimalType(18, 4)).cast("double").as("revenue"))
+    },
+  )
+}

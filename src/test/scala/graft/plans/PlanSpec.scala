@@ -253,4 +253,78 @@ class PlanSpec extends SparkSpec {
     assert(scan.requiredSchema.fieldNames.toSet === Set("doc_id", "lang"),
       s"q72 reads more than it projects: ${scan.requiredSchema.fieldNames.toSeq}")
   }
+
+  test("q75: fuzzy matching is a blocked equi-join in name space — no cartesian") {
+    val p = plan("q75_fuzzy_names")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
+      p.collect { case n: BroadcastNestedLoopJoinExec => n }.isEmpty,
+      s"edit distance must only run on block-mates:\n$p")
+    val Seq(scan) = scans(p)
+    assert(scan.requiredSchema.fieldNames.toSet === Set("p_name"),
+      s"only the name column comes off disk: ${scan.requiredSchema.fieldNames.toSeq}")
+  }
+
+  test("q76: sparse cosine joins postings on the gram key — no cartesian, no nested loop") {
+    val p = plan("q76_sparse_cosine")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
+      p.collect { case n: BroadcastNestedLoopJoinExec => n }.isEmpty,
+      s"candidates must come from the inverted index only:\n$p")
+    // the doc scan is shared by several subtrees; every instance must
+    // stay pruned to the two used columns
+    assert(scans(p).nonEmpty && scans(p).forall(
+      _.requiredSchema.fieldNames.toSet == Set("doc_id", "text")),
+      s"q76 reads more than it projects:\n$p")
+  }
+
+  test("q77: the bloom bitmap filters the probe BELOW the exact semi join") {
+    val p = plan("q77_bloom_semi")
+    // the bitmap attaches as a scalar-subquery filter, never a join —
+    // a join-shaped attach is reorderable above the semi join
+    assert(p.collect { case n: BroadcastNestedLoopJoinExec => n }.isEmpty &&
+      p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"bitmap must attach as a filter, not a join:\n$p")
+    val semis = p.collect {
+      case j: BroadcastHashJoinExec if j.joinType.sql == "LEFT SEMI" => j
+      case j: SortMergeJoinExec if j.joinType.sql == "LEFT SEMI" => j
+      case j: ShuffledHashJoinExec if j.joinType.sql == "LEFT SEMI" => j
+    }
+    assert(semis.length === 1, s"exactly one exact semi join:\n$p")
+    // the probe (left) subtree must contain the bloom test, so the semi
+    // join — and at scale its exchange — sees only prefiltered rows
+    val probeHasBloom = semis.head.children.head.exists {
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        f.condition.toString.contains("element_at")
+      case _ => false
+    }
+    assert(probeHasBloom,
+      s"bloom prefilter must sit on the semi join's probe side:\n$p")
+  }
+
+  test("q78: the LM table broadcasts; scoring adds no join shuffle") {
+    val p = plan("q78_bigram_lm")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.length === 1,
+      s"the vocabulary-bounded LM must broadcast:\n$p")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+      p.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
+      s"corpus bigrams must never shuffle for the LM join:\n$p")
+    // LM count agg + final per-doc agg
+    assert(shuffles(p).length <= 2, s"at most 2 exchanges:\n$p")
+  }
+
+  test("q79: source cap shuffles once — the per-source window partition") {
+    val p = plan("q79_source_cap")
+    assert(shuffles(p).length === 1, s"one window exchange:\n$p")
+    val Seq(scan) = scans(p)
+    assert(scan.requiredSchema.fieldNames.toSet === Set("doc_id", "source"),
+      s"q79 reads more than it projects: ${scan.requiredSchema.fieldNames.toSeq}")
+  }
+
+  test("q80: z-order key is pure per-row arithmetic — zero shuffles") {
+    val p = plan("q80_zorder")
+    assert(shuffles(p).isEmpty, s"no exchange in a clustering-key projection:\n$p")
+    val Seq(scan) = scans(p)
+    assert(scan.requiredSchema.fieldNames.toSet ===
+      Set("p_partkey", "p_size", "p_retailprice"),
+      s"q80 reads more than it projects: ${scan.requiredSchema.fieldNames.toSeq}")
+  }
 }
