@@ -26,6 +26,8 @@ import graft.queries.{Cleaning, Curation, Events, Layout, Matching, Multimodal, 
   *   q78–q79 graft.queries.Curation   — bigram-LM quality scoring,
   *            per-source cap
   *   q80     graft.queries.Layout     — z-order clustering key
+  *   q81     graft.queries.TextOps    — tokenizer vocabulary induction
+  *   q82     graft.queries.Curation   — concat-and-chunk sequence packing
   */
 object SparkEntry {
 

@@ -3,31 +3,41 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Bloom-filter runtime prefilter for semi joins — the technique that
-  * keeps a 100 TB probe side from shuffling rows that cannot possibly
-  * match (Spark's own `spark.sql.optimizer.runtime.bloomFilter` plays
-  * the same trick inside the optimizer; this is the explicit,
-  * plannable form with a deterministic filter).
+/** Register-blocked bloom filter prefilter for semi joins — the
+  * technique that keeps a 100 TB probe side from shuffling rows that
+  * cannot possibly match (Spark's own
+  * `spark.sql.optimizer.runtime.bloomFilter` plays the same trick
+  * inside the optimizer; this is the explicit, plannable form with a
+  * deterministic filter).
   *
-  * Build: the build side's join keys hash into `numHashes` bit
-  * positions of a `numBits` bloom bitmap. The bitmap is aggregated as
-  * (word → 64-bit OR) map entries — bitwise OR is commutative and
-  * idempotent, so the result is identical regardless of partitioning
-  * or merge order, and only words with at least one set bit are
-  * materialized (the map is at most numBits/64 entries, a few KB).
+  * Blocked layout (Putze et al., the parquet split-block shape): one
+  * hash picks a single 64-bit word of the bitmap and the k probe bits
+  * all land INSIDE that word. Build emits one (word, mask) row per
+  * key; bitwise OR aggregation is commutative and idempotent, so the
+  * bitmap is identical regardless of partitioning or merge order. The
+  * sparse words then scatter into a DENSE `array<bigint>` via a
+  * range left-join + sorted collect — O(words log words), and dense
+  * matters: probing indexes the array O(1), and the array is a flat
+  * few-KB literal once the scalar subquery evaluates.
   *
-  * Probe: the one-row bitmap broadcasts onto the probe side and each
-  * row tests all `numHashes` positions with pure builtin column
-  * arithmetic (`element_at` + shift + mask — whole-stage codegen, no
-  * UDF). A missing map entry means an all-zero word → definite
-  * non-member, so `coalesce(_, 0)` keeps the no-false-negative
-  * guarantee. Rows that pass MAY be false positives — callers follow
-  * with the exact join, which now only sees the surviving fraction.
+  * Probe: `(bloom[word] & mask) == mask` — ONE array lookup and one
+  * compare per row, whole-stage codegen, no UDF. The bitmap attaches
+  * as a SCALAR SUBQUERY inside a plain filter — the same shape Spark's
+  * `InjectRuntimeFilter` produces — NOT as a cross join: a join-shaped
+  * attach is something the optimizer may legally reorder
+  * (`PushLeftSemiLeftAntiThroughJoin` pushes a following exact semi
+  * join underneath it, leaving the bloom filtering already-joined
+  * rows), while a filter predicate stays glued to the probe scan under
+  * predicate pushdown. The single reference also matters: each
+  * occurrence of a scalar subquery in a predicate becomes its own
+  * analyzed subquery instance, multiplied again wherever constraint
+  * propagation copies the predicate across a join.
   *
-  * Sizing: with n keys, m bits, k hashes the false-positive rate is
-  * (1 - e^(-kn/m))^k — the defaults (2^18 bits, 3 hashes) hold ~2–3%
-  * at n = 30k keys; at a real 100 TB build side you size m per
-  * executor-memory budget the same way Spark's injected bloom does.
+  * Rows that pass MAY be false positives — with n keys in m bits and k
+  * bits per key the blocked-filter FP rate is ≈ (fill)^k where fill ≈
+  * 1 - e^(-kn/m); the defaults (2^18 bits, 3 bits) hold a few percent
+  * at n = 30k. Callers follow with the exact join, which only sees the
+  * surviving fraction.
   */
 object BloomPrefilter {
 
@@ -36,51 +46,47 @@ object BloomPrefilter {
       seed: Long = 2027L) {
     require(numBits > 0 && numBits % 64 == 0, "numBits must be a positive multiple of 64")
     require(numHashes >= 1, "need at least one hash")
+    def numWords: Int = numBits / 64
   }
 
-  /** i-th probe position of `key` — xxhash64 seeded by position index
-    * (Kirsch–Mitzenmacher would also do; k independent hashes are just
-    * as cheap here and simpler to reason about). */
-  private def pos(key: Column, i: Int, cfg: Config): Column =
-    pmod(xxhash64(lit(cfg.seed + i), key), lit(cfg.numBits.toLong))
+  /** Word index of `key`'s block. */
+  private def word(key: Column, cfg: Config): Column =
+    pmod(xxhash64(lit(cfg.seed), key), lit(cfg.numWords.toLong))
 
-  /** Aggregates `keys(keyCol)` into a one-row bitmap:
-    * `bloom: map<bigint word_index, bigint word_bits>`. */
-  def build(keys: DataFrame, keyCol: String, cfg: Config = Config()): DataFrame =
-    keys
-      .select(explode(array((0 until cfg.numHashes)
-        .map(i => pos(col(keyCol), i, cfg)): _*)).as("__p"))
-      .select(expr("__p div 64").as("__w"),
-        expr("shiftleft(1L, int(__p % 64))").as("__m"))
+  /** The k probe bits of `key`, OR-ed into one in-word mask. */
+  private def mask(key: Column, cfg: Config): Column =
+    (1 to cfg.numHashes).map { i =>
+      call_function("shiftleft", lit(1L),
+        pmod(xxhash64(lit(cfg.seed + i), key), lit(64L)).cast("int"))
+    }.reduce(_ bitwiseOR _)
+
+  /** Aggregates `keys(keyCol)` into a one-row dense bitmap
+    * `__bloom: array<bigint>` of exactly numWords entries. */
+  def build(keys: DataFrame, keyCol: String, cfg: Config = Config()): DataFrame = {
+    val sparse = keys
+      .select(word(col(keyCol), cfg).as("__w"), mask(col(keyCol), cfg).as("__m"))
       .groupBy("__w").agg(expr("bit_or(__m)").as("__bits"))
-      .agg(map_from_entries(collect_list(struct(col("__w"), col("__bits"))))
-        .as("__bloom"))
+    keys.sparkSession.range(cfg.numWords).select(col("id").as("__w"))
+      .join(sparse, Seq("__w"), "left")
+      .select(col("__w"), coalesce(col("__bits"), lit(0L)).as("__bits"))
+      .agg(sort_array(collect_list(struct(col("__w"), col("__bits")))).as("__sw"))
+      .select(transform(col("__sw"), s => s.getField("__bits")).as("__bloom"))
+  }
 
-  /** Membership test against a `__bloom` map column. True ⇒ maybe
-    * present; false ⇒ definitely absent. numBits is a multiple of 64,
-    * so word index = p >> 6 and in-word bit = p mod 64. */
-  def mightContain(key: Column, bloom: Column, cfg: Config = Config()): Column =
-    (0 until cfg.numHashes).map { i =>
-      val p = pos(key, i, cfg)
-      val word = element_at(bloom, shiftright(p, 6))
-      val mask = call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int"))
-      coalesce(word, lit(0L)).bitwiseAND(mask) =!= 0L
-    }.reduce(_ && _)
+  /** Membership test against a `__bloom` dense-array column. True ⇒
+    * maybe present; false ⇒ definitely absent. `bloom` is referenced
+    * exactly once (arrays are 1-indexed, hence the +1). */
+  def mightContain(key: Column, bloom: Column, cfg: Config = Config()): Column = {
+    val m = mask(key, cfg)
+    element_at(bloom, (word(key, cfg) + 1).cast("int")).bitwiseAND(m) === m
+  }
 
   private val viewId = new java.util.concurrent.atomic.AtomicInteger()
 
   /** Probe-side prefilter: keeps only rows whose `keyCol` might be in
     * `buildKeys(buildKeyCol)`. No false negatives; follow with the
-    * exact join to kill false positives.
-    *
-    * The bitmap attaches as a SCALAR SUBQUERY inside a plain filter —
-    * the same shape Spark's own `InjectRuntimeFilter` produces — NOT as
-    * a cross join: a join-shaped attach is something the optimizer may
-    * legally reorder (`PushLeftSemiLeftAntiThroughJoin` pushes a
-    * following exact semi join underneath it, leaving the bloom
-    * filtering already-joined rows), while a filter predicate stays
-    * glued to the probe scan under predicate pushdown. The subquery
-    * executes once; its one-row result reaches every task as a literal. */
+    * exact join to kill false positives. The subquery executes once;
+    * its one-row result reaches every task as a literal. */
   def prefilter(probe: DataFrame, keyCol: String,
       buildKeys: DataFrame, buildKeyCol: String,
       cfg: Config = Config()): DataFrame = {

@@ -470,5 +470,44 @@ object Curation {
         .select(col("doc_id"), col("source"), col("rn"),
           (col("rn") <= sourceCap).as("kept"))
     },
+
+    // ---------------------------------------------------------------- q82
+    // GPT-style concat-and-chunk packing bookkeeping: docs are dealt
+    // into shards, ordered by a salted hash (a reproducible shuffle of
+    // the corpus), and the EXCLUSIVE running token total places each
+    // doc at (pack_id, offset) inside fixed 1024-token training
+    // sequences — the index a packer needs to materialize sequences
+    // without ever concatenating the corpus in one place. One window
+    // exchange, partitioned by shard; each shard's prefix sums are
+    // independent, so the layout parallelizes with the shard count.
+    Q(
+      "q82_greedy_pack",
+      Some(s"""
+        WITH sized AS (
+          SELECT doc_id, doc_id % 8 AS shard,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents),
+        placed AS (
+          SELECT doc_id, shard, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+                   ORDER BY ${knuthSql(49979687L)}, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+          FROM sized)
+        SELECT doc_id, shard, n_tokens,
+               CAST(cum_excl // 1024 AS BIGINT) AS pack_id,
+               CAST(cum_excl % 1024 AS BIGINT) AS off
+        FROM placed""")
+    ) { (s, dir) =>
+      val byShard = Window.partitionBy("shard")
+        .orderBy(knuthCol(49979687L), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("cum_excl", coalesce(sum(col("n_tokens")).over(byShard), lit(0L)))
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          expr("cum_excl div 1024").as("pack_id"),
+          (col("cum_excl") % 1024).as("off"))
+    },
   )
 }

@@ -69,7 +69,7 @@ object TextOps {
     * RE2: both take the leftmost-first branch. The pattern is total
     * (every character lands in exactly one token), so token counts are
     * a real tokenizer's, not a whitespace split's. */
-  private val bpePattern =
+  private[queries] val bpePattern =
     """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
 
   val all: Seq[Q] = Seq(
@@ -535,6 +535,40 @@ object TextOps {
         .filter(length(col("text")) >= 3)
         .select(col("doc_id"),
           graft.functions.SimHash.simhash16(col("text")).as("simhash"))
+    },
+
+    // ---------------------------------------------------------------- q81
+    // Tokenizer vocabulary induction: the top-k pre-tokens by corpus
+    // frequency (the seed vocabulary a BPE trainer starts from), with a
+    // deterministic (freq DESC, token) total order. The count is one
+    // partially-aggregated groupBy; the top-k executes as
+    // TakeOrderedAndProject (bounded by k on every partition — no
+    // global sort), and the rank window runs AFTER the limit, over k
+    // rows, so nothing here scales with the corpus.
+    Q(
+      "q81_vocab_topk",
+      Some {
+        val sqlPat = bpePattern.replace("'", "''")
+        s"""
+        WITH toks AS (
+          SELECT unnest(regexp_extract_all(text, '$sqlPat')) AS tok FROM documents),
+        counts AS (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM toks GROUP BY tok),
+        top AS (
+          SELECT tok, freq FROM counts ORDER BY freq DESC, tok LIMIT 25)
+        SELECT tok, freq,
+               CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS rank
+        FROM top"""
+      }
+    ) { (s, dir) =>
+      val counts = t(s, dir, "documents")
+        .select(explode(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
+          .as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("tok")).limit(25)
+      counts.withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("tok")))
+          .cast("long"))
     },
   )
 }

@@ -51,15 +51,13 @@ class BloomPrefilterSpec extends SparkSpec {
   test("bitmap is tiny and deterministic across partitionings") {
     val orders = Tables.load(spark, sf, "orders").select("o_orderkey")
     val one = BloomPrefilter.build(orders.repartition(1), "o_orderkey")
-      .selectExpr("map_entries(__bloom) e")
-      .selectExpr("explode(e) kv").selectExpr("kv.key k", "kv.value v")
+      .selectExpr("posexplode(__bloom) AS (w, bits)")
     val many = BloomPrefilter.build(orders.repartition(7), "o_orderkey")
-      .selectExpr("map_entries(__bloom) e")
-      .selectExpr("explode(e) kv").selectExpr("kv.key k", "kv.value v")
-    // same set of (word, bits) entries regardless of partitioning —
-    // bitwise OR is commutative/associative/idempotent
+      .selectExpr("posexplode(__bloom) AS (w, bits)")
+    // identical dense word array regardless of partitioning — bitwise
+    // OR is commutative/associative/idempotent
     assert(one.exceptAll(many).isEmpty && many.exceptAll(one).isEmpty)
-    // bitmap words materialized stay within numBits/64
-    assert(one.count() <= (1 << 18) / 64)
+    // dense bitmap: exactly numBits/64 words, a 32 KB broadcast
+    assert(one.count() === (1 << 18) / 64)
   }
 }

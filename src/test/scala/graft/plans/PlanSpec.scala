@@ -319,6 +319,25 @@ class PlanSpec extends SparkSpec {
       s"q79 reads more than it projects: ${scan.requiredSchema.fieldNames.toSeq}")
   }
 
+  test("q81: vocabulary top-k executes as TakeOrderedAndProject after a partial agg") {
+    val p = plan("q81_vocab_topk")
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }.length === 1,
+      s"top-k must never be a global sort:\n$p")
+    val aggs = p.collect { case a: HashAggregateExec => a }
+    assert(aggs.exists(_.aggregateExpressions.exists(_.mode.toString == "Partial")),
+      s"token counting must partially aggregate map-side:\n$p")
+    // the rank window runs over the k surviving rows, after the limit
+    assert(shuffles(p).length <= 2, s"agg + (at most) the k-row window:\n$p")
+  }
+
+  test("q82: packing shuffles once — the per-shard window partition") {
+    val p = plan("q82_greedy_pack")
+    assert(shuffles(p).length === 1, s"one window exchange:\n$p")
+    val Seq(scan) = scans(p)
+    assert(scan.requiredSchema.fieldNames.toSet === Set("doc_id", "text"),
+      s"q82 reads more than it projects: ${scan.requiredSchema.fieldNames.toSeq}")
+  }
+
   test("q80: z-order key is pure per-row arithmetic — zero shuffles") {
     val p = plan("q80_zorder")
     assert(shuffles(p).isEmpty, s"no exchange in a clustering-key projection:\n$p")

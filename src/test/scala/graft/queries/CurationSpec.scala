@@ -72,4 +72,27 @@ class CurationSpec extends SparkSpec {
     }
     assert(rows.exists(_.getLong(1) < 10000L), "some source must be down-sampled")
   }
+
+  test("q81 vocabulary ranks are a dense 1..k with nonincreasing frequencies") {
+    val rows = run("q81_vocab_topk")
+      .orderBy("rank").collect()
+    assert(rows.length === 25)
+    assert(rows.map(_.getLong(2)).toSeq === (1L to 25L))
+    val freqs = rows.map(_.getLong(1))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b },
+      "frequencies must be nonincreasing down the rank order")
+  }
+
+  test("q82 packing is gapless: each shard's placements tile the token stream") {
+    val byShard = run("q82_greedy_pack")
+      .groupBy("shard")
+      .agg(sum("n_tokens").as("total"),
+        max(col("pack_id") * 1024 + col("off") + col("n_tokens")).as("end"),
+        min(col("pack_id") * 1024 + col("off")).as("start"),
+        count(lit(1)).as("n"))
+    // exclusive prefix sums tile [0, total) exactly: first doc at 0,
+    // last doc ends at the shard's token total — no gaps, no overlaps
+    assert(byShard.filter(col("start") =!= 0L || col("end") =!= col("total"))
+      .count() === 0L)
+  }
 }
