@@ -81,6 +81,16 @@ object BloomPrefilter {
     element_at(bloom, (word(key, cfg) + 1).cast("int")).bitwiseAND(m) === m
   }
 
+  /** The bitmap as a LITERAL column — the attach path for Structured
+    * Streaming, where scalar subqueries cannot appear in the plan. The
+    * one-row collect mirrors what Spark itself does to materialize a
+    * runtime-filter subquery (driver evaluates, result ships to tasks
+    * as a literal); the payload is numWords longs (32 KB at the
+    * default), computed once per stream start, not per batch. */
+  def bitmapLiteral(keys: DataFrame, keyCol: String,
+      cfg: Config = Config()): Column =
+    typedlit(build(keys, keyCol, cfg).head().getSeq[Long](0))
+
   private val viewId = new java.util.concurrent.atomic.AtomicInteger()
 
   /** Probe-side prefilter: keeps only rows whose `keyCol` might be in

@@ -134,4 +134,28 @@ class StreamBatchParitySpec extends SparkSpec {
         s"vs batch ${batch.length} (duplicated feed had ${2 * batch.length})")
     assert(streamed.toSeq === batch.toSeq)
   }
+
+  test("streaming bloom-prefiltered ingest equals the batch semi join") {
+    // ingest-time filtering against a static key set: the bloom bitmap
+    // attaches as a LITERAL (streaming plans cannot host scalar
+    // subqueries), cuts each micro-batch before the stream-static semi
+    // join, and the exact join removes the FP tail — so the streamed
+    // result must equal the batch semi join row-for-row
+    val events = realEvents
+    val active = events.filter(col("user_id") % 7 === 0)
+      .select("user_id").distinct()
+    val bloomLit = graft.operators.BloomPrefilter.bitmapLiteral(active, "user_id")
+    val in = stageInput(events, 7200000000L)
+    val result = runStream(in, events.schema, st =>
+      st.filter(graft.operators.BloomPrefilter.mightContain(col("user_id"), bloomLit))
+        .join(active, Seq("user_id"), "left_semi"))
+
+    val streamed = result.select("event_id").collect().map(_.getLong(0)).sorted
+    val batch = events.join(active, Seq("user_id"), "left_semi")
+      .select("event_id").collect().map(_.getLong(0)).sorted
+
+    assert(batch.nonEmpty, "the active-user slice must be non-empty")
+    assert(streamed.toSeq === batch.toSeq,
+      s"bloom-prefiltered stream: ${streamed.length} vs batch ${batch.length}")
+  }
 }
