@@ -28,6 +28,7 @@ import graft.queries.{Cleaning, Curation, Events, Layout, Matching, Multimodal, 
   *   q80     graft.queries.Layout     — z-order clustering key
   *   q81     graft.queries.TextOps    — tokenizer vocabulary induction
   *   q82     graft.queries.Curation   — concat-and-chunk sequence packing
+  *   q83     graft.queries.TextOps    — exact substring-span dedup
   */
 object SparkEntry {
 

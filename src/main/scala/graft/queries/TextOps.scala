@@ -570,5 +570,50 @@ object TextOps {
         row_number().over(Window.orderBy(col("freq").desc, col("tok")))
           .cast("long"))
     },
+
+    // ---------------------------------------------------------------- q83
+    // Exact substring-span dedup (the hashed-window variant of Lee et
+    // al.'s suffix-array dedup): every 20-token window hashes once, a
+    // keyed groupBy counts how many DISTINCT documents contain each
+    // window, and docs report what fraction of their window positions
+    // lie in a cross-document duplicated span. All work is keyed by
+    // the window hash — O(corpus tokens) shuffle, no pair explosion,
+    // the shape that survives a suffix-array-infeasible corpus.
+    // Contract: docs shorter than 20 tokens have no windows and no
+    // output row — and they MUST be filtered before `sequence`, which
+    // (unlike DuckDB's `range`) generates a DESCENDING sequence when
+    // the upper bound is below the start.
+    Q(
+      "q83_substring_dedup",
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        win AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(tk) - 18),
+                   i -> md5(array_to_string(list_slice(tk, i, i + 19), ' ')))) AS wh
+          FROM tok),
+        df AS (
+          SELECT wh, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM win GROUP BY wh)
+        SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(COUNT(*) FILTER (d.df >= 2) AS BIGINT) AS n_dup_windows,
+               CAST(COUNT(*) FILTER (d.df >= 2) AS DOUBLE) / COUNT(*) AS dup_frac
+        FROM win w JOIN df d ON d.wh = w.wh
+        GROUP BY w.doc_id""")
+    ) { (s, dir) =>
+      val wins = t(s, dir, "documents")
+        .withColumn("tk", split(col("text"), " "))
+        .filter(size(col("tk")) >= 20)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(tk) - 19), " +
+            "i -> md5(concat_ws(' ', slice(tk, i, 20))))")).as("wh"))
+      val df = wins.groupBy("wh")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      wins.join(df, "wh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_windows"),
+          (sum(when(col("df") >= 2, 1L).otherwise(0L)).cast("double") /
+            count(lit(1))).as("dup_frac"))
+    },
   )
 }

@@ -338,6 +338,16 @@ class PlanSpec extends SparkSpec {
       s"q82 reads more than it projects: ${scan.requiredSchema.fieldNames.toSeq}")
   }
 
+  test("q83: substring dedup stays keyed by the window hash — no cartesian") {
+    val p = plan("q83_substring_dedup")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
+      p.collect { case n: BroadcastNestedLoopJoinExec => n }.isEmpty,
+      s"window df join must be an equi-join on the hash:\n$p")
+    assert(scans(p).nonEmpty && scans(p).forall(
+      _.requiredSchema.fieldNames.toSet == Set("doc_id", "text")),
+      s"q83 reads more than it projects:\n$p")
+  }
+
   test("q80: z-order key is pure per-row arithmetic — zero shuffles") {
     val p = plan("q80_zorder")
     assert(shuffles(p).isEmpty, s"no exchange in a clustering-key projection:\n$p")
