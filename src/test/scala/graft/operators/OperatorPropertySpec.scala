@@ -104,4 +104,27 @@ class OperatorPropertySpec extends SparkSpec {
       }
     }
   }
+
+  // ---------------------------------------------------------------- BloomPrefilter
+
+  test("BloomPrefilter never drops a member and passes few non-members, random key sets") {
+    import spark.implicits._
+    for (seed <- 1L to 3L) {
+      val members = sample(Gen.listOfN(400,
+        Gen.choose(Long.MinValue, Long.MaxValue)), seed).distinct
+      val outsiders = sample(Gen.listOfN(2000,
+        Gen.choose(Long.MinValue, Long.MaxValue)), seed + 7)
+        .distinct.filterNot(members.toSet)
+      val cfg = BloomPrefilter.Config(numBits = 1 << 14)
+      val keys = members.toDF("k")
+      val in = BloomPrefilter.prefilter(members.toDF("p"), "p", keys, "k", cfg)
+      assert(in.count() === members.length.toLong,
+        s"seed=$seed: a member failed the filter — broken no-false-negative contract")
+      val fp = BloomPrefilter.prefilter(outsiders.toDF("p"), "p", keys, "k", cfg)
+        .count().toDouble / outsiders.length
+      // 400 keys × ≤3 bits in 2^14 bits → fill ≤ 7.3%, blocked-FP ≪ 5%
+      assert(fp < 0.05, s"seed=$seed: FP rate $fp out of spec")
+    }
+  }
+
 }

@@ -19,6 +19,19 @@ class LayoutSpec extends SparkSpec {
       org.apache.spark.sql.Row(0L, 65535L))
   }
 
+  test("z-interleave de-interleaves back to (x, y) across the grid") {
+    val got = spark.range(256 * 256)
+      .select((col("id") % 256).as("x"), expr("id div 256").as("y"))
+      .withColumn("z", Layout.interleaveCol(col("x"), col("y")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (x, y, z) =>
+      def gather(start: Int) =
+        (0 until 8).map(i => (((z >> (2 * i + start)) & 1L) << i)).sum
+      assert(gather(0) === x && gather(1) === y,
+        s"z=$z does not de-interleave to ($x, $y)")
+    }
+  }
+
   test("q80 blocks pin x div 8 and y div 8 — two-dimensional locality") {
     val df = SparkEntry.queries("q80_zorder")(spark, "/root/testdata/sf0.001")
     val perBlock = df.groupBy("block_id")
