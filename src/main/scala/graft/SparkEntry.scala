@@ -29,6 +29,7 @@ import graft.queries.{Cleaning, Curation, Events, Layout, Matching, Multimodal, 
   *   q81     graft.queries.TextOps    — tokenizer vocabulary induction
   *   q82     graft.queries.Curation   — concat-and-chunk sequence packing
   *   q83     graft.queries.TextOps    — exact substring-span dedup
+  *   q84     graft.queries.Multimodal — nearest-neighbor resize (stub codec)
   */
 object SparkEntry {
 

@@ -64,6 +64,25 @@ object BinaryDecode {
     }
   }
 
+  /** STUB RESIZE — nearest-neighbor downsample of a payload to exactly
+    * `target` bytes (positions i ↦ byte[(i·len) div target]). A real
+    * deployment swaps this for an image scaler / audio resampler; the
+    * contract — fixed output size, deterministic, pure per-record — is
+    * the real one. For len < target, positions repeat (nearest-neighbor
+    * upsampling), matching the SQL replay in q84's oracle. */
+  def resizePayload(bytes: Array[Byte], target: Int): Array[Byte] = {
+    require(target > 0 && bytes.nonEmpty, "resize needs a non-empty payload")
+    Array.tabulate(target)(i => bytes((i.toLong * bytes.length / target).toInt))
+  }
+
+  /** Batched per-partition resize — same mapPartitions shape as the
+    * decode stage, so a codec-backed scaler slots in unchanged. */
+  def resizeAll(records: Dataset[MediaRecord], target: Int): Dataset[MediaRecord] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map(r =>
+      MediaRecord(r.doc_id, r.mime, resizePayload(r.payload, target))))
+  }
+
   /** DataFrame entry point: documents → media records (payload
     * synthesized from text in this environment) → decoded frames. */
   def decodeDocuments(spark: SparkSession, documents: DataFrame,

@@ -72,5 +72,33 @@ object Multimodal {
           md5(expr("substring(text, cast(frame_no * 32 + 1 as int), 32)").cast("binary"))
             .as("frame_hash"))
     },
+
+    // ---------------------------------------------------------------- q84
+    // Resize: nearest-neighbor downsample of every payload to a fixed
+    // 64 "pixels" (position i reads byte (i·len) div 64 — repeats when
+    // upsampling short payloads). The column-level path here replays
+    // exactly BinaryDecode.resizePayload's math, and BinaryDecodeSpec
+    // pins the two byte-identical; both are pure per-row work, zero
+    // shuffles. This is the stand-in for an image scaler: fixed output
+    // size, deterministic, plumbing real, codec stubbed.
+    Q(
+      "q84_resize",
+      Some("""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_bytes,
+               md5(array_to_string(list_transform(range(0, 64),
+                 i -> substr(text, CAST(1 + (i * length(text)) // 64 AS INT), 1)), ''))
+                 AS resized_hash
+        FROM documents WHERE length(text) >= 1""")
+    ) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .filter(length(col("text")) >= 1)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_bytes"),
+          md5(expr(
+            "concat_ws('', transform(sequence(0, 63), " +
+              "i -> substring(text, cast(1 + (i * length(text)) div 64 as int), 1)))")
+            .cast("binary")).as("resized_hash"))
+    },
   )
 }

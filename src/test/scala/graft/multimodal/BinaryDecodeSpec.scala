@@ -29,4 +29,26 @@ class BinaryDecodeSpec extends SparkSpec {
       .collect().map(f => (f.doc_id, f.frame_no, f.features.toSeq)).sortBy(x => (x._1, x._2))
     assert(a.toSeq === b.toSeq)
   }
+
+  test("mapPartitions resize matches q84's column-level replay byte for byte") {
+    import spark.implicits._
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val records = docs.select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.lit("image/png").as("mime"),
+      org.apache.spark.sql.functions.col("text")
+        .cast("binary").as("payload")).as[BinaryDecode.MediaRecord]
+    val resized = BinaryDecode.resizeAll(records, 64)
+      .collect().map(r => r.doc_id ->
+        java.security.MessageDigest.getInstance("MD5").digest(r.payload)
+          .map("%02x".format(_)).mkString).toMap
+    val q84 = graft.SparkEntry.queries("q84_resize")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(resized.size === q84.size)
+    assert(resized === q84,
+      "the stub scaler and the SQL nearest-neighbor replay must agree")
+    // contract: every resized payload is exactly the target size
+    assert(BinaryDecode.resizeAll(records, 64).collect()
+      .forall(_.payload.length === 64))
+  }
 }

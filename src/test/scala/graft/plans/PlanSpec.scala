@@ -356,4 +356,12 @@ class PlanSpec extends SparkSpec {
       Set("p_partkey", "p_size", "p_retailprice"),
       s"q80 reads more than it projects: ${scan.requiredSchema.fieldNames.toSeq}")
   }
+
+  test("q84: resize is pure per-row work — zero shuffles, pruned scan") {
+    val p = plan("q84_resize")
+    assert(shuffles(p).isEmpty, s"no exchange in a per-row resize:\n$p")
+    val Seq(scan) = scans(p)
+    assert(scan.requiredSchema.fieldNames.toSet === Set("doc_id", "text"),
+      s"q84 reads more than it projects: ${scan.requiredSchema.fieldNames.toSeq}")
+  }
 }
