@@ -30,6 +30,7 @@ import graft.queries.{Cleaning, Curation, Events, Layout, Matching, Multimodal, 
   *   q82     graft.queries.Curation   — concat-and-chunk sequence packing
   *   q83     graft.queries.TextOps    — exact substring-span dedup
   *   q84     graft.queries.Multimodal — nearest-neighbor resize (stub codec)
+  *   q85     graft.queries.TextOps    — count-min frequency estimation
   */
 object SparkEntry {
 

@@ -62,16 +62,11 @@ object BloomPrefilter {
 
   /** Aggregates `keys(keyCol)` into a one-row dense bitmap
     * `__bloom: array<bigint>` of exactly numWords entries. */
-  def build(keys: DataFrame, keyCol: String, cfg: Config = Config()): DataFrame = {
-    val sparse = keys
-      .select(word(col(keyCol), cfg).as("__w"), mask(col(keyCol), cfg).as("__m"))
-      .groupBy("__w").agg(expr("bit_or(__m)").as("__bits"))
-    keys.sparkSession.range(cfg.numWords).select(col("id").as("__w"))
-      .join(sparse, Seq("__w"), "left")
-      .select(col("__w"), coalesce(col("__bits"), lit(0L)).as("__bits"))
-      .agg(sort_array(collect_list(struct(col("__w"), col("__bits")))).as("__sw"))
-      .select(transform(col("__sw"), s => s.getField("__bits")).as("__bloom"))
-  }
+  def build(keys: DataFrame, keyCol: String, cfg: Config = Config()): DataFrame =
+    Dense.scatter(
+      keys.select(word(col(keyCol), cfg).as("__w"), mask(col(keyCol), cfg).as("__m"))
+        .groupBy("__w").agg(expr("bit_or(__m)").as("__bits")),
+      "__w", "__bits", cfg.numWords, "__bloom")
 
   /** Membership test against a `__bloom` dense-array column. True ⇒
     * maybe present; false ⇒ definitely absent. `bloom` is referenced

@@ -615,5 +615,35 @@ object TextOps {
           (sum(when(col("df") >= 2, 1L).otherwise(0L)).cast("double") /
             count(lit(1))).as("dup_frac"))
     },
+
+    // ---------------------------------------------------------------- q85
+    // Count-min frequency estimation (operators/CountMin): the sketch
+    // answers "how often does this key occur" over key spaces too big
+    // to count exactly — here validated AGAINST the exact counts,
+    // which the small vocabulary makes available. Partial oracle in
+    // the q45 HLL style: exact columns plus a pinned guarantee flag —
+    // the sketch is deterministic (counter addition commutes), so
+    // `est ≥ exact AND est − exact ≤ N/width` must hold for every
+    // token on both engines or the row hash breaks.
+    Q(
+      "q85_countmin_freq",
+      Some("""
+        WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt, true AS est_ok
+        FROM toks GROUP BY tok""")
+    ) { (s, dir) =>
+      import graft.operators.CountMin
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val sketch = CountMin.build(toks, "tok")
+      val tot = toks.agg(count(lit(1)).as("n"))
+      val est = CountMin.estimate(col("tok"), col("__cm"))
+      toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+        .crossJoin(broadcast(sketch))
+        .crossJoin(broadcast(tot))
+        .select(col("tok"), col("exact_cnt"),
+          (est >= col("exact_cnt") &&
+            est - col("exact_cnt") <= expr("n div 1024")).as("est_ok"))
+    },
   )
 }

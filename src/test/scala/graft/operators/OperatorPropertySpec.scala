@@ -127,4 +127,35 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- CountMin
+
+  test("CountMin never underestimates and conserves mass per row, random streams") {
+    import spark.implicits._
+    for (seed <- 1L to 3L) {
+      // a skewed stream: few hot keys, a tail of rare ones
+      val stream = sample(Gen.listOfN(3000, Gen.frequency(
+        5 -> Gen.choose(0L, 5L), 3 -> Gen.choose(0L, 50L),
+        2 -> Gen.choose(0L, 5000L))), seed).map(_.toString)
+      val cfg = CountMin.Config(rows = 3, width = 64)
+      val items = stream.toDF("k")
+      val sketchRow = CountMin.build(items, "k", cfg)
+      // each sketch row received every item exactly once
+      val rowSums = sketchRow.selectExpr(
+        (0 until cfg.rows).map(r =>
+          s"aggregate(slice(__cm, ${r * cfg.width + 1}, ${cfg.width}), 0L, (a, x) -> a + x) AS s$r"): _*)
+        .head()
+      (0 until cfg.rows).foreach(r =>
+        assert(rowSums.getLong(r) === stream.length.toLong,
+          s"seed=$seed row $r lost mass"))
+      // point estimates upper-bound the true counts
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val ests = items.distinct()
+        .crossJoin(broadcast(sketchRow))
+        .select(col("k"), CountMin.estimate(col("k"), col("__cm"), cfg).as("est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      ests.foreach { case (k, est) =>
+        assert(est >= exact(k), s"seed=$seed key $k underestimated: $est < ${exact(k)}")
+      }
+    }
+  }
 }
