@@ -59,4 +59,11 @@ object CountMin {
   def estimate(key: Column, sketch: Column, cfg: Config = Config()): Column =
     least((0 until cfg.rows).map(r =>
       element_at(sketch, (cell(key, r, cfg) + 1).cast("int"))): _*)
+
+  /** Cell-wise sum of two sketch columns — the mergeability that makes
+    * the sketch distributed: per-partition (or per-day, per-shard)
+    * sketches combine into the global one with no access to the raw
+    * stream. merge(build(A), build(B)) == build(A ∪ B) exactly. */
+  def merge(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => x + y)
 }

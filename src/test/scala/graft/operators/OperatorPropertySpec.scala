@@ -158,4 +158,18 @@ class OperatorPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("CountMin sketches merge exactly: build(A) + build(B) == build(A ++ B)") {
+    import spark.implicits._
+    val cfg = CountMin.Config(rows = 3, width = 64)
+    val a = sample(Gen.listOfN(800, Gen.choose(0L, 200L)), 11L).map(_.toString)
+    val b = sample(Gen.listOfN(700, Gen.choose(100L, 400L)), 12L).map(_.toString)
+    val merged = CountMin.build(a.toDF("k"), "k", cfg).select(col("__cm").as("ca"))
+      .crossJoin(CountMin.build(b.toDF("k"), "k", cfg).select(col("__cm").as("cb")))
+      .select(CountMin.merge(col("ca"), col("cb")).as("__cm"))
+      .head().getSeq[Long](0)
+    val whole = CountMin.build((a ++ b).toDF("k"), "k", cfg)
+      .head().getSeq[Long](0)
+    assert(merged === whole)
+  }
 }
