@@ -31,6 +31,7 @@ import graft.queries.{Cleaning, Curation, Events, Layout, Matching, Multimodal, 
   *   q83     graft.queries.TextOps    — exact substring-span dedup
   *   q84     graft.queries.Multimodal — nearest-neighbor resize (stub codec)
   *   q85     graft.queries.TextOps    — count-min frequency estimation
+  *   q86     graft.queries.Events     — keyed interval join (attribution)
   */
 object SparkEntry {
 

@@ -318,5 +318,44 @@ object Events {
           min(col("click_id")).as("first_click"),
           max(col("click_id")).as("last_click"))
     },
+
+    // ---------------------------------------------------------------- q86
+    // Click→purchase attribution: each purchase pairs with the same
+    // user's clicks in the preceding 30 minutes — the KEYED interval
+    // join (equi user key + time-range predicate) that complements
+    // q63's no-equi-key range join. The hash join partitions on
+    // user_id and the range predicate filters inside each key group,
+    // so candidate work is per-user, never corpus². Mirrored as a
+    // watermarked stream-stream join in StreamOps.attributionJoin
+    // (parity-pinned by StreamBatchParitySpec).
+    Q(
+      "q86_attribution",
+      Some("""
+        WITH clicks AS (
+          SELECT event_id AS click_id, user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS c_us
+          FROM events WHERE event_type = 'click'),
+        purch AS (
+          SELECT event_id AS purchase_id, user_id AS u2,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+          FROM events WHERE event_type = 'purchase')
+        SELECT c.click_id, p.purchase_id, c.user_id, p.p_us - c.c_us AS lag_us
+        FROM clicks c JOIN purch p
+          ON p.u2 = c.user_id AND p.p_us >= c.c_us
+         AND p.p_us <= c.c_us + 1800000000""")
+    ) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          unix_micros(col("ts")).as("c_us"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("u2"),
+          unix_micros(col("ts")).as("p_us"))
+      clicks.join(purch,
+          col("u2") === col("user_id") && col("p_us") >= col("c_us") &&
+            col("p_us") <= col("c_us") + 1800000000L)
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          (col("p_us") - col("c_us")).as("lag_us"))
+    },
   )
 }

@@ -46,6 +46,34 @@ object StreamOps {
     events.withWatermark("ts", watermark)
       .dropDuplicates("event_id")
 
+  /** Stream-stream interval join (the streaming twin of batch q86):
+    * purchases pair with the same user's clicks from the preceding
+    * `maxLag`. Both sides carry watermarks and the join condition
+    * bounds purchase time against click time, so Spark can size the
+    * join state (clicks retire once no in-range purchase can still
+    * arrive) — without the range bound the state would grow forever. */
+  def attributionJoin(events: DataFrame, maxLag: String = "30 minutes",
+      watermark: String = "1 minute"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purch = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("u2"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    // the INTERVAL form is what Spark's state-watermark analysis
+    // recognizes — an arithmetic bound on unix_micros would run with
+    // unbounded join state
+    clicks.join(purch,
+        col("u2") === col("user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $maxLag"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("lag_us"))
+  }
+
   final case class EventRow(
       event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String)
 

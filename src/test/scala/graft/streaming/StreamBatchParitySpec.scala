@@ -158,4 +158,21 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq,
       s"bloom-prefiltered stream: ${streamed.length} vs batch ${batch.length}")
   }
+
+  test("stream-stream interval join equals the batch attribution query q86") {
+    val events = realEvents
+    val in = stageInput(events, 7200000000L)
+    val result = runStream(in, events.schema,
+      st => StreamOps.attributionJoin(st))
+
+    val streamed = result.select("click_id", "purchase_id", "lag_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val batch = SparkEntry.queries("q86_attribution")(spark, "/root/testdata/sf0.001")
+      .select("click_id", "purchase_id", "lag_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+
+    assert(batch.nonEmpty, "attribution must find pairs at sf0.001")
+    assert(streamed.toSeq === batch.toSeq,
+      s"stream-stream join: ${streamed.length} vs batch ${batch.length}")
+  }
 }
