@@ -32,6 +32,7 @@ import graft.queries.{Cleaning, Curation, Events, Layout, Matching, Multimodal, 
   *   q84     graft.queries.Multimodal — nearest-neighbor resize (stub codec)
   *   q85     graft.queries.TextOps    — count-min frequency estimation
   *   q86     graft.queries.Events     — keyed interval join (attribution)
+  *   q87     graft.queries.TextOps    — incremental dedup vs corpus index
   */
 object SparkEntry {
 

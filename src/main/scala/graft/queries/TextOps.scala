@@ -645,5 +645,76 @@ object TextOps {
           (est >= col("exact_cnt") &&
             est - col("exact_cnt") <= expr("n div 1024")).as("est_ok"))
     },
+
+    // ---------------------------------------------------------------- q87
+    // INCREMENTAL near-dup dedup: an incoming batch (doc_id % 10 == 0
+    // stands in for today's crawl) dedups against the EXISTING corpus
+    // without ever pairing corpus×corpus — the band join is strictly
+    // new×corpus, so daily work scales with the batch, not the
+    // accumulated archive. In production the corpus side of the band
+    // join reads a SAVED band index (the explodeBands output is a
+    // plain keyed parquet); candidates then verify with the exact
+    // one-pass Jaccard kernel, and only (banded ∧ jaccard ≥ 0.7)
+    // pairs survive — both stages replayed exactly by the oracle.
+    Q(
+      "q87_incremental_dedup",
+      Some {
+        import graft.operators.MinHashLsh
+        val hashes = (0 until 6).map(j =>
+          s"${MinHashLsh.universalMinSql("grams", j)} AS h$j")
+          .mkString(",\n                 ")
+        val bands = (0 until 3).map(j =>
+          s"SELECT doc_id, $j AS band, CAST(h${2 * j} AS VARCHAR) || '|' || " +
+            s"CAST(h${2 * j + 1} AS VARCHAR) AS band_key FROM mh")
+          .mkString("\n          UNION ALL ")
+        s"""
+        WITH sh AS (
+          SELECT doc_id, $shinglesSql AS grams
+          FROM documents WHERE length(text) >= 3),
+        mh AS (
+          SELECT doc_id,
+                 $hashes
+          FROM sh),
+        banded AS (
+          $bands),
+        cand AS (
+          SELECT DISTINCT i.doc_id AS new_id, c.doc_id AS corpus_id
+          FROM banded i JOIN banded c
+            ON i.band = c.band AND i.band_key = c.band_key
+           AND i.doc_id % 10 = 0 AND c.doc_id % 10 <> 0)
+        SELECT cd.new_id, cd.corpus_id,
+               len(list_filter(a.grams, g -> list_contains(b.grams, g))) AS n_common,
+               len(list_filter(a.grams, g -> list_contains(b.grams, g)))
+                 / (len(a.grams) + len(b.grams)
+                    - len(list_filter(a.grams, g -> list_contains(b.grams, g)))) AS jaccard
+        FROM cand cd
+        JOIN sh a ON a.doc_id = cd.new_id
+        JOIN sh b ON b.doc_id = cd.corpus_id
+        WHERE len(list_filter(a.grams, g -> list_contains(b.grams, g)))
+                / (len(a.grams) + len(b.grams)
+                   - len(list_filter(a.grams, g -> list_contains(b.grams, g)))) >= 0.7"""
+      }
+    ) { (s, dir) =>
+      import graft.operators.MinHashLsh
+      val cfg = MinHashLsh.Config(bands = 3, rowsPerBand = 2, universal = true)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val incoming = docs.filter(col("doc_id") % 10 === 0)
+      val cb = MinHashLsh.explodeBands(corpus, "text", cfg)
+        .select(col("doc_id").as("corpus_id"), col("band"), col("band_key"))
+      val ib = MinHashLsh.explodeBands(incoming, "text", cfg)
+        .select(col("doc_id").as("new_id"), col("band"), col("band_key"))
+      ib.join(cb, Seq("band", "band_key"))
+        .select("new_id", "corpus_id").distinct()
+        .join(incoming.select(col("doc_id").as("new_id"),
+          col("text").as("text_n")), "new_id")
+        .join(corpus.select(col("doc_id").as("corpus_id"),
+          col("text").as("text_c")), "corpus_id")
+        .withColumn("jc",
+          graft.functions.Jaccard.jaccard3(col("text_n"), col("text_c")))
+        .filter(col("jc.jaccard") >= 0.7)
+        .select(col("new_id"), col("corpus_id"),
+          col("jc.n_common").as("n_common"), col("jc.jaccard").as("jaccard"))
+    },
   )
 }

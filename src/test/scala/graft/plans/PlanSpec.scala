@@ -357,6 +357,20 @@ class PlanSpec extends SparkSpec {
       s"q80 reads more than it projects: ${scan.requiredSchema.fieldNames.toSeq}")
   }
 
+  test("q87: incremental dedup joins only on (band, band_key) — no cartesian") {
+    val p = plan("q87_incremental_dedup")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
+      p.collect { case n: BroadcastNestedLoopJoinExec => n }.isEmpty,
+      s"new×corpus candidates must come from the band index only:\n$p")
+    val equiJoins = p.collect {
+      case j: SortMergeJoinExec => j.leftKeys
+      case j: ShuffledHashJoinExec => j.leftKeys
+      case j: BroadcastHashJoinExec => j.leftKeys
+    }
+    assert(equiJoins.exists(_.length >= 2),
+      s"the candidate join must key on (band, band_key):\n$p")
+  }
+
   test("q84: resize is pure per-row work — zero shuffles, pruned scan") {
     val p = plan("q84_resize")
     assert(shuffles(p).isEmpty, s"no exchange in a per-row resize:\n$p")
