@@ -72,6 +72,10 @@ object TextOps {
   private[queries] val bpePattern =
     """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
 
+  /** q87's stop-bucket cap: corpus band buckets holding more docs than
+    * this are dropped before candidate pairing. */
+  private val incrMaxBucket = 20
+
   val all: Seq[Q] = Seq(
     // ---------------------------------------------------------------- q26
     // Exact deduplication: group by content hash, canonical survivor.
@@ -653,9 +657,15 @@ object TextOps {
     // new×corpus, so daily work scales with the batch, not the
     // accumulated archive. In production the corpus side of the band
     // join reads a SAVED band index (the explodeBands output is a
-    // plain keyed parquet); candidates then verify with the exact
-    // one-pass Jaccard kernel, and only (banded ∧ jaccard ≥ 0.7)
-    // pairs survive — both stages replayed exactly by the oracle.
+    // plain keyed parquet). Corpus buckets holding more than
+    // `incrMaxBucket` docs are DROPPED before pairing — the stop-
+    // bucket cap (q64's move): mega-buckets are generic templates
+    // whose pair expansion is quadratic poison (uncapped, sf0.1
+    // generates 1.1M candidates; capped, 929), and the cap is part of
+    // the operator's declared recall contract. Candidates then verify
+    // with the exact one-pass Jaccard kernel, and only
+    // (banded ∧ small-bucket ∧ jaccard ≥ 0.7) pairs survive — all
+    // three stages replayed exactly by the oracle.
     Q(
       "q87_incremental_dedup",
       Some {
@@ -677,11 +687,17 @@ object TextOps {
           FROM sh),
         banded AS (
           $bands),
+        corp AS (
+          SELECT * FROM banded WHERE doc_id % 10 <> 0),
+        small AS (
+          SELECT band, band_key FROM corp
+          GROUP BY band, band_key HAVING COUNT(*) <= $incrMaxBucket),
         cand AS (
           SELECT DISTINCT i.doc_id AS new_id, c.doc_id AS corpus_id
-          FROM banded i JOIN banded c
-            ON i.band = c.band AND i.band_key = c.band_key
-           AND i.doc_id % 10 = 0 AND c.doc_id % 10 <> 0)
+          FROM banded i
+          JOIN small s ON s.band = i.band AND s.band_key = i.band_key
+          JOIN corp c ON c.band = i.band AND c.band_key = i.band_key
+          WHERE i.doc_id % 10 = 0)
         SELECT cd.new_id, cd.corpus_id,
                len(list_filter(a.grams, g -> list_contains(b.grams, g))) AS n_common,
                len(list_filter(a.grams, g -> list_contains(b.grams, g)))
@@ -704,7 +720,11 @@ object TextOps {
         .select(col("doc_id").as("corpus_id"), col("band"), col("band_key"))
       val ib = MinHashLsh.explodeBands(incoming, "text", cfg)
         .select(col("doc_id").as("new_id"), col("band"), col("band_key"))
-      ib.join(cb, Seq("band", "band_key"))
+      // drop mega-buckets BEFORE pairing — the join must never see them
+      val small = cb.groupBy("band", "band_key")
+        .agg(count(lit(1)).as("bn")).filter(col("bn") <= incrMaxBucket)
+        .select("band", "band_key")
+      ib.join(cb.join(small, Seq("band", "band_key")), Seq("band", "band_key"))
         .select("new_id", "corpus_id").distinct()
         .join(incoming.select(col("doc_id").as("new_id"),
           col("text").as("text_n")), "new_id")
