@@ -610,14 +610,16 @@ object TextOps {
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, size(tk) - 19), " +
             "i -> md5(concat_ws(' ', slice(tk, i, 20))))")).as("wh"))
-      val df = wins.groupBy("wh")
-        .agg(countDistinct(col("doc_id")).as("df"))
-      wins.join(df, "wh")
+      // pre-aggregate to (doc, window) so the cross-doc df is a plain
+      // COUNT window over one row per (doc, window) — replaces the
+      // countDistinct + join-back formulation (4 exchanges) with 3
+      val dw = wins.groupBy("doc_id", "wh").agg(count(lit(1)).as("c"))
+      val dup = sum(when(col("df") >= 2, col("c")).otherwise(0L))
+      dw.withColumn("df", count(lit(1)).over(Window.partitionBy("wh")))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_windows"),
-          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_windows"),
-          (sum(when(col("df") >= 2, 1L).otherwise(0L)).cast("double") /
-            count(lit(1))).as("dup_frac"))
+        .agg(sum(col("c")).as("n_windows"),
+          dup.as("n_dup_windows"),
+          (dup.cast("double") / sum(col("c"))).as("dup_frac"))
     },
 
     // ---------------------------------------------------------------- q85
