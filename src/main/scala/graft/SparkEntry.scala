@@ -33,6 +33,7 @@ import graft.queries.{Cleaning, Curation, Events, Layout, Matching, Multimodal, 
   *   q85     graft.queries.TextOps    — count-min frequency estimation
   *   q86     graft.queries.Events     — keyed interval join (attribution)
   *   q87     graft.queries.TextOps    — incremental dedup vs corpus index
+  *   q88     graft.queries.Relational — OLS fit from sufficient statistics
   */
 object SparkEntry {
 

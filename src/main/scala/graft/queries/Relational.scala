@@ -587,5 +587,66 @@ object Relational {
         .filter(col("o_totalprice") > col("thr"))
         .agg(count(lit(1)).as("n_above"), dsum(col("o_totalprice")).as("sum_above"))
     },
+
+    // ---------------------------------------------------------------- q88
+    // In-engine OLS: closed-form linear regression of price on
+    // quantity per return flag, from SUFFICIENT STATISTICS — one
+    // aggregation pass collecting exact-integer Σx, Σy, Σxy, Σx², Σy²
+    // (x integral; y quantized to whole currency units), then the
+    // normal-equation arithmetic runs on exact longs cast to double
+    // with the IDENTICAL expression tree on both engines (every IEEE
+    // op is exactly rounded, so same tree ⇒ same bits). This is how
+    // regression scales: the data pass is a plain partial-aggregated
+    // groupBy; the fit itself touches five numbers per group.
+    Q(
+      "q88_linear_fit",
+      Some("""
+        WITH q AS (
+          SELECT l_returnflag,
+                 CAST(l_quantity AS BIGINT) AS x,
+                 CAST(round(l_extendedprice) AS BIGINT) AS y
+          FROM lineitem),
+        s AS (
+          SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y) AS BIGINT) AS syy
+          FROM q GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS slope,
+               (CAST(sy AS DOUBLE) - (((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)))
+                 / CAST(n AS DOUBLE) AS intercept,
+               (((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))))
+                 / (((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * ((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)) - (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS r2
+        FROM s""")
+    ) { (s, dir) =>
+      val stats = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("x"),
+          round(col("l_extendedprice")).cast("long").as("y"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      val nD = col("n").cast("double")
+      val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+      val sxyD = col("sxy").cast("double"); val sxxD = col("sxx").cast("double")
+      val syyD = col("syy").cast("double")
+      // expression trees mirror the oracle SQL exactly — same IEEE ops
+      // in the same order on the same exact-integer inputs
+      val num = (nD * sxyD) - (sxD * syD)
+      val den = (nD * sxxD) - (sxD * sxD)
+      stats.select(col("l_returnflag"), col("n"),
+        (num / den).as("slope"),
+        ((syD - ((num / den) * sxD)) / nD).as("intercept"),
+        ((num * num) / (den * ((nD * syyD) - (syD * syD)))).as("r2"))
+    },
   )
 }

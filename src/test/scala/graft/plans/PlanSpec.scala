@@ -371,6 +371,18 @@ class PlanSpec extends SparkSpec {
       s"the candidate join must key on (band, band_key):\n$p")
   }
 
+  test("q88: OLS sufficient statistics aggregate in one pass — partial agg, one exchange") {
+    val p = plan("q88_linear_fit")
+    assert(shuffles(p).length === 1, s"one data pass, one exchange:\n$p")
+    val aggs = p.collect { case a: HashAggregateExec => a }
+    assert(aggs.exists(_.aggregateExpressions.exists(_.mode.toString == "Partial")),
+      s"the statistics must combine map-side:\n$p")
+    val Seq(scan) = scans(p)
+    assert(scan.requiredSchema.fieldNames.toSet ===
+      Set("l_returnflag", "l_quantity", "l_extendedprice"),
+      s"q88 reads more than it projects: ${scan.requiredSchema.fieldNames.toSeq}")
+  }
+
   test("q84: resize is pure per-row work — zero shuffles, pruned scan") {
     val p = plan("q84_resize")
     assert(shuffles(p).isEmpty, s"no exchange in a per-row resize:\n$p")
