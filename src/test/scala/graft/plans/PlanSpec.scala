@@ -371,6 +371,41 @@ class PlanSpec extends SparkSpec {
       s"the candidate join must key on (band, band_key):\n$p")
   }
 
+  test("q35: tf-idf joins broadcast the idf table and corpus size — tf never shuffles on token") {
+    val p = plan("q35_tfidf_topterms")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+      p.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
+      s"the vocabulary-sized idf table must broadcast:\n$p")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"idf join must be a broadcast hash join:\n$p")
+  }
+
+  test("q85: the count-min sketch attaches by broadcast; counting partially aggregates") {
+    val p = plan("q85_countmin_freq")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"the one-row sketch must broadcast, not cartesian:\n$p")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+      p.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
+      s"nothing in the sketch attach may shuffle a join:\n$p")
+    val aggs = p.collect { case a: HashAggregateExec => a }
+    assert(aggs.exists(_.aggregateExpressions.exists(_.mode.toString == "Partial")),
+      s"cell counting must combine map-side:\n$p")
+  }
+
+  test("q86: attribution is one equi-join keyed on the user — no cartesian, no nested loop") {
+    val p = plan("q86_attribution")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
+      p.collect { case n: BroadcastNestedLoopJoinExec => n }.isEmpty,
+      s"the time-range predicate must ride an equi-join, not a loop:\n$p")
+    val equiJoins = p.collect {
+      case j: SortMergeJoinExec => j.leftKeys
+      case j: ShuffledHashJoinExec => j.leftKeys
+      case j: BroadcastHashJoinExec => j.leftKeys
+    }
+    assert(equiJoins.nonEmpty && equiJoins.forall(_.nonEmpty),
+      s"the join must key on user_id:\n$p")
+  }
+
   test("q88: OLS sufficient statistics aggregate in one pass — partial agg, one exchange") {
     val p = plan("q88_linear_fit")
     assert(shuffles(p).length === 1, s"one data pass, one exchange:\n$p")
