@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Cleaning, Curation, Events, Layout, Matching, Multimodal, Relational, TextOps, Vectors}
+import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multimodal, Relational, TextOps, Vectors}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -34,13 +34,20 @@ import graft.queries.{Cleaning, Curation, Events, Layout, Matching, Multimodal, 
   *   q86     graft.queries.Events     — keyed interval join (attribution)
   *   q87     graft.queries.TextOps    — incremental dedup vs corpus index
   *   q88     graft.queries.Relational — OLS fit from sufficient statistics
+  *   q89     graft.queries.Vectors    — semantic dedup (SemDeDup, IVF cells)
+  *   q90     graft.queries.Matching   — BM25 ranked retrieval
+  *   q91–q93 graft.queries.Events     — cohort retention, funnel,
+  *            time-series gap-fill + forward fill
+  *   q94     graft.queries.Graph      — fixed-point PageRank (3 iters)
+  *   q95     graft.queries.TextOps    — BPE merge induction
+  *   q96     graft.queries.Relational — mergeable histogram quantiles
   */
 object SparkEntry {
 
   val allQueries: Seq[Q] =
     Relational.all ++ Events.all ++ TextOps.all ++ Vectors.all ++
       Cleaning.all ++ Multimodal.all ++ Curation.all ++ Matching.all ++
-      Layout.all
+      Layout.all ++ Graph.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

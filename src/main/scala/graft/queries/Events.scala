@@ -319,6 +319,164 @@ object Events {
           max(col("click_id")).as("last_click"))
     },
 
+    // ---------------------------------------------------------------- q91
+    // Weekly cohort retention: users are cohorted by the Monday week of
+    // their FIRST event; each later active week counts them at offset
+    // (active_week - cohort_week)/7 days. The classic product-analytics
+    // matrix. Two keyed shuffles: min-per-user (partial-agg combine),
+    // then distinct (user, week) rolled up by (cohort_week, offset);
+    // cohort_size re-attaches with a window over the tiny matrix — the
+    // corpus itself is never re-scanned. Both engines truncate weeks to
+    // Monday and difference in whole days, so offsets are exact
+    // integers.
+    Q(
+      "q91_cohort_retention",
+      Some("""
+        WITH firsts AS (
+          SELECT user_id,
+                 CAST(date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS DATE) AS cohort_week
+          FROM events GROUP BY user_id),
+        active AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS active_week
+          FROM events),
+        cells AS (
+          SELECT f.cohort_week,
+                 CAST(date_diff('day', f.cohort_week, a.active_week) // 7 AS BIGINT) AS week_offset,
+                 COUNT(*) AS n_active
+          FROM active a JOIN firsts f ON f.user_id = a.user_id
+          GROUP BY 1, 2)
+        SELECT cohort_week, week_offset, n_active,
+               MAX(CASE WHEN week_offset = 0 THEN n_active END)
+                 OVER (PARTITION BY cohort_week) AS cohort_size
+        FROM cells""")
+    ) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val firsts = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+      val active = ev
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("active_week"))
+        .distinct()
+      val cells = active.join(firsts, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          expr("datediff(active_week, cohort_week) div 7").as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+      cells.withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_active")))
+          .over(Window.partitionBy("cohort_week")))
+    },
+
+    // ---------------------------------------------------------------- q92
+    // Ordered funnel conversion: view → click (strictly after the first
+    // view) → purchase (strictly after that click), per user, with the
+    // total time spent advancing each stage. Each stage is one
+    // aggregate keyed on user_id — the same single shuffle key
+    // throughout, so at scale every stage co-partitions with the last
+    // (no re-shuffle; and the per-stage tables shrink monotonically).
+    // Exact-integer microsecond sums; one output row per stage.
+    Q(
+      "q92_funnel",
+      Some("""
+        WITH v AS (
+          SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS v_us
+          FROM events WHERE event_type = 'view' GROUP BY user_id),
+        c AS (
+          SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS c_us
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND epoch_us(CAST(e.ts AS TIMESTAMP)) > v.v_us
+          GROUP BY e.user_id),
+        p AS (
+          SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS p_us
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND epoch_us(CAST(e.ts AS TIMESTAMP)) > c.c_us
+          GROUP BY e.user_id)
+        SELECT 1 AS step, 'view' AS stage, COUNT(*) AS n_users,
+               CAST(0 AS BIGINT) AS total_advance_us FROM v
+        UNION ALL
+        SELECT 2, 'view>click', COUNT(*),
+               CAST(SUM(c.c_us - v.v_us) AS BIGINT)
+        FROM c JOIN v ON v.user_id = c.user_id
+        UNION ALL
+        SELECT 3, 'view>click>purchase', COUNT(*),
+               CAST(SUM(p.p_us - c.c_us) AS BIGINT)
+        FROM p JOIN c ON c.user_id = p.user_id""")
+    ) { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("v_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("us") > col("v_us"))
+        .groupBy("user_id").agg(min(col("us")).as("c_us"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("us") > col("c_us"))
+        .groupBy("user_id").agg(min(col("us")).as("p_us"))
+      val s1 = v.agg(count(lit(1)).as("n_users"))
+        .select(lit(1).as("step"), lit("view").as("stage"), col("n_users"),
+          lit(0L).as("total_advance_us"))
+      val s2 = c.join(v, Seq("user_id"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("c_us") - col("v_us")).as("total_advance_us"))
+        .select(lit(2).as("step"), lit("view>click").as("stage"),
+          col("n_users"), col("total_advance_us"))
+      val s3 = p.join(c, Seq("user_id"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("p_us") - col("c_us")).as("total_advance_us"))
+        .select(lit(3).as("step"), lit("view>click>purchase").as("stage"),
+          col("n_users"), col("total_advance_us"))
+      s1.unionAll(s2).unionAll(s3)
+    },
+
+    // ---------------------------------------------------------------- q93
+    // Time-series gap-fill + forward fill: per event type, the hourly
+    // value series resampled onto a dense hour spine (sequence() from
+    // the type's first to last hour) with empty hours carried forward
+    // from the last observed hour. The spine generates per KEY — no
+    // global driver-side range — and the fill is one running window
+    // per key, so the whole query is partitioned by event_type at any
+    // scale. Sums go through DECIMAL (order-free); the fill then
+    // copies already-deterministic values.
+    Q(
+      "q93_gapfill",
+      Some("""
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_bucket,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+          FROM events GROUP BY 1, 2),
+        span AS (
+          SELECT event_type, MIN(hour_bucket) AS h0, MAX(hour_bucket) AS h1
+          FROM hourly GROUP BY event_type),
+        spine AS (
+          SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_bucket
+          FROM span)
+        SELECT s.event_type, s.hour_bucket,
+               COALESCE(h.n, 0) AS n,
+               CASE WHEN h.n IS NULL THEN 1 ELSE 0 END AS is_gap,
+               last_value(h.sum_value IGNORE NULLS)
+                 OVER (PARTITION BY s.event_type ORDER BY s.hour_bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+        FROM spine s LEFT JOIN hourly h
+          ON h.event_type = s.event_type AND h.hour_bucket = s.hour_bucket""")
+    ) { (s, dir) =>
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour_bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      val spine = hourly.groupBy(col("event_type"))
+        .agg(min(col("hour_bucket")).as("h0"), max(col("hour_bucket")).as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour_bucket"))
+      val w = Window.partitionBy("event_type").orderBy("hour_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("event_type", "hour_bucket"), "left")
+        .select(col("event_type"), col("hour_bucket"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          when(col("n").isNull, 1).otherwise(0).as("is_gap"),
+          last(col("sum_value"), ignoreNulls = true).over(w).as("filled_sum"))
+    },
+
     // ---------------------------------------------------------------- q86
     // Click→purchase attribution: each purchase pairs with the same
     // user's clicks in the preceding 30 minutes — the KEYED interval

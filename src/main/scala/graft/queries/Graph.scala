@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics expressed as keyed joins + aggregations — the Spark
+  * formulation of iterative vertex programs (PageRank here; q66's
+  * min-label connected components lives with the dedup operators it
+  * serves in operators/MinHashLsh).
+  *
+  * Scale notes: each PageRank iteration is ONE join of the edge table
+  * with the (much smaller) rank table on the source key plus one
+  * aggregation on the destination key — the canonical two-shuffle
+  * vertex-program step. Edges and ranks hash-partition on the vertex
+  * id; nothing is ever collected, broadcast, or materialized
+  * driver-side, so the iteration count is the only serial dimension.
+  * At 100 TB the edge table partitioning is reused across iterations
+  * (same key, AQE keeps the exchange), exactly how GraphX/Pregel
+  * schedule it.
+  *
+  * Cross-engine determinism: ranks are FIXED-POINT integers (×10⁴).
+  * Each step is r' = 1500 + (85 · Σ_in (r div outdeg)) div 100 — all
+  * BIGINT floor arithmetic, so both engines produce bit-identical
+  * ranks at every iteration (no float summation order, no libm). A
+  * fixed iteration count (3) unrolls into plain SQL for the oracle,
+  * like q66's label propagation.
+  */
+object Graph {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Fixed-point scale: rank 1.0 ≡ 10000. Damping 0.85 becomes
+    * ·85 div 100; teleport (1−d) becomes +1500. */
+  private val rankOne = 10000L
+
+  val all: Seq[Q] = Seq(
+    // ---------------------------------------------------------------- q94
+    // Fixed-point PageRank, 3 iterations, over the customer↔supplier
+    // trading graph: a distinct (custkey, suppkey) pair exists per
+    // order line connecting them; edges run BOTH directions (suppliers
+    // encoded as negative ids), so the graph is symmetric and every
+    // node has out-degree ≥ 1 — no dangling-mass correction needed.
+    // Output: every node's integer rank after 3 iterations.
+    Q(
+      "q94_pagerank",
+      Some(s"""
+        WITH pairs AS (
+          SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        edges AS (
+          SELECT c AS src, -s AS dst FROM pairs
+          UNION ALL
+          SELECT -s AS src, c AS dst FROM pairs),
+        deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        ed AS (
+          SELECT e.src, e.dst, d.outdeg
+          FROM edges e JOIN deg d ON d.src = e.src),
+        r0 AS (SELECT src AS node, CAST($rankOne AS BIGINT) AS r FROM deg),
+        r1 AS (
+          SELECT ed.dst AS node,
+                 CAST(1500 + (85 * SUM(r.r // ed.outdeg)) // 100 AS BIGINT) AS r
+          FROM ed JOIN r0 r ON r.node = ed.src GROUP BY ed.dst),
+        r2 AS (
+          SELECT ed.dst AS node,
+                 CAST(1500 + (85 * SUM(r.r // ed.outdeg)) // 100 AS BIGINT) AS r
+          FROM ed JOIN r1 r ON r.node = ed.src GROUP BY ed.dst),
+        r3 AS (
+          SELECT ed.dst AS node,
+                 CAST(1500 + (85 * SUM(r.r // ed.outdeg)) // 100 AS BIGINT) AS r
+          FROM ed JOIN r2 r ON r.node = ed.src GROUP BY ed.dst)
+        SELECT node, r AS rank_fp FROM r3""")
+    ) { (s, dir) =>
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), (-col("s")).as("dst"))
+        .unionAll(pairs.select((-col("s")).as("src"), col("c").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      // edge list with out-degree attached once; every iteration reuses
+      // this one frame (and its partitioning on src)
+      val ed = edges.join(deg, Seq("src"))
+      val r0 = deg.select(col("src").as("node"), lit(rankOne).as("r"))
+      val r3 = (1 to 3).foldLeft(r0) { (r, _) =>
+        ed.join(r, col("node") === col("src"))
+          .groupBy(col("dst"))
+          .agg(sum(expr("r div outdeg")).as("contrib"))
+          .select(col("dst").as("node"),
+            expr("CAST(1500 + (85 * contrib) div 100 AS BIGINT)").as("r"))
+      }
+      r3.select(col("node"), col("r").as("rank_fp"))
+    },
+  )
+}

@@ -174,5 +174,88 @@ object Matching {
           sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
             .cast(DecimalType(18, 4)).cast("double").as("revenue"))
     },
+
+    // ---------------------------------------------------------------- q90
+    // BM25 ranked retrieval over the q76 bigram inverted index: a tiny
+    // literal query table BROADCASTs against the postings, so the work
+    // is Σ df(query term) — query-length × posting-list cost, never a
+    // corpus scan (the standard search-engine shape; at 100 TB the
+    // postings would be the bucketed table and nothing changes).
+    // Integer-exact scoring: BM25's k1=1.2, b=0.75 fold into the
+    // integer form  idf₂ · 22·T·tf / (10·T·tf + 3·T + 9·dl·N)  (T =
+    // total tokens, N = docs, dl = doc length — multiply the classic
+    // formula through by 10T), and idf₂ is the bit-length surrogate
+    // log2((N−df+½)/(df+½)) ≅ length(bin(2(N−df)+1)) −
+    // length(bin(2df+1)) — the q78 move that dodges libm ln() ulp
+    // drift. One IEEE division per (doc, term); per-query sums go
+    // through DECIMAL (order-free); rank carries a doc_id tiebreak.
+    Q(
+      "q90_bm25",
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        big AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g
+          FROM tok),
+        tf AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS tf FROM big GROUP BY doc_id, g),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM big GROUP BY doc_id),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dl),
+        df AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY g),
+        qt AS (SELECT * FROM (VALUES (1, 'hash join'), (1, 'merge join'),
+                                     (2, 'stream batch'), (2, 'batch window'),
+                                     (3, 'vector scan')) AS v(query_id, term)),
+        scored AS (
+          SELECT q.query_id, tf.doc_id,
+                 CAST(CAST((length(bin(2 * (s.n - df.df) + 1)) - length(bin(2 * df.df + 1)))
+                             * 22 * s.t * tf.tf AS DOUBLE)
+                      / CAST(10 * s.t * tf.tf + 3 * s.t + 9 * dl.dl * s.n AS DOUBLE)
+                      AS DECIMAL(18,4)) AS term_score
+          FROM qt q
+          JOIN tf ON tf.g = q.term
+          JOIN df ON df.g = q.term
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats s),
+        agg AS (
+          SELECT query_id, doc_id, CAST(SUM(term_score) AS DOUBLE) AS score
+          FROM scored GROUP BY query_id, doc_id)
+        SELECT query_id, doc_id, score, rnk FROM (
+          SELECT query_id, doc_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+          FROM agg) t
+        WHERE rnk <= 10""")
+    ) { (s, dir) =>
+      import s.implicits._
+      val big = t(s, dir, "documents")
+        .withColumn("tk", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(tk) - 1), " +
+            "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))")).as("g"))
+      val tf = big.groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+      val dl = big.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+      val df = tf.groupBy("g").agg(count(lit(1)).as("df"))
+      val qt = Seq((1, "hash join"), (1, "merge join"),
+        (2, "stream batch"), (2, "batch window"),
+        (3, "vector scan")).toDF("query_id", "term")
+      val idf2 = length(bin(lit(2) * (col("n") - col("df")) + 1)) -
+        length(bin(lit(2) * col("df") + 1))
+      val scored = tf.join(broadcast(qt), col("g") === col("term"))
+        .join(df.withColumnRenamed("g", "g2"), col("g") === col("g2"))
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("term_score",
+          ((idf2 * 22 * col("t") * col("tf")).cast("double") /
+            (lit(10) * col("t") * col("tf") + lit(3) * col("t") +
+              lit(9) * col("dl") * col("n")).cast("double"))
+            .cast(DecimalType(18, 4)))
+      val agg = scored.groupBy("query_id", "doc_id")
+        .agg(sum(col("term_score")).cast("double").as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("score"), col("doc_id"))
+      agg.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select("query_id", "doc_id", "score", "rnk")
+    },
   )
 }

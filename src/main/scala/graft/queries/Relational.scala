@@ -648,5 +648,61 @@ object Relational {
         ((syD - ((num / den) * sxD)) / nD).as("intercept"),
         ((num * num) / (den * ((nD * syyD) - (syD * syD)))).as("r2"))
     },
+
+    // ---------------------------------------------------------------- q96
+    // Histogram-sketch quantiles — the MERGEABLE alternative to q44's
+    // exact percentile: prices hash-aggregate into fixed-width buckets
+    // (width 100, map-side combinable, ONE corpus exchange, no global
+    // sort), and a quantile estimate is the first bucket whose
+    // cumulative count reaches ceil(q·n) — rank error ≤ the bucket
+    // population, value error ≤ the bucket width, both reported as the
+    // [est_lo, est_hi) bracket. The cumulative window and the quantile
+    // probe run over the tiny histogram, never the corpus; this is the
+    // shape that survives 100 TB where q44's per-group sort does not.
+    // All arithmetic is integer (quantiles as permyriad, ceil via
+    // (n·qp + 9999) div 10000), so the sketch is bit-identical in both
+    // engines — a full-value oracle, not an error-bound flag.
+    Q(
+      "q96_hist_quantile",
+      Some("""
+        WITH hist AS (
+          SELECT l_returnflag, CAST(floor(l_extendedprice / 100) AS BIGINT) AS b,
+                 COUNT(*) AS c
+          FROM lineitem GROUP BY 1, 2),
+        wc AS (
+          SELECT l_returnflag, b, c,
+                 SUM(c) OVER (PARTITION BY l_returnflag ORDER BY b
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 SUM(c) OVER (PARTITION BY l_returnflag) AS n
+          FROM hist),
+        qp AS (SELECT unnest([5000, 9000, 9900]) AS qp)
+        SELECT l_returnflag, qp,
+               MIN(b) * 100 AS est_lo, (MIN(b) + 1) * 100 AS est_hi,
+               CAST(MIN(n) AS BIGINT) AS n,
+               CAST(MIN((n * qp + 9999) // 10000) AS BIGINT) AS target_rank
+        FROM wc CROSS JOIN qp
+        WHERE cum >= (n * qp + 9999) // 10000
+        GROUP BY l_returnflag, qp""")
+    ) { (s, dir) =>
+      import s.implicits._
+      val hist = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"),
+          floor(col("l_extendedprice") / 100).cast("long").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val byFlag = Window.partitionBy("l_returnflag")
+      val cum = byFlag.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val qps = Seq(5000, 9000, 9900).toDF("qp")
+      hist
+        .withColumn("cum", sum(col("c")).over(cum))
+        .withColumn("n", sum(col("c")).over(byFlag))
+        .crossJoin(broadcast(qps))
+        .filter(col("cum") >= expr("(n * qp + 9999) div 10000"))
+        .groupBy(col("l_returnflag"), col("qp"))
+        .agg((min(col("b")) * 100).as("est_lo"),
+          ((min(col("b")) + 1) * 100).as("est_hi"),
+          min(col("n")).as("n"),
+          min(expr("(n * qp + 9999) div 10000")).as("target_rank"))
+    },
   )
 }

@@ -738,5 +738,52 @@ object TextOps {
         .select(col("new_id"), col("corpus_id"),
           col("jc.n_common").as("n_common"), col("jc.jaccard").as("jaccard"))
     },
+
+    // ---------------------------------------------------------------- q95
+    // BPE merge induction — the counting step that trains a BPE
+    // tokenizer: across the corpus, count adjacent symbol (character)
+    // pairs inside pre-tokens (q62's GPT-2-family regex) and rank the
+    // merge candidates. Runs in DISTINCT-TOKEN space (the q69/q75
+    // move): pre-tokens collapse to a (token, freq) vocabulary FIRST —
+    // one hash aggregate over the corpus — and the pair explosion
+    // (len−1 pairs per token) touches only the vocabulary, which is
+    // sublinear in corpus size; occurrence weights ride along as
+    // freq. Tokens shorter than 2 chars filter BEFORE sequence()
+    // (q83's lesson: Spark's sequence(1, 0) DESCENDS where DuckDB's
+    // range(1, 1) is empty). ASCII corpus ⇒ substring-by-code-unit
+    // agrees across engines. Top 20 by (pair_count DESC, pair) —
+    // total order, no ties left to the engine.
+    Q(
+      "q95_bpe_merge",
+      Some {
+        val sqlPat = bpePattern.replace("'", "''")
+        """
+        WITH vocab AS (
+          SELECT tok, COUNT(*) AS freq FROM (
+            SELECT unnest(regexp_extract_all(text, '""" + sqlPat + """')) AS tok
+            FROM documents WHERE length(text) > 0) t
+          GROUP BY tok),
+        pairs AS (
+          SELECT unnest(list_transform(range(1, length(tok)),
+                   i -> substr(tok, CAST(i AS INT), 2))) AS pair,
+                 freq
+          FROM vocab WHERE length(tok) >= 2)
+        SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+        FROM pairs GROUP BY pair
+        ORDER BY pair_count DESC, pair LIMIT 20"""
+      }
+    ) { (s, dir) =>
+      val vocab = t(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(explode(regexp_extract_all(col("text"), lit(bpePattern), lit(0))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      vocab.filter(length(col("tok")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"),
+          col("freq"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
+        .orderBy(desc("pair_count"), col("pair"))
+        .limit(20)
+    },
   )
 }

@@ -267,6 +267,64 @@ object Vectors {
     },
 
     qSkewcap,
+
+    // ---------------------------------------------------------------- q89
+    // Semantic deduplication (the SemDeDup recipe): embeddings
+    // partition into IVF cells (broadcast centroids, map-side
+    // assignment — operators/Ivf, same 8 deterministic cells as q60),
+    // near-duplicate pairs form ONLY within a cell, and each vector's
+    // canonical representative is the smallest vec_id that covers it
+    // at cosine ≥ 0.30. Cell blocking is what makes semantic dedup
+    // scale: candidate pairs are Σ cell² instead of n², and at
+    // production SF nCentroids ~ √n keeps expected cell size √n (plus
+    // q54's refinement move if a cell skews). Output: every vector
+    // with its cell, its canonical dup_of (NULL when it is the
+    // canonical), and the keep decision.
+    Q(
+      "q89_semantic_dedup",
+      Some(s"""
+        WITH normed0 AS ($quantizedSql),
+        normed AS (SELECT vec_id, qv, qn FROM normed0 WHERE qn > 0),
+        cents AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, qv AS cv
+          FROM (SELECT vec_id, qv FROM normed ORDER BY vec_id LIMIT ${ivfCfg.nCentroids}) s),
+        assigned AS (
+          SELECT vec_id, qv, qn, centroid_id FROM (
+            SELECT n.vec_id, n.qv, n.qn, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                     ORDER BY ${graft.operators.Ivf.sqDistSql("n.qv", "c.cv")}, c.centroid_id) AS rn
+            FROM normed n CROSS JOIN cents c) t
+          WHERE rn = 1),
+        covers AS (
+          SELECT b.vec_id AS dup, MIN(a.vec_id) AS dup_of
+          FROM assigned a JOIN assigned b
+            ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+          WHERE $pairScoreSql >= 0.30
+          GROUP BY b.vec_id)
+        SELECT s.vec_id, s.centroid_id, c.dup_of,
+               c.dup_of IS NULL AS kept
+        FROM assigned s LEFT JOIN covers c ON c.dup = s.vec_id""")
+    ) { (s, dir) =>
+      val base = quantized(s, dir).filter(col("qn") > 0)
+        .select("vec_id", "qv", "qn")
+      val cents = graft.operators.Ivf.seedCentroids(base, "vec_id", "qv", ivfCfg.nCentroids)
+      val assigned = graft.operators.Ivf.assign(base, "qv", cents)
+      val a = assigned.select(col("vec_id").as("id_a"), col("qv").as("qv_a"),
+        col("qn").as("qn_a"), col("centroid_id"))
+      val b = assigned.select(col("vec_id").as("id_b"), col("qv").as("qv_b"),
+        col("qn").as("qn_b"), col("centroid_id"))
+      val covers = a.join(b, Seq("centroid_id"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("dot", dotCol("qv_a", "qv_b"))
+        .withColumn("score",
+          col("dot").cast("double") / sqrt(col("qn_a").cast("double") * col("qn_b").cast("double")))
+        .filter(col("score") >= 0.30)
+        .groupBy(col("id_b"))
+        .agg(min(col("id_a")).as("dup_of"))
+      assigned.join(covers, col("vec_id") === col("id_b"), "left")
+        .select(col("vec_id"), col("centroid_id"), col("dup_of"),
+          col("dup_of").isNull.as("kept"))
+    },
   )
 
   /** IVF approximate top-5 — registered as q60 and re-used by q65
