@@ -425,4 +425,117 @@ class PlanSpec extends SparkSpec {
     assert(scan.requiredSchema.fieldNames.toSet === Set("doc_id", "text"),
       s"q84 reads more than it projects: ${scan.requiredSchema.fieldNames.toSeq}")
   }
+
+  test("q89: semantic dedup pairs only within a cell — equi-join on centroid_id, no cartesian") {
+    val p = plan("q89_semantic_dedup")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"no cartesian product:\n$p")
+    // the only nested-loop joins allowed are the one-row broadcast
+    // centroid-array attaches (operators/Ivf.assign), same as q60
+    val equiJoins = p.collect {
+      case j: SortMergeJoinExec => j.leftKeys
+      case j: ShuffledHashJoinExec => j.leftKeys
+      case j: BroadcastHashJoinExec => j.leftKeys
+    }
+    assert(equiJoins.nonEmpty && equiJoins.exists(_.nonEmpty),
+      s"the pair join must key on centroid_id:\n$p")
+  }
+
+  test("q90: BM25 broadcasts the query table; postings never cross-join") {
+    val p = plan("q90_bm25")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"no cartesian product:\n$p")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"the literal query table must broadcast into the postings:\n$p")
+    // the one-row corpus-stats frame may attach as a broadcast loop;
+    // anything bigger looping is a regression
+    val loops = p.collect { case n: BroadcastNestedLoopJoinExec => n }
+    assert(loops.length <= 1, s"only the one-row stats attach may loop:\n$p")
+  }
+
+  test("q91: cohort retention scans only (user_id, ts); joins stay keyed") {
+    val p = plan("q91_cohort_retention")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
+      p.collect { case n: BroadcastNestedLoopJoinExec => n }.isEmpty,
+      s"cohort attach must be an equi-join on user_id:\n$p")
+    assert(scans(p).nonEmpty && scans(p).forall(
+      _.requiredSchema.fieldNames.toSet == Set("user_id", "ts")),
+      s"q91 reads more than it projects:\n$p")
+  }
+
+  test("q92: every funnel stage joins on user_id; scan prunes to three columns") {
+    val p = plan("q92_funnel")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
+      p.collect { case n: BroadcastNestedLoopJoinExec => n }.isEmpty,
+      s"stage gating must ride user_id equi-joins:\n$p")
+    // pruning may drop ts entirely on the count-only stage — every scan
+    // must read AT MOST the three used columns
+    assert(scans(p).nonEmpty && scans(p).forall(
+      _.requiredSchema.fieldNames.toSet.subsetOf(Set("user_id", "event_type", "ts"))),
+      s"q92 reads more than it projects:\n$p")
+  }
+
+  test("q93: gap-fill joins the spine by key+hour; scan prunes to three columns") {
+    val p = plan("q93_gapfill")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
+      p.collect { case n: BroadcastNestedLoopJoinExec => n }.isEmpty,
+      s"spine join must be an equi-join on (event_type, hour):\n$p")
+    val equiJoins = p.collect {
+      case j: SortMergeJoinExec => j.leftKeys
+      case j: ShuffledHashJoinExec => j.leftKeys
+      case j: BroadcastHashJoinExec => j.leftKeys
+    }
+    assert(equiJoins.exists(_.length >= 2),
+      s"spine join keys on (event_type, hour_bucket):\n$p")
+    // the spine branch prunes value away — every scan reads AT MOST
+    // the three used columns
+    assert(scans(p).nonEmpty && scans(p).forall(
+      _.requiredSchema.fieldNames.toSet.subsetOf(Set("event_type", "ts", "value"))),
+      s"q93 reads more than it projects:\n$p")
+  }
+
+  test("q94: every PageRank iteration is a keyed equi-join — no cartesian, no loop") {
+    val p = plan("q94_pagerank")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
+      p.collect { case n: BroadcastNestedLoopJoinExec => n }.isEmpty,
+      s"rank propagation must never loop or cross-join:\n$p")
+    val equiJoins = p.collect {
+      case j: SortMergeJoinExec => j.leftKeys
+      case j: ShuffledHashJoinExec => j.leftKeys
+      case j: BroadcastHashJoinExec => j.leftKeys
+    }
+    assert(equiJoins.nonEmpty && equiJoins.forall(_.nonEmpty),
+      s"all joins key on a vertex id:\n$p")
+  }
+
+  test("q95: BPE pair counting joins nothing; top-k is TakeOrderedAndProject") {
+    val p = plan("q95_bpe_merge")
+    assert(p.collect {
+      case j: SortMergeJoinExec => j
+      case j: ShuffledHashJoinExec => j
+      case j: BroadcastHashJoinExec => j
+      case c: CartesianProductExec => c
+      case n: BroadcastNestedLoopJoinExec => n
+    }.isEmpty, s"vocab → pairs → counts is join-free:\n$p")
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }.length === 1,
+      s"top-20 must never be a global sort:\n$p")
+    val aggs = p.collect { case a: HashAggregateExec => a }
+    assert(aggs.exists(_.aggregateExpressions.exists(_.mode.toString == "Partial")),
+      s"pair counting must combine map-side:\n$p")
+  }
+
+  test("q96: histogram quantiles — one corpus exchange, pruned scan, map-side combine") {
+    val p = plan("q96_hist_quantile")
+    // the corpus touches exactly one exchange (the histogram agg); the
+    // cumulative window and per-flag total run over the tiny histogram
+    // (second exchange); the 3-row quantile table attaches broadcast
+    assert(shuffles(p).length <= 2, s"histogram agg + histogram window only:\n$p")
+    val aggs = p.collect { case a: HashAggregateExec => a }
+    assert(aggs.exists(_.aggregateExpressions.exists(_.mode.toString == "Partial")),
+      s"bucket counting must combine map-side:\n$p")
+    val Seq(scan) = scans(p)
+    assert(scan.requiredSchema.fieldNames.toSet ===
+      Set("l_returnflag", "l_extendedprice"),
+      s"q96 reads more than it projects: ${scan.requiredSchema.fieldNames.toSeq}")
+  }
 }

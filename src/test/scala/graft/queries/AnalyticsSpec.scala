@@ -1,0 +1,193 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the round's analytics queries (q89–q96) that
+  * an oracle hash match alone cannot express: independent in-Scala
+  * recomputation of PageRank and the BPE pair counts, cover/canonical
+  * invariants of semantic dedup, funnel monotonicity, spine
+  * gaplessness, and the quantile sketch's rank-error contract against
+  * the exact percentile. */
+class AnalyticsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  // ----------------------------------------------------------- q89
+  test("q89 covers partition the vectors: dup_of is an earlier same-cell vector, kept iff none") {
+    val rows = run("q89_semantic_dedup").collect()
+    val cellOf = rows.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every vector exactly once
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    rows.foreach { r =>
+      val (id, kept) = (r.getLong(0), r.getBoolean(3))
+      if (r.isNullAt(2)) assert(kept, s"$id has no cover but kept=false")
+      else {
+        val dupOf = r.getLong(2)
+        assert(!kept, s"$id has cover $dupOf but kept=true")
+        assert(dupOf < id, s"canonical $dupOf must precede $id")
+        assert(cellOf(dupOf) === cellOf(id),
+          s"cover $dupOf of $id crosses cells — blocking broke")
+      }
+    }
+  }
+
+  test("q89 equals the brute-force within-cell min cover") {
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), graft.functions.VecMath.quantize(col("embedding")).as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val withN = vecs.map { case (id, qv) =>
+      (id, qv, qv.map(x => x * x).sum)
+    }.filter(_._3 > 0)
+    val byCell = run("q89_semantic_dedup").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expect = withN.map { case (id, qv, qn) =>
+      val covers = withN.filter { case (id2, qv2, qn2) =>
+        id2 < id && byCell(id2) == byCell(id) && {
+          val dot = qv.zip(qv2).map { case (x, y) => x * y }.sum
+          dot.toDouble / math.sqrt(qn.toDouble * qn2.toDouble) >= 0.30
+        }
+      }
+      id -> (if (covers.isEmpty) None else Some(covers.map(_._1).min))
+    }.toMap
+    val got = run("q89_semantic_dedup").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got === expect)
+  }
+
+  // ----------------------------------------------------------- q90
+  test("q90 ranks are dense, scores non-increasing, hits contain a query term") {
+    val rows = run("q90_bm25")
+      .orderBy("query_id", "rnk").collect()
+    rows.groupBy(_.getInt(0)).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getLong(3)).sorted
+      assert(ranks.toSeq === (1L to ranks.length).toSeq, "ranks must be dense from 1")
+      val byRank = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        "score must not increase with rank")
+    }
+    // every hit really contains one of its query's bigrams
+    val terms = Map(1 -> Seq("hash join", "merge join"),
+      2 -> Seq("stream batch", "batch window"), 3 -> Seq("vector scan"))
+    val texts = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val (qid, doc) = (r.getInt(0), r.getLong(1))
+      assert(terms(qid).exists(texts(doc).contains(_)),
+        s"doc $doc ranked for query $qid without containing any query term")
+    }
+  }
+
+  // ----------------------------------------------------------- q91
+  test("q91 offset-0 equals cohort size, retention never exceeds it, cohorts cover all users") {
+    val rows = run("q91_cohort_retention").collect()
+    rows.foreach { r =>
+      val (off, n, size) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      if (off == 0L) assert(n === size, "offset 0 must equal cohort_size")
+      assert(n <= size, "retained users cannot exceed the cohort")
+      assert(off >= 0L, "activity cannot precede the first event's week")
+    }
+    val totalUsers = graft.Tables.load(spark, sf, "events")
+      .select("user_id").distinct().count()
+    val cohortSum = rows.filter(_.getLong(1) == 0L).map(_.getLong(3)).sum
+    assert(cohortSum === totalUsers, "cohorts at offset 0 must partition the users")
+  }
+
+  // ----------------------------------------------------------- q92
+  test("q92 funnel counts are monotone non-increasing and stage 1 is the view-user count") {
+    val rows = run("q92_funnel").orderBy("step").collect()
+    val counts = rows.map(_.getLong(2))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"funnel must narrow: ${counts.mkString(",")}")
+    val viewUsers = graft.Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "view").select("user_id").distinct().count()
+    assert(counts.head === viewUsers)
+    assert(rows.head.getLong(3) === 0L, "stage 1 has no advance lag")
+  }
+
+  // ----------------------------------------------------------- q93
+  test("q93 spine is gapless per key, non-gap rows mirror the hourly table, fill is total") {
+    val out = run("q93_gapfill")
+    val spans = out.groupBy("event_type")
+      .agg(count(lit(1)).as("rows"),
+        min("hour_bucket").as("h0"), max("hour_bucket").as("h1"))
+      .withColumn("expect",
+        (unix_micros(col("h1")) - unix_micros(col("h0"))) / 3600000000L + 1)
+    assert(spans.filter(col("rows") =!= col("expect")).count() === 0L,
+      "every hour between a key's first and last must appear exactly once")
+    val nonGap = out.filter(col("is_gap") === 0).count()
+    val hourly = graft.Tables.load(spark, sf, "events")
+      .select(col("event_type"), date_trunc("hour", col("ts"))).distinct().count()
+    assert(nonGap === hourly, "non-gap rows must be exactly the observed hours")
+    // first spine row per key is observed (min comes from the data), so
+    // the forward fill is total: no NULL filled_sum anywhere
+    assert(out.filter(col("filled_sum").isNull).count() === 0L)
+  }
+
+  // ----------------------------------------------------------- q94
+  test("q94 equals an independent in-Scala fixed-point PageRank replay") {
+    val pairs = graft.Tables.load(spark, sf, "orders")
+      .join(graft.Tables.load(spark, sf, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long"), col("l_suppkey").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), -r.getLong(1)))
+    val edges = pairs ++ pairs.map { case (c, s) => (s, c) }
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var rank = outdeg.keys.map(_ -> 10000L).toMap
+    (1 to 3).foreach { _ =>
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (src, _) => rank(src) / outdeg(src) }.sum).toMap
+      rank = in.map { case (n, s) => n -> (1500L + (85L * s) / 100L) }
+    }
+    val got = run("q94_pagerank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === rank)
+  }
+
+  // ----------------------------------------------------------- q95
+  test("q95 equals an independent in-Scala BPE pair count replay") {
+    val pat = java.util.regex.Pattern.compile(
+      """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+""")
+    val texts = graft.Tables.load(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0)).filter(_.nonEmpty)
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach { t =>
+      val m = pat.matcher(t)
+      while (m.find()) {
+        val tok = m.group()
+        var i = 0
+        while (i < tok.length - 1) {
+          val p = tok.substring(i, i + 2)
+          counts(p) = counts.getOrElse(p, 0L) + 1L
+          i += 1
+        }
+      }
+    }
+    val expect = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+    val got = run("q95_bpe_merge").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got === expect)
+  }
+
+  // ----------------------------------------------------------- q96
+  test("q96 brackets the exact percentile and targets the ceil rank") {
+    val prices = graft.Tables.load(spark, sf, "lineitem")
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    run("q96_hist_quantile").collect().foreach { r =>
+      val (flag, qp) = (r.getString(0), r.getInt(1))
+      val (lo, hi) = (r.getLong(2), r.getLong(3))
+      val (n, target) = (r.getLong(4), r.getLong(5))
+      val sorted = prices(flag)
+      assert(n === sorted.length.toLong)
+      assert(target === (n * qp + 9999) / 10000)
+      val exact = sorted(target.toInt - 1) // rank-target order statistic
+      assert(exact >= lo && exact < hi,
+        s"$flag p$qp: exact $exact outside [$lo, $hi)")
+    }
+  }
+}
