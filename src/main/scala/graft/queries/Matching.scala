@@ -231,8 +231,12 @@ object Matching {
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, size(tk) - 1), " +
             "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))")).as("g"))
+      // every index table derives from tf, so the gram explode and the
+      // (doc, gram) exchange compute ONCE and ReuseExchange shares the
+      // shuffle output across the four references: dl = Σ tf per doc
+      // (identical to counting big per doc), stats from dl, df from tf
       val tf = big.groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
-      val dl = big.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
       val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
       val df = tf.groupBy("g").agg(count(lit(1)).as("df"))
       val qt = Seq((1, "hash join"), (1, "merge join"),
@@ -240,9 +244,11 @@ object Matching {
         (3, "vector scan")).toDF("query_id", "term")
       val idf2 = length(bin(lit(2) * (col("n") - col("df")) + 1)) -
         length(bin(lit(2) * col("df") + 1))
+      // df is vocabulary-sized and dl is doc-count-sized — both
+      // broadcast, so the postings side never shuffles for a join
       val scored = tf.join(broadcast(qt), col("g") === col("term"))
-        .join(df.withColumnRenamed("g", "g2"), col("g") === col("g2"))
-        .join(dl, "doc_id")
+        .join(broadcast(df.withColumnRenamed("g", "g2")), col("g") === col("g2"))
+        .join(broadcast(dl), "doc_id")
         .crossJoin(broadcast(stats))
         .withColumn("term_score",
           ((idf2 * 22 * col("t") * col("tf")).cast("double") /
