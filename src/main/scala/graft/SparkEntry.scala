@@ -41,6 +41,8 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q94     graft.queries.Graph      — fixed-point PageRank (3 iters)
   *   q95     graft.queries.TextOps    — BPE merge induction
   *   q96     graft.queries.Relational — mergeable histogram quantiles
+  *   q97     graft.queries.Events     — Markov transition matrix
+  *   q98     graft.queries.Curation   — weighted priority sampling
   */
 object SparkEntry {
 

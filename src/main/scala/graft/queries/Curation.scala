@@ -509,5 +509,39 @@ object Curation {
           expr("cum_excl div 1024").as("pack_id"),
           (col("cum_excl") % 1024).as("off"))
     },
+
+    // ---------------------------------------------------------------- q98
+    // Weighted priority sampling (Sunter / sequential Poisson): each
+    // doc draws a reproducible uniform (the salted Knuth hash — never
+    // rand()) and its priority is u/weight, weight = n_chars; the
+    // sample is the k smallest priorities, so long documents are
+    // proportionally more likely to be drawn — the standard
+    // length-weighted corpus subsampling step. The top-k executes as
+    // TakeOrderedAndProject (map-side partial top-k, O(k) per
+    // partition, never a global sort — PlanSpec), and the priority is
+    // one IEEE division of exact integers, so rank order is
+    // bit-identical in both engines; (priority, doc_id) is a total
+    // order. The rank window runs AFTER the limit, over k rows.
+    Q(
+      "q98_priority_sample",
+      Some(s"""
+        SELECT doc_id, source, n_chars, priority,
+               CAST(ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS BIGINT) AS rnk
+        FROM (
+          SELECT doc_id, source, n_chars,
+                 CAST(${knuthSql(15485863L)} AS DOUBLE) / CAST(n_chars AS DOUBLE) AS priority
+          FROM documents WHERE n_chars > 0
+          ORDER BY priority, doc_id LIMIT 100) t""")
+    ) { (s, dir) =>
+      val pri = knuthCol(15485863L).cast("double") / col("n_chars").cast("double")
+      t(s, dir, "documents")
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          pri.as("priority"))
+        .orderBy(col("priority"), col("doc_id"))
+        .limit(100)
+        .withColumn("rnk", row_number()
+          .over(Window.orderBy(col("priority"), col("doc_id"))).cast("long"))
+    },
   )
 }

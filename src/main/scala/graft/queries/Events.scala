@@ -477,6 +477,41 @@ object Events {
           last(col("sum_value"), ignoreNulls = true).over(w).as("filled_sum"))
     },
 
+    // ---------------------------------------------------------------- q97
+    // Behavioral transition matrix (first-order Markov estimate): for
+    // each consecutive event pair within a user's timeline, count
+    // (from_type → to_type) and report the row-normalized transition
+    // probability. One lag window per user (the natural partition key)
+    // + one hash aggregate over the 25-cell matrix; the normalizing
+    // row total is a window over the tiny matrix, never the corpus.
+    // p is one IEEE division of two exact longs — bit-identical in
+    // both engines.
+    Q(
+      "q97_event_transitions",
+      Some("""
+        SELECT from_type, to_type, n,
+               CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+        FROM (
+          SELECT from_type, to_type, COUNT(*) AS n,
+                 CAST(SUM(COUNT(*)) OVER (PARTITION BY from_type) AS BIGINT) AS tot
+          FROM (
+            SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+                   event_type AS to_type
+            FROM events) t
+          WHERE from_type IS NOT NULL
+          GROUP BY from_type, to_type) z""")
+    ) { (s, dir) =>
+      val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("from_type", lag(col("event_type"), 1).over(order))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum(col("n")).over(Window.partitionBy("from_type")))
+        .select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast("double") / col("tot").cast("double")).as("p"))
+    },
+
     // ---------------------------------------------------------------- q86
     // Click→purchase attribution: each purchase pairs with the same
     // user's clicks in the preceding 30 minutes — the KEYED interval

@@ -524,6 +524,32 @@ class PlanSpec extends SparkSpec {
       s"pair counting must combine map-side:\n$p")
   }
 
+  test("q97: transition matrix — user window + matrix agg, join-free, pruned scan") {
+    val p = plan("q97_event_transitions")
+    assert(p.collect {
+      case j: SortMergeJoinExec => j
+      case j: ShuffledHashJoinExec => j
+      case j: BroadcastHashJoinExec => j
+      case c: CartesianProductExec => c
+      case n: BroadcastNestedLoopJoinExec => n
+    }.isEmpty, s"lag + two windows + one agg — no joins:\n$p")
+    assert(shuffles(p).length <= 3,
+      s"user window, matrix agg, matrix window — at most 3 exchanges:\n$p")
+    val Seq(scan) = scans(p)
+    assert(scan.requiredSchema.fieldNames.toSet ===
+      Set("user_id", "ts", "event_id", "event_type"),
+      s"q97 reads more than it projects: ${scan.requiredSchema.fieldNames.toSeq}")
+  }
+
+  test("q98: priority sample executes as TakeOrderedAndProject; scan prunes") {
+    val p = plan("q98_priority_sample")
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }.length === 1,
+      s"the k-smallest-priorities sample must never globally sort the corpus:\n$p")
+    val Seq(scan) = scans(p)
+    assert(scan.requiredSchema.fieldNames.toSet === Set("doc_id", "source", "n_chars"),
+      s"q98 reads more than it projects: ${scan.requiredSchema.fieldNames.toSeq}")
+  }
+
   test("q96: histogram quantiles — one corpus exchange, pruned scan, map-side combine") {
     val p = plan("q96_hist_quantile")
     // the corpus touches exactly one exchange (the histogram agg); the

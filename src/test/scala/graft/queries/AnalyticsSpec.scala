@@ -172,6 +172,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  // ----------------------------------------------------------- q97
+  test("q97 transition rows normalize to 1 and transitions count events minus users") {
+    val rows = run("q97_event_transitions").collect()
+    rows.groupBy(_.getString(0)).foreach { case (from, rs) =>
+      val pSum = rs.map(_.getDouble(3)).sum
+      assert(math.abs(pSum - 1.0) < 1e-9, s"$from row sums to $pSum")
+    }
+    val ev = graft.Tables.load(spark, sf, "events")
+    val expectTransitions = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum === expectTransitions,
+      "every consecutive pair in every user's timeline is exactly one transition")
+  }
+
+  // ----------------------------------------------------------- q98
+  test("q98 equals the k smallest hash/weight priorities replayed in Scala") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).filter(_._2 > 0)
+    val expect = docs.map { case (id, w) =>
+      val h = ((id + 15485863L) * 2654435761L) % 4294967296L
+      (id, h.toDouble / w.toDouble)
+    }.sortBy { case (id, p) => (p, id) }.take(100).map(_._1).toSeq
+    val got = run("q98_priority_sample").orderBy("rnk").collect().map(_.getLong(0)).toSeq
+    assert(got === expect)
+  }
+
   // ----------------------------------------------------------- q96
   test("q96 brackets the exact percentile and targets the ceil rank") {
     val prices = graft.Tables.load(spark, sf, "lineitem")
