@@ -199,6 +199,25 @@ class AnalyticsSpec extends SparkSpec {
   }
 
   // ----------------------------------------------------------- q96
+  test("q96 histogram is mergeable: shard histograms sum cell-wise to the full build") {
+    val li = graft.Tables.load(spark, sf, "lineitem")
+    def hist(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("l_returnflag"),
+        floor(col("l_extendedprice") / 100).cast("long").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val full = hist(li).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // two disjoint shards (parity of the order key) built independently,
+    // then merged by cell-wise addition — the distributed-build contract
+    val even = hist(li.filter(col("l_orderkey") % 2 === 0)).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val odd = hist(li.filter(col("l_orderkey") % 2 =!= 0)).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = (even.keySet ++ odd.keySet).map(k =>
+      k -> (even.getOrElse(k, 0L) + odd.getOrElse(k, 0L))).toMap
+    assert(merged === full)
+  }
+
   test("q96 brackets the exact percentile and targets the ceil rank") {
     val prices = graft.Tables.load(spark, sf, "lineitem")
       .select("l_returnflag", "l_extendedprice").collect()
