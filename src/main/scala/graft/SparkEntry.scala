@@ -43,6 +43,7 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q96     graft.queries.Relational — mergeable histogram quantiles
   *   q97     graft.queries.Events     — Markov transition matrix
   *   q98     graft.queries.Curation   — weighted priority sampling
+  *   q99     graft.queries.Layout     — Hilbert-curve clustering key
   */
 object SparkEntry {
 

@@ -76,5 +76,84 @@ object Layout {
         .withColumn("zval", interleaveCol(col("x"), col("y")).cast("long"))
         .withColumn("block_id", expr(s"zval div $blockZ"))
     },
+
+    // ---------------------------------------------------------------- q99
+    // Hilbert-curve clustering key over the same (p_size, quantized
+    // price) dims as q80 — the locality-superior space-filling curve
+    // (every unit step along d moves exactly one cell in one
+    // dimension, so a contiguous d-range covers a more compact
+    // rectangle than z's jumps; Delta/Iceberg offer exactly this pair
+    // of layout choices). The 8 iterations of the standard xy→d walk
+    // unroll into a CTE chain GENERATED ONCE for both engines
+    // ([[hilbertStages]]); the rotation XOR folds to the arithmetic
+    // 2·rx + (rx+ry)%2, so the whole key is +,−,·,%,&,CASE — exact
+    // integers everywhere. Per-row arithmetic, zero shuffles;
+    // `LayoutSpec` pins the bijection and the unit-step property on
+    // the full 256×256 grid.
+    Q(
+      "q99_hilbert",
+      Some(s"""
+        WITH dims AS (
+          SELECT p_partkey,
+                 CAST(p_size AS BIGINT) & 255 AS x,
+                 CAST(round(p_retailprice * 10) AS BIGINT) % 256 AS y
+          FROM part),
+        $hilbertStages
+        SELECT p_partkey, x0 AS x, y0 AS y, d AS hval,
+               CAST(d // $blockZ AS BIGINT) AS block_id
+        FROM h8""")
+    ) { (s, dir) =>
+      val dims = t(s, dir, "part")
+        .select(col("p_partkey"),
+          col("p_size").cast("long").bitwiseAND(255L).as("x"),
+          (round(col("p_retailprice") * 10).cast("long") % 256).as("y"))
+      hilbertDf(dims)
+        .select(col("p_partkey"), col("x0").as("x"), col("y0").as("y"),
+          col("d").as("hval"), expr(s"d div $blockZ").as("block_id"))
+    },
   )
+
+  /** The full 8-stage CTE chain h1..h8 over a `dims(x, y)` CTE —
+    * shared text for the DuckDB oracle. Each stage is the canonical
+    * Hilbert xy→d iteration (s = current power of two): `(3·rx) XOR
+    * ry` is written arithmetically as 2·rx + (rx+ry) % 2 because `^`
+    * means POWER in DuckDB — identical value for rx, ry ∈ {0,1}; the
+    * rotation reflects at n−1 = 255 and swaps. x, y evolve; x0, y0,
+    * d carry through. */
+  private[queries] lazy val hilbertStages: String = {
+    def stage(i: Int, s: Int, from: String): String =
+      s"""h$i AS (
+          SELECT p_partkey, x0, y0,
+                 d + $s * $s * (2 * rx + (rx + ry) % 2) AS d,
+                 CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - y ELSE y END) ELSE x END AS x,
+                 CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - x ELSE x END) ELSE y END AS y
+          FROM (
+            SELECT p_partkey, x0, y0, d, x, y,
+                   CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+                   CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+            FROM $from) t)"""
+    val stages = (0 until 8).map { i =>
+      stage(i + 1, 128 >> i, if (i == 0) "h0" else s"h$i")
+    }
+    ("""h0 AS (
+          SELECT p_partkey, x AS x0, y AS y0, CAST(0 AS BIGINT) AS d, x, y
+          FROM dims)""" +: stages).mkString(",\n        ")
+  }
+
+  /** Spark-side replay of the identical stage arithmetic (selectExpr
+    * over the same generated fragments — the engines cannot drift). */
+  private[queries] def hilbertDf(dims: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val h0 = dims.selectExpr("p_partkey", "x AS x0", "y AS y0",
+      "CAST(0 AS BIGINT) AS d", "x", "y")
+    (0 until 8).foldLeft(h0) { (h, i) =>
+      val s = 128 >> i
+      h.selectExpr("p_partkey", "x0", "y0", "d", "x", "y",
+        s"CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx",
+        s"CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry")
+        .selectExpr("p_partkey", "x0", "y0",
+          s"d + $s * $s * (2 * rx + (rx + ry) % 2) AS d",
+          "CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - y ELSE y END) ELSE x END AS x",
+          "CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - x ELSE x END) ELSE y END AS y")
+    }
+  }
 }

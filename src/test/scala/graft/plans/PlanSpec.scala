@@ -357,6 +357,15 @@ class PlanSpec extends SparkSpec {
       s"q80 reads more than it projects: ${scan.requiredSchema.fieldNames.toSeq}")
   }
 
+  test("q99: hilbert key is pure per-row arithmetic — zero shuffles, pruned scan") {
+    val p = plan("q99_hilbert")
+    assert(shuffles(p).isEmpty, s"no exchange in a clustering-key projection:\n$p")
+    val Seq(scan) = scans(p)
+    assert(scan.requiredSchema.fieldNames.toSet ===
+      Set("p_partkey", "p_size", "p_retailprice"),
+      s"q99 reads more than it projects: ${scan.requiredSchema.fieldNames.toSeq}")
+  }
+
   test("q87: incremental dedup joins only on (band, band_key) — no cartesian") {
     val p = plan("q87_incremental_dedup")
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&

@@ -61,4 +61,27 @@ class LayoutSpec extends SparkSpec {
     }
     assert(seq._3, "blocks must be contiguous runs in z order")
   }
+
+  test("hilbert walk is a bijection on the full 8-bit grid") {
+    val grid = spark.range(256 * 256)
+      .select(lit(0L).as("p_partkey"),
+        (col("id") % 256).as("x"), expr("id div 256").as("y"))
+    val d = Layout.hilbertDf(grid).select(col("d"))
+    assert(d.distinct().count() === 256L * 256L)
+    assert(d.agg(min("d"), max("d")).head ===
+      org.apache.spark.sql.Row(0L, 65535L))
+  }
+
+  test("hilbert consecutive d are grid neighbors — the unit-step property z lacks") {
+    val cells = Layout.hilbertDf(
+      spark.range(256 * 256).select(lit(0L).as("p_partkey"),
+        (col("id") % 256).as("x"), expr("id div 256").as("y")))
+      .select("d", "x0", "y0").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).map(_._2)
+    cells.sliding(2).foreach { case Array((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L,
+        s"step ($x1,$y1)→($x2,$y2) is not a unit move")
+    }
+  }
 }
