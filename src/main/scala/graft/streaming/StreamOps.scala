@@ -80,6 +80,42 @@ object StreamOps {
   final case class UserRunning(
       user_id: Long, n_events: Long, n_errors: Long, flagged: Boolean)
 
+  final case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** Per-user consecutive event transitions via flatMapGroupsWithState —
+    * the streaming analogue of batch q97's lag window. State carries
+    * the user's latest (µs, event_id, type) so chains CONTINUE across
+    * micro-batches (the first event of batch n+1 pairs with the last
+    * of batch n); within a batch the group's rows sort by the same
+    * (ts, event_id) total order the batch query uses. Requires the
+    * per-user feed to arrive chronologically across batches — true of
+    * a replayed log and of the parity harness's chronological file
+    * staging. State is O(users), shuffled once per micro-batch on the
+    * key.
+    */
+  def transitionPairs(events: Dataset[EventRow]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, String), Transition](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[(Long, Long, String)]) =>
+          // (getTime, getNanos) orders exactly like the µs timestamp:
+          // nanos carries the full fractional second
+          val sorted = rows.toIndexedSeq
+            .sortBy(r => (r.ts.getTime, r.ts.getNanos, r.event_id))
+          var prev = state.getOption
+          val out = Seq.newBuilder[Transition]
+          sorted.foreach { r =>
+            prev.foreach { case (_, _, t) => out += Transition(uid, t, r.event_type) }
+            prev = Some((r.ts.getTime, r.event_id, r.event_type))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Custom keyed state via mapGroupsWithState: per-user running
     * totals + an error-rate flag, carried across micro-batches. The
     * state store is partitioned by user_id, so this shuffles each

@@ -22,7 +22,7 @@ class StreamBatchParitySpec extends SparkSpec {
     * far-future watermark-pusher row (user_id -1, event_type "pusher")
     * whose arrival closes every real window. */
   private def stageInput(events: DataFrame, pusherAfterUs: Long,
-      copies: Int = 1): Path = {
+      copies: Int = 1, chronoParts: Int = 1): Path = {
     val in = Files.createTempDirectory("graft-parity-in")
     def onePart(df: DataFrame, tmpName: String, target: String, mtimeOffsetMs: Long): Unit = {
       val tmp = in.resolve(tmpName)
@@ -32,8 +32,21 @@ class StreamBatchParitySpec extends SparkSpec {
       Files.move(part, dst)
       dst.toFile.setLastModified(System.currentTimeMillis() + mtimeOffsetMs)
     }
-    (1 to copies).foreach(c =>
-      onePart(events, s"stage1c$c", s"batch1c$c.parquet", 0L))
+    if (chronoParts == 1)
+      (1 to copies).foreach(c =>
+        onePart(events, s"stage1c$c", s"batch1c$c.parquet", 0L))
+    else {
+      // chronological split: part i holds the i-th time-slice, staged
+      // with increasing mtimes so maxFilesPerTrigger=1 replays the log
+      // in order across micro-batches
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id"))
+      val tiled = events.withColumn("__p", ntile(chronoParts).over(w))
+      (1 to chronoParts).foreach { i =>
+        onePart(tiled.filter(col("__p") === i).drop("__p"),
+          s"stage1p$i", s"batch1p$i.parquet", (i - 1) * 2000L)
+      }
+    }
     val pusherTs = events.agg(max(unix_micros(col("ts")))).head().getLong(0) +
       pusherAfterUs
     onePart(events.sparkSession.range(1).select(
@@ -174,5 +187,29 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(batch.nonEmpty, "attribution must find pairs at sf0.001")
     assert(streamed.toSeq === batch.toSeq,
       s"stream-stream join: ${streamed.length} vs batch ${batch.length}")
+  }
+
+  test("streaming keyed-state transitions across 3 micro-batches equal batch q97") {
+    import spark.implicits._
+    val events = realEvents
+    // three chronological micro-batches: transition chains must CROSS
+    // batch boundaries through the flatMapGroupsWithState state
+    val in = stageInput(events, 3600000000L, chronoParts = 3)
+    val result = runStream(in, events.schema,
+      st => StreamOps.transitionPairs(
+        st.select("event_id", "ts", "user_id", "event_type")
+          .as[StreamOps.EventRow]).toDF())
+
+    val streamed = result
+      .filter(col("user_id") >= 0) // the pusher's own single event chains nothing real
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted
+    val batch = SparkEntry.queries("q97_event_transitions")(spark, "/root/testdata/sf0.001")
+      .select("from_type", "to_type", "n")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted
+
+    assert(batch.nonEmpty, "batch transition matrix must be non-empty")
+    assert(streamed.toSeq === batch.toSeq,
+      s"transition counts: streaming ${streamed.length} cells vs batch ${batch.length}")
   }
 }
