@@ -44,6 +44,8 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q97     graft.queries.Events     — Markov transition matrix
   *   q98     graft.queries.Curation   — weighted priority sampling
   *   q99     graft.queries.Layout     — Hilbert-curve clustering key
+  *   q100–q102 graft.queries.Relational — CUBE, UNPIVOT, rank family
+  *   q103    graft.queries.Vectors    — nearest-centroid classification
   */
 object SparkEntry {
 

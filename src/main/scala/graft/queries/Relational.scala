@@ -649,6 +649,88 @@ object Relational {
         ((num * num) / (den * ((nD * syyD) - (syD * syD)))).as("r2"))
     },
 
+    // ---------------------------------------------------------------- q100
+    // CUBE — all four grouping combinations of (status, priority) in
+    // one pass, completing the rollup (q18) / GROUPING SETS (q53)
+    // family. Subtotal NULLs disambiguate through sentinels exactly
+    // like q18 (the data's own values are never NULL). One shuffle on
+    // the grouping-id-expanded keys, partial-aggregated map-side.
+    Q(
+      "q100_cube",
+      Some("""
+        SELECT COALESCE(o_orderstatus, '?') AS status,
+               COALESCE(o_orderpriority, '?') AS priority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""")
+    ) { (s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("?")).as("status"),
+          coalesce(col("o_orderpriority"), lit("?")).as("priority"),
+          col("n"), col("sum_price"))
+    },
+
+    // ---------------------------------------------------------------- q101
+    // UNPIVOT (melt) — the inverse of q43's pivot: per-flag measure
+    // columns unpivot into (measure, value) rows via stack(). The
+    // corpus aggregates FIRST (one exchange); the unpivot itself is a
+    // per-row generator over the tiny aggregate, which is how melt
+    // should always be placed at scale (never explode the fact table
+    // and aggregate after).
+    Q(
+      "q101_unpivot",
+      Some("""
+        WITH agg AS (
+          SELECT l_returnflag,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS price,
+                 CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS disc
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, 'qty' AS measure, qty AS value FROM agg
+        UNION ALL
+        SELECT l_returnflag, 'price', price FROM agg
+        UNION ALL
+        SELECT l_returnflag, 'disc', disc FROM agg""")
+    ) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(dsum(col("l_quantity")).as("qty"),
+          dsum(col("l_extendedprice")).as("price"),
+          dsum(col("l_discount")).as("disc"))
+        .selectExpr("l_returnflag",
+          "stack(3, 'qty', qty, 'price', price, 'disc', disc) AS (measure, value)")
+    },
+
+    // ---------------------------------------------------------------- q102
+    // The remaining rank-function family in one window: rank,
+    // dense_rank, percent_rank, cume_dist per order over
+    // (status, price desc) with an orderkey tiebreak — total order, so
+    // the two ratio functions are exact divisions of determined ranks
+    // and bit-identical cross-engine.
+    Q(
+      "q102_rank_family",
+      Some("""
+        SELECT o_orderkey, o_orderstatus,
+               RANK() OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk,
+               PERCENT_RANK() OVER w AS prnk,
+               CUME_DIST() OVER w AS cdist
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice DESC, o_orderkey)""")
+    ) { (s, dir) =>
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cdist"))
+    },
+
     // ---------------------------------------------------------------- q96
     // Histogram-sketch quantiles — the MERGEABLE alternative to q44's
     // exact percentile: prices hash-aggregate into fixed-width buckets

@@ -325,6 +325,61 @@ object Vectors {
         .select(col("vec_id"), col("centroid_id"), col("dup_of"),
           col("dup_of").isNull.as("kept"))
     },
+
+    // ---------------------------------------------------------------- q103
+    // Nearest-centroid classification + confusion matrix: per-label
+    // centroids are element-wise integer means of the quantized
+    // vectors (the Lloyd-step arithmetic, exact floor-div), the tiny
+    // centroid table BROADCASTs, and every vector classifies map-side
+    // to its nearest centroid (exact squared-L2, label tiebreak) —
+    // one projection over the corpus, then one hash aggregate to the
+    // labels² confusion matrix. The distributed eval loop of any
+    // embedding-space classifier: no shuffle ever touches the corpus
+    // except the final matrix aggregate.
+    Q(
+      "q103_centroid_classify",
+      Some(s"""
+        WITH normed0 AS ($quantizedSql),
+        normed AS (SELECT vec_id, label, qv, qn FROM normed0 WHERE qn > 0),
+        pos AS (
+          SELECT label, i,
+                 CAST(SUM(qv[CAST(i AS INT)]) AS BIGINT) AS sv,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM normed, (SELECT unnest(range(1, 65)) AS i) p
+          GROUP BY label, i),
+        cents AS (
+          SELECT label AS c_label, list(m ORDER BY i) AS cv
+          FROM (SELECT label, i, sv // cnt AS m FROM pos) t
+          GROUP BY label),
+        assigned AS (
+          SELECT label, pred FROM (
+            SELECT n.label, c.c_label AS pred,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                     ORDER BY ${graft.operators.Ivf.sqDistSql("n.qv", "c.cv")}, c.c_label) AS rn
+            FROM normed n CROSS JOIN cents c) t
+          WHERE rn = 1)
+        SELECT label, pred, COUNT(*) AS n
+        FROM assigned GROUP BY label, pred""")
+    ) { (s, dir) =>
+      val normed = quantized(s, dir).filter(col("qn") > 0)
+      val cents = normed
+        .select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+        .withColumn("m", expr("sv div cnt"))
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)").as("cv"))
+        .select(col("label").as("c_label"), col("cv"))
+      val centArr = cents.agg(collect_list(struct(col("c_label"), col("cv"))).as("__cents"))
+      normed
+        .crossJoin(broadcast(centArr))
+        .withColumn("pred", expr(
+          s"""array_min(transform(__cents, c ->
+                struct(${graft.operators.Ivf.sqDistExpr("qv", "c.cv")} AS dist,
+                       c.c_label AS c_label))).c_label"""))
+        .groupBy(col("label"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+    },
   )
 
   /** IVF approximate top-5 — registered as q60 and re-used by q65

@@ -559,6 +559,27 @@ class PlanSpec extends SparkSpec {
       s"q98 reads more than it projects: ${scan.requiredSchema.fieldNames.toSeq}")
   }
 
+  test("q100/q101/q102: cube partial-aggregates; unpivot and ranks shuffle once") {
+    val p100 = plan("q100_cube")
+    val aggs = p100.collect { case a: HashAggregateExec => a }
+    assert(aggs.exists(_.aggregateExpressions.exists(_.mode.toString == "Partial")),
+      s"cube must combine map-side:\n$p100")
+    val p101 = plan("q101_unpivot")
+    assert(shuffles(p101).length === 1,
+      s"melt runs over the aggregate — one corpus exchange:\n$p101")
+    val p102 = plan("q102_rank_family")
+    assert(shuffles(p102).length === 1,
+      s"all four rank functions share one window exchange:\n$p102")
+  }
+
+  test("q103: classification is map-side — broadcast centroids, no shuffled join") {
+    val p = plan("q103_centroid_classify")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+      p.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
+      s"the corpus must never shuffle for a join:\n$p")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty, s"$p")
+  }
+
   test("q96: histogram quantiles — one corpus exchange, pruned scan, map-side combine") {
     val p = plan("q96_hist_quantile")
     // the corpus touches exactly one exchange (the histogram agg); the

@@ -198,6 +198,64 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  // ----------------------------------------------------------- q100
+  test("q100 cube conserves mass across all four grouping levels") {
+    val rows = run("q100_cube").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val leaf = rows.filter(r => r._1 != "?" && r._2 != "?").map(_._3).sum
+    val byStatus = rows.filter(r => r._1 != "?" && r._2 == "?").map(_._3).sum
+    val byPrio = rows.filter(r => r._1 == "?" && r._2 != "?").map(_._3).sum
+    val grand = rows.filter(r => r._1 == "?" && r._2 == "?").map(_._3)
+    assert(grand.length === 1 && grand.head === leaf)
+    assert(byStatus === leaf && byPrio === leaf,
+      "every grouping level must re-aggregate the same row mass")
+  }
+
+  // ----------------------------------------------------------- q101
+  test("q101 unpivot emits one row per (flag, measure), values matching the wide agg") {
+    val rows = run("q101_unpivot").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val flags = rows.keySet.map(_._1)
+    assert(rows.size === flags.size * 3, "3 measures per flag")
+    val wide = graft.Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(graft.Det.dsum(col("l_quantity")).as("qty"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    wide.foreach { case (f, v) => assert(rows((f, "qty")) === v) }
+  }
+
+  // ----------------------------------------------------------- q102
+  test("q102 ratio functions agree with their rank definitions") {
+    val byStatus = run("q102_rank_family").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .groupBy(_._1)
+    byStatus.foreach { case (_, rs) =>
+      val n = rs.length.toLong
+      rs.foreach { case (_, rnk, drnk, prnk, cdist) =>
+        assert(prnk === (if (n == 1) 0.0 else (rnk - 1).toDouble / (n - 1).toDouble))
+        assert(drnk <= rnk)
+        // cume_dist = fraction of rows with rank <= this row's peer group
+        assert(cdist > 0.0 && cdist <= 1.0)
+      }
+    }
+  }
+
+  // ----------------------------------------------------------- q103
+  test("q103 confusion matrix partitions the vectors and predicts within the label set") {
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+    val labels = vecs.select("label").distinct().collect().map(_.getInt(0)).toSet
+    val rows = run("q103_centroid_classify").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(rows.map(_._3).sum === vecs.count(),
+      "every vector classifies exactly once (qn > 0 holds for all test vectors)")
+    rows.foreach { case (l, p, _) =>
+      assert(labels.contains(l) && labels.contains(p))
+    }
+    val acc = rows.filter(r => r._1 == r._2).map(_._3).sum.toDouble / rows.map(_._3).sum
+    assert(acc > 1.0 / labels.size,
+      s"nearest-centroid must beat the random baseline, got $acc")
+  }
+
   // ----------------------------------------------------------- q96
   test("q96 histogram is mergeable: shard histograms sum cell-wise to the full build") {
     val li = graft.Tables.load(spark, sf, "lineitem")
