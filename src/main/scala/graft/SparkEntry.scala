@@ -46,6 +46,7 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q99     graft.queries.Layout     — Hilbert-curve clustering key
   *   q100–q102 graft.queries.Relational — CUBE, UNPIVOT, rank family
   *   q103    graft.queries.Vectors    — nearest-centroid classification
+  *   q104    graft.queries.Graph      — bounded BFS via WITH RECURSIVE
   */
 object SparkEntry {
 

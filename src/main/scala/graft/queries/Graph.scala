@@ -115,5 +115,58 @@ object Graph {
       }
       r3.select(col("node"), col("r").as("rank_fp"))
     },
+
+    // ---------------------------------------------------------------- q104
+    // Bounded BFS via WITH RECURSIVE (Spark 4 recursive CTEs ==
+    // DuckDB's): all ≤ 2-hop walks from the seed customer through the
+    // trading graph, reduced to min-hop distance + walk count per
+    // reached node. The depth bound makes the recursion finite and
+    // the walk count exact in both engines (UNION ALL recursion —
+    // identical multiset semantics); the path volume is Σ
+    // deg^depth of the frontier, bounded here by deg(seed)·max-supplier-
+    // degree. Each recursive step is one keyed equi-join of the
+    // frontier against the edge table — the same two-shuffle vertex
+    // step as q94, just driven by the engine's recursion operator
+    // instead of an unrolled fold.
+    Q(
+      "q104_recursive_bfs",
+      Some(s"""
+        WITH RECURSIVE
+        pairs AS (
+          SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        edges AS (
+          SELECT c AS src, -s AS dst FROM pairs
+          UNION ALL
+          SELECT -s AS src, c AS dst FROM pairs),
+        reach(node, depth) AS (
+          SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
+          UNION ALL
+          SELECT e.dst AS node, r.depth + 1 AS depth
+          FROM reach r JOIN edges e ON e.src = r.node
+          WHERE r.depth < 2)
+        SELECT node, CAST(MIN(depth) AS BIGINT) AS hops, COUNT(*) AS n_walks
+        FROM reach GROUP BY node""")
+    ) { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+      s.sql(s"""
+        WITH RECURSIVE
+        pairs AS (
+          SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+          FROM g_orders JOIN g_lineitem ON l_orderkey = o_orderkey),
+        edges AS (
+          SELECT c AS src, -s AS dst FROM pairs
+          UNION ALL
+          SELECT -s AS src, c AS dst FROM pairs),
+        reach(node, depth) AS (
+          SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
+          UNION ALL
+          SELECT e.dst AS node, r.depth + 1 AS depth
+          FROM reach r JOIN edges e ON e.src = r.node
+          WHERE r.depth < 2)
+        SELECT node, CAST(MIN(depth) AS BIGINT) AS hops, COUNT(*) AS n_walks
+        FROM reach GROUP BY node""")
+    },
   )
 }
