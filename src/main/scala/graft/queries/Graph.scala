@@ -148,22 +148,29 @@ object Graph {
         SELECT node, CAST(MIN(depth) AS BIGINT) AS hops, COUNT(*) AS n_walks
         FROM reach GROUP BY node""")
     ) { (s, dir) =>
-      t(s, dir, "orders").createOrReplaceTempView("g_orders")
-      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
-      s.sql(s"""
+      // materialize the edge list BEFORE the recursion — a CTE inlines
+      // into every recursion level, re-deriving the orders⋈lineitem
+      // distinct per depth (the q94 lesson applied to WITH RECURSIVE)
+      val orders = broadcast(t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")))
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+      pairs.select(explode(array(
+        struct(col("c").as("src"), (-col("s")).as("dst")),
+        struct((-col("s")).as("src"), col("c").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .localCheckpoint()
+        .createOrReplaceTempView("g_edges")
+      s.sql("""
         WITH RECURSIVE
-        pairs AS (
-          SELECT DISTINCT o_custkey AS c, l_suppkey AS s
-          FROM g_orders JOIN g_lineitem ON l_orderkey = o_orderkey),
-        edges AS (
-          SELECT c AS src, -s AS dst FROM pairs
-          UNION ALL
-          SELECT -s AS src, c AS dst FROM pairs),
         reach(node, depth) AS (
           SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
           UNION ALL
           SELECT e.dst AS node, r.depth + 1 AS depth
-          FROM reach r JOIN edges e ON e.src = r.node
+          FROM reach r JOIN g_edges e ON e.src = r.node
           WHERE r.depth < 2)
         SELECT node, CAST(MIN(depth) AS BIGINT) AS hops, COUNT(*) AS n_walks
         FROM reach GROUP BY node""")
