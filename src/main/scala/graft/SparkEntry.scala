@@ -47,6 +47,8 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q100–q102 graft.queries.Relational — CUBE, UNPIVOT, rank family
   *   q103    graft.queries.Vectors    — nearest-centroid classification
   *   q104    graft.queries.Graph      — bounded BFS via WITH RECURSIVE
+  *   q105    graft.queries.Events     — gaps-and-islands SCD2 intervals
+  *   q106    graft.queries.Curation   — quality cut by sketched percentile
   */
 object SparkEntry {
 

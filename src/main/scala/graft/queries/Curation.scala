@@ -543,5 +543,58 @@ object Curation {
         .withColumn("rnk", row_number()
           .over(Window.orderBy(col("priority"), col("doc_id"))).cast("long"))
     },
+
+    // ---------------------------------------------------------------- q106
+    // Quality cut by sketched percentile — "drop the bottom ~30% by
+    // quality" WITHOUT ever sorting the corpus: each doc scores an
+    // integer permyriad word-diversity (10000·distinct div total, one
+    // per-row pass), the scores hash-aggregate into width-250 buckets
+    // (the q96 histogram sketch), the p30 bucket comes off the tiny
+    // histogram, and the cut re-applies map-side with the one-row
+    // threshold broadcast. Rank error ≤ the threshold-bucket
+    // population, declared by keeping the whole boundary bucket
+    // (strictly-above cut) — deterministic in both engines. Output:
+    // per-source kept/total under the global threshold.
+    Q(
+      "q106_quality_cut",
+      Some("""
+        WITH scored AS (
+          SELECT doc_id, source,
+                 (10000 * len(list_distinct(string_split(text, ' ')))) // len(string_split(text, ' ')) AS score
+          FROM documents),
+        hist AS (
+          SELECT score // 250 AS b, COUNT(*) AS c FROM scored GROUP BY score // 250),
+        wc AS (
+          SELECT b, SUM(c) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 SUM(c) OVER () AS n
+          FROM hist),
+        thr AS (
+          SELECT CAST(MIN(b) AS BIGINT) AS thr_bucket
+          FROM wc WHERE cum >= (n * 3000 + 9999) // 10000)
+        SELECT s.source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN s.score // 250 > t.thr_bucket THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(MIN(t.thr_bucket) AS BIGINT) AS thr_bucket
+        FROM scored s CROSS JOIN thr t
+        GROUP BY s.source""")
+    ) { (s, dir) =>
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          expr("(10000 * size(array_distinct(split(text, ' ', -1)))) div size(split(text, ' ', -1))")
+            .as("score"))
+      val hist = scored.groupBy(expr("score div 250").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.orderBy("b")
+      val thr = hist
+        .withColumn("cum", sum(col("c")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+        .filter(col("cum") >= expr("(n * 3000 + 9999) div 10000"))
+        .agg(min(col("b")).as("thr_bucket"))
+      scored.crossJoin(broadcast(thr))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(expr("score div 250") > col("thr_bucket"), 1L).otherwise(0L)).as("n_kept"),
+          min(col("thr_bucket")).as("thr_bucket"))
+    },
   )
 }

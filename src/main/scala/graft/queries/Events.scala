@@ -477,6 +477,49 @@ object Events {
           last(col("sum_value"), ignoreNulls = true).over(w).as("filled_sum"))
     },
 
+    // ---------------------------------------------------------------- q105
+    // Gaps-and-islands / SCD2 interval build: consecutive runs of the
+    // same event_type per user collapse into validity intervals
+    // [start_us, end_us] with run ordinals — the classic
+    // state-history (slowly-changing-dimension) derivation. One lag
+    // window flags run starts, a cumulative sum numbers the islands,
+    // one aggregate per (user, run) emits the interval; everything
+    // partitions on user_id (two window passes + one agg sharing the
+    // key — a single exchange at scale).
+    Q(
+      "q105_scd2_islands",
+      Some("""
+        SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+               MIN(event_type) AS event_type,
+               COUNT(*) AS n_events,
+               MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS start_us,
+               MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS end_us
+        FROM (
+          SELECT user_id, ts, event_type,
+                 SUM(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+          FROM (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             IS DISTINCT FROM event_type
+                        THEN 1 ELSE 0 END AS new_run
+            FROM events) a) b
+        GROUP BY user_id, CAST(run_id AS BIGINT)""")
+    ) { (s, dir) =>
+      val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("new_run",
+          when(not(lag(col("event_type"), 1).over(order) <=> col("event_type")), 1L)
+            .otherwise(0L))
+        .withColumn("run_id", sum(col("new_run")).over(cum))
+        .groupBy(col("user_id"), col("run_id"))
+        .agg(min(col("event_type")).as("event_type"),
+          count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("start_us"),
+          max(unix_micros(col("ts"))).as("end_us"))
+    },
+
     // ---------------------------------------------------------------- q97
     // Behavioral transition matrix (first-order Markov estimate): for
     // each consecutive event pair within a user's timeline, count

@@ -580,6 +580,33 @@ class PlanSpec extends SparkSpec {
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty, s"$p")
   }
 
+  test("q105: islands share one user partitioning — windows + agg, join-free") {
+    val p = plan("q105_scd2_islands")
+    assert(p.collect {
+      case j: SortMergeJoinExec => j
+      case j: ShuffledHashJoinExec => j
+      case j: BroadcastHashJoinExec => j
+      case c: CartesianProductExec => c
+      case n: BroadcastNestedLoopJoinExec => n
+    }.isEmpty, s"lag + cumsum + agg — no joins:\n$p")
+    assert(shuffles(p).length === 1,
+      s"both windows and the island agg share the user_id exchange:\n$p")
+  }
+
+  test("q106: quality cut never sorts the corpus; threshold broadcasts back") {
+    val p = plan("q106_quality_cut")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"the one-row threshold must broadcast:\n$p")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+      p.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
+      s"the corpus never shuffles for a join:\n$p")
+    // corpus-sized sorts are forbidden — the only SortExec allowed is
+    // the cumulative window over the tiny histogram
+    val sorts = p.collect { case s: SortExec => s }
+    assert(sorts.forall(!_.global) || sorts.length <= 1,
+      s"no global corpus sort:\n$p")
+  }
+
   test("q96: histogram quantiles — one corpus exchange, pruned scan, map-side combine") {
     val p = plan("q96_hist_quantile")
     // the corpus touches exactly one exchange (the histogram agg); the

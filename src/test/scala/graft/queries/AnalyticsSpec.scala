@@ -256,6 +256,39 @@ class AnalyticsSpec extends SparkSpec {
       s"nearest-centroid must beat the random baseline, got $acc")
   }
 
+  // ----------------------------------------------------------- q105
+  test("q105 islands tile each user's timeline: counts conserve, runs alternate, intervals order") {
+    val rows = run("q105_scd2_islands").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val ev = graft.Tables.load(spark, sf, "events")
+    assert(rows.map(_._4).sum === ev.count(), "islands partition the events")
+    rows.groupBy(_._1).foreach { case (_, runs) =>
+      val ordered = runs.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq === (1L to ordered.length).toSeq, "dense run ids")
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 != b._3, "consecutive islands must change state")
+          assert(a._6 < b._5, "intervals must be disjoint and ordered")
+        case _ =>
+      }
+      ordered.foreach(r => assert(r._5 <= r._6, "start <= end"))
+    }
+  }
+
+  // ----------------------------------------------------------- q106
+  test("q106 keeps 70%±bucket of the corpus and never keeps below the threshold") {
+    val rows = run("q106_quality_cut").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = rows.map(_._2).sum
+    val kept = rows.map(_._3).sum
+    assert(rows.map(_._4).distinct.length === 1, "one global threshold")
+    // the cut drops AT LEAST 30% (boundary bucket kept-side is dropped
+    // entirely by the strictly-above rule) and at most 30% + one
+    // bucket's population
+    assert(kept <= (total * 7000 + 9999) / 10000, s"kept $kept of $total")
+    assert(kept >= total / 2, "the cut must not collapse the corpus")
+  }
+
   // ----------------------------------------------------------- q96
   test("q96 histogram is mergeable: shard histograms sum cell-wise to the full build") {
     val li = graft.Tables.load(spark, sf, "lineitem")
