@@ -49,6 +49,9 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q104    graft.queries.Graph      — bounded BFS via WITH RECURSIVE
   *   q105    graft.queries.Events     — gaps-and-islands SCD2 intervals
   *   q106    graft.queries.Curation   — quality cut by sketched percentile
+  *   q107    graft.queries.Vectors    — embedding covariance statistics
+  *   q108–q109 graft.queries.Relational — full-outer reconciliation,
+  *            EXCEPT ALL / INTERSECT ALL
   */
 object SparkEntry {
 

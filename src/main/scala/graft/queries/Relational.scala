@@ -731,6 +731,79 @@ object Relational {
           cume_dist().over(w).as("cdist"))
     },
 
+    // ---------------------------------------------------------------- q108
+    // FULL OUTER reconciliation — the join kind the library lacked:
+    // two systems' per-entity aggregates (order counts by custkey,
+    // event counts by user_id) full-outer-join on the shared id space;
+    // unmatched sides null-fill and a presence tag classifies each
+    // entity as both/orders-only/events-only. The standard
+    // cross-system audit; both inputs pre-aggregate (shrink) BEFORE
+    // the join, which is the order that scales.
+    Q(
+      "q108_full_outer",
+      Some("""
+        WITH o AS (
+          SELECT o_custkey AS id, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey),
+        e AS (
+          SELECT user_id AS id, COUNT(*) AS n_events FROM events GROUP BY user_id)
+        SELECT COALESCE(o.id, e.id) AS id,
+               COALESCE(o.n_orders, 0) AS n_orders,
+               COALESCE(e.n_events, 0) AS n_events,
+               CASE WHEN o.id IS NULL THEN 'events_only'
+                    WHEN e.id IS NULL THEN 'orders_only'
+                    ELSE 'both' END AS presence
+        FROM o FULL OUTER JOIN e ON e.id = o.id""")
+    ) { (s, dir) =>
+      val o = t(s, dir, "orders").groupBy(col("o_custkey").as("id"))
+        .agg(count(lit(1)).as("n_orders"))
+      val e = t(s, dir, "events").groupBy(col("user_id").as("eid"))
+        .agg(count(lit(1)).as("n_events"))
+      o.join(e, col("id") === col("eid"), "full_outer")
+        .select(coalesce(col("id"), col("eid")).as("id"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          when(col("id").isNull, "events_only")
+            .when(col("eid").isNull, "orders_only")
+            .otherwise("both").as("presence"))
+    },
+
+    // ---------------------------------------------------------------- q109
+    // Multiset set operations — EXCEPT ALL / INTERSECT ALL keep
+    // multiplicity where q14/q41's distinct forms collapse it: the
+    // bag of shipping months (one per line item) minus the bag of
+    // ordering months (one per order) answers "how much shipping
+    // volume a month carries beyond its ordering volume" — a
+    // bag-semantics reconciliation only the ALL variants express.
+    // Spark plans these as aggregate+generate (no sort); per month
+    // the identity |A∖B| + |A∩B| = |A| conserves.
+    Q(
+      "q109_multiset_setops",
+      Some("""
+        WITH ship AS (
+          SELECT date_trunc('month', l_shipdate) AS m FROM lineitem),
+        ordered AS (
+          SELECT date_trunc('month', o_orderdate) AS m FROM orders),
+        ex AS (SELECT m FROM ship EXCEPT ALL SELECT m FROM ordered),
+        inter AS (SELECT m FROM ship INTERSECT ALL SELECT m FROM ordered)
+        SELECT 'except_all' AS op, CAST(m AS DATE) AS month, COUNT(*) AS n
+        FROM ex GROUP BY m
+        UNION ALL
+        SELECT 'intersect_all', CAST(m AS DATE), COUNT(*)
+        FROM inter GROUP BY m""")
+    ) { (s, dir) =>
+      val ship = t(s, dir, "lineitem")
+        .select(date_trunc("month", col("l_shipdate")).as("m"))
+      val ordered = t(s, dir, "orders")
+        .select(date_trunc("month", col("o_orderdate")).as("m"))
+      val ex = ship.exceptAll(ordered)
+        .groupBy(col("m")).agg(count(lit(1)).as("n"))
+        .select(lit("except_all").as("op"), col("m").cast("date").as("month"), col("n"))
+      val inter = ship.intersectAll(ordered)
+        .groupBy(col("m")).agg(count(lit(1)).as("n"))
+        .select(lit("intersect_all").as("op"), col("m").cast("date").as("month"), col("n"))
+      ex.unionAll(inter)
+    },
+
     // ---------------------------------------------------------------- q96
     // Histogram-sketch quantiles — the MERGEABLE alternative to q44's
     // exact percentile: prices hash-aggregate into fixed-width buckets

@@ -380,6 +380,62 @@ object Vectors {
         .groupBy(col("label"), col("pred"))
         .agg(count(lit(1)).as("n"))
     },
+
+    // ---------------------------------------------------------------- q107
+    // Embedding covariance sufficient statistics — the q88 move
+    // generalized to the 64×64 upper triangle: ONE pass generates the
+    // 2080 (i ≤ j) cross products per vector (bounded by dim², not
+    // corpus), partial-aggregates exact-integer Σxᵢxⱼ map-side, and
+    // the per-dimension sums broadcast back for the centered
+    // numerator n·Σxᵢxⱼ − Σxᵢ·Σxⱼ. Whitening / PCA / outlier
+    // pipelines consume exactly this matrix, and at 100 TB the plan
+    // is one partial-aggregated exchange of dim² cells. cov is one
+    // IEEE division of exact integers.
+    Q(
+      "q107_embedding_covariance",
+      Some(s"""
+        WITH normed0 AS ($quantizedSql),
+        normed AS (SELECT vec_id, qv FROM normed0),
+        cross_sums AS (
+          SELECT i, j,
+                 CAST(SUM(qv[CAST(i AS INT)] * qv[CAST(j AS INT)]) AS BIGINT) AS sxy,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM normed,
+               (SELECT unnest(range(1, 65)) AS i) a,
+               (SELECT unnest(range(1, 65)) AS j) b
+          WHERE j >= i
+          GROUP BY i, j),
+        dim_sums AS (
+          SELECT i, CAST(SUM(qv[CAST(i AS INT)]) AS BIGINT) AS sx
+          FROM normed, (SELECT unnest(range(1, 65)) AS i) a
+          GROUP BY i)
+        SELECT c.i, c.j, c.n, c.sxy, di.sx AS sx_i, dj.sx AS sx_j,
+               CAST(c.n * c.sxy - di.sx * dj.sx AS DOUBLE)
+                 / CAST(c.n * c.n AS DOUBLE) AS cov
+        FROM cross_sums c
+        JOIN dim_sums di ON di.i = c.i
+        JOIN dim_sums dj ON dj.i = c.j""")
+    ) { (s, dir) =>
+      val normed = quantized(s, dir).select(col("vec_id"), col("qv"))
+      val cross = normed.select(explode(expr(
+        """flatten(transform(sequence(1, 64), i ->
+             transform(sequence(i, 64), j ->
+               struct(i AS i, j AS j,
+                      element_at(qv, i) * element_at(qv, j) AS p))))""")).as("c"))
+        .select(col("c.i").cast("long").as("i"), col("c.j").cast("long").as("j"), col("c.p"))
+        .groupBy("i", "j")
+        .agg(sum(col("p")).as("sxy"), count(lit(1)).as("n"))
+      val dims = normed
+        .select(posexplode(col("qv")).as(Seq("pos0", "v")))
+        .select((col("pos0") + 1).cast("long").as("i"), col("v"))
+        .groupBy("i").agg(sum(col("v")).as("sx"))
+      cross
+        .join(broadcast(dims.select(col("i"), col("sx").as("sx_i"))), "i")
+        .join(broadcast(dims.select(col("i").as("j"), col("sx").as("sx_j"))), "j")
+        .select(col("i"), col("j"), col("n"), col("sxy"), col("sx_i"), col("sx_j"),
+          ((col("n") * col("sxy") - col("sx_i") * col("sx_j")).cast("double") /
+            (col("n") * col("n")).cast("double")).as("cov"))
+    },
   )
 
   /** IVF approximate top-5 — registered as q60 and re-used by q65

@@ -607,6 +607,31 @@ class PlanSpec extends SparkSpec {
       s"no global corpus sort:\n$p")
   }
 
+  test("q107: covariance cells partial-aggregate; dim sums broadcast back") {
+    val p = plan("q107_embedding_covariance")
+    val aggs = p.collect { case a: HashAggregateExec => a }
+    assert(aggs.exists(_.aggregateExpressions.exists(_.mode.toString == "Partial")),
+      s"cross products must combine map-side:\n$p")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+      p.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
+      s"the 64-row dim sums must broadcast:\n$p")
+  }
+
+  test("q108: both sides pre-aggregate before the full outer join") {
+    val p = plan("q108_full_outer")
+    val outer = p.collect {
+      case j: SortMergeJoinExec if j.joinType.sql == "FULL OUTER" => j
+      case j: ShuffledHashJoinExec if j.joinType.sql == "FULL OUTER" => j
+    }
+    assert(outer.length === 1, s"exactly one full outer join:\n$p")
+    // each join child subtree must contain its aggregate — the shrink
+    // happens before the join, never after
+    outer.head.children.foreach { side =>
+      assert(side.exists { case _: HashAggregateExec => true; case _ => false },
+        s"join inputs must be the aggregates:\n$p")
+    }
+  }
+
   test("q96: histogram quantiles — one corpus exchange, pruned scan, map-side combine") {
     val p = plan("q96_hist_quantile")
     // the corpus touches exactly one exchange (the histogram agg); the

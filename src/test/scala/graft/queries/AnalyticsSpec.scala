@@ -289,6 +289,58 @@ class AnalyticsSpec extends SparkSpec {
     assert(kept >= total / 2, "the cut must not collapse the corpus")
   }
 
+  // ----------------------------------------------------------- q107
+  test("q107 equals an in-Scala covariance replay; diagonal variances are non-negative") {
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .select(graft.functions.VecMath.quantize(col("embedding")).as("qv"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    val n = vecs.length.toLong
+    val got = run("q107_embedding_covariance").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.size === 64 * 65 / 2)
+    for (i <- 0 until 64; j <- i until 64) {
+      val sxy = vecs.map(v => v(i) * v(j)).sum
+      val (gSxy, gSxi, gSxj) = got((i + 1L, j + 1L))
+      assert(gSxy === sxy && gSxi === vecs.map(_(i)).sum && gSxj === vecs.map(_(j)).sum)
+      if (i == j) assert(n * sxy - gSxi * gSxj >= 0L, s"variance($i) negative")
+    }
+  }
+
+  // ----------------------------------------------------------- q108
+  test("q108 presence classes partition the union of id spaces") {
+    val rows = run("q108_full_outer").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.map(_._1).distinct.length === rows.length, "one row per id")
+    rows.foreach { case (_, no, ne, p) =>
+      p match {
+        case "both"        => assert(no > 0 && ne > 0)
+        case "orders_only" => assert(no > 0 && ne === 0)
+        case "events_only" => assert(no === 0 && ne > 0)
+      }
+    }
+    val custs = graft.Tables.load(spark, sf, "orders")
+      .select("o_custkey").distinct().count()
+    val users = graft.Tables.load(spark, sf, "events")
+      .select("user_id").distinct().count()
+    val both = rows.count(_._4 == "both").toLong
+    assert(rows.length.toLong === custs + users - both, "full outer covers the id union")
+  }
+
+  // ----------------------------------------------------------- q109
+  test("q109 bag identity holds per month: |A except all B| + |A intersect all B| = |A|") {
+    val rows = run("q109_multiset_setops").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val ship = graft.Tables.load(spark, sf, "lineitem")
+      .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("m"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    ship.foreach { case (m, total) =>
+      val ex = rows.collectFirst { case ("except_all", `m`, v) => v }.getOrElse(0L)
+      val in = rows.collectFirst { case ("intersect_all", `m`, v) => v }.getOrElse(0L)
+      assert(ex + in === total, s"month $m: $ex + $in != $total")
+    }
+  }
+
   // ----------------------------------------------------------- q96
   test("q96 histogram is mergeable: shard histograms sum cell-wise to the full build") {
     val li = graft.Tables.load(spark, sf, "lineitem")
