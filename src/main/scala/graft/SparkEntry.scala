@@ -52,6 +52,7 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q107    graft.queries.Vectors    — embedding covariance statistics
   *   q108–q109 graft.queries.Relational — full-outer reconciliation,
   *            EXCEPT ALL / INTERSECT ALL
+  *   q110    graft.queries.Vectors    — integer z-score outlier flags
   */
 object SparkEntry {
 

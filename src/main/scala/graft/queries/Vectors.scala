@@ -436,6 +436,65 @@ object Vectors {
           ((col("n") * col("sxy") - col("sx_i") * col("sx_j")).cast("double") /
             (col("n") * col("n")).cast("double")).as("cov"))
     },
+
+    // ---------------------------------------------------------------- q110
+    // Per-dimension z-score outlier flags, ALL-INTEGER: x is beyond
+    // 3σ of its dimension iff (x·n − Σx)² > 9·(n·Σx² − (Σx)²) — the
+    // inequality cross-multiplied by n² so no division, no sqrt, no
+    // float ever occurs (exact BIGINT at this SF; production-scale n
+    // recasts the two sides to DECIMAL(38,0)). The 64-row per-dim
+    // stats table broadcasts; the corpus is scanned once and each
+    // vector reports how many of its dimensions are 3σ-extreme — the
+    // embedding-space outlier filter a curation pipeline runs before
+    // training. The only shuffles are the tiny stats aggregate and
+    // the optional final ordering of flagged rows (none — output is
+    // per-vector, unordered).
+    Q(
+      "q110_outlier_dims",
+      Some(s"""
+        WITH normed0 AS ($quantizedSql),
+        normed AS (SELECT vec_id, qv FROM normed0),
+        dim_stats AS (
+          SELECT i,
+                 CAST(SUM(qv[CAST(i AS INT)]) AS BIGINT) AS sx,
+                 CAST(SUM(qv[CAST(i AS INT)] * qv[CAST(i AS INT)]) AS BIGINT) AS sxx,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM normed, (SELECT unnest(range(1, 65)) AS i) a
+          GROUP BY i)
+        SELECT v.vec_id,
+               CAST(SUM(CASE WHEN
+                 (v.qv[CAST(d.i AS INT)] * d.n - d.sx) * (v.qv[CAST(d.i AS INT)] * d.n - d.sx)
+                   > 9 * (d.n * d.sxx - d.sx * d.sx)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier_dims,
+               CAST(SUM(CASE WHEN
+                 (v.qv[CAST(d.i AS INT)] * d.n - d.sx) * (v.qv[CAST(d.i AS INT)] * d.n - d.sx)
+                   > 9 * (d.n * d.sxx - d.sx * d.sx)
+                 THEN 1 ELSE 0 END) AS BIGINT) >= 2 AS is_outlier
+        FROM normed v, dim_stats d
+        GROUP BY v.vec_id""")
+    ) { (s, dir) =>
+      val normed = quantized(s, dir).select(col("vec_id"), col("qv"))
+      val stats = normed
+        .select(posexplode(col("qv")).as(Seq("pos0", "v")))
+        .select((col("pos0") + 1).cast("long").as("i"), col("v"))
+        .groupBy("i")
+        .agg(sum(col("v")).as("sx"), sum(col("v") * col("v")).as("sxx"),
+          count(lit(1)).as("n"))
+      val statArr = stats
+        .agg(collect_list(struct(col("i"), col("sx"), col("sxx"), col("n"))).as("__st"))
+      // the whole per-vector test runs inside ONE projection over the
+      // broadcast stats array — no explode of the corpus, no join
+      normed.crossJoin(broadcast(statArr))
+        .withColumn("n_outlier_dims", expr(
+          """CAST(aggregate(__st, 0L, (acc, d) ->
+               acc + (CASE WHEN
+                 (element_at(qv, CAST(d.i AS INT)) * d.n - d.sx)
+                   * (element_at(qv, CAST(d.i AS INT)) * d.n - d.sx)
+                   > 9 * (d.n * d.sxx - d.sx * d.sx)
+               THEN 1L ELSE 0L END)) AS BIGINT)"""))
+        .select(col("vec_id"), col("n_outlier_dims"),
+          (col("n_outlier_dims") >= 2).as("is_outlier"))
+    },
   )
 
   /** IVF approximate top-5 — registered as q60 and re-used by q65

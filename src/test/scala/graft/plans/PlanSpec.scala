@@ -632,6 +632,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q110: outlier test runs inside one projection — no corpus explode, no join shuffle") {
+    val p = plan("q110_outlier_dims")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+      p.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
+      s"the 64-row stats array must broadcast:\n$p")
+    // the corpus side must NOT explode 64× — the HOF aggregate runs
+    // per row; the only Generate allowed is in the stats subtree
+    val gens = p.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(gens.length <= 1, s"only the stats build may posexplode:\n$p")
+  }
+
   test("q96: histogram quantiles — one corpus exchange, pruned scan, map-side combine") {
     val p = plan("q96_hist_quantile")
     // the corpus touches exactly one exchange (the histogram agg); the

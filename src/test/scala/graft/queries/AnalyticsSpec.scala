@@ -341,6 +341,29 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  // ----------------------------------------------------------- q110
+  test("q110 equals a direct 3-sigma replay in double arithmetic") {
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), graft.functions.VecMath.quantize(col("embedding")).as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val n = vecs.length
+    val expect = vecs.map { case (id, qv) =>
+      val cnt = (0 until 64).count { i =>
+        val xs = vecs.map(_._2(i))
+        val mean = xs.sum.toDouble / n
+        val varr = xs.map(x => (x - mean) * (x - mean)).sum / n
+        math.abs(qv(i) - mean) > 3 * math.sqrt(varr)
+      }
+      id -> cnt.toLong
+    }.toMap
+    val got = run("q110_outlier_dims").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the integer cross-multiplied inequality is EXACT; the double
+    // replay can disagree only within floating error of the boundary,
+    // which this data never sits on
+    assert(got === expect)
+  }
+
   // ----------------------------------------------------------- q96
   test("q96 histogram is mergeable: shard histograms sum cell-wise to the full build") {
     val li = graft.Tables.load(spark, sf, "lineitem")
