@@ -53,6 +53,7 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q108–q109 graft.queries.Relational — full-outer reconciliation,
   *            EXCEPT ALL / INTERSECT ALL
   *   q110    graft.queries.Vectors    — integer z-score outlier flags
+  *   q111    graft.queries.Relational — null-aware NOT IN anti join
   */
 object SparkEntry {
 

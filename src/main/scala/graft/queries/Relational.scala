@@ -804,6 +804,36 @@ object Relational {
       ex.unionAll(inter)
     },
 
+    // ---------------------------------------------------------------- q111
+    // NOT IN — the null-aware anti join, semantically DISTINCT from
+    // q08's NOT EXISTS: one NULL in the subquery poisons the whole
+    // predicate to UNKNOWN and the result is EMPTY (three-valued
+    // logic). Both branches are emitted: the clean subquery (parts
+    // never shipped) and the NULL-poisoned one (must count 0 in both
+    // engines — the parity that proves the semantics, not just the
+    // plan). Spark plans the single-column case as a null-aware anti
+    // join (broadcast, no per-row subquery).
+    Q(
+      "q111_not_in",
+      Some("""
+        SELECT 'not_in' AS op, COUNT(*) AS n
+        FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+        UNION ALL
+        SELECT 'not_in_with_null', COUNT(*)
+        FROM part WHERE p_partkey NOT IN
+          (SELECT l_partkey FROM lineitem UNION ALL SELECT NULL)""")
+    ) { (s, dir) =>
+      t(s, dir, "part").createOrReplaceTempView("g_part")
+      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+      s.sql("""
+        SELECT 'not_in' AS op, COUNT(*) AS n
+        FROM g_part WHERE p_partkey NOT IN (SELECT l_partkey FROM g_lineitem)
+        UNION ALL
+        SELECT 'not_in_with_null', COUNT(*)
+        FROM g_part WHERE p_partkey NOT IN
+          (SELECT l_partkey FROM g_lineitem UNION ALL SELECT NULL)""")
+    },
+
     // ---------------------------------------------------------------- q96
     // Histogram-sketch quantiles — the MERGEABLE alternative to q44's
     // exact percentile: prices hash-aggregate into fixed-width buckets

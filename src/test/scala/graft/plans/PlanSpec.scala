@@ -643,6 +643,16 @@ class PlanSpec extends SparkSpec {
     assert(gens.length <= 1, s"only the stats build may posexplode:\n$p")
   }
 
+  test("q111: NOT IN plans as a null-aware anti join, not a per-row subquery") {
+    val p = plan("q111_not_in")
+    val naaj = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.isNullAwareAntiJoin => j
+    }
+    assert(naaj.nonEmpty,
+      s"single-column NOT IN must use the null-aware anti join:\n$p")
+  }
+
   test("q96: histogram quantiles — one corpus exchange, pruned scan, map-side combine") {
     val p = plan("q96_hist_quantile")
     // the corpus touches exactly one exchange (the histogram agg); the
