@@ -416,15 +416,21 @@ object Vectors {
         JOIN dim_sums di ON di.i = c.i
         JOIN dim_sums dj ON dj.i = c.j""")
     ) { (s, dir) =>
+      import s.implicits._
       val normed = quantized(s, dir).select(col("vec_id"), col("qv"))
-      val cross = normed.select(explode(expr(
-        """flatten(transform(sequence(1, 64), i ->
-             transform(sequence(i, 64), j ->
-               struct(i AS i, j AS j,
-                      element_at(qv, i) * element_at(qv, j) AS p))))""")).as("c"))
-        .select(col("c.i").cast("long").as("i"), col("c.j").cast("long").as("j"), col("c.p"))
-        .groupBy("i", "j")
-        .agg(sum(col("p")).as("sxy"), count(lit(1)).as("n"))
+      // the typed CovMatrixAggregator folds all 2080 cross products of
+      // a vector into one flat buffer — no 2080-row explode, no
+      // per-cell hashing; partials are one array per partition and the
+      // shuffle carries O(partitions × dim²) bytes at any corpus size
+      val covUdaf = udaf(new graft.functions.CovMatrixAggregator(64),
+        graft.functions.CovMatrix.inputEncoder)
+      val one = normed.agg(covUdaf(col("qv")).as("st"))
+      val cells = one.select(col("st.n").as("n"),
+        posexplode(col("st.sums")).as(Seq("k", "sxy")))
+      val idx = graft.functions.CovMatrix.pairIndex(64).toDF("k", "i0", "j0")
+      val cross = cells.join(broadcast(idx), "k")
+        .select(col("i0").cast("long").as("i"), col("j0").cast("long").as("j"),
+          col("n"), col("sxy"))
       val dims = normed
         .select(posexplode(col("qv")).as(Seq("pos0", "v")))
         .select((col("pos0") + 1).cast("long").as("i"), col("v"))

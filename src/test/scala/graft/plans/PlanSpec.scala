@@ -607,14 +607,16 @@ class PlanSpec extends SparkSpec {
       s"no global corpus sort:\n$p")
   }
 
-  test("q107: covariance cells partial-aggregate; dim sums broadcast back") {
+  test("q107: covariance folds in the typed aggregator — partial buffers, no corpus explode") {
     val p = plan("q107_embedding_covariance")
-    val aggs = p.collect { case a: HashAggregateExec => a }
-    assert(aggs.exists(_.aggregateExpressions.exists(_.mode.toString == "Partial")),
-      s"cross products must combine map-side:\n$p")
+    // the matrix fold is the typed CovMatrixAggregator: partial + final
+    // ObjectHashAggregate, one flat buffer per partition
+    val objAggs = p.collect { case a: ObjectHashAggregateExec => a }
+    assert(objAggs.exists(_.aggregateExpressions.exists(_.mode.toString == "Partial")),
+      s"cross products must combine map-side in the typed buffer:\n$p")
     assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
       p.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
-      s"the 64-row dim sums must broadcast:\n$p")
+      s"the 2080-row index and 64-row dim sums must broadcast:\n$p")
   }
 
   test("q108: both sides pre-aggregate before the full outer join") {
