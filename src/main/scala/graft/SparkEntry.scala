@@ -54,6 +54,7 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *            EXCEPT ALL / INTERSECT ALL
   *   q110    graft.queries.Vectors    — integer z-score outlier flags
   *   q111    graft.queries.Relational — null-aware NOT IN anti join
+  *   q112    graft.queries.Relational — order-free md5 table checksum
   */
 object SparkEntry {
 

@@ -834,6 +834,42 @@ object Relational {
           (SELECT l_partkey FROM g_lineitem UNION ALL SELECT NULL)""")
     },
 
+    // ---------------------------------------------------------------- q112
+    // Order-free table checksum — the replication / migration
+    // integrity check: each row canonicalizes to a '|'-joined string
+    // (integers render identically in both engines; dates cast to the
+    // same ISO text), md5 hashes it, the first 12 hex chars convert to
+    // an integer through a GENERATED positional polynomial (no strtol
+    // in DuckDB; instr('0123456789abcdef', c)−1 digit-decodes in both
+    // engines), and the per-group checksum is the exact decimal sum
+    // mod 2⁶². Addition is commutative, so the checksum is
+    // partition-order-free and mergeable — two sides of a copy compare
+    // one tiny row set instead of the data. One partial-aggregated
+    // exchange.
+    Q(
+      "q112_table_checksum",
+      Some {
+        val h = "md5(concat_ws('|', l_orderkey, l_linenumber, l_returnflag, CAST(l_shipdate AS VARCHAR)))"
+        val poly = (0 until 12).map { p =>
+          s"(instr('0123456789abcdef', substr($h, ${12 - p}, 1)) - 1) * ${1L << (4 * p)}"
+        }.mkString(" + ")
+        s"""
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST($poly AS DECIMAL(38,0))) % 4611686018427387904 AS BIGINT) AS checksum
+        FROM lineitem GROUP BY l_returnflag"""
+      }
+    ) { (s, dir) =>
+      val h = "md5(concat_ws('|', l_orderkey, l_linenumber, l_returnflag, CAST(l_shipdate AS STRING)))"
+      val poly = (0 until 12).map { p =>
+        s"(instr('0123456789abcdef', substr($h, ${12 - p}, 1)) - 1) * ${1L << (4 * p)}L"
+      }.mkString(" + ")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          expr(s"CAST(SUM(CAST($poly AS DECIMAL(38,0))) % 4611686018427387904 AS BIGINT)")
+            .as("checksum"))
+    },
+
     // ---------------------------------------------------------------- q96
     // Histogram-sketch quantiles — the MERGEABLE alternative to q44's
     // exact percentile: prices hash-aggregate into fixed-width buckets

@@ -364,6 +364,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  // ----------------------------------------------------------- q112
+  test("q112 checksum detects a one-row mutation and ignores row order") {
+    val base = run("q112_table_checksum").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // order independence: recompute over a reshuffled frame
+    val li = graft.Tables.load(spark, sf, "lineitem")
+    def checksumOf(df: org.apache.spark.sql.DataFrame) = {
+      val h = "md5(concat_ws('|', l_orderkey, l_linenumber, l_returnflag, CAST(l_shipdate AS STRING)))"
+      val poly = (0 until 12).map { p =>
+        s"(instr('0123456789abcdef', substr($h, ${12 - p}, 1)) - 1) * ${1L << (4 * p)}L"
+      }.mkString(" + ")
+      df.groupBy(col("l_returnflag"))
+        .agg(expr(s"CAST(SUM(CAST($poly AS DECIMAL(38,0))) % 4611686018427387904 AS BIGINT)")
+          .as("checksum"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val shuffled = checksumOf(li.repartition(7))
+    base.foreach { case (k, (_, c)) => assert(shuffled(k) === c, s"order changed checksum for $k") }
+    // sensitivity: flipping one l_linenumber changes exactly that flag's checksum
+    val mutated = checksumOf(li.withColumn("l_linenumber",
+      when(col("l_orderkey") === li.select(min("l_orderkey")).head.getLong(0),
+        col("l_linenumber") + 1000).otherwise(col("l_linenumber"))))
+    assert(mutated.exists { case (k, c) => base(k)._2 != c },
+      "a mutated row must change some checksum")
+  }
+
   // ----------------------------------------------------------- q96
   test("q96 histogram is mergeable: shard histograms sum cell-wise to the full build") {
     val li = graft.Tables.load(spark, sf, "lineitem")
