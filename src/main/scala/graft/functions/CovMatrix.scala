@@ -8,9 +8,10 @@ import org.apache.spark.sql.expressions.Aggregator
 final case class CovInput(qv: Seq[Long])
 
 /** Flattened upper-triangle sufficient statistics: `sums(k)` is
-  * Σ xᵢ·xⱼ for the k-th (i ≤ j) pair in row-major enumeration, `n`
-  * the vector count. */
-final case class CovStats(sums: Array[Long], n: Long)
+  * Σ xᵢ·xⱼ for the k-th (i ≤ j) pair in row-major enumeration,
+  * `dimSums(i)` is Σ xᵢ, `n` the vector count — everything a
+  * covariance/whitening consumer needs from ONE corpus pass. */
+final case class CovStats(sums: Array[Long], dimSums: Array[Long], n: Long)
 
 /** Covariance sufficient-statistics aggregator for `dim`-wide
   * quantized vectors: folds ALL dim·(dim+1)/2 exact-integer cross
@@ -28,7 +29,8 @@ final class CovMatrixAggregator(dim: Int)
   require(dim >= 1, s"dim must be positive, got $dim")
   private val cells = dim * (dim + 1) / 2
 
-  override def zero: CovStats = CovStats(new Array[Long](cells), 0L)
+  override def zero: CovStats =
+    CovStats(new Array[Long](cells), new Array[Long](dim), 0L)
 
   override def reduce(b: CovStats, a: CovInput): CovStats = {
     val v = a.qv
@@ -36,6 +38,7 @@ final class CovMatrixAggregator(dim: Int)
     var i = 0
     while (i < dim) {
       val xi = v(i)
+      b.dimSums(i) += xi
       var j = i
       while (j < dim) {
         b.sums(k) += xi * v(j)
@@ -44,13 +47,15 @@ final class CovMatrixAggregator(dim: Int)
       }
       i += 1
     }
-    CovStats(b.sums, b.n + 1)
+    CovStats(b.sums, b.dimSums, b.n + 1)
   }
 
   override def merge(x: CovStats, y: CovStats): CovStats = {
     var k = 0
     while (k < cells) { x.sums(k) += y.sums(k); k += 1 }
-    CovStats(x.sums, x.n + y.n)
+    var i = 0
+    while (i < dim) { x.dimSums(i) += y.dimSums(i); i += 1 }
+    CovStats(x.sums, x.dimSums, x.n + y.n)
   }
 
   override def finish(r: CovStats): CovStats = r

@@ -551,9 +551,10 @@ object Curation {
     // per-row pass), the scores hash-aggregate into width-250 buckets
     // (the q96 histogram sketch), the p30 bucket comes off the tiny
     // histogram, and the cut re-applies map-side with the one-row
-    // threshold broadcast. Rank error ≤ the threshold-bucket
-    // population, declared by keeping the whole boundary bucket
-    // (strictly-above cut) — deterministic in both engines. Output:
+    // threshold broadcast. The strictly-above cut DROPS the whole
+    // boundary bucket, so kept ≤ 70% of the corpus and the shortfall
+    // is bounded by that bucket's population — the declared rank
+    // error, deterministic in both engines. Output:
     // per-source kept/total under the global threshold.
     Q(
       "q106_quality_cut",

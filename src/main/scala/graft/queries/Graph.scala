@@ -35,6 +35,36 @@ object Graph {
     * ·85 div 100; teleport (1−d) becomes +1500. */
   private val rankOne = 10000L
 
+  /** The shared trading-graph edge CTEs (q94 + q104 oracles): distinct
+    * (custkey, suppkey) pairs, both directions, suppliers negative. */
+  private val pairsEdgesCte = """
+        pairs AS (
+          SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        edges AS (
+          SELECT c AS src, -s AS dst FROM pairs
+          UNION ALL
+          SELECT -s AS src, c AS dst FROM pairs)"""
+
+  /** The Spark side of the same derivation: the 2-column orders
+    * projection broadcasts (~16 B/row) so lineitem never shuffles for
+    * the pair join; both edge directions come from ONE explode pass
+    * (a self-union would re-execute the pair subtree twice). Columns:
+    * (src, dst). */
+  private def tradingEdges(s: SparkSession, dir: String): DataFrame = {
+    val orders = broadcast(t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey")))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+      .select(explode(array(
+        struct(col("c").as("src"), (-col("s")).as("dst")),
+        struct((-col("s")).as("src"), col("c").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+  }
+
   val all: Seq[Q] = Seq(
     // ---------------------------------------------------------------- q94
     // Fixed-point PageRank, 3 iterations, over the customer↔supplier
@@ -46,13 +76,7 @@ object Graph {
     Q(
       "q94_pagerank",
       Some(s"""
-        WITH pairs AS (
-          SELECT DISTINCT o_custkey AS c, l_suppkey AS s
-          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-        edges AS (
-          SELECT c AS src, -s AS dst FROM pairs
-          UNION ALL
-          SELECT -s AS src, c AS dst FROM pairs),
+        WITH $pairsEdgesCte,
         deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
         ed AS (
           SELECT e.src, e.dst, d.outdeg
@@ -72,23 +96,9 @@ object Graph {
           FROM ed JOIN r2 r ON r.node = ed.src GROUP BY ed.dst)
         SELECT node, r AS rank_fp FROM r3""")
     ) { (s, dir) =>
-      // the 2-column orders projection broadcasts (~16 B/row), so the
-      // lineitem side never shuffles for the pair derivation
-      val orders = broadcast(t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey")))
-      val pairs = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"))
-        .join(orders, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-        .distinct()
-      // both edge directions in ONE pass over pairs (explode, not a
-      // self-union — a union re-executes the pair subtree twice), and
-      // out-degree as a window count over the same src partitioning
-      // (no degree join)
-      val edges = pairs.select(explode(array(
-        struct(col("c").as("src"), (-col("s")).as("dst")),
-        struct((-col("s")).as("src"), col("c").as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      // shared trading-graph edges; out-degree attaches as a window
+      // count over the same src partitioning (no degree join).
+      val edges = tradingEdges(s, dir)
       // Materialize the degree-annotated edge list ONCE. Iterative
       // DataFrame lineages re-execute shared subtrees: the (small) rank
       // table broadcasts into every iteration, leaving no exchange on
@@ -131,14 +141,7 @@ object Graph {
     Q(
       "q104_recursive_bfs",
       Some(s"""
-        WITH RECURSIVE
-        pairs AS (
-          SELECT DISTINCT o_custkey AS c, l_suppkey AS s
-          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-        edges AS (
-          SELECT c AS src, -s AS dst FROM pairs
-          UNION ALL
-          SELECT -s AS src, c AS dst FROM pairs),
+        WITH RECURSIVE $pairsEdgesCte,
         reach(node, depth) AS (
           SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
           UNION ALL
@@ -151,17 +154,7 @@ object Graph {
       // materialize the edge list BEFORE the recursion — a CTE inlines
       // into every recursion level, re-deriving the orders⋈lineitem
       // distinct per depth (the q94 lesson applied to WITH RECURSIVE)
-      val orders = broadcast(t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey")))
-      val pairs = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"))
-        .join(orders, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-        .distinct()
-      pairs.select(explode(array(
-        struct(col("c").as("src"), (-col("s")).as("dst")),
-        struct((-col("s")).as("src"), col("c").as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      tradingEdges(s, dir)
         .localCheckpoint()
         .createOrReplaceTempView("g_edges")
       s.sql("""

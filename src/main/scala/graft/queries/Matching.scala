@@ -115,8 +115,11 @@ object Matching {
         WHERE CAST(d.dot AS DOUBLE) /
                 (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) >= $minCosine""")
     ) { (s, dir) =>
+      // size >= 2 guards sequence(1, 0) descending on single-token
+      // docs (q83's lesson); DuckDB's range(1, 1) is already empty
       val grams = t(s, dir, "documents")
         .withColumn("tk", split(col("text"), " "))
+        .filter(size(col("tk")) >= 2)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, size(tk) - 1), " +
             "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))")).as("g"))
@@ -226,8 +229,11 @@ object Matching {
         WHERE rnk <= 10""")
     ) { (s, dir) =>
       import s.implicits._
+      // size >= 2 guards sequence(1, 0) descending on single-token
+      // docs (q83's lesson); DuckDB's range(1, 1) is already empty
       val big = t(s, dir, "documents")
         .withColumn("tk", split(col("text"), " "))
+        .filter(size(col("tk")) >= 2)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, size(tk) - 1), " +
             "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))")).as("g"))

@@ -308,7 +308,11 @@ object Vectors {
       val base = quantized(s, dir).filter(col("qn") > 0)
         .select("vec_id", "qv", "qn")
       val cents = graft.operators.Ivf.seedCentroids(base, "vec_id", "qv", ivfCfg.nCentroids)
-      val assigned = graft.operators.Ivf.assign(base, "qv", cents)
+      // materialized once: Ivf.assign is map-side only (no exchange for
+      // ReuseExchange to share), and this frame is referenced three
+      // times below — without the checkpoint the scan + quantize +
+      // argmin re-execute per reference (the q94 lesson)
+      val assigned = graft.operators.Ivf.assign(base, "qv", cents).localCheckpoint()
       val a = assigned.select(col("vec_id").as("id_a"), col("qv").as("qv_a"),
         col("qn").as("qn_a"), col("centroid_id"))
       val b = assigned.select(col("vec_id").as("id_b"), col("qv").as("qv_b"),
@@ -362,22 +366,15 @@ object Vectors {
         FROM assigned GROUP BY label, pred""")
     ) { (s, dir) =>
       val normed = quantized(s, dir).filter(col("qn") > 0)
-      val cents = normed
-        .select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
-        .groupBy(col("label"), col("pos"))
-        .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
-        .withColumn("m", expr("sv div cnt"))
-        .groupBy(col("label"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)").as("cv"))
-        .select(col("label").as("c_label"), col("cv"))
-      val centArr = cents.agg(collect_list(struct(col("c_label"), col("cv"))).as("__cents"))
-      normed
-        .crossJoin(broadcast(centArr))
-        .withColumn("pred", expr(
-          s"""array_min(transform(__cents, c ->
-                struct(${graft.operators.Ivf.sqDistExpr("qv", "c.cv")} AS dist,
-                       c.c_label AS c_label))).c_label"""))
-        .groupBy(col("label"), col("pred"))
+      // per-label centroids ARE one Lloyd step with label as the
+      // cluster key, and classification IS Ivf.assign against them —
+      // reusing the operators keeps the floor-div and tiebreak
+      // semantics in one place
+      val cents = graft.operators.Ivf.lloydStep(
+        normed.select(col("label").as("centroid_id"), col("qv")), "qv")
+      graft.operators.Ivf.assign(normed.select(col("vec_id"), col("label"), col("qv")),
+          "qv", cents)
+        .groupBy(col("label"), col("centroid_id").as("pred"))
         .agg(count(lit(1)).as("n"))
     },
 
@@ -424,17 +421,20 @@ object Vectors {
       // shuffle carries O(partitions × dim²) bytes at any corpus size
       val covUdaf = udaf(new graft.functions.CovMatrixAggregator(64),
         graft.functions.CovMatrix.inputEncoder)
-      val one = normed.agg(covUdaf(col("qv")).as("st"))
+      // the cross products AND the per-dim sums come out of the one
+      // aggregator pass — the corpus is scanned exactly once, with no
+      // explode anywhere; checkpointed so the two unflattens below
+      // don't re-run the pass
+      val one = normed.agg(covUdaf(col("qv")).as("st")).localCheckpoint()
       val cells = one.select(col("st.n").as("n"),
         posexplode(col("st.sums")).as(Seq("k", "sxy")))
       val idx = graft.functions.CovMatrix.pairIndex(64).toDF("k", "i0", "j0")
       val cross = cells.join(broadcast(idx), "k")
         .select(col("i0").cast("long").as("i"), col("j0").cast("long").as("j"),
           col("n"), col("sxy"))
-      val dims = normed
-        .select(posexplode(col("qv")).as(Seq("pos0", "v")))
-        .select((col("pos0") + 1).cast("long").as("i"), col("v"))
-        .groupBy("i").agg(sum(col("v")).as("sx"))
+      val dims = one
+        .select(posexplode(col("st.dimSums")).as(Seq("pos0", "sx")))
+        .select((col("pos0") + 1).cast("long").as("i"), col("sx"))
       cross
         .join(broadcast(dims.select(col("i"), col("sx").as("sx_i"))), "i")
         .join(broadcast(dims.select(col("i").as("j"), col("sx").as("sx_j"))), "j")

@@ -84,32 +84,33 @@ object StreamOps {
 
   /** Per-user consecutive event transitions via flatMapGroupsWithState —
     * the streaming analogue of batch q97's lag window. State carries
-    * the user's latest (µs, event_id, type) so chains CONTINUE across
+    * only the user's latest event_type, so chains CONTINUE across
     * micro-batches (the first event of batch n+1 pairs with the last
     * of batch n); within a batch the group's rows sort by the same
     * (ts, event_id) total order the batch query uses. Requires the
-    * per-user feed to arrive chronologically across batches — true of
-    * a replayed log and of the parity harness's chronological file
-    * staging. State is O(users), shuffled once per micro-batch on the
-    * key.
+    * per-user feed to arrive chronologically ACROSS batches (not
+    * enforced here) — true of a replayed log and of the parity
+    * harness's chronological file staging. State is O(users) × one
+    * string, shuffled once per micro-batch on the key.
     */
   def transitionPairs(events: Dataset[EventRow]): Dataset[Transition] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[(Long, Long, String), Transition](
+      .flatMapGroupsWithState[String, Transition](
         org.apache.spark.sql.streaming.OutputMode.Append,
         GroupStateTimeout.NoTimeout) {
-        (uid: Long, rows: Iterator[EventRow], state: GroupState[(Long, Long, String)]) =>
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[String]) =>
           // (getTime, getNanos) orders exactly like the µs timestamp:
-          // nanos carries the full fractional second
+          // getTime is whole milliseconds and nanos carries the full
+          // fractional second
           val sorted = rows.toIndexedSeq
             .sortBy(r => (r.ts.getTime, r.ts.getNanos, r.event_id))
           var prev = state.getOption
           val out = Seq.newBuilder[Transition]
           sorted.foreach { r =>
-            prev.foreach { case (_, _, t) => out += Transition(uid, t, r.event_type) }
-            prev = Some((r.ts.getTime, r.event_id, r.event_type))
+            prev.foreach(t => out += Transition(uid, t, r.event_type))
+            prev = Some(r.event_type)
           }
           prev.foreach(state.update)
           out.result().iterator

