@@ -147,6 +147,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === rank)
   }
 
+  // ----------------------------------------------------------- q104
+  test("q104 equals an in-Scala bounded-BFS walk enumeration") {
+    val pairs = graft.Tables.load(spark, sf, "orders")
+      .join(graft.Tables.load(spark, sf, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long"), col("l_suppkey").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), -r.getLong(1)))
+    val adj = (pairs ++ pairs.map { case (c, s) => (s, c) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val walks = scala.collection.mutable.Map((1L, 0L) -> 1L)
+    var frontier = Seq((1L, 1L)) // (node, multiplicity) at current depth
+    for (depth <- 1L to 2L) {
+      val next = frontier.flatMap { case (n, m) =>
+        adj.getOrElse(n, Seq.empty[Long]).map(_ -> m)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      next.foreach { case (n, m) =>
+        walks((n, depth)) = walks.getOrElse((n, depth), 0L) + m
+      }
+      frontier = next
+    }
+    val expect = walks.toSeq.groupBy(_._1._1).map { case (n, ws) =>
+      n -> (ws.map(_._1._2).min, ws.map(_._2).sum)
+    }
+    val got = run("q104_recursive_bfs").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expect)
+  }
+
   // ----------------------------------------------------------- q95
   test("q95 equals an independent in-Scala BPE pair count replay") {
     val pat = java.util.regex.Pattern.compile(
