@@ -269,5 +269,95 @@ object Matching {
         .filter(col("rnk") <= 10)
         .select("query_id", "doc_id", "score", "rnk")
     },
+
+    // --------------------------------------------------------------- q113
+    // Reciprocal-rank fusion of a lexical ranking and a vector-cosine
+    // ranking — the standard hybrid-retrieval combiner. Each retriever
+    // produces an INDEPENDENT top-20 list (lexical: unigram tf of the
+    // query term over documents; vector: exact quantized cosine of the
+    // query embedding over embeddings), and the lists fuse by id with a
+    // FULL OUTER join — an item ranked by only one retriever keeps that
+    // retriever's contribution, the canonical RRF behavior. The score
+    // is the integer surrogate Σ floor(1e6 / (60 + rank)) (BIGINT `div`
+    // in Spark == `//` in DuckDB, including on the boundary), so fusion
+    // arithmetic is exact in both engines — no float RRF drift. Scale:
+    // each retriever is already blocked/broadcast (term-postings join;
+    // broadcast query vectors), and the fusion join runs on top-k lists
+    // whose size is queries × k, independent of corpus size.
+    Q(
+      "q113_rrf_fusion",
+      Some(s"""
+        WITH qt AS (SELECT * FROM (VALUES (1, 'hash', 3), (2, 'stream', 7),
+                                          (3, 'vector', 11)) AS v(query_id, term, qvec)),
+        tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+        lex AS (
+          SELECT query_id, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY tf DESC, doc_id) AS lrn
+          FROM (SELECT q.query_id, tok.doc_id, COUNT(*) AS tf
+                FROM tok JOIN qt q ON tok.tk = q.term GROUP BY 1, 2) t),
+        lex_top AS (SELECT query_id, doc_id AS id, lrn FROM lex WHERE lrn <= 20),
+        normed AS (${Vectors.quantizedSql}),
+        vec AS (
+          SELECT q.query_id, c.vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                   CAST(CAST(list_aggregate(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.qv[i]), 'sum') AS BIGINT) AS DOUBLE)
+                     / sqrt(CAST(q.qn AS DOUBLE) * CAST(c.qn AS DOUBLE)) DESC,
+                   c.vec_id) AS vrn
+          FROM (SELECT qt.query_id, n.qv, n.qn, n.vec_id FROM qt
+                JOIN normed n ON n.vec_id = qt.qvec) q
+          JOIN normed c ON c.vec_id <> q.vec_id
+          WHERE q.qn > 0 AND c.qn > 0),
+        vec_top AS (SELECT query_id, vec_id AS id, vrn FROM vec WHERE vrn <= 20),
+        fused AS (
+          SELECT query_id, id,
+                 CAST(COALESCE(1000000 // (60 + lrn), 0)
+                    + COALESCE(1000000 // (60 + vrn), 0) AS BIGINT) AS rrf
+          FROM lex_top FULL JOIN vec_top USING (query_id, id))
+        SELECT query_id, id, rrf, rnk FROM (
+          SELECT query_id, id, rrf,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, id) AS rnk
+          FROM fused) t
+        WHERE rnk <= 10""")
+    ) { (s, dir) =>
+      import s.implicits._
+      val qt = Seq((1, "hash", 3L), (2, "stream", 7L), (3, "vector", 11L))
+        .toDF("query_id", "term", "qvec")
+      // lexical retriever: postings × broadcast terms, ranked by tf
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+      val wl = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("tf"), col("doc_id"))
+      val lexTop = tok.join(broadcast(qt), col("tk") === col("term"))
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("tf"))
+        .withColumn("lrn", row_number().over(wl))
+        .filter(col("lrn") <= 20)
+        .select(col("query_id"), col("doc_id").as("id"), col("lrn"))
+      // vector retriever: broadcast query vectors, exact quantized cosine
+      val normed = Vectors.quantized(s, dir).filter(col("qn") > 0)
+      val qvecs = normed.join(broadcast(qt.select("query_id", "qvec")),
+          col("vec_id") === col("qvec"))
+        .select(col("query_id"), col("qvec"), col("qv").as("qqv"), col("qn").as("qqn"))
+      val wv = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("score"), col("vec_id"))
+      val vecTop = normed.join(broadcast(qvecs), col("vec_id") =!= col("qvec"))
+        .withColumn("score",
+          Vectors.dotCol("qqv", "qv").cast("double") /
+            sqrt(col("qqn").cast("double") * col("qn").cast("double")))
+        .withColumn("vrn", row_number().over(wv))
+        .filter(col("vrn") <= 20)
+        .select(col("query_id"), col("vec_id").as("id"), col("vrn"))
+      // full-outer fusion on (query, id): Spark's USING-style join
+      // coalesces the keys, matching DuckDB's FULL JOIN ... USING
+      val fused = lexTop.join(vecTop, Seq("query_id", "id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(expr("1000000 div (60 + lrn)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + vrn)"), lit(0L)))
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("rrf"), col("id"))
+      fused.withColumn("rnk", row_number().over(wf).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select("query_id", "id", "rrf", "rnk")
+    },
   )
 }

@@ -37,7 +37,7 @@ object Vectors {
     "CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS BIGINT)"
 
   /** Integer dot of two quantized columns — the verify-stage hot loop. */
-  private def dotCol(a: String, b: String) =
+  private[queries] def dotCol(a: String, b: String) =
     graft.functions.VecMath.qdot(col(a), col(b))
 
   /** Multi-band LSH configuration shared by q38/q39 and their oracles:
@@ -65,12 +65,12 @@ object Vectors {
     """CAST(CAST(list_aggregate(list_transform(range(1, len(a.qv) + 1), i -> a.qv[CAST(i AS INT)] * b.qv[CAST(i AS INT)]), 'sum') AS BIGINT) AS DOUBLE)
                  / sqrt(CAST(a.qn AS DOUBLE) * CAST(b.qn AS DOUBLE))"""
 
-  private def quantized(s: SparkSession, dir: String): DataFrame =
+  private[queries] def quantized(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), qvCol.as("qv"))
       .withColumn("qn", qnormCol)
 
-  private val quantizedSql =
+  private[queries] val quantizedSql =
     s"""SELECT vec_id, label, qv, $qnormSql AS qn FROM (
           SELECT vec_id, label, $qvSql AS qv FROM embeddings) q1"""
 

@@ -60,4 +60,26 @@ class MatchingSpec extends SparkSpec {
       "ranks must be a dense 1..n per source")
     assert(perSrc.filter(col("nkept") > 20).count() === 0L)
   }
+
+  test("q113: dense top-10 per query, RRF bounds, descending by rank") {
+    val df = SparkEntry.queries("q113_rrf_fusion")(spark, sf).cache()
+    // exactly 10 fused hits per query, ranks dense 1..10
+    val perQ = df.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rnk").as("mx"), min("rnk").as("mn"))
+    assert(perQ.count() === 3L)
+    assert(perQ.filter(col("n") =!= 10 || col("mx") =!= 10 || col("mn") =!= 1)
+      .count() === 0L)
+    // every fused item carries >= 1 list contribution of rank <= 20, so
+    // rrf in [1e6 div 80, 2 * (1e6 div 61)]
+    val b = df.agg(min("rrf"), max("rrf")).head
+    assert(b.getLong(0) >= 1000000L / 80)
+    assert(b.getLong(1) <= 2 * (1000000L / 61))
+    // rrf is non-increasing in rank within each query
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy("rnk")
+    val incr = df.withColumn("prev", lag("rrf", 1).over(w))
+      .filter(col("prev").isNotNull && col("rrf") > col("prev")).count()
+    assert(incr === 0L)
+    df.unpersist()
+  }
 }
