@@ -21,12 +21,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 object VecKernel {
 
   /** floor(x * 1000) as BIGINT per element — `Vectors.qvExpr`'s math. */
-  def quantize(v: ArrayData): ArrayData = {
+  def quantize(v: ArrayData): ArrayData = quantize(v, 1000L)
+
+  /** floor(x * scale) as BIGINT per element. scale=1000 is the exact
+    * similarity grid; a small scale (q114 uses 16) is the coarse
+    * scalar-quantization code an ANN candidate stage scans. */
+  def quantize(v: ArrayData, scale: Long): ArrayData = {
     val n = v.numElements()
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      out(i) = math.floor(v.getFloat(i).toDouble * 1000d).toLong
+      out(i) = math.floor(v.getFloat(i).toDouble * scale.toDouble).toLong
       i += 1
     }
     new GenericArrayData(out)
@@ -48,8 +53,10 @@ object VecKernel {
   }
 }
 
-/** `quantize_embedding(array<float>)` → array<bigint>: floor(x·1000). */
-case class QuantizeEmbedding(child: Expression) extends UnaryExpression {
+/** `quantize_embedding(array<float>)` → array<bigint>: floor(x·scale),
+  * default scale 1000 (the exact grid); small scales are coarse ANN codes. */
+case class QuantizeEmbedding(child: Expression, scale: Long = 1000L)
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes() = {
@@ -60,10 +67,10 @@ case class QuantizeEmbedding(child: Expression) extends UnaryExpression {
   }
 
   override def nullSafeEval(input: Any): Any =
-    VecKernel.quantize(input.asInstanceOf[ArrayData])
+    VecKernel.quantize(input.asInstanceOf[ArrayData], scale)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.VecKernel.quantize($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecKernel.quantize($c, ${scale}L)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -94,6 +101,9 @@ object VecMath {
 
   def quantize(v: Column): Column =
     Bridge.column(QuantizeEmbedding(Bridge.expression(v)))
+
+  def quantize(v: Column, scale: Long): Column =
+    Bridge.column(QuantizeEmbedding(Bridge.expression(v), scale))
 
   def qdot(a: Column, b: Column): Column =
     Bridge.column(QDot(Bridge.expression(a), Bridge.expression(b)))

@@ -501,6 +501,77 @@ object Vectors {
         .select(col("vec_id"), col("n_outlier_dims"),
           (col("n_outlier_dims") >= 2).as("is_outlier"))
     },
+
+    // --------------------------------------------------------------- q114
+    // Two-stage scalar-quantized ANN — the retrieve-then-rerank shape
+    // every production vector store runs: stage 1 scans COARSE codes
+    // (floor(x·16), 4-bit-ish ints — 1/64th the bytes of the exact
+    // grid) and ranks candidates by raw integer dot; stage 2 reranks
+    // only the top-50 survivors with the exact 1000-grid cosine. At
+    // 100 TB the coarse codes are the only column the candidate scan
+    // reads (column pruning keeps the wide embedding out of stage 1's
+    // I/O), and the rerank join touches queries × 50 rows regardless
+    // of corpus size. All candidate arithmetic is exact BIGINT; the
+    // rerank's one division/sqrt runs on identical operands in both
+    // engines. Ties at both stages carry a vec_id tiebreak.
+    Q(
+      "q114_quantized_ann",
+      Some(s"""
+        WITH base AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv,
+                 list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 16) AS BIGINT)) AS cv
+          FROM embeddings),
+        normed AS (
+          SELECT vec_id, qv, cv,
+                 CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS BIGINT) AS qn
+          FROM base
+          WHERE CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS BIGINT) > 0),
+        cand AS (
+          SELECT query_id, vec_id, approx, qv, qn, qqv, qqn FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   CAST(list_aggregate(list_transform(range(1, len(q.cv) + 1), i -> q.cv[i] * c.cv[i]), 'sum') AS BIGINT) AS approx,
+                   c.qv, c.qn, q.qv AS qqv, q.qn AS qqn,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                     CAST(list_aggregate(list_transform(range(1, len(q.cv) + 1), i -> q.cv[i] * c.cv[i]), 'sum') AS BIGINT) DESC,
+                     c.vec_id) AS arn
+            FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 20) t
+          WHERE arn <= 50),
+        rer AS (
+          SELECT query_id, vec_id, approx,
+                 CAST(CAST(list_aggregate(list_transform(range(1, len(qqv) + 1), i -> qqv[i] * qv[i]), 'sum') AS BIGINT) AS DOUBLE)
+                   / sqrt(CAST(qqn AS DOUBLE) * CAST(qn AS DOUBLE)) AS score
+          FROM cand)
+        SELECT query_id, vec_id, approx, score, rnk FROM (
+          SELECT query_id, vec_id, approx, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+          FROM rer) t
+        WHERE rnk <= 5""")
+    ) { (s, dir) =>
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), qvCol.as("qv"),
+          graft.functions.VecMath.quantize(col("embedding"), 16L).as("cv"))
+      val normed = base.withColumn("qn", qnormCol).filter(col("qn") > 0)
+      val q = normed.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("cv").as("qcv"),
+          col("qv").as("qqv"), col("qn").as("qqn"))
+      // stage 1: coarse-code scan; candidates ranked by integer dot
+      val wa = Window.partitionBy("query_id").orderBy(desc("approx"), col("vec_id"))
+      val cand = normed.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("approx", dotCol("qcv", "cv"))
+        .withColumn("arn", row_number().over(wa))
+        .filter(col("arn") <= 50)
+      // stage 2: exact rerank over <= 50 survivors per query
+      val wr = Window.partitionBy("query_id").orderBy(desc("score"), col("vec_id"))
+      cand
+        .withColumn("score",
+          dotCol("qqv", "qv").cast("double") /
+            sqrt(col("qqn").cast("double") * col("qn").cast("double")))
+        .withColumn("rnk", row_number().over(wr).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "vec_id", "approx", "score", "rnk")
+    },
   )
 
   /** IVF approximate top-5 — registered as q60 and re-used by q65

@@ -29,6 +29,16 @@ class VecMathSpec extends SparkSpec {
     assert(viaKernel === viaHof)
   }
 
+  test("QuantizeEmbedding with a coarse scale matches the HOF formulation") {
+    val viaKernel = vecs.select(col("vec_id"),
+        VecMath.quantize(col("embedding"), 16L).as("cv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaHof = vecs.selectExpr("vec_id",
+        "transform(embedding, x -> cast(floor(cast(x as double) * 16) as bigint)) AS cv")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaKernel === viaHof)
+  }
+
   test("QDot matches the HOF aggregate(zip_with) formulation") {
     val q = vecs.select(col("vec_id"), VecMath.quantize(col("embedding")).as("qv"))
     val pairs = q.select(col("vec_id").as("id_a"), col("qv").as("qv_a"))

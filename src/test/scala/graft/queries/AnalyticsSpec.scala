@@ -455,4 +455,19 @@ class AnalyticsSpec extends SparkSpec {
         s"$flag p$qp: exact $exact outside [$lo, $hi)")
     }
   }
+
+  test("q114 two-stage ANN: dense ranks and high recall vs exact q36 top-5") {
+    val ann = run("q114_quantized_ann").cache()
+    val perQ = ann.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rnk").as("mx"))
+    assert(perQ.count() === 20L)
+    assert(perQ.filter(col("n") =!= 5 || col("mx") =!= 5).count() === 0L)
+    // recall against the exact brute-force answer (same query set):
+    // the 50-candidate coarse stage must recover nearly all true top-5
+    val exact = run("q36_cosine_topk").select("query_id", "vec_id")
+    val hit = ann.select("query_id", "vec_id").intersect(exact).count()
+    val total = exact.count()
+    assert(hit >= (total * 9) / 10, s"recall $hit/$total below 0.9")
+    ann.unpersist()
+  }
 }
