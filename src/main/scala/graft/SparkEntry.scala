@@ -55,6 +55,9 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q110    graft.queries.Vectors    — integer z-score outlier flags
   *   q111    graft.queries.Relational — null-aware NOT IN anti join
   *   q112    graft.queries.Relational — order-free md5 table checksum
+  *   q113    graft.queries.Matching   — reciprocal-rank-fusion hybrid retrieval
+  *   q114    graft.queries.Vectors    — scalar-quantized ANN + exact rerank
+  *   q115    graft.queries.Curation   — per-source winsorized calibration
   */
 object SparkEntry {
 

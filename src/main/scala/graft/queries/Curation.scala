@@ -597,5 +597,51 @@ object Curation {
           sum(when(expr("score div 250") > col("thr_bucket"), 1L).otherwise(0L)).as("n_kept"),
           min(col("thr_bucket")).as("thr_bucket"))
     },
+
+    // --------------------------------------------------------------- q115
+    // Per-source winsorized score calibration: clamp each document's
+    // score (n_chars) to its source's [p05, p95] band and report the
+    // before/after means — the tail-robust normalization a curation
+    // pipeline applies before comparing quality across sources with
+    // different length distributions. Two passes: a per-source exact
+    // percentile aggregate (20 rows — broadcasts back), then one
+    // clamped re-aggregation of the corpus; both shuffles are keyed on
+    // `source`, so at 100 TB this is two map-side-combined aggregations
+    // over the same partitioning (ReuseExchange shares the scan).
+    // Percentile interpolation follows q44's proven cross-engine match
+    // (Spark `percentile` == DuckDB `quantile_cont`); clamped means go
+    // through DECIMAL(18,4) so the double sums are order-free.
+    Q(
+      "q115_winsorize",
+      Some("""
+        WITH st AS (
+          SELECT source,
+                 quantile_cont(n_chars, 0.05) AS p05,
+                 quantile_cont(n_chars, 0.95) AS p95
+          FROM documents GROUP BY source)
+        SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n, st.p05, st.p95,
+               CAST(SUM(CAST(d.n_chars AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mean_raw,
+               CAST(SUM(CAST(least(greatest(CAST(d.n_chars AS DOUBLE), st.p05), st.p95)
+                             AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mean_wins,
+               CAST(SUM(CASE WHEN CAST(d.n_chars AS DOUBLE) < st.p05
+                               OR CAST(d.n_chars AS DOUBLE) > st.p95
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+        FROM documents d JOIN st USING (source)
+        GROUP BY d.source, st.p05, st.p95""")
+    ) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val st = docs.groupBy("source")
+        .agg(expr("percentile(n_chars, 0.05)").as("p05"),
+          expr("percentile(n_chars, 0.95)").as("p95"))
+      val x = col("n_chars").cast("double")
+      val clamped = least(greatest(x, col("p05")), col("p95"))
+      docs.join(broadcast(st), "source")
+        .groupBy("source", "p05", "p95")
+        .agg(count(lit(1)).as("n"),
+          graft.Det.davg(col("n_chars")).as("mean_raw"),
+          (sum(graft.Det.dec(clamped)).cast("double") / count(lit(1))).as("mean_wins"),
+          sum(when(x < col("p05") || x > col("p95"), 1L).otherwise(0L)).as("n_clamped"))
+        .select("source", "n", "p05", "p95", "mean_raw", "mean_wins", "n_clamped")
+    },
   )
 }

@@ -83,6 +83,47 @@ class CurationSpec extends SparkSpec {
       "frequencies must be nonincreasing down the rank order")
   }
 
+  test("q115 winsorized means replay exactly from collected per-source data") {
+    // Independent ground truth: collect the tiny sf0.001 corpus and
+    // re-derive p05/p95 (linear-interpolated percentile over n-1 ranks,
+    // the percentile()/quantile_cont definition), the clamped mean with
+    // the same DECIMAL(18,4) quantization, and the clamp count.
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("source", "n_chars")
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble)
+    def pct(sorted: Array[Double], p: Double): Double = {
+      val rank = p * (sorted.length - 1)
+      val lo = math.floor(rank).toInt
+      val hi = math.ceil(rank).toInt
+      sorted(lo) + (rank - lo) * (sorted(hi) - sorted(lo))
+    }
+    def dec4(x: Double): BigDecimal =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val truth = docs.groupBy(_._1).map { case (src, xs) =>
+      val v = xs.map(_._2).sorted
+      val (p05, p95) = (pct(v, 0.05), pct(v, 0.95))
+      val clamped = v.map(x => math.min(math.max(x, p05), p95))
+      src -> ((v.length.toLong, p05, p95,
+        (v.map(dec4).sum / v.length).toDouble,
+        (clamped.map(dec4).sum / v.length).toDouble,
+        v.count(x => x < p05 || x > p95).toLong))
+    }
+    val got = run("q115_winsorize").collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    }.toMap
+    assert(got.keySet === truth.keySet)
+    truth.foreach { case (src, (n, p05, p95, mRaw, mWins, nCl)) =>
+      val g = got(src)
+      assert(g._1 === n, s"$src n")
+      assert(math.abs(g._2 - p05) < 1e-9, s"$src p05: ${g._2} vs $p05")
+      assert(math.abs(g._3 - p95) < 1e-9, s"$src p95: ${g._3} vs $p95")
+      assert(math.abs(g._4 - mRaw) < 1e-9, s"$src mean_raw: ${g._4} vs $mRaw")
+      assert(math.abs(g._5 - mWins) < 1e-9, s"$src mean_wins: ${g._5} vs $mWins")
+      assert(g._6 === nCl, s"$src n_clamped")
+    }
+  }
+
   test("q82 packing is gapless: each shard's placements tile the token stream") {
     val byShard = run("q82_greedy_pack")
       .groupBy("shard")
