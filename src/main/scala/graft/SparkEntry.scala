@@ -58,6 +58,8 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q113    graft.queries.Matching   — reciprocal-rank-fusion hybrid retrieval
   *   q114    graft.queries.Vectors    — scalar-quantized ANN + exact rerank
   *   q115    graft.queries.Curation   — per-source winsorized calibration
+  *   q116    graft.queries.TextOps    — lexical diversity (Simpson index)
+  *   q117    graft.queries.Curation   — median/MAD robust outlier screen
   */
 object SparkEntry {
 

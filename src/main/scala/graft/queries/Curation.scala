@@ -643,5 +643,54 @@ object Curation {
           sum(when(x < col("p05") || x > col("p95"), 1L).otherwise(0L)).as("n_clamped"))
         .select("source", "n", "p05", "p95", "mean_raw", "mean_wins", "n_clamped")
     },
+
+    // --------------------------------------------------------------- q117
+    // Robust per-source outlier screen: median / MAD (median absolute
+    // deviation) instead of mean / σ — the length-outlier cut that
+    // survives the heavy-tailed score distributions a curation pipeline
+    // actually sees (one 10 MB document shifts a mean, not a median).
+    // Flag: |x − med| > 3 · 1.4826 · MAD (1.4826 ≈ 1/Φ⁻¹(¾) rescales
+    // MAD to σ under normality). Three passes keyed on `source`, each
+    // per-source stats table is ~20 rows and BROADCASTS back, so the
+    // corpus itself never shuffles — at 100 TB this is three scans
+    // (ReuseExchange/cache collapses them in practice) and zero wide
+    // exchanges. Median interpolation = q44/q115's proven percentile ==
+    // quantile_cont match; the flag's arithmetic is the same literal
+    // double expression in both engines.
+    Q(
+      "q117_mad_outliers",
+      Some("""
+        WITH st AS (
+          SELECT source, quantile_cont(n_chars, 0.5) AS med
+          FROM documents GROUP BY source),
+        ad AS (
+          SELECT d.source, st.med,
+                 abs(CAST(d.n_chars AS DOUBLE) - st.med) AS adev
+          FROM documents d JOIN st USING (source)),
+        m2 AS (
+          SELECT source, med, quantile_cont(adev, 0.5) AS mad
+          FROM ad GROUP BY source, med)
+        SELECT d.source, m2.med, m2.mad, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN abs(CAST(d.n_chars AS DOUBLE) - m2.med)
+                                  > 3 * 1.4826 * m2.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM documents d JOIN m2 USING (source)
+        GROUP BY d.source, m2.med, m2.mad""")
+    ) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val x = col("n_chars").cast("double")
+      val med = docs.groupBy("source")
+        .agg(expr("percentile(n_chars, 0.5)").as("med"))
+      val mad = docs.join(broadcast(med), "source")
+        .withColumn("adev", abs(x - col("med")))
+        .groupBy("source", "med")
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      docs.join(broadcast(mad), "source")
+        .groupBy("source", "med", "mad")
+        .agg(count(lit(1)).as("n"),
+          sum(when(abs(x - col("med")) > lit(3) * lit(1.4826) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .select("source", "med", "mad", "n", "n_outliers")
+    },
   )
 }

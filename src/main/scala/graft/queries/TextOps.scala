@@ -785,5 +785,52 @@ object TextOps {
         .orderBy(desc("pair_count"), col("pair"))
         .limit(20)
     },
+
+    // --------------------------------------------------------------- q116
+    // Per-source lexical diversity: type/token ratio, Gini–Simpson
+    // diversity and its inverse (effective vocabulary size), and the
+    // top-token share — the corpus-health metrics a data-curation run
+    // reports per source before mixing. All heavy math stays in exact
+    // BIGINT rationals (Simpson = 1 − Σc²/T², no logs — the q78 libm
+    // dodge taken one step further: entropy's log2 is replaced by the
+    // Simpson index, which IS a rational); the only doubles are final
+    // divisions of exact integers, identical cross-engine. Plan: token
+    // explode → (source, token) count (map-side combined) → per-source
+    // fold of the vocabulary table. The second stage is VOCABULARY-
+    // bounded, so at 100 TB the expensive shuffle is the first keyed
+    // count and everything after is negligible.
+    Q(
+      "q116_lexical_diversity",
+      Some("""
+        WITH tok AS (
+          SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        cnt AS (
+          SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tok WHERE tok <> '' GROUP BY source, tok)
+        SELECT source,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS ttr,
+               1.0 - CAST(SUM(c * c) AS DOUBLE)
+                     / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) AS simpson,
+               CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)
+                     / CAST(SUM(c * c) AS DOUBLE) AS eff_vocab,
+               CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_share
+        FROM cnt GROUP BY source""")
+    ) { (s, dir) =>
+      val cnt = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val tT = sum(col("c")).cast("double")
+      val sS = sum(col("c") * col("c")).cast("double")
+      cnt.groupBy("source").agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        (count(lit(1)).cast("double") / tT).as("ttr"),
+        (lit(1.0) - sS / (tT * tT)).as("simpson"),
+        (tT * tT / sS).as("eff_vocab"),
+        (max(col("c")).cast("double") / tT).as("top_share"))
+    },
   )
 }

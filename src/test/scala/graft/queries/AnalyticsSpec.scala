@@ -470,4 +470,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(hit >= (total * 9) / 10, s"recall $hit/$total below 0.9")
     ann.unpersist()
   }
+
+  test("q116 diversity metrics replay exactly from collected token counts") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val truth = docs.groupBy(_._1).map { case (src, xs) =>
+      val counts = xs.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+        .groupBy(identity).map { case (_, v) => v.length.toLong }.toArray
+      val tT = counts.sum.toDouble
+      val sS = counts.map(c => c * c).sum.toDouble
+      src -> ((counts.sum, counts.length.toLong,
+        counts.length.toDouble / tT, 1.0 - sS / (tT * tT), tT * tT / sS,
+        counts.max.toDouble / tT))
+    }
+    val got = run("q116_lexical_diversity").collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    }.toMap
+    assert(got.keySet === truth.keySet)
+    truth.foreach { case (src, (nTok, nTyp, ttr, simp, eff, top)) =>
+      val g = got(src)
+      assert(g._1 === nTok && g._2 === nTyp, s"$src counts: $g")
+      assert(math.abs(g._3 - ttr) < 1e-12, s"$src ttr")
+      assert(math.abs(g._4 - simp) < 1e-12, s"$src simpson")
+      assert(math.abs(g._5 - eff) < 1e-9, s"$src eff_vocab")
+      assert(math.abs(g._6 - top) < 1e-12, s"$src top_share")
+    }
+  }
 }

@@ -124,6 +124,36 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q117 median/MAD and outlier flags replay exactly from collected data") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("source", "n_chars")
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble)
+    def median(v: Array[Double]): Double = {
+      val s = v.sorted
+      val rank = 0.5 * (s.length - 1)
+      val lo = math.floor(rank).toInt
+      val hi = math.ceil(rank).toInt
+      s(lo) + (rank - lo) * (s(hi) - s(lo))
+    }
+    val truth = docs.groupBy(_._1).map { case (src, xs) =>
+      val v = xs.map(_._2)
+      val med = median(v)
+      val mad = median(v.map(x => math.abs(x - med)))
+      src -> ((med, mad, v.length.toLong,
+        v.count(x => math.abs(x - med) > 3 * 1.4826 * mad).toLong))
+    }
+    val got = run("q117_mad_outliers").collect().map { r =>
+      r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+    }.toMap
+    assert(got.keySet === truth.keySet)
+    truth.foreach { case (src, (med, mad, n, nOut)) =>
+      val g = got(src)
+      assert(math.abs(g._1 - med) < 1e-9, s"$src med: ${g._1} vs $med")
+      assert(math.abs(g._2 - mad) < 1e-9, s"$src mad: ${g._2} vs $mad")
+      assert(g._3 === n && g._4 === nOut, s"$src n/outliers: $g vs ($n, $nOut)")
+    }
+  }
+
   test("q82 packing is gapless: each shard's placements tile the token stream") {
     val byShard = run("q82_greedy_pack")
       .groupBy("shard")
