@@ -60,6 +60,10 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q115    graft.queries.Curation   — per-source winsorized calibration
   *   q116    graft.queries.TextOps    — lexical diversity (Simpson index)
   *   q117    graft.queries.Curation   — median/MAD robust outlier screen
+  *   q118    graft.queries.Events     — CDC MERGE (compaction + upsert/delete)
+  *   q119    graft.queries.Curation   — cross-source quantile normalization
+  *   q120    graft.queries.Vectors    — contrastive hard-negative mining
+  *   q121    graft.queries.Relational — two-phase distributed skyline
   */
 object SparkEntry {
 

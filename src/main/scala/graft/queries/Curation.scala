@@ -692,5 +692,52 @@ object Curation {
             .otherwise(0L)).as("n_outliers"))
         .select("source", "med", "mad", "n", "n_outliers")
     },
+
+    // --------------------------------------------------------------- q119
+    // Cross-source quantile normalization (the batch-effect correction
+    // move): each document's score maps to the CORPUS quantile function
+    // evaluated at its within-source percent rank, so every source's
+    // score distribution is reshaped onto the corpus distribution and
+    // becomes comparable. The corpus quantile function is compressed to
+    // a 101-knot grid (one `percentile(…, array)` aggregate — the q96
+    // sketch idea with exact knots), broadcast, and each row linearly
+    // interpolates between its two knots — NO global sort ever happens;
+    // the only wide exchange is the per-source rank window. percent_rank
+    // ties break on doc_id, knots are `percentile == quantile_cont`
+    // (q44), and the interpolation arithmetic is the same IEEE
+    // expression in both engines, so the map is deterministic.
+    Q(
+      "q119_quantile_norm", {
+        val ps = (0 to 100).map(i => s"${i / 100.0}").mkString(", ")
+        Some(s"""
+        WITH kn AS (SELECT quantile_cont(n_chars, [$ps]) AS k FROM documents),
+        pr AS (
+          SELECT doc_id, source, n_chars,
+                 percent_rank() OVER (PARTITION BY source
+                                      ORDER BY n_chars, doc_id) AS pr
+          FROM documents)
+        SELECT doc_id, source, n_chars, pr,
+               k[CAST(least(floor(pr * 100.0), 99.0) AS INT) + 1]
+               + (pr * 100.0 - least(floor(pr * 100.0), 99.0))
+                 * (k[CAST(least(floor(pr * 100.0), 99.0) AS INT) + 2]
+                    - k[CAST(least(floor(pr * 100.0), 99.0) AS INT) + 1]) AS norm
+        FROM pr CROSS JOIN kn""")
+      }
+    ) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val ps = (0 to 100).map(i => s"${i / 100.0}").mkString(", ")
+      val kn = docs.agg(expr(s"percentile(n_chars, array($ps))").as("k"))
+      val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+      val g = col("pr") * lit(100.0)
+      val lo = least(floor(g), lit(99.0))
+      val loIdx = lo.cast("int")
+      val kLo = element_at(col("k"), loIdx + 1)
+      val kHi = element_at(col("k"), loIdx + 2)
+      docs.select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("pr", percent_rank().over(w))
+        .crossJoin(broadcast(kn))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("pr"),
+          (kLo + (g - lo) * (kHi - kLo)).as("norm"))
+    },
   )
 }

@@ -593,5 +593,71 @@ object Events {
         .select(col("click_id"), col("purchase_id"), col("user_id"),
           (col("p_us") - col("c_us")).as("lag_us"))
     },
+
+    // --------------------------------------------------------------- q118
+    // CDC MERGE (upsert/delete apply): the even half of the event log
+    // builds the base snapshot (latest value per user), the odd half is
+    // the incoming change stream — compacted to the LATEST change per
+    // key ('error' ⇒ DELETE, anything else ⇒ UPSERT), then applied with
+    // one FULL OUTER merge join that classifies every key as kept /
+    // updated / inserted / deleted / noop_delete. This is the reference's
+    // delete-then-insert warehouse pattern (K4/G5) done as a distributed
+    // MERGE: change-log compaction is one window per key, and the apply
+    // is a single co-partitioned join — both sides hash on user_id, so
+    // at 100 TB there is exactly one wide exchange per side and AQE
+    // handles key skew. Ordering ties break on event_id (the log
+    // sequence), so compaction is deterministic under duplicate
+    // timestamps in both engines.
+    Q(
+      "q118_cdc_upsert",
+      Some("""
+        WITH base AS (
+          SELECT user_id, value AS base_value
+          FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE event_id % 2 = 0) WHERE rn = 1),
+        chg AS (
+          SELECT user_id, value AS chg_value, event_id AS chg_eid,
+                 CASE WHEN event_type = 'error' THEN 'delete'
+                      ELSE 'upsert' END AS op
+          FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE event_id % 2 = 1) WHERE rn = 1)
+        SELECT coalesce(b.user_id, c.user_id) AS user_id,
+               CASE WHEN c.user_id IS NULL THEN 'kept'
+                    WHEN c.op = 'delete' AND b.user_id IS NOT NULL THEN 'deleted'
+                    WHEN c.op = 'delete' THEN 'noop_delete'
+                    WHEN b.user_id IS NULL THEN 'inserted'
+                    ELSE 'updated' END AS action,
+               CASE WHEN c.user_id IS NULL THEN b.base_value
+                    WHEN c.op = 'delete' THEN NULL
+                    ELSE c.chg_value END AS final_value,
+               c.chg_eid
+        FROM base b FULL OUTER JOIN chg c ON b.user_id = c.user_id""")
+    ) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val base = ev.filter(col("event_id") % 2 === 0)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("value").as("base_value"))
+      val chg = ev.filter(col("event_id") % 2 === 1)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id").as("c_user_id"), col("value").as("chg_value"),
+          col("event_id").as("chg_eid"),
+          when(col("event_type") === "error", "delete").otherwise("upsert").as("op"))
+      base.join(chg, col("user_id") === col("c_user_id"), "full_outer")
+        .select(
+          coalesce(col("user_id"), col("c_user_id")).as("user_id"),
+          when(col("c_user_id").isNull, "kept")
+            .when(col("op") === "delete" && col("user_id").isNotNull, "deleted")
+            .when(col("op") === "delete", "noop_delete")
+            .when(col("user_id").isNull, "inserted")
+            .otherwise("updated").as("action"),
+          when(col("c_user_id").isNull, col("base_value"))
+            .when(col("op") === "delete", lit(null).cast("double"))
+            .otherwise(col("chg_value")).as("final_value"),
+          col("chg_eid"))
+    },
   )
 }

@@ -937,5 +937,51 @@ object Relational {
           min(col("n")).as("n"),
           min(expr("(n * qp + 9999) div 10000")).as("target_rank"))
     },
+
+    // --------------------------------------------------------------- q121
+    // Two-phase distributed skyline (Pareto frontier): orders that no
+    // other order beats on BOTH (higher o_totalprice, earlier
+    // o_orderdate) — the classic multi-criteria shortlist operator.
+    // The 2-D skyline is a sort + running-min: ordered by (price DESC,
+    // date ASC, key ASC), a row survives iff its date strictly beats
+    // the min date of every preceding row; equal (price, date)
+    // duplicates collapse to the smallest o_orderkey (declared strict
+    // semantics, identical in both engines). Scale shape: phase 1 runs
+    // that window PER HASH BUCKET (32-way partitionBy — local skylines,
+    // fully parallel, removes ~all rows since a random 2-D skyline is
+    // O(log n) per bucket); phase 2 reruns the window on the tiny
+    // survivor union. Local-dominated ⇒ globally dominated, and the
+    // globally smallest-key duplicate survives its own bucket, so
+    // two-phase == the oracle's single global window, while the only
+    // single-partition step sees survivors, never the corpus.
+    Q(
+      "q121_skyline",
+      Some("""
+        SELECT o_orderkey, o_totalprice, o_orderdate
+        FROM (
+          SELECT o_orderkey, o_totalprice, o_orderdate,
+                 min(o_orderdate) OVER (
+                   ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_prev
+          FROM orders) t
+        WHERE best_prev IS NULL OR o_orderdate < best_prev""")
+    ) { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+      def skyline(df: DataFrame, part: Seq[String]): DataFrame = {
+        val base = if (part.isEmpty) Window.partitionBy()
+        else Window.partitionBy(part.map(col): _*)
+        val w = base
+          .orderBy(desc("o_totalprice"), col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        df.withColumn("best_prev", min(col("o_orderdate")).over(w))
+          .filter(col("best_prev").isNull || col("o_orderdate") < col("best_prev"))
+          .drop("best_prev")
+      }
+      val local = skyline(o.withColumn("bucket", col("o_orderkey") % 32),
+        Seq("bucket")).drop("bucket")
+      skyline(local, Seq.empty)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    },
   )
 }

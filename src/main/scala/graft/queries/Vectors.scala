@@ -572,6 +572,58 @@ object Vectors {
         .filter(col("rnk") <= 5)
         .select("query_id", "vec_id", "approx", "score", "rnk")
     },
+
+    // --------------------------------------------------------------- q120
+    // Contrastive-pair mining for embedding training: per anchor, the
+    // hardest positive (top-cosine SAME-label neighbor) and the top-3
+    // hard negatives (highest-cosine DIFFERENT-label vectors — the
+    // near-miss examples a contrastive loss learns most from). Anchors
+    // BROADCAST (the q36 shape); scoring is one map-side pass over the
+    // corpus with the shared quantized-dot kernel; ranking is one
+    // window keyed (query_id, role), so the wide exchange carries
+    // anchors × corpus scored rows — at 100 TB the q40 bounded-heap
+    // aggregator drops in for the window, same as the ANN path.
+    // Deterministic: exact BIGINT dots, one IEEE division/sqrt,
+    // (score desc, vec_id) total order.
+    Q(
+      "q120_hard_negatives",
+      Some(s"""
+        WITH normed AS ($quantizedSql),
+        live AS (SELECT * FROM normed WHERE qn > 0),
+        anch AS (SELECT vec_id AS query_id, label AS qlabel, qv AS aqv, qn AS aqn
+                 FROM live WHERE vec_id < 20),
+        scored AS (
+          SELECT a.query_id, c.vec_id,
+                 CASE WHEN c.label = a.qlabel THEN 'pos' ELSE 'neg' END AS role,
+                 CAST(CAST(list_aggregate(list_transform(range(1, len(a.aqv) + 1), i -> a.aqv[CAST(i AS INT)] * c.qv[CAST(i AS INT)]), 'sum') AS BIGINT) AS DOUBLE)
+                   / sqrt(CAST(a.aqn AS DOUBLE) * CAST(c.qn AS DOUBLE)) AS score
+          FROM anch a JOIN live c ON c.vec_id <> a.query_id),
+        ranked AS (
+          SELECT query_id, vec_id, role, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id, role
+                                    ORDER BY score DESC, vec_id) AS rnk
+          FROM scored)
+        SELECT query_id, vec_id, role, CAST(rnk AS BIGINT) AS rnk, score
+        FROM ranked
+        WHERE (role = 'neg' AND rnk <= 3) OR (role = 'pos' AND rnk = 1)""")
+    ) { (s, dir) =>
+      val normed = quantized(s, dir).filter(col("qn") > 0)
+      val anch = normed.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("qv").as("aqv"), col("qn").as("aqn"))
+      val w = Window.partitionBy("query_id", "role")
+        .orderBy(desc("score"), col("vec_id"))
+      normed.join(broadcast(anch), col("vec_id") =!= col("query_id"))
+        .withColumn("role",
+          when(col("label") === col("qlabel"), "pos").otherwise("neg"))
+        .withColumn("dot", dotCol("aqv", "qv"))
+        .withColumn("score", col("dot").cast("double") /
+          sqrt(col("aqn").cast("double") * col("qn").cast("double")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter((col("role") === "neg" && col("rnk") <= 3) ||
+          (col("role") === "pos" && col("rnk") === 1))
+        .select("query_id", "vec_id", "role", "rnk", "score")
+    },
   )
 
   /** IVF approximate top-5 — registered as q60 and re-used by q65

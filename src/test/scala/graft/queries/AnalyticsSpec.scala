@@ -471,6 +471,103 @@ class AnalyticsSpec extends SparkSpec {
     ann.unpersist()
   }
 
+  test("q118 CDC merge replays exactly from the collected event log") {
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    def latest(half: Long) = ev.filter(_._1 % 2 == half).groupBy(_._3)
+      .map { case (u, xs) => u -> xs.maxBy(e => (e._2, e._1)) }
+    val base = latest(0); val chg = latest(1)
+    val truth = (base.keySet ++ chg.keySet).map { u =>
+      (base.get(u), chg.get(u)) match {
+        case (Some(b), None) => (u, "kept", Option(b._5), Option.empty[Long])
+        case (Some(_), Some(c)) if c._4 == "error" =>
+          (u, "deleted", Option.empty[Double], Some(c._1))
+        case (None, Some(c)) if c._4 == "error" =>
+          (u, "noop_delete", Option.empty[Double], Some(c._1))
+        case (None, Some(c)) => (u, "inserted", Option(c._5), Some(c._1))
+        case (Some(_), Some(c)) => (u, "updated", Option(c._5), Some(c._1))
+        case (None, None) => sys.error("unreachable")
+      }
+    }
+    val got = run("q118_cdc_upsert").collect().map { r =>
+      (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) Option.empty[Double] else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) Option.empty[Long] else Some(r.getLong(3)))
+    }.toSet
+    assert(got === truth, s"got ${got.size} vs truth ${truth.size}")
+  }
+
+  test("q119 normalized scores replay from a knot-grid interpolation in Scala") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "source", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def pct(sorted: Array[Double], p: Double): Double = {
+      val rank = p * (sorted.length - 1)
+      val lo = math.floor(rank).toInt
+      val hi = math.ceil(rank).toInt
+      sorted(lo) + (rank - lo) * (sorted(hi) - sorted(lo))
+    }
+    val corpus = docs.map(_._3.toDouble).sorted
+    val kn = (0 to 100).map(i => pct(corpus, i / 100.0)).toArray
+    val truth = docs.groupBy(_._2).toSeq.flatMap { case (_, xs) =>
+      val ordered = xs.sortBy(d => (d._3, d._1))
+      val n = ordered.length
+      ordered.zipWithIndex.map { case (d, i) =>
+        val pr = if (n == 1) 0.0 else i.toDouble / (n - 1)
+        val g = pr * 100.0
+        val lo = math.min(math.floor(g), 99.0)
+        val norm = kn(lo.toInt) + (g - lo) * (kn(lo.toInt + 1) - kn(lo.toInt))
+        d._1 -> ((pr, norm))
+      }
+    }.toMap
+    val got = run("q119_quantile_norm").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet === truth.keySet)
+    truth.foreach { case (id, (pr, norm)) =>
+      assert(math.abs(got(id)._1 - pr) < 1e-12, s"doc $id pr")
+      assert(math.abs(got(id)._2 - norm) < 1e-9, s"doc $id norm")
+    }
+  }
+
+  test("q120 mines one positive and three ordered negatives with correct label roles") {
+    val labels = graft.Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = run("q120_hard_negatives").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size === 20)
+    byQ.foreach { case (q, xs) =>
+      val negs = xs.filter(_._3 == "neg").sortBy(_._4)
+      val pos = xs.filter(_._3 == "pos")
+      assert(negs.length === 3 && pos.length === 1, s"anchor $q: ${xs.length} rows")
+      assert(pos.forall(p => labels(p._2) == labels(q)), s"anchor $q pos label")
+      assert(negs.forall(n => labels(n._2) != labels(q)), s"anchor $q neg label")
+      assert(negs.map(_._4).toSeq === Seq(1L, 2L, 3L), s"anchor $q neg ranks")
+      val sc = negs.map(_._5)
+      assert(sc.zip(sc.tail).forall { case (a, b) => a >= b }, s"anchor $q order")
+    }
+  }
+
+  test("q121 two-phase skyline equals the brute-force dominance frontier") {
+    val o = graft.Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // strict skyline with equal-point collapse to the smallest key
+    val truth = o.filter { case (k, p, d) =>
+      !o.exists { case (k2, p2, d2) =>
+        (p2 > p && d2 <= d) || (p2 >= p && d2 < d) ||
+          (p2 == p && d2 == d && k2 < k)
+      }
+    }.map(_._1).toSet
+    val got = run("q121_skyline").collect().map(_.getLong(0)).toSet
+    assert(got === truth, s"got $got vs $truth")
+  }
+
   test("q116 diversity metrics replay exactly from collected token counts") {
     val docs = graft.Tables.load(spark, sf, "documents")
       .select("source", "text")
