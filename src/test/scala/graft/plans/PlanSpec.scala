@@ -669,6 +669,96 @@ class PlanSpec extends SparkSpec {
       s"single-column NOT IN must use the null-aware anti join:\n$p")
   }
 
+  test("q115/q117: calibration stats broadcast back — no shuffled joins") {
+    for (name <- Seq("q115_winsorize", "q117_mad_outliers")) {
+      val p = plan(name)
+      assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+        p.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
+        s"$name: per-source stats must broadcast:\n$p")
+      assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        s"$name: expected broadcast stats attach:\n$p")
+      scans(p).foreach(scan =>
+        assert(scan.requiredSchema.fieldNames.toSet === Set("source", "n_chars"),
+          s"$name scan must prune to (source, n_chars): ${scan.requiredSchema.fieldNames.toSeq}"))
+    }
+  }
+
+  test("q116: token counting combines map-side; the per-source fold is vocabulary-sized") {
+    val p = plan("q116_lexical_diversity")
+    assert(shuffles(p).length === 2,
+      s"(source, tok) count + source fold only:\n$p")
+    val aggs = p.collect { case a: HashAggregateExec => a }
+    assert(aggs.exists(_.aggregateExpressions.exists(_.mode.toString == "Partial")),
+      s"token counts must combine map-side:\n$p")
+    val Seq(scan) = scans(p)
+    assert(scan.requiredSchema.fieldNames.toSet === Set("source", "text"),
+      s"q116 reads more than it projects: ${scan.requiredSchema.fieldNames.toSeq}")
+  }
+
+  test("q118: change-log compaction limits before the exchange; one full outer merge") {
+    val p = plan("q118_cdc_upsert")
+    val outer = p.collect {
+      case j: SortMergeJoinExec if j.joinType.sql == "FULL OUTER" => j
+      case j: ShuffledHashJoinExec if j.joinType.sql == "FULL OUTER" => j
+    }
+    assert(outer.length === 1, s"exactly one full outer merge join:\n$p")
+    // rn = 1 must push a WindowGroupLimit BELOW each side's exchange
+    // (partial top-1 per key map-side — the log never shuffles whole)
+    val limits = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(limits.length === 4,
+      s"both sides need partial+final WindowGroupLimit:\n$p")
+    assert(shuffles(p).length === 2,
+      s"one keyed exchange per side, reused by the merge join:\n$p")
+  }
+
+  test("q119: no global sort — rank window shuffles by source, knots combine partially") {
+    val p = plan("q119_quantile_norm")
+    // two exchanges: the per-source rank window (hash) and the knot
+    // aggregate's partial→final combine (SinglePartition, but its input
+    // is one percentile buffer per partition — never corpus rows)
+    val (single, hash) = shuffles(p)
+      .partition(_.outputPartitioning.toString.contains("SinglePartition"))
+    assert(hash.length === 1 && single.length <= 1,
+      s"rank window + at most the knot combine:\n$p")
+    single.foreach(ex => assert(ex.child.exists {
+      case a: ObjectHashAggregateExec =>
+        a.aggregateExpressions.exists(_.mode.toString == "Partial")
+      case _ => false
+    }, s"the single-partition exchange must carry partial percentile buffers:\n$p"))
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+      p.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
+      s"the knot array must broadcast:\n$p")
+  }
+
+  test("q120: anchors broadcast; the only shuffle is the (query, role) ranking window") {
+    val p = plan("q120_hard_negatives")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+      p.collect { case j: ShuffledHashJoinExec => j }.isEmpty &&
+      p.collect { case j: CartesianProductExec => j }.isEmpty,
+      s"anchor attach must broadcast:\n$p")
+    assert(shuffles(p).length === 1, s"one ranking-window exchange:\n$p")
+  }
+
+  test("q121: local skylines run bucket-parallel; only survivors hit the global window") {
+    val p = plan("q121_skyline")
+    val ex = shuffles(p)
+    assert(ex.length === 2, s"bucket window + survivor window:\n$p")
+    val Seq(local, global) = ex.sortBy(_.outputPartitioning.toString.contains("SinglePartition"))
+    assert(!local.outputPartitioning.toString.contains("SinglePartition"),
+      s"phase 1 must hash-partition by bucket:\n$p")
+    assert(global.outputPartitioning.toString.contains("SinglePartition"),
+      s"phase 2 is the survivor-only single partition:\n$p")
+    // the single-partition exchange's input subtree must contain the
+    // phase-1 filter (i.e. it consumes survivors, not the corpus scan)
+    assert(global.child.exists {
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        f.condition.toString.contains("best_prev")
+      case _ => false
+    }, s"global window must consume phase-1 survivors:\n$p")
+  }
+
   test("q96: histogram quantiles — one corpus exchange, pruned scan, map-side combine") {
     val p = plan("q96_hist_quantile")
     // the corpus touches exactly one exchange (the histogram agg); the
