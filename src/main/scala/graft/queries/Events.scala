@@ -635,29 +635,19 @@ object Events {
                c.chg_eid
         FROM base b FULL OUTER JOIN chg c ON b.user_id = c.user_id""")
     ) { (s, dir) =>
+      import graft.operators.CdcMerge
       val ev = t(s, dir, "events")
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts").desc, col("event_id").desc)
-      val base = ev.filter(col("event_id") % 2 === 0)
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      val latestFirst = Seq(col("ts").desc, col("event_id").desc)
+      val base = CdcMerge.compact(
+          ev.filter(col("event_id") % 2 === 0), Seq("user_id"), latestFirst)
         .select(col("user_id"), col("value").as("base_value"))
-      val chg = ev.filter(col("event_id") % 2 === 1)
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("user_id").as("c_user_id"), col("value").as("chg_value"),
+      val chg = CdcMerge.compact(
+          ev.filter(col("event_id") % 2 === 1), Seq("user_id"), latestFirst)
+        .select(col("user_id"), col("value").as("chg_value"),
           col("event_id").as("chg_eid"),
           when(col("event_type") === "error", "delete").otherwise("upsert").as("op"))
-      base.join(chg, col("user_id") === col("c_user_id"), "full_outer")
-        .select(
-          coalesce(col("user_id"), col("c_user_id")).as("user_id"),
-          when(col("c_user_id").isNull, "kept")
-            .when(col("op") === "delete" && col("user_id").isNotNull, "deleted")
-            .when(col("op") === "delete", "noop_delete")
-            .when(col("user_id").isNull, "inserted")
-            .otherwise("updated").as("action"),
-          when(col("c_user_id").isNull, col("base_value"))
-            .when(col("op") === "delete", lit(null).cast("double"))
-            .otherwise(col("chg_value")).as("final_value"),
-          col("chg_eid"))
+      CdcMerge.merge(base, chg, "user_id", "base_value", "chg_value", "op")
+        .select("user_id", "action", "final_value", "chg_eid")
     },
   )
 }

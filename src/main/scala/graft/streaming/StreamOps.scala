@@ -82,6 +82,43 @@ object StreamOps {
 
   final case class Transition(user_id: Long, from_type: String, to_type: String)
 
+  final case class ChangeRow(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class CdcLatest(
+      user_id: Long, event_id: Long, event_type: String, value: Double)
+
+  /** Streaming change-log compaction — the incremental half of
+    * `operators/CdcMerge`: per-key state holds the LATEST change seen
+    * so far under the same (ts, event_id) total order the batch
+    * `CdcMerge.compact` uses, and every micro-batch re-emits each
+    * touched key's current winner (update semantics — the last
+    * emission per key IS the compacted change set, ready for
+    * `CdcMerge.merge` onto a base snapshot). Late or duplicated
+    * deliveries fold in idempotently: a change older than the state
+    * loses the max() and changes nothing. State is O(keys) × one
+    * change, shuffled once per micro-batch on the key.
+    */
+  def cdcLatest(changes: Dataset[ChangeRow]): Dataset[CdcLatest] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Int, Long, String, Double), CdcLatest](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[ChangeRow],
+         state: GroupState[(Long, Int, Long, String, Double)]) =>
+          // (getTime, getNanos, event_id) orders exactly like the µs
+          // timestamp + log sequence (see transitionPairs)
+          val candidates = rows.map(r =>
+            (r.ts.getTime, r.ts.getNanos, r.event_id, r.event_type, r.value)) ++
+            state.getOption.iterator
+          val w = candidates.maxBy(c => (c._1, c._2, c._3))
+          state.update(w)
+          CdcLatest(uid, w._3, w._4, w._5)
+      }
+  }
+
   /** Per-user consecutive event transitions via flatMapGroupsWithState —
     * the streaming analogue of batch q97's lag window. State carries
     * only the user's latest event_type, so chains CONTINUE across

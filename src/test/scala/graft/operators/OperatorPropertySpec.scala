@@ -172,4 +172,49 @@ class OperatorPropertySpec extends SparkSpec {
       .head().getSeq[Long](0)
     assert(merged === whole)
   }
+
+  // ---------------------------------------------------------------- CdcMerge
+
+  private val changeGen: Gen[(Long, Long, Long, Double, Boolean)] = for {
+    key <- Gen.choose(0L, 40L) // few keys → many per-key collisions
+    ts <- Gen.choose(0L, 20L) // narrow → duplicate timestamps exercised
+    seq <- Gen.choose(0L, 1000000L)
+    v <- Gen.choose(0, 1000).map(_ / 10.0)
+    del <- Gen.prob(0.25)
+  } yield (key, ts, seq, v, del)
+
+  test("CdcMerge: last-writer-wins replay on random logs with duplicate timestamps") {
+    import spark.implicits._
+    for (seed <- 21L to 23L) {
+      val baseRows = sample(Gen.listOfN(60, changeGen), seed)
+        .groupBy(r => (r._1, r._2, r._3)).map(_._2.head).toSeq // unique (key,ts,seq)
+      val chgRows = sample(Gen.listOfN(60, changeGen), seed + 50)
+        .groupBy(r => (r._1, r._2, r._3)).map(_._2.head).toSeq
+      def latest(xs: Seq[(Long, Long, Long, Double, Boolean)]) =
+        xs.groupBy(_._1).map { case (k, g) => k -> g.maxBy(r => (r._2, r._3)) }
+      val baseL = latest(baseRows); val chgL = latest(chgRows)
+      val expected = (baseL.keySet ++ chgL.keySet).map { k =>
+        (baseL.get(k), chgL.get(k)) match {
+          case (Some(b), None) => (k, "kept", Option(b._4))
+          case (Some(_), Some(c)) if c._5 => (k, "deleted", Option.empty[Double])
+          case (None, Some(c)) if c._5 => (k, "noop_delete", Option.empty[Double])
+          case (None, Some(c)) => (k, "inserted", Option(c._4))
+          case (Some(_), Some(c)) => (k, "updated", Option(c._4))
+          case (None, None) => sys.error("unreachable")
+        }
+      }
+      val ordering = Seq(col("ts").desc, col("seq").desc)
+      val base = CdcMerge.compact(
+          baseRows.toDF("key", "ts", "seq", "v", "del"), Seq("key"), ordering)
+        .select(col("key"), col("v").as("base_value"))
+      val chg = CdcMerge.compact(
+          chgRows.toDF("key", "ts", "seq", "v", "del"), Seq("key"), ordering)
+        .select(col("key"), col("v").as("chg_value"),
+          when(col("del"), "delete").otherwise("upsert").as("op"))
+      val got = CdcMerge.merge(base, chg, "key", "base_value", "chg_value", "op")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) Option.empty[Double] else Some(r.getDouble(2)))).toSet
+      assert(got === expected, s"seed $seed")
+    }
+  }
 }

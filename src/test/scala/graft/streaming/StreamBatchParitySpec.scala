@@ -212,4 +212,60 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq,
       s"transition counts: streaming ${streamed.length} cells vs batch ${batch.length}")
   }
+
+  test("streaming CDC compaction + CdcMerge apply equal the batch q118 merge") {
+    import spark.implicits._
+    import graft.operators.CdcMerge
+    val ev = realEvents
+    // the change stream (q118's odd half) replayed across 3 micro-batches:
+    // per-key latest must survive batch boundaries through the state store
+    val in = stageInput(ev.filter(col("event_id") % 2 === 1), 3600000000L,
+      chronoParts = 3)
+    val out = Files.createTempDirectory("graft-cdc-out").toString
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt").toString
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+    // the watermark pusher (value NULL) is irrelevant to keyed state —
+    // drop it before the non-nullable ChangeRow cast
+    val q = StreamOps.cdcLatest(
+        stream.filter(col("user_id") >= 0).as[StreamOps.ChangeRow]).toDF()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty)
+          batch.withColumn("__bid", lit(bid)).write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+
+    // the LAST update-mode emission per key is the compacted change set
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("__bid").desc)
+    val compacted = spark.read.parquet(out)
+      .filter(col("user_id") >= 0)
+      .withColumn("rn", row_number().over(wLast)).filter(col("rn") === 1)
+      .select(col("user_id"), col("value").as("chg_value"),
+        col("event_id").as("chg_eid"),
+        when(col("event_type") === "error", "delete").otherwise("upsert").as("op"))
+    val base = CdcMerge.compact(ev.filter(col("event_id") % 2 === 0),
+        Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
+      .select(col("user_id"), col("value").as("base_value"))
+    val streamed = CdcMerge
+      .merge(base, compacted, "user_id", "base_value", "chg_value", "op")
+      .select("user_id", "action", "final_value", "chg_eid")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) Option.empty[Double] else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) Option.empty[Long] else Some(r.getLong(3)))).toSet
+
+    val batchRows = SparkEntry.queries("q118_cdc_upsert")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) Option.empty[Double] else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) Option.empty[Long] else Some(r.getLong(3)))).toSet
+
+    assert(batchRows.nonEmpty, "batch merge must be non-empty")
+    assert(streamed === batchRows,
+      s"CDC merge: streaming ${streamed.size} keys vs batch ${batchRows.size}")
+  }
 }
