@@ -64,6 +64,8 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q119    graft.queries.Curation   — cross-source quantile normalization
   *   q120    graft.queries.Vectors    — contrastive hard-negative mining
   *   q121    graft.queries.Relational — two-phase distributed skyline
+  *   q122    graft.queries.Curation   — temperature-based source rebalancing
+  *   q123    graft.queries.Graph      — triangle census (one-mode projection)
   */
 object SparkEntry {
 

@@ -739,5 +739,55 @@ object Curation {
         .select(col("doc_id"), col("source"), col("n_chars"), col("pr"),
           (kLo + (g - lo) * (kHi - kLo)).as("norm"))
     },
+
+    // --------------------------------------------------------------- q122
+    // Temperature-based source rebalancing (the multinomial α=0.5
+    // mixing move): target share per source ∝ √n_s — small sources
+    // upweight, huge sources flatten — under a total budget of half
+    // the corpus. The whole decision pipeline is EXACT INTEGERS:
+    // w_s = floor(10⁴·√n_s) quantizes the one IEEE sqrt, so the
+    // normalizer Z = Σw_s is an order-free BIGINT sum (never a double
+    // sum), and thr_s = min(10⁴, (K·w_s·10⁴) div (Z·n_s)) is pure
+    // integer arithmetic (q74's permyriad pattern). Keep decision =
+    // salted Knuth doc_id hash < thr — reproducible, re-derives
+    // identically on backfill. Per-source stats and the one-row total
+    // BROADCAST back; the corpus never shuffles.
+    Q(
+      "q122_temperature_mix",
+      Some(s"""
+        WITH st AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+          FROM documents GROUP BY source),
+        w AS (
+          SELECT source, n,
+                 CAST(floor(sqrt(CAST(n AS DOUBLE)) * 10000) AS BIGINT) AS w
+          FROM st),
+        tot AS (
+          SELECT CAST(SUM(w) AS BIGINT) AS z,
+                 CAST(SUM(n) AS BIGINT) // 2 AS k
+          FROM w),
+        thr AS (
+          SELECT w.source, w.n, w.w,
+                 LEAST(10000, (t.k * w.w * 10000) // (t.z * w.n)) AS thr_permyriad
+          FROM w CROSS JOIN tot t)
+        SELECT d.source, th.n, th.w, th.thr_permyriad,
+               CAST(SUM(CASE WHEN ((d.doc_id + 7919) * 2654435761) % 4294967296
+                                  % 10000 < th.thr_permyriad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM documents d JOIN thr th USING (source)
+        GROUP BY d.source, th.n, th.w, th.thr_permyriad""")
+    ) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val st = docs.groupBy("source").agg(count(lit(1)).as("n"))
+        .withColumn("w", floor(sqrt(col("n").cast("double")) * 10000))
+      val tot = st.agg(sum(col("w")).as("z"), expr("sum(n) div 2").as("k"))
+      val thr = st.crossJoin(broadcast(tot))
+        .select(col("source"), col("n"), col("w"),
+          least(lit(10000L), expr("(k * w * 10000) div (z * n)")).as("thr_permyriad"))
+      docs.join(broadcast(thr), "source")
+        .groupBy("source", "n", "w", "thr_permyriad")
+        .agg(sum(when(knuthCol(7919) % 10000 < col("thr_permyriad"), 1L)
+          .otherwise(0L)).as("n_kept"))
+    },
   )
 }

@@ -168,5 +168,81 @@ object Graph {
         SELECT node, CAST(MIN(depth) AS BIGINT) AS hops, COUNT(*) AS n_walks
         FROM reach GROUP BY node""")
     },
+
+    // --------------------------------------------------------------- q123
+    // Triangle census of the supplier co-trading graph. The bipartite
+    // customer↔supplier graph has no triangles, so the classic move is
+    // the one-mode PROJECTION: suppliers are adjacent iff they share a
+    // customer. Projection cost is Σ_c deg(c)², so customers above a
+    // degree cap (20 suppliers) are DROPPED first — the q87 stop-cap
+    // contract, declared in the result, which bounds candidate pairs at
+    // any corpus size. Edges store only u < v (a total orientation:
+    // each triangle counted exactly once as u < v < w; at production
+    // scale the same query runs with degree-ordering instead of id-
+    // ordering to equalize wedge fan-out). Wedge join + closure join
+    // are two hash equi-joins — no cartesian anywhere. All counts are
+    // exact BIGINTs; the closure ratio is one final division.
+    Q(
+      "q123_triangle_census",
+      Some("""
+        WITH pairs AS (
+          SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        keepc AS (
+          SELECT c FROM pairs GROUP BY c HAVING COUNT(*) <= 20),
+        kp AS (SELECT p.c, p.s FROM pairs p JOIN keepc USING (c)),
+        proj AS (
+          SELECT DISTINCT a.s AS u, b.s AS v
+          FROM kp a JOIN kp b ON a.c = b.c AND a.s < b.s),
+        wedges AS (
+          SELECT e1.u AS u, e1.v AS v, e2.v AS w
+          FROM proj e1 JOIN proj e2 ON e2.u = e1.v),
+        tri AS (
+          SELECT wg.u, wg.v, wg.w
+          FROM wedges wg JOIN proj e3 ON e3.u = wg.u AND e3.v = wg.w)
+        SELECT CAST((SELECT COUNT(DISTINCT s) FROM kp) AS BIGINT) AS n_nodes,
+               CAST((SELECT COUNT(*) FROM proj) AS BIGINT) AS n_edges,
+               CAST((SELECT COUNT(*) FROM wedges) AS BIGINT) AS n_wedges,
+               CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles,
+               CAST((SELECT COUNT(*) FROM tri) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM wedges) AS closure_ratio""")
+    ) { (s, dir) =>
+      val orders = broadcast(t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")))
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+      val keepc = pairs.groupBy("c").agg(count(lit(1)).as("dc"))
+        .filter(col("dc") <= 20).select("c")
+      val kp = pairs.join(keepc, "c")
+      // projection + wedge + closure re-reference kp/proj — materialize
+      // once (the q94/q104 loop-invariant lesson) so the pair join isn't
+      // re-derived per consumer
+      val kpM = kp.localCheckpoint()
+      val proj = kpM.as("a")
+        .join(kpM.as("b"),
+          col("a.c") === col("b.c") && col("a.s") < col("b.s"))
+        .select(col("a.s").as("u"), col("b.s").as("v"))
+        .distinct()
+        .localCheckpoint()
+      val wedges = proj.as("e1")
+        .join(proj.select(col("u").as("u2"), col("v").as("w")).as("e2"),
+          col("u2") === col("v"))
+        .select(col("u"), col("v"), col("w"))
+      val tri = wedges.join(
+        proj.select(col("u").as("u3"), col("v").as("w3")),
+        col("u3") === col("u") && col("w3") === col("w"))
+      // four one-row aggregates composed in ONE declarative plan
+      // (broadcast cross joins) — no driver-side .count() loops
+      kpM.agg(count_distinct(col("s")).as("n_nodes"))
+        .crossJoin(broadcast(proj.agg(count(lit(1)).as("n_edges"))))
+        .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
+        .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_triangles"))))
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          (col("n_triangles").cast("double") / col("n_wedges")).as("closure_ratio"))
+    },
   )
 }

@@ -568,6 +568,56 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === truth, s"got $got vs $truth")
   }
 
+  test("q122 temperature mix: rates flatten with size and spend ≈ the half-corpus budget") {
+    val rows = run("q122_temperature_mix").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    // thr ∝ 1/√n: ordered by source size the threshold must be non-increasing
+    val byN = rows.sortBy(_._2)
+    byN.map(_._3).zip(byN.tail.map(_._3)).foreach { case (a, b) =>
+      assert(a >= b, s"keep rate must not grow with source size: $byN")
+    }
+    // expected kept = Σ n·thr/10⁴ must sit just under the K = total/2 budget
+    val total = rows.map(_._2).sum
+    val expKept = rows.map(r => r._2 * r._3 / 10000.0).sum
+    assert(expKept <= total / 2.0 + rows.length,
+      s"budget overrun: $expKept vs ${total / 2.0}")
+    assert(expKept >= total * 0.45, s"budget underspend: $expKept vs ${total / 2.0}")
+    // realized keeps track the threshold binomially (q74's uniformity bound)
+    rows.foreach { case (src, n, thr, kept) =>
+      val p = thr / 10000.0
+      val sd = math.sqrt(p * (1 - p) / n)
+      assert(math.abs(kept.toDouble / n - p) < 4 * sd + 0.02,
+        s"$src keep rate off: $kept/$n vs $p")
+    }
+  }
+
+  test("q123 triangle census equals a brute-force projection replay") {
+    val orders = graft.Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = graft.Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_suppkey").collect()
+      .flatMap(r => orders.get(r.getLong(0)).map(c => (c, r.getLong(1)))).toSet
+    val keepc = pairs.groupBy(_._1).filter(_._2.size <= 20).keySet
+    val kp = pairs.filter(p => keepc(p._1))
+    val bySupp = kp.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val nodes = bySupp.keySet
+    val edges = (for {
+      (c, s1) <- kp; (c2, s2) <- kp if c2 == c && s1 < s2
+    } yield (s1, s2)).toSet
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val wedges = (for {
+      (u, v) <- edges; w <- adj.getOrElse(v, Set.empty)
+    } yield (u, v, w)).toSet
+    val tris = wedges.filter { case (u, _, w) => edges((u, w)) }
+    val got = run("q123_triangle_census").collect().head
+    assert(got.getLong(0) === nodes.size.toLong, "n_nodes")
+    assert(got.getLong(1) === edges.size.toLong, "n_edges")
+    assert(got.getLong(2) === wedges.size.toLong, "n_wedges")
+    assert(got.getLong(3) === tris.size.toLong, "n_triangles")
+    assert(math.abs(got.getDouble(4) - tris.size.toDouble / wedges.size) < 1e-12)
+  }
+
   test("q116 diversity metrics replay exactly from collected token counts") {
     val docs = graft.Tables.load(spark, sf, "documents")
       .select("source", "text")
