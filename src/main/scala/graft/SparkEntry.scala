@@ -66,6 +66,7 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q121    graft.queries.Relational — two-phase distributed skyline
   *   q122    graft.queries.Curation   — temperature-based source rebalancing
   *   q123    graft.queries.Graph      — triangle census (one-mode projection)
+  *   q124    graft.queries.Vectors    — incremental IVF index insert
   */
 object SparkEntry {
 

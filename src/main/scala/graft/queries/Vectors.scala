@@ -624,6 +624,89 @@ object Vectors {
           (col("role") === "pos" && col("rnk") === 1))
         .select("query_id", "vec_id", "role", "rnk", "score")
     },
+
+    // --------------------------------------------------------------- q124
+    // Incremental vector-index maintenance — q87's incremental-dedup
+    // contract on the ANN side: an incoming batch (vec_id % 10 == 0)
+    // inserts into the EXISTING IVF index (the other 90%), and each
+    // new vector is screened against index members OF ITS OWN CELL
+    // only — best cosine match decides reject_dup (≥ 0.30, q89's
+    // threshold) vs insert. Centroids seed from the index side, so the
+    // batch never changes existing cell geometry (the production
+    // invariant: readers keep probing stable cells; re-centering is a
+    // separate offline job). Daily work is batch × cell-size — it
+    // scales with the batch, never the archive, and in production the
+    // index side reads persisted (vec_id, centroid_id) assignments
+    // instead of re-deriving them. Deterministic: integer argmin with
+    // centroid tiebreak, (score desc, match_id) total order.
+    Q(
+      "q124_index_insert",
+      Some(s"""
+        WITH normed0 AS ($quantizedSql),
+        normed AS (SELECT vec_id, qv, qn FROM normed0 WHERE qn > 0),
+        idx AS (SELECT * FROM normed WHERE vec_id % 10 <> 0),
+        batch AS (SELECT * FROM normed WHERE vec_id % 10 = 0),
+        cents AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, qv AS cv
+          FROM (SELECT vec_id, qv FROM idx ORDER BY vec_id LIMIT ${ivfCfg.nCentroids}) s),
+        ai AS (
+          SELECT vec_id, qv, qn, centroid_id FROM (
+            SELECT n.vec_id, n.qv, n.qn, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                     ORDER BY ${graft.operators.Ivf.sqDistSql("n.qv", "c.cv")}, c.centroid_id) AS rn
+            FROM idx n CROSS JOIN cents c) t
+          WHERE rn = 1),
+        ab AS (
+          SELECT vec_id, qv, qn, centroid_id FROM (
+            SELECT n.vec_id, n.qv, n.qn, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                     ORDER BY ${graft.operators.Ivf.sqDistSql("n.qv", "c.cv")}, c.centroid_id) AS rn
+            FROM batch n CROSS JOIN cents c) t
+          WHERE rn = 1),
+        scored AS (
+          SELECT b.vec_id AS vec_id, a.vec_id AS match_id, $pairScoreSql AS score
+          FROM ab b JOIN ai a ON a.centroid_id = b.centroid_id),
+        best AS (
+          SELECT vec_id, match_id, score FROM (
+            SELECT vec_id, match_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY score DESC, match_id) AS rn
+            FROM scored) t WHERE rn = 1)
+        SELECT b.vec_id, b.centroid_id,
+               CASE WHEN best.score >= 0.30 THEN 'reject_dup'
+                    ELSE 'insert' END AS action,
+               best.match_id, best.score
+        FROM ab b LEFT JOIN best ON best.vec_id = b.vec_id""")
+    ) { (s, dir) =>
+      val normed = quantized(s, dir).filter(col("qn") > 0)
+        .select("vec_id", "qv", "qn")
+      val idx = normed.filter(col("vec_id") % 10 =!= 0)
+      val batch = normed.filter(col("vec_id") % 10 === 0)
+      val cents = graft.operators.Ivf.seedCentroids(idx, "vec_id", "qv", ivfCfg.nCentroids)
+      val ai = graft.operators.Ivf.assign(idx, "qv", cents)
+        .select(col("vec_id").as("id_a"), col("qv").as("qv_a"),
+          col("qn").as("qn_a"), col("centroid_id"))
+      // referenced twice below (scoring + the final left join) —
+      // materialize once (the q89 lesson: map-side assign has no
+      // exchange for ReuseExchange to share)
+      val ab = graft.operators.Ivf.assign(batch, "qv", cents)
+        .select(col("vec_id"), col("qv").as("qv_b"),
+          col("qn").as("qn_b"), col("centroid_id"))
+        .localCheckpoint()
+      val w = Window.partitionBy("vec_id").orderBy(desc("score"), col("match_id"))
+      val best = ab.join(ai, Seq("centroid_id"))
+        .withColumn("dot", dotCol("qv_a", "qv_b"))
+        .withColumn("score", col("dot").cast("double") /
+          sqrt(col("qn_a").cast("double") * col("qn_b").cast("double")))
+        .select(col("vec_id"), col("id_a").as("match_id"), col("score"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .drop("rn")
+      ab.select("vec_id", "centroid_id")
+        .join(best, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("centroid_id"),
+          when(col("score") >= 0.30, "reject_dup").otherwise("insert").as("action"),
+          col("match_id"), col("score"))
+    },
   )
 
   /** IVF approximate top-5 — registered as q60 and re-used by q65

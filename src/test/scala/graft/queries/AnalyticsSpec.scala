@@ -618,6 +618,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(got.getDouble(4) - tris.size.toDouble / wedges.size) < 1e-12)
   }
 
+  test("q124 index insert: batch coverage, threshold consistency, matches stay in-cell") {
+    val rows = run("q124_index_insert").collect().map { r =>
+      (r.getLong(0), r.getInt(1), r.getString(2),
+        if (r.isNullAt(3)) Option.empty[Long] else Some(r.getLong(3)),
+        if (r.isNullAt(4)) Option.empty[Double] else Some(r.getDouble(4)))
+    }
+    val nBatch = graft.Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") % 10 === 0).count()
+    // q124 drops zero-norm vectors before screening; none exist here
+    assert(rows.length.toLong === nBatch, "every batch vector gets a decision")
+    assert(rows.map(_._1).distinct.length === rows.length, "one decision per vector")
+    rows.foreach { case (id, cell, action, m, s) =>
+      assert(id % 10 === 0, s"$id is not a batch vector")
+      (action, s) match {
+        case ("reject_dup", Some(sc)) => assert(sc >= 0.30, s"$id rejected below threshold")
+        case ("insert", Some(sc)) => assert(sc < 0.30, s"$id inserted above threshold")
+        case ("insert", None) => // empty cell — fine
+        case other => fail(s"$id inconsistent action/score: $other")
+      }
+      m.foreach(mid => assert(mid % 10 !== 0, s"$id matched a batch vector $mid"))
+    }
+    assert(rows.exists(_._3 == "reject_dup") && rows.exists(_._3 == "insert"),
+      "both outcomes must occur on this corpus")
+  }
+
   test("q116 diversity metrics replay exactly from collected token counts") {
     val docs = graft.Tables.load(spark, sf, "documents")
       .select("source", "text")
