@@ -67,6 +67,8 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q122    graft.queries.Curation   — temperature-based source rebalancing
   *   q123    graft.queries.Graph      — triangle census (one-mode projection)
   *   q124    graft.queries.Vectors    — incremental IVF index insert
+  *   q125    graft.queries.TextOps    — source-vocabulary overlap matrix
+  *   q126    graft.queries.Events     — sequential motif mining (trigrams)
   */
 object SparkEntry {
 

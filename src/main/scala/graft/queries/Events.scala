@@ -649,5 +649,40 @@ object Events {
       CdcMerge.merge(base, chg, "user_id", "base_value", "chg_value", "op")
         .select("user_id", "action", "final_value", "chg_eid")
     },
+
+    // --------------------------------------------------------------- q126
+    // Sequential motif mining: the top-15 3-event behavioral motifs
+    // (ordered event-type trigrams within a user's stream) — q97's
+    // transition matrix extended one order up, the sequence-pattern
+    // primitive behind funnel discovery. Two lag windows share ONE
+    // user_id exchange; the motif aggregate map-side combines over at
+    // most |event_types|³ = 125 keys, and the top-15 executes as
+    // TakeOrderedAndProject (never a global sort). (n desc, motif)
+    // gives the total order.
+    Q(
+      "q126_motif_mining",
+      Some("""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lag(event_type, 1) OVER w AS p1,
+                 lag(event_type, 2) OVER w AS p2
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT p2 || '>' || p1 || '>' || event_type AS motif,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE p2 IS NOT NULL
+        GROUP BY motif ORDER BY n DESC, motif LIMIT 15""")
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          lag(col("event_type"), 1).over(w).as("p1"),
+          lag(col("event_type"), 2).over(w).as("p2"))
+        .filter(col("p2").isNotNull)
+        .select(concat_ws(">", col("p2"), col("p1"), col("event_type")).as("motif"))
+        .groupBy("motif").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("motif"))
+        .limit(15)
+    },
   )
 }

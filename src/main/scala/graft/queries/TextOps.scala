@@ -832,5 +832,53 @@ object TextOps {
         (tT * tT / sS).as("eff_vocab"),
         (max(col("c")).cast("double") / tT).as("top_share"))
     },
+
+    // --------------------------------------------------------------- q125
+    // Source-vocabulary overlap matrix: exact token-set Jaccard between
+    // every source pair — the mirror/duplicate-source detector a corpus
+    // audit runs before mixing (two sources sharing ~all vocabulary are
+    // one source twice). The pair join runs in DISTINCT (source, token)
+    // space (the q69/q75 move): per-token posting lists are bounded by
+    // the SOURCE COUNT (≤ 20 here), so candidate pairs are
+    // vocabulary × sources², never corpus², at any data size. All
+    // counts exact BIGINT; Jaccard is one final division via
+    // inclusion-exclusion.
+    Q(
+      "q125_source_overlap",
+      Some("""
+        WITH vt AS (
+          SELECT DISTINCT source, tok FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents) u
+          WHERE tok <> ''),
+        sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM vt GROUP BY source),
+        inter AS (
+          SELECT a.source AS src_a, b.source AS src_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM vt a JOIN vt b ON a.tok = b.tok AND a.source < b.source
+          GROUP BY a.source, b.source)
+        SELECT i.src_a, i.src_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+               CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) AS jaccard
+        FROM inter i
+        JOIN sz sa ON sa.source = i.src_a
+        JOIN sz sb ON sb.source = i.src_b""")
+    ) { (s, dir) =>
+      val vt = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .distinct()
+      val sz = vt.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = vt.as("a")
+        .join(vt.as("b"),
+          col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(broadcast(sz.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+        .join(broadcast(sz.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_common"),
+          (col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+    },
   )
 }

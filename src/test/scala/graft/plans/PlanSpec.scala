@@ -759,6 +759,39 @@ class PlanSpec extends SparkSpec {
     }, s"global window must consume phase-1 survivors:\n$p")
   }
 
+  test("q126: motif top-15 executes as TakeOrderedAndProject over one user window") {
+    val p = plan("q126_motif_mining")
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      s"limit 15 must never global-sort:\n$p")
+    assert(shuffles(p).length <= 2, s"user window + motif agg only:\n$p")
+    val Seq(scan) = scans(p)
+    assert(scan.requiredSchema.fieldNames.toSet ===
+      Set("user_id", "event_type", "ts", "event_id"),
+      s"q126 reads more than it projects: ${scan.requiredSchema.fieldNames.toSeq}")
+  }
+
+  test("q125: pair join is an equi join on tok in distinct space — no cartesian") {
+    val p = plan("q125_source_overlap")
+    assert(p.collect { case j: CartesianProductExec => j }.isEmpty &&
+      p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"overlap must join on tok, never cross:\n$p")
+    // the pair join keys on tok (broadcast at tiny SF, shuffled at
+    // scale — both are the equi join) and the distinct vocabulary
+    // shrink must sit BELOW it on both sides
+    val tokJoins = p.collect {
+      case j: BroadcastHashJoinExec if j.leftKeys.exists(_.toString.contains("tok")) => j
+      case j: SortMergeJoinExec if j.leftKeys.exists(_.toString.contains("tok")) => j
+      case j: ShuffledHashJoinExec if j.leftKeys.exists(_.toString.contains("tok")) => j
+    }
+    assert(tokJoins.nonEmpty, s"expected an equi join keyed on tok:\n$p")
+    tokJoins.head.children.foreach(side =>
+      assert(side.exists {
+        case a: HashAggregateExec =>
+          a.groupingExpressions.exists(_.toString.contains("tok"))
+        case _ => false
+      }, s"distinct must run before the pair join:\n$p"))
+  }
+
   test("q96: histogram quantiles — one corpus exchange, pruned scan, map-side combine") {
     val p = plan("q96_hist_quantile")
     // the corpus touches exactly one exchange (the histogram agg); the

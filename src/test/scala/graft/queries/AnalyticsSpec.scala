@@ -643,6 +643,45 @@ class AnalyticsSpec extends SparkSpec {
       "both outcomes must occur on this corpus")
   }
 
+  test("q125 overlap matrix replays exactly from collected token sets") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val vocab = docs.groupBy(_._1).view
+      .mapValues(_.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty).toSet).toMap
+    val srcs = vocab.keys.toSeq.sorted
+    val truth = (for {
+      a <- srcs; b <- srcs if a < b
+      common = (vocab(a) & vocab(b)).size.toLong if common > 0
+    } yield (a, b) -> ((vocab(a).size.toLong, vocab(b).size.toLong, common,
+      common.toDouble / (vocab(a).size + vocab(b).size - common)))).toMap
+    val got = run("q125_source_overlap").collect().map { r =>
+      (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    }.toMap
+    assert(got.keySet === truth.keySet, "pair coverage")
+    truth.foreach { case (k, (na, nb, c, j)) =>
+      val g = got(k)
+      assert(g._1 === na && g._2 === nb && g._3 === c, s"$k counts: $g")
+      assert(math.abs(g._4 - j) < 1e-12, s"$k jaccard")
+    }
+  }
+
+  test("q126 motif top-15 replays from per-user ordered trigram counting") {
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val counts = ev.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val types = xs.sortBy(e => (e._3, e._4)).map(_._2)
+      types.sliding(3).filter(_.length == 3).map(_.mkString(">"))
+    }.groupBy(identity).map { case (m, v) => m -> v.length.toLong }
+    val truth = counts.toSeq.sortBy { case (m, n) => (-n, m) }.take(15)
+    val got = run("q126_motif_mining").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === truth, s"got $got vs $truth")
+  }
+
   test("q116 diversity metrics replay exactly from collected token counts") {
     val docs = graft.Tables.load(spark, sf, "documents")
       .select("source", "text")
