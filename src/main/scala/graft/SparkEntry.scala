@@ -69,6 +69,7 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q124    graft.queries.Vectors    — incremental IVF index insert
   *   q125    graft.queries.TextOps    — source-vocabulary overlap matrix
   *   q126    graft.queries.Events     — sequential motif mining (trigrams)
+  *   q127    graft.queries.TextOps    — token-distribution drift monitor
   */
 object SparkEntry {
 

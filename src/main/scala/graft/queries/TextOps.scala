@@ -880,5 +880,64 @@ object TextOps {
           (col("n_common").cast("double") /
             (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
     },
+
+    // --------------------------------------------------------------- q127
+    // Token-distribution drift detection: the reference snapshot
+    // (doc_id % 2 = 0) vs the current one (doc_id % 2 = 1), per-token
+    // two-sample test — the monitoring step that catches a silently
+    // changed upstream corpus before it trains. The statistic is the
+    // 2×2 chi-square surrogate (c1·N2 − c2·N1)²/(N1·N2·(c1+c2)): the
+    // cross-difference d = c1·N2 − c2·N1 stays EXACT BIGINT (q110's
+    // cross-multiplication move; |d| ≤ N1·N2 ~ 10¹² here — at corpus
+    // sizes where c·N overflows BIGINT the same statistic runs on
+    // per-million integer rates), and the squaring/divisions run in
+    // DOUBLE on identical exact operands — the same IEEE expression in
+    // both engines, so even the float ordering ties break identically.
+    // Top-20 drifted tokens by (drift desc, tok). Plan: one (half, token)
+    // count (map-side combined), a pivot to c1/c2 via the same
+    // aggregate, totals broadcast back, TakeOrderedAndProject for the
+    // top-20 — the corpus shuffles once, everything after is
+    // vocabulary-sized.
+    Q(
+      "q127_token_drift",
+      Some("""
+        WITH tok AS (
+          SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        cnt AS (
+          SELECT tok,
+                 CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+          FROM tok WHERE tok <> '' GROUP BY tok),
+        tot AS (
+          SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+          FROM cnt)
+        SELECT tok, c1, c2,
+               CAST(c1 * t.n2 - c2 * t.n1 AS DOUBLE)
+                 * CAST(c1 * t.n2 - c2 * t.n1 AS DOUBLE)
+                 / CAST(t.n1 * t.n2 AS DOUBLE) / CAST(c1 + c2 AS DOUBLE) AS drift,
+               CAST(c1 AS DOUBLE) / t.n1 AS rate_ref,
+               CAST(c2 AS DOUBLE) / t.n2 AS rate_cur
+        FROM cnt CROSS JOIN tot t
+        ORDER BY drift DESC, tok LIMIT 20""")
+    ) { (s, dir) =>
+      val cnt = t(s, dir, "documents")
+        .select((col("doc_id") % 2).as("half"),
+          explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok")
+        .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("c2"))
+      val tot = cnt.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      val d = (col("c1") * col("n2") - col("c2") * col("n1")).cast("double")
+      cnt.crossJoin(broadcast(tot))
+        .select(col("tok"), col("c1"), col("c2"),
+          (d * d / (col("n1") * col("n2")).cast("double")
+            / (col("c1") + col("c2")).cast("double")).as("drift"),
+          (col("c1").cast("double") / col("n1")).as("rate_ref"),
+          (col("c2").cast("double") / col("n2")).as("rate_cur"))
+        .orderBy(desc("drift"), col("tok"))
+        .limit(20)
+    },
   )
 }

@@ -682,6 +682,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === truth, s"got $got vs $truth")
   }
 
+  test("q127 drift top-20 replays from two-sample token counts") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val counts = docs.flatMap { case (id, text) =>
+      text.split(" ", -1).filter(_.nonEmpty).map(tok => (tok, id % 2))
+    }.groupBy(_._1).map { case (tok, xs) =>
+      (tok, xs.count(_._2 == 0).toLong, xs.count(_._2 == 1).toLong)
+    }.toSeq
+    val n1 = counts.map(_._2).sum
+    val n2 = counts.map(_._3).sum
+    val truth = counts.map { case (tok, c1, c2) =>
+      val d = (c1 * n2 - c2 * n1).toDouble
+      (tok, c1, c2, d * d / (n1 * n2).toDouble / (c1 + c2).toDouble)
+    }.sortBy { case (tok, _, _, drift) => (-drift, tok) }.take(20)
+    val got = run("q127_token_drift").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.map(t => (t._1, t._2, t._3)) === truth.map(t => (t._1, t._2, t._3)))
+    got.zip(truth).foreach { case (g, tr) =>
+      assert(math.abs(g._4 - tr._4) < 1e-9, s"${g._1} drift")
+    }
+  }
+
   test("q116 diversity metrics replay exactly from collected token counts") {
     val docs = graft.Tables.load(spark, sf, "documents")
       .select("source", "text")
