@@ -175,13 +175,17 @@ object Graph {
     // the one-mode PROJECTION: suppliers are adjacent iff they share a
     // customer. Projection cost is Σ_c deg(c)², so customers above a
     // degree cap (20 suppliers) are DROPPED first — the q87 stop-cap
-    // contract, declared in the result, which bounds candidate pairs at
-    // any corpus size. Edges store only u < v (a total orientation:
-    // each triangle counted exactly once as u < v < w; at production
-    // scale the same query runs with degree-ordering instead of id-
-    // ordering to equalize wedge fan-out). Wedge join + closure join
-    // are two hash equi-joins — no cartesian anywhere. All counts are
-    // exact BIGINTs; the closure ratio is one final division.
+    // contract, which bounds candidate pairs at any corpus size. Edges
+    // store only u < v (a total orientation: each triangle counted
+    // exactly once as u < v < w). Counting runs the FORWARD algorithm:
+    // triangles per edge = |adj⁺(u) ∩ adj⁺(v)| over sorted oriented
+    // adjacency arrays — the 10M-row wedge table the naive
+    // wedge-join-then-close plan materializes at sf0.1 never exists
+    // (2.9s → see BENCHNOTES), and the wedge COUNT comes free from the
+    // degree table as Σ_v in⁺(v)·out⁺(v). The adjacency table is
+    // node-sized and BROADCASTS; at graph sizes where it cannot, the
+    // same two joins run shuffled — still no wedge materialization.
+    // All counts exact BIGINTs; the closure ratio is one final division.
     Q(
       "q123_triangle_census",
       Some("""
@@ -194,18 +198,28 @@ object Graph {
         proj AS (
           SELECT DISTINCT a.s AS u, b.s AS v
           FROM kp a JOIN kp b ON a.c = b.c AND a.s < b.s),
-        wedges AS (
-          SELECT e1.u AS u, e1.v AS v, e2.v AS w
-          FROM proj e1 JOIN proj e2 ON e2.u = e1.v),
+        deg AS (
+          SELECT node, CAST(SUM(outc) AS BIGINT) AS outp,
+                 CAST(SUM(inc) AS BIGINT) AS inp
+          FROM (
+            SELECT u AS node, 1 AS outc, 0 AS inc FROM proj
+            UNION ALL
+            SELECT v AS node, 0 AS outc, 1 AS inc FROM proj) t
+          GROUP BY node),
+        adj AS (SELECT u, list_sort(list(v)) AS nbrs FROM proj GROUP BY u),
         tri AS (
-          SELECT wg.u, wg.v, wg.w
-          FROM wedges wg JOIN proj e3 ON e3.u = wg.u AND e3.v = wg.w)
+          SELECT CAST(SUM(coalesce(len(list_intersect(au.nbrs, av.nbrs)), 0)) AS BIGINT)
+                   AS n_triangles
+          FROM proj e
+          JOIN adj au ON au.u = e.u
+          LEFT JOIN adj av ON av.u = e.v)
         SELECT CAST((SELECT COUNT(DISTINCT s) FROM kp) AS BIGINT) AS n_nodes,
                CAST((SELECT COUNT(*) FROM proj) AS BIGINT) AS n_edges,
-               CAST((SELECT COUNT(*) FROM wedges) AS BIGINT) AS n_wedges,
-               CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles,
-               CAST((SELECT COUNT(*) FROM tri) AS DOUBLE)
-                 / (SELECT COUNT(*) FROM wedges) AS closure_ratio""")
+               CAST((SELECT SUM(inp * outp) FROM deg) AS BIGINT) AS n_wedges,
+               tri.n_triangles,
+               CAST(tri.n_triangles AS DOUBLE)
+                 / (SELECT SUM(inp * outp) FROM deg) AS closure_ratio
+        FROM tri""")
     ) { (s, dir) =>
       val orders = broadcast(t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey")))
@@ -217,9 +231,8 @@ object Graph {
       val keepc = pairs.groupBy("c").agg(count(lit(1)).as("dc"))
         .filter(col("dc") <= 20).select("c")
       val kp = pairs.join(keepc, "c")
-      // projection + wedge + closure re-reference kp/proj — materialize
-      // once (the q94/q104 loop-invariant lesson) so the pair join isn't
-      // re-derived per consumer
+      // projection + degree + adjacency re-reference kp/proj —
+      // materialize once (the q94/q104 loop-invariant lesson)
       val kpM = kp.localCheckpoint()
       val proj = kpM.as("a")
         .join(kpM.as("b"),
@@ -227,19 +240,23 @@ object Graph {
         .select(col("a.s").as("u"), col("b.s").as("v"))
         .distinct()
         .localCheckpoint()
-      val wedges = proj.as("e1")
-        .join(proj.select(col("u").as("u2"), col("v").as("w")).as("e2"),
-          col("u2") === col("v"))
-        .select(col("u"), col("v"), col("w"))
-      val tri = wedges.join(
-        proj.select(col("u").as("u3"), col("v").as("w3")),
-        col("u3") === col("u") && col("w3") === col("w"))
+      val deg = proj.select(col("u").as("node"), lit(1L).as("outc"), lit(0L).as("inc"))
+        .unionAll(proj.select(col("v").as("node"), lit(0L).as("outc"), lit(1L).as("inc")))
+        .groupBy("node").agg(sum("outc").as("outp"), sum("inc").as("inp"))
+      val adj = proj.groupBy("u").agg(sort_array(collect_list(col("v"))).as("nbrs"))
+      val tri = proj
+        .join(broadcast(adj.select(col("u").as("au"), col("nbrs").as("nu"))),
+          col("au") === col("u"))
+        .join(broadcast(adj.select(col("u").as("av"), col("nbrs").as("nv"))),
+          col("av") === col("v"), "left")
+        .agg(sum(coalesce(size(array_intersect(col("nu"), col("nv"))), lit(0))
+          .cast("long")).as("n_triangles"))
       // four one-row aggregates composed in ONE declarative plan
       // (broadcast cross joins) — no driver-side .count() loops
       kpM.agg(count_distinct(col("s")).as("n_nodes"))
         .crossJoin(broadcast(proj.agg(count(lit(1)).as("n_edges"))))
-        .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
-        .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_triangles"))))
+        .crossJoin(broadcast(deg.agg(sum(col("inp") * col("outp")).as("n_wedges"))))
+        .crossJoin(broadcast(tri))
         .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
           col("n_triangles"),
           (col("n_triangles").cast("double") / col("n_wedges")).as("closure_ratio"))
