@@ -70,6 +70,7 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q125    graft.queries.TextOps    — source-vocabulary overlap matrix
   *   q126    graft.queries.Events     — sequential motif mining (trigrams)
   *   q127    graft.queries.TextOps    — token-distribution drift monitor
+  *   q128    graft.queries.Events     — linear-interpolation gap fill
   */
 object SparkEntry {
 

@@ -684,5 +684,85 @@ object Events {
         .orderBy(desc("n"), col("motif"))
         .limit(15)
     },
+
+    // --------------------------------------------------------------- q128
+    // Linear interpolation over the hourly spine — q93's gap-fill with
+    // the other classic fill policy: a missing hour takes the
+    // time-weighted blend of its nearest observed neighbors,
+    // v = prev + (next − prev)·Δt/Δspan, instead of carrying prev
+    // forward. Two IGNORE NULLS window passes (previous/next observed
+    // value and ITS timestamp) over the same event_type partitioning —
+    // the spine join and all four windows share one exchange. Leading/
+    // trailing gaps (no neighbor on one side) stay NULL — declared,
+    // identical in both engines. The blend fraction is exact integer
+    // epoch-µs differences cast to double, so the IEEE arithmetic
+    // matches cross-engine.
+    Q(
+      "q128_interpolate",
+      Some("""
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_bucket,
+                 CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_value
+          FROM events GROUP BY 1, 2),
+        span AS (
+          SELECT event_type, MIN(hour_bucket) AS h0, MAX(hour_bucket) AS h1
+          FROM hourly GROUP BY event_type),
+        spine AS (
+          SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_bucket
+          FROM span),
+        j AS (
+          SELECT s.event_type, s.hour_bucket, h.avg_value,
+                 last_value(h.avg_value IGNORE NULLS) OVER wp AS prev_v,
+                 last_value(CASE WHEN h.avg_value IS NOT NULL
+                                 THEN s.hour_bucket END IGNORE NULLS) OVER wp AS prev_h,
+                 first_value(h.avg_value IGNORE NULLS) OVER wf AS next_v,
+                 first_value(CASE WHEN h.avg_value IS NOT NULL
+                                  THEN s.hour_bucket END IGNORE NULLS) OVER wf AS next_h
+          FROM spine s LEFT JOIN hourly h
+            ON h.event_type = s.event_type AND h.hour_bucket = s.hour_bucket
+          WINDOW wp AS (PARTITION BY s.event_type ORDER BY s.hour_bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wf AS (PARTITION BY s.event_type ORDER BY s.hour_bucket
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT event_type, hour_bucket,
+               CASE WHEN avg_value IS NULL THEN 1 ELSE 0 END AS interpolated,
+               CASE WHEN avg_value IS NOT NULL THEN avg_value
+                    WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
+                    ELSE prev_v + (next_v - prev_v)
+                         * (CAST(epoch_us(hour_bucket) - epoch_us(prev_h) AS DOUBLE)
+                            / CAST(epoch_us(next_h) - epoch_us(prev_h) AS DOUBLE))
+               END AS v
+        FROM j""")
+    ) { (s, dir) =>
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour_bucket"))
+        .agg(graft.Det.davg(col("value")).as("avg_value"))
+      val spine = hourly.groupBy(col("event_type"))
+        .agg(min(col("hour_bucket")).as("h0"), max(col("hour_bucket")).as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour_bucket"))
+      val wp = Window.partitionBy("event_type").orderBy("hour_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy("event_type").orderBy("hour_bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obsHour = when(col("avg_value").isNotNull, col("hour_bucket"))
+      val frac = (unix_micros(col("hour_bucket")) - unix_micros(col("prev_h")))
+        .cast("double") /
+        (unix_micros(col("next_h")) - unix_micros(col("prev_h"))).cast("double")
+      spine.join(hourly, Seq("event_type", "hour_bucket"), "left")
+        .select(col("event_type"), col("hour_bucket"), col("avg_value"),
+          last(col("avg_value"), ignoreNulls = true).over(wp).as("prev_v"),
+          last(obsHour, ignoreNulls = true).over(wp).as("prev_h"),
+          first(col("avg_value"), ignoreNulls = true).over(wf).as("next_v"),
+          first(obsHour, ignoreNulls = true).over(wf).as("next_h"))
+        .select(col("event_type"), col("hour_bucket"),
+          when(col("avg_value").isNull, 1).otherwise(0).as("interpolated"),
+          when(col("avg_value").isNotNull, col("avg_value"))
+            .when(col("prev_v").isNull || col("next_v").isNull,
+              lit(null).cast("double"))
+            .otherwise(col("prev_v") + (col("next_v") - col("prev_v")) * frac)
+            .as("v"))
+    },
   )
 }

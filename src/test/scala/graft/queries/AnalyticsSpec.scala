@@ -705,6 +705,48 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q128 interpolation replays from collected hourly averages") {
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("h"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def dec4(x: Double): BigDecimal =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val hourUs = 3600L * 1000000L
+    val obs = ev.groupBy(e => (e._1, e._2)).map { case (k, xs) =>
+      k -> (xs.map(x => dec4(x._3)).sum.toDouble / xs.length)
+    }
+    val truth = obs.keys.groupBy(_._1).flatMap { case (tpe, ks) =>
+      val hs = ks.map(_._2)
+      val (h0, h1) = (hs.min, hs.max)
+      (h0 to h1 by hourUs).map { h =>
+        obs.get((tpe, h)) match {
+          case Some(v) => (tpe, h) -> ((0, Option(v)))
+          case None =>
+            val prev = hs.filter(_ < h) match { case e if e.isEmpty => None; case e => Some(e.max) }
+            val next = hs.filter(_ > h) match { case e if e.isEmpty => None; case e => Some(e.min) }
+            val v = for (p <- prev; n <- next) yield {
+              val (pv, nv) = (obs((tpe, p)), obs((tpe, n)))
+              pv + (nv - pv) * ((h - p).toDouble / (n - p).toDouble)
+            }
+            (tpe, h) -> ((1, v))
+        }
+      }
+    }
+    val got = run("q128_interpolate").collect().map { r =>
+      (r.getString(0), r.getTimestamp(1).getTime * 1000L) ->
+        ((r.getInt(2), if (r.isNullAt(3)) Option.empty[Double] else Some(r.getDouble(3))))
+    }.toMap
+    assert(got.keySet === truth.keySet, "spine coverage")
+    truth.foreach { case (k, (flag, v)) =>
+      assert(got(k)._1 === flag, s"$k gap flag")
+      (got(k)._2, v) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9, s"$k: $a vs $b")
+        case (a, b) => assert(a === b, s"$k nullness: $a vs $b")
+      }
+    }
+  }
+
   test("q116 diversity metrics replay exactly from collected token counts") {
     val docs = graft.Tables.load(spark, sf, "documents")
       .select("source", "text")
