@@ -71,6 +71,8 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q126    graft.queries.Events     — sequential motif mining (trigrams)
   *   q127    graft.queries.TextOps    — token-distribution drift monitor
   *   q128    graft.queries.Events     — linear-interpolation gap fill
+  *   q129    graft.queries.Curation   — shard-rebalance movement plan
+  *   q130    graft.queries.Events     — sliding-window rate anomaly flags
   */
 object SparkEntry {
 

@@ -789,5 +789,33 @@ object Curation {
         .agg(sum(when(knuthCol(7919) % 10000 < col("thr_permyriad"), 1L)
           .otherwise(0L)).as("n_kept"))
     },
+
+    // --------------------------------------------------------------- q129
+    // Shard-rebalance planning: the movement matrix when a 16-shard
+    // layout (q67's Knuth doc_id hash mod 16) regrows to 20 shards
+    // under the SAME hash — (old_shard, new_shard) → doc count +
+    // bytes, plus the stay/move flag. Plain mod rehashing moves
+    // ~(1 − 1/new) of all rows; the planner output is what an ops run
+    // reviews before committing a relayout (and the argument for
+    // consistent hashing — the declared contrast in OPERATORS.md).
+    // One map-side pass (both shard ids derive from the same hash, no
+    // join, no window) into a ≤ 16×20-row aggregate.
+    Q(
+      "q129_rebalance_plan",
+      Some(s"""
+        SELECT (${knuthSql(0)}) % 16 AS old_shard,
+               (${knuthSql(0)}) % 20 AS new_shard,
+               ((${knuthSql(0)}) % 16) = ((${knuthSql(0)}) % 20) AS stays,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_bytes
+        FROM documents
+        GROUP BY 1, 2, 3""")
+    ) { (s, dir) =>
+      val h = knuthCol(0)
+      t(s, dir, "documents")
+        .groupBy((h % 16).as("old_shard"), (h % 20).as("new_shard"),
+          (h % 16 === h % 20).as("stays"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_bytes"))
+    },
   )
 }

@@ -764,5 +764,54 @@ object Events {
             .otherwise(col("prev_v") + (col("next_v") - col("prev_v")) * frac)
             .as("v"))
     },
+
+    // --------------------------------------------------------------- q130
+    // Sliding-window rate anomaly detection: each hour's event count
+    // tests against its own TRAILING 24h baseline (per event type) —
+    // the streaming-ops alert primitive. The 3σ test is q110's
+    // cross-multiplied integer form applied to window frames:
+    // (x·n − Σx)² > 9·(n·Σx² − (Σx)²) with Σx, Σx², n computed over
+    // ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING — counts are integers,
+    // so the whole decision is EXACT BIGINT, no sqrt/division/float
+    // anywhere. Hours with under 12 baseline points abstain (flag
+    // NULL). One hourly aggregate + one frame window = two exchanges
+    // on event_type, both map-side-combined.
+    Q(
+      "q130_rate_anomaly",
+      Some("""
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_bucket,
+                 CAST(COUNT(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        st AS (
+          SELECT event_type, hour_bucket, x,
+                 CAST(COUNT(*) OVER w AS BIGINT) AS n,
+                 CAST(SUM(x) OVER w AS BIGINT) AS sx,
+                 CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
+          FROM hourly
+          WINDOW w AS (PARTITION BY event_type ORDER BY hour_bucket
+                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        SELECT event_type, hour_bucket, x, n, sx,
+               CASE WHEN n < 12 THEN NULL
+                    WHEN (x * n - sx) * (x * n - sx) > 9 * (n * sxx - sx * sx)
+                    THEN 1 ELSE 0 END AS is_anomaly
+        FROM st""")
+    ) { (s, dir) =>
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour_bucket"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("hour_bucket")
+        .rowsBetween(-24, -1)
+      val d = col("x") * col("n") - col("sx")
+      hourly
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("x")).over(w))
+        .withColumn("sxx", sum(col("x") * col("x")).over(w))
+        .select(col("event_type"), col("hour_bucket"), col("x"), col("n"), col("sx"),
+          when(col("n") < 12, lit(null).cast("int"))
+            .when(d * d > lit(9L) * (col("n") * col("sxx") - col("sx") * col("sx")), 1)
+            .otherwise(0).as("is_anomaly"))
+    },
   )
 }

@@ -747,6 +747,51 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q129 rebalance plan conserves mass and flags movement correctly") {
+    val rows = run("q129_rebalance_plan").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3), r.getLong(4)))
+    val docs = graft.Tables.load(spark, sf, "documents")
+    assert(rows.map(_._4).sum === docs.count(), "every doc appears once")
+    assert(rows.map(_._5).sum ===
+      docs.agg(sum("n_chars")).head().getLong(0), "bytes conserved")
+    rows.foreach { case (o, n, stays, _, _) =>
+      assert(stays === (o == n), s"stays flag wrong for ($o, $n)")
+    }
+    val moved = rows.filter(!_._3).map(_._4).sum.toDouble / rows.map(_._4).sum
+    assert(moved > 0.75 && moved < 1.0,
+      s"mod-rehash must move ~1-1/20 of rows, moved $moved")
+  }
+
+  test("q130 anomaly flags replay from trailing-window integer stats") {
+    val hourly = graft.Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("h"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val truth = hourly.groupBy(_._1).toSeq.flatMap { case (tpe, xs) =>
+      val sorted = xs.sortBy(_._2)
+      sorted.zipWithIndex.map { case ((_, h, x), i) =>
+        val base = sorted.slice(math.max(0, i - 24), i).map(_._3)
+        val n = base.length.toLong
+        val flag: Option[Int] =
+          if (n < 12) None
+          else {
+            val sx = base.sum; val sxx = base.map(v => v * v).sum
+            val d = x * n - sx
+            Some(if (d * d > 9 * (n * sxx - sx * sx)) 1 else 0)
+          }
+        (tpe, h) -> ((x, n, flag))
+      }
+    }.toMap
+    val got = run("q130_rate_anomaly").collect().map { r =>
+      (r.getString(0), r.getTimestamp(1).getTime * 1000L) ->
+        ((r.getLong(2), r.getLong(3),
+          if (r.isNullAt(5)) Option.empty[Int] else Some(r.getInt(5))))
+    }.toMap
+    assert(got === truth)
+    assert(got.values.exists(_._3.contains(1)), "corpus must contain an anomaly")
+  }
+
   test("q116 diversity metrics replay exactly from collected token counts") {
     val docs = graft.Tables.load(spark, sf, "documents")
       .select("source", "text")
