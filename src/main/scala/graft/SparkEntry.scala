@@ -73,6 +73,8 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q128    graft.queries.Events     — linear-interpolation gap fill
   *   q129    graft.queries.Curation   — shard-rebalance movement plan
   *   q130    graft.queries.Events     — sliding-window rate anomaly flags
+  *   q131    graft.queries.Relational — join-key skew diagnostics report
+  *   q132    graft.queries.Multimodal — payload signature near-dup clusters
   */
 object SparkEntry {
 

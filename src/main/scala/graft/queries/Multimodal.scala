@@ -100,5 +100,50 @@ object Multimodal {
               "i -> substring(text, cast(1 + (i * length(text)) div 64 as int), 1)))")
             .cast("binary")).as("resized_hash"))
     },
+
+    // --------------------------------------------------------------- q132
+    // Perceptual-signature near-dup clustering for binary payloads:
+    // the q84 64-byte thumbnail folds into a coarse byte-class
+    // histogram signature (8 value classes, counts quantized div 8) —
+    // the pHash stand-in: payloads whose content differs but whose
+    // byte-distribution shape matches collide, exact duplicates always
+    // collide (signature is a pure function of content). Clusters with
+    // > 1 member are the review queue; n_distinct_payloads separates
+    // exact copies from genuine near-collisions. Everything is one
+    // per-row projection (integer ascii arithmetic, both engines) +
+    // one signature groupBy — embarrassingly parallel, one shuffle on
+    // the signature key.
+    Q(
+      "q132_payload_sig_dedup",
+      Some("""
+        WITH rs AS (
+          SELECT doc_id, md5(text) AS content_hash,
+                 list_transform(range(0, 64),
+                   i -> ascii(substr(text, CAST(1 + (i * length(text)) // 64 AS INT), 1)) // 32) AS cls
+          FROM documents WHERE length(text) >= 1),
+        sig AS (
+          SELECT doc_id, content_hash,
+                 array_to_string(list_transform(range(0, 8),
+                   b -> CAST(len(list_filter(cls, c -> c = b)) // 8 AS VARCHAR)), '-') AS signature
+          FROM rs)
+        SELECT signature, CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(COUNT(DISTINCT content_hash) AS BIGINT) AS n_distinct_payloads,
+               MIN(doc_id) AS canonical_id
+        FROM sig GROUP BY signature HAVING COUNT(*) > 1""")
+    ) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .filter(length(col("text")) >= 1)
+        .withColumn("cls", expr(
+          "transform(sequence(0, 63), " +
+            "i -> ascii(substring(text, cast(1 + (i * length(text)) div 64 as int), 1)) div 32)"))
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("content_hash"),
+          expr("concat_ws('-', transform(sequence(0, 7), " +
+            "b -> cast(size(filter(cls, c -> c = b)) div 8 as string)))").as("signature"))
+        .groupBy("signature")
+        .agg(count(lit(1)).as("n_members"),
+          count_distinct(col("content_hash")).as("n_distinct_payloads"),
+          min(col("doc_id")).as("canonical_id"))
+        .filter(col("n_members") > 1)
+    },
   )
 }

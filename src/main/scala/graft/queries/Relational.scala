@@ -983,5 +983,53 @@ object Relational {
       skyline(local, Seq.empty)
         .select("o_orderkey", "o_totalprice", "o_orderdate")
     },
+
+    // --------------------------------------------------------------- q131
+    // Join-skew diagnostics: the report an ops run reads BEFORE a big
+    // fact-fact join — per-key frequency distribution of lineitem's
+    // join key (l_orderkey): total keys, max/p50/p99 key frequency,
+    // the top key's share of all rows, and how many keys exceed 4× the
+    // mean (the salting/AQE-skew-threshold candidates). One keyed
+    // count (map-side combined) then ONE aggregate over the key-
+    // frequency table — the corpus shuffles once and the diagnostic is
+    // key-cardinality-sized. Percentiles on integer frequencies via
+    // the proven percentile == quantile_cont match; skew candidates
+    // use the exact cross-multiplied integer test (freq·n_keys >
+    // 4·total).
+    Q(
+      "q131_skew_report",
+      Some("""
+        WITH freq AS (
+          SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS f
+          FROM lineitem GROUP BY l_orderkey),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(SUM(f) AS BIGINT) AS n_rows
+          FROM freq)
+        SELECT t.n_keys, t.n_rows,
+               CAST(MAX(f) AS BIGINT) AS max_f,
+               quantile_cont(f, 0.5) AS p50_f,
+               quantile_cont(f, 0.99) AS p99_f,
+               CAST(MAX(f) AS DOUBLE) / t.n_rows AS top_share,
+               CAST(SUM(CASE WHEN f * t.n_keys > 4 * t.n_rows
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_skew_keys
+        FROM freq CROSS JOIN tot t
+        GROUP BY t.n_keys, t.n_rows""")
+    ) { (s, dir) =>
+      val freq = t(s, dir, "lineitem")
+        .groupBy("l_orderkey").agg(count(lit(1)).as("f"))
+      val tot = freq.agg(count(lit(1)).as("n_keys"), sum(col("f")).as("n_rows"))
+      freq.crossJoin(broadcast(tot))
+        .groupBy("n_keys", "n_rows")
+        .agg(
+          max(col("f")).as("max_f"),
+          expr("percentile(f, 0.5)").as("p50_f"),
+          expr("percentile(f, 0.99)").as("p99_f"),
+          (max(col("f")).cast("double") / col("n_rows")).as("top_share"),
+          sum(when(col("f") * col("n_keys") > lit(4L) * col("n_rows"), 1L)
+            .otherwise(0L)).as("n_skew_keys"))
+        .select("n_keys", "n_rows", "max_f", "p50_f", "p99_f",
+          "top_share", "n_skew_keys")
+    },
   )
 }

@@ -792,6 +792,53 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.values.exists(_._3.contains(1)), "corpus must contain an anomaly")
   }
 
+  test("q131 skew report replays from collected key frequencies") {
+    val freqs = graft.Tables.load(spark, sf, "lineitem")
+      .groupBy("l_orderkey").agg(count(lit(1)).as("f"))
+      .collect().map(_.getLong(1)).sorted
+    def pct(p: Double): Double = {
+      val rank = p * (freqs.length - 1)
+      val lo = math.floor(rank).toInt
+      val hi = math.ceil(rank).toInt
+      freqs(lo) + (rank - lo) * (freqs(hi) - freqs(lo)).toDouble
+    }
+    val (nKeys, nRows) = (freqs.length.toLong, freqs.sum)
+    val r = run("q131_skew_report").collect().head
+    assert(r.getLong(0) === nKeys && r.getLong(1) === nRows)
+    assert(r.getLong(2) === freqs.max)
+    assert(math.abs(r.getDouble(3) - pct(0.5)) < 1e-9, "p50")
+    assert(math.abs(r.getDouble(4) - pct(0.99)) < 1e-9, "p99")
+    assert(math.abs(r.getDouble(5) - freqs.max.toDouble / nRows) < 1e-12)
+    assert(r.getLong(6) === freqs.count(f => f * nKeys > 4 * nRows).toLong)
+  }
+
+  test("q132 signature clustering replays and always groups exact duplicates") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).filter(_._2.nonEmpty)
+    def signature(text: String): String = {
+      val cls = (0 to 63).map { i =>
+        val pos = (i * text.length) / 64 // i, len >= 0: div == floorDiv
+        text.charAt(pos).toInt / 32
+      }
+      (0 to 7).map(b => cls.count(_ == b) / 8).mkString("-")
+    }
+    val clusters = docs.groupBy(d => signature(d._2)).filter(_._2.length > 1)
+    val truth = clusters.map { case (sig, xs) =>
+      sig -> ((xs.length.toLong, xs.map(_._2).distinct.length.toLong, xs.map(_._1).min))
+    }
+    val got = run("q132_payload_sig_dedup").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === truth)
+    // exact duplicates must always land in one cluster
+    val dupTexts = docs.groupBy(_._2).filter(_._2.length > 1)
+    dupTexts.foreach { case (text, xs) =>
+      assert(got.contains(signature(text)),
+        s"exact duplicate group of ${xs.length} must cluster")
+    }
+    assert(got.nonEmpty, "corpus must produce at least one signature cluster")
+  }
+
   test("q116 diversity metrics replay exactly from collected token counts") {
     val docs = graft.Tables.load(spark, sf, "documents")
       .select("source", "text")
