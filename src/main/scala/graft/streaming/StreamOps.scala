@@ -154,6 +154,40 @@ object StreamOps {
       }
   }
 
+  final case class Motif(user_id: Long, motif: String)
+
+  /** Per-user 3-event motifs via flatMapGroupsWithState — the
+    * streaming analogue of batch q126's double-lag window. State
+    * carries the user's last TWO event types, so trigrams CONTINUE
+    * across micro-batch boundaries (the q97/transitionPairs pattern
+    * one order up). Same chronological-arrival contract and
+    * (ts, event_id) in-batch ordering as transitionPairs; O(users) ×
+    * two strings of state.
+    */
+  def motifTriples(events: Dataset[EventRow]): Dataset[Motif] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(String, String), Motif](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[(String, String)]) =>
+          val sorted = rows.toIndexedSeq
+            .sortBy(r => (r.ts.getTime, r.ts.getNanos, r.event_id))
+          var prev2 = state.getOption.map(_._1)
+          var prev1 = state.getOption.map(_._2)
+          val out = Seq.newBuilder[Motif]
+          sorted.foreach { r =>
+            for (p2 <- prev2; p1 <- prev1)
+              out += Motif(uid, s"$p2>$p1>${r.event_type}")
+            prev2 = prev1
+            prev1 = Some(r.event_type)
+          }
+          for (p2 <- prev2; p1 <- prev1) state.update((p2, p1))
+          out.result().iterator
+      }
+  }
+
   /** Custom keyed state via mapGroupsWithState: per-user running
     * totals + an error-rate flag, carried across micro-batches. The
     * state store is partitioned by user_id, so this shuffles each

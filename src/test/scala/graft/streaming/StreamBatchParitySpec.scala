@@ -213,6 +213,28 @@ class StreamBatchParitySpec extends SparkSpec {
       s"transition counts: streaming ${streamed.length} cells vs batch ${batch.length}")
   }
 
+  test("streaming trigram motifs across 3 micro-batches equal batch q126's top-15") {
+    import spark.implicits._
+    val events = realEvents
+    val in = stageInput(events, 3600000000L, chronoParts = 3)
+    val result = runStream(in, events.schema,
+      st => StreamOps.motifTriples(
+        st.select("event_id", "ts", "user_id", "event_type")
+          .as[StreamOps.EventRow]).toDF())
+    val streamedCounts = result
+      .filter(col("user_id") >= 0)
+      .filter(!col("motif").contains("pusher"))
+      .groupBy("motif").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batchTop = SparkEntry.queries("q126_motif_mining")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(batchTop.nonEmpty)
+    batchTop.foreach { case (motif, n) =>
+      assert(streamedCounts.get(motif).contains(n),
+        s"motif $motif: streamed ${streamedCounts.get(motif)} vs batch $n")
+    }
+  }
+
   test("streaming CDC compaction + CdcMerge apply equal the batch q118 merge") {
     import spark.implicits._
     import graft.operators.CdcMerge
