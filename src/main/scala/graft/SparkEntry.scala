@@ -75,6 +75,8 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q130    graft.queries.Events     — sliding-window rate anomaly flags
   *   q131    graft.queries.Relational — join-key skew diagnostics report
   *   q132    graft.queries.Multimodal — payload signature near-dup clusters
+  *   q133    graft.queries.TextOps    — PMI collocation mining (integer)
+  *   q134    graft.queries.Relational — Benford first-digit audit
   */
 object SparkEntry {
 

@@ -1031,5 +1031,60 @@ object Relational {
         .select("n_keys", "n_rows", "max_f", "p50_f", "p99_f",
           "top_share", "n_skew_keys")
     },
+
+    // --------------------------------------------------------------- q134
+    // Benford first-digit audit of o_totalprice — the fraud/synthetic-
+    // data forensic: observed first-significant-digit counts vs the
+    // Benford expectation, with a per-digit deviation statistic. The
+    // digit extracts integer-only (no log10/float): first char of the
+    // BIGINT cast of a positive double (round() before the cast —
+    // Spark truncates, DuckDB rounds, the documented divergence). The
+    // Benford expected SHARE log10(1+1/d) is a compile-time Scala
+    // constant folded into both query texts as the same per-million
+    // literal, so no runtime libm call exists in either engine; the
+    // deviation statistic quantizes the ppm difference div 1000 BEFORE
+    // squaring (keeps every term under 2⁶³ at any corpus size) and is
+    // exact BIGINT end to end. One map-side pass into a 9-row
+    // aggregate.
+    Q(
+      "q134_benford_audit", {
+        val expPpm = (1 to 9).map(d =>
+          d -> math.round(math.log10(1.0 + 1.0 / d) * 1000000).toInt)
+        val sqlCase = expPpm.map { case (d, p) => s"WHEN $d THEN $p" }.mkString(" ")
+        Some(s"""
+        WITH digits AS (
+          SELECT CAST(substr(CAST(CAST(round(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d
+          FROM orders WHERE o_totalprice >= 1),
+        cnt AS (
+          SELECT d, CAST(COUNT(*) AS BIGINT) AS obs FROM digits GROUP BY d),
+        tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cnt)
+        SELECT c.d, c.obs,
+               CAST(CASE c.d $sqlCase END AS BIGINT) AS exp_ppm,
+               CAST(c.obs AS DOUBLE) / t.n AS obs_share,
+               (((c.obs * 1000000 - t.n * (CASE c.d $sqlCase END)) // 1000)
+                 * ((c.obs * 1000000 - t.n * (CASE c.d $sqlCase END)) // 1000))
+                 // ((t.n * (CASE c.d $sqlCase END)) // 1000) AS dev
+        FROM cnt c CROSS JOIN tot t""")
+      }
+    ) { (s, dir) =>
+      val expPpm = (1 to 9).map(d =>
+        d -> math.round(math.log10(1.0 + 1.0 / d) * 1000000).toInt)
+      val expCol = expPpm.foldLeft(lit(null).cast("long")) { case (acc, (d, p)) =>
+        when(col("d") === d, lit(p.toLong)).otherwise(acc)
+      }
+      val cnt = t(s, dir, "orders")
+        .filter(col("o_totalprice") >= 1)
+        .select(substring(round(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+          .cast("long").as("d"))
+        .groupBy("d").agg(count(lit(1)).as("obs"))
+      val tot = cnt.agg(sum(col("obs")).as("n"))
+      cnt.crossJoin(broadcast(tot))
+        .withColumn("exp_ppm", expCol)
+        .select(col("d"), col("obs"), col("exp_ppm"),
+          (col("obs").cast("double") / col("n")).as("obs_share"),
+          expr("(((obs * 1000000 - n * exp_ppm) div 1000) * " +
+            "((obs * 1000000 - n * exp_ppm) div 1000)) div ((n * exp_ppm) div 1000)")
+            .as("dev"))
+    },
   )
 }

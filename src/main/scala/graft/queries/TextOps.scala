@@ -939,5 +939,72 @@ object TextOps {
         .orderBy(desc("drift"), col("tok"))
         .limit(20)
     },
+
+    // --------------------------------------------------------------- q133
+    // Collocation mining: the top-20 adjacent token pairs by a
+    // quantized PMI — pointwise mutual information log2(c_xy·N /
+    // (c_x·c_y)) scored with the q78 bit-length surrogate
+    // (length(bin(x)) − 1 = floor(log2 x)), so the ranking is EXACT
+    // INTEGER end to end (no libm). The support floor is RELATIVE —
+    // c_xy ≥ max(5, N_bigrams div 5000) — so the cut survives any
+    // corpus scale (an absolute floor silently empties or saturates as
+    // N moves). Three vocabulary-sized aggregates
+    // (pair counts, unigram counts ×2 broadcast back), one corpus
+    // shuffle each for pairs/unigrams; top-20 via
+    // TakeOrderedAndProject. qpmi = floor(log2(c_xy·N)) −
+    // floor(log2(c_x·c_y)) — the same quantization both engines.
+    Q(
+      "q133_collocations",
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+        big AS (
+          SELECT unnest(list_transform(range(1, len(tk)),
+                   i -> tk[i] || ' ' || tk[i+1])) AS pair
+          FROM tok),
+        pc0 AS (
+          SELECT pair, CAST(COUNT(*) AS BIGINT) AS cxy FROM big GROUP BY pair),
+        bt AS (SELECT greatest(5, CAST(SUM(cxy) AS BIGINT) // 5000) AS thr FROM pc0),
+        pc AS (SELECT pair, cxy FROM pc0 CROSS JOIN bt WHERE cxy >= bt.thr),
+        uni AS (
+          SELECT unnest(tk) AS w FROM tok),
+        uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni WHERE w <> '' GROUP BY w),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uc)
+        SELECT p.pair, p.cxy, ux.c AS cx, uy.c AS cy,
+               CAST(length(bin(p.cxy * t.n)) - length(bin(ux.c * uy.c)) AS BIGINT) AS qpmi
+        FROM pc p
+        JOIN uc ux ON ux.w = string_split(p.pair, ' ')[1]
+        JOIN uc uy ON uy.w = string_split(p.pair, ' ')[2]
+        CROSS JOIN tot t
+        ORDER BY qpmi DESC, p.pair LIMIT 20""")
+    ) { (s, dir) =>
+      // len >= 2 BEFORE sequence(): Spark's sequence(1, 0) descends
+      // while DuckDB's range(1, 1) is empty — the q83 divergence trap
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 2)
+      val pc0 = tok
+        .select(explode(expr(
+          "transform(sequence(1, size(tk) - 1), i -> concat(tk[i-1], ' ', tk[i]))")).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cxy"))
+      val bt = pc0.agg(greatest(lit(5L), expr("sum(cxy) div 5000")).as("thr"))
+      val pc = pc0.crossJoin(broadcast(bt)).filter(col("cxy") >= col("thr"))
+        .select("pair", "cxy")
+      val uc = tok.select(explode(col("tk")).as("w")).filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val tot = uc.agg(sum(col("c")).as("n"))
+      pc
+        .join(broadcast(uc.select(col("w").as("wx"), col("c").as("cx"))),
+          expr("wx = split(pair, ' ')[0]"))
+        .join(broadcast(uc.select(col("w").as("wy"), col("c").as("cy"))),
+          expr("wy = split(pair, ' ')[1]"))
+        .crossJoin(broadcast(tot))
+        .select(col("pair"), col("cxy"), col("cx"), col("cy"),
+          (length(bin(col("cxy") * col("n"))) - length(bin(col("cx") * col("cy"))))
+            .cast("long").as("qpmi"))
+        .orderBy(desc("qpmi"), col("pair"))
+        .limit(20)
+    },
   )
 }

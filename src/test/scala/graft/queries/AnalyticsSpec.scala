@@ -839,6 +839,50 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.nonEmpty, "corpus must produce at least one signature cluster")
   }
 
+  test("q133 collocation top-20 replays from bigram/unigram counts") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    val tks = docs.map(_.split(" ", -1)).filter(_.length >= 2)
+    val bigrams = tks.flatMap(tk => tk.sliding(2).map(p => p(0) + " " + p(1)))
+      .groupBy(identity).map { case (p, v) => p -> v.length.toLong }
+    val thr = math.max(5L, bigrams.values.sum / 5000L)
+    val uni = tks.flatten.filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, v) => w -> v.length.toLong }
+    val n = uni.values.sum
+    def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val truth = bigrams.filter(_._2 >= thr).toSeq.flatMap { case (pair, cxy) =>
+      val Array(x, y) = pair.split(" ", -1)
+      for (cx <- uni.get(x); cy <- uni.get(y))
+        yield (pair, cxy, cx, cy, bitlen(cxy * n) - bitlen(cx * cy))
+    }.sortBy { case (p, _, _, _, q) => (-q, p) }.take(20)
+    val got = run("q133_collocations").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === truth, s"got $got\nvs $truth")
+  }
+
+  test("q134 Benford audit: digit coverage, mass conservation, exact deviation replay") {
+    val prices = graft.Tables.load(spark, sf, "orders")
+      .filter(col("o_totalprice") >= 1)
+      .select(round(col("o_totalprice")).cast("long")).collect().map(_.getLong(0))
+    val obs = prices.map(_.toString.head.asDigit.toLong)
+      .groupBy(identity).map { case (d, v) => d -> v.length.toLong }
+    val n = obs.values.sum
+    val expPpm = (1 to 9).map(d =>
+      d.toLong -> math.round(math.log10(1.0 + 1.0 / d) * 1000000)).toMap
+    val got = run("q134_benford_audit").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    assert(got.keySet === obs.keySet)
+    assert(got.values.map(_._1).sum === n, "mass conserved")
+    obs.foreach { case (d, o) =>
+      val g = got(d)
+      assert(g._1 === o && g._2 === expPpm(d), s"digit $d counts")
+      val diff = (o * 1000000L - n * expPpm(d)) / 1000L
+      assert(g._4 === diff * diff / (n * expPpm(d) / 1000L), s"digit $d dev")
+      assert(math.abs(g._3 - o.toDouble / n) < 1e-12, s"digit $d share")
+    }
+  }
+
   test("q116 diversity metrics replay exactly from collected token counts") {
     val docs = graft.Tables.load(spark, sf, "documents")
       .select("source", "text")
