@@ -112,7 +112,15 @@ object Multimodal {
     // exact copies from genuine near-collisions. Everything is one
     // per-row projection (integer ascii arithmetic, both engines) +
     // one signature groupBy — embarrassingly parallel, one shuffle on
-    // the signature key.
+    // the signature key. The 8 class counts pack into ONE base-128
+    // BIGINT in a single fold over the 64 classes (counts ≤ 64 < 128,
+    // so digits never carry; 128⁷ < 2⁶³). The per-row plan references
+    // pk exactly ONCE (as a groupBy key): PROJECTION COLLAPSE inlines
+    // an alias into every reference (the q112 lesson), so deriving the
+    // 8 signature digits row-side re-evaluated the whole 64-substring
+    // chain 8× per row (benched 7.5s); grouping by the exact pk first
+    // is an aggregation barrier, and the digits unpack AFTER it on the
+    // (tiny) distinct-pk table (0.9s steady).
     Q(
       "q132_payload_sig_dedup",
       Some("""
@@ -121,28 +129,42 @@ object Multimodal {
                  list_transform(range(0, 64),
                    i -> ascii(substr(text, CAST(1 + (i * length(text)) // 64 AS INT), 1)) // 32) AS cls
           FROM documents WHERE length(text) >= 1),
+        packed AS (
+          SELECT doc_id, content_hash,
+                 CAST(list_sum(list_transform(cls, c -> [1, 128, 16384, 2097152, 268435456, 34359738368, 4398046511104, 562949953421312][c + 1])) AS BIGINT) AS pk
+          FROM rs),
         sig AS (
           SELECT doc_id, content_hash,
                  array_to_string(list_transform(range(0, 8),
-                   b -> CAST(len(list_filter(cls, c -> c = b)) // 8 AS VARCHAR)), '-') AS signature
-          FROM rs)
+                   b -> CAST(((pk // [1, 128, 16384, 2097152, 268435456, 34359738368, 4398046511104, 562949953421312][b + 1]) % 128) // 8 AS VARCHAR)), '-') AS signature
+          FROM packed)
         SELECT signature, CAST(COUNT(*) AS BIGINT) AS n_members,
                CAST(COUNT(DISTINCT content_hash) AS BIGINT) AS n_distinct_payloads,
                MIN(doc_id) AS canonical_id
         FROM sig GROUP BY signature HAVING COUNT(*) > 1""")
     ) { (s, dir) =>
-      Tables.load(s, dir, "documents")
+      val lvl1 = Tables.load(s, dir, "documents")
         .filter(length(col("text")) >= 1)
         .withColumn("cls", expr(
           "transform(sequence(0, 63), " +
             "i -> ascii(substring(text, cast(1 + (i * length(text)) div 64 as int), 1)) div 32)"))
+        .withColumn("pk", expr(
+          "aggregate(cls, 0L, (acc, c) -> acc + shiftleft(1L, cast(7 * c as int)))"))
         .select(col("doc_id"), md5(col("text").cast("binary")).as("content_hash"),
+          col("pk"))
+        // aggregation barrier: pk evaluated once per row; a content
+        // hash always maps to one pk, so distinct (pk, hash) rows
+        // count distinct payloads exactly
+        .groupBy("pk", "content_hash")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("mid"))
+      lvl1
+        .withColumn("signature",
           expr("concat_ws('-', transform(sequence(0, 7), " +
-            "b -> cast(size(filter(cls, c -> c = b)) div 8 as string)))").as("signature"))
+            "b -> cast(((pk div element_at(array(1, 128, 16384, 2097152, 268435456, 34359738368, 4398046511104, 562949953421312), cast(b + 1 as int))) % 128) div 8 as string)))"))
         .groupBy("signature")
-        .agg(count(lit(1)).as("n_members"),
-          count_distinct(col("content_hash")).as("n_distinct_payloads"),
-          min(col("doc_id")).as("canonical_id"))
+        .agg(sum(col("n")).as("n_members"),
+          count(lit(1)).as("n_distinct_payloads"),
+          min(col("mid")).as("canonical_id"))
         .filter(col("n_members") > 1)
     },
   )
