@@ -77,6 +77,8 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q132    graft.queries.Multimodal — payload signature near-dup clusters
   *   q133    graft.queries.TextOps    — PMI collocation mining (integer)
   *   q134    graft.queries.Relational — Benford first-digit audit
+  *   q135    graft.queries.TextOps    — tokenizer fertility per language
+  *   q136    graft.queries.TextOps    — split-leakage audit (folds × bands)
   */
 object SparkEntry {
 

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1005,6 +1005,113 @@ object TextOps {
             .cast("long").as("qpmi"))
         .orderBy(desc("qpmi"), col("pair"))
         .limit(20)
+    },
+
+    // --------------------------------------------------------------- q135
+    // Tokenizer health per language: chars-per-BPE-token (the
+    // compression ratio a tokenizer is judged by), mean token length,
+    // and the BPE-vs-whitespace token blow-up factor, per `lang` — the
+    // per-language fertility report that decides whether a tokenizer
+    // underserves a language. Token counts use q62's GPT-2-family
+    // regex (identical in Java regex and RE2); all sums are exact
+    // BIGINTs, the ratios one final double division each; one
+    // map-side-combined aggregate, 3 rows out.
+    Q(
+      "q135_tokenizer_fertility",
+      Some {
+        val sqlPat = bpePattern.replace("'", "''")
+        s"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+               CAST(SUM(len(regexp_extract_all(text, '$sqlPat'))) AS BIGINT) AS n_bpe,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_ws,
+               CAST(SUM(length(text)) AS DOUBLE)
+                 / SUM(len(regexp_extract_all(text, '$sqlPat'))) AS chars_per_tok,
+               CAST(SUM(len(regexp_extract_all(text, '$sqlPat'))) AS DOUBLE)
+                 / SUM(len(string_split(text, ' '))) AS bpe_per_word
+        FROM documents WHERE length(text) > 0
+        GROUP BY lang"""
+      }
+    ) { (s, dir) =>
+      t(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("lang"), length(col("text")).cast("long").as("nc"),
+          size(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
+            .cast("long").as("nb"),
+          size(split(col("text"), " ", -1)).cast("long").as("nw"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nc")).as("n_chars"),
+          sum(col("nb")).as("n_bpe"),
+          sum(col("nw")).as("n_ws"),
+          (sum(col("nc")).cast("double") / sum(col("nb"))).as("chars_per_tok"),
+          (sum(col("nb")).cast("double") / sum(col("nw"))).as("bpe_per_word"))
+    },
+
+    // --------------------------------------------------------------- q136
+    // Split-leakage audit: assign train/eval folds the NAIVE way
+    // (row-level doc_id hash, 5 folds) and count MinHash near-dup
+    // candidate pairs (q58's 3×2 banding) that CROSS fold boundaries —
+    // each one is a train/eval contamination path a row-level split
+    // creates and a group-aware split would not. Output is the
+    // fold-pair matrix with leak counts: the number every split design
+    // review should see before training. Candidates come only from the
+    // (band, band_key) equi-join (never all pairs), pair-deduped across
+    // bands; fold arithmetic is the exact Knuth hash.
+    Q(
+      "q136_split_leakage",
+      Some {
+        val hashes = (0 until 6).map(j =>
+          s"${graft.operators.MinHashLsh.universalMinSql("grams", j)} AS h$j")
+          .mkString(",\n                 ")
+        val bands = (0 until 3).map(j =>
+          s"SELECT doc_id, $j AS band, CAST(h${2 * j} AS VARCHAR) || '|' || CAST(h${2 * j + 1} AS VARCHAR) AS band_key FROM mh")
+          .mkString("\n          UNION ALL ")
+        s"""
+        WITH sh AS (
+          SELECT doc_id, $shinglesSql AS grams
+          FROM documents WHERE length(text) >= 3),
+        mh AS (
+          SELECT doc_id,
+                 $hashes
+          FROM sh),
+        banded AS (
+          $bands),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.band_key = b.band_key AND b.doc_id > a.doc_id),
+        f AS (
+          SELECT da, db,
+                 ((da + 31) * 2654435761) % 4294967296 % 5 AS fa,
+                 ((db + 31) * 2654435761) % 4294967296 % 5 AS fb
+          FROM pairs)
+        SELECT least(fa, fb) AS fold_lo, greatest(fa, fb) AS fold_hi,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN fa = fb THEN 0 ELSE 1 END) AS BIGINT) AS n_leaking
+        FROM f GROUP BY 1, 2"""
+      }
+    ) { (s, dir) =>
+      val cfg = graft.operators.MinHashLsh.Config(
+        bands = 3, rowsPerBand = 2, universal = true)
+      val banded = graft.operators.MinHashLsh.explodeBands(
+        t(s, dir, "documents").select("doc_id", "text"), "text", cfg)
+        .select("doc_id", "band", "band_key")
+      val pairs = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+            col("b.doc_id") > col("a.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      def fold(c: Column) = ((c + 31) * 2654435761L) % 4294967296L % 5
+      pairs
+        .withColumn("fa", fold(col("da")))
+        .withColumn("fb", fold(col("db")))
+        .groupBy(least(col("fa"), col("fb")).as("fold_lo"),
+          greatest(col("fa"), col("fb")).as("fold_hi"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("fa") === col("fb"), 0L).otherwise(1L)).as("n_leaking"))
     },
   )
 }

@@ -883,6 +883,51 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q135 fertility ratios replay from the same regex in plain Scala") {
+    val pat = graft.queries.TextOps.bpePattern.r
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).filter(_._2.nonEmpty)
+    val truth = docs.groupBy(_._1).map { case (lang, xs) =>
+      val nc = xs.map(_._2.length.toLong).sum
+      val nb = xs.map(d => pat.findAllIn(d._2).size.toLong).sum
+      val nw = xs.map(d => d._2.split(" ", -1).length.toLong).sum
+      lang -> ((xs.length.toLong, nc, nb, nw, nc.toDouble / nb, nb.toDouble / nw))
+    }
+    val got = run("q135_tokenizer_fertility").collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6)))
+    }.toMap
+    assert(got.keySet === truth.keySet)
+    truth.foreach { case (lang, tr) =>
+      val g = got(lang)
+      assert(g._1 === tr._1 && g._2 === tr._2 && g._3 === tr._3 && g._4 === tr._4,
+        s"$lang counts: $g vs $tr")
+      assert(math.abs(g._5 - tr._5) < 1e-12 && math.abs(g._6 - tr._6) < 1e-12)
+    }
+  }
+
+  test("q136 leakage matrix: fold bounds, diagonal clean, off-diagonal all leaking") {
+    val rows = run("q136_split_leakage").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lo, hi, n, leak) =>
+      assert(lo >= 0 && hi <= 4 && lo <= hi, s"fold bounds: ($lo, $hi)")
+      if (lo == hi) assert(leak === 0L, s"diagonal ($lo,$hi) must not leak")
+      else assert(leak === n, s"off-diagonal ($lo,$hi) pairs all leak")
+    }
+    assert(rows.exists { case (lo, hi, _, leak) => lo != hi && leak > 0 },
+      "a row-level split of this corpus must show leakage")
+    // the distinct pair count is bounded by the per-group pair sum
+    val cfg = graft.operators.MinHashLsh.Config(bands = 3, rowsPerBand = 2, universal = true)
+    val banded = graft.operators.MinHashLsh.explodeBands(
+      graft.Tables.load(spark, sf, "documents").select("doc_id", "text"), "text", cfg)
+    val groupPairSum = graft.operators.MinHashLsh.candidateGroups(banded, "doc_id")
+      .collect().map(r => { val n = r.getLong(2); n * (n - 1) / 2 }).sum
+    assert(rows.map(_._3).sum <= groupPairSum,
+      "distinct pairs cannot exceed the per-group pair sum")
+  }
+
   test("q116 diversity metrics replay exactly from collected token counts") {
     val docs = graft.Tables.load(spark, sf, "documents")
       .select("source", "text")
