@@ -79,6 +79,8 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q134    graft.queries.Relational — Benford first-digit audit
   *   q135    graft.queries.TextOps    — tokenizer fertility per language
   *   q136    graft.queries.TextOps    — split-leakage audit (folds × bands)
+  *   q137    graft.queries.Relational — nested ARRAY<STRUCT> rollup (HOFs)
+  *   q138    graft.queries.Relational — deterministic argmax (max_by)
   */
 object SparkEntry {
 

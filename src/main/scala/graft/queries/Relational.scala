@@ -1086,5 +1086,82 @@ object Relational {
             "((obs * 1000000 - n * exp_ppm) div 1000)) div ((n * exp_ppm) div 1000)")
             .as("dev"))
     },
+
+    // --------------------------------------------------------------- q137
+    // Nested-type rollup: each order materializes its lineitems as an
+    // ARRAY<STRUCT> (ordered by linenumber — the document/denormalized
+    // data model), then all per-order metrics derive from HOFs over
+    // the nested array — item count, quantity sum via aggregate(),
+    // the heaviest item via array_max over (quantity, linenumber)
+    // structs. This is the semi-structured shape a feature store or
+    // document pipeline serves; the nested build is ONE groupBy
+    // (collect_list + array_sort), every downstream metric is
+    // shuffle-free array math. Struct comparison order (field by
+    // field) is identical in both engines; quantities quantize to
+    // BIGINT centi-units before nesting so array arithmetic stays
+    // exact.
+    Q(
+      "q137_nested_rollup",
+      Some("""
+        WITH nested AS (
+          SELECT l_orderkey,
+                 list_sort(list((l_linenumber, CAST(round(l_quantity * 100) AS BIGINT)))) AS items
+          FROM lineitem GROUP BY l_orderkey)
+        SELECT l_orderkey,
+               CAST(len(items) AS BIGINT) AS n_items,
+               CAST(list_sum(list_transform(items, x -> x[2])) AS BIGINT) AS qty_centi,
+               CAST(list_max(list_transform(items, x -> (x[2], x[1])))[2] AS BIGINT)
+                 AS heaviest_line,
+               CAST(list_max(list_transform(items, x -> (x[2], x[1])))[1] AS BIGINT)
+                 AS heaviest_qty
+        FROM nested
+        WHERE len(items) >= 5""")
+    ) { (s, dir) =>
+      val nested = t(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          struct(col("l_linenumber").as("ln"),
+            round(col("l_quantity") * 100).cast("long").as("q")).as("item"))
+        .groupBy("l_orderkey")
+        .agg(array_sort(collect_list(col("item"))).as("items"))
+      nested
+        .filter(size(col("items")) >= 5)
+        .select(col("l_orderkey"),
+          size(col("items")).cast("long").as("n_items"),
+          expr("aggregate(items, 0L, (acc, x) -> acc + x.q)").as("qty_centi"),
+          expr("array_max(transform(items, x -> struct(x.q as q, x.ln as ln))).ln")
+            .cast("long").as("heaviest_line"),
+          expr("array_max(transform(items, x -> struct(x.q as q, x.ln as ln))).q")
+            .cast("long").as("heaviest_qty"))
+    },
+
+    // --------------------------------------------------------------- q138
+    // Row-preserving argmax: the supplier with the highest account
+    // balance per nation — Spark `max_by` over a composite
+    // (balance, -suppkey) struct, so ties deterministically pick the
+    // smallest suppkey (bare max_by is nondeterministic under ties —
+    // the composite IS the contract). The oracle replays the same
+    // semantics as max-then-min-tiebreak (DuckDB 1.0's arg_max cannot
+    // take a struct ordering key). One map-side-combined aggregate,
+    // dimension-sized output.
+    Q(
+      "q138_argmax_supplier",
+      Some("""
+        WITH b AS (
+          SELECT s_nationkey, s_suppkey,
+                 CAST(round(s_acctbal * 100) AS BIGINT) AS bal
+          FROM supplier),
+        m AS (SELECT s_nationkey, MAX(bal) AS top_bal_centi FROM b GROUP BY s_nationkey)
+        SELECT m.s_nationkey, MIN(b.s_suppkey) AS top_suppkey, m.top_bal_centi
+        FROM m JOIN b ON b.s_nationkey = m.s_nationkey AND b.bal = m.top_bal_centi
+        GROUP BY m.s_nationkey, m.top_bal_centi""")
+    ) { (s, dir) =>
+      val bal = round(col("s_acctbal") * 100).cast("long")
+      t(s, dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(
+          max_by(col("s_suppkey"), struct(bal.as("b"), (-col("s_suppkey")).as("k")))
+            .as("top_suppkey"),
+          max(bal).as("top_bal_centi"))
+    },
   )
 }

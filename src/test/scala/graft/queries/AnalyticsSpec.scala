@@ -928,6 +928,35 @@ class AnalyticsSpec extends SparkSpec {
       "distinct pairs cannot exceed the per-group pair sum")
   }
 
+  test("q137 nested rollup replays from flat lineitem rows") {
+    val li = graft.Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast("long"),
+        round(col("l_quantity") * 100).cast("long").as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val truth = li.groupBy(_._1).filter(_._2.length >= 5).map { case (ok, xs) =>
+      val heaviest = xs.maxBy(x => (x._3, x._2))
+      ok -> ((xs.length.toLong, xs.map(_._3).sum, heaviest._2, heaviest._3))
+    }
+    val got = run("q137_nested_rollup").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got === truth)
+  }
+
+  test("q138 argmax picks the max-balance supplier with smallest-key ties") {
+    val sup = graft.Tables.load(spark, sf, "supplier")
+      .select(col("s_nationkey"), col("s_suppkey"),
+        round(col("s_acctbal") * 100).cast("long").as("bal"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val truth = sup.groupBy(_._1).map { case (nk, xs) =>
+      val mx = xs.map(_._3).max
+      nk -> ((xs.filter(_._3 == mx).map(_._2).min, mx))
+    }
+    val got = run("q138_argmax_supplier").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === truth)
+  }
+
   test("q116 diversity metrics replay exactly from collected token counts") {
     val docs = graft.Tables.load(spark, sf, "documents")
       .select("source", "text")
