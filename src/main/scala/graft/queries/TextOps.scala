@@ -1058,7 +1058,12 @@ object TextOps {
     // fold-pair matrix with leak counts: the number every split design
     // review should see before training. Candidates come only from the
     // (band, band_key) equi-join (never all pairs), pair-deduped across
-    // bands; fold arithmetic is the exact Knuth hash.
+    // bands; fold arithmetic is the exact Knuth hash. Buckets over the
+    // q87 stop cap (20 docs) DROP before pairing — template-universal
+    // collisions, quadratic in bucket size (uncapped, sf0.1 expands
+    // 7.2M pairs and benched 7.9s; capped it is bounded at C(20,2) per
+    // bucket at ANY corpus size), and near-universal buckets carry no
+    // split-design signal.
     Q(
       "q136_split_leakage",
       Some {
@@ -1078,9 +1083,14 @@ object TextOps {
           FROM sh),
         banded AS (
           $bands),
+        keepb AS (
+          SELECT band, band_key FROM banded
+          GROUP BY band, band_key HAVING COUNT(*) <= $incrMaxBucket),
+        bandedc AS (
+          SELECT b.* FROM banded b JOIN keepb USING (band, band_key)),
         pairs AS (
           SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-          FROM banded a JOIN banded b
+          FROM bandedc a JOIN bandedc b
             ON a.band = b.band AND a.band_key = b.band_key AND b.doc_id > a.doc_id),
         f AS (
           SELECT da, db,
@@ -1095,9 +1105,13 @@ object TextOps {
     ) { (s, dir) =>
       val cfg = graft.operators.MinHashLsh.Config(
         bands = 3, rowsPerBand = 2, universal = true)
-      val banded = graft.operators.MinHashLsh.explodeBands(
+      val banded0 = graft.operators.MinHashLsh.explodeBands(
         t(s, dir, "documents").select("doc_id", "text"), "text", cfg)
         .select("doc_id", "band", "band_key")
+      val keepb = banded0.groupBy("band", "band_key")
+        .agg(count(lit(1)).as("nb")).filter(col("nb") <= incrMaxBucket)
+        .select("band", "band_key")
+      val banded = banded0.join(keepb, Seq("band", "band_key"))
       val pairs = banded.as("a")
         .join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
