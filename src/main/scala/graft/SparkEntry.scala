@@ -81,6 +81,7 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q136    graft.queries.TextOps    — split-leakage audit (folds × bands)
   *   q137    graft.queries.Relational — nested ARRAY<STRUCT> rollup (HOFs)
   *   q138    graft.queries.Relational — deterministic argmax (max_by)
+  *   q139    graft.queries.Vectors    — embedding whitening (integer z×1000)
   */
 object SparkEntry {
 

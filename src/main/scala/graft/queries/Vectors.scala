@@ -707,6 +707,65 @@ object Vectors {
           when(col("score") >= 0.30, "reject_dup").otherwise("insert").as("action"),
           col("match_id"), col("score"))
     },
+
+    // --------------------------------------------------------------- q139
+    // Embedding whitening (per-dimension standardization): every
+    // vector re-expressed as integer z-scores ×1000 against the
+    // corpus' per-dimension mean/std — the preprocessing step before
+    // cosine/IVF when dimensions have wildly different scales. The
+    // z-score is computed in the CROSS-MULTIPLIED form
+    // (x·n − Σx)/√(n·Σx² − (Σx)²) so every operand is an exact BIGINT
+    // and the one divide + sqrt + round runs on identical values in
+    // both engines (q110's integer move, producing values instead of
+    // flags); zero-variance dimensions emit 0 (declared). The 64-row
+    // stats table broadcasts sorted; the whole transform is ONE
+    // projection per vector — no corpus explode, no join shuffle.
+    Q(
+      "q139_whiten",
+      Some(s"""
+        WITH normed0 AS ($quantizedSql),
+        normed AS (SELECT vec_id, qv FROM normed0),
+        dim_stats AS (
+          SELECT i,
+                 CAST(SUM(qv[CAST(i AS INT)]) AS BIGINT) AS sx,
+                 CAST(SUM(qv[CAST(i AS INT)] * qv[CAST(i AS INT)]) AS BIGINT) AS sxx,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM normed, (SELECT unnest(range(1, 65)) AS i) a
+          GROUP BY i),
+        starr AS (SELECT list_sort(list((i, sx, sxx, n))) AS st FROM dim_stats)
+        SELECT v.vec_id,
+               list_transform(range(1, 65), i -> CASE
+                 WHEN st[CAST(i AS INT)][4] * st[CAST(i AS INT)][3]
+                      - st[CAST(i AS INT)][2] * st[CAST(i AS INT)][2] <= 0 THEN 0
+                 ELSE CAST(round(
+                   CAST(1000 * (v.qv[CAST(i AS INT)] * st[CAST(i AS INT)][4]
+                                - st[CAST(i AS INT)][2]) AS DOUBLE)
+                   / sqrt(CAST(st[CAST(i AS INT)][4] * st[CAST(i AS INT)][3]
+                               - st[CAST(i AS INT)][2] * st[CAST(i AS INT)][2] AS DOUBLE)))
+                   AS BIGINT) END) AS zq
+        FROM normed v CROSS JOIN starr""")
+    ) { (s, dir) =>
+      val normed = quantized(s, dir).select(col("vec_id"), col("qv"))
+      val stats = normed
+        .select(posexplode(col("qv")).as(Seq("pos0", "v")))
+        .select((col("pos0") + 1).cast("long").as("i"), col("v"))
+        .groupBy("i")
+        .agg(sum(col("v")).as("sx"), sum(col("v") * col("v")).as("sxx"),
+          count(lit(1)).as("n"))
+      val statArr = stats.agg(array_sort(
+        collect_list(struct(col("i"), col("sx"), col("sxx"), col("n")))).as("__st"))
+      normed.crossJoin(broadcast(statArr))
+        .select(col("vec_id"), expr(
+          """transform(sequence(1, 64), i -> CASE
+               WHEN element_at(__st, i).n * element_at(__st, i).sxx
+                    - element_at(__st, i).sx * element_at(__st, i).sx <= 0 THEN 0L
+               ELSE CAST(round(
+                 CAST(1000 * (element_at(qv, i) * element_at(__st, i).n
+                              - element_at(__st, i).sx) AS DOUBLE)
+                 / sqrt(CAST(element_at(__st, i).n * element_at(__st, i).sxx
+                             - element_at(__st, i).sx * element_at(__st, i).sx AS DOUBLE)))
+                 AS BIGINT) END)""").as("zq"))
+    },
   )
 
   /** IVF approximate top-5 — registered as q60 and re-used by q65

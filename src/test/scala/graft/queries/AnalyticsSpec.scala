@@ -957,6 +957,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === truth)
   }
 
+  test("q139 whitened z-scores replay from collected quantized vectors") {
+    val vecs = graft.queries.Vectors.quantized(spark, sf)
+      .select("vec_id", "qv").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val dims = vecs.head._2.length
+    val n = vecs.length.toLong
+    val truth = vecs.toMap.map { case (id, qv) =>
+      id -> (0 until dims).map { d =>
+        val sx = vecs.map(_._2(d)).sum
+        val sxx = vecs.map(v => v._2(d) * v._2(d)).sum
+        val den = n * sxx - sx * sx
+        if (den <= 0) 0L
+        else math.round(1000.0 * (qv(d) * n - sx) / math.sqrt(den.toDouble))
+      }.toArray
+    }
+    val got = run("q139_whiten").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    assert(got.keySet === truth.keySet)
+    truth.foreach { case (id, z) =>
+      assert(got(id).toSeq === z.toSeq, s"vec $id")
+    }
+    // whitened dims are centered: per-dimension z sums ~ 0 (rounding only)
+    (0 until dims).foreach { d =>
+      val s = got.values.map(_(d)).sum
+      assert(math.abs(s) <= got.size.toLong, s"dim $d not centered: $s")
+    }
+  }
+
   test("q116 diversity metrics replay exactly from collected token counts") {
     val docs = graft.Tables.load(spark, sf, "documents")
       .select("source", "text")
