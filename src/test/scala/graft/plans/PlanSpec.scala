@@ -792,6 +792,49 @@ class PlanSpec extends SparkSpec {
       }, s"distinct must run before the pair join:\n$p"))
   }
 
+  test("global sweep: no unbounded cartesian product in ANY registered query plan") {
+    // CartesianProductExec is the catastrophic plan shape (m×n rows
+    // with no broadcast bound) — assert it appears in none of the
+    // registered queries' static plans. Broadcast nested-loop joins
+    // (one-row stats attaches, bounded by the broadcast side) are
+    // allowed; true cartesians are not.
+    val offenders = SparkEntry.allQueries.flatMap { q =>
+      val p = plan(q.name)
+      if (p.collect { case j: CartesianProductExec => j }.nonEmpty) Some(q.name)
+      else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("q127/q133: drift and collocation top-k run as TakeOrderedAndProject") {
+    for (name <- Seq("q127_token_drift", "q133_collocations")) {
+      val p = plan(name)
+      assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+        s"$name limit must never global-sort:\n$p")
+    }
+  }
+
+  test("q129/q134/q139: single-pass map-side shapes — no shuffled joins") {
+    for (name <- Seq("q129_rebalance_plan", "q134_benford_audit", "q139_whiten")) {
+      val p = plan(name)
+      assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+        p.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
+        s"$name: stats must broadcast, never shuffle-join:\n$p")
+    }
+    // q129 is fully map-side: one aggregate exchange only
+    assert(shuffles(plan("q129_rebalance_plan")).length === 1,
+      "q129 needs only its final aggregate exchange")
+  }
+
+  test("q137: nested build is one groupBy; every metric is shuffle-free array math") {
+    val p = plan("q137_nested_rollup")
+    assert(shuffles(p).length === 1, s"only the collect_list groupBy:\n$p")
+    val Seq(scan) = scans(p)
+    assert(scan.requiredSchema.fieldNames.toSet ===
+      Set("l_orderkey", "l_linenumber", "l_quantity"),
+      s"q137 reads more than it nests: ${scan.requiredSchema.fieldNames.toSeq}")
+  }
+
   test("q96: histogram quantiles — one corpus exchange, pruned scan, map-side combine") {
     val p = plan("q96_hist_quantile")
     // the corpus touches exactly one exchange (the histogram agg); the
