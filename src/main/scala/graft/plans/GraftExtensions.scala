@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{Jaccard3, MinHashFast, MinHashK, MinHashSignature,
-  QDot, QuantizeEmbedding, SimHash16, SrpBuckets, TokenNgrams, Winnow}
+  PayloadSigExpr, QDot, QuantizeEmbedding, SimHash16, SrpBuckets, TokenNgrams,
+  Winnow}
 
 /** SparkSessionExtensions entry point: registers every graft custom
   * expression as a SQL function, so e.g.
@@ -49,6 +50,9 @@ object GraftExtensions {
     },
     descriptor("jaccard3", classOf[Jaccard3]) {
       case Seq(a, b) => Jaccard3(a, b)
+    },
+    descriptor("payload_sig", classOf[PayloadSigExpr]) {
+      case Seq(text) => PayloadSigExpr(text)
     },
     descriptor("winnow", classOf[Winnow]) {
       case Seq(text)       => Winnow(text)

@@ -113,14 +113,16 @@ object Multimodal {
     // per-row projection (integer ascii arithmetic, both engines) +
     // one signature groupBy — embarrassingly parallel, one shuffle on
     // the signature key. The 8 class counts pack into ONE base-128
-    // BIGINT in a single fold over the 64 classes (counts ≤ 64 < 128,
-    // so digits never carry; 128⁷ < 2⁶³). The per-row plan references
-    // pk exactly ONCE (as a groupBy key): PROJECTION COLLAPSE inlines
-    // an alias into every reference (the q112 lesson), so deriving the
-    // 8 signature digits row-side re-evaluated the whole 64-substring
-    // chain 8× per row (benched 7.5s); grouping by the exact pk first
-    // is an aggregation barrier, and the digits unpack AFTER it on the
-    // (tiny) distinct-pk table (0.9s steady).
+    // BIGINT (counts ≤ 64 < 128, so digits never carry; 128⁷ < 2⁶³),
+    // computed by the codegen'd `functions/PayloadSigKernel` — one
+    // O(len) pass that walks the code-point index once instead of 64
+    // positional substring scans (each O(pos) on UTF8String; the HOF
+    // formulation benched ~2s at sf0.1, the kernel ~0.4s).
+    // `FunctionsSpec` pins kernel == the HOF replay. The per-row plan
+    // references pk exactly ONCE (as a groupBy key): PROJECTION
+    // COLLAPSE inlines an alias into every reference (the q112
+    // lesson), so the 8 signature digits unpack AFTER the aggregation
+    // barrier on the (tiny) distinct-pk table.
     Q(
       "q132_payload_sig_dedup",
       Some("""
@@ -145,13 +147,8 @@ object Multimodal {
     ) { (s, dir) =>
       val lvl1 = Tables.load(s, dir, "documents")
         .filter(length(col("text")) >= 1)
-        .withColumn("cls", expr(
-          "transform(sequence(0, 63), " +
-            "i -> ascii(substring(text, cast(1 + (i * length(text)) div 64 as int), 1)) div 32)"))
-        .withColumn("pk", expr(
-          "aggregate(cls, 0L, (acc, c) -> acc + shiftleft(1L, cast(7 * c as int)))"))
         .select(col("doc_id"), md5(col("text").cast("binary")).as("content_hash"),
-          col("pk"))
+          graft.functions.PayloadSig.packedSig(col("text")).as("pk"))
         // aggregation barrier: pk evaluated once per row; a content
         // hash always maps to one pk, so distinct (pk, hash) rows
         // count distinct payloads exactly

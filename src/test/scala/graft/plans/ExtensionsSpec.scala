@@ -62,6 +62,13 @@ class ExtensionsSpec extends SparkSpec {
     assert(ng === Seq("a b", "b c", "c d"))
   }
 
+  test("payload_sig usable from SQL after registration") {
+    GraftExtensions.register(spark)
+    // 'aaaa': every sample reads 'a' (97 div 32 = class 3) → 64·128³
+    val pk = spark.sql("SELECT payload_sig('aaaa') AS p").head().getLong(0)
+    assert(pk === 64L * (1L << 21))
+  }
+
   test("minhash_k matches a builtin-function replay of the same math") {
     GraftExtensions.register(spark)
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
