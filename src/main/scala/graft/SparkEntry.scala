@@ -82,6 +82,9 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q137    graft.queries.Relational — nested ARRAY<STRUCT> rollup (HOFs)
   *   q138    graft.queries.Relational — deterministic argmax (max_by)
   *   q139    graft.queries.Vectors    — embedding whitening (integer z×1000)
+  *   q140    graft.queries.TextOps    — exact-dedup savings report
+  *   q141    graft.queries.Events     — day-of-week × hour activity heatmap
+  *   q142    graft.queries.Events     — referential-integrity audit
   */
 object SparkEntry {
 

@@ -813,5 +813,74 @@ object Events {
             .when(d * d > lit(9L) * (col("n") * col("sxx") - col("sx") * col("sx")), 1)
             .otherwise(0).as("is_anomaly"))
     },
+
+    // --------------------------------------------------------------- q141
+    // Activity heatmap: event counts + exact-decimal value totals by
+    // (day-of-week, hour-of-day) per event type — the weekly-rhythm
+    // matrix behind every ops dashboard. Exercises the calendar
+    // extraction surface (dayofweek == DuckDB's 1-based Sunday=1
+    // `dayofweek(ts)+1` — pinned here as the cross-engine contract);
+    // one map-side-combined aggregate into ≤ 7·24·types rows.
+    Q(
+      "q141_activity_heatmap",
+      Some("""
+        SELECT event_type,
+               CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS dow,
+               CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2, 3""")
+    ) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          dayofweek(col("ts")).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hod"))
+        .agg(count(lit(1)).as("n"),
+          graft.Det.dsum(col("value")).as("total_value"))
+    },
+
+    // --------------------------------------------------------------- q142
+    // Referential-integrity audit across the star schema: orphan
+    // lineitems (no order), childless orders (no lineitem), dangling
+    // customer keys on orders — the fact-table health report run
+    // before any join-dependent pipeline. Three anti-join counts fold
+    // into one row via broadcast one-row aggregates (no driver
+    // collects); each anti join shuffles on its own key once, and the
+    // dimension side of the customer check broadcasts.
+    Q(
+      "q142_ref_integrity",
+      Some("""
+        SELECT
+          CAST((SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+            AS orphan_lineitems,
+          CAST((SELECT COUNT(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                  WHERE l.l_orderkey = o.o_orderkey)) AS BIGINT)
+            AS childless_orders,
+          CAST((SELECT COUNT(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+            AS dangling_custkeys,
+          CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_lineitems,
+          CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_orders""")
+    ) { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val c = t(s, dir, "customer").select("c_custkey")
+      val orphan = li.join(o.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_lineitems"))
+      val childless = o.join(li, col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("childless_orders"))
+      val dangling = o.join(broadcast(c), col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("dangling_custkeys"))
+      orphan
+        .crossJoin(broadcast(childless))
+        .crossJoin(broadcast(dangling))
+        .crossJoin(broadcast(li.agg(count(lit(1)).as("n_lineitems"))))
+        .crossJoin(broadcast(o.agg(count(lit(1)).as("n_orders"))))
+    },
   )
 }

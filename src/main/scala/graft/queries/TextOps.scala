@@ -1007,6 +1007,45 @@ object TextOps {
         .limit(20)
     },
 
+    // --------------------------------------------------------------- q140
+    // Dedup savings report: what exact dedup would reclaim, per
+    // source — duplicate-set count, removable doc count, removable
+    // bytes, and the dup rate. Two aggregates: content-hash groups
+    // (q26's shape, keyed on the hash so the corpus shuffles once),
+    // then a per-source fold of the group table. Every number is an
+    // exact BIGINT; rates are final divisions. The report a storage
+    // review reads before running the actual dedup job.
+    Q(
+      "q140_dedup_savings",
+      Some("""
+        WITH g AS (
+          SELECT source, md5(text) AS fp,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(n_chars) AS BIGINT) AS bytes,
+                 CAST(MIN(n_chars) AS BIGINT) AS keep_bytes
+          FROM documents GROUP BY source, md5(text))
+        SELECT source,
+               CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_unique,
+               CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_sets,
+               CAST(SUM(n - 1) AS BIGINT) AS n_removable,
+               CAST(SUM(bytes - keep_bytes) AS BIGINT) AS bytes_removable,
+               CAST(SUM(n - 1) AS DOUBLE) / SUM(n) AS dup_rate
+        FROM g GROUP BY source""")
+    ) { (s, dir) =>
+      val g = t(s, dir, "documents")
+        .groupBy(col("source"), md5(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("bytes"),
+          min(col("n_chars")).as("keep_bytes"))
+      g.groupBy("source").agg(
+        sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_sets"),
+        sum(col("n") - 1).as("n_removable"),
+        sum(col("bytes") - col("keep_bytes")).as("bytes_removable"),
+        (sum(col("n") - 1).cast("double") / sum(col("n"))).as("dup_rate"))
+    },
+
     // --------------------------------------------------------------- q135
     // Tokenizer health per language: chars-per-BPE-token (the
     // compression ratio a tokenizer is judged by), mean token length,

@@ -985,6 +985,61 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q140 dedup savings replay from collected content hashes") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("source"), md5(col("text")).as("fp"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val truth = docs.groupBy(_._1).map { case (src, xs) =>
+      val groups = xs.groupBy(_._2).values.toSeq
+      val nDocs = xs.length.toLong
+      src -> ((nDocs, groups.length.toLong,
+        groups.count(_.length > 1).toLong,
+        groups.map(_.length - 1L).sum,
+        groups.map(g => g.map(_._3).sum - g.map(_._3).min).sum,
+        groups.map(_.length - 1L).sum.toDouble / nDocs))
+    }
+    val got = run("q140_dedup_savings").collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    }.toMap
+    assert(got.keySet === truth.keySet)
+    truth.foreach { case (src, tr) =>
+      val g = got(src)
+      assert((g._1, g._2, g._3, g._4, g._5) === ((tr._1, tr._2, tr._3, tr._4, tr._5)),
+        s"$src counts")
+      assert(math.abs(g._6 - tr._6) < 1e-12, s"$src rate")
+    }
+  }
+
+  test("q141 heatmap conserves events and stays inside the calendar grid") {
+    val rows = run("q141_activity_heatmap").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = graft.Tables.load(spark, sf, "events").count()
+    assert(rows.map(_._4).sum === total, "every event lands in one cell")
+    rows.foreach { case (_, dow, hod, n) =>
+      assert(dow >= 1 && dow <= 7 && hod >= 0 && hod <= 23 && n > 0,
+        s"cell out of grid: ($dow, $hod, $n)")
+    }
+    assert(rows.map(_._1).distinct.length === 5, "all event types present")
+  }
+
+  test("q142 integrity counts replay from collected key sets") {
+    val li = graft.Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey").collect().map(_.getLong(0))
+    val o = graft.Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val c = graft.Tables.load(spark, sf, "customer")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val oKeys = o.map(_._1).toSet
+    val liKeys = li.toSet
+    val r = run("q142_ref_integrity").collect().head
+    assert(r.getLong(0) === li.count(k => !oKeys(k)).toLong, "orphans")
+    assert(r.getLong(1) === o.count(x => !liKeys(x._1)).toLong, "childless")
+    assert(r.getLong(2) === o.count(x => !c(x._2)).toLong, "dangling")
+    assert(r.getLong(3) === li.length.toLong && r.getLong(4) === o.length.toLong)
+  }
+
   test("q116 diversity metrics replay exactly from collected token counts") {
     val docs = graft.Tables.load(spark, sf, "documents")
       .select("source", "text")
