@@ -85,6 +85,7 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q140    graft.queries.TextOps    — exact-dedup savings report
   *   q141    graft.queries.Events     — day-of-week × hour activity heatmap
   *   q142    graft.queries.Events     — referential-integrity audit
+  *   q143    graft.queries.Curation   — length-bucketed padding-waste audit
   */
 object SparkEntry {
 

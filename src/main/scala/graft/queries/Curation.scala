@@ -790,6 +790,47 @@ object Curation {
           .otherwise(0L)).as("n_kept"))
     },
 
+    // --------------------------------------------------------------- q143
+    // Length-bucketed batching audit: documents bucket by
+    // ceil(n_chars/128) length class (the dynamic-batching strategy an
+    // inference/embedding service uses), and each bucket reports its
+    // padded-token waste — pad-to-bucket-max cost (n·max − Σlen) vs
+    // pad-to-global-max cost, i.e. what length-bucketing saves over
+    // naive batching. Everything is exact integer arithmetic off ONE
+    // keyed aggregate plus a broadcast one-row global max; the waste
+    // ratio is a final division.
+    Q(
+      "q143_padding_waste",
+      Some("""
+        WITH b AS (
+          SELECT (n_chars + 127) // 128 AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(MAX(n_chars) AS BIGINT) AS mx,
+                 CAST(SUM(n_chars) AS BIGINT) AS total
+          FROM documents GROUP BY 1),
+        g AS (SELECT CAST(MAX(n_chars) AS BIGINT) AS gmx FROM documents)
+        SELECT b.bucket, b.n, b.mx, b.total,
+               b.n * b.mx - b.total AS waste_bucketed,
+               b.n * g.gmx - b.total AS waste_naive,
+               CASE WHEN b.n * g.gmx - b.total = 0 THEN NULL
+                    ELSE CAST(b.n * b.mx - b.total AS DOUBLE)
+                         / (b.n * g.gmx - b.total) END AS waste_ratio
+        FROM b CROSS JOIN g""")
+    ) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val b = docs.groupBy(expr("(n_chars + 127) div 128").as("bucket"))
+        .agg(count(lit(1)).as("n"), max(col("n_chars")).as("mx"),
+          sum(col("n_chars")).as("total"))
+      val g = docs.agg(max(col("n_chars")).as("gmx"))
+      b.crossJoin(broadcast(g))
+        .select(col("bucket"), col("n"), col("mx"), col("total"),
+          (col("n") * col("mx") - col("total")).as("waste_bucketed"),
+          (col("n") * col("gmx") - col("total")).as("waste_naive"),
+          when(col("n") * col("gmx") - col("total") === 0, lit(null).cast("double"))
+            .otherwise((col("n") * col("mx") - col("total")).cast("double") /
+              (col("n") * col("gmx") - col("total"))).as("waste_ratio"))
+    },
+
     // --------------------------------------------------------------- q129
     // Shard-rebalance planning: the movement matrix when a 16-shard
     // layout (q67's Knuth doc_id hash mod 16) regrows to 20 shards

@@ -1040,6 +1040,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getLong(3) === li.length.toLong && r.getLong(4) === o.length.toLong)
   }
 
+  test("q143 padding waste replays and bucketing never beats naive batching") {
+    val lens = graft.Tables.load(spark, sf, "documents")
+      .select("n_chars").collect().map(_.getLong(0))
+    val gmx = lens.max
+    val truth = lens.groupBy(l => (l + 127) / 128).map { case (b, xs) =>
+      val (n, mx, tot) = (xs.length.toLong, xs.max, xs.sum)
+      b -> ((n, mx, tot, n * mx - tot, n * gmx - tot))
+    }
+    val got = run("q143_padding_waste").collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), if (r.isNullAt(6)) Option.empty[Double] else Some(r.getDouble(6))))
+    }.toMap
+    assert(got.keySet === truth.keySet)
+    truth.foreach { case (b, (n, mx, tot, wb, wn)) =>
+      val g = got(b)
+      assert((g._1, g._2, g._3, g._4, g._5) === ((n, mx, tot, wb, wn)), s"bucket $b")
+      assert(g._4 <= g._5, s"bucket $b: bucketing must never waste more than naive")
+      g._6.foreach(r => assert(math.abs(r - wb.toDouble / wn) < 1e-12))
+    }
+  }
+
   test("q116 diversity metrics replay exactly from collected token counts") {
     val docs = graft.Tables.load(spark, sf, "documents")
       .select("source", "text")
