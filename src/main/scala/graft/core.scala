@@ -34,6 +34,18 @@ object Tables {
   }
 }
 
+/** The engine's reproducible "random" stream: a salted Knuth
+  * multiplicative hash in exact BIGINT arithmetic, identical in both
+  * engines (salt adds BEFORE the multiply — see queries/Curation).
+  * One definition, referenced by every consumer, so the Spark side
+  * and the DuckDB oracles can never drift apart. */
+object Knuth {
+  def sql(column: String, salt: Long): String =
+    s"(($column + $salt) * 2654435761) % 4294967296"
+  def col(c: Column, salt: Long): Column =
+    ((c + lit(salt)) * lit(2654435761L)) % lit(4294967296L)
+}
+
 object Det {
   /** Exact-decimal image of a double column (order-independent sums). */
   def dec(c: Column): Column = c.cast(DecimalType(18, 4))

@@ -14,8 +14,12 @@ object PayloadSigKernel {
     * O(len) pass. Sample position i (0..63) reads the code point at
     * character index (i·len) div 64 (identical to the SQL
     * `substr(text, 1 + (i·len) div 64, 1)` sampling), class =
-    * codepoint div 32, packed = Σ 128^class (counts ≤ 64 < 128 — no
-    * digit carries; 128⁷ < 2⁶³).
+    * min(codepoint div 32, 7) — the clamp folds every code point ≥ 224
+    * into class 7, keeping the class index in 0..7 for ANY input (an
+    * unclamped cls would wrap `1L << (7·cls)` mod 64 on non-Latin-1
+    * text and carry across digits) — packed = Σ 128^class (counts
+    * ≤ 64 < 128 — no digit carries; 128⁷ < 2⁶³). The q132 oracle
+    * applies the identical least(…, 7).
     *
     * The column formulation pays 64 positional `substring` calls, each
     * an O(pos) UTF8String scan (O(64·len) per row — q132 benched ~2s
@@ -33,7 +37,7 @@ object PayloadSigKernel {
     var i = 0
     while (i < 64) {
       val pos = ((i.toLong * n) / 64).toInt
-      val cls = s.codePointAt(cp(pos)) / 32
+      val cls = math.min(s.codePointAt(cp(pos)) / 32, 7)
       pk += 1L << (7 * cls)
       i += 1
     }

@@ -34,10 +34,8 @@ object Curation {
     * engines. The salt adds BEFORE the multiply so differently-salted
     * streams are genuinely permuted relative to each other (a
     * post-multiply salt would only shift the same sequence). */
-  private def knuthCol(salt: Long): Column =
-    ((col("doc_id") + lit(salt)) * lit(2654435761L)) % lit(4294967296L)
-  private def knuthSql(salt: Long): String =
-    s"((doc_id + $salt) * 2654435761) % 4294967296"
+  private def knuthCol(salt: Long): Column = graft.Knuth.col(col("doc_id"), salt)
+  private def knuthSql(salt: Long): String = graft.Knuth.sql("doc_id", salt)
 
   /** Token n-gram width shared by q68 and its oracle. Production
     * contamination screens use 8–13 token grams; the synthetic corpus'

@@ -129,7 +129,7 @@ object Multimodal {
         WITH rs AS (
           SELECT doc_id, md5(text) AS content_hash,
                  list_transform(range(0, 64),
-                   i -> ascii(substr(text, CAST(1 + (i * length(text)) // 64 AS INT), 1)) // 32) AS cls
+                   i -> least(ascii(substr(text, CAST(1 + (i * length(text)) // 64 AS INT), 1)) // 32, 7)) AS cls
           FROM documents WHERE length(text) >= 1),
         packed AS (
           SELECT doc_id, content_hash,

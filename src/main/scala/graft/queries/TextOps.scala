@@ -1133,8 +1133,8 @@ object TextOps {
             ON a.band = b.band AND a.band_key = b.band_key AND b.doc_id > a.doc_id),
         f AS (
           SELECT da, db,
-                 ((da + 31) * 2654435761) % 4294967296 % 5 AS fa,
-                 ((db + 31) * 2654435761) % 4294967296 % 5 AS fb
+                 ${graft.Knuth.sql("da", 31)} % 5 AS fa,
+                 ${graft.Knuth.sql("db", 31)} % 5 AS fb
           FROM pairs)
         SELECT least(fa, fb) AS fold_lo, greatest(fa, fb) AS fold_hi,
                CAST(COUNT(*) AS BIGINT) AS n_pairs,
@@ -1157,7 +1157,7 @@ object TextOps {
             col("b.doc_id") > col("a.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .distinct()
-      def fold(c: Column) = ((c + 31) * 2654435761L) % 4294967296L % 5
+      def fold(c: Column) = graft.Knuth.col(c, 31) % 5
       pairs
         .withColumn("fa", fold(col("da")))
         .withColumn("fb", fold(col("db")))

@@ -168,14 +168,18 @@ object StreamOps {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[(String, String), Motif](
+      .flatMapGroupsWithState[(Option[String], Option[String]), Motif](
         org.apache.spark.sql.streaming.OutputMode.Append,
         GroupStateTimeout.NoTimeout) {
-        (uid: Long, rows: Iterator[EventRow], state: GroupState[(String, String)]) =>
+        (uid: Long, rows: Iterator[EventRow],
+         state: GroupState[(Option[String], Option[String])]) =>
           val sorted = rows.toIndexedSeq
             .sortBy(r => (r.ts.getTime, r.ts.getNanos, r.event_id))
-          var prev2 = state.getOption.map(_._1)
-          var prev1 = state.getOption.map(_._2)
+          // state holds up to the last TWO types as Options — a
+          // one-event micro-batch must still persist its single event
+          // or the boundary-spanning trigram is silently lost
+          var (prev2, prev1) = state.getOption.getOrElse(
+            (Option.empty[String], Option.empty[String]))
           val out = Seq.newBuilder[Motif]
           sorted.foreach { r =>
             for (p2 <- prev2; p1 <- prev1)
@@ -183,7 +187,7 @@ object StreamOps {
             prev2 = prev1
             prev1 = Some(r.event_type)
           }
-          for (p2 <- prev2; p1 <- prev1) state.update((p2, p1))
+          if (prev1.isDefined) state.update((prev2, prev1))
           out.result().iterator
       }
   }

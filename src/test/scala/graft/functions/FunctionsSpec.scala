@@ -28,7 +28,8 @@ class FunctionsSpec extends SparkSpec {
   test("PayloadSigKernel matches the HOF sampling formulation, incl. real docs") {
     import spark.implicits._
     val synth = Seq("a", "abc", "key agg row scan slow fast", "zzzz  zz",
-      "0123456789" * 40, "Mixed CASE with, punct! and 123")
+      "0123456789" * 40, "Mixed CASE with, punct! and 123",
+      "ユニコード混じり ā é 漢字 text", "\ud83d\ude00 emoji start")
     val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select("text").collect().map(_.getString(0)).take(100)
     val docs = (synth ++ real).toDF("text").filter(length(col("text")) >= 1)
@@ -38,7 +39,7 @@ class FunctionsSpec extends SparkSpec {
     val viaHof = docs.selectExpr("text",
       """aggregate(
            transform(sequence(0, 63),
-             i -> ascii(substring(text, cast(1 + (i * length(text)) div 64 as int), 1)) div 32),
+             i -> least(ascii(substring(text, cast(1 + (i * length(text)) div 64 as int), 1)) div 32, 7)),
            0L, (acc, c) -> acc + shiftleft(1L, cast(7 * c as int))) AS pk""")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(viaKernel === viaHof)

@@ -235,6 +235,40 @@ class StreamBatchParitySpec extends SparkSpec {
     }
   }
 
+  test("motif state survives a one-event first micro-batch (boundary trigram kept)") {
+    import spark.implicits._
+    // user 1's FIRST batch holds exactly one event: the (Option, Option)
+    // state must persist it, or the boundary-spanning trigram a>b>c is
+    // silently lost (the pre-fix (String, String) state could not
+    // represent a one-event history)
+    val mk = (id: Long, us: Long, tpe: String) => (id,
+      new java.sql.Timestamp(us / 1000), 1L, tpe, 1.0)
+    val batch1 = Seq(mk(1L, 1000000L, "a"))
+    val batch2 = Seq(mk(2L, 2000000L, "b"), mk(3L, 3000000L, "c"))
+    val schema = realEvents.schema
+    val in = Files.createTempDirectory("graft-motif-in")
+    def stage(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)],
+        name: String, mtime: Long): Unit = {
+      val tmp = in.resolve(s"tmp$name")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dst = in.resolve(s"$name.parquet")
+      Files.move(part, dst)
+      dst.toFile.setLastModified(System.currentTimeMillis() + mtime)
+    }
+    stage(batch1, "b1", 0L)
+    stage(batch2, "b2", 5000L)
+    val result = runStream(in, schema,
+      st => StreamOps.motifTriples(
+        st.select("event_id", "ts", "user_id", "event_type")
+          .as[StreamOps.EventRow]).toDF())
+    val motifs = result.select("motif").collect().map(_.getString(0)).sorted
+    assert(motifs.toSeq === Seq("a>b>c"),
+      s"boundary trigram must survive the one-event batch: ${motifs.toSeq}")
+  }
+
   test("streaming CDC compaction + CdcMerge apply equal the batch q118 merge") {
     import spark.implicits._
     import graft.operators.CdcMerge
