@@ -86,6 +86,8 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q141    graft.queries.Events     — day-of-week × hour activity heatmap
   *   q142    graft.queries.Events     — referential-integrity audit
   *   q143    graft.queries.Curation   — length-bucketed padding-waste audit
+  *   q144    graft.queries.TextOps    — cross-source syndication detection
+  *   q145    graft.queries.Events     — event co-occurrence lift (baskets)
   */
 object SparkEntry {
 

@@ -814,6 +814,60 @@ object Events {
             .otherwise(0).as("is_anomaly"))
     },
 
+    // --------------------------------------------------------------- q145
+    // Behavioral co-occurrence lift: for every event-type pair, how
+    // much more often users perform BOTH on the same day than
+    // independence predicts — the market-basket primitive on event
+    // streams. Baskets are DISTINCT (user, day, type) rows (one keyed
+    // dedup); the pair join runs over baskets per (user, day) with
+    // type_a < type_b, so candidates per basket are ≤ C(types, 2) at
+    // any corpus size. lift = n_ab·n_baskets/(n_a·n_b) — exact BIGINT
+    // cross-products, one final double division.
+    Q(
+      "q145_cooccurrence_lift",
+      Some("""
+        WITH b AS (
+          SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                 event_type
+          FROM events),
+        nb AS (SELECT CAST(COUNT(DISTINCT (user_id, day)) AS BIGINT) AS n FROM b),
+        single AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n1
+          FROM b GROUP BY event_type),
+        pairs AS (
+          SELECT x.event_type AS type_a, y.event_type AS type_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_ab
+          FROM b x JOIN b y
+            ON x.user_id = y.user_id AND x.day = y.day
+           AND x.event_type < y.event_type
+          GROUP BY x.event_type, y.event_type)
+        SELECT p.type_a, p.type_b, p.n_ab, sa.n1 AS n_a, sb.n1 AS n_b,
+               CAST(p.n_ab * nb.n AS DOUBLE) / (sa.n1 * sb.n1) AS lift
+        FROM pairs p
+        JOIN single sa ON sa.event_type = p.type_a
+        JOIN single sb ON sb.event_type = p.type_b
+        CROSS JOIN nb""")
+    ) { (s, dir) =>
+      val b = t(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("date").as("day"), col("event_type"))
+        .distinct()
+      val nb = b.select("user_id", "day").distinct()
+        .agg(count(lit(1)).as("n"))
+      val single = b.groupBy("event_type").agg(count(lit(1)).as("n1"))
+      val pairs = b.as("x")
+        .join(b.as("y"),
+          col("x.user_id") === col("y.user_id") && col("x.day") === col("y.day") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(single.select(col("event_type").as("type_a"), col("n1").as("n_a"))), "type_a")
+        .join(broadcast(single.select(col("event_type").as("type_b"), col("n1").as("n_b"))), "type_b")
+        .crossJoin(broadcast(nb))
+        .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"), col("n_b"),
+          ((col("n_ab") * col("n")).cast("double") / (col("n_a") * col("n_b"))).as("lift"))
+    },
+
     // --------------------------------------------------------------- q141
     // Activity heatmap: event counts + exact-decimal value totals by
     // (day-of-week, hour-of-day) per event type — the weekly-rhythm

@@ -1046,6 +1046,44 @@ object TextOps {
         (sum(col("n") - 1).cast("double") / sum(col("n"))).as("dup_rate"))
     },
 
+    // --------------------------------------------------------------- q144
+    // Cross-source content syndication: which source PAIRS share
+    // identical documents — the provenance complement to q125's
+    // vocabulary overlap (same content in two sources means mirroring /
+    // scraping loops, and deduping within one source misses it). The
+    // content key is the LEAD fingerprint — md5 of the first 64 chars
+    // (q55's thumb hash): syndicated copies keep their opening even
+    // when tails diverge, and a full-text hash goes vacuous on corpora
+    // where mirrors edit anything at all. Groups come from one hash
+    // groupBy in DISTINCT (fp, source) space; the pair join runs over
+    // that collapsed table (bounded by fp-groups × sources, never
+    // docs²). Output per source pair: shared contents, docs per side.
+    Q(
+      "q144_syndication",
+      Some("""
+        WITH fs AS (
+          SELECT md5(substring(text, 1, 64)) AS fp, source,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY md5(substring(text, 1, 64)), source)
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_contents,
+               CAST(SUM(a.n_docs) AS BIGINT) AS docs_a,
+               CAST(SUM(b.n_docs) AS BIGINT) AS docs_b
+        FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
+        GROUP BY a.source, b.source""")
+    ) { (s, dir) =>
+      val fs = t(s, dir, "documents")
+        .groupBy(md5(substring(col("text"), 1, 64)).as("fp"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      fs.as("a")
+        .join(fs.as("b"),
+          col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared_contents"),
+          sum(col("a.n_docs")).as("docs_a"),
+          sum(col("b.n_docs")).as("docs_b"))
+    },
+
     // --------------------------------------------------------------- q135
     // Tokenizer health per language: chars-per-BPE-token (the
     // compression ratio a tokenizer is judged by), mean token length,

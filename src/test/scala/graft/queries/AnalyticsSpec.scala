@@ -1061,6 +1061,50 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q144 syndication pairs replay from collected lead fingerprints") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("source"), md5(substring(col("text"), 1, 64)).as("fp"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val fs = docs.groupBy(identity).map { case ((src, fp), v) => (fp, src, v.length.toLong) }
+    val truth = (for {
+      (fp, sa, na) <- fs; (fp2, sb, nb) <- fs
+      if fp2 == fp && sa < sb
+    } yield ((sa, sb), (na, nb))).groupBy(_._1).map { case (k, xs) =>
+      k -> ((xs.size.toLong, xs.map(_._2._1).sum, xs.map(_._2._2).sum))
+    }
+    val got = run("q144_syndication").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === truth)
+    assert(got.nonEmpty, "corpus must show cross-source syndication")
+  }
+
+  test("q145 lift replays from collected daily baskets") {
+    val b = graft.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("ts").cast("date").cast("string").as("day"),
+        col("event_type"))
+      .distinct().collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getString(2)))
+    val baskets = b.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nB = baskets.size.toLong
+    val types = b.map(_._2).distinct.sorted
+    val n1 = types.map(t => t -> baskets.values.count(_(t)).toLong).toMap
+    val truth = (for {
+      ta <- types; tb <- types if ta < tb
+      nab = baskets.values.count(s => s(ta) && s(tb)).toLong if nab > 0
+    } yield (ta, tb) -> ((nab, n1(ta), n1(tb),
+      (nab * nB).toDouble / (n1(ta) * n1(tb))))).toMap
+    val got = run("q145_cooccurrence_lift").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet === truth.keySet)
+    truth.foreach { case (k, (nab, na, nb2, lift)) =>
+      val g = got(k)
+      assert((g._1, g._2, g._3) === ((nab, na, nb2)), s"$k counts")
+      assert(math.abs(g._4 - lift) < 1e-12, s"$k lift")
+    }
+  }
+
   test("q116 diversity metrics replay exactly from collected token counts") {
     val docs = graft.Tables.load(spark, sf, "documents")
       .select("source", "text")
