@@ -46,24 +46,34 @@ object CdcMerge {
     *
     * Output: `keyCol`, `action` ∈ {kept, updated, inserted, deleted,
     * noop_delete}, `final_value`, plus every extra change column.
+    * Every change-side column resolves against the change frame's own
+    * attributes (Dataset.col, not name lookup), so change columns may
+    * share names with base columns — the only reserved names are the
+    * outputs `action` and `final_value`.
     */
   def merge(base: DataFrame, changes: DataFrame, keyCol: String,
       baseValueCol: String, chgValueCol: String, opCol: String): DataFrame = {
     val ck = "__chg_key"
     val chg = changes.withColumnRenamed(keyCol, ck)
+    // bind every reference to its side's plan up front — an unqualified
+    // col("x") after the join is ambiguous the moment both inputs carry
+    // an "x" (op/value/passthrough name collisions with base columns)
+    val bKey = base.col(keyCol)
+    val cKey = chg.col(ck)
+    val cOp = chg.col(opCol)
     val passthrough = chg.columns.filter(c => c != ck && c != chgValueCol && c != opCol)
-    base.join(chg, col(keyCol) === col(ck), "full_outer")
+    base.join(chg, bKey === cKey, "full_outer")
       .select(
         Seq(
-          coalesce(col(keyCol), col(ck)).as(keyCol),
-          when(col(ck).isNull, "kept")
-            .when(col(opCol) === "delete" && col(keyCol).isNotNull, "deleted")
-            .when(col(opCol) === "delete", "noop_delete")
-            .when(col(keyCol).isNull, "inserted")
+          coalesce(bKey, cKey).as(keyCol),
+          when(cKey.isNull, "kept")
+            .when(cOp === "delete" && bKey.isNotNull, "deleted")
+            .when(cOp === "delete", "noop_delete")
+            .when(bKey.isNull, "inserted")
             .otherwise("updated").as("action"),
-          when(col(ck).isNull, col(baseValueCol))
-            .when(col(opCol) === "delete", lit(null).cast(base.schema(baseValueCol).dataType))
-            .otherwise(col(chgValueCol)).as("final_value")) ++
-          passthrough.map(col): _*)
+          when(cKey.isNull, base.col(baseValueCol))
+            .when(cOp === "delete", lit(null).cast(base.schema(baseValueCol).dataType))
+            .otherwise(chg.col(chgValueCol)).as("final_value")) ++
+          passthrough.map(c => chg.col(c)): _*)
   }
 }

@@ -746,10 +746,15 @@ object Curation {
     // w_s = floor(10⁴·√n_s) quantizes the one IEEE sqrt, so the
     // normalizer Z = Σw_s is an order-free BIGINT sum (never a double
     // sum), and thr_s = min(10⁴, (K·w_s·10⁴) div (Z·n_s)) is pure
-    // integer arithmetic (q74's permyriad pattern). Keep decision =
-    // salted Knuth doc_id hash < thr — reproducible, re-derives
-    // identically on backfill. Per-source stats and the one-row total
-    // BROADCAST back; the corpus never shuffles.
+    // integer arithmetic (q74's permyriad pattern). The threshold
+    // numerator K·w_s·10⁴ exceeds 2⁶³ once the corpus passes ~10⁸
+    // docs (K ~ N/2, w ~ 10⁴√N), so the division runs in 128-bit —
+    // DECIMAL(38,0) here, HUGEINT in the oracle: exact and identical
+    // in both engines up to K·w·10⁴ < 10³⁸, i.e. any corpus under
+    // ~10¹⁸ documents. Keep decision = salted Knuth doc_id hash <
+    // thr — reproducible, re-derives identically on backfill.
+    // Per-source stats and the one-row total BROADCAST back; the
+    // corpus never shuffles.
     Q(
       "q122_temperature_mix",
       Some(s"""
@@ -766,7 +771,9 @@ object Curation {
           FROM w),
         thr AS (
           SELECT w.source, w.n, w.w,
-                 LEAST(10000, (t.k * w.w * 10000) // (t.z * w.n)) AS thr_permyriad
+                 CAST(LEAST(10000, (CAST(t.k AS HUGEINT) * w.w * 10000)
+                                   // (CAST(t.z AS HUGEINT) * w.n)) AS BIGINT)
+                   AS thr_permyriad
           FROM w CROSS JOIN tot t)
         SELECT d.source, th.n, th.w, th.thr_permyriad,
                CAST(SUM(CASE WHEN ((d.doc_id + 7919) * 2654435761) % 4294967296
@@ -781,7 +788,9 @@ object Curation {
       val tot = st.agg(sum(col("w")).as("z"), expr("sum(n) div 2").as("k"))
       val thr = st.crossJoin(broadcast(tot))
         .select(col("source"), col("n"), col("w"),
-          least(lit(10000L), expr("(k * w * 10000) div (z * n)")).as("thr_permyriad"))
+          least(lit(10000L), expr(
+            "(CAST(k AS DECIMAL(38,0)) * w * 10000) div (CAST(z AS DECIMAL(38,0)) * n)"))
+            .as("thr_permyriad"))
       docs.join(broadcast(thr), "source")
         .groupBy("source", "n", "w", "thr_permyriad")
         .agg(sum(when(knuthCol(7919) % 10000 < col("thr_permyriad"), 1L)

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{Q, Tables}
+import graft.{Checkpoints, Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -10,14 +10,18 @@ import org.apache.spark.sql.functions._
   * serves in operators/MinHashLsh).
   *
   * Scale notes: each PageRank iteration is ONE join of the edge table
-  * with the (much smaller) rank table on the source key plus one
-  * aggregation on the destination key — the canonical two-shuffle
-  * vertex-program step. Edges and ranks hash-partition on the vertex
-  * id; nothing is ever collected, broadcast, or materialized
-  * driver-side, so the iteration count is the only serial dimension.
-  * At 100 TB the edge table partitioning is reused across iterations
-  * (same key, AQE keeps the exchange), exactly how GraphX/Pregel
-  * schedule it.
+  * with the rank table on the source key plus one aggregation on the
+  * destination key — the canonical two-shuffle vertex-program step.
+  * The rank side is VERTEX-SIZED (it grows with the corpus), so it is
+  * never broadcast: a Spark broadcast collects to the driver first,
+  * which is an OOM at 100× — the join is pinned to a shuffled hash
+  * join (`hint("shuffle_hash")`, PlanSpec-enforced). Edges and ranks
+  * hash-partition on the vertex id; nothing is ever collected,
+  * broadcast, or materialized driver-side, so the iteration count is
+  * the only serial dimension. The materialized edge list keeps its
+  * src partitioning across iterations (LogicalRDD preserves
+  * outputPartitioning through the checkpoint), exactly how
+  * GraphX/Pregel schedule it.
   *
   * Cross-engine determinism: ranks are FIXED-POINT integers (×10⁴).
   * Each step is r' = 1500 + (85 · Σ_in (r div outdeg)) div 100 — all
@@ -46,14 +50,16 @@ object Graph {
           UNION ALL
           SELECT -s AS src, c AS dst FROM pairs)"""
 
-  /** The Spark side of the same derivation: the 2-column orders
-    * projection broadcasts (~16 B/row) so lineitem never shuffles for
-    * the pair join; both edge directions come from ONE explode pass
-    * (a self-union would re-execute the pair subtree twice). Columns:
-    * (src, dst). */
+  /** The Spark side of the same derivation: orders and lineitem are
+    * BOTH fact tables (each grows with the corpus), so their pair join
+    * is a sort-merge join on the order key — never a broadcast, which
+    * would collect a corpus-sized projection to the driver at 100×.
+    * Both edge directions come from ONE explode pass (a self-union
+    * would re-execute the pair subtree twice). Columns: (src, dst). */
   private def tradingEdges(s: SparkSession, dir: String): DataFrame = {
-    val orders = broadcast(t(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey")))
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .hint("merge")
     t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
       .join(orders, col("l_orderkey") === col("o_orderkey"))
@@ -100,24 +106,27 @@ object Graph {
       // count over the same src partitioning (no degree join).
       val edges = tradingEdges(s, dir)
       // Materialize the degree-annotated edge list ONCE. Iterative
-      // DataFrame lineages re-execute shared subtrees: the (small) rank
-      // table broadcasts into every iteration, leaving no exchange on
-      // the streamed edge side for ReuseExchange to match, so the whole
-      // edge pipeline re-ran per iteration and per lineage reference
-      // (measured 5.1s at sf0.1; 2.7s after). localCheckpoint truncates
-      // the lineage to the computed blocks — the exact move
-      // GraphX/Pregel make by caching the edge RDD between supersteps
-      // (a cluster deploy would use a reliable checkpoint dir; the
-      // data flow is identical).
-      val ed = edges
+      // DataFrame lineages re-execute shared subtrees: without the
+      // checkpoint the whole edge pipeline re-ran per iteration and
+      // per lineage reference (measured 5.1s at sf0.1; 2.7s after).
+      // Checkpoints.materialize truncates the lineage to the computed
+      // blocks — the exact move GraphX/Pregel make by caching the edge
+      // RDD between supersteps (spark.graft.checkpointDir flips it to
+      // a reliable checkpoint for cluster deploys).
+      val ed = Checkpoints.materialize(edges
         .withColumn("outdeg", count(lit(1))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
-        .localCheckpoint()
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("src"))))
       // node set off the materialized edges — never re-derives the base
       val r0 = ed.select(col("src").as("node")).distinct()
         .withColumn("r", lit(rankOne))
+      // the rank table is VERTEX-SIZED — it grows with the corpus, so
+      // broadcasting it (a driver-side collect) is the 100× OOM. The
+      // shuffle_hash hint pins a shuffled hash join: ranks shuffle on
+      // node (they just aggregated on it — cheap), the edge side keeps
+      // its materialized src partitioning, and the per-partition build
+      // is O(vertices/partitions) — the scale-safe vertex step.
       val r3 = (1 to 3).foldLeft(r0) { (r, _) =>
-        ed.join(broadcast(r), col("node") === col("src"))
+        ed.join(r.hint("shuffle_hash"), col("node") === col("src"))
           .groupBy(col("dst"))
           .agg(sum(expr("r div outdeg")).as("contrib"))
           .select(col("dst").as("node"),
@@ -154,8 +163,7 @@ object Graph {
       // materialize the edge list BEFORE the recursion — a CTE inlines
       // into every recursion level, re-deriving the orders⋈lineitem
       // distinct per depth (the q94 lesson applied to WITH RECURSIVE)
-      tradingEdges(s, dir)
-        .localCheckpoint()
+      Checkpoints.materialize(tradingEdges(s, dir))
         .createOrReplaceTempView("g_edges")
       s.sql("""
         WITH RECURSIVE
@@ -183,8 +191,15 @@ object Graph {
     // wedge-join-then-close plan materializes at sf0.1 never exists
     // (2.9s → see BENCHNOTES), and the wedge COUNT comes free from the
     // degree table as Σ_v in⁺(v)·out⁺(v). The adjacency table is
-    // node-sized and BROADCASTS; at graph sizes where it cannot, the
-    // same two joins run shuffled — still no wedge materialization.
+    // VERTEX-SIZED — it grows with the corpus — so the two closure
+    // joins are pinned to shuffled hash joins on u / v
+    // (hint("shuffle_hash"), PlanSpec-enforced): broadcasting adj
+    // collects it to the driver first, the 100× OOM. Adjacency-array
+    // width for hub suppliers is bounded in practice by the customer
+    // cap (a supplier's projected degree ≤ 20 × its customer count);
+    // a corpus where supplier hubs still blow the array out would add
+    // a supplier-side cap with the same declared-bound contract as
+    // q87's stop-bucket. Only the four ONE-ROW aggregates broadcast.
     // All counts exact BIGINTs; the closure ratio is one final division.
     Q(
       "q123_triangle_census",
@@ -221,8 +236,11 @@ object Graph {
                  / (SELECT SUM(inp * outp) FROM deg) AS closure_ratio
         FROM tri""")
     ) { (s, dir) =>
-      val orders = broadcast(t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey")))
+      // fact⋈fact pair derivation — same sort-merge posture as
+      // tradingEdges (neither side may broadcast at corpus scale)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .hint("merge")
       val pairs = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"))
         .join(orders, col("l_orderkey") === col("o_orderkey"))
@@ -233,22 +251,23 @@ object Graph {
       val kp = pairs.join(keepc, "c")
       // projection + degree + adjacency re-reference kp/proj —
       // materialize once (the q94/q104 loop-invariant lesson)
-      val kpM = kp.localCheckpoint()
-      val proj = kpM.as("a")
+      val kpM = Checkpoints.materialize(kp)
+      val proj = Checkpoints.materialize(kpM.as("a")
         .join(kpM.as("b"),
           col("a.c") === col("b.c") && col("a.s") < col("b.s"))
         .select(col("a.s").as("u"), col("b.s").as("v"))
-        .distinct()
-        .localCheckpoint()
+        .distinct())
       val deg = proj.select(col("u").as("node"), lit(1L).as("outc"), lit(0L).as("inc"))
         .unionAll(proj.select(col("v").as("node"), lit(0L).as("outc"), lit(1L).as("inc")))
         .groupBy("node").agg(sum("outc").as("outp"), sum("inc").as("inp"))
       val adj = proj.groupBy("u").agg(sort_array(collect_list(col("v"))).as("nbrs"))
+      // vertex-sized adjacency attaches via shuffled hash joins on the
+      // edge endpoints — never broadcast (see the scale note above)
       val tri = proj
-        .join(broadcast(adj.select(col("u").as("au"), col("nbrs").as("nu"))),
-          col("au") === col("u"))
-        .join(broadcast(adj.select(col("u").as("av"), col("nbrs").as("nv"))),
-          col("av") === col("v"), "left")
+        .join(adj.select(col("u").as("au"), col("nbrs").as("nu"))
+          .hint("shuffle_hash"), col("au") === col("u"))
+        .join(adj.select(col("u").as("av"), col("nbrs").as("nv"))
+          .hint("shuffle_hash"), col("av") === col("v"), "left")
         .agg(sum(coalesce(size(array_intersect(col("nu"), col("nv"))), lit(0))
           .cast("long")).as("n_triangles"))
       // four one-row aggregates composed in ONE declarative plan

@@ -995,7 +995,11 @@ object Relational {
     // key-cardinality-sized. Percentiles on integer frequencies via
     // the proven percentile == quantile_cont match; skew candidates
     // use the exact cross-multiplied integer test (freq·n_keys >
-    // 4·total).
+    // 4·total). Declared scale bound: the test is exact while
+    // max-freq·n_keys < 2⁶³ (e.g. 10⁹ distinct keys × 9·10⁹ top
+    // frequency); beyond it, compare freq against the precomputed
+    // 4·total div n_keys mean instead — one floor-div of headroom-safe
+    // operands, the q127 trade.
     Q(
       "q131_skew_report",
       Some("""

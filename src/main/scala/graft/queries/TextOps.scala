@@ -799,6 +799,11 @@ object TextOps {
     // fold of the vocabulary table. The second stage is VOCABULARY-
     // bounded, so at 100 TB the expensive shuffle is the first keyed
     // count and everything after is negligible.
+    // Declared scale bound: Σc² is exact while the top per-source
+    // token count stays under ~3·10⁹ (c² < 2⁶³); past that Spark
+    // wraps where DuckDB errors. A corpus beyond the bound takes
+    // q127's move — per-million-quantized rates before squaring —
+    // trading exactness for headroom.
     Q(
       "q116_lexical_diversity",
       Some("""
@@ -953,6 +958,11 @@ object TextOps {
     // shuffle each for pairs/unigrams; top-20 via
     // TakeOrderedAndProject. qpmi = floor(log2(c_xy·N)) −
     // floor(log2(c_x·c_y)) — the same quantization both engines.
+    // Declared scale bound: the products c_xy·N and c_x·c_y are exact
+    // while max-count·N < 2⁶³ — with N tokens ≤ 10¹⁴ that caps the
+    // top unigram count at ~9·10⁴ × (10¹⁴/N); a corpus past it
+    // rescales counts to per-million rates first (the q127 fallback)
+    // at the cost of one quantization step in the ranking.
     Q(
       "q133_collocations",
       Some("""

@@ -312,7 +312,8 @@ object Vectors {
       // ReuseExchange to share), and this frame is referenced three
       // times below — without the checkpoint the scan + quantize +
       // argmin re-execute per reference (the q94 lesson)
-      val assigned = graft.operators.Ivf.assign(base, "qv", cents).localCheckpoint()
+      val assigned = graft.Checkpoints.materialize(
+        graft.operators.Ivf.assign(base, "qv", cents))
       val a = assigned.select(col("vec_id").as("id_a"), col("qv").as("qv_a"),
         col("qn").as("qn_a"), col("centroid_id"))
       val b = assigned.select(col("vec_id").as("id_b"), col("qv").as("qv_b"),
@@ -425,7 +426,8 @@ object Vectors {
       // aggregator pass — the corpus is scanned exactly once, with no
       // explode anywhere; checkpointed so the two unflattens below
       // don't re-run the pass
-      val one = normed.agg(covUdaf(col("qv")).as("st")).localCheckpoint()
+      val one = graft.Checkpoints.materialize(
+        normed.agg(covUdaf(col("qv")).as("st")))
       val cells = one.select(col("st.n").as("n"),
         posexplode(col("st.sums")).as(Seq("k", "sxy")))
       val idx = graft.functions.CovMatrix.pairIndex(64).toDF("k", "i0", "j0")
@@ -689,10 +691,10 @@ object Vectors {
       // referenced twice below (scoring + the final left join) —
       // materialize once (the q89 lesson: map-side assign has no
       // exchange for ReuseExchange to share)
-      val ab = graft.operators.Ivf.assign(batch, "qv", cents)
-        .select(col("vec_id"), col("qv").as("qv_b"),
-          col("qn").as("qn_b"), col("centroid_id"))
-        .localCheckpoint()
+      val ab = graft.Checkpoints.materialize(
+        graft.operators.Ivf.assign(batch, "qv", cents)
+          .select(col("vec_id"), col("qv").as("qv_b"),
+            col("qn").as("qn_b"), col("centroid_id")))
       val w = Window.partitionBy("vec_id").orderBy(desc("score"), col("match_id"))
       val best = ab.join(ai, Seq("centroid_id"))
         .withColumn("dot", dotCol("qv_a", "qv_b"))
@@ -720,6 +722,11 @@ object Vectors {
     // flags); zero-variance dimensions emit 0 (declared). The 64-row
     // stats table broadcasts sorted; the whole transform is ONE
     // projection per vector — no corpus explode, no join shuffle.
+    // Output contract: the 64 z-scores serialize to ONE canonical
+    // comma-joined string per vector (identical BIGINT rendering in
+    // both engines) — scalar columns only, so the oracle harness can
+    // sort and hash rows (an array<bigint> column crashed its pandas
+    // sort; AnalyticsSpec replays the numeric values).
     Q(
       "q139_whiten",
       Some(s"""
@@ -734,7 +741,7 @@ object Vectors {
           GROUP BY i),
         starr AS (SELECT list_sort(list((i, sx, sxx, n))) AS st FROM dim_stats)
         SELECT v.vec_id,
-               list_transform(range(1, 65), i -> CASE
+               array_to_string(list_transform(range(1, 65), i -> CASE
                  WHEN st[CAST(i AS INT)][4] * st[CAST(i AS INT)][3]
                       - st[CAST(i AS INT)][2] * st[CAST(i AS INT)][2] <= 0 THEN 0
                  ELSE CAST(round(
@@ -742,7 +749,7 @@ object Vectors {
                                 - st[CAST(i AS INT)][2]) AS DOUBLE)
                    / sqrt(CAST(st[CAST(i AS INT)][4] * st[CAST(i AS INT)][3]
                                - st[CAST(i AS INT)][2] * st[CAST(i AS INT)][2] AS DOUBLE)))
-                   AS BIGINT) END) AS zq
+                   AS BIGINT) END), ',') AS zq
         FROM normed v CROSS JOIN starr""")
     ) { (s, dir) =>
       val normed = quantized(s, dir).select(col("vec_id"), col("qv"))
@@ -756,7 +763,7 @@ object Vectors {
         collect_list(struct(col("i"), col("sx"), col("sxx"), col("n")))).as("__st"))
       normed.crossJoin(broadcast(statArr))
         .select(col("vec_id"), expr(
-          """transform(sequence(1, 64), i -> CASE
+          """concat_ws(',', transform(sequence(1, 64), i -> CAST(CASE
                WHEN element_at(__st, i).n * element_at(__st, i).sxx
                     - element_at(__st, i).sx * element_at(__st, i).sx <= 0 THEN 0L
                ELSE CAST(round(
@@ -764,7 +771,7 @@ object Vectors {
                               - element_at(__st, i).sx) AS DOUBLE)
                  / sqrt(CAST(element_at(__st, i).n * element_at(__st, i).sxx
                              - element_at(__st, i).sx * element_at(__st, i).sx AS DOUBLE)))
-                 AS BIGINT) END)""").as("zq"))
+                 AS BIGINT) END AS STRING)))""").as("zq"))
     },
   )
 

@@ -217,4 +217,23 @@ class OperatorPropertySpec extends SparkSpec {
       assert(got === expected, s"seed $seed")
     }
   }
+
+  test("CdcMerge: change columns may collide with base column names") {
+    import spark.implicits._
+    // base carries extra columns named exactly like the change set's
+    // op + value + passthrough columns — every reference must resolve
+    // against its own side (the documented non-reserved-name contract)
+    val base = Seq((1L, 10.0, "base-op", 0.0, "base-src"), (2L, 20.0, "base-op", 0.0, "base-src"))
+      .toDF("key", "base_value", "op", "chg_value", "src")
+    val chg = Seq((2L, 22.0, "upsert", "chg-src"), (3L, 33.0, "delete", "chg-src"))
+      .toDF("key", "chg_value", "op", "src")
+    val got = CdcMerge.merge(base, chg, "key", "base_value", "chg_value", "op")
+      .select("key", "action", "final_value", "src")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getString(3))).toSet
+    assert(got === Set(
+      (1L, "kept", Some(10.0), null),
+      (2L, "updated", Some(22.0), "chg-src"),
+      (3L, "noop_delete", None, "chg-src")))
+  }
 }

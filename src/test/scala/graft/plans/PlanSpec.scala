@@ -515,6 +515,29 @@ class PlanSpec extends SparkSpec {
     }
     assert(equiJoins.nonEmpty && equiJoins.forall(_.nonEmpty),
       s"all joins key on a vertex id:\n$p")
+    // the rank table is vertex-sized (grows with the corpus): a
+    // broadcast would collect it to the driver every iteration — the
+    // 100× OOM. Pin: NO broadcast of any vertex-derived side; all
+    // three iterations run as shuffled hash joins.
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+      s"no vertex-derived side may broadcast:\n$p")
+    assert(p.collect { case j: ShuffledHashJoinExec => j }.length >= 3,
+      s"each iteration is a shuffled hash join of edges with ranks:\n$p")
+  }
+
+  test("q123: adjacency joins shuffle — no vertex-sized broadcast anywhere") {
+    val p = plan("q123_triangle_census")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"no cartesian product:\n$p")
+    // the adjacency table grows with the corpus: broadcasting it is a
+    // driver-side collect that dies at 100×. Pin: both closure joins
+    // (proj⋈adj on u, proj⋈adj on v) are shuffled hash joins; the only
+    // broadcast-side joins left are the one-row census aggregates
+    // (BroadcastNestedLoopJoin of single-row frames — bounded).
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+      s"no vertex-sized side may broadcast:\n$p")
+    assert(p.collect { case j: ShuffledHashJoinExec => j }.length === 2,
+      s"wedge-closure must be two shuffled adjacency joins:\n$p")
   }
 
   test("q95: BPE pair counting joins nothing; top-k is TakeOrderedAndProject") {

@@ -816,10 +816,15 @@ class AnalyticsSpec extends SparkSpec {
     val docs = graft.Tables.load(spark, sf, "documents")
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1))).filter(_._2.nonEmpty)
+    // CODE-POINT indexed, like the kernel, the Spark HOF, and the
+    // DuckDB oracle (substr/ascii are code-point semantics): a
+    // charAt/length (UTF-16 unit) replay diverges on astral text
     def signature(text: String): String = {
+      val cps = text.codePoints().toArray
+      val n = cps.length
       val cls = (0 to 63).map { i =>
-        val pos = (i * text.length) / 64 // i, len >= 0: div == floorDiv
-        text.charAt(pos).toInt / 32
+        val pos = ((i.toLong * n) / 64).toInt // i, n >= 0: div == floorDiv
+        math.min(cps(pos) / 32, 7)
       }
       (0 to 7).map(b => cls.count(_ == b) / 8).mkString("-")
     }
@@ -837,6 +842,18 @@ class AnalyticsSpec extends SparkSpec {
         s"exact duplicate group of ${xs.length} must cluster")
     }
     assert(got.nonEmpty, "corpus must produce at least one signature cluster")
+    // astral (non-BMP) text: the sf corpora are BMP-only, so pin the
+    // code-point contract directly against the kernel — surrogate
+    // pairs count as ONE sampled position, and the ≥224 clamp folds
+    // astral code points into class 7
+    val astral = "a😀b🔥c" // a😀b🔥c — 5 code points
+    val pk = graft.functions.PayloadSigKernel.packedSig(
+      org.apache.spark.unsafe.types.UTF8String.fromString(astral))
+    val cpsA = astral.codePoints().toArray
+    val expectedPk = (0 to 63).map { i =>
+      1L << (7 * math.min(cpsA(((i.toLong * cpsA.length) / 64).toInt) / 32, 7))
+    }.sum
+    assert(pk === expectedPk, "kernel must sample astral text by code point")
   }
 
   test("q133 collocation top-20 replays from bigram/unigram counts") {
@@ -972,8 +989,10 @@ class AnalyticsSpec extends SparkSpec {
         else math.round(1000.0 * (qv(d) * n - sx) / math.sqrt(den.toDouble))
       }.toArray
     }
+    // output contract: z-scores arrive comma-packed in one canonical
+    // string (scalar columns only, for the oracle hash) — parse back
     val got = run("q139_whiten").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+      .map(r => r.getLong(0) -> r.getString(1).split(",", -1).map(_.toLong)).toMap
     assert(got.keySet === truth.keySet)
     truth.foreach { case (id, z) =>
       assert(got(id).toSeq === z.toSeq, s"vec $id")
