@@ -88,6 +88,7 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q143    graft.queries.Curation   — length-bucketed padding-waste audit
   *   q144    graft.queries.TextOps    — cross-source syndication detection
   *   q145    graft.queries.Events     — event co-occurrence lift (baskets)
+  *   q146    graft.queries.Vectors    — ANN recall-vs-probe sweep
   */
 object SparkEntry {
 

@@ -28,7 +28,12 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  /** nCentroids cells, each query probes the nProbe nearest. */
+  /** nCentroids cells, each query probes the nProbe nearest. nProbe
+    * is THE recall/cost knob: probed cells are prefix-nested, so
+    * recall@k is monotone non-decreasing in nProbe, reaching exactly
+    * 1.0 at nProbe = nCentroids (exhaustive probe). q146 publishes
+    * the measured recall-vs-probe curve; q65 the default operating
+    * point. */
   final case class Config(nCentroids: Int, nProbe: Int) {
     require(nCentroids >= 1 && nProbe >= 1 && nProbe <= nCentroids,
       "need 1 <= nProbe <= nCentroids")

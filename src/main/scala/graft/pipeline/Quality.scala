@@ -46,12 +46,64 @@ object Quality {
     }
   }
 
-  /** The reference's two check suites, replayed as a config literal. */
+  /** The reference's two check suites, replayed as a config literal —
+    * the fallback when no check file is configured. */
   val silverSuite: Seq[Check] = Seq(
     Check("silver_row_count_gt_0", RowCount))
   val goldSuite: Seq[Check] = Seq(
     Check("gold_row_count_gt_0", RowCount),
     Check("gold_max_brewery_count_gt_0", MaxOf("brewery_count")))
+
+  /** Names of the two datasets check files address — the reference's
+    * YAML header keys (soda/checks/gold_breweries.yml:1,
+    * soda/checks/silver_breweries.yml:4-5). */
+  val SilverDataset = "silver_breweries"
+  val GoldDataset = "gold_breweries_counts"
+
+  /** Parses a check-suite file in the reference's shape
+    * (/root/reference/soda/checks/gold_breweries.yml):
+    *
+    * {{{
+    * checks for gold_breweries_counts:
+    *   - row_count > 0
+    *   - max(brewery_count) > 0
+    * }}}
+    *
+    * Metrics: `row_count` | `max(col)`; the only comparator is the
+    * strict `>` both reference suites use. Blank lines and `#`
+    * comments skip; an unparseable line FAILS the load (a silently
+    * dropped expectation is a check that never runs). Check names
+    * derive deterministically (`<layer>_<metric>_gt_<bound>`) and
+    * reproduce the in-code suite names for the reference's files. */
+  def parseSuites(text: String): Map[String, Seq[Check]] = {
+    val header = """checks for\s+([A-Za-z0-9_.]+):""".r
+    val rule = """-\s*(?:row_count|max\((\w+)\))\s*>\s*(-?\d+)""".r
+    var current: Option[String] = None
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Check]]
+    text.linesIterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .foreach {
+        case header(ds) =>
+          current = Some(ds)
+          out.getOrElseUpdate(ds, Seq.empty)
+        case line @ rule(colName, bound) =>
+          val ds = current.getOrElse(
+            sys.error(s"check rule before any 'checks for <dataset>:' header: $line"))
+          val prefix = ds.takeWhile(_ != '_')
+          val (metric, slug) =
+            if (colName == null) (RowCount: Metric, "row_count")
+            else (MaxOf(colName), s"max_$colName")
+          out(ds) = out(ds) :+ Check(s"${prefix}_${slug}_gt_$bound", metric, bound.toLong)
+        case other => sys.error(s"unparseable quality check line: $other")
+      }
+    out.toMap
+  }
+
+  /** Loads [[parseSuites]] from a file. */
+  def loadSuites(path: String): Map[String, Seq[Check]] =
+    parseSuites(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
 
   def silverChecks(silver: DataFrame): Seq[CheckResult] =
     evaluate(silver, silverSuite)
@@ -59,11 +111,18 @@ object Quality {
   def goldChecks(gold: DataFrame): Seq[CheckResult] =
     evaluate(gold, goldSuite)
 
+  /** Runs both layer suites; `settings.qualityChecksPath` (env
+    * QUALITY_CHECKS_PATH) switches from the in-code literals to the
+    * file-driven suites — checks as configuration, the reference's
+    * operational shape. A dataset absent from the file falls back to
+    * its in-code default (never silently check-less). */
   def run(spark: SparkSession, settings: Settings,
       ingestionDate: String): Seq[CheckResult] = {
+    val suites = settings.qualityChecksPath.map(loadSuites).getOrElse(Map.empty)
     val silver = spark.read.parquet(settings.silverDir(ingestionDate))
     val gold = spark.read.parquet(settings.warehouseTableDir)
       .filter(col("ingestion_date") === to_date(lit(ingestionDate)))
-    silverChecks(silver) ++ goldChecks(gold)
+    evaluate(silver, suites.getOrElse(SilverDataset, silverSuite)) ++
+      evaluate(gold, suites.getOrElse(GoldDataset, goldSuite))
   }
 }

@@ -26,7 +26,8 @@ final case class Settings(
     s3Endpoint: String = "http://minio:9000",
     awsKey: String = "minio",
     awsSecret: String = "minio12345",
-    awsRegion: String = "us-east-1") {
+    awsRegion: String = "us-east-1",
+    qualityChecksPath: Option[String] = None) {
 
   def bronzeDir(ingestionDate: String): String =
     s"${bronzeRoot.getOrElse(lakeRoot)}/$bronzePrefix/breweries/ingestion_date=$ingestionDate"
@@ -57,5 +58,6 @@ object Settings {
     s3Endpoint = env.getOrElse("S3_ENDPOINT_URL", "http://minio:9000"),
     awsKey = env.getOrElse("AWS_ACCESS_KEY_ID", "minio"),
     awsSecret = env.getOrElse("AWS_SECRET_ACCESS_KEY", "minio12345"),
-    awsRegion = env.getOrElse("AWS_DEFAULT_REGION", "us-east-1"))
+    awsRegion = env.getOrElse("AWS_DEFAULT_REGION", "us-east-1"),
+    qualityChecksPath = env.get("QUALITY_CHECKS_PATH"))
 }

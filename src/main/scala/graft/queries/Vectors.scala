@@ -266,6 +266,44 @@ object Vectors {
         .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("k"))
     },
 
+    // --------------------------------------------------------------- q146
+    // ANN recall-vs-probe sweep: overall recall@5 of the IVF route at
+    // nProbe ∈ {2, 4, 8} against exact brute force — the tuning curve
+    // that picks the production probe setting (q65 reports one point;
+    // this reports the knob). Recall is provably MONOTONE in nProbe:
+    // probed cells are prefix-nested, so the candidate set only grows,
+    // and any candidate that displaces a true top-5 hit from the
+    // approximate top-5 must out-score it and is therefore itself in
+    // the exact top-5 (AnalyticsSpec pins the monotone property). At
+    // nProbe = nCentroids the probe is exhaustive and recall is
+    // exactly 1.0 — the documented ≥ 0.9 operating point. The exact
+    // ground truth is computed ONCE and materialized; each sweep
+    // point is one bucketed IVF search + a 100-row join.
+    Q(
+      "q146_recall_sweep",
+      Some(Seq(2, 4, 8).map { p =>
+        s"""
+        SELECT CAST($p AS BIGINT) AS n_probe,
+               CAST(COUNT(iv.vec_id) AS BIGINT) AS n_hits,
+               COUNT(*) AS k,
+               CAST(COUNT(iv.vec_id) AS DOUBLE) / COUNT(*) AS recall
+        FROM ($bruteTopkSql) bf
+        LEFT JOIN (${ivfTopkSqlAt(p)}) iv
+          ON iv.query_id = bf.query_id AND iv.vec_id = bf.vec_id"""
+      }.mkString("\n        UNION ALL\n"))
+    ) { (s, dir) =>
+      val bf = graft.Checkpoints.materialize(
+        bruteTopk(s, dir).select("query_id", "vec_id"))
+      Seq(2, 4, 8).map { p =>
+        val iv = ivfTopkAt(s, dir, p)
+          .select(col("query_id"), col("vec_id")).withColumn("hit", lit(1))
+        bf.join(iv, Seq("query_id", "vec_id"), "left")
+          .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("k"))
+          .select(lit(p.toLong).as("n_probe"), col("n_hits"), col("k"),
+            (col("n_hits").cast("double") / col("k")).as("recall"))
+      }.reduce(_ unionAll _)
+    },
+
     qSkewcap,
 
     // ---------------------------------------------------------------- q89
@@ -776,9 +814,12 @@ object Vectors {
   )
 
   /** IVF approximate top-5 — registered as q60 and re-used by q65
-    * (lazy: referenced from `all` above its definition). */
-  private lazy val ivfTopkSql: String = {
-        val cfg = ivfCfg
+    * (lazy: referenced from `all` above its definition). q146 sweeps
+    * the probe knob, so the SQL is parameterized on nProbe. */
+  private lazy val ivfTopkSql: String = ivfTopkSqlAt(ivfCfg.nProbe)
+
+  private def ivfTopkSqlAt(nProbe: Int): String = {
+        val cfg = ivfCfg.copy(nProbe = nProbe)
         s"""
         WITH normed0 AS ($quantizedSql),
         normed AS (SELECT vec_id, qv, qn FROM normed0 WHERE qn > 0),
@@ -813,14 +854,17 @@ object Vectors {
         WHERE rn <= 5"""
   }
 
-  private def ivfTopk(s: SparkSession, dir: String): DataFrame = {
+  private def ivfTopk(s: SparkSession, dir: String): DataFrame =
+    ivfTopkAt(s, dir, ivfCfg.nProbe)
+
+  private def ivfTopkAt(s: SparkSession, dir: String, nProbe: Int): DataFrame = {
       val base = quantized(s, dir).filter(col("qn") > 0)
         .select("vec_id", "qv", "qn")
       val cents = graft.operators.Ivf.seedCentroids(base, "vec_id", "qv", ivfCfg.nCentroids)
       val candidates = graft.operators.Ivf.assign(base, "qv", cents)
       val queries = base.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("qn").as("qqn"))
-      val probes = graft.operators.Ivf.probe(queries, "qqv", cents, ivfCfg.nProbe)
+      val probes = graft.operators.Ivf.probe(queries, "qqv", cents, nProbe)
       val scored = candidates.join(broadcast(probes), Seq("centroid_id"))
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("dot", dotCol("qqv", "qv"))

@@ -93,6 +93,36 @@ class PipelineE2ESpec extends SparkSpec {
     assert(allHist.select("ingestion_date").distinct().count() === 2)
   }
 
+  test("file-driven quality suite: conf/quality-checks.yml replays the in-code checks") {
+    val root = Files.createTempDirectory("graft-qc").toString
+    val st = settings(root).copy(qualityChecksPath = Some("conf/quality-checks.yml"))
+    val report = Pipeline.run(spark, st, FakeSource, Some("2026-01-17"), retryDelayMs = 0)
+    assert(report.allChecksPassed, report.checks.toString)
+    // the shipped file reproduces the reference's two suites name-for-name
+    assert(report.checks.map(_.name) ===
+      (Quality.silverSuite ++ Quality.goldSuite).map(_.name))
+  }
+
+  test("quality check parser: custom bounds parse, garbage fails loudly") {
+    val suites = Quality.parseSuites(
+      """# site-edited suite
+        |checks for silver_breweries:
+        |  - row_count > 10
+        |  - max(latitude) > -90
+        |
+        |checks for gold_breweries_counts:
+        |  - max(brewery_count) > 0
+        |""".stripMargin)
+    assert(suites(Quality.SilverDataset) === Seq(
+      Quality.Check("silver_row_count_gt_10", Quality.RowCount, 10L),
+      Quality.Check("silver_max_latitude_gt_-90", Quality.MaxOf("latitude"), -90L)))
+    assert(suites(Quality.GoldDataset) === Seq(
+      Quality.Check("gold_max_brewery_count_gt_0", Quality.MaxOf("brewery_count"), 0L)))
+    // a dropped expectation is a check that never runs — refuse to parse
+    intercept[RuntimeException](Quality.parseSuites("checks for x:\n  - avg(y) > 0"))
+    intercept[RuntimeException](Quality.parseSuites("  - row_count > 0"))
+  }
+
   test("no-Link pagination stops on short page") {
     FakeSource.calls = Nil
     val root = Files.createTempDirectory("graft-pg").toString

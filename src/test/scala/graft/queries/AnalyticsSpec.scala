@@ -1004,6 +1004,24 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q146 recall sweep: monotone in nProbe; exhaustive probe recalls 1.0") {
+    val rows = run("q146_recall_sweep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(2L, 4L, 8L))
+    // prefix-nested probe sets: recall can only grow with nProbe (any
+    // candidate displacing a true top-5 hit out-scores it and is thus
+    // itself a true top-5 hit)
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(a._4 <= b._4, s"recall must not drop as probes widen: ${rows.toSeq}")
+    }
+    // nProbe = nCentroids probes every cell — exhaustive, recall exactly 1
+    val last = rows.last
+    assert(last._2 === last._3 && last._4 === 1.0,
+      s"exhaustive probe must recall all: ${rows.toSeq}")
+    rows.foreach(r => assert(r._3 > 0, "ground truth must be non-empty"))
+  }
+
   test("q140 dedup savings replay from collected content hashes") {
     val docs = graft.Tables.load(spark, sf, "documents")
       .select(col("source"), md5(col("text")).as("fp"), col("n_chars"))
