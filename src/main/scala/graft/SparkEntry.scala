@@ -89,6 +89,9 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q144    graft.queries.TextOps    — cross-source syndication detection
   *   q145    graft.queries.Events     — event co-occurrence lift (baskets)
   *   q146    graft.queries.Vectors    — ANN recall-vs-probe sweep
+  *   q147    graft.queries.Curation   — rendezvous-hash relayout plan
+  *   q148    graft.queries.TextOps    — per-source novelty audit
+  *   q149    graft.queries.TextOps    — MinHash estimator calibration
   */
 object SparkEntry {
 

@@ -865,5 +865,79 @@ object Curation {
           (h % 16 === h % 20).as("stays"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_bytes"))
     },
+
+    // --------------------------------------------------------------- q147
+    // Rendezvous (highest-random-weight) relayout plan — the
+    // consistent-hashing answer to q129's mod-rehash movement matrix,
+    // same 16 → 20 regrow. Each doc's shard is the argmax over shards
+    // of a per-(doc, shard) salted Knuth hash; growing the ring only
+    // ADDS contestants, so a doc moves IFF one of the 4 new shards
+    // out-hashes its old winner — expected movement 4/20 of rows
+    // (vs ~19/20 for mod rehash, q129), and every mover lands on a
+    // NEW shard (old shards never exchange rows — the structural
+    // guarantee AnalyticsSpec pins). Per-(doc, shard) weights need a
+    // hash family INDEPENDENT across shards — a salt added inside one
+    // multiply makes every shard's hash an affine shift of the same
+    // value (measured: movement collapsed to ~9% instead of 4/20), so
+    // the weight is the Carter–Wegman universal family the MinHash
+    // kernel already inlines (per-shard multiplier aⱼ, offset bⱼ, mod
+    // the prime 4294967311) over the doc's folded Knuth base. The
+    // argmax is ONE map-side projection per row over 20 inlined hash
+    // terms (array_max over (h, s) structs — ties to the larger shard
+    // id in both engines); no join, no explode, ≤ 16×20-row aggregate
+    // out. The oracle replays the argmax value-identically via an
+    // unnested shard-range window.
+    Q(
+      "q147_rendezvous_plan",
+      Some {
+        s"""
+        WITH h AS (
+          SELECT d.doc_id, d.n_chars, sh.s, ${hrwSql("sh.s")} AS hv
+          FROM documents d, (SELECT unnest(range(0, 20)) AS s) sh),
+        olds AS (
+          SELECT doc_id, s AS old_shard FROM (
+            SELECT doc_id, s,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY hv DESC, s DESC) AS rn
+            FROM h WHERE s < 16) t WHERE rn = 1),
+        news AS (
+          SELECT doc_id, s AS new_shard FROM (
+            SELECT doc_id, s,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY hv DESC, s DESC) AS rn
+            FROM h) t WHERE rn = 1)
+        SELECT o.old_shard, n.new_shard, o.old_shard = n.new_shard AS stays,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(d.n_chars) AS BIGINT) AS n_bytes
+        FROM documents d
+        JOIN olds o USING (doc_id) JOIN news n USING (doc_id)
+        GROUP BY 1, 2, 3"""
+      }
+    ) { (s, dir) =>
+      // the SAME inlined hash text drives both engines (hrwSql with a
+      // literal shard id) — the two argmax formulations cannot drift
+      def shardPick(n: Int) = array_max(array((0 until n).map(sh =>
+        struct(expr(hrwSql(sh.toString)).as("h"),
+          lit(sh.toLong).as("s"))): _*)).getField("s")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          shardPick(16).as("old_shard"), shardPick(20).as("new_shard"))
+        .groupBy(col("old_shard"), col("new_shard"),
+          (col("old_shard") === col("new_shard")).as("stays"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_bytes"))
+    },
   )
+
+  /** q147's per-(doc, shard) rendezvous weight: the Carter–Wegman
+    * universal family (graft.functions.MinHashKernel seed formulas,
+    * inlined so Spark `expr` and DuckDB read the IDENTICAL text) over
+    * the doc's folded 32-bit Knuth base. `s` may be a column
+    * reference (oracle) or an integer literal (Spark side): aₛ =
+    * ((s+1)·2654435761) % 1073741789 + 1 (< 2³⁰, never 0), bₛ =
+    * ((s+1)·2246822519) % 2³², weight = (aₛ·base + bₛ) % 4294967311;
+    * aₛ·base < 2⁶² — no overflow. */
+  private def hrwSql(s: String): String =
+    s"(((($s + 1) * 2654435761) % 1073741789 + 1) * " +
+      s"((doc_id * 2654435761) % 4294967296) + " +
+      s"(($s + 1) * 2246822519) % 4294967296) % 4294967311"
 }

@@ -1214,5 +1214,166 @@ object TextOps {
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(col("fa") === col("fb"), 0L).otherwise(1L)).as("n_leaking"))
     },
+
+    // --------------------------------------------------------------- q148
+    // Per-source novelty audit: for every document, the fraction of
+    // its distinct 3-gram shingles whose GLOBAL first occurrence
+    // (minimum doc_id across the corpus) is this document — new
+    // content vs rehash of earlier material, rolled up per source
+    // (novelty rate, plus the count of fully-derivative docs that
+    // introduce nothing). The crawl-health complement to q140's exact
+    // dedup and q144's syndication: those catch copies, this measures
+    // how much NEW text a source contributes.
+    // Scale: one corpus-gram shuffle for the first-seen aggregate
+    // (map-side-combined min), one gram-keyed join back (AQE covers
+    // the stopword-gram skew), then doc- and source-bounded
+    // aggregates. All counts exact BIGINTs; the rate is one final
+    // division of exact sums. No windows over gram partitions — a
+    // window would SORT each gram's occurrence list where the
+    // aggregate join needs only the min.
+    Q(
+      "q148_novelty_rate",
+      Some(s"""
+        WITH grams AS (
+          SELECT doc_id, source, unnest($shinglesSql) AS g
+          FROM documents WHERE length(text) >= 3),
+        fs AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g),
+        pd AS (
+          SELECT gr.doc_id, gr.source,
+                 CAST(COUNT(*) AS BIGINT) AS n_grams,
+                 CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_novel
+          FROM grams gr JOIN fs f USING (g)
+          GROUP BY gr.doc_id, gr.source)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+               CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+               CAST(SUM(n_novel) AS DOUBLE) / SUM(n_grams) AS novelty_rate,
+               CAST(SUM(CASE WHEN n_novel = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_derivative_docs
+        FROM pd GROUP BY source""")
+    ) { (s, dir) =>
+      val grams = t(s, dir, "documents")
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"), col("source"), explode(expr(shinglesExpr)).as("g"))
+      val firstSeen = grams.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+      val perDoc = grams.join(firstSeen, "g")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+      perDoc.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_grams")).as("n_grams"),
+          sum(col("n_novel")).as("n_novel"),
+          (sum(col("n_novel")).cast("double") / sum(col("n_grams")))
+            .as("novelty_rate"),
+          sum(when(col("n_novel") === 0, 1L).otherwise(0L))
+            .as("n_derivative_docs"))
+    },
+
+    // --------------------------------------------------------------- q149
+    // MinHash estimator calibration: for every candidate pair the
+    // q58 banding surfaces, compare the SIGNATURE-estimated Jaccard
+    // (matching components / k, the estimator LSH banding implicitly
+    // thresholds) against the EXACT 3-gram Jaccard — grouped by
+    // match count into the estimator's own resolution steps. The
+    // measurement that justifies a (bands, rows) config the way q146
+    // justifies nProbe: recall curves mean nothing if the estimator
+    // is biased on this corpus. Per-pair values quantize to exact
+    // integer permille ((1000·x) div y — no float sums); the three
+    // means are single divisions of exact sums. Scale: candidates
+    // come only from the (band, band_key) equi-join (the q58
+    // contract), signatures and gram counts attach by doc-keyed
+    // joins of vocabulary-sized tables, and the output is ≤ k+1 rows.
+    Q(
+      "q149_minhash_calibration",
+      Some {
+        val hashes = (0 until 6).map(j =>
+          s"${graft.operators.MinHashLsh.universalMinSql("grams", j)} AS h$j")
+          .mkString(",\n                 ")
+        val bands = (0 until 3).map(j =>
+          s"SELECT doc_id, $j AS band, CAST(h${2 * j} AS VARCHAR) || '|' || CAST(h${2 * j + 1} AS VARCHAR) AS band_key FROM mh")
+          .mkString("\n          UNION ALL ")
+        val nMatch = (0 until 6).map(j =>
+          s"CASE WHEN ma.h$j = mb.h$j THEN 1 ELSE 0 END").mkString(" + ")
+        s"""
+        WITH sh AS (
+          SELECT doc_id, $shinglesSql AS grams
+          FROM documents WHERE length(text) >= 3),
+        mh AS (
+          SELECT doc_id,
+                 $hashes
+          FROM sh),
+        banded AS (
+          $bands),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.band_key = b.band_key
+               AND b.doc_id > a.doc_id),
+        scored AS (
+          SELECT CAST($nMatch AS BIGINT) AS n_match,
+                 CAST(len(list_filter(sa.grams, g -> list_contains(sb.grams, g)))
+                   AS BIGINT) AS n_common,
+                 CAST(len(sa.grams) + len(sb.grams) AS BIGINT) AS n_total
+          FROM pairs p
+          JOIN mh ma ON ma.doc_id = p.doc_a
+          JOIN mh mb ON mb.doc_id = p.doc_b
+          JOIN sh sa ON sa.doc_id = p.doc_a
+          JOIN sh sb ON sb.doc_id = p.doc_b)
+        SELECT n_match,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM((1000 * n_match) // 6) AS DOUBLE) / COUNT(*)
+                 AS mean_est_permille,
+               CAST(SUM((1000 * n_common) // (n_total - n_common)) AS DOUBLE)
+                 / COUNT(*) AS mean_exact_permille,
+               CAST(SUM(abs((1000 * n_match) // 6
+                            - (1000 * n_common) // (n_total - n_common)))
+                 AS DOUBLE) / COUNT(*) AS mean_abs_err_permille
+        FROM scored GROUP BY n_match"""
+      }
+    ) { (s, dir) =>
+      val cfg = graft.operators.MinHashLsh.Config(
+        bands = 3, rowsPerBand = 2, universal = true)
+      val docs = t(s, dir, "documents")
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"), col("text"))
+      // per-doc signature + distinct-gram count, computed ONCE and
+      // joined back to the candidate pairs by doc id
+      val sigs = docs.select(col("doc_id"),
+        graft.functions.MinHash.minhashFast(col("text"), cfg.numHashes).as("sig"),
+        size(expr(shinglesExpr)).cast("long").as("n_grams"),
+        col("text"))
+      val banded = graft.operators.MinHashLsh.explodeBands(docs, "text", cfg)
+        .select("doc_id", "band", "band_key")
+      val pairs = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+            col("b.doc_id") > col("a.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val scored = pairs
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+          col("n_grams").as("ng_a"), col("text").as("text_a")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+          col("n_grams").as("ng_b"), col("text").as("text_b")), "doc_b")
+        .withColumn("n_match", expr(
+          "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1L, 0L)), 0L, (acc, x) -> acc + x)"))
+        .withColumn("jc", graft.functions.Jaccard.jaccard3(col("text_a"), col("text_b")))
+        .withColumn("n_common", col("jc.n_common"))
+        .withColumn("est_pm", expr("(1000 * n_match) div 6"))
+        .withColumn("exact_pm",
+          expr("(1000 * n_common) div (ng_a + ng_b - n_common)"))
+      scored.groupBy("n_match")
+        .agg(count(lit(1)).as("n_pairs"),
+          (sum(col("est_pm")).cast("double") / count(lit(1)))
+            .as("mean_est_permille"),
+          (sum(col("exact_pm")).cast("double") / count(lit(1)))
+            .as("mean_exact_permille"),
+          (sum(abs(col("est_pm") - col("exact_pm"))).cast("double") / count(lit(1)))
+            .as("mean_abs_err_permille"))
+    },
   )
 }

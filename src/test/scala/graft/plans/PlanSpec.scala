@@ -849,6 +849,35 @@ class PlanSpec extends SparkSpec {
       "q129 needs only its final aggregate exchange")
   }
 
+  test("q147: rendezvous argmax is join-free, one aggregate exchange") {
+    val p = plan("q147_rendezvous_plan")
+    assert(p.collect {
+      case j: SortMergeJoinExec => j
+      case j: ShuffledHashJoinExec => j
+      case j: BroadcastHashJoinExec => j
+      case c: CartesianProductExec => c
+      case n: BroadcastNestedLoopJoinExec => n
+    }.isEmpty, s"the 20-way argmax is ONE map-side projection:\n$p")
+    assert(shuffles(p).length === 1, s"only the movement-matrix aggregate:\n$p")
+    val Seq(scan) = scans(p)
+    assert(scan.requiredSchema.fieldNames.toSet === Set("doc_id", "n_chars"),
+      s"q147 reads more than it hashes: ${scan.requiredSchema.fieldNames.toSeq}")
+  }
+
+  test("q148: novelty joins only key on the gram; no cartesian") {
+    val p = plan("q148_novelty_rate")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
+      p.collect { case n: BroadcastNestedLoopJoinExec => n }.isEmpty,
+      s"no unkeyed join:\n$p")
+    val equi = p.collect {
+      case j: SortMergeJoinExec => j.leftKeys
+      case j: ShuffledHashJoinExec => j.leftKeys
+      case j: BroadcastHashJoinExec => j.leftKeys
+    }
+    assert(equi.nonEmpty && equi.forall(_.nonEmpty),
+      s"first-seen attaches by a keyed gram join:\n$p")
+  }
+
   test("q137: nested build is one groupBy; every metric is shuffle-free array math") {
     val p = plan("q137_nested_rollup")
     assert(shuffles(p).length === 1, s"only the collect_list groupBy:\n$p")

@@ -1004,6 +1004,75 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q147 rendezvous relayout: movers land only on new shards; ~4/20 move") {
+    val rows = run("q147_rendezvous_plan").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3), r.getLong(4)))
+    val total = rows.map(_._4).sum
+    assert(total === graft.Tables.load(spark, sf, "documents").count())
+    // the HRW structural guarantee: growing the ring never moves a doc
+    // BETWEEN old shards — a mover's new winner must be a new shard
+    rows.filterNot(_._3).foreach { case (o, n, _, _, _) =>
+      assert(n >= 16, s"mover from shard $o landed on OLD shard $n")
+    }
+    rows.filter(_._3).foreach { case (o, n, _, _, _) => assert(o === n) }
+    // expected movement 4/20 (vs ~19/20 for q129's mod rehash). The
+    // realized fraction is DETERMINISTIC (fixed family constants fix
+    // the win measure, ~0.228 on this corpus): bound it with a fixed
+    // margin around 1/5, far below any mod-rehash outcome.
+    val moved = rows.filterNot(_._3).map(_._4).sum.toDouble / total
+    assert(math.abs(moved - 0.2) < 0.05, s"moved fraction $moved vs 0.2")
+  }
+
+  test("q148 novelty replays per source; each distinct gram is novel exactly once") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter(_._3.length >= 3)
+    def shingles(t: String) = (0 to t.length - 3).map(i => t.substring(i, i + 3)).distinct
+    val firstDoc = scala.collection.mutable.Map.empty[String, Long]
+    docs.sortBy(_._1).foreach { case (id, _, t) =>
+      shingles(t).foreach(g => if (!firstDoc.contains(g)) firstDoc(g) = id)
+    }
+    val truth = docs.groupBy(_._2).map { case (src, xs) =>
+      val per = xs.map { case (id, _, t) =>
+        val gs = shingles(t)
+        (gs.size.toLong, gs.count(g => firstDoc(g) == id).toLong)
+      }
+      src -> ((xs.length.toLong, per.map(_._1).sum, per.map(_._2).sum,
+        per.count(_._2 == 0).toLong))
+    }
+    val got = run("q148_novelty_rate").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5)))).toMap
+    assert(got === truth)
+    // conservation: every distinct corpus gram is novel in exactly one doc
+    assert(got.values.map(_._3).sum === firstDoc.size.toLong)
+  }
+
+  test("q149 calibration: est exact per bucket; pair universe == the banding's") {
+    val rows = run("q149_minhash_calibration").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    rows.foreach { case (m, n, est, exact, err) =>
+      assert(m >= 0 && m <= 6 && n > 0)
+      // est_permille is CONSTANT within a match-count group — its mean
+      // must reproduce the integer quantization exactly
+      assert(est === ((1000 * m) / 6).toDouble, s"bucket $m est $est")
+      assert(exact >= 0 && exact <= 1000)
+      assert(err + 1e-9 >= math.abs(est - exact), "Jensen: mean|e| >= |mean e|")
+    }
+    // the scored pairs are exactly the banding's distinct candidates
+    val cfg = graft.operators.MinHashLsh.Config(3, 2, universal = true)
+    val banded = graft.operators.MinHashLsh.explodeBands(
+      graft.Tables.load(spark, sf, "documents")
+        .filter(length(col("text")) >= 3).select("doc_id", "text"), "text", cfg)
+      .select("doc_id", "band", "band_key")
+    val nPairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("b.doc_id") > col("a.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    assert(rows.map(_._2).sum === nPairs)
+  }
+
   test("q146 recall sweep: monotone in nProbe; exhaustive probe recalls 1.0") {
     val rows = run("q146_recall_sweep").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
