@@ -92,6 +92,9 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q147    graft.queries.Curation   — rendezvous-hash relayout plan
   *   q148    graft.queries.TextOps    — per-source novelty audit
   *   q149    graft.queries.TextOps    — MinHash estimator calibration
+  *   q150    graft.queries.Vectors    — quantization-grid error audit
+  *   q151    graft.queries.Vectors    — IVF cell-purity report
+  *   q152    graft.queries.Events     — activity-concentration Gini audit
   */
 object SparkEntry {
 

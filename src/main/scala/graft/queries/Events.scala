@@ -936,5 +936,66 @@ object Events {
         .crossJoin(broadcast(li.agg(count(lit(1)).as("n_lineitems"))))
         .crossJoin(broadcast(o.agg(count(lit(1)).as("n_orders"))))
     },
+
+    // --------------------------------------------------------------- q152
+    // Activity-concentration audit: the Gini coefficient of per-user
+    // event counts plus the top-decile share — the inequality numbers
+    // that justify a per-user contribution cap (a handful of power
+    // users dominating a training stream is both a bias and a privacy
+    // problem). Exact-integer rank form G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx)
+    // with x ascending — computed WITHOUT ever ranking users: a global
+    // user-rank window is a single-partition sort of the whole user
+    // table (the scale trap). Instead the user counts collapse to the
+    // DISTINCT-VALUE histogram (the q69/q75 move): a run of c users
+    // sharing value x occupies ranks prev+1..prev+c, so its rank-sum
+    // is c·prev + c(c+1)/2 exactly, and the decile boundary cuts a
+    // run with greatest(0, least(c, prev+c−t)). Runs are
+    // tie-order-invariant, so the result is deterministic with no
+    // tiebreak at all. The only corpus shuffle is the user count; the
+    // cumulative window runs over the tiny distinct-value table. All
+    // sums exact BIGINT (declared bound: n_users·n_events < 2⁶³); the
+    // two ratios are final divisions.
+    Q(
+      "q152_activity_gini",
+      Some("""
+        WITH ux AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+          FROM events GROUP BY user_id),
+        vx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM ux GROUP BY x),
+        rk AS (
+          SELECT x, c,
+                 CAST(SUM(c) OVER (ORDER BY x
+                   ROWS UNBOUNDED PRECEDING) - c AS BIGINT) AS prev,
+                 CAST(SUM(c) OVER () AS BIGINT) AS n,
+                 CAST(SUM(x * c) OVER () AS BIGINT) AS s
+          FROM vx)
+        SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+               CAST(MAX(s) AS BIGINT) AS n_events,
+               CAST(2 * SUM(x * (c * prev + (c * (c + 1)) // 2))
+                    - (MAX(n) + 1) * MAX(s) AS DOUBLE)
+                 / (MAX(n) * MAX(s)) AS gini,
+               CAST(SUM(x * greatest(0, least(c, prev + c - (n - n // 10))))
+                 AS DOUBLE) / MAX(s) AS top_decile_share
+        FROM rk""")
+    ) { (s, dir) =>
+      val ux = t(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("x"))
+      val vx = ux.groupBy("x").agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("x")).rowsBetween(Window.unboundedPreceding, 0)
+      val rk = vx
+        .withColumn("prev", sum(col("c")).over(w) - col("c"))
+        .crossJoin(broadcast(vx.agg(sum(col("c")).as("n"),
+          sum(col("x") * col("c")).as("s"))))
+      rk.agg(
+        max(col("n")).as("n_users"),
+        max(col("s")).as("n_events"),
+        ((sum(col("x") * (col("c") * col("prev") +
+            expr("(c * (c + 1)) div 2"))) * 2
+          - (max(col("n")) + 1) * max(col("s"))).cast("double")
+          / (max(col("n")) * max(col("s"))).cast("double")).as("gini"),
+        (sum(col("x") * greatest(lit(0L), least(col("c"),
+            col("prev") + col("c") - (col("n") - expr("n div 10")))))
+          .cast("double") / max(col("s")).cast("double")).as("top_decile_share"))
+    },
   )
 }

@@ -811,6 +811,107 @@ object Vectors {
                              - element_at(__st, i).sx * element_at(__st, i).sx AS DOUBLE)))
                  AS BIGINT) END AS STRING)))""").as("zq"))
     },
+
+    // --------------------------------------------------------------- q150
+    // Quantization-error audit of the ×1000 integer grid every vector
+    // query rides on: per dimension, the mean/max fractional loss of
+    // floor(x·1000) in micro-units — the measurement that justifies
+    // (or indicts) the grid before trusting quantized cosines (q36+)
+    // at a new embedding scale. The error term is EXACT and
+    // cross-engine identical: x·1000 is one IEEE multiply, floor is
+    // exact, the difference of a double and its own floor is exact
+    // (same-binade subtraction), and one more multiply+floor lands in
+    // BIGINT micros — order-free integer sums from there. Plan: one
+    // posexplode (corpus×64 rows) into one map-side-combined keyed
+    // aggregate; 64 rows out, no joins.
+    Q(
+      "q150_quant_error",
+      Some("""
+        WITH e AS (
+          SELECT i,
+                 CAST(floor((CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000
+                   - floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000))
+                   * 1000000) AS BIGINT) AS em
+          FROM embeddings, (SELECT unnest(range(1, 65)) AS i) d),
+        g AS (SELECT CAST(i AS BIGINT) AS dim, em FROM e)
+        SELECT dim,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(em) AS BIGINT) AS sum_err_micro,
+               CAST(SUM(em) AS DOUBLE) / COUNT(*) AS mean_err_micro,
+               CAST(MAX(em) AS BIGINT) AS max_err_micro
+        FROM g GROUP BY dim""")
+    ) { (s, dir) =>
+      val v = col("x").cast("double") * 1000
+      t(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("pos0", "x")))
+        .select((col("pos0") + 1).cast("long").as("dim"),
+          floor((v - floor(v)) * 1000000).cast("long").as("em"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          sum(col("em")).as("sum_err_micro"),
+          (sum(col("em")).cast("double") / count(lit(1))).as("mean_err_micro"),
+          max(col("em")).as("max_err_micro"))
+    },
+
+    // --------------------------------------------------------------- q151
+    // IVF cell-purity report: per centroid cell, member count, the
+    // majority label with its count (argmax, ties to the smaller
+    // label — q138's composite contract), majority share, and the
+    // distinct-label count — the clustering-quality read that says
+    // whether the cells q60/q89 rely on actually separate the data.
+    // Two tiny keyed aggregates after the map-side broadcast-centroid
+    // assignment (operators/Ivf); output ≤ nCentroids rows; every
+    // count exact BIGINT, the share one final division.
+    Q(
+      "q151_cell_purity",
+      Some(s"""
+        WITH normed0 AS ($quantizedSql),
+        normed AS (SELECT vec_id, label, qv, qn FROM normed0 WHERE qn > 0),
+        cents AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, qv AS cv
+          FROM (SELECT vec_id, qv FROM normed ORDER BY vec_id LIMIT ${ivfCfg.nCentroids}) s),
+        assigned AS (
+          SELECT vec_id, label, centroid_id FROM (
+            SELECT n.vec_id, n.label, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                     ORDER BY ${graft.operators.Ivf.sqDistSql("n.qv", "c.cv")}, c.centroid_id) AS rn
+            FROM normed n CROSS JOIN cents c) t
+          WHERE rn = 1),
+        lc AS (
+          SELECT centroid_id, label, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM assigned GROUP BY centroid_id, label),
+        top AS (
+          SELECT centroid_id, label AS majority_label, cnt AS majority_cnt
+          FROM (SELECT centroid_id, label, cnt,
+                       ROW_NUMBER() OVER (PARTITION BY centroid_id
+                         ORDER BY cnt DESC, label) AS rn
+                FROM lc) t WHERE rn = 1)
+        SELECT l.centroid_id,
+               CAST(SUM(l.cnt) AS BIGINT) AS n_members,
+               CAST(COUNT(*) AS BIGINT) AS n_labels,
+               MAX(t.majority_label) AS majority_label,
+               CAST(MAX(t.majority_cnt) AS BIGINT) AS majority_cnt,
+               CAST(MAX(t.majority_cnt) AS DOUBLE) / SUM(l.cnt) AS majority_share
+        FROM lc l JOIN top t USING (centroid_id)
+        GROUP BY l.centroid_id""")
+    ) { (s, dir) =>
+      val base = quantized(s, dir).filter(col("qn") > 0)
+        .select("vec_id", "label", "qv", "qn")
+      val cents = graft.operators.Ivf.seedCentroids(base, "vec_id", "qv", ivfCfg.nCentroids)
+      val lc = graft.operators.Ivf.assign(base, "qv", cents)
+        .groupBy("centroid_id", "label").agg(count(lit(1)).as("cnt"))
+      // argmax with the q138 composite: max (cnt, -label) picks the
+      // largest count, smaller label on ties — then one re-aggregate
+      lc.groupBy("centroid_id")
+        .agg(sum(col("cnt")).as("n_members"),
+          count(lit(1)).as("n_labels"),
+          (-max(struct(col("cnt"), (-col("label")).as("nl")))
+            .getField("nl")).as("majority_label"),
+          max(struct(col("cnt"), (-col("label")).as("nl")))
+            .getField("cnt").as("majority_cnt"),
+          (max(struct(col("cnt"), (-col("label")).as("nl"))).getField("cnt")
+            .cast("double") / sum(col("cnt")).cast("double")).as("majority_share"))
+    },
   )
 
   /** IVF approximate top-5 — registered as q60 and re-used by q65

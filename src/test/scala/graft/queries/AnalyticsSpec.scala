@@ -1073,6 +1073,67 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_._2).sum === nPairs)
   }
 
+  test("q150 quantization error replays bit-exactly from collected floats") {
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val dims = vecs.head.length
+    val truth = (0 until dims).map { d =>
+      val ems = vecs.map { v =>
+        val x = v(d).toDouble * 1000
+        math.floor((x - math.floor(x)) * 1000000).toLong
+      }
+      (d + 1).toLong -> ((ems.length.toLong, ems.sum, ems.max))
+    }.toMap
+    val got = run("q150_quant_error").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    assert(got === truth)
+    // the grid loses less than one grid step everywhere, by construction
+    got.values.foreach { case (_, _, mx) => assert(mx >= 0 && mx < 1000000) }
+  }
+
+  test("q151 cell purity replays from a naive nearest-centroid assignment") {
+    val base = graft.queries.Vectors.quantized(spark, sf)
+      .filter(col("qn") > 0).select("vec_id", "label", "qv").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toArray))
+    val cents = base.sortBy(_._1).take(8).zipWithIndex
+      .map { case ((_, _, qv), i) => (i, qv) }
+    def sqd(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val assigned = base.map { case (id, label, qv) =>
+      val cell = cents.map { case (cid, cv) => (sqd(qv, cv), cid) }.min._2
+      (cell, label)
+    }
+    val truth = assigned.groupBy(_._1).map { case (cell, xs) =>
+      val byLabel = xs.groupBy(_._2).map { case (l, g) => (l, g.length.toLong) }
+      val (mLabel, mCnt) = byLabel.toSeq.maxBy { case (l, c) => (c, -l) }
+      cell -> ((xs.length.toLong, byLabel.size.toLong, mLabel, mCnt))
+    }
+    val got = run("q151_cell_purity").collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4)))).toMap
+    assert(got === truth)
+    got.foreach { case (_, (n, _, _, mc)) => assert(mc >= 1 && mc <= n) }
+  }
+
+  test("q152 Gini: run-length derivation equals the naive ranked formula") {
+    val xs = graft.Tables.load(spark, sf, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("x"))
+      .collect().map(_.getLong(1)).sorted
+    val n = xs.length.toLong
+    val s = xs.sum
+    val a = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val gini = (2.0 * a - (n + 1) * s) / (n.toDouble * s)
+    val t = n - n / 10
+    val topShare = xs.zipWithIndex.collect {
+      case (x, i) if (i + 1) > t => x
+    }.sum.toDouble / s
+    val r = run("q152_activity_gini").collect().head
+    assert(r.getLong(0) === n && r.getLong(1) === s)
+    assert(math.abs(r.getDouble(2) - gini) < 1e-12, s"gini ${r.getDouble(2)} vs $gini")
+    assert(math.abs(r.getDouble(3) - topShare) < 1e-12)
+    assert(r.getDouble(2) >= 0 && r.getDouble(2) < 1)
+  }
+
   test("q146 recall sweep: monotone in nProbe; exhaustive probe recalls 1.0") {
     val rows = run("q146_recall_sweep").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
