@@ -95,6 +95,10 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q150    graft.queries.Vectors    — quantization-grid error audit
   *   q151    graft.queries.Vectors    — IVF cell-purity report
   *   q152    graft.queries.Events     — activity-concentration Gini audit
+  *   q153    graft.queries.Events     — KMV distinct-count sketch audit
+  *   q154    graft.queries.Curation   — quality-filter funnel report
+  *   q155    graft.queries.Relational — column-profiling report
+  *   q156    graft.queries.Relational — functional-dependency audit
   */
 object SparkEntry {
 

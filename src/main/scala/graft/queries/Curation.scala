@@ -926,6 +926,87 @@ object Curation {
           (col("old_shard") === col("new_shard")).as("stays"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_bytes"))
     },
+
+    // --------------------------------------------------------------- q154
+    // Quality-filter funnel: the Gopher/C4-style rule battery as an
+    // ATTRITION REPORT — each rule evaluated only on the survivors of
+    // the previous one, reporting (n_in, n_fail, n_out) per stage.
+    // This is the first artifact a pretraining-data review asks for:
+    // it shows which rule does the cutting and in what order the
+    // losses compound, not just the final keep rate. Rules are exact
+    // integer predicates shared verbatim with the oracle: minimum
+    // length, word-count band, mean-word-length band (3·wc ≤
+    // len−wc+1 ≤ 10·wc — no division), ≥2 stopword hits, and digit
+    // ratio ≤ 20% (5·digits ≤ len). One projection computes all five
+    // booleans per document, one map-side-combined aggregate collapses
+    // the corpus to a single row of prefix-conjunction counts, and
+    // `stack` unpivots it to the 5-row funnel — the corpus is scanned
+    // once and never shuffled (the only exchange carries one row).
+    Q(
+      "q154_filter_funnel",
+      Some("""
+        WITH f AS (
+          SELECT length(text) AS len,
+                 len(string_split(text, ' ')) AS wc,
+                 length(text)
+                   - length(regexp_replace(text, '[0-9]', '', 'g')) AS nd,
+                 len(list_filter(string_split(text, ' '),
+                     x -> x IN ('the','and','of','to','in','a'))) AS sw
+          FROM documents),
+        p AS (
+          SELECT (len >= 200) AS p1,
+                 (wc BETWEEN 10 AND 100000) AS p2,
+                 (3 * wc <= len - wc + 1 AND len - wc + 1 <= 10 * wc) AS p3,
+                 (sw >= 2) AS p4,
+                 (5 * nd <= len) AS p5
+          FROM f),
+        a AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+                 CAST(COUNT(*) FILTER (p1) AS BIGINT) AS s1,
+                 CAST(COUNT(*) FILTER (p1 AND p2) AS BIGINT) AS s2,
+                 CAST(COUNT(*) FILTER (p1 AND p2 AND p3) AS BIGINT) AS s3,
+                 CAST(COUNT(*) FILTER (p1 AND p2 AND p3 AND p4) AS BIGINT) AS s4,
+                 CAST(COUNT(*) FILTER (p1 AND p2 AND p3 AND p4 AND p5) AS BIGINT) AS s5
+          FROM p)
+        SELECT CAST(1 AS BIGINT) AS stage, 'min_length' AS rule,
+               s0 AS n_in, s0 - s1 AS n_fail, s1 AS n_out FROM a
+        UNION ALL SELECT 2, 'word_count', s1, s1 - s2, s2 FROM a
+        UNION ALL SELECT 3, 'mean_word_len', s2, s2 - s3, s3 FROM a
+        UNION ALL SELECT 4, 'stopword_hits', s3, s3 - s4, s4 FROM a
+        UNION ALL SELECT 5, 'digit_ratio', s4, s4 - s5, s5 FROM a""")
+    ) { (s, dir) =>
+      val f = t(s, dir, "documents").select(
+        length(col("text")).as("len"),
+        size(split(col("text"), " ")).as("wc"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", ""))).as("nd"),
+        expr("size(filter(split(text, ' '), " +
+          "x -> x IN ('the','and','of','to','in','a')))").as("sw"))
+      val p = f.select(
+        (col("len") >= 200).as("p1"),
+        col("wc").between(10, 100000).as("p2"),
+        (lit(3) * col("wc") <= col("len") - col("wc") + 1 &&
+          col("len") - col("wc") + 1 <= lit(10) * col("wc")).as("p3"),
+        (col("sw") >= 2).as("p4"),
+        (lit(5) * col("nd") <= col("len")).as("p5"))
+      val a = p.agg(
+        count(lit(1)).as("s0"),
+        sum(when(col("p1"), 1L).otherwise(0L)).as("s1"),
+        sum(when(col("p1") && col("p2"), 1L).otherwise(0L)).as("s2"),
+        sum(when(col("p1") && col("p2") && col("p3"), 1L).otherwise(0L))
+          .as("s3"),
+        sum(when(col("p1") && col("p2") && col("p3") && col("p4"), 1L)
+          .otherwise(0L)).as("s4"),
+        sum(when(col("p1") && col("p2") && col("p3") && col("p4") &&
+          col("p5"), 1L).otherwise(0L)).as("s5"))
+      a.select(expr("""stack(5,
+        1L, 'min_length',    s0, s0 - s1, s1,
+        2L, 'word_count',    s1, s1 - s2, s2,
+        3L, 'mean_word_len', s2, s2 - s3, s3,
+        4L, 'stopword_hits', s3, s3 - s4, s4,
+        5L, 'digit_ratio',   s4, s4 - s5, s5)
+        AS (stage, rule, n_in, n_fail, n_out)"""))
+    },
   )
 
   /** q147's per-(doc, shard) rendezvous weight: the Carter–Wegman

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{Det, Q, Tables}
+import graft.{Det, Knuth, Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -996,6 +996,89 @@ object Events {
         (sum(col("x") * greatest(lit(0L), least(col("c"),
             col("prev") + col("c") - (col("n") - expr("n div 10")))))
           .cast("double") / max(col("s")).cast("double")).as("top_decile_share"))
+    },
+
+    // --------------------------------------------------------------- q153
+    // KMV distinct-count sketch audit: per event type, the k-minimum-
+    // values estimate of distinct users vs the exact count. The engine
+    // already exposes Spark's HLL++ (q45), but its estimate is engine-
+    // internal so that oracle is only a bounds flag; KMV is the sketch
+    // this engine can PROVE — pure integer arithmetic on the salted
+    // Knuth hash, bit-identical in both engines: keep the k=64 smallest
+    // distinct hash values; with d < k the sketch holds the whole set
+    // (estimate exact by construction — the sf0.001 path), otherwise
+    // est = (k−1)·2³² div h₍ₖ₎. The sketch is mergeable (the k smallest
+    // of a union are among the union of k-smallests — the property that
+    // makes it a per-partition/per-day aggregate at 100 TB), realized
+    // here by the bounded-heap TopKAggregator on score −h: map-side
+    // partials ship ≤ k rows per group, O(groups×k) shuffle. The one
+    // corpus shuffle is the (type, hash) DISTINCT, which the exact side
+    // of the audit needs anyway; a production sketch dedups inside the
+    // buffer instead. The bare Knuth multiply is NOT enough here: on
+    // consecutive user_ids a multiplicative hash is a low-discrepancy
+    // lattice whose k-th order statistic sits at exactly k/n·2³² — the
+    // estimate comes out exact and the audit measures nothing. Two
+    // xor-shift + one odd-multiply finalizer rounds (the standard
+    // murmur-style avalanche, written as xor + div-by-2ᵖ so both
+    // engines share the arithmetic; the 1597334677 multiplier keeps
+    // h·m < 2⁶³) break the lattice; the mix stays injective (xor-shift
+    // and odd multiply are bijections mod 2³²), so hashes carry no
+    // ties and the error columns are exact integers:
+    // |est−exact|·1000 div exact.
+    Q(
+      "q153_kmv_distinct",
+      Some(s"""
+        WITH h0t AS (
+          SELECT DISTINCT event_type, ${Knuth.sql("user_id", 9176L)} AS h0
+          FROM events),
+        h2t AS (
+          SELECT event_type,
+                 (xor(h0, h0 // 65536) * 1597334677) % 4294967296 AS h2
+          FROM h0t),
+        uh AS (
+          SELECT DISTINCT event_type, xor(h2, h2 // 8192) AS h FROM h2t),
+        rk AS (
+          SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS r,
+                 COUNT(*) OVER (PARTITION BY event_type) AS d
+          FROM uh),
+        sk AS (
+          SELECT event_type,
+                 CAST(MAX(d) AS BIGINT) AS exact_distinct,
+                 CAST(CASE WHEN MAX(d) < 64 THEN MAX(d)
+                      ELSE (63 * 4294967296) // MAX(CASE WHEN r = 64 THEN h END)
+                      END AS BIGINT) AS kmv_estimate
+          FROM rk WHERE r <= 64 GROUP BY event_type)
+        SELECT event_type, exact_distinct, kmv_estimate,
+               CAST(CASE WHEN kmv_estimate > exact_distinct THEN 1
+                         WHEN kmv_estimate < exact_distinct THEN -1
+                         ELSE 0 END AS BIGINT) AS err_sign,
+               CAST((abs(kmv_estimate - exact_distinct) * 1000)
+                    // exact_distinct AS BIGINT) AS abs_err_permille
+        FROM sk""")
+    ) { (s, dir) =>
+      val uh = t(s, dir, "events")
+        .select(col("event_type"), Knuth.col(col("user_id"), 9176L).as("h0"))
+        .withColumn("h2",
+          expr("((h0 ^ (h0 div 65536)) * 1597334677) % 4294967296"))
+        .select(col("event_type"), expr("h2 ^ (h2 div 8192)").as("h"))
+        .distinct()
+      val topk = udaf(new graft.functions.TopKAggregator(64),
+        graft.functions.TopK.inputEncoder)
+      val sk = uh.groupBy("event_type")
+        .agg(count(lit(1)).as("exact_distinct"),
+          topk(col("h"), -col("h").cast("double")).as("sk"))
+        .withColumn("kmv_estimate",
+          when(size(col("sk")) < 64, size(col("sk")).cast("long"))
+            .otherwise(expr(
+              "(63 * 4294967296) div " +
+                "aggregate(sk, 0L, (m, x) -> greatest(m, x.vec_id))")))
+      sk.select(col("event_type"), col("exact_distinct"), col("kmv_estimate"),
+        (when(col("kmv_estimate") > col("exact_distinct"), 1L)
+          .when(col("kmv_estimate") < col("exact_distinct"), -1L)
+          .otherwise(0L)).as("err_sign"),
+        expr("(abs(kmv_estimate - exact_distinct) * 1000) div exact_distinct")
+          .as("abs_err_permille"))
     },
   )
 }

@@ -1167,5 +1167,125 @@ object Relational {
             .as("top_suppkey"),
           max(bal).as("top_bal_centi"))
     },
+
+    // --------------------------------------------------------------- q155
+    // Column-profiling report: per column of `documents`, row count,
+    // null count, distinct count, and the modal value's share in
+    // permille — the first-contact data-profile an ingestion pipeline
+    // materializes before anything else touches a new source. The
+    // Spark side unpivots with one `stack` projection (ONE scan of the
+    // table, vs the oracle's UNION ALL re-scans — semantically equal),
+    // so the corpus is read once and shuffles once in (column, value)
+    // space with map-side combine; per-column rollups then run over
+    // value-cardinality-sized data. The modal share needs no tiebreak
+    // (max of counts is order-free). BIGINT→VARCHAR casts render
+    // identically in both engines for the non-negative ids profiled
+    // here; double columns are deliberately excluded (float formatting
+    // is engine-specific — the one profiling gap, documented).
+    Q(
+      "q155_column_profile",
+      Some("""
+        WITH v AS (
+          SELECT 'lang' AS col_name, lang AS val FROM documents
+          UNION ALL SELECT 'source', source FROM documents
+          UNION ALL SELECT 'doc_id', CAST(doc_id AS VARCHAR) FROM documents
+          UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents),
+        n AS (
+          SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(COUNT(val) AS BIGINT) AS n_nonnull
+          FROM v GROUP BY col_name),
+        g AS (
+          SELECT col_name, val, CAST(COUNT(*) AS BIGINT) AS c
+          FROM v WHERE val IS NOT NULL GROUP BY col_name, val),
+        d AS (
+          SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                 CAST(MAX(c) AS BIGINT) AS top_c
+          FROM g GROUP BY col_name)
+        SELECT n.col_name, n.n_rows, n.n_rows - n.n_nonnull AS n_null,
+               coalesce(d.n_distinct, 0) AS n_distinct,
+               CAST(coalesce((d.top_c * 1000) // n.n_nonnull, 0) AS BIGINT)
+                 AS top_share_permille
+        FROM n LEFT JOIN d ON n.col_name = d.col_name""")
+    ) { (s, dir) =>
+      val v = t(s, dir, "documents").select(expr(
+        """stack(4,
+           'lang', lang,
+           'source', source,
+           'doc_id', CAST(doc_id AS STRING),
+           'n_chars', CAST(n_chars AS STRING)) AS (col_name, val)"""))
+      val n = v.groupBy("col_name")
+        .agg(count(lit(1)).as("n_rows"), count(col("val")).as("n_nonnull"))
+      val d = v.filter(col("val").isNotNull)
+        .groupBy("col_name", "val").agg(count(lit(1)).as("c"))
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n_distinct"), max(col("c")).as("top_c"))
+      n.join(d, Seq("col_name"), "left")
+        .select(col("col_name"), col("n_rows"),
+          (col("n_rows") - col("n_nonnull")).as("n_null"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+          coalesce(expr("(top_c * 1000) div n_nonnull"), lit(0L))
+            .as("top_share_permille"))
+    },
+
+    // --------------------------------------------------------------- q156
+    // Functional-dependency audit: for each DECLARED dependency
+    // A → B, how many A-values map to more than one B — the
+    // constraint-mining primitive behind schema inference and the
+    // integrity check behind "is this column safe to use as a
+    // canonical attribute". Three dependencies are audited in one
+    // result: doc_id → source (a key, must hold), source → lang (a
+    // plausible-but-false assumption this corpus refutes — each
+    // source mixes languages), and c_custkey → c_nationkey (holds).
+    // Each audit is one (lhs, rhs) distinct-collapse then an
+    // lhs-grouped count — two map-side-combinable exchanges in
+    // distinct-pair space, never a self-join; violation counts,
+    // not just a boolean, so the report ranks HOW broken a
+    // dependency is (max_rhs_per_lhs is the worst fan-out).
+    Q(
+      "q156_fd_audit",
+      Some("""
+        WITH fd1 AS (
+          SELECT doc_id AS lhs, source AS rhs FROM documents GROUP BY 1, 2),
+        fd2 AS (
+          SELECT source AS lhs, lang AS rhs FROM documents GROUP BY 1, 2),
+        fd3 AS (
+          SELECT CAST(c_custkey AS VARCHAR) AS lhs,
+                 CAST(c_nationkey AS VARCHAR) AS rhs
+          FROM customer GROUP BY 1, 2),
+        a1 AS (SELECT CAST(lhs AS VARCHAR) AS lhs, CAST(COUNT(*) AS BIGINT) AS nr
+               FROM fd1 GROUP BY 1),
+        a2 AS (SELECT lhs, CAST(COUNT(*) AS BIGINT) AS nr FROM fd2 GROUP BY 1),
+        a3 AS (SELECT lhs, CAST(COUNT(*) AS BIGINT) AS nr FROM fd3 GROUP BY 1)
+        SELECT 'doc_id->source' AS fd, CAST(COUNT(*) AS BIGINT) AS n_lhs,
+               CAST(COUNT(*) FILTER (nr > 1) AS BIGINT) AS n_violating_lhs,
+               CAST(MAX(nr) AS BIGINT) AS max_rhs_per_lhs
+        FROM a1
+        UNION ALL
+        SELECT 'source->lang', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) FILTER (nr > 1) AS BIGINT), CAST(MAX(nr) AS BIGINT)
+        FROM a2
+        UNION ALL
+        SELECT 'c_custkey->c_nationkey', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) FILTER (nr > 1) AS BIGINT), CAST(MAX(nr) AS BIGINT)
+        FROM a3""")
+    ) { (s, dir) =>
+      def audit(pairs: DataFrame, name: String): DataFrame =
+        pairs.distinct()
+          .groupBy("lhs").agg(count(lit(1)).as("nr"))
+          .agg(count(lit(1)).as("n_lhs"),
+            sum(when(col("nr") > 1, 1L).otherwise(0L)).as("n_violating_lhs"),
+            max(col("nr")).as("max_rhs_per_lhs"))
+          .select(lit(name).as("fd"), col("n_lhs"),
+            col("n_violating_lhs"), col("max_rhs_per_lhs"))
+      val docs = t(s, dir, "documents")
+      val cust = t(s, dir, "customer")
+      audit(docs.select(col("doc_id").cast("string").as("lhs"),
+          col("source").as("rhs")), "doc_id->source")
+        .unionAll(audit(docs.select(col("source").as("lhs"),
+          col("lang").as("rhs")), "source->lang"))
+        .unionAll(audit(cust.select(col("c_custkey").cast("string").as("lhs"),
+          col("c_nationkey").cast("string").as("rhs")),
+          "c_custkey->c_nationkey"))
+    },
   )
 }

@@ -901,4 +901,55 @@ class PlanSpec extends SparkSpec {
       Set("l_returnflag", "l_extendedprice"),
       s"q96 reads more than it projects: ${scan.requiredSchema.fieldNames.toSeq}")
   }
+
+  test("q153: KMV sketch aggregates partially (≤ k rows per group shipped); join-free") {
+    val p = plan("q153_kmv_distinct")
+    assert(p.collect {
+      case j: SortMergeJoinExec => j
+      case j: ShuffledHashJoinExec => j
+      case j: BroadcastHashJoinExec => j
+      case c: CartesianProductExec => c
+    }.isEmpty, s"sketch + exact share one aggregate — no join:\n$p")
+    // the heap udaf must run as a two-phase object-hash aggregate so
+    // map-side partials cap the shuffle at k rows per group
+    val oha = p.collect { case a: ObjectHashAggregateExec => a }
+    assert(oha.exists(_.aggregateExpressions.exists(_.mode.toString == "Partial")),
+      s"KMV heap must combine map-side:\n$p")
+    assert(shuffles(p).length <= 2,
+      s"distinct pairs + per-type rollup only:\n$p")
+    val Seq(scan) = scans(p)
+    assert(scan.requiredSchema.fieldNames.toSet === Set("event_type", "user_id"),
+      s"q153 reads more than it hashes: ${scan.requiredSchema.fieldNames.toSeq}")
+  }
+
+  test("q154: funnel is one corpus scan, one single-row aggregate, no shuffle of documents") {
+    val p = plan("q154_filter_funnel")
+    assert(p.collect {
+      case j: SortMergeJoinExec => j
+      case j: ShuffledHashJoinExec => j
+      case j: BroadcastHashJoinExec => j
+      case c: CartesianProductExec => c
+    }.isEmpty, s"the funnel is join-free:\n$p")
+    // the only exchange carries partial-aggregate rows (one per task),
+    // never documents
+    assert(shuffles(p).length === 1, s"single global-agg exchange:\n$p")
+    val aggs = p.collect { case a: HashAggregateExec => a }
+    assert(aggs.exists(_.aggregateExpressions.exists(_.mode.toString == "Partial")),
+      s"prefix counts must combine map-side:\n$p")
+    val Seq(scan) = scans(p)
+    assert(scan.requiredSchema.fieldNames.toSet === Set("text"),
+      s"q154 reads more than it filters: ${scan.requiredSchema.fieldNames.toSeq}")
+  }
+
+  test("q155/q156: profile and FD audits stay keyed — no cartesian, partial aggregation") {
+    for (name <- Seq("q155_column_profile", "q156_fd_audit")) {
+      val p = plan(name)
+      assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
+        p.collect { case n: BroadcastNestedLoopJoinExec => n }.isEmpty,
+        s"$name: no unkeyed join:\n$p")
+      val aggs = p.collect { case a: HashAggregateExec => a }
+      assert(aggs.exists(_.aggregateExpressions.exists(_.mode.toString == "Partial")),
+        s"$name: value/pair counting must combine map-side:\n$p")
+    }
+  }
 }

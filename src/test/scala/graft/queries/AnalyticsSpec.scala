@@ -1299,4 +1299,109 @@ class AnalyticsSpec extends SparkSpec {
       assert(math.abs(g._6 - top) < 1e-12, s"$src top_share")
     }
   }
+
+  test("q153 KMV replays from collected user ids; exact when d < k") {
+    // the query's mix, re-derived independently in Scala
+    def mix(u: Long): Long = {
+      val h0 = ((u + 9176L) * 2654435761L) % 4294967296L
+      val h2 = ((h0 ^ (h0 / 65536)) * 1597334677L) % 4294967296L
+      h2 ^ (h2 / 8192)
+    }
+    val byType = graft.Tables.load(spark, sf, "events")
+      .select("event_type", "user_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).distinct }
+    val truth = byType.map { case (t, users) =>
+      val hs = users.map(mix).sorted
+      assert(hs.distinct.length === hs.length, "mix must be injective here")
+      val d = hs.length.toLong
+      val est = if (d < 64) d else (63L * 4294967296L) / hs(63)
+      t -> ((d, est, (est compare d).sign.toLong,
+        (math.abs(est - d) * 1000) / d))
+    }
+    val got = run("q153_kmv_distinct").collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    }.toMap
+    assert(got === truth)
+    // sf0.001 exercises the d < k exact path; the estimator path is
+    // covered by the sf0.01+ oracle runs (150 users ≥ k = 64)
+    got.foreach { case (t, (d, est, sgn, _)) =>
+      if (d < 64) assert(est === d && sgn === 0L, s"$t small-d must be exact")
+    }
+  }
+
+  test("q154 funnel: chained stages, replayed rule by rule") {
+    val texts = graft.Tables.load(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    def rules(text: String): Seq[Boolean] = {
+      val len = text.length.toLong
+      val toks = text.split(" ", -1)
+      val wc = toks.length.toLong
+      val nd = text.count(_.isDigit).toLong
+      val sw = toks.count(Set("the", "and", "of", "to", "in", "a")).toLong
+      Seq(len >= 200, wc >= 10 && wc <= 100000,
+        3 * wc <= len - wc + 1 && len - wc + 1 <= 10 * wc,
+        sw >= 2, 5 * nd <= len)
+    }
+    val preds = texts.map(rules)
+    val surv = (0 to 5).map(i => preds.count(_.take(i).forall(identity)).toLong)
+    val got = run("q154_filter_funnel").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.map(_._2).toSeq ===
+      Seq("min_length", "word_count", "mean_word_len", "stopword_hits", "digit_ratio"))
+    got.zipWithIndex.foreach { case ((_, rule, nIn, nFail, nOut), i) =>
+      assert(nIn === surv(i), s"$rule n_in")
+      assert(nOut === surv(i + 1), s"$rule n_out")
+      assert(nFail === nIn - nOut, s"$rule fail = in - out")
+      assert(nOut <= nIn, s"$rule monotone")
+    }
+    // stages chain: each stage's n_in is the previous stage's n_out
+    got.zip(got.tail).foreach { case (a, b) => assert(a._5 === b._3) }
+    assert(got.head._3 === texts.length.toLong)
+  }
+
+  test("q155 profile replays from collected columns") {
+    val rows = graft.Tables.load(spark, sf, "documents")
+      .select("lang", "source", "doc_id", "n_chars").collect()
+    val cols: Map[String, Array[String]] = Map(
+      "lang" -> rows.map(r => if (r.isNullAt(0)) null else r.getString(0)),
+      "source" -> rows.map(r => if (r.isNullAt(1)) null else r.getString(1)),
+      "doc_id" -> rows.map(_.getLong(2).toString),
+      "n_chars" -> rows.map(_.getLong(3).toString))
+    val truth = cols.map { case (name, vs) =>
+      val nn = vs.filter(_ != null)
+      val counts = nn.groupBy(identity).map(_._2.length.toLong)
+      name -> ((vs.length.toLong, (vs.length - nn.length).toLong,
+        counts.size.toLong,
+        if (nn.isEmpty) 0L else (counts.max * 1000) / nn.length))
+    }
+    val got = run("q155_column_profile").collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    }.toMap
+    assert(got === truth)
+  }
+
+  test("q156 FD audit replays from collected pairs") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "source", "lang").collect()
+    val cust = graft.Tables.load(spark, sf, "customer")
+      .select("c_custkey", "c_nationkey").collect()
+    def audit(pairs: Seq[(String, String)]): (Long, Long, Long) = {
+      val fan = pairs.distinct.groupBy(_._1).map(_._2.length.toLong).toSeq
+      (fan.length.toLong, fan.count(_ > 1).toLong, fan.max)
+    }
+    val truth = Map(
+      "doc_id->source" -> audit(docs.toSeq.map(r => (r.getLong(0).toString, r.getString(1)))),
+      "source->lang" -> audit(docs.toSeq.map(r => (r.getString(1), r.getString(2)))),
+      "c_custkey->c_nationkey" -> audit(
+        cust.toSeq.map(r => (r.getLong(0).toString, r.getInt(1).toString))))
+    val got = run("q156_fd_audit").collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))
+    }.toMap
+    assert(got === truth)
+    // the declared key FDs must actually hold on the fixtures
+    assert(got("doc_id->source")._2 === 0L)
+    assert(got("c_custkey->c_nationkey")._2 === 0L)
+  }
 }
