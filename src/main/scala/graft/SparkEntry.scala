@@ -99,6 +99,7 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q154    graft.queries.Curation   — quality-filter funnel report
   *   q155    graft.queries.Relational — column-profiling report
   *   q156    graft.queries.Relational — functional-dependency audit
+  *   q157    graft.queries.Graph      — label-propagation communities
   */
 object SparkEntry {
 

@@ -280,5 +280,58 @@ object Graph {
           col("n_triangles"),
           (col("n_triangles").cast("double") / col("n_wedges")).as("closure_ratio"))
     },
+
+    // --------------------------------------------------------------- q157
+    // Synchronous label propagation (2 unrolled rounds) over the
+    // trading graph — community DETECTION, distinct from q66's
+    // min-label connected components: each round every vertex adopts
+    // the MODE of its neighbors' labels (tie → smallest label), so
+    // labels coalesce inside densely-connected neighborhoods instead
+    // of flooding whole components. Labels init to the vertex id.
+    // Each round is the same two-shuffle vertex step as q94 — a keyed
+    // join of edges with the vertex-sized label table (shuffled hash
+    // join, NEVER broadcast — the q94 scale rule) then a (dst, label)
+    // count and a composite argmax (q138's max_by over (c, −label),
+    // bit-deterministic because labels are distinct within a group).
+    // The oracle unrolls both rounds; mode-with-min-tiebreak is
+    // replayed there as max-count join + MIN. Fixed round count keeps
+    // the plan finite and cross-engine identical; the edge table is
+    // materialized once (q94/q104 loop-invariant lesson).
+    Q(
+      "q157_label_propagation",
+      Some(s"""
+        WITH $pairsEdgesCte,
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+        c1 AS (
+          SELECT e.dst AS node, l.label, COUNT(*) AS c
+          FROM edges e JOIN l0 l ON l.node = e.src GROUP BY 1, 2),
+        m1 AS (SELECT node, MAX(c) AS mc FROM c1 GROUP BY node),
+        l1 AS (
+          SELECT c.node, CAST(MIN(c.label) AS BIGINT) AS label
+          FROM c1 c JOIN m1 m ON m.node = c.node AND c.c = m.mc
+          GROUP BY c.node),
+        c2 AS (
+          SELECT e.dst AS node, l.label, COUNT(*) AS c
+          FROM edges e JOIN l1 l ON l.node = e.src GROUP BY 1, 2),
+        m2 AS (SELECT node, MAX(c) AS mc FROM c2 GROUP BY node),
+        l2 AS (
+          SELECT c.node, CAST(MIN(c.label) AS BIGINT) AS label
+          FROM c2 c JOIN m2 m ON m.node = c.node AND c.c = m.mc
+          GROUP BY c.node)
+        SELECT node, label AS community FROM l2""")
+    ) { (s, dir) =>
+      val ed = Checkpoints.materialize(tradingEdges(s, dir))
+      val l0 = ed.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+      val l2 = (1 to 2).foldLeft(l0) { (l, _) =>
+        ed.join(l.hint("shuffle_hash"), col("node") === col("src"))
+          .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+          .groupBy(col("dst"))
+          .agg(max_by(col("label"),
+            struct(col("c").as("c"), (-col("label")).as("k"))).as("label"))
+          .select(col("dst").as("node"), col("label"))
+      }
+      l2.select(col("node"), col("label").as("community"))
+    },
   )
 }

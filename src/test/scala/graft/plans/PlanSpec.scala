@@ -941,6 +941,19 @@ class PlanSpec extends SparkSpec {
       s"q154 reads more than it filters: ${scan.requiredSchema.fieldNames.toSeq}")
   }
 
+  test("q157: both LPA rounds join keyed and shuffled — no vertex-sized broadcast") {
+    val p = plan("q157_label_propagation")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
+      p.collect { case n: BroadcastNestedLoopJoinExec => n }.isEmpty,
+      s"label propagation must never loop or cross-join:\n$p")
+    // the label table is vertex-sized, exactly like q94's ranks: it
+    // must shuffle, never broadcast
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+      s"no vertex-derived side may broadcast:\n$p")
+    assert(p.collect { case j: ShuffledHashJoinExec => j }.length >= 2,
+      s"each round is a shuffled hash join of edges with labels:\n$p")
+  }
+
   test("q155/q156: profile and FD audits stay keyed — no cartesian, partial aggregation") {
     for (name <- Seq("q155_column_profile", "q156_fd_audit")) {
       val p = plan(name)

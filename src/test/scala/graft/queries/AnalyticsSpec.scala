@@ -1404,4 +1404,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(got("doc_id->source")._2 === 0L)
     assert(got("c_custkey->c_nationkey")._2 === 0L)
   }
+
+  test("q157 LPA replays 2 naive synchronous rounds from collected edges") {
+    val pairs = graft.Tables.load(spark, sf, "orders")
+      .join(graft.Tables.load(spark, sf, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select("o_custkey", "l_suppkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.flatMap { case (c, s) => Seq((c, -s), (-s, c)) }
+    val bySrc = edges.groupBy(_._1)
+    var label = bySrc.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 2) {
+      label = bySrc.map { case (_, es) => es }.flatten
+        .groupBy(_._2).map { case (dst, ins) =>
+          val counts = ins.map(e => label(e._1))
+            .groupBy(identity).map { case (l, g) => (l, g.size) }
+          // mode, tie → smallest label
+          dst -> counts.toSeq.maxBy { case (l, c) => (c, -l) }._1
+        }
+    }
+    val got = run("q157_label_propagation").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === label)
+    // at least one genuine merge: some vertex adopted another's label
+    assert(got.exists { case (v, l) => v != l })
+  }
 }
