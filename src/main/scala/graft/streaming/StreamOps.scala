@@ -215,4 +215,47 @@ object StreamOps {
           UserRunning(uid, n, e, e >= flagAfterErrors)
       }
   }
+
+  final case class KmvSketch(event_type: String, in_sketch: Int, kmv_estimate: Long)
+
+  /** Streaming KMV distinct-count sketch — the incremental half of
+    * batch q153: per event type, the k smallest DISTINCT finalized
+    * user hashes live in mapGroupsWithState, deduped INSIDE the buffer
+    * (the production form q153's scaladoc points at — no upstream
+    * distinct needed), so state is bounded at O(k) longs per group no
+    * matter how many events stream through. Each micro-batch emits the
+    * running estimate; because the k smallest of a union are among the
+    * union of k-smallests, the last emission equals the batch sketch
+    * over the same rows — the parity the spec pins. Hash and estimate
+    * arithmetic are byte-identical to q153's (same mix, same
+    * (k−1)·2³² div h₍ₖ₎), so the parity is transitively oracle-backed.
+    */
+  def kmvDistinct(events: Dataset[EventRow], k: Int = 64): Dataset[KmvSketch] = {
+    import events.sparkSession.implicits._
+    def mix(u: Long): Long = {
+      val h0 = ((u + 9176L) * 2654435761L) % 4294967296L
+      val h2 = ((h0 ^ (h0 / 65536)) * 1597334677L) % 4294967296L
+      h2 ^ (h2 / 8192)
+    }
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[Array[Long], KmvSketch](GroupStateTimeout.NoTimeout) {
+        (et: String, rows: Iterator[EventRow], state: GroupState[Array[Long]]) =>
+          val set = scala.collection.mutable.TreeSet
+            .from(state.getOption.getOrElse(Array.empty[Long]))
+          rows.foreach { r =>
+            val h = mix(r.user_id)
+            if (!set.contains(h)) {
+              set += h
+              if (set.size > k) set.remove(set.last)
+            }
+          }
+          val arr = set.toArray // ascending; arr.last is h_(k) when full
+          state.update(arr)
+          val est =
+            if (arr.length < k) arr.length.toLong
+            else ((k - 1).toLong * 4294967296L) / arr.last
+          KmvSketch(et, arr.length, est)
+      }
+  }
 }

@@ -324,4 +324,43 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(streamed === batchRows,
       s"CDC merge: streaming ${streamed.size} keys vs batch ${batchRows.size}")
   }
+
+  test("streaming KMV sketch across 3 micro-batches equals batch q153") {
+    import spark.implicits._
+    val events = realEvents
+    val in = stageInput(events, 3600000000L, chronoParts = 3)
+    val out = Files.createTempDirectory("graft-kmv-out").toString
+    val ckpt = Files.createTempDirectory("graft-kmv-ckpt").toString
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+    val q = StreamOps.kmvDistinct(
+        stream.filter(col("user_id") >= 0)
+          .select("event_id", "ts", "user_id", "event_type")
+          .as[StreamOps.EventRow]).toDF()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty)
+          batch.withColumn("__bid", lit(bid)).write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+
+    // the LAST update-mode emission per type is the full-corpus sketch
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("__bid").desc)
+    val streamed = spark.read.parquet(out)
+      .withColumn("rn", row_number().over(wLast)).filter(col("rn") === 1)
+      .select("event_type", "in_sketch", "kmv_estimate")
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val batch = SparkEntry.queries("q153_kmv_distinct")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((math.min(64L, r.getLong(1)).toInt, r.getLong(2)))).toMap
+    assert(batch.nonEmpty, "batch sketch must be non-empty")
+    assert(streamed === batch,
+      s"KMV sketch: streaming $streamed vs batch $batch")
+  }
 }
