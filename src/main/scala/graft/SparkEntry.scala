@@ -100,6 +100,7 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q155    graft.queries.Relational — column-profiling report
   *   q156    graft.queries.Relational — functional-dependency audit
   *   q157    graft.queries.Graph      — label-propagation communities
+  *   q158    graft.queries.Vectors    — dimension-truncation recall sweep
   */
 object SparkEntry {
 

@@ -912,7 +912,88 @@ object Vectors {
           (max(struct(col("cnt"), (-col("label")).as("nl"))).getField("cnt")
             .cast("double") / sum(col("cnt")).cast("double")).as("majority_share"))
     },
+
+    // --------------------------------------------------------------- q158
+    // Dimension-truncation recall sweep (the Matryoshka audit): top-5
+    // cosine computed on only the FIRST d quantized dimensions,
+    // d ∈ {16, 32, 64}, scored for recall@5 against the full-width
+    // exact top-5 — the measurement behind truncating stored
+    // embeddings to cut index bytes (and the retrieval twin of q146's
+    // probe sweep: q146 tunes how much of the INDEX is probed, this
+    // tunes how much of each VECTOR is kept). Unlike nProbe, truncation
+    // recall is NOT provably monotone (projection reorders cosines) —
+    // the audit reports the measured curve; at d = 64 the truncated
+    // ranking IS the ground truth, so recall is exactly 1.0
+    // (`AnalyticsSpec`-pinned). Vectors whose d-prefix is all-zero
+    // cannot be cosine-ranked and are dropped from that sweep point in
+    // BOTH engines (identical tn > 0 guard). Ground truth materializes
+    // once; each sweep point re-scores against broadcast queries and
+    // ranks with the same (score desc, vec_id) total order.
+    Q(
+      "q158_truncation_sweep",
+      Some(Seq(16, 32, 64).map { d =>
+        s"""
+        SELECT CAST($d AS BIGINT) AS dims,
+               CAST(COUNT(tv.vec_id) AS BIGINT) AS n_hits,
+               COUNT(*) AS k,
+               CAST(COUNT(tv.vec_id) AS DOUBLE) / COUNT(*) AS recall
+        FROM ($bruteTopkSql) bf
+        LEFT JOIN (${truncTopkSqlAt(d)}) tv
+          ON tv.query_id = bf.query_id AND tv.vec_id = bf.vec_id"""
+      }.mkString("\n        UNION ALL\n"))
+    ) { (s, dir) =>
+      val bf = graft.Checkpoints.materialize(
+        bruteTopk(s, dir).select("query_id", "vec_id"))
+      Seq(16, 32, 64).map { d =>
+        val tv = truncTopkAt(s, dir, d)
+          .select(col("query_id"), col("vec_id")).withColumn("hit", lit(1))
+        bf.join(tv, Seq("query_id", "vec_id"), "left")
+          .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("k"))
+          .select(lit(d.toLong).as("dims"), col("n_hits"), col("k"),
+            (col("n_hits").cast("double") / col("k")).as("recall"))
+      }.reduce(_ unionAll _)
+    },
   )
+
+  /** q158's truncated-cosine top-5 at d dims: same candidate universe
+    * as the exact ground truth (qn > 0), same (score desc, vec_id)
+    * total order, but dot/norm run over only the first d quantized
+    * components. */
+  private def truncTopkSqlAt(d: Int): String = s"""
+        WITH normed AS ($quantizedSql),
+        tr AS (
+          SELECT vec_id, qv[1:$d] AS tv,
+                 CAST(list_aggregate(list_transform(qv[1:$d], x -> x * x),
+                      'sum') AS BIGINT) AS tn
+          FROM normed WHERE qn > 0),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                 CAST(CAST(list_aggregate(list_transform(range(1, len(q.tv) + 1), i -> q.tv[i] * c.tv[i]), 'sum') AS BIGINT) AS DOUBLE)
+                   / sqrt(CAST(q.tn AS DOUBLE) * CAST(c.tn AS DOUBLE)) AS score
+          FROM tr q JOIN tr c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < 20 AND q.tn > 0 AND c.tn > 0)
+        SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, vec_id) AS rn
+          FROM scored) t
+        WHERE rn <= 5"""
+
+  private def truncTopkAt(s: SparkSession, dir: String, d: Int): DataFrame = {
+    val tr = quantized(s, dir).filter(col("qn") > 0)
+      .select(col("vec_id"), slice(col("qv"), 1, d).as("tv"))
+      .withColumn("tn", graft.functions.VecMath.qdot(col("tv"), col("tv")))
+      .filter(col("tn") > 0)
+    val q = tr.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("tv").as("qtv"), col("tn").as("qtn"))
+    val scored = tr.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("dot", dotCol("qtv", "tv"))
+      .withColumn("score", col("dot").cast("double")
+        / sqrt(col("qtn").cast("double") * col("tn").cast("double")))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("query_id", "vec_id")
+  }
 
   /** IVF approximate top-5 — registered as q60 and re-used by q65
     * (lazy: referenced from `all` above its definition). q146 sweeps

@@ -1429,4 +1429,43 @@ class AnalyticsSpec extends SparkSpec {
     // at least one genuine merge: some vertex adopted another's label
     assert(got.exists { case (v, l) => v != l })
   }
+
+  test("q158 truncation recall replays from collected vectors; full width recalls 1.0") {
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), graft.functions.VecMath.quantize(col("embedding")).as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .filter { case (_, qv) => qv.map(x => x * x).sum > 0 }
+    def top5(d: Int): Map[Long, Seq[Long]] = {
+      val tr = vecs.map { case (id, qv) => (id, qv.take(d)) }
+        .map { case (id, tv) => (id, tv, tv.map(x => x * x).sum) }
+        .filter(_._3 > 0)
+      tr.filter(_._1 < 20).map { case (qid, qtv, qtn) =>
+        val scored = tr.filter(_._1 != qid).map { case (cid, ctv, ctn) =>
+          val dot = qtv.zip(ctv).map { case (x, y) => x * y }.sum
+          (cid, dot.toDouble / math.sqrt(qtn.toDouble * ctn.toDouble))
+        }
+        qid -> scored.sortBy { case (id, sc) => (-sc, id) }.take(5).map(_._1).toSeq
+      }.toMap
+    }
+    val exact = top5(64)
+    val truthByD = Seq(16, 32, 64).map { d =>
+      val approx = top5(d)
+      val hits = exact.map { case (qid, ids) =>
+        ids.count(approx.getOrElse(qid, Nil).contains)
+      }.sum.toLong
+      val k = exact.values.map(_.length).sum.toLong
+      d.toLong -> ((hits, k))
+    }.toMap
+    val got = run("q158_truncation_sweep").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet === truthByD.keySet)
+    truthByD.foreach { case (d, (hits, k)) =>
+      val (gh, gk, gr) = got(d)
+      assert(gh === hits && gk === k, s"d=$d: got ($gh,$gk) want ($hits,$k)")
+      assert(math.abs(gr - hits.toDouble / k) < 1e-12)
+    }
+    // the full-width point IS the ground truth
+    val (h64, k64, r64) = got(64L)
+    assert(h64 === k64 && r64 === 1.0, s"full width must recall all: $got")
+  }
 }
