@@ -101,6 +101,9 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q156    graft.queries.Relational — functional-dependency audit
   *   q157    graft.queries.Graph      — label-propagation communities
   *   q158    graft.queries.Vectors    — dimension-truncation recall sweep
+  *   q159    graft.queries.TextOps    — positional-postings phrase search
+  *   q160    graft.queries.Events     — KMV set algebra (union/Jaccard/∩)
+  *   q161    graft.queries.Matching   — sorted-neighborhood ER blocking
   */
 object SparkEntry {
 

@@ -1080,5 +1080,119 @@ object Events {
         expr("(abs(kmv_estimate - exact_distinct) * 1000) div exact_distinct")
           .as("abs_err_permille"))
     },
+
+    // --------------------------------------------------------------- q160
+    // KMV set algebra: the property that makes q153's sketch an ENGINE
+    // primitive rather than a counter — two per-group sketches merge
+    // into the sketch OF THE UNION (the k smallest of A∪B are among
+    // the union of the two k-smallest sets), so union cardinality,
+    // Jaccard, and intersection estimates for every event-type pair
+    // come from the 5-row sketch table alone, no re-scan of the
+    // corpus. est(|A∪B|) = (k−1)·2³² div h₍ₖ₎ of the merged sketch
+    // (exact when the merged sketch holds < k values — then it IS the
+    // union); Jaccard = share of merged values present in BOTH input
+    // sketches (the standard KMV coincidence estimator); intersection
+    // = Jaccard · union. All arithmetic is exact BIGINT on the q153
+    // hash, so estimates are bit-identical cross-engine; the exact
+    // sides ride the same distinct-(type, hash) table the sketches
+    // are built from — one corpus DISTINCT, one hash-keyed self-join
+    // (each hash appears once per type, so fanout ≤ #types²), and
+    // O(types²) sketch-merge rows. At 100 TB the sketches are the
+    // only thing that moves: ≤ k values per group, mergeable across
+    // partitions, days, and sources.
+    Q(
+      "q160_kmv_algebra",
+      Some(s"""
+        WITH h0t AS (
+          SELECT DISTINCT event_type, ${Knuth.sql("user_id", 9176L)} AS h0
+          FROM events),
+        h2t AS (
+          SELECT event_type,
+                 (xor(h0, h0 // 65536) * 1597334677) % 4294967296 AS h2
+          FROM h0t),
+        uh AS (
+          SELECT DISTINCT event_type, xor(h2, h2 // 8192) AS h FROM h2t),
+        rk AS (
+          SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS r,
+                 COUNT(*) OVER (PARTITION BY event_type) AS d
+          FROM uh),
+        sk AS (
+          SELECT event_type, CAST(MAX(d) AS BIGINT) AS d,
+                 list_sort(list(h)) AS ska
+          FROM rk WHERE r <= 64 GROUP BY event_type),
+        pr AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 a.d AS da, b.d AS db, a.ska AS ska, b.ska AS skb
+          FROM sk a JOIN sk b ON a.event_type < b.event_type),
+        mgd AS (
+          SELECT *, list_sort(list_distinct(ska || skb))[1:64] AS mg FROM pr),
+        est AS (
+          SELECT type_a, type_b, da, db, mg,
+                 CAST(len(list_filter(mg, x -> list_contains(ska, x)
+                                              AND list_contains(skb, x)))
+                   AS BIGINT) AS n_shared,
+                 CAST(CASE WHEN len(mg) < 64 THEN len(mg)
+                      ELSE (63 * 4294967296) // mg[64] END AS BIGINT) AS union_est
+          FROM mgd),
+        ix AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 CAST(COUNT(*) AS BIGINT) AS inter_exact
+          FROM uh a JOIN uh b
+            ON a.h = b.h AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+        SELECT e.type_a, e.type_b,
+               CAST(e.da + e.db - COALESCE(ix.inter_exact, 0) AS BIGINT)
+                 AS union_exact,
+               e.union_est,
+               CAST(COALESCE(ix.inter_exact, 0) AS BIGINT) AS inter_exact,
+               CAST((e.n_shared * e.union_est) // len(e.mg) AS BIGINT) AS inter_est,
+               CAST((1000 * COALESCE(ix.inter_exact, 0))
+                    // (e.da + e.db - COALESCE(ix.inter_exact, 0)) AS BIGINT)
+                 AS jacc_exact_permille,
+               CAST((1000 * e.n_shared) // len(e.mg) AS BIGINT)
+                 AS jacc_est_permille
+        FROM est e LEFT JOIN ix
+          ON ix.type_a = e.type_a AND ix.type_b = e.type_b""")
+    ) { (s, dir) =>
+      val uh = t(s, dir, "events")
+        .select(col("event_type"), Knuth.col(col("user_id"), 9176L).as("h0"))
+        .withColumn("h2",
+          expr("((h0 ^ (h0 div 65536)) * 1597334677) % 4294967296"))
+        .select(col("event_type"), expr("h2 ^ (h2 div 8192)").as("h"))
+        .distinct()
+      val topk = udaf(new graft.functions.TopKAggregator(64),
+        graft.functions.TopK.inputEncoder)
+      val sk = uh.groupBy("event_type")
+        .agg(count(lit(1)).as("d"), topk(col("h"), -col("h").cast("double")).as("sk0"))
+        .withColumn("ska", expr("array_sort(transform(sk0, x -> x.vec_id))"))
+        .drop("sk0")
+      val pr = sk.select(col("event_type").as("type_a"), col("d").as("da"),
+          col("ska"))
+        .join(broadcast(sk.select(col("event_type").as("type_b"),
+          col("d").as("db"), col("ska").as("skb"))),
+          col("type_a") < col("type_b"))
+      val est = pr
+        .withColumn("mg", expr("slice(array_sort(array_union(ska, skb)), 1, 64)"))
+        .withColumn("n_shared",
+          expr("CAST(size(array_intersect(array_intersect(mg, ska), skb)) AS BIGINT)"))
+        .withColumn("union_est",
+          when(size(col("mg")) < 64, size(col("mg")).cast("long"))
+            .otherwise(expr("(63 * 4294967296) div element_at(mg, 64)")))
+      val ix = uh.select(col("event_type").as("type_a"), col("h"))
+        .join(uh.select(col("event_type").as("type_b"), col("h")), Seq("h"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("inter_exact"))
+      est.join(ix, Seq("type_a", "type_b"), "left")
+        .withColumn("inter_exact", coalesce(col("inter_exact"), lit(0L)))
+        .select(col("type_a"), col("type_b"),
+          (col("da") + col("db") - col("inter_exact")).as("union_exact"),
+          col("union_est"),
+          col("inter_exact"),
+          expr("(n_shared * union_est) div size(mg)").as("inter_est"),
+          expr("(1000 * inter_exact) div (da + db - inter_exact)")
+            .as("jacc_exact_permille"),
+          expr("(1000L * n_shared) div size(mg)").as("jacc_est_permille"))
+    },
   )
 }

@@ -359,5 +359,55 @@ object Matching {
         .filter(col("rnk") <= 10)
         .select("query_id", "id", "rrf", "rnk")
     },
+
+    // --------------------------------------------------------------- q161
+    // Sorted-neighborhood blocking — the OTHER classical
+    // entity-resolution candidate generator, complementing q75's
+    // key-equality blocking: sort the (distinct) name vocabulary,
+    // pair each name with its next-2 neighbors in sort order, verify
+    // candidates with exact edit distance ≤ 4. The sliding window
+    // catches near-duplicates whose blocking key differs (q75's
+    // documented miss class) as long as they collate adjacently.
+    // Scale: the window runs in DISTINCT-NAME space (the q75/q69
+    // move), partitioned by first character so the sort is a keyed
+    // shuffle, never a single-partition global window; the documented
+    // recall contract is that pairs collating across a first-letter
+    // boundary, or > 2 apart in sort order, are not candidates — the
+    // standard sorted-neighborhood window/key trade. Per-name source
+    // row counts ride along for downstream pair expansion.
+    Q(
+      "q161_sorted_neighborhood",
+      Some(s"""
+        WITH names AS (
+          SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n FROM part GROUP BY p_name),
+        led AS (
+          SELECT p_name, n,
+                 lead(p_name, 1) OVER w AS nb1, lead(n, 1) OVER w AS c1,
+                 lead(p_name, 2) OVER w AS nb2, lead(n, 2) OVER w AS c2
+          FROM names
+          WINDOW w AS (PARTITION BY substr(p_name, 1, 1) ORDER BY p_name)),
+        cand AS (
+          SELECT p_name AS name_a, n AS n_a, 1 AS gap, nb1 AS name_b, c1 AS n_b
+          FROM led WHERE nb1 IS NOT NULL
+          UNION ALL
+          SELECT p_name, n, 2, nb2, c2 FROM led WHERE nb2 IS NOT NULL)
+        SELECT name_a, name_b, CAST(gap AS BIGINT) AS gap,
+               CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist, n_a, n_b
+        FROM cand WHERE levenshtein(name_a, name_b) <= $maxEdits""")
+    ) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(substring(col("p_name"), 1, 1)).orderBy("p_name")
+      val led = t(s, dir, "part")
+        .groupBy("p_name").agg(count(lit(1)).as("n"))
+        .select(col("p_name"), col("n"),
+          lead(col("p_name"), 1).over(w).as("nb1"), lead(col("n"), 1).over(w).as("c1"),
+          lead(col("p_name"), 2).over(w).as("nb2"), lead(col("n"), 2).over(w).as("c2"))
+      led.select(col("p_name").as("name_a"), col("n").as("n_a"),
+          expr("stack(2, 1L, nb1, c1, 2L, nb2, c2) AS (gap, name_b, n_b)"))
+        .filter(col("name_b").isNotNull)
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("dist") <= maxEdits)
+        .select("name_a", "name_b", "gap", "dist", "n_a", "n_b")
+    },
   )
 }

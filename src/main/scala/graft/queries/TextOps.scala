@@ -1375,5 +1375,81 @@ object TextOps {
           (sum(abs(col("est_pm") - col("exact_pm"))).cast("double") / count(lit(1)))
             .as("mean_abs_err_permille"))
     },
+
+    // ---------------------------------------------------------------- q159
+    // Phrase search over a positional inverted index: the corpus'
+    // top-3 word trigrams (count desc, phrase asc — total order) are
+    // the query phrases; each is matched by POSTINGS INTERSECTION —
+    // (term, doc, pos) postings filtered to the phrase vocabulary by
+    // one broadcast semi-join, then two keyed self-joins on
+    // (doc_id, pos+offset) chain the phrase words in order. For a
+    // fixed-length phrase this equals the trivial n-gram equi-join
+    // (the oracle's form — same output, one pass); the postings form
+    // is the one that generalizes to arbitrary phrase length and
+    // proximity/slop windows WITHOUT materializing every n-gram of
+    // every length. Scale: postings are corpus-token-sized but the
+    // vocabulary prefilter drops every term not in a query phrase
+    // before any shuffle; the intersection joins are equi-joins keyed
+    // on (doc_id, pos) — selectivity is the searched terms' document
+    // frequency, never the corpus. All counts exact BIGINT.
+    Q(
+      "q159_phrase_search",
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        tri AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(tk) - 1),
+                   i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1]
+                        || ' ' || tk[CAST(i AS INT) + 2])) AS phrase
+          FROM tok WHERE len(tk) >= 3),
+        top3 AS (
+          SELECT phrase, COUNT(*) AS n FROM tri GROUP BY phrase
+          ORDER BY n DESC, phrase LIMIT 3)
+        SELECT t.phrase, CAST(COUNT(*) AS BIGINT) AS n_hits,
+               CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_docs
+        FROM tri t JOIN top3 USING (phrase)
+        GROUP BY t.phrase""")
+    ) { (s, dir) =>
+      val tok = t(s, dir, "documents")
+        .withColumn("tk", split(col("text"), " "))
+      // the query phrases: top-3 trigrams under a pinned total order
+      val phrases = tok.filter(size(col("tk")) >= 3)
+        .select(explode(expr(
+          "transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', " +
+            "element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))"))
+          .as("phrase"))
+        .groupBy("phrase").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("phrase")).limit(3)
+      val pw = phrases.select(col("phrase"),
+        split(col("phrase"), " ").as("w"))
+        .select(col("phrase"), expr("w[0]").as("w1"),
+          expr("w[1]").as("w2"), expr("w[2]").as("w3"))
+      // positional postings, prefiltered to the phrase vocabulary
+      val vocab = pw.select(explode(array(col("w1"), col("w2"), col("w3")))
+        .as("term")).distinct()
+      val post = tok
+        .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "term")))
+        .join(broadcast(vocab), Seq("term"), "left_semi")
+      // intersection chain: starts at w1, extends through w2 then w3
+      val starts = post.join(broadcast(pw), col("term") === col("w1"))
+        .select(col("phrase"), col("w2"), col("w3"), col("doc_id"), col("pos"))
+      // the filtered postings are df(term)-sized — they GROW with the
+      // corpus (the searched words are the most frequent ones), so the
+      // positional joins must stay sort-merge on (doc_id, pos), never
+      // a broadcast of a corpus-derived side (the q94 lesson; pinned
+      // in PlanSpec)
+      val p2 = post.select(col("doc_id").as("d2"), col("pos").as("q2"),
+        col("term").as("t2")).hint("merge")
+      val p3 = post.select(col("doc_id").as("d3"), col("pos").as("q3"),
+        col("term").as("t3")).hint("merge")
+      val hits = starts
+        .join(p2, col("d2") === col("doc_id") && col("q2") === col("pos") + 1 &&
+          col("t2") === col("w2"))
+        .join(p3, col("d3") === col("doc_id") && col("q3") === col("pos") + 2 &&
+          col("t3") === col("w3"))
+      hits.groupBy("phrase")
+        .agg(count(lit(1)).as("n_hits"),
+          countDistinct(col("doc_id")).as("n_docs"))
+    },
   )
 }

@@ -3,6 +3,7 @@ package graft.plans
 import graft.{SparkEntry, SparkSpec}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.{FileSourceScanExec, SortExec, SparkPlan, TakeOrderedAndProjectExec, UnionExec}
+import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -952,6 +953,62 @@ class PlanSpec extends SparkSpec {
       s"no vertex-derived side may broadcast:\n$p")
     assert(p.collect { case j: ShuffledHashJoinExec => j }.length >= 2,
       s"each round is a shuffled hash join of edges with labels:\n$p")
+  }
+
+  test("q159: positional joins stay sort-merge; only the vocabulary broadcasts") {
+    val p = plan("q159_phrase_search")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"phrase search must never cross-join:\n$p")
+    // the vocabulary prefilter is a broadcast LEFT SEMI (tiny, constant)
+    assert(p.collect {
+      case j: BroadcastHashJoinExec if j.joinType.toString == "LeftSemi" => j
+    }.nonEmpty, s"postings must prefilter through a broadcast semi join:\n$p")
+    // the two positional chain joins are (doc_id, pos)-keyed sort-merge:
+    // their inputs are df(term)-sized — corpus-growing — so neither side
+    // may broadcast (the q94 vertex-broadcast lesson)
+    val smj = p.collect { case j: SortMergeJoinExec => j }
+    assert(smj.count(_.leftKeys.length >= 2) >= 2,
+      s"positional chain must be composite-keyed sort-merge joins:\n$p")
+    assert(p.collect {
+      case j: BroadcastHashJoinExec if j.leftKeys.exists(_.toString.contains("pos")) => j
+    }.isEmpty, s"no corpus-derived postings side may broadcast:\n$p")
+  }
+
+  test("q160: sketches aggregate partially; the exact self-join keys on the hash") {
+    val p = plan("q160_kmv_algebra")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty, s"$p")
+    // map-side partial sketch: ≤ k rows per group ship to the shuffle
+    val oha = p.collect { case a: ObjectHashAggregateExec => a }
+    assert(oha.exists(_.aggregateExpressions.exists(_.mode.toString == "Partial")),
+      s"KMV buffers must combine map-side:\n$p")
+    // the only corpus-scale join is the equi self-join on the hash value
+    val hJoins = p.collect {
+      case j: BroadcastHashJoinExec if j.leftKeys.nonEmpty => j
+      case j: SortMergeJoinExec => j
+      case j: ShuffledHashJoinExec => j
+    }
+    assert(hJoins.exists(_.leftKeys.exists(_.toString.contains("h"))),
+      s"exact intersection must join keyed on h:\n$p")
+    // the pair merge may nested-loop ONLY between aggregated sketch
+    // sides (≤ #types rows each) — bounded by construction
+    p.collect { case n: BroadcastNestedLoopJoinExec => n }.foreach { n =>
+      n.children.foreach(side => assert(side.exists {
+        case _: ObjectHashAggregateExec => true
+        case _: HashAggregateExec => true
+        case _ => false
+      }, s"nested-loop sides must be aggregated sketch tables:\n$p"))
+    }
+  }
+
+  test("q161: the neighborhood window is keyed — never a single global partition") {
+    val p = plan("q161_sorted_neighborhood")
+    val wins = p.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, s"expected a window:\n$p")
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"sorted-neighborhood must partition by block, not sort globally:\n$p"))
+    val Seq(scan) = scans(p)
+    assert(scan.requiredSchema.fieldNames.toSet === Set("p_name"),
+      s"q161 reads more than the name: ${scan.requiredSchema.fieldNames.toSeq}")
   }
 
   test("q155/q156: profile and FD audits stay keyed — no cartesian, partial aggregation") {

@@ -1468,4 +1468,66 @@ class AnalyticsSpec extends SparkSpec {
     val (h64, k64, r64) = got(64L)
     assert(h64 === k64 && r64 === 1.0, s"full width must recall all: $got")
   }
+
+  test("q159 phrase search equals a naive trigram count for the same phrases") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val tris = docs.flatMap { case (id, text) =>
+      val tk = text.split(" ", -1)
+      (0 until tk.length - 2).map(i => (id, s"${tk(i)} ${tk(i + 1)} ${tk(i + 2)}"))
+    }
+    val top3 = tris.groupBy(_._2).view.mapValues(_.length).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(3).map(_._1).toSet
+    val truth = tris.filter(t => top3(t._2)).groupBy(_._2).map { case (p, xs) =>
+      p -> ((xs.length.toLong, xs.map(_._1).distinct.length.toLong))
+    }
+    val got = run("q159_phrase_search").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === truth)
+    assert(got.nonEmpty && got.forall { case (_, (h, d)) => h >= d && d >= 1 })
+  }
+
+  test("q160 KMV algebra replays from collected sketches; small merges are exact") {
+    def mix(u: Long): Long = {
+      val h0 = ((u + 9176L) * 2654435761L) % 4294967296L
+      val h2 = ((h0 ^ (h0 / 65536)) * 1597334677L) % 4294967296L
+      h2 ^ (h2 / 8192)
+    }
+    val byType = graft.Tables.load(spark, sf, "events")
+      .select("event_type", "user_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, xs) =>
+        t -> xs.map(x => mix(x._2)).distinct.sorted
+      }
+    val truth = (for {
+      (ta, ha) <- byType; (tb, hb) <- byType if ta < tb
+    } yield {
+      val ska = ha.take(64)
+      val skb = hb.take(64)
+      val mg = (ska ++ skb).distinct.sorted.take(64)
+      val unionEst = if (mg.length < 64) mg.length.toLong
+                     else 63L * 4294967296L / mg(63)
+      val nShared = mg.count(x => ska.contains(x) && skb.contains(x)).toLong
+      val interExact = ha.count(hb.toSet).toLong
+      val unionExact = ha.length + hb.length - interExact
+      (ta, tb) -> ((unionExact, unionEst, interExact,
+        nShared * unionEst / mg.length,
+        1000L * interExact / unionExact, 1000L * nShared / mg.length))
+    }).toMap
+    val got = run("q160_kmv_algebra").collect().map { r =>
+      (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    }.toMap
+    assert(got === truth)
+    // merge exactness: a merged sketch below capacity IS the union, so
+    // every estimate collapses to its exact counterpart
+    got.foreach { case ((ta, tb), (ue, uEst, ie, iEst, jE, jEst)) =>
+      val small = byType(ta).length < 64 && byType(tb).length < 64 && ue < 64
+      if (small) {
+        assert(uEst === ue && iEst === ie && jEst === jE,
+          s"($ta,$tb): small-merge estimates must be exact")
+      }
+    }
+  }
 }

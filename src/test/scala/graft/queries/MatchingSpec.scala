@@ -82,4 +82,42 @@ class MatchingSpec extends SparkSpec {
     assert(incr === 0L)
     df.unpersist()
   }
+
+  test("q161: sorted-neighborhood pairs replay from a collected sort") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(
+          math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val counts = Tables.load(spark, sf, "part")
+      .groupBy("p_name").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = counts.keys.toSeq.groupBy(_.head).flatMap { case (_, blk) =>
+      val sorted = blk.sorted
+      sorted.indices.flatMap { i =>
+        Seq(1, 2).flatMap { gap =>
+          if (i + gap < sorted.length) {
+            val (a, b) = (sorted(i), sorted(i + gap))
+            val d = lev(a, b)
+            if (d <= 4) Some((a, b, gap.toLong, d.toLong, counts(a), counts(b)))
+            else None
+          } else None
+        }
+      }
+    }.toSet
+    val got = SparkEntry.queries("q161_sorted_neighborhood")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got === truth)
+    assert(truth.nonEmpty, "calibration: window must produce candidates")
+    // window contract: every pair shares a first letter and collates forward
+    got.foreach { case (a, b, gap, _, _, _) =>
+      assert(a.head === b.head && a < b && (gap === 1L || gap === 2L))
+    }
+  }
 }
