@@ -17,17 +17,24 @@ final case class Q(name: String, oracle: Option[String])(
     val build: (SparkSession, String) => DataFrame)
 
 object Tables {
-  /** Loads one test table. `events.ts` is nanosecond-precision parquet,
-    * which Spark 4 refuses to read as a timestamp — read it as a long
-    * (legacy nanosAsLong) and truncate to microseconds, which is exactly
-    * what DuckDB's parquet reader does, so both engines see identical
-    * µs timestamps (FIXTURES.md caveat).
+  /** Loads one test table. `events.ts` has shipped in two fixture
+    * generations: nanosecond-precision parquet (which Spark 4 refuses
+    * to read as a timestamp — legacy nanosAsLong reads it as a long we
+    * truncate to µs, exactly what DuckDB's reader does) and plain
+    * µs-precision TIMESTAMP_NTZ. Handle both by inspecting the read
+    * dtype; either way the result is a µs TimestampType in the UTC
+    * session zone, identical to DuckDB's view (FIXTURES.md caveat).
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
@@ -38,12 +45,19 @@ object Tables {
   * multiplicative hash in exact BIGINT arithmetic, identical in both
   * engines (salt adds BEFORE the multiply — see queries/Curation).
   * One definition, referenced by every consumer, so the Spark side
-  * and the DuckDB oracles can never drift apart. */
+  * and the DuckDB oracles can never drift apart.
+  *
+  * The input is reduced mod 2³¹ BEFORE the multiply so the product
+  * stays under 2⁶³ for ANY bigint input ((2³¹−1)·2654435761 ≈ 5.7e18):
+  * Spark/Scala would wrap silently on overflow while DuckDB raises,
+  * so without the reduction the cross-engine identity breaks for
+  * ids ≳ 2^31.4. Inputs below 2³¹ (every shipped id domain) hash to
+  * the same value as the unreduced form. */
 object Knuth {
   def sql(column: String, salt: Long): String =
-    s"(($column + $salt) * 2654435761) % 4294967296"
+    s"((($column + $salt) % 2147483648) * 2654435761) % 4294967296"
   def col(c: Column, salt: Long): Column =
-    ((c + lit(salt)) * lit(2654435761L)) % lit(4294967296L)
+    (((c + lit(salt)) % lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L)
 }
 
 object Det {

@@ -2,8 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -71,9 +72,122 @@ case class Jaccard3(left: Expression, right: Expression)
   override def prettyName: String = "jaccard3"
 }
 
+/** Kernels for PRECOMPUTED gram-set intersection: when one document's
+  * gram set meets many counterparts (candidate-pair scoring), shingling
+  * the text once per PAIR (jaccard3) or hashing a string array per pair
+  * (array_intersect builds a hash set per call) is the hot cost.
+  * Instead each doc computes ONE sorted array of injective int64 gram
+  * codes — (c₀·1114112 + c₁)·1114112 + c₂ over code points, a bijection
+  * from 3-grams (max code ≈ 1.38e18 < 2⁶³) so set cardinalities are
+  * EXACTLY those of the string gram sets the oracle intersects — and
+  * every pair is a branch-predictable sorted merge with zero
+  * allocation. */
+object GramCodeKernel {
+
+  private final val Radix = 1114112L // Character.MAX_CODE_POINT + 1
+
+  /** Sorted distinct injective codes of all 3-gram shingles; null when
+    * the text has fewer than 3 code points. */
+  def gramCodes3(t: UTF8String): ArrayData = {
+    val s = t.toString
+    val cp = Shingles.starts(s)
+    val n = cp.length - 1
+    if (n < 3) return null
+    val codes = new Array[Long](n - 2)
+    var i = 0
+    while (i <= n - 3) {
+      val c0 = s.codePointAt(cp(i))
+      val c1 = s.codePointAt(cp(i + 1))
+      val c2 = s.codePointAt(cp(i + 2))
+      codes(i) = (c0.toLong * Radix + c1) * Radix + c2
+      i += 1
+    }
+    java.util.Arrays.sort(codes)
+    var m = 0
+    i = 0
+    while (i < codes.length) {
+      if (m == 0 || codes(m - 1) != codes(i)) { codes(m) = codes(i); m += 1 }
+      i += 1
+    }
+    val out = new Array[Any](m)
+    i = 0
+    while (i < m) { out(i) = codes(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** |A ∩ B| of two ASCENDING long arrays by linear merge. */
+  def sortedIntersect(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+/** `gram_codes3(text)` → sorted array<bigint> of distinct injective
+  * 3-gram codes (null when length < 3 code points). */
+case class GramCodes3(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    GramCodeKernel.gramCodes3(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         ${ev.value} = graft.functions.GramCodeKernel.gramCodes3($c);
+         if (${ev.value} == null) { ${ev.isNull} = true; }
+       """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "gram_codes3"
+}
+
+/** `sorted_intersect_count(a, b)` → bigint: |A ∩ B| of two ascending
+  * bigint arrays (one linear merge, no per-call hash set). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GramCodeKernel.sortedIntersect(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.GramCodeKernel.sortedIntersect($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sorted_intersect_count"
+}
+
 object Jaccard {
   import org.apache.spark.sql.graftbridge.Bridge
 
   def jaccard3(a: Column, b: Column): Column =
     Bridge.column(Jaccard3(Bridge.expression(a), Bridge.expression(b)))
+
+  def gramCodes3(text: Column): Column =
+    Bridge.column(GramCodes3(Bridge.expression(text)))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -15,7 +15,10 @@ import java.time.{Instant, LocalDate, ZoneOffset, ZonedDateTime}
   * spec grammar is the subset the reference's deployment would use:
   * `@hourly`, `@daily`, or a 5-field cron of integers and `*`
   * (minute hour day-of-month month day-of-week; day-of-week 0 = Sunday,
-  * UTC — matching cron's conjunction semantics for the fields given).
+  * UTC). Field semantics follow vixie cron: all fields are ANDed,
+  * EXCEPT that when day-of-month and day-of-week are BOTH restricted
+  * the day matches if EITHER does (`0 0 13 * 5` fires every 13th AND
+  * every Friday, not only Friday-the-13th).
   */
 object Schedule {
 
@@ -43,20 +46,35 @@ object Schedule {
       require(fields.length == 5, s"cron needs 5 fields, got: '$s'")
       def f(i: Int, lo: Int, hi: Int): Option[Int] = fields(i) match {
         case "*" => None
-        case n =>
+        case n if n.forall(_.isDigit) && n.nonEmpty =>
           val v = n.toInt
           require(v >= lo && v <= hi, s"cron field $i out of [$lo,$hi]: $v")
           Some(v)
+        case other =>
+          throw new IllegalArgumentException(
+            s"cron field $i: '$other' unsupported — this grammar accepts only " +
+              "a single integer or '*' per field (no ranges '1-5', " +
+              "steps '*/5', or lists '1,2')")
       }
       Cron(f(0, 0, 59), f(1, 0, 23), f(2, 1, 31), f(3, 1, 12), f(4, 0, 6))
   }
 
+  /** Vixie day rule: dom AND dow each match when unrestricted; when
+    * BOTH are restricted the day matches if EITHER does. */
+  private def dayMatches(c: Cron, t: ZonedDateTime): Boolean =
+    (c.dayOfMonth, c.dayOfWeek) match {
+      case (Some(dom), Some(dow)) =>
+        dom == t.getDayOfMonth || dow == t.getDayOfWeek.getValue % 7
+      case _ =>
+        c.dayOfMonth.forall(_ == t.getDayOfMonth) &&
+          c.dayOfWeek.forall(_ == t.getDayOfWeek.getValue % 7)
+    }
+
   private def matches(c: Cron, t: ZonedDateTime): Boolean =
     c.minute.forall(_ == t.getMinute) &&
       c.hour.forall(_ == t.getHour) &&
-      c.dayOfMonth.forall(_ == t.getDayOfMonth) &&
       c.month.forall(_ == t.getMonthValue) &&
-      c.dayOfWeek.forall(_ == t.getDayOfWeek.getValue % 7)
+      dayMatches(c, t)
 
   /** Earliest whole minute strictly after `after` matching the spec.
     * Minute-stepping is bounded by the longest possible gap (a yearly
@@ -67,9 +85,7 @@ object Schedule {
     var budget = 8L * 366 * 24 * 60
     // skip whole days/hours cheaply before the minute walk
     while (budget > 0 && !matches(c, t)) {
-      if (c.month.exists(_ != t.getMonthValue) ||
-        c.dayOfMonth.exists(_ != t.getDayOfMonth) ||
-        c.dayOfWeek.exists(_ != t.getDayOfWeek.getValue % 7)) {
+      if (c.month.exists(_ != t.getMonthValue) || !dayMatches(c, t)) {
         t = t.plusDays(1).withHour(0).withMinute(0); budget -= 24 * 60
       } else if (c.hour.exists(_ != t.getHour)) {
         t = t.plusHours(1).withMinute(0); budget -= 60

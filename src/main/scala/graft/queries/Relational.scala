@@ -1203,7 +1203,8 @@ object Relational {
           FROM g GROUP BY col_name)
         SELECT n.col_name, n.n_rows, n.n_rows - n.n_nonnull AS n_null,
                coalesce(d.n_distinct, 0) AS n_distinct,
-               CAST(coalesce((d.top_c * 1000) // n.n_nonnull, 0) AS BIGINT)
+               CAST(CASE WHEN n.n_nonnull = 0 THEN 0
+                    ELSE (d.top_c * 1000) // n.n_nonnull END AS BIGINT)
                  AS top_share_permille
         FROM n LEFT JOIN d ON n.col_name = d.col_name""")
     ) { (s, dir) =>
@@ -1223,7 +1224,11 @@ object Relational {
         .select(col("col_name"), col("n_rows"),
           (col("n_rows") - col("n_nonnull")).as("n_null"),
           coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
-          coalesce(expr("(top_c * 1000) div n_nonnull"), lit(0L))
+          // explicit zero-guard: an all-null column must not reach the
+          // division at all (DuckDB's // raises on divide-by-zero in
+          // some versions; NULL-propagation is not a portable guard)
+          when(col("n_nonnull") === 0, lit(0L))
+            .otherwise(expr("(top_c * 1000) div n_nonnull"))
             .as("top_share_permille"))
     },
 

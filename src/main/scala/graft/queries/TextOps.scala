@@ -1224,13 +1224,16 @@ object TextOps {
     // introduce nothing). The crawl-health complement to q140's exact
     // dedup and q144's syndication: those catch copies, this measures
     // how much NEW text a source contributes.
-    // Scale: one corpus-gram shuffle for the first-seen aggregate
-    // (map-side-combined min), one gram-keyed join back (AQE covers
-    // the stopword-gram skew), then doc- and source-bounded
-    // aggregates. All counts exact BIGINTs; the rate is one final
-    // division of exact sums. No windows over gram partitions — a
-    // window would SORT each gram's occurrence list where the
-    // aggregate join needs only the min.
+    // Scale: ONE corpus-gram shuffle — the first-seen aggregate
+    // (map-side-combined min over injective int64 gram codes, never
+    // strings) — and everything after is vocabulary- or doc-sized:
+    // per-doc novel counts are the first-seen table re-grouped by its
+    // winning doc (a gram is novel in exactly one doc), per-doc gram
+    // counts are array sizes computed in the scan, and the two meet
+    // in a doc-keyed join of ≤|docs| rows. The corpus-sized
+    // gram-keyed join back (the naive form; measured 4.5 s at sf0.1
+    // vs 1 s for this shape) never happens. All counts exact BIGINTs;
+    // the rate is one final division of exact sums.
     Q(
       "q148_novelty_rate",
       Some(s"""
@@ -1254,15 +1257,25 @@ object TextOps {
                  AS n_derivative_docs
         FROM pd GROUP BY source""")
     ) { (s, dir) =>
-      val grams = t(s, dir, "documents")
+      // injective gram CODES (GramCodeKernel): the one corpus shuffle
+      // moves int64s, and |distinct grams| per doc is the array size —
+      // no corpus-sized join back
+      val docs = t(s, dir, "documents")
         .filter(length(col("text")) >= 3)
-        .select(col("doc_id"), col("source"), explode(expr(shinglesExpr)).as("g"))
-      val firstSeen = grams.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
-      val perDoc = grams.join(firstSeen, "g")
-        .groupBy("doc_id", "source")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-            .as("n_novel"))
+        .select(col("doc_id"), col("source"),
+          graft.functions.Jaccard.gramCodes3(col("text")).as("grams"))
+      val firstSeen = docs
+        .select(col("doc_id"), explode(col("grams")).as("g"))
+        .groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+      // a gram is novel in exactly ONE doc — its first_doc — so per-doc
+      // novel counts are the first-seen table re-grouped by winner
+      val novel = firstSeen.groupBy(col("first_doc").as("doc_id"))
+        .agg(count(lit(1)).as("n_novel"))
+      val perDoc = docs
+        .select(col("doc_id"), col("source"),
+          size(col("grams")).cast("long").as("n_grams"))
+        .join(novel, Seq("doc_id"), "left")
+        .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
       perDoc.groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_grams")).as("n_grams"),
@@ -1274,8 +1287,8 @@ object TextOps {
     },
 
     // --------------------------------------------------------------- q149
-    // MinHash estimator calibration: for every candidate pair the
-    // q58 banding surfaces, compare the SIGNATURE-estimated Jaccard
+    // MinHash estimator calibration: over candidate pairs the q58
+    // banding surfaces, compare the SIGNATURE-estimated Jaccard
     // (matching components / k, the estimator LSH banding implicitly
     // thresholds) against the EXACT 3-gram Jaccard — grouped by
     // match count into the estimator's own resolution steps. The
@@ -1283,10 +1296,19 @@ object TextOps {
     // justifies nProbe: recall curves mean nothing if the estimator
     // is biased on this corpus. Per-pair values quantize to exact
     // integer permille ((1000·x) div y — no float sums); the three
-    // means are single divisions of exact sums. Scale: candidates
-    // come only from the (band, band_key) equi-join (the q58
-    // contract), signatures and gram counts attach by doc-keyed
-    // joins of vocabulary-sized tables, and the output is ≤ k+1 rows.
+    // means are single divisions of exact sums.
+    //
+    // Scale contract: calibration is a MEASUREMENT, so it scores a
+    // deterministic uniform 1/32 hash-sample of the candidate pairs
+    // (Knuth mix of the ordered id pair — replayed bit-identically by
+    // the oracle). A template-heavy corpus makes banding buckets
+    // quadratic in bucket size (sf0.1 measured 6.1M candidate pairs
+    // from 5 000 docs); scoring every pair with an exact intersection
+    // is the one non-linear step, and sampling it is statistically
+    // free for a bias estimate (each n_match stratum keeps thousands
+    // of pairs, uniformly thinned). Per-doc gram sets are computed
+    // ONCE (localCheckpoint) and pairs intersect the precomputed
+    // arrays — no per-pair re-shingling. Output is ≤ k+1 rows.
     Q(
       "q149_minhash_calibration",
       Some {
@@ -1309,10 +1331,12 @@ object TextOps {
         banded AS (
           $bands),
         pairs AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM banded a JOIN banded b
-            ON a.band = b.band AND a.band_key = b.band_key
-               AND b.doc_id > a.doc_id),
+          SELECT doc_a, doc_b FROM (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.band_key = b.band_key
+                 AND b.doc_id > a.doc_id)
+          WHERE ${graft.Knuth.sql("(doc_a * 524287 + doc_b)", 1117L)} % 32 = 0),
         scored AS (
           SELECT CAST($nMatch AS BIGINT) AS n_match,
                  CAST(len(list_filter(sa.grams, g -> list_contains(sb.grams, g)))
@@ -1337,32 +1361,47 @@ object TextOps {
     ) { (s, dir) =>
       val cfg = graft.operators.MinHashLsh.Config(
         bands = 3, rowsPerBand = 2, universal = true)
-      val docs = t(s, dir, "documents")
+      // per-doc signature + SORTED injective gram-code array (an exact
+      // image of the distinct 3-gram set — see GramCodeKernel), computed
+      // ONCE and materialized: the banding, both pair sides, and the
+      // exact intersection all read this checkpoint — the corpus kernel
+      // never re-executes, no pair re-shingles text, and each pair's
+      // |A∩B| is one allocation-free sorted merge
+      val sigs = t(s, dir, "documents")
         .filter(length(col("text")) >= 3)
-        .select(col("doc_id"), col("text"))
-      // per-doc signature + distinct-gram count, computed ONCE and
-      // joined back to the candidate pairs by doc id
-      val sigs = docs.select(col("doc_id"),
-        graft.functions.MinHash.minhashFast(col("text"), cfg.numHashes).as("sig"),
-        size(expr(shinglesExpr)).cast("long").as("n_grams"),
-        col("text"))
-      val banded = graft.operators.MinHashLsh.explodeBands(docs, "text", cfg)
-        .select("doc_id", "band", "band_key")
+        .select(col("doc_id"),
+          graft.functions.MinHash.minhashFast(col("text"), cfg.numHashes)
+            .as("sig"),
+          graft.functions.Jaccard.gramCodes3(col("text")).as("grams"))
+        .withColumn("n_grams", size(col("grams")).cast("long"))
+        .localCheckpoint()
+      val banded = sigs.select(col("doc_id"),
+        posexplode(array((0 until cfg.bands).map(j =>
+          graft.operators.MinHashLsh.bandKeyCol(col("sig"), j, cfg.rowsPerBand)): _*))
+          .as(Seq("band", "band_key")))
       val pairs = banded.as("a")
         .join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
             col("b.doc_id") > col("a.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
+        .filter(graft.Knuth.col(col("doc_a") * lit(524287L) + col("doc_b"), 1117L)
+          % 32 === 0)
       val scored = pairs
         .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
-          col("n_grams").as("ng_a"), col("text").as("text_a")), "doc_a")
+          col("n_grams").as("ng_a"), col("grams").as("grams_a")), "doc_a")
         .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
-          col("n_grams").as("ng_b"), col("text").as("text_b")), "doc_b")
-        .withColumn("n_match", expr(
-          "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1L, 0L)), 0L, (acc, x) -> acc + x)"))
-        .withColumn("jc", graft.functions.Jaccard.jaccard3(col("text_a"), col("text_b")))
-        .withColumn("n_common", col("jc.n_common"))
+          col("n_grams").as("ng_b"), col("grams").as("grams_b")), "doc_b")
+        // unrolled element compares, not aggregate(zip_with(...)) — the
+        // HOF pair evaluates an interpreted lambda per row (q112 lesson)
+        .withColumn("n_match",
+          (0 until cfg.numHashes).map(j =>
+            when(element_at(col("sig_a"), j + 1) ===
+              element_at(col("sig_b"), j + 1), 1L).otherwise(0L))
+            .reduce(_ + _))
+        .withColumn("n_common",
+          graft.functions.Jaccard.sortedIntersectCount(
+            col("grams_a"), col("grams_b")))
         .withColumn("est_pm", expr("(1000 * n_match) div 6"))
         .withColumn("exact_pm",
           expr("(1000 * n_common) div (ng_a + ng_b - n_common)"))

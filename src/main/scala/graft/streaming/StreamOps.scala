@@ -233,7 +233,9 @@ object StreamOps {
   def kmvDistinct(events: Dataset[EventRow], k: Int = 64): Dataset[KmvSketch] = {
     import events.sparkSession.implicits._
     def mix(u: Long): Long = {
-      val h0 = ((u + 9176L) * 2654435761L) % 4294967296L
+      // byte-identical to Knuth.col(_, 9176): input reduced mod 2^31
+      // before the multiply so the product never wraps 2^63
+      val h0 = (((u + 9176L) % 2147483648L) * 2654435761L) % 4294967296L
       val h2 = ((h0 ^ (h0 / 65536)) * 1597334677L) % 4294967296L
       h2 ^ (h2 / 8192)
     }

@@ -25,6 +25,41 @@ class FunctionsSpec extends SparkSpec {
     assert(viaExpr("ab").isEmpty) // too short for a shingle → null
   }
 
+  test("GramCodeKernel: codes are a sorted bijective image of the gram set") {
+    import spark.implicits._
+    val shingles =
+      "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))"
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("text").limit(200)
+      .union(Seq("ab", "abc", "a💡b💡c", "the same the same").toDF("text"))
+    // cardinality: |codes| == |distinct string grams| (injectivity over
+    // real text + non-BMP), and the array arrives sorted ascending
+    val bad = docs
+      .withColumn("codes", Jaccard.gramCodes3(col("text")))
+      .withColumn("nStr", expr(
+        s"CASE WHEN length(text) >= 3 THEN size($shingles) END"))
+      .filter(!(size(col("codes")).cast("int") <=> col("nStr")) ||
+        coalesce(expr(
+          // sequence(1, 0) DESCENDS, so guard the single-gram case
+          "size(codes) >= 2 AND " +
+            "exists(sequence(1, size(codes) - 1), i -> codes[i] <= codes[i - 1])"),
+          lit(false)))
+      .count()
+    assert(bad === 0L, "gram_codes3 diverges from the distinct string gram set")
+    // pairwise: sorted-merge intersection == string-set intersection ==
+    // jaccard3's n_common, on every pair of a real sample
+    val sample = docs.limit(40)
+    val mism = sample.as("a").crossJoin(sample.as("b"))
+      .select(col("a.text").as("ta"), col("b.text").as("tb"))
+      .filter(length(col("ta")) >= 3 && length(col("tb")) >= 3)
+      .withColumn("viaCodes", Jaccard.sortedIntersectCount(
+        Jaccard.gramCodes3(col("ta")), Jaccard.gramCodes3(col("tb"))))
+      .withColumn("viaText", Jaccard.jaccard3(col("ta"), col("tb"))
+        .getField("n_common"))
+      .filter(not(col("viaCodes") <=> col("viaText"))).count()
+    assert(mism === 0L, "sorted_intersect_count diverges from jaccard3")
+  }
+
   test("PayloadSigKernel matches the HOF sampling formulation, incl. real docs") {
     import spark.implicits._
     val synth = Seq("a", "abc", "key agg row scan slow fast", "zzzz  zz",

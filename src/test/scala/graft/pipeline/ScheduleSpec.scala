@@ -19,6 +19,27 @@ class ScheduleSpec extends AnyFunSuite {
     assert(parse("15 6 * * 0") === Cron(Some(15), Some(6), None, None, Some(0)))
     intercept[IllegalArgumentException](parse("1 2 3"))
     intercept[IllegalArgumentException](parse("61 * * * *"))
+    // unsupported cron grammar fails with a message naming the subset,
+    // not a bare NumberFormatException
+    val e = intercept[IllegalArgumentException](parse("*/5 * * * *"))
+    assert(e.getMessage.contains("unsupported"))
+    intercept[IllegalArgumentException](parse("1-5 * * * *"))
+    intercept[IllegalArgumentException](parse("1,2 * * * *"))
+  }
+
+  test("vixie day rule: restricted dom+dow fire on EITHER match") {
+    def at(s: String) = Instant.parse(s)
+    val c = parse("0 0 13 * 5") // every 13th AND every Friday
+    // 2026-08-13 is a Thursday; the next match is Friday the 14th (dow),
+    // not Friday-the-13th-only conjunction semantics
+    assert(next(c, at("2026-08-13T12:00:00Z")) === at("2026-08-14T00:00:00Z"))
+    // then the following Friday
+    assert(next(c, at("2026-08-14T00:00:00Z")) === at("2026-08-21T00:00:00Z"))
+    // 2026-09-13 is a Sunday: fires on the dom leg alone
+    assert(next(c, at("2026-09-12T01:00:00Z")) === at("2026-09-13T00:00:00Z"))
+    // singly-restricted fields keep plain AND semantics
+    assert(next(parse("0 0 13 * *"), at("2026-08-13T12:00:00Z")) ===
+      at("2026-09-13T00:00:00Z"))
   }
 
   test("next: strictly-after semantics and boundary crossings") {

@@ -1049,7 +1049,7 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.values.map(_._3).sum === firstDoc.size.toLong)
   }
 
-  test("q149 calibration: est exact per bucket; pair universe == the banding's") {
+  test("q149 calibration: est exact per bucket; pair universe == sampled banding") {
     val rows = run("q149_minhash_calibration").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
     rows.foreach { case (m, n, est, exact, err) =>
@@ -1061,16 +1061,23 @@ class AnalyticsSpec extends SparkSpec {
       assert(err + 1e-9 >= math.abs(est - exact), "Jensen: mean|e| >= |mean e|")
     }
     // the scored pairs are exactly the banding's distinct candidates
+    // thinned by the declared deterministic 1/32 Knuth pair-sample
     val cfg = graft.operators.MinHashLsh.Config(3, 2, universal = true)
     val banded = graft.operators.MinHashLsh.explodeBands(
       graft.Tables.load(spark, sf, "documents")
         .filter(length(col("text")) >= 3).select("doc_id", "text"), "text", cfg)
       .select("doc_id", "band", "band_key")
-    val nPairs = banded.as("a").join(banded.as("b"),
+    val allPairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("b.doc_id") > col("a.doc_id"))
-      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
-    assert(rows.map(_._2).sum === nPairs)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    val nSampled = allPairs
+      .filter(graft.Knuth.col(col("doc_a") * lit(524287L) + col("doc_b"), 1117L)
+        % 32 === 0).count()
+    val nAll = allPairs.count()
+    assert(rows.map(_._2).sum === nSampled)
+    // the sample is a strict, non-empty thinning of a larger universe
+    assert(nSampled > 0 && nSampled < nAll)
   }
 
   test("q150 quantization error replays bit-exactly from collected floats") {

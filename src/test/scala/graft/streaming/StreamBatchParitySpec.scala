@@ -333,8 +333,11 @@ class StreamBatchParitySpec extends SparkSpec {
     val ckpt = Files.createTempDirectory("graft-kmv-ckpt").toString
     val stream = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", "1").parquet(in.toString)
+    // drop ONLY the synthetic watermark pusher by its own marker — any
+    // real fixture row (negative ids included) flows through both the
+    // streaming and the batch side identically
     val q = StreamOps.kmvDistinct(
-        stream.filter(col("user_id") >= 0)
+        stream.filter(col("event_type") =!= "pusher")
           .select("event_id", "ts", "user_id", "event_type")
           .as[StreamOps.EventRow]).toDF()
       .writeStream
