@@ -104,6 +104,8 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q159    graft.queries.TextOps    — positional-postings phrase search
   *   q160    graft.queries.Events     — KMV set algebra (union/Jaccard/∩)
   *   q161    graft.queries.Matching   — sorted-neighborhood ER blocking
+  *   q162    graft.queries.Events     — HyperLogLog register sketch audit
+  *   q163    graft.queries.TextOps    — near-dup detector precision/recall
   */
 object SparkEntry {
 

@@ -1194,5 +1194,102 @@ object Events {
             .as("jacc_exact_permille"),
           expr("(1000L * n_shared) div size(mg)").as("jacc_est_permille"))
     },
+
+    // --------------------------------------------------------------- q162
+    // HyperLogLog register sketch audit — the fixed-memory complement
+    // to q153's KMV: the same mixed hash routes each distinct user to
+    // one of m=64 registers (j = h % 64) and the register keeps the
+    // MAX rank (leading-zero count + 1) of the remaining 26 bits —
+    // so per group the whole sketch is 64 small ints, mergeable by
+    // elementwise max across partitions, days, and sources, and the
+    // raw Flajolet estimate α·m²/Σ2^(−Mⱼ) comes out of one register
+    // scan. EVERY step is exact integer arithmetic both engines
+    // replay bit-identically: rank = 27 − bitlen(w) via the binary
+    // string (no float log2), Σ2^(−Mⱼ) is scaled by 2²⁷ into an
+    // exact BIGINT sum, and the estimate is one integer division
+    // with α₆₄ = 0.709 carried as the literal 709/1000. Small-range
+    // (linear-counting) correction is deliberately NOT applied — the
+    // audit reports the RAW estimator against the exact count, and
+    // n_zero_registers is exactly the statistic a production caller
+    // needs to decide the correction. Scale: the corpus contributes
+    // one distinct-(type, hash) pass (shared with q153); everything
+    // after is O(types × 64).
+    Q(
+      "q162_hll_distinct",
+      Some(s"""
+        WITH h0t AS (
+          SELECT DISTINCT event_type, ${Knuth.sql("user_id", 9176L)} AS h0
+          FROM events),
+        h2t AS (
+          SELECT event_type,
+                 (xor(h0, h0 // 65536) * 1597334677) % 4294967296 AS h2
+          FROM h0t),
+        uh AS (
+          SELECT DISTINCT event_type, xor(h2, h2 // 8192) AS h FROM h2t),
+        reg AS (
+          SELECT event_type, h % 64 AS j,
+                 CASE WHEN h // 64 = 0 THEN 27
+                      ELSE 27 - length(bin(h // 64)) END AS rho
+          FROM uh),
+        mx AS (SELECT event_type, j, MAX(rho) AS m FROM reg GROUP BY 1, 2),
+        ag AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_hit,
+                 CAST(SUM(CAST(pow(2, 27 - m) AS BIGINT)) AS BIGINT) AS s_hit
+          FROM mx GROUP BY event_type),
+        ex AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+          FROM uh GROUP BY event_type),
+        fin AS (
+          SELECT ex.event_type, ex.exact_distinct,
+                 ag.n_hit,
+                 ag.s_hit + (64 - ag.n_hit) * 134217728 AS s
+          FROM ex JOIN ag USING (event_type))
+        SELECT event_type, exact_distinct,
+               CAST(n_hit AS BIGINT) AS n_registers_hit,
+               CAST(64 - n_hit AS BIGINT) AS n_zero_registers,
+               CAST(s AS BIGINT) AS sum_scaled,
+               CAST(${709L * 4096L * 134217728L} // (1000 * s) AS BIGINT)
+                 AS hll_estimate,
+               CAST(CASE WHEN ${709L * 4096L * 134217728L} // (1000 * s)
+                              > exact_distinct THEN 1
+                         WHEN ${709L * 4096L * 134217728L} // (1000 * s)
+                              < exact_distinct THEN -1
+                         ELSE 0 END AS BIGINT) AS err_sign,
+               CAST((abs(${709L * 4096L * 134217728L} // (1000 * s)
+                         - exact_distinct) * 1000) // exact_distinct AS BIGINT)
+                 AS abs_err_permille
+        FROM fin""")
+    ) { (s, dir) =>
+      val uh = t(s, dir, "events")
+        .select(col("event_type"), Knuth.col(col("user_id"), 9176L).as("h0"))
+        .withColumn("h2",
+          expr("((h0 ^ (h0 div 65536)) * 1597334677) % 4294967296"))
+        .select(col("event_type"), expr("h2 ^ (h2 div 8192)").as("h"))
+        .distinct()
+      val reg = uh.select(col("event_type"), (col("h") % 64).as("j"),
+        when(expr("h div 64") === 0, lit(27L))
+          .otherwise(lit(27L) - length(expr("bin(h div 64)")).cast("long"))
+          .as("rho"))
+      val mx = reg.groupBy("event_type", "j").agg(max(col("rho")).as("m"))
+      val ag = mx.groupBy("event_type")
+        .agg(count(lit(1)).as("n_hit"),
+          sum(expr("CAST(pow(2, 27 - m) AS BIGINT)")).as("s_hit"))
+      val ex = uh.groupBy("event_type").agg(count(lit(1)).as("exact_distinct"))
+      val alphaNum = 709L * 4096L * 134217728L
+      ex.join(ag, "event_type")
+        .withColumn("s", col("s_hit") + (lit(64L) - col("n_hit")) * lit(134217728L))
+        .withColumn("hll_estimate", expr(s"$alphaNum div (1000 * s)"))
+        .select(col("event_type"), col("exact_distinct"),
+          col("n_hit").as("n_registers_hit"),
+          (lit(64L) - col("n_hit")).as("n_zero_registers"),
+          col("s").as("sum_scaled"),
+          col("hll_estimate"),
+          when(col("hll_estimate") > col("exact_distinct"), 1L)
+            .when(col("hll_estimate") < col("exact_distinct"), -1L)
+            .otherwise(0L).as("err_sign"),
+          expr("(abs(hll_estimate - exact_distinct) * 1000) div exact_distinct")
+            .as("abs_err_permille"))
+    },
   )
 }

@@ -1490,5 +1490,144 @@ object TextOps {
         .agg(count(lit(1)).as("n_hits"),
           countDistinct(col("doc_id")).as("n_docs"))
     },
+
+    // --------------------------------------------------------------- q163
+    // Near-dup METHOD EVALUATION: precision/recall of the two cheap
+    // detectors this engine ships — MinHash 6-component signatures
+    // (predict dup when ≥ 4 components match, the est-Jaccard ≥ 667
+    // threshold) and SimHash16 (predict dup when hamming ≤ 3, the q69
+    // rule) — against EXACT 3-gram Jaccard ≥ 0.5 ground truth, on a
+    // deterministic uniform 1/64 Knuth sample of ALL ordered doc
+    // pairs. This is the measurement that justifies picking q58's
+    // banding or q69's hamming rule for a corpus, the way q149
+    // calibrates the estimator and q146 the ANN probes.
+    // Scale contract: the pair universe is quadratic BY DEFINITION
+    // (evaluation needs true negatives, which no banding surfaces) —
+    // the declared sample rate is the knob, and per sampled pair the
+    // exact side is one allocation-free sorted merge of precomputed
+    // int64 gram codes (GramCodeKernel; per-doc state computed once,
+    // localCheckpoint'd). At production scale the same harness runs
+    // over a doc-level sample first; nothing else changes.
+    Q(
+      "q163_neardup_eval",
+      Some {
+        val hashes = (0 until 6).map(j =>
+          s"${graft.operators.MinHashLsh.universalMinSql("grams", j)} AS h$j")
+          .mkString(",\n                 ")
+        val nMatch = (0 until 6).map(j =>
+          s"CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END").mkString(" + ")
+        s"""
+        WITH sh AS (
+          SELECT doc_id, $shinglesSql AS grams
+          FROM documents WHERE length(text) >= 3),
+        mh AS (SELECT doc_id, $hashes FROM sh),
+        sims AS ($simhashDocsSql),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+          WHERE ${graft.Knuth.sql("(a.doc_id * 524287 + b.doc_id)", 2803L)}
+                % 64 = 0),
+        scored AS (
+          SELECT
+            CAST(len(list_filter(sa.grams, g -> list_contains(sb.grams, g)))
+              AS BIGINT) AS n_common,
+            CAST(len(sa.grams) + len(sb.grams) AS BIGINT) AS n_total,
+            CAST($nMatch AS BIGINT) AS n_match,
+            CAST(bit_count(xor(va.simhash, vb.simhash)) AS BIGINT) AS hamming
+          FROM pairs p
+          JOIN sh sa ON sa.doc_id = p.doc_a
+          JOIN sh sb ON sb.doc_id = p.doc_b
+          JOIN mh a ON a.doc_id = p.doc_a
+          JOIN mh b ON b.doc_id = p.doc_b
+          JOIN sims va ON va.doc_id = p.doc_a
+          JOIN sims vb ON vb.doc_id = p.doc_b),
+        lab AS (
+          SELECT (1000 * n_common) // (n_total - n_common) >= 500 AS is_dup,
+                 n_match >= 4 AS mh_pred,
+                 hamming <= 3 AS sh_pred
+          FROM scored),
+        cm AS (
+          SELECT 'minhash_b3r2' AS method,
+                 CAST(SUM(CASE WHEN is_dup AND mh_pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                 CAST(SUM(CASE WHEN NOT is_dup AND mh_pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                 CAST(SUM(CASE WHEN is_dup AND NOT mh_pred THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                 CAST(SUM(CASE WHEN NOT is_dup AND NOT mh_pred THEN 1 ELSE 0 END) AS BIGINT) AS tn
+          FROM lab
+          UNION ALL
+          SELECT 'simhash16_h3',
+                 CAST(SUM(CASE WHEN is_dup AND sh_pred THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(SUM(CASE WHEN NOT is_dup AND sh_pred THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(SUM(CASE WHEN is_dup AND NOT sh_pred THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(SUM(CASE WHEN NOT is_dup AND NOT sh_pred THEN 1 ELSE 0 END) AS BIGINT)
+          FROM lab)
+        SELECT method, tp, fp, fn, tn,
+               CAST(CASE WHEN tp + fp = 0 THEN -1
+                    ELSE (1000 * tp) // (tp + fp) END AS BIGINT)
+                 AS precision_permille,
+               CAST(CASE WHEN tp + fn = 0 THEN -1
+                    ELSE (1000 * tp) // (tp + fn) END AS BIGINT)
+                 AS recall_permille
+        FROM cm"""
+      }
+    ) { (s, dir) =>
+      // per-doc detector state, ONE corpus pass, materialized: minhash
+      // signature, simhash, sorted gram codes
+      val sigs = t(s, dir, "documents")
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"),
+          graft.functions.MinHash.minhashFast(col("text"), 6).as("sig"),
+          graft.functions.SimHash.simhash16(col("text")).as("simhash"),
+          graft.functions.Jaccard.gramCodes3(col("text")).as("grams"))
+        .localCheckpoint()
+      // sampled upper-triangle pair universe: the join CONDITION
+      // carries the Knuth thinning, so the nested-loop join emits only
+      // sampled pairs — never a materialized n² set
+      val pairs = sigs.as("a")
+        .join(sigs.as("b"),
+          col("b.doc_id") > col("a.doc_id") &&
+            graft.Knuth.col(col("a.doc_id") * lit(524287L) + col("b.doc_id"),
+              2803L) % 64 === 0)
+        .select(
+          col("a.sig").as("sig_a"), col("b.sig").as("sig_b"),
+          col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"),
+          col("a.grams").as("grams_a"), col("b.grams").as("grams_b"))
+      val lab = pairs
+        .withColumn("n_common", graft.functions.Jaccard.sortedIntersectCount(
+          col("grams_a"), col("grams_b")))
+        .withColumn("n_total",
+          (size(col("grams_a")) + size(col("grams_b"))).cast("long"))
+        .withColumn("n_match",
+          (0 until 6).map(j =>
+            when(element_at(col("sig_a"), j + 1) ===
+              element_at(col("sig_b"), j + 1), 1L).otherwise(0L))
+            .reduce(_ + _))
+        .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
+        .select(
+          expr("(1000 * n_common) div (n_total - n_common) >= 500").as("is_dup"),
+          (col("n_match") >= 4).as("mh_pred"),
+          (col("hamming") <= 3).as("sh_pred"))
+      // BOTH confusion matrices in ONE aggregation pass (two separate
+      // .agg calls would re-execute the pair join per method), then an
+      // unpivot to one row per method
+      def cm(pred: Column, tag: String) = Seq(
+        sum(when(col("is_dup") && pred, 1L).otherwise(0L)).as(s"${tag}_tp"),
+        sum(when(!col("is_dup") && pred, 1L).otherwise(0L)).as(s"${tag}_fp"),
+        sum(when(col("is_dup") && !pred, 1L).otherwise(0L)).as(s"${tag}_fn"),
+        sum(when(!col("is_dup") && !pred, 1L).otherwise(0L)).as(s"${tag}_tn"))
+      val sums = cm(col("mh_pred"), "mh") ++ cm(col("sh_pred"), "sh")
+      lab.agg(sums.head, sums.tail: _*)
+        .select(expr(
+          """stack(2,
+             'minhash_b3r2', mh_tp, mh_fp, mh_fn, mh_tn,
+             'simhash16_h3', sh_tp, sh_fp, sh_fn, sh_tn)
+             AS (method, tp, fp, fn, tn)"""))
+        .select(col("method"), col("tp"), col("fp"), col("fn"), col("tn"),
+          when(col("tp") + col("fp") === 0, -1L)
+            .otherwise(expr("(1000 * tp) div (tp + fp)"))
+            .as("precision_permille"),
+          when(col("tp") + col("fn") === 0, -1L)
+            .otherwise(expr("(1000 * tp) div (tp + fn)"))
+            .as("recall_permille"))
+    },
   )
 }

@@ -1337,6 +1337,94 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q162 HLL registers replay from collected user ids") {
+    def mix(u: Long): Long = {
+      val h0 = (((u + 9176L) % 2147483648L) * 2654435761L) % 4294967296L
+      val h2 = ((h0 ^ (h0 / 65536)) * 1597334677L) % 4294967296L
+      h2 ^ (h2 / 8192)
+    }
+    val byType = graft.Tables.load(spark, sf, "events")
+      .select("event_type", "user_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).distinct }
+    val truth = byType.map { case (t, users) =>
+      val hs = users.map(mix).distinct
+      val regs = hs.groupBy(_ % 64).map { case (j, ws) =>
+        j -> ws.map { h =>
+          val w = h / 64
+          if (w == 0) 27L else 27L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        }.max
+      }
+      val s = regs.values.map(m => 1L << (27 - m)).sum +
+        (64L - regs.size) * 134217728L
+      val est = (709L * 4096L * 134217728L) / (1000L * s)
+      val d = hs.length.toLong
+      t -> ((d, regs.size.toLong, 64L - regs.size, s, est,
+        (est compare d).sign.toLong, (math.abs(est - d) * 1000) / d))
+    }
+    val got = run("q162_hll_distinct").collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    }.toMap
+    assert(got === truth)
+    // every register holds a rank in [1, 27] once hit; the scaled sum
+    // is bounded by the all-zero state
+    got.values.foreach { case (_, hit, zero, s, _, _, _) =>
+      assert(hit + zero === 64L && s >= 64L && s <= 64L * 134217728L)
+    }
+  }
+
+  test("q163 near-dup eval replays pair-by-pair from collected doc state") {
+    // per-doc detector state from the (separately unit-tested) kernels;
+    // the SAMPLE, thresholds, confusion counts, and unpivot are
+    // re-derived here in plain Scala
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.MinHash.minhashFast(col("text"), 6).as("sig"),
+        graft.functions.SimHash.simhash16(col("text")).as("simhash"),
+        graft.functions.Jaccard.gramCodes3(col("text")).as("grams"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq,
+        r.getLong(2), r.getSeq[Long](3).toSet))
+      .sortBy(_._1)
+    def sampled(a: Long, b: Long): Boolean =
+      ((((a * 524287L + b + 2803L) % 2147483648L) * 2654435761L)
+        % 4294967296L) % 64L == 0L
+    var mh = (0L, 0L, 0L, 0L)
+    var sh = (0L, 0L, 0L, 0L)
+    for {
+      i <- docs.indices; j <- (i + 1) until docs.length
+      (da, sa, va, ga) = docs(i); (db, sb, vb, gb) = docs(j)
+      if sampled(da, db)
+    } {
+      val nCommon = ga.intersect(gb).size.toLong
+      val isDup = (1000L * nCommon) / (ga.size + gb.size - nCommon) >= 500L
+      val mhPred = (0 until 6).count(k => sa(k) == sb(k)) >= 4
+      val shPred = java.lang.Long.bitCount(va ^ vb) <= 3
+      def upd(t: (Long, Long, Long, Long), p: Boolean) = (
+        t._1 + (if (isDup && p) 1 else 0), t._2 + (if (!isDup && p) 1 else 0),
+        t._3 + (if (isDup && !p) 1 else 0), t._4 + (if (!isDup && !p) 1 else 0))
+      mh = upd(mh, mhPred); sh = upd(sh, shPred)
+    }
+    def row(t: (Long, Long, Long, Long)) = {
+      val (tp, fp, fn, tn) = t
+      (tp, fp, fn, tn,
+        if (tp + fp == 0) -1L else (1000 * tp) / (tp + fp),
+        if (tp + fn == 0) -1L else (1000 * tp) / (tp + fn))
+    }
+    val truth = Map("minhash_b3r2" -> row(mh), "simhash16_h3" -> row(sh))
+    val got = run("q163_neardup_eval").collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    }.toMap
+    assert(got === truth)
+    // the sampled universe must be non-trivial: some pairs on each side
+    // of the ground-truth label
+    val (tp, fp, fn, tn) = mh
+    assert(tp + fp + fn + tn > 0, "sample must be non-empty")
+  }
+
   test("q154 funnel: chained stages, replayed rule by rule") {
     val texts = graft.Tables.load(spark, sf, "documents")
       .select("text").collect().map(_.getString(0))
