@@ -106,6 +106,7 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q161    graft.queries.Matching   — sorted-neighborhood ER blocking
   *   q162    graft.queries.Events     — HyperLogLog register sketch audit
   *   q163    graft.queries.TextOps    — near-dup detector precision/recall
+  *   q164    graft.queries.TextOps    — n-gram-profile language ID audit
   */
 object SparkEntry {
 

@@ -1629,5 +1629,85 @@ object TextOps {
             .otherwise(expr("(1000 * tp) div (tp + fn)"))
             .as("recall_permille"))
     },
+
+    // --------------------------------------------------------------- q164
+    // n-gram language identification with a held-out audit: per-
+    // language character-trigram PROFILES (the 64 most document-
+    // frequent distinct trigrams, count desc / gram asc — the
+    // classic n-gram-profile langid heuristic) are trained on the
+    // even-doc_id half of the corpus and classify the odd half by
+    // argmax profile overlap (ties → language asc; zero overlap →
+    // '(none)'). Output is the full confusion matrix against the
+    // labeled lang column — the measurement that decides whether the
+    // heuristic is good enough to route untagged crawl data.
+    // Scale: training is ONE corpus-gram shuffle into a doc-frequency
+    // table that immediately collapses to ≤ 64·|langs| profile rows;
+    // classification BROADCASTS that profile to a map-side join of
+    // the test half (overlap counts aggregate per doc — no test-
+    // corpus shuffle wider than its doc count), so the quadratic-
+    // looking doc×language scoring is really corpus-linear. Gram
+    // identity is the injective int64 code (GramCodeKernel), whose
+    // ordering equals UTF-8 binary string order — so the count-desc/
+    // gram-asc tie-break replays identically against the oracle's
+    // string grams.
+    Q(
+      "q164_langid_ngram",
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, lang, doc_id % 2 = 0 AS is_train, $shinglesSql AS grams
+          FROM documents WHERE length(text) >= 3),
+        df AS (
+          SELECT lang, g, COUNT(*) AS c
+          FROM (SELECT lang, unnest(grams) AS g FROM d WHERE is_train)
+          GROUP BY lang, g),
+        prof AS (
+          SELECT lang AS pl, g FROM (
+            SELECT lang, g,
+                   row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) AS r
+            FROM df)
+          WHERE r <= 64),
+        ov AS (
+          SELECT t.doc_id, t.lang, p.pl, COUNT(*) AS c
+          FROM (SELECT doc_id, lang, unnest(grams) AS g FROM d WHERE NOT is_train) t
+          JOIN prof p USING (g)
+          GROUP BY 1, 2, 3),
+        best AS (
+          SELECT doc_id, pl FROM (
+            SELECT doc_id, pl,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, pl) AS r
+            FROM ov)
+          WHERE r = 1)
+        SELECT a.lang, COALESCE(b.pl, '(none)') AS pred_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM (SELECT doc_id, lang FROM d WHERE NOT is_train) a
+        LEFT JOIN best b USING (doc_id)
+        GROUP BY 1, 2""")
+    ) { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"), col("lang"),
+          (col("doc_id") % 2 === 0).as("is_train"),
+          graft.functions.Jaccard.gramCodes3(col("text")).as("grams"))
+      val df = d.filter(col("is_train"))
+        .select(col("lang"), explode(col("grams")).as("g"))
+        .groupBy("lang", "g").agg(count(lit(1)).as("c"))
+      val wProf = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("c").desc, col("g"))
+      val prof = df.withColumn("r", row_number().over(wProf))
+        .filter(col("r") <= 64)
+        .select(col("lang").as("pl"), col("g"))
+      val ov = d.filter(!col("is_train"))
+        .select(col("doc_id"), col("lang"), explode(col("grams")).as("g"))
+        .join(broadcast(prof), Seq("g"))
+        .groupBy("doc_id", "lang", "pl").agg(count(lit(1)).as("c"))
+      val wBest = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("c").desc, col("pl"))
+      val best = ov.withColumn("r", row_number().over(wBest))
+        .filter(col("r") === 1).select(col("doc_id"), col("pl"))
+      d.filter(!col("is_train")).select(col("doc_id"), col("lang"))
+        .join(best, Seq("doc_id"), "left")
+        .groupBy(col("lang"), coalesce(col("pl"), lit("(none)")).as("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
   )
 }

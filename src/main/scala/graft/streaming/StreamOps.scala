@@ -260,4 +260,52 @@ object StreamOps {
           KmvSketch(et, arr.length, est)
       }
   }
+
+  final case class HllSketch(
+      event_type: String,
+      n_registers_hit: Long,
+      sum_scaled: Long,
+      hll_estimate: Long)
+
+  /** Streaming HyperLogLog — the incremental half of batch q162: per
+    * event type the state is exactly m=64 small-int registers, folded
+    * by elementwise MAX as events arrive. That fold is the whole
+    * mergeability story — registers from any partitioning of the
+    * stream (micro-batches here, executors/days/sources in
+    * production) combine into the registers OF THE UNION, so the last
+    * emission equals the batch sketch over the same rows, which the
+    * parity spec pins against the oracle-backed q162. Hash, rank, and
+    * estimate arithmetic are byte-identical to q162's (same mix,
+    * rank = 27 − bitlen of the 26-bit suffix, α₆₄ raw estimate as one
+    * integer division). State is O(m) per group — FIXED memory no
+    * matter how many distinct users stream through, the property that
+    * distinguishes HLL from the KMV buffer's O(k) values. */
+  def hllDistinct(events: Dataset[EventRow]): Dataset[HllSketch] = {
+    import events.sparkSession.implicits._
+    def mix(u: Long): Long = {
+      val h0 = (((u + 9176L) % 2147483648L) * 2654435761L) % 4294967296L
+      val h2 = ((h0 ^ (h0 / 65536)) * 1597334677L) % 4294967296L
+      h2 ^ (h2 / 8192)
+    }
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[Array[Long], HllSketch](GroupStateTimeout.NoTimeout) {
+        (et: String, rows: Iterator[EventRow], state: GroupState[Array[Long]]) =>
+          val regs = state.getOption.getOrElse(Array.fill(64)(0L))
+          rows.foreach { r =>
+            val h = mix(r.user_id)
+            val j = (h % 64).toInt
+            val w = h / 64
+            val rho =
+              if (w == 0) 27L
+              else 27L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+            if (rho > regs(j)) regs(j) = rho
+          }
+          state.update(regs)
+          val nHit = regs.count(_ > 0).toLong
+          val s = regs.filter(_ > 0).map(m => 1L << (27 - m)).sum +
+            (64L - nHit) * 134217728L
+          HllSketch(et, nHit, s, (709L * 4096L * 134217728L) / (1000L * s))
+      }
+  }
 }

@@ -366,4 +366,46 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(streamed === batch,
       s"KMV sketch: streaming $streamed vs batch $batch")
   }
+
+  test("streaming HLL registers across 3 micro-batches equal batch q162") {
+    import spark.implicits._
+    val events = realEvents
+    val in = stageInput(events, 3600000000L, chronoParts = 3)
+    val out = Files.createTempDirectory("graft-hll-out").toString
+    val ckpt = Files.createTempDirectory("graft-hll-ckpt").toString
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+    val q = StreamOps.hllDistinct(
+        stream.filter(col("event_type") =!= "pusher")
+          .select("event_id", "ts", "user_id", "event_type")
+          .as[StreamOps.EventRow]).toDF()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty)
+          batch.withColumn("__bid", lit(bid)).write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+
+    // the LAST update-mode emission per type carries the full-corpus
+    // register state (elementwise-max folds are order-insensitive)
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("__bid").desc)
+    val streamed = spark.read.parquet(out)
+      .withColumn("rn", row_number().over(wLast)).filter(col("rn") === 1)
+      .select("event_type", "n_registers_hit", "sum_scaled", "hll_estimate")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val batch = SparkEntry.queries("q162_hll_distinct")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(batch.nonEmpty, "batch sketch must be non-empty")
+    assert(streamed === batch,
+      s"HLL sketch: streaming $streamed vs batch $batch")
+  }
 }
