@@ -107,6 +107,10 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q162    graft.queries.Events     — HyperLogLog register sketch audit
   *   q163    graft.queries.TextOps    — near-dup detector precision/recall
   *   q164    graft.queries.TextOps    — n-gram-profile language ID audit
+  *   q165    graft.queries.Layout     — zone-map pruning audit (3 layouts)
+  *   q166    graft.queries.Matching   — bloom-filter FPR calibration sweep
+  *   q167    graft.queries.Multimodal — shot-boundary detection over frames
+  *   q168    graft.queries.Events     — time-decayed activity scores
   */
 object SparkEntry {
 

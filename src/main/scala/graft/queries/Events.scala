@@ -1291,5 +1291,66 @@ object Events {
           expr("(abs(hll_estimate - exact_distinct) * 1000) div exact_distinct")
             .as("abs_err_permille"))
     },
+
+    // --------------------------------------------------------------- q168
+    // Exponentially time-decayed activity scores — the freshness
+    // weighting a recency-aware sampler or trending ranker applies:
+    // each event contributes 1024 >> min(age_weeks, 10) (half-life one
+    // week, floor 1 — a pure bit shift, no libm exp), ages measured in
+    // exact integer days back from the corpus' MAX timestamp (a
+    // deterministic anchor both engines agree on; epoch-µs arithmetic,
+    // no calendar functions). Per event type the report carries the raw
+    // count, the decayed score, the decayed-to-raw permille (how
+    // front-loaded the type's activity is), and BOTH rankings — the
+    // rank_shift column is the headline: a type whose decayed rank
+    // beats its raw rank is trending. Scale: one corpus pass into a
+    // map-side-combined per-type aggregate; the anchor is a one-row
+    // broadcast; the rank windows run over the ≤ #types row aggregate
+    // (the single-partition window is in type space, never corpus
+    // space).
+    Q(
+      "q168_decay_counts",
+      Some("""
+        WITH anchor AS (SELECT MAX(ts) AS mx FROM events),
+        w AS (
+          SELECT event_type,
+                 1024 >> CAST(least((epoch_us(anchor.mx) - epoch_us(ts))
+                                      // 604800000000, 10) AS INT) AS wt
+          FROM events CROSS JOIN anchor),
+        ag AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS raw_n,
+                 CAST(SUM(wt) AS BIGINT) AS decayed
+          FROM w GROUP BY event_type)
+        SELECT event_type, raw_n, decayed,
+               (1000 * decayed) // (1024 * raw_n) AS freshness_permille,
+               CAST(ROW_NUMBER() OVER (ORDER BY raw_n DESC, event_type)
+                 AS BIGINT) AS raw_rank,
+               CAST(ROW_NUMBER() OVER (ORDER BY decayed DESC, event_type)
+                 AS BIGINT) AS decayed_rank,
+               CAST(ROW_NUMBER() OVER (ORDER BY raw_n DESC, event_type)
+                 AS BIGINT)
+                 - CAST(ROW_NUMBER() OVER (ORDER BY decayed DESC, event_type)
+                     AS BIGINT) AS rank_shift
+        FROM ag""")
+    ) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val anchor = broadcast(ev.agg(max(col("ts")).as("mx")))
+      val ag = ev.crossJoin(anchor)
+        .withColumn("wt", expr(
+          "shiftright(1024, cast(least((unix_micros(mx) - unix_micros(ts)) " +
+            "div 604800000000, 10) as int))"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("raw_n"), sum(col("wt")).as("decayed"))
+      val wRaw = org.apache.spark.sql.expressions.Window
+        .orderBy(col("raw_n").desc, col("event_type"))
+      val wDec = org.apache.spark.sql.expressions.Window
+        .orderBy(col("decayed").desc, col("event_type"))
+      ag.select(col("event_type"), col("raw_n"), col("decayed"),
+          expr("(1000 * decayed) div (1024 * raw_n)").as("freshness_permille"),
+          row_number().over(wRaw).cast("long").as("raw_rank"),
+          row_number().over(wDec).cast("long").as("decayed_rank"))
+        .withColumn("rank_shift", col("raw_rank") - col("decayed_rank"))
+    },
   )
 }

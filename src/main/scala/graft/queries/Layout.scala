@@ -111,6 +111,127 @@ object Layout {
         .select(col("p_partkey"), col("x0").as("x"), col("y0").as("y"),
           col("d").as("hval"), expr(s"d div $blockZ").as("block_id"))
     },
+
+    // --------------------------------------------------------------- q165
+    // Zone-map pruning audit — the measurement that justifies q80/q99:
+    // how many BLOCKS (and rows) must actually be read for 2-D range
+    // predicates under each physical layout. Every row lands in one
+    // block per layout (natural key order: p_partkey div 64; z-order:
+    // zval div 64; hilbert: hval div 64 — the exact block units q80/q99
+    // emit); per (layout, block) the zone map is min/max of each
+    // dimension (what parquet row-group stats store), and a block must
+    // be scanned iff its [min,max] box intersects the predicate box —
+    // precisely the file-skipping test a lakehouse reader runs. Three
+    // predicates (an x stripe, a y stripe, the box) show the curve
+    // layouts trade on: natural order prunes nothing on either
+    // dimension, the space-filling curves prune BOTH. rows_matching is
+    // identical across layouts (it is pure selectivity) — the audit's
+    // sanity row. Scale: the corpus contributes one pass (the per-row
+    // key arithmetic) into a block-space aggregate; predicates are a
+    // 3-row broadcast; everything after lives in blocks × preds space.
+    // The per-layout block population is VALUE-range blocks (the q80
+    // contract: a writer range-partitions on the key), so occupancy
+    // varies — rows_scanned, not blocks_scanned, is the honest metric,
+    // and both are reported.
+    Q(
+      "q165_zonemap_prune",
+      Some(s"""
+        WITH dims AS (
+          SELECT p_partkey,
+                 CAST(p_size AS BIGINT) & 255 AS x,
+                 CAST(round(p_retailprice * 10) AS BIGINT) % 256 AS y
+          FROM part),
+        $hilbertStages,
+        keyed AS (
+          SELECT p_partkey, x0 AS x, y0 AS y, d AS hval,
+                 CAST(${interleaveSql("x0", "y0")} AS BIGINT) AS zval
+          FROM h8),
+        blk AS (
+          SELECT 'natural' AS layout, p_partkey // $blockZ AS block_id, x, y
+          FROM keyed
+          UNION ALL
+          SELECT 'zorder', zval // $blockZ, x, y FROM keyed
+          UNION ALL
+          SELECT 'hilbert', hval // $blockZ, x, y FROM keyed),
+        zm AS (
+          SELECT layout, block_id,
+                 MIN(x) AS mnx, MAX(x) AS mxx, MIN(y) AS mny, MAX(y) AS mxy,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM blk GROUP BY 1, 2),
+        preds AS (
+          SELECT * FROM (VALUES
+            ('x_stripe', CAST(8 AS BIGINT), CAST(15 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(255 AS BIGINT)),
+            ('y_stripe', 0, 255, 64, 79),
+            ('xy_box', 8, 15, 64, 79)) AS v(pred, lx, hx, ly, hy)),
+        audit AS (
+          SELECT layout, pred,
+                 CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                 CAST(SUM(CASE WHEN mnx <= hx AND mxx >= lx
+                               AND mny <= hy AND mxy >= ly
+                          THEN 1 ELSE 0 END) AS BIGINT) AS blocks_scanned,
+                 CAST(SUM(n) AS BIGINT) AS rows_total,
+                 CAST(SUM(CASE WHEN mnx <= hx AND mxx >= lx
+                               AND mny <= hy AND mxy >= ly
+                          THEN n ELSE 0 END) AS BIGINT) AS rows_scanned
+          FROM zm CROSS JOIN preds GROUP BY 1, 2),
+        mt AS (
+          SELECT pred,
+                 CAST(SUM(CASE WHEN x BETWEEN lx AND hx
+                               AND y BETWEEN ly AND hy
+                          THEN 1 ELSE 0 END) AS BIGINT) AS rows_matching
+          FROM keyed CROSS JOIN preds GROUP BY 1)
+        SELECT a.layout, a.pred, a.n_blocks, a.blocks_scanned, a.rows_total,
+               a.rows_scanned, m.rows_matching,
+               (1000 * a.rows_scanned) // a.rows_total AS scan_permille
+        FROM audit a JOIN mt m USING (pred)""")
+    ) { (s, dir) =>
+      val dims = t(s, dir, "part")
+        .select(col("p_partkey"),
+          col("p_size").cast("long").bitwiseAND(255L).as("x"),
+          (round(col("p_retailprice") * 10).cast("long") % 256).as("y"))
+      // one corpus pass computes every layout key; materialized because
+      // both the zone-map aggregate and the selectivity aggregate read it
+      val keyed = graft.Checkpoints.materialize(
+        hilbertDf(dims)
+          .select(col("p_partkey"), col("x0").as("x"), col("y0").as("y"),
+            col("d").as("hval"))
+          .withColumn("zval", interleaveCol(col("x"), col("y")).cast("long")))
+      val preds = broadcast(s.range(1).select(explode(array(
+        struct(lit("x_stripe").as("pred"), lit(8L).as("lx"),
+          lit(15L).as("hx"), lit(0L).as("ly"), lit(255L).as("hy")),
+        struct(lit("y_stripe").as("pred"), lit(0L).as("lx"),
+          lit(255L).as("hx"), lit(64L).as("ly"), lit(79L).as("hy")),
+        struct(lit("xy_box").as("pred"), lit(8L).as("lx"),
+          lit(15L).as("hx"), lit(64L).as("ly"), lit(79L).as("hy"))))
+        .as("p")).select(col("p.*")))
+      val blk = keyed.select(col("x"), col("y"), expr(
+        s"stack(3, 'natural', p_partkey div $blockZ, " +
+          s"'zorder', zval div $blockZ, " +
+          s"'hilbert', hval div $blockZ) AS (layout, block_id)"))
+      val zm = blk.groupBy("layout", "block_id")
+        .agg(min("x").as("mnx"), max("x").as("mxx"),
+          min("y").as("mny"), max("y").as("mxy"),
+          count(lit(1)).as("n"))
+      val overlap = col("mnx") <= col("hx") && col("mxx") >= col("lx") &&
+        col("mny") <= col("hy") && col("mxy") >= col("ly")
+      val audit = zm.crossJoin(preds)
+        .groupBy("layout", "pred")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(overlap, 1L).otherwise(0L)).as("blocks_scanned"),
+          sum(col("n")).as("rows_total"),
+          sum(when(overlap, col("n")).otherwise(0L)).as("rows_scanned"))
+      val mt = keyed.crossJoin(preds)
+        .groupBy("pred")
+        .agg(sum(when(col("x").between(col("lx"), col("hx")) &&
+          col("y").between(col("ly"), col("hy")), 1L).otherwise(0L))
+          .as("rows_matching"))
+      audit.join(broadcast(mt), "pred")
+        .select(col("layout"), col("pred"), col("n_blocks"),
+          col("blocks_scanned"), col("rows_total"), col("rows_scanned"),
+          col("rows_matching"),
+          expr("(1000 * rows_scanned) div rows_total").as("scan_permille"))
+    },
   )
 
   /** The full 8-stage CTE chain h1..h8 over a `dims(x, y)` CTE —

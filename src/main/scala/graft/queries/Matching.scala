@@ -29,6 +29,19 @@ object Matching {
     * vocabulary differ by ≤ 4 edits; the noun (blocking key) is shared. */
   private val maxEdits = 4
 
+  /** q166's 3-hash Carter–Wegman family: per-index (salt, multiplier)
+    * pairs — the multiplier MUST differ per index (see the q166 header
+    * comment for the measured failure when it doesn't). The multipliers
+    * are the Knuth and xxhash odd primes; the product stays under 2⁶³
+    * because the input is reduced mod 2³¹ first (the Knuth contract). */
+  private val bloomFamily =
+    Seq((101L, 2654435761L), (202L, 2246822519L), (303L, 3266489917L))
+
+  private def bloomH0Sql(i: Int): String = {
+    val (salt, mult) = bloomFamily(i)
+    s"(((c_custkey + $salt) % 2147483648) * $mult) % 4294967296"
+  }
+
   /** q76's stop cap: bigrams appearing in more than `maxDf` documents
     * leave the index — the posting-list bound that keeps the candidate
     * join O(vocab × maxDf²) at ANY corpus size (same move as q64's
@@ -408,6 +421,128 @@ object Matching {
         .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
         .filter(col("dist") <= maxEdits)
         .select("name_a", "name_b", "gap", "dist", "n_a", "n_b")
+    },
+
+    // --------------------------------------------------------------- q166
+    // Bloom-filter false-positive calibration — the measurement behind
+    // q77's prefilter: build an m=1024-bit, k-hash bloom over the
+    // BUILDING-segment customer keys, probe it with every key from the
+    // other segments (guaranteed non-members: c_custkey is unique and
+    // segments partition customers), and report observed vs expected
+    // FPR for k ∈ {1,2,3}. The expected rate uses the OBSERVED fill
+    // (n_set_bits/m)^k — exact integer permille, no libm pow — so the
+    // row also validates the independence assumption the closed-form
+    // FPR model makes about the hash family. Getting that family right
+    // took BOTH documented traps, measured here in sequence: (1) the
+    // bare Knuth hash mod 1024 is (key mod 1024)·c mod 1024 — a
+    // bijection of the key's low bits (the q153 lattice), which made
+    // the filter an exact residue-class test with observed FPR HALF
+    // the model (137‰ vs 275‰ at k=1); the q153 xor-shift mix fixes
+    // k=1 exactly (259‰ = 259‰). (2) With one shared multiplier the
+    // three hashes differ only by an additive salt, so for every key
+    // pair the h0 DIFFERENCE (x−y)·c is identical across hash indices
+    // (the q147 affine-family trap) — collisions co-occur and observed
+    // FPR at k=3 ran 2.5× the independence model (370‰ vs 146‰). A
+    // per-index MULTIPLIER (a genuine Carter–Wegman family) breaks the
+    // shared difference; with it the sweep tracks the model.
+    // Scale: build bits collapse to ≤ k·m distinct (hash, pos) rows
+    // (map-side distinct); the bit tables BROADCAST (they are ≤ m rows
+    // per k by construction — a bloom filter's entire point); the probe
+    // side is one pass + one keyed count shuffle bounded by k rows per
+    // probe key. Nothing quadratic, nothing corpus-sized on the driver.
+    Q(
+      "q166_bloom_fpr",
+      Some {
+        def h0U(src: String): String = bloomFamily.indices.map { i =>
+          s"SELECT c_custkey, $i AS i, (${bloomH0Sql(i)}) AS h0 FROM $src"
+        }.mkString("\n            UNION ALL ")
+        def mixed(h0cte: String): String = s"""
+          SELECT c_custkey, i, xor(h2, h2 // 8192) % 1024 AS pos FROM (
+            SELECT c_custkey, i,
+                   (xor(h0, h0 // 65536) * 1597334677) % 4294967296 AS h2
+            FROM $h0cte) t"""
+        s"""
+        WITH bld AS (
+          SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        prb AS (
+          SELECT c_custkey FROM customer WHERE c_mktsegment <> 'BUILDING'),
+        bldh AS (
+            ${h0U("bld")}),
+        prbh AS (
+            ${h0U("prb")}),
+        pb AS (
+          SELECT DISTINCT i, pos FROM (${mixed("bldh")}) mb),
+        pp AS (${mixed("prbh")}),
+        ks AS (SELECT * FROM (VALUES (1), (2), (3)) AS v(k)),
+        bits AS (
+          SELECT ks.k, pb.pos FROM ks JOIN pb ON pb.i < ks.k
+          GROUP BY ks.k, pb.pos),
+        nb AS (
+          SELECT k, CAST(COUNT(*) AS BIGINT) AS n_set_bits
+          FROM bits GROUP BY k),
+        hits AS (
+          SELECT ks.k, pp.c_custkey, CAST(COUNT(*) AS BIGINT) AS nhit
+          FROM pp JOIN ks ON pp.i < ks.k
+          JOIN bits b ON b.k = ks.k AND b.pos = pp.pos
+          GROUP BY 1, 2),
+        fp AS (
+          SELECT k, CAST(COUNT(*) AS BIGINT) AS n_false_pos
+          FROM hits WHERE nhit = k GROUP BY k),
+        cnt AS (
+          SELECT CAST((SELECT COUNT(*) FROM bld) AS BIGINT) AS n_build,
+                 CAST((SELECT COUNT(*) FROM prb) AS BIGINT) AS n_probe)
+        SELECT CAST(ks.k AS BIGINT) AS k,
+               CAST(1024 AS BIGINT) AS m,
+               cnt.n_build, nb.n_set_bits, cnt.n_probe,
+               CAST(COALESCE(fp.n_false_pos, 0) AS BIGINT) AS n_false_pos,
+               (1000 * COALESCE(fp.n_false_pos, 0)) // cnt.n_probe
+                 AS fpr_observed_permille,
+               CASE WHEN ks.k = 1 THEN (1000 * nb.n_set_bits) // 1024
+                    WHEN ks.k = 2
+                      THEN (1000 * nb.n_set_bits * nb.n_set_bits) // 1048576
+                    ELSE (1000 * nb.n_set_bits * nb.n_set_bits * nb.n_set_bits)
+                           // 1073741824 END AS fpr_expected_permille
+        FROM ks JOIN nb USING (k) LEFT JOIN fp USING (k) CROSS JOIN cnt"""
+      }
+    ) { (s, dir) =>
+      val cust = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      val bld = cust.filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val prb = cust.filter(col("c_mktsegment") =!= "BUILDING")
+        .select("c_custkey")
+      def posStack(df: DataFrame): DataFrame = df.select(col("c_custkey"),
+        expr("stack(3, " + bloomFamily.indices.map { i =>
+          s"${i}L, (${bloomH0Sql(i)})"
+        }.mkString(", ") + ") AS (i, h0)"))
+        .withColumn("h2",
+          expr("((h0 ^ (h0 div 65536)) * 1597334677) % 4294967296"))
+        .withColumn("pos", expr("(h2 ^ (h2 div 8192)) % 1024"))
+        .select("c_custkey", "i", "pos")
+      val ks = broadcast(s.range(1, 4).select(col("id").as("k")))
+      // the filter itself: per sweep point k, the distinct bit positions
+      // set by hashes 0..k-1 over the build keys — ≤ m rows per k
+      val bits = broadcast(posStack(bld).select("i", "pos").distinct()
+        .join(ks, col("i") < col("k")).select("k", "pos").distinct())
+      val nb = bits.groupBy("k").agg(count(lit(1)).as("n_set_bits"))
+      val hits = posStack(prb)
+        .join(ks, col("i") < col("k"))
+        .join(bits, Seq("k", "pos"))
+        .groupBy("k", "c_custkey").agg(count(lit(1)).as("nhit"))
+      val fp = hits.filter(col("nhit") === col("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_false_pos"))
+      val cnt = broadcast(
+        bld.agg(count(lit(1)).as("n_build"))
+          .crossJoin(prb.agg(count(lit(1)).as("n_probe"))))
+      ks.join(nb, "k").join(fp, Seq("k"), "left").crossJoin(cnt)
+        .select(col("k"), lit(1024L).as("m"), col("n_build"),
+          col("n_set_bits"), col("n_probe"),
+          coalesce(col("n_false_pos"), lit(0L)).as("n_false_pos"),
+          expr("(1000 * coalesce(n_false_pos, 0L)) div n_probe")
+            .as("fpr_observed_permille"),
+          expr("CASE WHEN k = 1 THEN (1000 * n_set_bits) div 1024 " +
+            "WHEN k = 2 THEN (1000 * n_set_bits * n_set_bits) div 1048576 " +
+            "ELSE (1000 * n_set_bits * n_set_bits * n_set_bits) " +
+            "div 1073741824 END").as("fpr_expected_permille"))
     },
   )
 }

@@ -164,5 +164,92 @@ object Multimodal {
           min(col("mid")).as("canonical_id"))
         .filter(col("n_members") > 1)
     },
+
+    // --------------------------------------------------------------- q167
+    // Shot-boundary detection over the video payloads: q56's 32-byte
+    // frames each fold into the q132 byte-class histogram signature
+    // (the codegen'd PayloadSig kernel — the stand-in for a per-frame
+    // color histogram), and a CUT is an adjacent-frame pair whose
+    // histograms differ by L1 ≥ 24 (raw class counts, range 0..128) —
+    // exactly the classic histogram-difference shot detector with the
+    // codec stubbed and the plumbing (frame explode, keyed window,
+    // per-asset rollup) real. The signature column materializes BELOW
+    // the lag window, so the 16 digit references in the distance read a
+    // computed column — the window is the barrier that keeps PROJECTION
+    // COLLAPSE from inlining 16 kernel calls (the q112/q132 lesson).
+    // Scale: rows explode by frame (linear), the lag window and the
+    // final rollup share one doc_id-keyed partitioning, nothing global.
+    Q(
+      "q167_shot_boundary",
+      Some {
+        val pows = Seq(1L, 128L, 16384L, 2097152L, 268435456L,
+          34359738368L, 4398046511104L, 562949953421312L)
+        val powLit = pows.mkString("[", ", ", "]")
+        val dist = pows.map(p =>
+          s"abs((pk // $p) % 128 - (ppk // $p) % 128)").mkString(" + ")
+        s"""
+        WITH vid AS (
+          SELECT doc_id, text FROM documents
+          WHERE length(text) % 3 = 2 AND length(text) >= 33),
+        fr AS (
+          SELECT doc_id, frame_no,
+                 substring(text, CAST(frame_no * 32 + 1 AS INT), 32) AS fr
+          FROM (
+            SELECT doc_id, text,
+                   unnest(range(0, CAST(ceil(length(text) / 32.0) AS BIGINT)))
+                     AS frame_no
+            FROM vid) t),
+        pk AS (
+          SELECT doc_id, frame_no,
+                 CAST(list_sum(list_transform(list_transform(range(0, 64),
+                   i -> least(ascii(substr(fr,
+                     CAST(1 + (i * length(fr)) // 64 AS INT), 1)) // 32, 7)),
+                   c -> $powLit[c + 1])) AS BIGINT) AS pk
+          FROM fr),
+        lg AS (
+          SELECT doc_id, frame_no, pk,
+                 lag(pk) OVER (PARTITION BY doc_id ORDER BY frame_no) AS ppk
+          FROM pk),
+        d AS (
+          SELECT doc_id, frame_no, $dist AS dist
+          FROM lg WHERE ppk IS NOT NULL)
+        SELECT doc_id,
+               CAST(COUNT(*) + 1 AS BIGINT) AS n_frames,
+               CAST(SUM(CASE WHEN dist >= 24 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_cuts,
+               CAST(SUM(dist) AS BIGINT) AS total_jump,
+               CAST(MAX(dist) AS BIGINT) AS max_jump,
+               CAST(COALESCE(MIN(CASE WHEN dist >= 24 THEN frame_no END), -1)
+                 AS BIGINT) AS first_cut
+        FROM d GROUP BY doc_id"""
+      }
+    ) { (s, dir) =>
+      val pows = Seq(1L, 128L, 16384L, 2097152L, 268435456L,
+        34359738368L, 4398046511104L, 562949953421312L)
+      val dist = pows.map(p =>
+        s"abs((pk div $p) % 128 - (ppk div $p) % 128)").mkString(" + ")
+      val fr = Tables.load(s, dir, "documents")
+        .filter(length(col("text")) % 3 === 2 && length(col("text")) >= 33)
+        .select(col("doc_id"), col("text"),
+          explode(expr(
+            "sequence(0, cast(ceil(length(text) / 32.0) as bigint) - 1)"))
+            .as("frame_no"))
+        .select(col("doc_id"), col("frame_no"),
+          graft.functions.PayloadSig.packedSig(
+            expr("substring(text, cast(frame_no * 32 + 1 as int), 32)"))
+            .as("pk"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("frame_no")
+      fr.withColumn("ppk", lag(col("pk"), 1).over(w))
+        .filter(col("ppk").isNotNull)
+        .withColumn("dist", expr(dist))
+        .groupBy("doc_id")
+        .agg((count(lit(1)) + 1).as("n_frames"),
+          sum(when(col("dist") >= 24, 1L).otherwise(0L)).as("n_cuts"),
+          sum(col("dist")).as("total_jump"),
+          max(col("dist")).as("max_jump"),
+          coalesce(min(when(col("dist") >= 24, col("frame_no"))), lit(-1L))
+            .as("first_cut"))
+    },
   )
 }

@@ -1649,4 +1649,167 @@ class AnalyticsSpec extends SparkSpec {
       }
     }
   }
+
+  // ----------------------------------------------------------- q165
+  test("q165 zone-map audit replays from an independent Scala layout walk") {
+    // independent z (bit interleave) and hilbert d (the standard
+    // xy2d loop — NOT Layout.hilbertDf, which is under test via q99)
+    def zOf(x: Long, y: Long): Long =
+      (0 until 8).map(i => (((x >> i) & 1L) << (2 * i)) |
+        (((y >> i) & 1L) << (2 * i + 1))).sum
+    def hOf(x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = 128L
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = 255 - x; y = 255 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    val rowsIn = graft.Tables.load(spark, sf, "part")
+      .select(col("p_partkey").cast("long"),
+        col("p_size").cast("long").bitwiseAND(255L),
+        (round(col("p_retailprice") * 10).cast("long") % 256))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val preds = Seq(("x_stripe", 8L, 15L, 0L, 255L),
+      ("y_stripe", 0L, 255L, 64L, 79L), ("xy_box", 8L, 15L, 64L, 79L))
+    val layouts = Map[String, ((Long, Long, Long)) => Long](
+      "natural" -> { case (k, _, _) => k / 64 },
+      "zorder" -> { case (_, x, y) => zOf(x, y) / 64 },
+      "hilbert" -> { case (_, x, y) => hOf(x, y) / 64 })
+    val truth = (for {
+      (layout, blockOf) <- layouts.toSeq
+      (pred, lx, hx, ly, hy) <- preds
+    } yield {
+      val blocks = rowsIn.groupBy(blockOf).values.toSeq
+      val hit = blocks.filter { b =>
+        b.map(_._2).min <= hx && b.map(_._2).max >= lx &&
+          b.map(_._3).min <= hy && b.map(_._3).max >= ly
+      }
+      val matching = rowsIn.count(r =>
+        r._2 >= lx && r._2 <= hx && r._3 >= ly && r._3 <= hy).toLong
+      val scanned = hit.map(_.length.toLong).sum
+      (layout, pred) -> ((blocks.length.toLong, hit.length.toLong,
+        rowsIn.length.toLong, scanned, matching,
+        1000L * scanned / rowsIn.length))
+    }).toMap
+    val got = run("q165_zonemap_prune").collect().map { r =>
+      (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    }.toMap
+    assert(got === truth)
+    // zone maps are conservative: scanned always covers matching
+    got.foreach { case ((l, p), (_, _, _, scanned, matching, _)) =>
+      assert(scanned >= matching, s"($l,$p): pruning lost matching rows")
+    }
+  }
+
+  // ----------------------------------------------------------- q166
+  test("q166 bloom sweep replays from a Scala filter build") {
+    val family = Seq((101L, 2654435761L), (202L, 2246822519L),
+      (303L, 3266489917L))
+    def pos(key: Long, i: Int): Long = {
+      val (salt, mult) = family(i)
+      val h0 = ((key + salt) % 2147483648L) * mult % 4294967296L
+      val h2 = (h0 ^ (h0 >> 16)) * 1597334677L % 4294967296L
+      (h2 ^ (h2 >> 13)) % 1024L
+    }
+    val cust = graft.Tables.load(spark, sf, "customer")
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val bld = cust.filter(_._2 == "BUILDING").map(_._1)
+    val prb = cust.filter(_._2 != "BUILDING").map(_._1)
+    val got = run("q166_bloom_fpr").collect().map { r =>
+      r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))
+    }.toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    (1 to 3).foreach { k =>
+      val bits = bld.flatMap(key => (0 until k).map(pos(key, _))).toSet
+      val fpKeys = prb.filter(key => (0 until k).forall(i => bits(pos(key, i))))
+      val fill = bits.size.toLong
+      val expected =
+        (1 to k).foldLeft(1000L)((acc, _) => acc * fill) / (1 to k)
+          .foldLeft(1L)((acc, _) => acc * 1024L)
+      assert(got(k.toLong) === ((bld.length.toLong, fill, prb.length.toLong,
+        fpKeys.length.toLong, 1000L * fpKeys.length / prb.length, expected)),
+        s"k=$k mismatch")
+    }
+  }
+
+  // ----------------------------------------------------------- q167
+  test("q167 cuts replay via the HOF signature over collected frames") {
+    // independent signature path: the FunctionsSpec HOF formulation of
+    // packedSig, evaluated per frame slice, then a plain Scala window
+    val hofPk =
+      """aggregate(
+           transform(sequence(0, 63),
+             i -> least(ascii(substring(fr, cast(1 + (i * length(fr)) div 64 as int), 1)) div 32, 7)),
+           0L, (acc, c) -> acc + shiftleft(1L, cast(7 * c as int)))"""
+    val frames = graft.Tables.load(spark, sf, "documents")
+      .filter(length(col("text")) % 3 === 2 && length(col("text")) >= 33)
+      .select(col("doc_id"), col("text"),
+        explode(expr(
+          "sequence(0, cast(ceil(length(text) / 32.0) as bigint) - 1)"))
+          .as("frame_no"))
+      .selectExpr("doc_id", "frame_no",
+        "substring(text, cast(frame_no * 32 + 1 as int), 32) AS fr")
+      .selectExpr("doc_id", "frame_no", s"$hofPk AS pk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def digits(pk: Long): Seq[Long] = (0 until 8).map(b => (pk >> (7 * b)) & 127L)
+    val truth = frames.groupBy(_._1).map { case (doc, fs) =>
+      val sigs = fs.sortBy(_._2).map(f => f._2 -> digits(f._3)).toSeq
+      val dists = sigs.sliding(2).collect { case Seq((_, a), (fn, b)) =>
+        fn -> a.zip(b).map { case (u, v) => math.abs(u - v) }.sum
+      }.toSeq
+      val cuts = dists.filter(_._2 >= 24)
+      doc -> ((sigs.length.toLong, cuts.length.toLong, dists.map(_._2).sum,
+        dists.map(_._2).max, cuts.map(_._1).minOption.getOrElse(-1L)))
+    }
+    val got = run("q167_shot_boundary").collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    }.toMap
+    assert(got === truth)
+    // detector shape: cuts are bounded by transitions; the sentinel
+    // first_cut = -1 appears exactly when no cut fired
+    got.foreach { case (doc, (nf, nc, total, mx, first)) =>
+      assert(nc <= nf - 1 && total >= mx, s"doc $doc bounds")
+      assert((nc == 0) == (first == -1L), s"doc $doc sentinel")
+    }
+  }
+
+  // ----------------------------------------------------------- q168
+  test("q168 decayed scores replay from collected events") {
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(col("event_type"), expr("unix_micros(ts)"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val anchor = ev.map(_._2).max
+    val byType = ev.groupBy(_._1).map { case (tpe, rows) =>
+      val decayed = rows.map { case (_, us) =>
+        1024L >> math.min((anchor - us) / 604800000000L, 10L).toInt
+      }.sum
+      tpe -> ((rows.length.toLong, decayed))
+    }
+    def ranks(score: Map[String, Long]): Map[String, Long] =
+      score.toSeq.sortBy { case (t, s) => (-s, t) }.zipWithIndex
+        .map { case ((t, _), i) => t -> (i + 1L) }.toMap
+    val rawR = ranks(byType.map { case (t, (n, _)) => t -> n }.toMap)
+    val decR = ranks(byType.map { case (t, (_, d)) => t -> d }.toMap)
+    val got = run("q168_decay_counts").collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    }.toMap
+    val truth = byType.map { case (t, (n, d)) =>
+      t -> ((n, d, 1000L * d / (1024L * n), rawR(t), decR(t),
+        rawR(t) - decR(t)))
+    }.toMap
+    assert(got === truth)
+  }
 }
