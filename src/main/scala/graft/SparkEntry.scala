@@ -111,6 +111,8 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q166    graft.queries.Matching   — bloom-filter FPR calibration sweep
   *   q167    graft.queries.Multimodal — shot-boundary detection over frames
   *   q168    graft.queries.Events     — time-decayed activity scores
+  *   q169    graft.queries.TextOps    — boilerplate-share audit
+  *   q170    graft.queries.Events     — heavy hitters (bounded-heap top-k)
   */
 object SparkEntry {
 

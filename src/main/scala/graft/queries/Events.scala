@@ -1352,5 +1352,49 @@ object Events {
           row_number().over(wDec).cast("long").as("decayed_rank"))
         .withColumn("rank_shift", col("raw_rank") - col("decayed_rank"))
     },
+
+    // --------------------------------------------------------------- q170
+    // Heavy-hitters report: per event type the top-3 users by event
+    // count with their traffic share — the abuse/contribution-cap
+    // number behind q79's per-source cap and the batch anchor for the
+    // streaming SpaceSaving operator (StreamOps.spaceSavingTopK, whose
+    // parity spec pins against this query). The per-type top-k rides
+    // the bounded-heap TopKAggregator (q40's): map-side partial top-k
+    // ships O(types × k) shuffle rows, never the per-type user list a
+    // row_number window would sort — the shape that survives a 100×
+    // user-count scale-up. Tiebreak (n desc, user_id asc) is the
+    // aggregator's total order, mirrored in the oracle's window.
+    Q(
+      "q170_heavy_hitters",
+      Some("""
+        WITH c AS (
+          SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        tot AS (
+          SELECT event_type, CAST(SUM(n) AS BIGINT) AS total
+          FROM c GROUP BY 1),
+        rk AS (
+          SELECT event_type, user_id, n,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY n DESC, user_id) AS BIGINT) AS rnk
+          FROM c)
+        SELECT r.event_type, r.rnk, r.user_id, r.n,
+               (1000 * r.n) // t.total AS share_permille
+        FROM rk r JOIN tot t USING (event_type) WHERE r.rnk <= 3""")
+    ) { (s, dir) =>
+      val c = t(s, dir, "events")
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+      val topk = udaf(new graft.functions.TopKAggregator(3),
+        graft.functions.TopK.inputEncoder)
+      c.groupBy("event_type")
+        .agg(sum(col("n")).as("total"),
+          topk(col("user_id"), col("n").cast("double")).as("tk"))
+        .select(col("event_type"), col("total"), posexplode(col("tk")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.vec_id").as("user_id"),
+          col("col.score").cast("long").as("n"), col("total"))
+        .withColumn("share_permille", expr("(1000 * n) div total"))
+        .drop("total")
+    },
   )
 }

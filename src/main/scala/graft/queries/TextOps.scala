@@ -1709,5 +1709,77 @@ object TextOps {
         .groupBy(col("lang"), coalesce(col("pl"), lit("(none)")).as("pred_lang"))
         .agg(count(lit(1)).as("n_docs"))
     },
+
+    // --------------------------------------------------------------- q169
+    // Boilerplate-share audit: a 3-gram shingle is BOILERPLATE when it
+    // appears in ≥ 20% of all documents (5·df ≥ n_docs — exact integer,
+    // no division); per document the boilerplate share is the fraction
+    // of its distinct grams that are boilerplate, rolled up per source
+    // (share permille, heavy docs ≥ 90% boilerplate — the 50% rule
+    // saturates on this template corpus, every doc clears it; 90%
+    // separates the worst tail of the measured 795–968‰ range, worst
+    // doc) — the
+    // template/navigation-chrome measurement a crawl-curation pass cuts
+    // on, complementing q148 (novelty = who WROTE it first) with
+    // commonness (how much of this doc is corpus wallpaper). Scale: the
+    // doc-frequency table lives in VOCABULARY space, and a character
+    // 3-gram vocabulary is bounded by charset³ — it saturates no matter
+    // how large the corpus grows — so the planner's choice to BROADCAST
+    // it (pinned in PlanSpec) is sound at any scale, and the probe-side
+    // gram stream never shuffles at all: it flows map-side through the
+    // broadcast join into the (doc_id, source) partial aggregate, so
+    // the only corpus-sized exchange is per-doc partial rows. One
+    // gram-keyed shuffle builds df; grams ride as injective int64
+    // codes, never strings; the doc-count threshold is a one-row
+    // broadcast; everything after is source-sized.
+    Q(
+      "q169_boilerplate",
+      Some(s"""
+        WITH grams AS (
+          SELECT doc_id, source, unnest($shinglesSql) AS g
+          FROM documents WHERE length(text) >= 3),
+        nd AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM documents WHERE length(text) >= 3),
+        df AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM grams GROUP BY g),
+        pd AS (
+          SELECT gr.doc_id, gr.source,
+                 CAST(COUNT(*) AS BIGINT) AS n_grams,
+                 CAST(SUM(CASE WHEN 5 * df.df >= nd.n_docs THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_boiler
+          FROM grams gr JOIN df USING (g) CROSS JOIN nd
+          GROUP BY gr.doc_id, gr.source)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+               CAST(SUM(n_boiler) AS BIGINT) AS n_boiler,
+               CAST((1000 * SUM(n_boiler)) // SUM(n_grams) AS BIGINT)
+                 AS boiler_permille,
+               CAST(SUM(CASE WHEN 10 * n_boiler >= 9 * n_grams THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_heavy_docs,
+               CAST(MAX((1000 * n_boiler) // n_grams) AS BIGINT)
+                 AS max_doc_permille
+        FROM pd GROUP BY source""")
+    ) { (s, dir) =>
+      val base = t(s, dir, "documents").filter(length(col("text")) >= 3)
+      val grams = base.select(col("doc_id"), col("source"),
+        explode(graft.functions.Jaccard.gramCodes3(col("text"))).as("g"))
+      val dfTab = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      val nd = broadcast(base.agg(count(lit(1)).as("n_docs")))
+      val pd = grams.join(dfTab, "g").crossJoin(nd)
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") * 5 >= col("n_docs"), 1L).otherwise(0L))
+            .as("n_boiler"))
+      pd.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_grams")).as("n_grams"),
+          sum(col("n_boiler")).as("n_boiler"),
+          expr("(1000 * sum(n_boiler)) div sum(n_grams)")
+            .as("boiler_permille"),
+          sum(when(col("n_boiler") * 10 >= col("n_grams") * 9, 1L).otherwise(0L))
+            .as("n_heavy_docs"),
+          max(expr("(1000 * n_boiler) div n_grams")).as("max_doc_permille"))
+    },
   )
 }

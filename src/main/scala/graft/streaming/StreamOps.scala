@@ -308,4 +308,81 @@ object StreamOps {
           HllSketch(et, nHit, s, (709L * 4096L * 134217728L) / (1000L * s))
       }
   }
+
+  /** SpaceSaving counter table: parallel arrays so the state encodes
+    * as three flat columns (no per-entry struct overhead in the state
+    * store). `keys(i)` holds count `counts(i)` with overestimate bound
+    * `errs(i)`; slots beyond `size` are garbage. */
+  final case class SsState(
+      keys: Array[Long], counts: Array[Long], errs: Array[Long], size: Int)
+
+  final case class HeavyHitter(
+      event_type: String, rnk: Long, user_id: Long, n_est: Long, n_err: Long)
+
+  /** Streaming SpaceSaving heavy hitters — the bounded-memory
+    * incremental half of batch q170: per event type the state is a
+    * capacity-bounded counter table (Metwally et al.'s SpaceSaving, the
+    * canonical top-k-under-fixed-memory algorithm). A tracked key
+    * increments its counter; an untracked key at a full table REPLACES
+    * the minimum counter, inheriting min+1 and recording min as its
+    * overestimate bound — which yields the two guarantees the spec
+    * pins: n_true ≤ n_est ≤ n_true + n_err for every tracked key, and
+    * any key with true count > N/capacity is guaranteed tracked. The
+    * eviction tiebreak (smallest count, then LARGEST key) is a total
+    * order, so micro-batch boundaries never change the result of a
+    * deterministic replay. With capacity ≥ the group's distinct keys
+    * no eviction ever fires, n_err = 0, and the table IS the exact
+    * count map — so the final top-k emission equals the oracle-backed
+    * batch q170 (the parity the spec pins), same (n desc, user_id)
+    * order. State is O(capacity) longs per group regardless of stream
+    * length; each micro-batch shuffles once on event_type. */
+  def spaceSavingTopK(events: Dataset[EventRow], capacity: Int = 1024,
+      k: Int = 3): Dataset[HeavyHitter] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[SsState, HeavyHitter](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        (et: String, rows: Iterator[EventRow], state: GroupState[SsState]) =>
+          val st = state.getOption.getOrElse(
+            SsState(new Array[Long](capacity), new Array[Long](capacity),
+              new Array[Long](capacity), 0))
+          val (keys, counts, errs) = (st.keys, st.counts, st.errs)
+          var size = st.size
+          // slot index rebuilt once per micro-batch invocation: O(1)
+          // tracked-key updates; only an untracked key hitting a full
+          // table pays the O(capacity) eviction scan
+          val idx = new java.util.HashMap[Long, Integer](capacity * 2)
+          (0 until size).foreach(i => idx.put(keys(i), i))
+          rows.foreach { r =>
+            val key = r.user_id
+            val found = idx.get(key)
+            if (found != null) counts(found) += 1
+            else if (size < capacity) {
+              idx.put(key, size)
+              keys(size) = key; counts(size) = 1; errs(size) = 0; size += 1
+            } else {
+              // evict the minimum counter; tie to the LARGEST key so the
+              // update is deterministic under any arrival interleaving
+              var m = 0
+              var i = 1
+              while (i < size) {
+                if (counts(i) < counts(m) ||
+                  (counts(i) == counts(m) && keys(i) > keys(m))) m = i
+                i += 1
+              }
+              val inherited = counts(m)
+              idx.remove(keys(m))
+              idx.put(key, m)
+              keys(m) = key; counts(m) = inherited + 1; errs(m) = inherited
+            }
+          }
+          state.update(SsState(keys, counts, errs, size))
+          val order = (0 until size).sortBy(i => (-counts(i), keys(i)))
+          order.take(k).zipWithIndex.map { case (i, r) =>
+            HeavyHitter(et, r + 1L, keys(i), counts(i), errs(i))
+          }.iterator
+      }
+  }
 }

@@ -1011,6 +1011,25 @@ class PlanSpec extends SparkSpec {
       s"q161 reads more than the name: ${scan.requiredSchema.fieldNames.toSeq}")
   }
 
+  test("q169: vocab-sized df broadcasts; the probe gram stream never shuffles") {
+    val p = plan("q169_boilerplate")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"no cartesian:\n$p")
+    // the gram-keyed join must be a broadcast hash join on g — the df
+    // side is vocabulary-sized (bounded by charset³), never the corpus
+    val bhj = p.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.length === 1, s"df joins by broadcast:\n$p")
+    // 4 exchanges, every one carrying aggregated rows: the df partial
+    // agg (gram-keyed), the one-row doc count, the per-doc partials,
+    // the per-source partials. The probe-side gram stream is in NONE
+    // of them — it is consumed map-side below the (doc_id, source)
+    // partial aggregate.
+    assert(shuffles(p).length === 4, s"exactly 4 aggregated exchanges:\n$p")
+    val parts = p.collect { case a: HashAggregateExec
+      if a.aggregateExpressions.exists(_.mode.toString == "Partial") => a }
+    assert(parts.length >= 3, s"map-side combines everywhere:\n$p")
+  }
+
   test("q155/q156: profile and FD audits stay keyed — no cartesian, partial aggregation") {
     for (name <- Seq("q155_column_profile", "q156_fd_audit")) {
       val p = plan(name)

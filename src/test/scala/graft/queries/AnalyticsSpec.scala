@@ -1785,6 +1785,54 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  // ----------------------------------------------------------- q169
+  test("q169 boilerplate shares replay from collected gram sets") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .filter(length(col("text")) >= 3)
+      .selectExpr("doc_id", "source",
+        "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))) AS gs")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2)))
+    val nDocs = docs.length
+    val dfm = docs.flatMap(_._3).groupBy(identity)
+      .map { case (g, o) => g -> o.length }
+    val boiler = dfm.filter { case (_, d) => 5 * d >= nDocs }.keySet
+    val perDoc = docs.map { case (_, src, gs) =>
+      (src, gs.length.toLong, gs.count(boiler).toLong)
+    }
+    val truth = perDoc.groupBy(_._1).map { case (src, rows) =>
+      val ng = rows.map(_._2).sum
+      val nb = rows.map(_._3).sum
+      src -> ((rows.length.toLong, ng, nb, 1000L * nb / ng,
+        rows.count(r => 10 * r._3 >= 9 * r._2).toLong,
+        rows.map(r => 1000L * r._3 / r._2).max))
+    }
+    val got = run("q169_boilerplate").collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    }.toMap
+    assert(got === truth)
+  }
+
+  // ----------------------------------------------------------- q170
+  test("q170 heavy hitters replay from exact collected counts") {
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val truth = ev.groupBy(_._1).flatMap { case (tpe, rows) =>
+      val counts = rows.groupBy(_._2).map { case (u, o) => u -> o.length.toLong }
+      val total = rows.length.toLong
+      counts.toSeq.sortBy { case (u, n) => (-n, u) }.take(3).zipWithIndex
+        .map { case ((u, n), i) =>
+          (tpe, i + 1L) -> ((u, n, 1000L * n / total))
+        }
+    }.toMap
+    val got = run("q170_heavy_hitters").collect().map { r =>
+      (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))
+    }.toMap
+    assert(got === truth)
+  }
+
   // ----------------------------------------------------------- q168
   test("q168 decayed scores replay from collected events") {
     val ev = graft.Tables.load(spark, sf, "events")

@@ -408,4 +408,81 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(streamed === batch,
       s"HLL sketch: streaming $streamed vs batch $batch")
   }
+
+  test("streaming SpaceSaving top-3 across 3 micro-batches equals batch q170") {
+    import spark.implicits._
+    val events = realEvents
+    val in = stageInput(events, 3600000000L, chronoParts = 3)
+    val out = Files.createTempDirectory("graft-ss-out").toString
+    val ckpt = Files.createTempDirectory("graft-ss-ckpt").toString
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+    // capacity exceeds the fixture's per-type distinct users, so no
+    // eviction fires and the final table is the exact count map — the
+    // regime where SpaceSaving top-k MUST equal the batch query
+    val q = StreamOps.spaceSavingTopK(
+        stream.filter(col("event_type") =!= "pusher")
+          .select("event_id", "ts", "user_id", "event_type")
+          .as[StreamOps.EventRow], capacity = 4096, k = 3).toDF()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty)
+          batch.withColumn("__bid", lit(bid)).write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val streamed = spark.read.parquet(out)
+      .withColumn("maxbid", max(col("__bid")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+      .filter(col("__bid") === col("maxbid"))
+      .select("event_type", "rnk", "user_id", "n_est", "n_err")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val batch = SparkEntry.queries("q170_heavy_hitters")(
+        spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), 0L)))
+      .toMap
+    assert(batch.nonEmpty, "batch heavy hitters must be non-empty")
+    assert(streamed === batch,
+      s"SpaceSaving: streaming $streamed vs batch $batch")
+  }
+
+  test("SpaceSaving eviction keeps its count bounds on a skewed stream") {
+    import spark.implicits._
+    // skewed synthetic stream: two heavy keys among a parade of
+    // singletons, through a table of only 4 counters
+    val keys = Seq.fill(50)(1L) ++ Seq.fill(30)(2L) ++ (100L to 119L) ++
+      Seq.fill(20)(1L) ++ (200L to 209L)
+    val rows = keys.zipWithIndex.map { case (u, i) =>
+      StreamOps.EventRow(i.toLong, new java.sql.Timestamp(i * 1000L), u, "t")
+    }
+    val capacity = 4
+    val got = StreamOps.spaceSavingTopK(rows.toDS(), capacity = capacity,
+      k = capacity).collect()
+    val exact = keys.groupBy(identity).map { case (u, o) => u -> o.length.toLong }
+    val n = keys.length.toLong
+    assert(got.length === capacity)
+    got.foreach { h =>
+      val truth = exact.getOrElse(h.user_id, 0L)
+      assert(h.n_est >= truth,
+        s"key ${h.user_id}: est ${h.n_est} under true $truth")
+      assert(h.n_est - h.n_err <= truth,
+        s"key ${h.user_id}: est-err exceeds true $truth")
+    }
+    // count conservation: every processed event lives in some counter
+    assert(got.map(_.n_est).sum === n)
+    // the guaranteed-tracked keys (true count > N/capacity) are present
+    val tracked = got.map(_.user_id).toSet
+    exact.filter(_._2 > n / capacity).keys.foreach(u =>
+      assert(tracked(u), s"heavy key $u evicted — SpaceSaving guarantee broken"))
+    // and the two genuinely heavy keys rank first in order
+    assert(got.sortBy(_.rnk).take(2).map(_.user_id).toSeq === Seq(1L, 2L))
+  }
 }
