@@ -113,6 +113,9 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q168    graft.queries.Events     — time-decayed activity scores
   *   q169    graft.queries.TextOps    — boilerplate-share audit
   *   q170    graft.queries.Events     — heavy hitters (bounded-heap top-k)
+  *   q171    graft.queries.Events     — incremental aggregate maintenance
+  *   q172    graft.queries.TextOps    — vocabulary growth (Heaps' law)
+  *   q173    graft.queries.Events     — AMS F2 / self-join size sketch
   */
 object SparkEntry {
 

@@ -4,6 +4,7 @@ import graft.{Det, Knuth, Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Event-stream operators over the `events` table: JSON column access,
   * time-bucketed aggregation, and gap-based sessionization.
@@ -1395,6 +1396,160 @@ object Events {
           col("col.score").cast("long").as("n"), col("total"))
         .withColumn("share_permille", expr("(1000 * n) div total"))
         .drop("total")
+    },
+
+    // --------------------------------------------------------------- q171
+    // Incremental aggregate maintenance (the IVM algebra): the LAST
+    // day's events are the CDC delta, everything before is the base;
+    // the maintained aggregate is base_agg ⊕ delta_agg — counts add,
+    // exact-decimal sums add — and the query emits the merged result
+    // NEXT TO a full recompute with a consistency flag, so the oracle
+    // hash-pins the algebra itself (merge == recompute, per type, both
+    // engines). This is the contract that lets a 100 TB gold table
+    // refresh at delta cost: the merge touches only the delta rows and
+    // the aggregate-sized base table, never the base corpus — the
+    // full-recompute side exists here purely as the in-query witness.
+    // The full-outer merge handles types present only in the delta (or
+    // only in the base) via zero identities, exactly how a production
+    // maintainer must. Sums stay DECIMAL(18,4) through the merge and
+    // cast to double once at the end, so merged and recomputed bits
+    // are identical (decimal addition is associative; the q-family
+    // determinism rule).
+    Q(
+      "q171_incremental_agg",
+      Some("""
+        WITH ev AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 CAST(value AS DECIMAL(18,4)) AS v
+          FROM events),
+        mx AS (SELECT MAX(d) AS mxd FROM ev),
+        base AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_base,
+                 CAST(SUM(v) AS DECIMAL(18,4)) AS s_base
+          FROM ev CROSS JOIN mx WHERE d < mxd GROUP BY 1),
+        delta AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_delta,
+                 CAST(SUM(v) AS DECIMAL(18,4)) AS s_delta
+          FROM ev CROSS JOIN mx WHERE d = mxd GROUP BY 1),
+        merged AS (
+          SELECT COALESCE(b.event_type, dl.event_type) AS event_type,
+                 COALESCE(b.n_base, 0) AS n_base,
+                 COALESCE(dl.n_delta, 0) AS n_delta,
+                 COALESCE(b.n_base, 0) + COALESCE(dl.n_delta, 0) AS n_merged,
+                 CAST(COALESCE(b.s_base, 0) + COALESCE(dl.s_delta, 0)
+                   AS DECIMAL(18,4)) AS s_merged
+          FROM base b FULL JOIN delta dl USING (event_type)),
+        full_ AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_full,
+                 CAST(SUM(v) AS DECIMAL(18,4)) AS s_full
+          FROM ev GROUP BY 1)
+        SELECT m.event_type, m.n_base, m.n_delta, m.n_merged,
+               CAST(m.s_merged AS DOUBLE) AS sum_merged,
+               f.n_full, CAST(f.s_full AS DOUBLE) AS sum_full,
+               m.n_merged = f.n_full AND m.s_merged = f.s_full AS consistent
+        FROM merged m JOIN full_ f USING (event_type)""")
+    ) { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          Det.dec(col("value")).as("v"))
+      val mx = broadcast(ev.agg(max(col("d")).as("mxd")))
+      val tagged = ev.crossJoin(mx)
+      def agg(df: DataFrame, nm: String): DataFrame =
+        df.groupBy("event_type").agg(count(lit(1)).as(s"n_$nm"),
+          sum(col("v")).cast(DecimalType(18, 4)).as(s"s_$nm"))
+      val base = agg(tagged.filter(col("d") < col("mxd")), "base")
+      val delta = agg(tagged.filter(col("d") === col("mxd")), "delta")
+      val merged = base.join(delta, Seq("event_type"), "full")
+        .select(col("event_type"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+          (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_delta"), lit(0L)))
+            .as("n_merged"),
+          (coalesce(col("s_base"), lit(0).cast(DecimalType(18, 4))) +
+            coalesce(col("s_delta"), lit(0).cast(DecimalType(18, 4))))
+            .cast(DecimalType(18, 4)).as("s_merged"))
+      val full = agg(ev, "full")
+      merged.join(full, "event_type")
+        .select(col("event_type"), col("n_base"), col("n_delta"),
+          col("n_merged"), col("s_merged").cast("double").as("sum_merged"),
+          col("n_full"), col("s_full").cast("double").as("sum_full"),
+          (col("n_merged") === col("n_full") &&
+            col("s_merged") === col("s_full")).as("consistent"))
+    },
+
+    // --------------------------------------------------------------- q173
+    // AMS F₂ sketch audit — the second-moment estimator next to the
+    // engine's other provable sketches (q153 KMV = F₀ values, q162 HLL
+    // = F₀ memory, q85 count-min = point freq): F₂ = Σ f_u² over
+    // per-user counts IS the self-join row count, the number a
+    // planner's join-size estimate needs before picking a strategy.
+    // Sixteen ±1 sign counters per event type (sign = bit j of the
+    // xor-shift-mixed salted hash — the q166-calibrated family
+    // discipline), each counter's square is an unbiased F₂ estimate;
+    // the audit reports the 16-counter mean vs the exact value, all in
+    // exact BIGINT (counters |ctr| ≤ N so squares stay far under 2⁶³;
+    // the mean is one integer division). Counters are SUMS — partition
+    // -mergeable, so at 100 TB this is a per-partition map-side fold
+    // like every sketch here; the corpus pays the one (type, user)
+    // count shuffle it shares with q170, everything after is 16
+    // columns per type. No libm, no floats — both engines replay the
+    // estimate bit-identically.
+    Q(
+      "q173_ams_f2",
+      Some {
+        val mixH =
+          s"""SELECT event_type, c,
+                 xor(h2, h2 // 8192) AS h FROM (
+               SELECT event_type, c,
+                      (xor(h0, h0 // 65536) * 1597334677) % 4294967296 AS h2
+               FROM (
+                 SELECT event_type, c, (${graft.Knuth.sql("user_id", 5711L)}) AS h0
+                 FROM c) t0) t1"""
+        val ctrs = (0 until 16).map(j =>
+          s"CAST(SUM(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN c ELSE -c END) AS BIGINT) AS ctr$j")
+          .mkString(",\n                 ")
+        val sq = (0 until 16).map(j => s"ctr$j * ctr$j").mkString(" + ")
+        s"""
+        WITH c AS (
+          SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        hh AS ($mixH),
+        sk AS (
+          SELECT event_type,
+                 CAST(SUM(c * c) AS BIGINT) AS f2_exact,
+                 $ctrs
+          FROM hh GROUP BY event_type),
+        est AS (
+          SELECT event_type, f2_exact, ($sq) // 16 AS f2_est FROM sk)
+        SELECT event_type, f2_exact, f2_est,
+               CAST(CASE WHEN f2_est > f2_exact THEN 1
+                         WHEN f2_est < f2_exact THEN -1 ELSE 0 END AS BIGINT)
+                 AS err_sign,
+               (abs(f2_est - f2_exact) * 1000) // f2_exact
+                 AS abs_err_permille
+        FROM est"""
+      }
+    ) { (s, dir) =>
+      val c = t(s, dir, "events")
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
+      val hh = c
+        .withColumn("h0", expr(graft.Knuth.sql("user_id", 5711L)))
+        .withColumn("h2",
+          expr("((h0 ^ (h0 div 65536)) * 1597334677) % 4294967296"))
+        .withColumn("h", expr("h2 ^ (h2 div 8192)"))
+      val ctrAggs = (0 until 16).map(j =>
+        sum(when(expr(s"(h div ${1L << j}) % 2 = 1"), col("c"))
+          .otherwise(-col("c"))).cast("long").as(s"ctr$j"))
+      val aggCols = sum(expr("c * c")).cast("long").as("f2_exact") +: ctrAggs
+      val sk = hh.groupBy("event_type").agg(aggCols.head, aggCols.tail: _*)
+      val sq = (0 until 16).map(j => s"ctr$j * ctr$j").mkString(" + ")
+      sk.withColumn("f2_est", expr(s"($sq) div 16"))
+        .select(col("event_type"), col("f2_exact"), col("f2_est"),
+          when(col("f2_est") > col("f2_exact"), 1L)
+            .when(col("f2_est") < col("f2_exact"), -1L)
+            .otherwise(0L).as("err_sign"),
+          expr("(abs(f2_est - f2_exact) * 1000) div f2_exact")
+            .as("abs_err_permille"))
     },
   )
 }

@@ -1781,5 +1781,72 @@ object TextOps {
             .as("n_heavy_docs"),
           max(expr("(1000 * n_boiler) div n_grams")).as("max_doc_permille"))
     },
+
+    // --------------------------------------------------------------- q172
+    // Vocabulary-growth (Heaps' law) audit: how many NEVER-BEFORE-SEEN
+    // 3-grams each doc_id decile of the corpus introduces, against the
+    // gram instances it carries — the curve that says whether a corpus
+    // is still yielding new vocabulary or has gone to wallpaper (its
+    // flattening rate is the empirical Heaps exponent; the projection
+    // that sizes a tokenizer vocab before training). Deciles are
+    // VALUE-range buckets of doc_id ((doc_id·10) div (max+1) — one
+    // broadcast max, no global row-number sort), "first seen" is
+    // q148's min-doc_id-per-gram aggregate, so the corpus pays ONE
+    // gram-keyed shuffle and the decile rollups are bucket-sized; the
+    // cumulative-vocab window runs over 10 rows.
+    Q(
+      "q172_vocab_growth",
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, text FROM documents WHERE length(text) >= 3),
+        grams AS (
+          SELECT doc_id, unnest($shinglesSql) AS g FROM base),
+        mx AS (SELECT MAX(doc_id) AS mxd FROM base),
+        dcount AS (
+          SELECT (doc_id * 10) // (mxd + 1) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM base CROSS JOIN mx GROUP BY 1),
+        inst AS (
+          SELECT (doc_id * 10) // (mxd + 1) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_instances
+          FROM grams CROSS JOIN mx GROUP BY 1),
+        fs AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g),
+        nw AS (
+          SELECT (first_doc * 10) // (mxd + 1) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_new
+          FROM fs CROSS JOIN mx GROUP BY 1)
+        SELECT d.bucket, d.n_docs, i.n_instances,
+               COALESCE(nw.n_new, 0) AS n_new_grams,
+               CAST(SUM(COALESCE(nw.n_new, 0)) OVER (ORDER BY d.bucket)
+                 AS BIGINT) AS cum_vocab,
+               (1000 * COALESCE(nw.n_new, 0)) // i.n_instances
+                 AS novelty_permille
+        FROM dcount d JOIN inst i USING (bucket)
+        LEFT JOIN nw USING (bucket)""")
+    ) { (s, dir) =>
+      val base = t(s, dir, "documents").filter(length(col("text")) >= 3)
+        .select("doc_id", "text")
+      val mx = broadcast(base.agg(max("doc_id").as("mxd")))
+      val grams = base.select(col("doc_id"),
+        explode(graft.functions.Jaccard.gramCodes3(col("text"))).as("g"))
+      val dcount = base.crossJoin(mx)
+        .groupBy(expr("(doc_id * 10) div (mxd + 1)").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+      val inst = grams.crossJoin(mx)
+        .groupBy(expr("(doc_id * 10) div (mxd + 1)").as("bucket"))
+        .agg(count(lit(1)).as("n_instances"))
+      val nw = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+        .crossJoin(mx)
+        .groupBy(expr("(first_doc * 10) div (mxd + 1)").as("bucket"))
+        .agg(count(lit(1)).as("n_new"))
+      val w = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dcount.join(inst, "bucket").join(nw, Seq("bucket"), "left")
+        .select(col("bucket"), col("n_docs"), col("n_instances"),
+          coalesce(col("n_new"), lit(0L)).as("n_new_grams"))
+        .withColumn("cum_vocab", sum(col("n_new_grams")).over(w))
+        .withColumn("novelty_permille",
+          expr("(1000 * n_new_grams) div n_instances"))
+    },
   )
 }

@@ -1833,6 +1833,104 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === truth)
   }
 
+  // ----------------------------------------------------------- q171
+  test("q171 merged aggregates equal a full Scala recompute; every row consistent") {
+    val ev = graft.Tables.load(spark, sf, "events")
+      .selectExpr("event_type", "CAST(ts AS DATE) AS d",
+        "CAST(value AS DECIMAL(18,4)) AS v")
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate,
+        r.getDecimal(2)))
+    val mxd = ev.map(_._2).maxBy(_.toEpochDay)
+    def roll(rows: Array[(String, java.time.LocalDate, java.math.BigDecimal)])
+        : Map[String, (Long, java.math.BigDecimal)] =
+      rows.groupBy(_._1).map { case (t, o) =>
+        t -> ((o.length.toLong,
+          o.map(_._3).foldLeft(java.math.BigDecimal.ZERO)(_.add(_))))
+      }
+    val base = roll(ev.filter(_._2.isBefore(mxd)))
+    val delta = roll(ev.filter(_._2 == mxd))
+    val full = roll(ev)
+    val got = run("q171_incremental_agg").collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6), r.getBoolean(7)))
+    }.toMap
+    assert(got.keySet === full.keySet)
+    got.foreach { case (t, (nb, nd, nm, sm, nf, sf_, cons)) =>
+      assert(nb === base.get(t).map(_._1).getOrElse(0L), s"$t n_base")
+      assert(nd === delta.get(t).map(_._1).getOrElse(0L), s"$t n_delta")
+      assert(nm === nb + nd && nm === nf && nf === full(t)._1, s"$t counts")
+      assert(sm === sf_ && sf_ === full(t)._2.doubleValue, s"$t sums")
+      assert(cons, s"$t must be consistent — the IVM algebra broke")
+    }
+  }
+
+  // ----------------------------------------------------------- q172
+  test("q172 vocabulary growth replays from collected gram sets") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .filter(length(col("text")) >= 3)
+      .selectExpr("doc_id",
+        "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))) AS gs")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val mxd = docs.map(_._1).max
+    def bucket(d: Long): Long = d * 10 / (mxd + 1)
+    val firstSeen = docs.flatMap { case (d, gs) => gs.map(_ -> d) }
+      .groupBy(_._1).map { case (_, o) => o.map(_._2).min }
+    val nNew = firstSeen.groupBy(bucket).map { case (b, o) => b -> o.size.toLong }
+    val nDocs = docs.groupBy(d => bucket(d._1))
+      .map { case (b, o) => b -> o.length.toLong }
+    val nInst = docs.groupBy(d => bucket(d._1))
+      .map { case (b, o) => b -> o.map(_._2.length.toLong).sum }
+    val buckets = nDocs.keys.toSeq.sorted
+    var cum = 0L
+    val truth = buckets.map { b =>
+      val nn = nNew.getOrElse(b, 0L)
+      cum += nn
+      b -> ((nDocs(b), nInst(b), nn, cum, 1000L * nn / nInst(b)))
+    }.toMap
+    val got = run("q172_vocab_growth").collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    }.toMap
+    assert(got === truth)
+    // growth flattens: the last bucket introduces less than the first
+    val first = got(got.keys.min)._5
+    val last = got(got.keys.max)._5
+    assert(last <= first, "novelty must not grow over the corpus")
+  }
+
+  // ----------------------------------------------------------- q173
+  test("q173 AMS counters replay from collected counts; estimate formula exact") {
+    def mix(u: Long): Long = {
+      val h0 = ((u + 5711L) % 2147483648L) * 2654435761L % 4294967296L
+      val h2 = (h0 ^ (h0 >> 16)) * 1597334677L % 4294967296L
+      h2 ^ (h2 >> 13)
+    }
+    val counts = graft.Tables.load(spark, sf, "events")
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case ((t, u), o) => (t, u, o.length.toLong) }
+    val truth = counts.groupBy(_._1).map { case (t, rows) =>
+      val f2 = rows.map(r => r._3 * r._3).sum
+      val ctrs = (0 until 16).map { j =>
+        rows.map { case (_, u, c) =>
+          if (((mix(u) >> j) & 1L) == 1L) c else -c
+        }.sum
+      }
+      val est = ctrs.map(x => x * x).sum / 16
+      val sign = java.lang.Long.signum(est - f2).toLong
+      t -> ((f2, est, sign, math.abs(est - f2) * 1000 / f2))
+    }
+    val got = run("q173_ams_f2").collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    }.toMap
+    assert(got === truth.toMap)
+    // the sketch earns its name: every estimate within 50% of exact
+    got.foreach { case (t, (_, _, _, errPm)) =>
+      assert(errPm <= 500, s"$t: AMS estimate off by ${errPm}‰")
+    }
+  }
+
   // ----------------------------------------------------------- q168
   test("q168 decayed scores replay from collected events") {
     val ev = graft.Tables.load(spark, sf, "events")
