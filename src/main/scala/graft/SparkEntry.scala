@@ -116,6 +116,9 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q171    graft.queries.Events     — incremental aggregate maintenance
   *   q172    graft.queries.TextOps    — vocabulary growth (Heaps' law)
   *   q173    graft.queries.Events     — AMS F2 / self-join size sketch
+  *   q174    graft.queries.TextOps    — asymmetric containment classes
+  *   q175    graft.queries.Graph      — bounded k-core peeling
+  *   q176    graft.queries.Events     — watermark-lateness audit
   */
 object SparkEntry {
 

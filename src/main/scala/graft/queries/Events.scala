@@ -1551,5 +1551,57 @@ object Events {
           expr("(abs(f2_est - f2_exact) * 1000) div f2_exact")
             .as("abs_err_permille"))
     },
+
+    // --------------------------------------------------------------- q176
+    // Watermark-lateness audit: per event type, how far events arrive
+    // BEHIND the stream's running maximum timestamp when replayed in
+    // ingest order (event_id — the arrival sequence). This is the
+    // measurement that PICKS a Structured Streaming watermark: the
+    // StreamOps operators declare "1 hour" / "2 hours", and this query
+    // reports exactly how much data those bounds would drop (n_late_1h
+    // is the would-be-dropped count) next to the disorder profile
+    // (late share, max skew, mean skew). All exact epoch-µs integers;
+    // the running max is a keyed window in (type, arrival) order with
+    // an explicit ROWS frame so both engines bind the same frame —
+    // partitioned by type, so nothing global; the rollup shares the
+    // window's partitioning.
+    Q(
+      "q176_lateness_audit",
+      Some("""
+        WITH o AS (
+          SELECT event_type, epoch_us(ts) AS us,
+                 MAX(epoch_us(ts)) OVER (PARTITION BY event_type
+                   ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+          FROM events),
+        l AS (SELECT event_type, runmax - us AS late FROM o)
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_late,
+               CAST((1000 * SUM(CASE WHEN late > 0 THEN 1 ELSE 0 END))
+                 // COUNT(*) AS BIGINT) AS late_permille,
+               CAST(SUM(CASE WHEN late > 3600000000 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_late_1h,
+               CAST(MAX(late) // 1000000 AS BIGINT) AS max_late_s,
+               CAST(SUM(late) // COUNT(*) AS BIGINT) AS mean_late_us
+        FROM l GROUP BY event_type""")
+    ) { (s, dir) =>
+      val w = Window.partitionBy("event_type").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("late", max(col("us")).over(w) - col("us"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late") > 0, 1L).otherwise(0L)).as("n_late"),
+          expr("(1000 * sum(CASE WHEN late > 0 THEN 1 ELSE 0 END)) div count(1)")
+            .as("late_permille"),
+          sum(when(col("late") > 3600000000L, 1L).otherwise(0L))
+            .as("n_late_1h"),
+          expr("max(late) div 1000000").as("max_late_s"),
+          expr("sum(late) div count(1)").as("mean_late_us"))
+    },
   )
 }

@@ -333,5 +333,72 @@ object Graph {
       }
       l2.select(col("node"), col("label").as("community"))
     },
+
+    // --------------------------------------------------------------- q175
+    // Bounded k-core peeling (k = 3, 2 rounds) over the trading graph:
+    // each round drops every vertex of residual degree < k and the
+    // edges touching it, converging toward the 3-core — the dense
+    // backbone a graph-sampling or fraud-ring pass keeps. Like q94's 3
+    // iterations and q157's 2 rounds, the round count is the declared
+    // bound (full k-core runs to fixpoint; every additional round is
+    // the same two keyed hops). Every step is vertex- or edge-keyed:
+    // degrees are one groupBy over the materialized edge list, the
+    // peel is two shuffle-hash semi joins of edges against the
+    // surviving vertex set (vertex-sized — NEVER broadcast, the q94
+    // lesson), and the status report is vertex-keyed left joins.
+    // Output: every vertex with initial degree, post-peel degree, and
+    // its peel round ('core' / 'peeled_r2' / 'peeled_r1').
+    Q(
+      "q175_kcore",
+      Some(s"""
+        WITH $pairsEdgesCte,
+        d0 AS (
+          SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM edges GROUP BY 1),
+        a1 AS (SELECT node FROM d0 WHERE deg >= 3),
+        e1 AS (
+          SELECT e.src, e.dst FROM edges e
+          JOIN a1 x ON x.node = e.src
+          JOIN a1 y ON y.node = e.dst),
+        d1 AS (
+          SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM e1 GROUP BY 1),
+        a2 AS (SELECT node FROM d1 WHERE deg >= 3)
+        SELECT d0.node, d0.deg AS deg_initial,
+               COALESCE(d1.deg, 0) AS deg_after_peel,
+               CASE WHEN a2.node IS NOT NULL THEN 'core'
+                    WHEN a1.node IS NOT NULL THEN 'peeled_r2'
+                    ELSE 'peeled_r1' END AS status
+        FROM d0
+        LEFT JOIN a1 ON a1.node = d0.node
+        LEFT JOIN d1 ON d1.node = d0.node
+        LEFT JOIN a2 ON a2.node = d0.node""")
+    ) { (s, dir) =>
+      val ed = Checkpoints.materialize(tradingEdges(s, dir))
+      val k = 3
+      val d0 = ed.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val a1 = d0.filter(col("deg") >= k).select("node")
+      val e1 = ed
+        .join(a1.hint("shuffle_hash").withColumnRenamed("node", "src"), "src")
+        .join(a1.hint("shuffle_hash").withColumnRenamed("node", "dst"), "dst")
+        .select("src", "dst")
+      val d1 = e1.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val a2 = d1.filter(col("deg") >= k).select("node")
+      d0.select(col("node"), col("deg").as("deg_initial"))
+        .join(a1.hint("shuffle_hash").withColumn("in_a1", lit(1)),
+          Seq("node"), "left")
+        .join(d1.hint("shuffle_hash")
+          .select(col("node"), col("deg").as("deg_after_peel")),
+          Seq("node"), "left")
+        .join(a2.hint("shuffle_hash").withColumn("in_a2", lit(1)),
+          Seq("node"), "left")
+        .select(col("node"), col("deg_initial"),
+          coalesce(col("deg_after_peel"), lit(0L)).as("deg_after_peel"),
+          when(col("in_a2").isNotNull, "core")
+            .when(col("in_a1").isNotNull, "peeled_r2")
+            .otherwise("peeled_r1").as("status"))
+    },
   )
 }

@@ -1848,5 +1848,127 @@ object TextOps {
         .withColumn("novelty_permille",
           expr("(1000 * n_new_grams) div n_instances"))
     },
+
+    // --------------------------------------------------------------- q174
+    // Asymmetric-containment classification of the q58 banding
+    // candidates: Jaccard is SYMMETRIC, so a short doc quoted whole
+    // inside a long one scores low and the near-dup pass misses the
+    // relationship; containment C(a→b) = |A∩B|/|A| is the directional
+    // fix (Broder's original distinction). Every banding candidate
+    // pair gets both containments plus Jaccard and a relation class:
+    // near_dup (J ≥ ⅔ — q58's threshold), contains (either direction
+    // ≥ 80% while the pair is NOT a near-dup: the quote/superset
+    // queue), overlap otherwise. Scale: candidates come only from the
+    // (band, band_key) equi-join (q58's contract, never all pairs),
+    // AND buckets larger than 16 members are dropped (q87's stop-
+    // bucket cap): on this template corpus the uncapped candidate set
+    // measured 65k pairs at sf0.01 / 7.5–13 s at sf0.1 — the giant
+    // buckets are exactly the wallpaper whose members near-dup
+    // EVERYTHING, so pairing them is O(bucket²) work that q26/q58/q66
+    // already report; the declared recall contract is "containment
+    // relations among docs that are not wholesale template copies".
+    // Per surviving pair the exact intersection is one allocation-free
+    // sorted merge of the checkpointed int64 gram codes (the q149
+    // kernel path — no pair re-shingles text).
+    Q(
+      "q174_containment",
+      Some {
+        val hashes = (0 until 6).map(j =>
+          s"${graft.operators.MinHashLsh.universalMinSql("grams", j)} AS h$j")
+          .mkString(",\n                 ")
+        val bands = (0 until 3).map(j =>
+          s"SELECT doc_id, $j AS band, CAST(h${2 * j} AS VARCHAR) || '|' || CAST(h${2 * j + 1} AS VARCHAR) AS band_key FROM mh")
+          .mkString("\n          UNION ALL ")
+        s"""
+        WITH sh AS (
+          SELECT doc_id, $shinglesSql AS grams
+          FROM documents WHERE length(text) >= 3),
+        mh AS (
+          SELECT doc_id,
+                 $hashes
+          FROM sh),
+        banded AS (
+          $bands),
+        small AS (
+          SELECT band, band_key FROM banded
+          GROUP BY band, band_key HAVING COUNT(*) <= 16),
+        kept AS (
+          SELECT b.doc_id, b.band, b.band_key
+          FROM banded b JOIN small s
+            ON s.band = b.band AND s.band_key = b.band_key),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM kept a JOIN kept b
+            ON a.band = b.band AND a.band_key = b.band_key
+               AND b.doc_id > a.doc_id),
+        scored AS (
+          SELECT doc_a, doc_b,
+                 CAST(len(sa.grams) AS BIGINT) AS ng_a,
+                 CAST(len(sb.grams) AS BIGINT) AS ng_b,
+                 CAST(len(list_filter(sa.grams, g -> list_contains(sb.grams, g)))
+                   AS BIGINT) AS n_common
+          FROM pairs p
+          JOIN sh sa ON sa.doc_id = p.doc_a
+          JOIN sh sb ON sb.doc_id = p.doc_b),
+        cls AS (
+          SELECT doc_a, doc_b, ng_a, ng_b, n_common,
+                 (1000 * n_common) // ng_a AS cont_a_permille,
+                 (1000 * n_common) // ng_b AS cont_b_permille,
+                 (1000 * n_common) // (ng_a + ng_b - n_common)
+                   AS jaccard_permille
+          FROM scored)
+        SELECT doc_a, doc_b, ng_a, ng_b, n_common,
+               cont_a_permille, cont_b_permille, jaccard_permille,
+               CASE WHEN 3 * jaccard_permille >= 2000 THEN 'near_dup'
+                    WHEN cont_a_permille >= 800 OR cont_b_permille >= 800
+                      THEN 'contains'
+                    ELSE 'overlap' END AS relation
+        FROM cls"""
+      }
+    ) { (s, dir) =>
+      val cfg = graft.operators.MinHashLsh.Config(
+        bands = 3, rowsPerBand = 2, universal = true)
+      val sigs = graft.Checkpoints.materialize(
+        t(s, dir, "documents")
+          .filter(length(col("text")) >= 3)
+          .select(col("doc_id"),
+            graft.functions.MinHash.minhashFast(col("text"), cfg.numHashes)
+              .as("sig"),
+            graft.functions.Jaccard.gramCodes3(col("text")).as("grams"))
+          .withColumn("n_grams", size(col("grams")).cast("long")))
+      val banded = sigs.select(col("doc_id"),
+        posexplode(array((0 until cfg.bands).map(j =>
+          graft.operators.MinHashLsh.bandKeyCol(col("sig"), j, cfg.rowsPerBand)): _*))
+          .as(Seq("band", "band_key")))
+      val small = banded.groupBy("band", "band_key")
+        .agg(count(lit(1)).as("bn")).filter(col("bn") <= 16)
+        .select("band", "band_key")
+      val kept = banded.join(small, Seq("band", "band_key"))
+      val pairs = kept.as("a")
+        .join(kept.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("b.doc_id") > col("a.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      pairs
+        .join(sigs.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"),
+          col("n_grams").as("ng_a")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"),
+          col("n_grams").as("ng_b")), "doc_b")
+        .withColumn("n_common", graft.functions.Jaccard.sortedIntersectCount(
+          col("grams_a"), col("grams_b")))
+        .withColumn("cont_a_permille", expr("(1000 * n_common) div ng_a"))
+        .withColumn("cont_b_permille", expr("(1000 * n_common) div ng_b"))
+        .withColumn("jaccard_permille",
+          expr("(1000 * n_common) div (ng_a + ng_b - n_common)"))
+        .withColumn("relation",
+          when(col("jaccard_permille") * 3 >= 2000, "near_dup")
+            .when(col("cont_a_permille") >= 800 ||
+              col("cont_b_permille") >= 800, "contains")
+            .otherwise("overlap"))
+        .select("doc_a", "doc_b", "ng_a", "ng_b", "n_common",
+          "cont_a_permille", "cont_b_permille", "jaccard_permille", "relation")
+    },
   )
 }

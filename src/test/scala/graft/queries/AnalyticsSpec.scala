@@ -1931,6 +1931,95 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  // ----------------------------------------------------------- q174
+  test("q174 containments replay from collected gram sets; classes partition") {
+    val grams = graft.Tables.load(spark, sf, "documents")
+      .filter(length(col("text")) >= 3)
+      .selectExpr("doc_id",
+        "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))) AS gs")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val rows = run("q174_containment").collect()
+    assert(rows.nonEmpty)
+    val seen = scala.collection.mutable.Set[(Long, Long)]()
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(a < b, s"pair order ($a,$b)")
+      assert(seen.add((a, b)), s"duplicate pair ($a,$b)")
+      val (ga, gb) = (grams(a), grams(b))
+      val common = (ga & gb).size.toLong
+      val (nga, ngb) = (ga.size.toLong, gb.size.toLong)
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((nga, ngb, common)))
+      val (ca, cb) = (1000 * common / nga, 1000 * common / ngb)
+      val j = 1000 * common / (nga + ngb - common)
+      assert((r.getLong(5), r.getLong(6), r.getLong(7)) === ((ca, cb, j)))
+      val expected =
+        if (3 * j >= 2000) "near_dup"
+        else if (ca >= 800 || cb >= 800) "contains"
+        else "overlap"
+      assert(r.getString(8) === expected, s"($a,$b) class")
+    }
+    // the queue finds genuinely asymmetric relations Jaccard misses
+    assert(rows.exists(_.getString(8) == "contains"),
+      "no containment found — the detector is vacuous on this corpus")
+  }
+
+  // ----------------------------------------------------------- q175
+  test("q175 k-core peeling equals a naive Scala peel") {
+    val pairs = graft.Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey")
+      .join(graft.Tables.load(spark, sf, "lineitem")
+        .select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long"), col("l_suppkey").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), -r.getLong(1)))
+    val edges = pairs.flatMap { case (c, s2) => Seq(c -> s2, s2 -> c) }
+    def degrees(es: Array[(Long, Long)]): Map[Long, Long] =
+      es.groupBy(_._1).map { case (n, o) => n -> o.length.toLong }
+    val d0 = degrees(edges)
+    val a1 = d0.filter(_._2 >= 3).keySet
+    val e1 = edges.filter(e => a1(e._1) && a1(e._2))
+    val d1 = degrees(e1)
+    val a2 = d1.filter(_._2 >= 3).keySet
+    val truth = d0.map { case (n, deg) =>
+      val status =
+        if (a2(n)) "core" else if (a1(n)) "peeled_r2" else "peeled_r1"
+      n -> ((deg, d1.getOrElse(n, 0L), status))
+    }
+    val got = run("q175_kcore").collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))
+    }.toMap
+    assert(got === truth)
+    // peeling monotone: residual degree never exceeds the initial
+    got.foreach { case (n, (deg0, deg1, _)) =>
+      assert(deg1 <= deg0, s"node $n degree grew")
+    }
+    assert(got.values.exists(_._3 == "core"), "3-core must be non-empty here")
+  }
+
+  // ----------------------------------------------------------- q176
+  test("q176 lateness audit replays from an arrival-ordered Scala walk") {
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val truth = ev.groupBy(_._1).map { case (t, rows) =>
+      var runmax = Long.MinValue
+      val lates = rows.sortBy(_._2).map { case (_, _, us) =>
+        runmax = math.max(runmax, us)
+        runmax - us
+      }
+      val n = lates.length.toLong
+      val nLate = lates.count(_ > 0).toLong
+      t -> ((n, nLate, 1000 * nLate / n,
+        lates.count(_ > 3600000000L).toLong,
+        lates.max / 1000000, lates.sum / n))
+    }
+    val got = run("q176_lateness_audit").collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    }.toMap
+    assert(got === truth)
+  }
+
   // ----------------------------------------------------------- q168
   test("q168 decayed scores replay from collected events") {
     val ev = graft.Tables.load(spark, sf, "events")
