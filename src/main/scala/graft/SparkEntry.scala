@@ -119,6 +119,8 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q174    graft.queries.TextOps    — asymmetric containment classes
   *   q175    graft.queries.Graph      — bounded k-core peeling
   *   q176    graft.queries.Events     — watermark-lateness audit
+  *   q177    graft.queries.Events     — two-phase prefix-sum concurrency
+  *   q178    graft.queries.Vectors    — audited k-means (Lloyd) step
   */
 object SparkEntry {
 

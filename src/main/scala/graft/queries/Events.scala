@@ -1603,5 +1603,89 @@ object Events {
           expr("max(late) div 1000000").as("max_late_s"),
           expr("sum(late) div count(1)").as("mean_late_us"))
     },
+
+    // --------------------------------------------------------------- q177
+    // Peak concurrency by TWO-PHASE distributed prefix sum: every
+    // event opens a 30-minute interval, deltas (+1 at start, −1 at
+    // end, half-open so an end and a start at the same instant never
+    // overcount: the −1 sorts first) accumulate into the running
+    // active count, whose maximum is the capacity number a serving
+    // fleet is sized on. The SCALE move is the decomposition: phase 1
+    // runs the cumulative sum INSIDE each (type, day) partition (a
+    // keyed window — thousands of independent partitions at 100 TB);
+    // phase 2 computes day-level carry-ins by a window over the tiny
+    // per-day totals table; concurrency = carry + local. The oracle
+    // runs the textbook single global window per type — equality IS
+    // the proof that the decomposition is exact, which is what lets
+    // this engine avoid the one-giant-sort plan a naive window needs.
+    // The (type, day) join back onto the phase-1 frame reuses its
+    // partitioning. Ties: max is reached at the last +1 of its
+    // timestamp in both forms; t_at_max is the earliest such instant.
+    Q(
+      "q177_max_concurrency",
+      Some("""
+        WITH iv AS (
+          SELECT event_type, epoch_us(ts) AS t0,
+                 epoch_us(ts) + 1800000000 AS t1
+          FROM events),
+        deltas AS (
+          SELECT event_type, t0 AS t, 1 AS dlt FROM iv
+          UNION ALL
+          SELECT event_type, t1, -1 FROM iv),
+        runs AS (
+          SELECT event_type, t, dlt,
+                 CAST(SUM(dlt) OVER (PARTITION BY event_type
+                   ORDER BY t, dlt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS conc
+          FROM deltas),
+        nv AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals
+          FROM iv GROUP BY 1),
+        mx AS (
+          SELECT event_type, MAX(conc) AS max_concurrency
+          FROM runs GROUP BY 1)
+        SELECT r.event_type, nv.n_intervals, m.max_concurrency,
+               CAST(MIN(r.t) AS BIGINT) AS t_at_max
+        FROM runs r
+        JOIN mx m ON m.event_type = r.event_type
+          AND r.conc = m.max_concurrency
+        JOIN nv ON nv.event_type = r.event_type
+        GROUP BY r.event_type, nv.n_intervals, m.max_concurrency""")
+    ) { (s, dir) =>
+      val iv = t(s, dir, "events")
+        .select(col("event_type"), unix_micros(col("ts")).as("t0"))
+        .withColumn("t1", col("t0") + 1800000000L)
+      val deltas = iv.select(col("event_type"), explode(array(
+          struct(col("t0").as("t"), lit(1).as("dlt")),
+          struct(col("t1").as("t"), lit(-1).as("dlt")))).as("e"))
+        .select(col("event_type"), col("e.t").as("t"), col("e.dlt").as("dlt"))
+        .withColumn("day", expr("t div 86400000000"))
+      // phase 1: cumulative sum inside each (type, day) partition
+      val wLoc = Window.partitionBy("event_type", "day").orderBy("t", "dlt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = deltas.withColumn("lrun", sum(col("dlt")).over(wLoc))
+      // phase 2: day-level carry-in from the tiny per-day totals table
+      val wCarry = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = deltas.groupBy("event_type", "day")
+        .agg(sum(col("dlt")).as("dtot"))
+        .withColumn("carry", coalesce(sum(col("dtot")).over(wCarry), lit(0L)))
+        .select("event_type", "day", "carry")
+      val runs = local.join(carry, Seq("event_type", "day"))
+        .withColumn("conc", (col("carry") + col("lrun")).cast("long"))
+      val mx = runs.groupBy("event_type")
+        .agg(max(col("conc")).as("max_concurrency"))
+      val nv = broadcast(iv.groupBy("event_type")
+        .agg(count(lit(1)).as("n_intervals")))
+      runs.join(broadcast(mx), Seq("event_type"))
+        .filter(col("conc") === col("max_concurrency"))
+        .groupBy("event_type")
+        .agg(first(col("max_concurrency")).as("max_concurrency"),
+          min(col("t")).as("t_at_max"))
+        .join(nv, "event_type")
+        .select(col("event_type"), col("n_intervals"),
+          col("max_concurrency"), col("t_at_max"))
+    },
   )
 }

@@ -953,6 +953,81 @@ object Vectors {
             (col("n_hits").cast("double") / col("k")).as("recall"))
       }.reduce(_ unionAll _)
     },
+
+    // --------------------------------------------------------------- q178
+    // One full k-means training step, audited: seed 8 centroids
+    // (Ivf.seedCentroids — the q60/q89 seeding), assign every vector
+    // (broadcast-centroid map-side argmin), refine (Ivf.lloydStep),
+    // and report per cell the member count, the inertia BEFORE the
+    // step (Σ exact squared-L2 to the seed — k-means' objective), and
+    // the L1 centroid shift the step produced. shift→0 over repeated
+    // steps is Lloyd's convergence; this query IS the loop body a
+    // training driver would iterate, with its convergence metrics
+    // exposed as columns (q103 classifies against label centroids;
+    // q151 audits cell purity; this audits the UPDATE itself). All
+    // arithmetic exact BIGINT (truncating div in both engines — the
+    // proven lloydStep semantics); the corpus pays one map-side assign
+    // + the (cell, dim)-keyed mean reduction, everything else is
+    // 8-row tables.
+    Q(
+      "q178_lloyd_step",
+      Some(s"""
+        WITH normed0 AS ($quantizedSql),
+        normed AS (SELECT vec_id, qv FROM normed0 WHERE qn > 0),
+        seed AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                   AS centroid_id, qv AS cv
+          FROM (SELECT vec_id, qv FROM normed ORDER BY vec_id LIMIT 8) t),
+        asg AS (
+          SELECT vec_id, qv, centroid_id, dist FROM (
+            SELECT n.vec_id, n.qv, s.centroid_id,
+                   ${graft.operators.Ivf.sqDistSql("n.qv", "s.cv")} AS dist,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                     ORDER BY ${graft.operators.Ivf.sqDistSql("n.qv", "s.cv")},
+                              s.centroid_id) AS rn
+            FROM normed n CROSS JOIN seed s) t
+          WHERE rn = 1),
+        pos AS (
+          SELECT centroid_id, i,
+                 CAST(SUM(qv[CAST(i AS INT)]) AS BIGINT)
+                   // CAST(COUNT(*) AS BIGINT) AS m
+          FROM asg, (SELECT unnest(range(1, 65)) AS i) p
+          GROUP BY centroid_id, i),
+        newc AS (
+          SELECT centroid_id, list(m ORDER BY i) AS cv1
+          FROM pos GROUP BY centroid_id),
+        stats AS (
+          SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+                 CAST(SUM(dist) AS BIGINT) AS inertia_before
+          FROM asg GROUP BY centroid_id)
+        SELECT CAST(st.centroid_id AS BIGINT) AS centroid_id,
+               st.n_members, st.inertia_before,
+               CAST(list_aggregate(list_transform(range(1, 65),
+                 i -> abs(n.cv1[CAST(i AS INT)] - s.cv[CAST(i AS INT)])),
+                 'sum') AS BIGINT) AS shift_l1
+        FROM stats st
+        JOIN newc n USING (centroid_id)
+        JOIN seed s USING (centroid_id)""")
+    ) { (s, dir) =>
+      val normed = quantized(s, dir).filter(col("qn") > 0)
+        .select("vec_id", "qv")
+      val cents0 = graft.operators.Ivf.seedCentroids(normed, "vec_id", "qv", 8)
+      val asg = graft.operators.Ivf.assign(normed, "qv", cents0)
+      val withD = asg.join(broadcast(cents0), "centroid_id")
+        .withColumn("dist",
+          expr(graft.operators.Ivf.sqDistExpr("qv", "cv")))
+      val cents1 = graft.operators.Ivf.lloydStep(
+        asg.select("centroid_id", "qv"), "qv")
+      withD.groupBy("centroid_id")
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("dist")).as("inertia_before"))
+        .join(broadcast(cents1.withColumnRenamed("cv", "cv1")), "centroid_id")
+        .join(broadcast(cents0), "centroid_id")
+        .withColumn("shift_l1", expr(
+          "aggregate(zip_with(cv1, cv, (a, b) -> abs(a - b)), 0L, (acc, x) -> acc + x)"))
+        .select(col("centroid_id").cast("long").as("centroid_id"),
+          col("n_members"), col("inertia_before"), col("shift_l1"))
+    },
   )
 
   /** q158's truncated-cosine top-5 at d dims: same candidate universe

@@ -2020,6 +2020,60 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === truth)
   }
 
+  // ----------------------------------------------------------- q177
+  test("q177 two-phase concurrency equals a single-sorted Scala sweep") {
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val truth = ev.groupBy(_._1).map { case (t, rows) =>
+      val deltas = rows.flatMap { case (_, us) =>
+        Seq((us, 1), (us + 1800000000L, -1))
+      }.sortBy { case (time, d) => (time, d) }
+      var conc = 0L
+      var mx = 0L
+      var tAt = Long.MaxValue
+      deltas.foreach { case (time, d) =>
+        conc += d
+        if (conc > mx) { mx = conc; tAt = time }
+      }
+      t -> ((rows.length.toLong, mx, tAt))
+    }
+    val got = run("q177_max_concurrency").collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))
+    }.toMap
+    assert(got === truth)
+    // sanity: at least one interval is always active at its own start
+    got.values.foreach { case (_, mx, _) => assert(mx >= 1) }
+  }
+
+  // ----------------------------------------------------------- q178
+  test("q178 Lloyd step replays from collected vectors") {
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), graft.functions.VecMath.quantize(col("embedding")).as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .filter { case (_, qv) => qv.map(x => x * x).sum > 0 }
+      .sortBy(_._1)
+    val seeds = vecs.take(8).map(_._2).zipWithIndex.map(_.swap).toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val assigned = vecs.map { case (id, qv) =>
+      val best = seeds.toSeq.map { case (c, cv) => (d2(qv, cv), c) }.min
+      (id, qv, best._2, best._1)
+    }
+    val truth = assigned.groupBy(_._3).map { case (c, members) =>
+      val newc = (0 until 64).map { d =>
+        val s0 = members.map(_._2(d)).sum
+        s0 / members.length // Long division truncates like both engines
+      }
+      c.toLong -> ((members.length.toLong, members.map(_._4).sum,
+        newc.zip(seeds(c)).map { case (a, b) => math.abs(a - b) }.sum))
+    }
+    val got = run("q178_lloyd_step").collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))
+    }.toMap
+    assert(got === truth)
+  }
+
   // ----------------------------------------------------------- q168
   test("q168 decayed scores replay from collected events") {
     val ev = graft.Tables.load(spark, sf, "events")
