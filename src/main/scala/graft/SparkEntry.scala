@@ -121,6 +121,7 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q176    graft.queries.Events     — watermark-lateness audit
   *   q177    graft.queries.Events     — two-phase prefix-sum concurrency
   *   q178    graft.queries.Vectors    — audited k-means (Lloyd) step
+  *   q179    graft.queries.Events     — incremental SCD2 apply (IVM)
   */
 object SparkEntry {
 

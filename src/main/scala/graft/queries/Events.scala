@@ -25,6 +25,44 @@ object Events {
 
   private val sessionGapUs: Long = 30L * 60 * 1000 * 1000 // 30 min
 
+  /** q105's rebuild semantics — the SCD2 islands of the full event log.
+    * Shared: it is q105's oracle AND q179's (where the Spark side runs
+    * the incremental APPLY and this full rebuild is the equality
+    * witness). */
+  private val scd2RebuildSql = """
+        SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+               MIN(event_type) AS event_type,
+               COUNT(*) AS n_events,
+               MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS start_us,
+               MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS end_us
+        FROM (
+          SELECT user_id, ts, event_type,
+                 SUM(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+          FROM (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             IS DISTINCT FROM event_type
+                        THEN 1 ELSE 0 END AS new_run
+            FROM events) a) b
+        GROUP BY user_id, CAST(run_id AS BIGINT)"""
+
+  /** Spark side of [[scd2RebuildSql]]: same-type runs per user as
+    * (user_id, run_id, event_type, n_events, start_us, end_us). */
+  private def islandsOf(df: DataFrame): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("new_run",
+        when(not(lag(col("event_type"), 1).over(order) <=> col("event_type")), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("new_run")).over(cum))
+      .groupBy(col("user_id"), col("run_id"))
+      .agg(min(col("event_type")).as("event_type"),
+        count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+  }
+
   val all: Seq[Q] = Seq(
     // ---------------------------------------------------------------- q42
     // As-of join (graft.operators.AsOfJoin): each error event matched to
@@ -489,37 +527,8 @@ object Events {
     // key — a single exchange at scale).
     Q(
       "q105_scd2_islands",
-      Some("""
-        SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
-               MIN(event_type) AS event_type,
-               COUNT(*) AS n_events,
-               MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS start_us,
-               MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS end_us
-        FROM (
-          SELECT user_id, ts, event_type,
-                 SUM(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
-          FROM (
-            SELECT user_id, ts, event_id, event_type,
-                   CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                             IS DISTINCT FROM event_type
-                        THEN 1 ELSE 0 END AS new_run
-            FROM events) a) b
-        GROUP BY user_id, CAST(run_id AS BIGINT)""")
-    ) { (s, dir) =>
-      val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, dir, "events")
-        .withColumn("new_run",
-          when(not(lag(col("event_type"), 1).over(order) <=> col("event_type")), 1L)
-            .otherwise(0L))
-        .withColumn("run_id", sum(col("new_run")).over(cum))
-        .groupBy(col("user_id"), col("run_id"))
-        .agg(min(col("event_type")).as("event_type"),
-          count(lit(1)).as("n_events"),
-          min(unix_micros(col("ts"))).as("start_us"),
-          max(unix_micros(col("ts"))).as("end_us"))
-    },
+      Some(scd2RebuildSql)
+    ) { (s, dir) => islandsOf(t(s, dir, "events")) },
 
     // ---------------------------------------------------------------- q97
     // Behavioral transition matrix (first-order Markov estimate): for
@@ -1686,6 +1695,77 @@ object Events {
         .join(nv, "event_type")
         .select(col("event_type"), col("n_intervals"),
           col("max_concurrency"), col("t_at_max"))
+    },
+
+    // --------------------------------------------------------------- q179
+    // Incremental SCD2 apply — q171's IVM contract for INTERVAL tables:
+    // the base dimension is q105's islands over every day but the
+    // last; the last day is the CDC delta. The apply never touches
+    // base history: it islands the DELTA alone, then stitches the
+    // boundary per user — when a user's last base run has the same
+    // type as their first delta run the two MERGE (counts add, the
+    // base start survives, the delta end advances — the "extend
+    // current validity" case); otherwise the delta runs open new
+    // intervals; either way later delta runs renumber by the base's
+    // last run_id. The ORACLE is the full q105 rebuild — the hash
+    // match proves apply == rebuild row-for-row, which is what lets a
+    // 100 TB dimension refresh at delta cost. Every stitch step is a
+    // user-keyed join of island-sized (not event-sized) tables; the
+    // delta day's windows only ever sort the delta.
+    Q(
+      "q179_scd2_apply",
+      Some(scd2RebuildSql)
+    ) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val mx = broadcast(ev.agg(max(to_date(col("ts"))).as("cut")))
+      val tagged = ev.crossJoin(mx)
+      // materialized: base feeds the last-island lookup AND the history
+      // pass-through, delta feeds the stitch and the renumber — without
+      // the checkpoint each reference re-runs its window over the log
+      // (measured 2.9 s vs 1.3 s at sf0.1)
+      val base = graft.Checkpoints.materialize(
+        islandsOf(tagged.filter(to_date(col("ts")) =!= col("cut"))))
+      val delta = graft.Checkpoints.materialize(
+        islandsOf(tagged.filter(to_date(col("ts")) === col("cut"))))
+      // per-user stitch info: the base's last island vs the delta's first
+      val lastBase = base
+        .groupBy(col("user_id")).agg(max(col("run_id")).as("last_run"))
+        .join(base.withColumnRenamed("run_id", "last_run"),
+          Seq("user_id", "last_run"))
+        .select(col("user_id"), col("last_run"),
+          col("event_type").as("b_type"), col("n_events").as("b_n"),
+          col("start_us").as("b_start"), col("end_us").as("b_end"))
+      val firstDelta = delta.filter(col("run_id") === 1)
+        .select(col("user_id"), col("event_type").as("d_type"),
+          col("n_events").as("d_n"), col("end_us").as("d_end"))
+      val stitch = lastBase.join(firstDelta, Seq("user_id"), "full")
+        .withColumn("merged",
+          col("b_type").isNotNull && col("d_type").isNotNull &&
+            col("b_type") === col("d_type"))
+      // 1) base history minus the last islands that merge forward
+      val baseKept = base.join(
+        stitch.filter(col("merged"))
+          .select(col("user_id"), col("last_run").as("run_id"))
+          .withColumn("drop", lit(1)),
+        Seq("user_id", "run_id"), "left")
+        .filter(col("drop").isNull).drop("drop")
+      // 2) the merged boundary islands
+      val mergedRows = stitch.filter(col("merged"))
+        .select(col("user_id"), col("last_run").as("run_id"),
+          col("b_type").as("event_type"),
+          (col("b_n") + col("d_n")).as("n_events"),
+          col("b_start").as("start_us"), col("d_end").as("end_us"))
+      // 3) delta islands renumbered past the base (the first one is
+      //    consumed by the merge when it fired)
+      val offsets = stitch.select(col("user_id"),
+        coalesce(col("last_run"), lit(0L)).as("off"), col("merged"))
+      val deltaRows = delta.join(offsets, "user_id")
+        .filter(!(col("merged") && col("run_id") === 1))
+        .select(col("user_id"),
+          (col("run_id") + col("off") -
+            when(col("merged"), 1L).otherwise(0L)).as("run_id"),
+          col("event_type"), col("n_events"), col("start_us"), col("end_us"))
+      baseKept.unionByName(mergedRows).unionByName(deltaRows)
     },
   )
 }

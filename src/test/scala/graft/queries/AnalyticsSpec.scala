@@ -2074,6 +2074,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === truth)
   }
 
+  // ----------------------------------------------------------- q179
+  test("q179 incremental apply equals the q105 rebuild; both stitch paths fire") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+    val applied = run("q179_scd2_apply").collect().map(key).sortBy(identity)
+    val rebuilt = run("q105_scd2_islands").collect().map(key).sortBy(identity)
+    assert(applied.length === rebuilt.length)
+    assert(applied === rebuilt, "apply diverged from the rebuild")
+    // the fixture must exercise BOTH boundary cases, or the test is
+    // vacuous: some users' last-day events continue their prior run
+    // (merge) and some open a new one
+    val ev = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us",
+        "event_id", "CAST(ts AS DATE) AS d")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDate(4).toLocalDate))
+    val cut = ev.map(_._5).maxBy(_.toEpochDay)
+    val byUser = ev.groupBy(_._1)
+    var merges = 0
+    var breaks = 0
+    byUser.values.foreach { rows =>
+      val (delta, base) = rows.partition(_._5 == cut)
+      if (delta.nonEmpty && base.nonEmpty) {
+        val lastBaseType = base.maxBy(r => (r._3, r._4))._2
+        val firstDeltaType = delta.minBy(r => (r._3, r._4))._2
+        if (lastBaseType == firstDeltaType) merges += 1 else breaks += 1
+      }
+    }
+    assert(merges > 0, "no run-continuation case in fixture")
+    assert(breaks > 0, "no new-run case in fixture")
+  }
+
   // ----------------------------------------------------------- q168
   test("q168 decayed scores replay from collected events") {
     val ev = graft.Tables.load(spark, sf, "events")
