@@ -122,6 +122,7 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q177    graft.queries.Events     — two-phase prefix-sum concurrency
   *   q178    graft.queries.Vectors    — audited k-means (Lloyd) step
   *   q179    graft.queries.Events     — incremental SCD2 apply (IVM)
+  *   q180    graft.queries.Layout     — equi-depth range-boundary planning
   */
 object SparkEntry {
 

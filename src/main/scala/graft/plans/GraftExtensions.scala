@@ -5,9 +5,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Jaccard3, MinHashFast, MinHashK, MinHashSignature,
-  PayloadSigExpr, QDot, QuantizeEmbedding, SimHash16, SrpBuckets, TokenNgrams,
-  Winnow}
+import graft.functions.{GramCodes3, Jaccard3, MinHashFast, MinHashK,
+  MinHashSignature, PayloadSigExpr, QDot, QuantizeEmbedding, SimHash16,
+  SortedIntersectCount, SrpBuckets, TokenNgrams, Winnow}
 
 /** SparkSessionExtensions entry point: registers every graft custom
   * expression as a SQL function, so e.g.
@@ -73,6 +73,12 @@ object GraftExtensions {
     },
     descriptor("token_ngrams", classOf[TokenNgrams]) {
       case Seq(text, k) => TokenNgrams(text, litInt(k))
+    },
+    descriptor("gram_codes3", classOf[GramCodes3]) {
+      case Seq(text) => GramCodes3(text)
+    },
+    descriptor("sorted_intersect_count", classOf[SortedIntersectCount]) {
+      case Seq(a, b) => SortedIntersectCount(a, b)
     })
 
   /** Runtime registration on an existing session (no extensions config

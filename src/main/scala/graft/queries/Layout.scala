@@ -232,6 +232,72 @@ object Layout {
           col("rows_matching"),
           expr("(1000 * rows_scanned) div rows_total").as("scan_permille"))
     },
+
+    // --------------------------------------------------------------- q180
+    // Equi-depth range-boundary planning — the computation behind
+    // `repartitionByRange` and every range-exchange sort at scale:
+    // 32 boundaries over l_quantity such that each range holds ~n/32
+    // rows, derived ENTIRELY in distinct-value space (the q152
+    // run-length move): one corpus shuffle builds the value histogram,
+    // the cumulative window runs over ≤50 distinct quantities, each
+    // boundary is min{v : 32·cum ≥ i·n}, and per-bucket row counts are
+    // cumulative DIFFERENCES at the boundaries — the corpus is never
+    // touched again, no sample, no second pass. The skew column is the
+    // audit: a value coarser than the ideal bucket width forces
+    // adjacent boundaries to collapse (n_rows = 0) and their neighbors
+    // to overfill — exactly the granularity error a range-partition
+    // planner must see before it sorts 100 TB into uneven tasks.
+    Q(
+      "q180_range_boundaries",
+      Some("""
+        WITH vals AS (
+          SELECT CAST(round(l_quantity) AS BIGINT) AS v,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM lineitem GROUP BY 1),
+        cum AS (
+          SELECT v, c,
+                 CAST(SUM(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cm
+          FROM vals),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vals),
+        ks AS (SELECT unnest(range(1, 33)) AS bucket),
+        bnd AS (
+          SELECT ks.bucket, MIN(cum.v) AS hi
+          FROM ks CROSS JOIN tot JOIN cum ON 32 * cum.cm >= ks.bucket * tot.n
+          GROUP BY ks.bucket),
+        sized AS (
+          SELECT b.bucket, b.hi, c.cm,
+                 c.cm - COALESCE(LAG(c.cm) OVER (ORDER BY b.bucket), 0)
+                   AS n_rows
+          FROM bnd b JOIN cum c ON c.v = b.hi)
+        SELECT CAST(s.bucket AS BIGINT) AS bucket, s.hi,
+               CAST(s.n_rows AS BIGINT) AS n_rows,
+               CAST((1000 * s.n_rows * 32) // tot.n AS BIGINT)
+                 AS fill_permille
+        FROM sized s CROSS JOIN tot""")
+    ) { (s, dir) =>
+      val vals = t(s, dir, "lineitem")
+        .groupBy(expr("CAST(round(l_quantity) AS BIGINT)").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = org.apache.spark.sql.expressions.Window.orderBy("v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      // distinct-value space from here down: ≤50 rows
+      val cum = vals.withColumn("cm", sum(col("c")).over(wCum))
+      val tot = broadcast(vals.agg(sum(col("c")).cast("long").as("n")))
+      val ks = broadcast(s.range(1, 33).select(col("id").as("bucket")))
+      val bnd = ks.crossJoin(tot).join(broadcast(cum),
+          col("cm") * 32 >= col("bucket") * col("n"))
+        .groupBy("bucket").agg(min(col("v")).as("hi"))
+      val wLag = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      bnd.join(broadcast(cum.select(col("v").as("hi"), col("cm"))), "hi")
+        .withColumn("n_rows",
+          col("cm") - coalesce(lag(col("cm"), 1).over(wLag), lit(0L)))
+        .crossJoin(tot)
+        .select(col("bucket"), col("hi"), col("n_rows").cast("long").as("n_rows"),
+          expr("(1000 * n_rows * 32) div n").as("fill_permille"))
+    },
   )
 
   /** The full 8-stage CTE chain h1..h8 over a `dims(x, y)` CTE —

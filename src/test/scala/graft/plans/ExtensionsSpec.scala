@@ -62,6 +62,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(ng === Seq("a b", "b c", "c d"))
   }
 
+  test("gram_codes3 and sorted_intersect_count usable from SQL after registration") {
+    GraftExtensions.register(spark)
+    // "abcd" → grams abc, bcd → sorted distinct injective codes
+    val gc = spark.sql("SELECT gram_codes3('abcd') AS g")
+      .head().getSeq[Long](0)
+    assert(gc.length === 2)
+    assert(gc === gc.sorted && gc.distinct.length === gc.length)
+    // |{abc,bcd} ∩ {bcd,cde}| = 1, straight from SQL
+    val n = spark.sql(
+      "SELECT sorted_intersect_count(gram_codes3('abcd'), gram_codes3('bcde')) AS n")
+      .head().getLong(0)
+    assert(n === 1L)
+  }
+
   test("payload_sig usable from SQL after registration") {
     GraftExtensions.register(spark)
     // 'aaaa': every sample reads 'a' (97 div 32 = class 3) → 64·128³

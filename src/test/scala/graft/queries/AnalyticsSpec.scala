@@ -2107,6 +2107,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(breaks > 0, "no new-run case in fixture")
   }
 
+  // ----------------------------------------------------------- q180
+  test("q180 range boundaries replay from a collected value histogram") {
+    val qs = graft.Tables.load(spark, sf, "lineitem")
+      .selectExpr("CAST(round(l_quantity) AS BIGINT)")
+      .collect().map(_.getLong(0))
+    val hist = qs.groupBy(identity).map { case (v, o) => v -> o.length.toLong }
+      .toSeq.sortBy(_._1)
+    val n = qs.length.toLong
+    val cum = hist.scanLeft((0L, 0L)) { case ((_, c), (v, cnt)) =>
+      (v, c + cnt)
+    }.tail
+    val truth = (1 to 32).map { b =>
+      val (hi, cm) = cum.find { case (_, c) => 32 * c >= b * n }.get
+      (b.toLong, hi, cm)
+    }
+    var prev = 0L
+    val sized = truth.map { case (b, hi, cm) =>
+      val rows = cm - prev
+      prev = cm
+      b -> ((hi, rows, 1000L * rows * 32 / n))
+    }.toMap
+    val got = run("q180_range_boundaries").collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))
+    }.toMap
+    assert(got === sized)
+    // completeness: the buckets partition the corpus exactly
+    assert(got.values.map(_._2).sum === n)
+    // the last boundary covers the maximum value
+    assert(got(32L)._1 === hist.last._1)
+  }
+
   // ----------------------------------------------------------- q168
   test("q168 decayed scores replay from collected events") {
     val ev = graft.Tables.load(spark, sf, "events")
