@@ -123,6 +123,7 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q178    graft.queries.Vectors    — audited k-means (Lloyd) step
   *   q179    graft.queries.Events     — incremental SCD2 apply (IVM)
   *   q180    graft.queries.Layout     — equi-depth range-boundary planning
+  *   q181    graft.queries.Curation   — composed curation pipeline funnel
   */
 object SparkEntry {
 

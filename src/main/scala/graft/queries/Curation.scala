@@ -1007,6 +1007,145 @@ object Curation {
         5L, 'digit_ratio',   s4, s4 - s5, s5)
         AS (stage, rule, n_in, n_fail, n_out)"""))
     },
+    // --------------------------------------------------------------- q181
+    // The COMPOSED curation pipeline as one declarative plan — the
+    // showpiece that the per-stage operators (q26 exact dedup, q58
+    // banding, q154 quality rules, q164's lang labels) chain into a
+    // single Catalyst-optimized query with per-source attrition:
+    // raw → exact-dedup survivor (min doc_id per content hash) →
+    // near-dup survivor (no smaller-id banding partner with ≥ 4/6
+    // matching minhash components; buckets > 16 dropped per the q174
+    // cap, recall contract documented there) → quality survivor
+    // (length ≥ 200 and ≥ 2 stopword hits — q154's rules 1 and 4) →
+    // kept (the 'en' slice — the target-language cut). Every stage is
+    // conjunctive, so the five counts per source are one aggregate
+    // over boolean flags; the dedup stages are keyed windows/joins;
+    // nothing is quadratic.
+    Q(
+      "q181_curation_pipeline",
+      Some {
+        val hashes = (0 until 6).map(j =>
+          s"${graft.operators.MinHashLsh.universalMinSql("grams", j)} AS h$j")
+          .mkString(",\n                 ")
+        val bands = (0 until 3).map(j =>
+          s"SELECT doc_id, $j AS band, CAST(h${2 * j} AS VARCHAR) || '|' || CAST(h${2 * j + 1} AS VARCHAR) AS band_key FROM mh")
+          .mkString("\n          UNION ALL ")
+        val nMatch = (0 until 6).map(j =>
+          s"CASE WHEN ma.h$j = mb.h$j THEN 1 ELSE 0 END").mkString(" + ")
+        s"""
+        WITH base AS (
+          SELECT doc_id, source, lang, text FROM documents
+          WHERE length(text) >= 3),
+        s1 AS (
+          SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+                   AS keep1
+          FROM base),
+        sh AS (
+          SELECT doc_id, ${graft.queries.TextOps.shinglesSql} AS grams
+          FROM s1 WHERE keep1),
+        mh AS (
+          SELECT doc_id,
+                 $hashes
+          FROM sh),
+        banded AS (
+          $bands),
+        small AS (
+          SELECT band, band_key FROM banded
+          GROUP BY band, band_key HAVING COUNT(*) <= 16),
+        kept AS (
+          SELECT b.doc_id, b.band, b.band_key
+          FROM banded b JOIN small s
+            ON s.band = b.band AND s.band_key = b.band_key),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM kept a JOIN kept b
+            ON a.band = b.band AND a.band_key = b.band_key
+               AND b.doc_id > a.doc_id),
+        drops AS (
+          SELECT DISTINCT p.doc_b FROM pairs p
+          JOIN mh ma ON ma.doc_id = p.doc_a
+          JOIN mh mb ON mb.doc_id = p.doc_b
+          WHERE $nMatch >= 4),
+        flags AS (
+          SELECT s1.source,
+                 s1.keep1,
+                 s1.keep1 AND d.doc_b IS NULL AS keep2,
+                 length(s1.text) >= 200
+                   AND len(list_filter(string_split(s1.text, ' '),
+                     x -> x IN ('the','and','of','to','in','a'))) >= 2
+                   AS q_ok,
+                 s1.lang = 'en' AS l_ok
+          FROM s1 LEFT JOIN drops d ON d.doc_b = s1.doc_id)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_raw,
+               CAST(COUNT(*) FILTER (keep1) AS BIGINT) AS n_exact,
+               CAST(COUNT(*) FILTER (keep2) AS BIGINT) AS n_neardup,
+               CAST(COUNT(*) FILTER (keep2 AND q_ok) AS BIGINT) AS n_quality,
+               CAST(COUNT(*) FILTER (keep2 AND q_ok AND l_ok) AS BIGINT)
+                 AS n_kept,
+               CAST((1000 * COUNT(*) FILTER (keep2 AND q_ok AND l_ok))
+                 // COUNT(*) AS BIGINT) AS kept_permille
+        FROM flags GROUP BY source"""
+      }
+    ) { (s, dir) =>
+      val base = t(s, dir, "documents").filter(length(col("text")) >= 3)
+        .select("doc_id", "source", "lang", "text")
+      val wHash = Window.partitionBy(md5(col("text").cast("binary")))
+      val s1 = base.withColumn("keep1",
+        col("doc_id") === min(col("doc_id")).over(wHash))
+      val cfg = graft.operators.MinHashLsh.Config(
+        bands = 3, rowsPerBand = 2, universal = true)
+      val sigs = graft.Checkpoints.materialize(
+        s1.filter(col("keep1"))
+          .select(col("doc_id"),
+            graft.functions.MinHash.minhashFast(col("text"), cfg.numHashes)
+              .as("sig")))
+      val banded = sigs.select(col("doc_id"),
+        posexplode(array((0 until cfg.bands).map(j =>
+          graft.operators.MinHashLsh.bandKeyCol(col("sig"), j, cfg.rowsPerBand)): _*))
+          .as(Seq("band", "band_key")))
+      val small = banded.groupBy("band", "band_key")
+        .agg(count(lit(1)).as("bn")).filter(col("bn") <= 16)
+        .select("band", "band_key")
+      val kept = banded.join(small, Seq("band", "band_key"))
+      val pairs = kept.as("a")
+        .join(kept.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("b.doc_id") > col("a.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val drops = pairs
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+          "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+          "doc_b")
+        .withColumn("n_match",
+          (0 until cfg.numHashes).map(j =>
+            when(element_at(col("sig_a"), j + 1) ===
+              element_at(col("sig_b"), j + 1), 1L).otherwise(0L))
+            .reduce(_ + _))
+        .filter(col("n_match") >= 4)
+        .select(col("doc_b")).distinct()
+        .withColumn("dropped", lit(1))
+      s1.join(drops, col("doc_id") === col("doc_b"), "left")
+        .withColumn("keep2", col("keep1") && col("dropped").isNull)
+        .withColumn("q_ok",
+          length(col("text")) >= 200 &&
+            expr("size(filter(split(text, ' '), " +
+              "x -> x IN ('the','and','of','to','in','a'))) >= 2"))
+        .withColumn("l_ok", col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(col("keep1"), 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("keep2"), 1L).otherwise(0L)).as("n_neardup"),
+          sum(when(col("keep2") && col("q_ok"), 1L).otherwise(0L))
+            .as("n_quality"),
+          sum(when(col("keep2") && col("q_ok") && col("l_ok"), 1L)
+            .otherwise(0L)).as("n_kept"),
+          expr("(1000 * sum(CASE WHEN keep2 AND q_ok AND l_ok THEN 1 ELSE 0 END)) div count(1)")
+            .as("kept_permille"))
+    },
   )
 
   /** q147's per-(doc, shard) rendezvous weight: the Carter–Wegman

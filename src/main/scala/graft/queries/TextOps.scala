@@ -29,8 +29,9 @@ object TextOps {
   private val shinglesExpr =
     "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))"
 
-  /** Same shingles, DuckDB side (range upper bound is exclusive). */
-  private val shinglesSql =
+  /** Same shingles, DuckDB side (range upper bound is exclusive).
+    * `private[queries]`: q181's composed pipeline reuses the fragment. */
+  private[queries] val shinglesSql =
     "list_distinct(list_transform(range(1, length(text) - 1), i -> substr(text, CAST(i AS INT), 3)))"
 
   /** Knuth multiplicative 32-bit hash of one 3-gram, from ASCII codes —

@@ -2138,6 +2138,50 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(32L)._1 === hist.last._1)
   }
 
+  // ----------------------------------------------------------- q181
+  test("q181 pipeline attrition: stages replay where independent, chain monotone") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .filter(length(col("text")) >= 3)
+      .selectExpr("doc_id", "source", "lang", "text", "md5(CAST(text AS BINARY)) AS h")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4)))
+    val minPerHash = docs.groupBy(_._5).map { case (h, o) => h -> o.map(_._1).min }
+    val stop = Set("the", "and", "of", "to", "in", "a")
+    val truth = docs.groupBy(_._2).map { case (src, rows) =>
+      val nRaw = rows.length.toLong
+      val nExact = rows.count(r => minPerHash(r._5) == r._1).toLong
+      val qOk = rows.map { r =>
+        r._1 -> (r._4.length >= 200 &&
+          r._4.split(" ", -1).count(stop) >= 2)
+      }.toMap
+      val lOk = rows.map(r => r._1 -> (r._3 == "en")).toMap
+      src -> ((nRaw, nExact, qOk, lOk))
+    }
+    val got = run("q181_curation_pipeline").collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    }.toMap
+    assert(got.keySet === truth.keySet)
+    got.foreach { case (src, (nRaw, nExact, nNear, nQual, nKept, pm)) =>
+      val (tRaw, tExact, qOk, lOk) = truth(src)
+      assert(nRaw === tRaw, s"$src raw")
+      assert(nExact === tExact, s"$src exact")
+      // chain is conjunctive — attrition can only shrink
+      assert(nRaw >= nExact && nExact >= nNear && nNear >= nQual &&
+        nQual >= nKept, s"$src monotonicity")
+      // the later flags bound their stages (keep2 ∧ flag ⊆ flag)
+      assert(nQual <= qOk.values.count(identity), s"$src quality bound")
+      assert(nKept <= qOk.keys.count(k => qOk(k) && lOk(k)), s"$src lang bound")
+      assert(pm === 1000 * nKept / nRaw, s"$src permille")
+    }
+    // the near-dup and language stages must actually bite somewhere
+    val (raws, nears) = (got.values.map(_._1).sum, got.values.map(_._3).sum)
+    val (quals, kepts) = (got.values.map(_._4).sum, got.values.map(_._5).sum)
+    assert(nears < raws, "near-dup stage never fired")
+    assert(kepts < quals, "language stage never fired")
+    assert(kepts > 0, "pipeline kept nothing — thresholds degenerate")
+  }
+
   // ----------------------------------------------------------- q168
   test("q168 decayed scores replay from collected events") {
     val ev = graft.Tables.load(spark, sf, "events")
