@@ -124,6 +124,8 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q179    graft.queries.Events     — incremental SCD2 apply (IVM)
   *   q180    graft.queries.Layout     — equi-depth range-boundary planning
   *   q181    graft.queries.Curation   — composed curation pipeline funnel
+  *   q182    graft.queries.Relational — distribution-drift audit (2 halves)
+  *   q183    graft.queries.Graph      — deterministic random walks
   */
 object SparkEntry {
 

@@ -46,9 +46,9 @@ object Graph {
           SELECT DISTINCT o_custkey AS c, l_suppkey AS s
           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
         edges AS (
-          SELECT c AS src, -s AS dst FROM pairs
+          SELECT c AS src, -(s + 1) AS dst FROM pairs
           UNION ALL
-          SELECT -s AS src, c AS dst FROM pairs)"""
+          SELECT -(s + 1) AS src, c AS dst FROM pairs)"""
 
   /** The Spark side of the same derivation: orders and lineitem are
     * BOTH fact tables (each grows with the corpus), so their pair join
@@ -66,8 +66,8 @@ object Graph {
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
       .distinct()
       .select(explode(array(
-        struct(col("c").as("src"), (-col("s")).as("dst")),
-        struct((-col("s")).as("src"), col("c").as("dst")))).as("e"))
+        struct(col("c").as("src"), (-(col("s") + 1)).as("dst")),
+        struct((-(col("s") + 1)).as("src"), col("c").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
@@ -76,7 +76,9 @@ object Graph {
     // Fixed-point PageRank, 3 iterations, over the customer↔supplier
     // trading graph: a distinct (custkey, suppkey) pair exists per
     // order line connecting them; edges run BOTH directions (suppliers
-    // encoded as negative ids), so the graph is symmetric and every
+    // encoded as -(s+1): strictly negative ids, so supplier 0 cannot
+    // collide with customer 0 — both key domains start at 0 in the
+    // fixtures), so the graph is symmetric and every
     // node has out-degree ≥ 1 — no dangling-mass correction needed.
     // Output: every node's integer rank after 3 iterations.
     Q(
@@ -399,6 +401,68 @@ object Graph {
           when(col("in_a2").isNotNull, "core")
             .when(col("in_a1").isNotNull, "peeled_r2")
             .otherwise("peeled_r1").as("status"))
+    },
+
+    // --------------------------------------------------------------- q183
+    // Deterministic "random" walks (the node2vec/DeepWalk corpus
+    // primitive): from each low-id customer vertex, 3 steps where the
+    // next hop is the neighbor MINIMIZING the salted Knuth mix of
+    // (start, candidate, step) — every walk is a pure function of the
+    // graph and the seed (the engine's no-rand() reproducibility rule:
+    // reruns, retries, and the oracle all agree bit-for-bit), while
+    // distinct (start, step) pairs decorrelate so the 20 walks spread.
+    // Each step is one frontier ⋈ edges keyed join + a per-walk
+    // min_by — walk count × degree work per step, never materializing
+    // more than the frontier; the edge list is materialized once (the
+    // loop-invariant rule). At 100 TB this is exactly the per-step
+    // shape of a distributed DeepWalk corpus generator.
+    Q(
+      "q183_random_walks",
+      Some {
+        def h(startCol: String, dstCol: String, t: Int): String =
+          graft.Knuth.sql(s"($startCol * 97 + $dstCol * 13 + $t * 7919)", 4243L)
+        s"""
+        WITH $pairsEdgesCte,
+        starts AS (
+          SELECT DISTINCT src AS start FROM edges WHERE src BETWEEN 1 AND 20),
+        s1 AS (
+          SELECT start, dst AS n1 FROM (
+            SELECT st.start, e.dst,
+                   ROW_NUMBER() OVER (PARTITION BY st.start
+                     ORDER BY ${h("st.start", "e.dst", 1)}, e.dst) AS rn
+            FROM starts st JOIN edges e ON e.src = st.start) t
+          WHERE rn = 1),
+        s2 AS (
+          SELECT start, n1, dst AS n2 FROM (
+            SELECT s.start, s.n1, e.dst,
+                   ROW_NUMBER() OVER (PARTITION BY s.start
+                     ORDER BY ${h("s.start", "e.dst", 2)}, e.dst) AS rn
+            FROM s1 s JOIN edges e ON e.src = s.n1) t
+          WHERE rn = 1),
+        s3 AS (
+          SELECT start, n1, n2, dst AS n3 FROM (
+            SELECT s.start, s.n1, s.n2, e.dst,
+                   ROW_NUMBER() OVER (PARTITION BY s.start
+                     ORDER BY ${h("s.start", "e.dst", 3)}, e.dst) AS rn
+            FROM s2 s JOIN edges e ON e.src = s.n2) t
+          WHERE rn = 1)
+        SELECT start, n1, n2, n3 FROM s3"""
+      }
+    ) { (s, dir) =>
+      val ed = Checkpoints.materialize(tradingEdges(s, dir))
+      def hCol(t: Int) =
+        graft.Knuth.col(col("start") * 97 + col("dst") * 13 + t * 7919, 4243L)
+      val starts = ed.filter(col("src").between(1, 20))
+        .select(col("src").as("start")).distinct()
+        .withColumn("cur", col("start"))
+      val walked = (1 to 3).foldLeft(starts) { (frontier, t) =>
+        val prior = frontier.columns.filterNot(_ == "cur").map(col)
+        frontier.join(ed.hint("shuffle_hash"), col("cur") === col("src"))
+          .groupBy(prior: _*)
+          .agg(min_by(col("dst"), struct(hCol(t), col("dst"))).as(s"n$t"))
+          .withColumn("cur", col(s"n$t"))
+      }
+      walked.select("start", "n1", "n2", "n3")
     },
   )
 }

@@ -1232,6 +1232,118 @@ object Relational {
             .as("top_share_permille"))
     },
 
+    // --------------------------------------------------------------- q182
+    // Distribution-drift audit between corpus halves (doc_id parity —
+    // the yesterday-vs-today proxy): per profiled column, both halves'
+    // row/distinct counts, the deterministic modal value (max count,
+    // ties to the SMALLEST value — the q138 composite-argmax rule) with
+    // its share, and the L1 distance between the two value
+    // distributions in permille-quantized form (shares quantize to
+    // permille BEFORE the distance, so every term is a bounded exact
+    // integer at any corpus size — the cross-multiplied exact form
+    // overflows 2⁶³ once n² · 1000 does). This is the monitoring query
+    // a recurring ingest runs before accepting a new batch: q155
+    // profiles ONE snapshot, this compares TWO. One corpus stack scan;
+    // everything after lives in (column, value) space; the drift join
+    // is a value-space full outer.
+    Q(
+      "q182_profile_drift",
+      Some("""
+        WITH v AS (
+          SELECT doc_id % 2 = 0 AS even, 'lang' AS col_name, lang AS val
+          FROM documents
+          UNION ALL
+          SELECT doc_id % 2 = 0, 'source', source FROM documents
+          UNION ALL
+          SELECT doc_id % 2 = 0, 'len_bucket',
+                 CAST(length(text) // 256 AS VARCHAR) FROM documents),
+        g AS (
+          SELECT col_name, even, val, CAST(COUNT(*) AS BIGINT) AS c
+          FROM v GROUP BY 1, 2, 3),
+        n AS (
+          SELECT col_name, even, CAST(SUM(c) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct
+          FROM g GROUP BY 1, 2),
+        modal AS (
+          SELECT col_name, even, MIN(val) AS modal_val, MAX(c) AS top_c
+          FROM g
+          JOIN (SELECT col_name AS cn2, even AS e2, MAX(c) AS mc
+                FROM g GROUP BY 1, 2) m
+            ON m.cn2 = g.col_name AND m.e2 = g.even AND g.c = m.mc
+          GROUP BY col_name, even),
+        shares AS (
+          SELECT col_name, val,
+                 CAST(1000 * SUM(CASE WHEN even THEN c ELSE 0 END)
+                   AS BIGINT) AS ce,
+                 CAST(1000 * SUM(CASE WHEN NOT even THEN c ELSE 0 END)
+                   AS BIGINT) AS co
+          FROM g GROUP BY 1, 2),
+        sh2 AS (
+          SELECT s.col_name,
+                 s.ce // ne.n AS pm_even, s.co // no.n AS pm_odd
+          FROM shares s
+          JOIN (SELECT col_name, n FROM n WHERE even) ne USING (col_name)
+          JOIN (SELECT col_name, n FROM n WHERE NOT even) no USING (col_name)),
+        drift AS (
+          SELECT col_name,
+                 CAST(SUM(abs(pm_even - pm_odd)) AS BIGINT) AS l1_permille
+          FROM sh2 GROUP BY col_name)
+        SELECT ne.col_name,
+               ne.n AS n_even, no.n AS n_odd,
+               ne.n_distinct AS distinct_even, no.n_distinct AS distinct_odd,
+               me.modal_val AS modal_even, mo.modal_val AS modal_odd,
+               (1000 * me.top_c) // ne.n AS modal_share_even_pm,
+               (1000 * mo.top_c) // no.n AS modal_share_odd_pm,
+               d.l1_permille
+        FROM (SELECT * FROM n WHERE even) ne
+        JOIN (SELECT * FROM n WHERE NOT even) no USING (col_name)
+        JOIN (SELECT * FROM modal WHERE even) me USING (col_name)
+        JOIN (SELECT * FROM modal WHERE NOT even) mo USING (col_name)
+        JOIN drift d USING (col_name)""")
+    ) { (s, dir) =>
+      val v = t(s, dir, "documents").select(
+        (col("doc_id") % 2 === 0).as("even"),
+        expr("""stack(3,
+           'lang', lang,
+           'source', source,
+           'len_bucket', CAST(length(text) div 256 AS STRING))
+           AS (col_name, val)"""))
+      val g = v.groupBy("col_name", "even", "val")
+        .agg(count(lit(1)).as("c"))
+      val n = g.groupBy("col_name", "even")
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+      val modal = g.groupBy("col_name", "even")
+        .agg(max(col("c")).as("top_c"),
+          expr("min_by(val, struct(-c, val))").as("modal_val"))
+      val shares = g
+        .groupBy("col_name", "val")
+        .agg(sum(when(col("even"), col("c")).otherwise(0L)).as("c_even"),
+          sum(when(!col("even"), col("c")).otherwise(0L)).as("c_odd"))
+        .join(broadcast(n.filter(col("even"))
+          .select(col("col_name"), col("n").as("n_even"))), "col_name")
+        .join(broadcast(n.filter(!col("even"))
+          .select(col("col_name"), col("n").as("n_odd"))), "col_name")
+        .withColumn("pm_even", expr("(1000 * c_even) div n_even"))
+        .withColumn("pm_odd", expr("(1000 * c_odd) div n_odd"))
+      val drift = shares.groupBy("col_name")
+        .agg(sum(abs(col("pm_even") - col("pm_odd"))).as("l1_permille"))
+      def half(flag: Boolean, suffix: String) =
+        n.filter(if (flag) col("even") else !col("even"))
+          .join(modal.filter(if (flag) col("even") else !col("even")),
+            Seq("col_name", "even"))
+          .select(col("col_name"), col("n").as(s"n_$suffix"),
+            col("n_distinct").as(s"distinct_$suffix"),
+            col("modal_val").as(s"modal_$suffix"),
+            expr("(1000 * top_c) div n").as(s"modal_share_${suffix}_pm"))
+      half(flag = true, "even").join(half(flag = false, "odd"), "col_name")
+        .join(drift, "col_name")
+        .select(col("col_name"), col("n_even"), col("n_odd"),
+          col("distinct_even"), col("distinct_odd"),
+          col("modal_even"), col("modal_odd"),
+          col("modal_share_even_pm"), col("modal_share_odd_pm"),
+          col("l1_permille"))
+    },
+
     // --------------------------------------------------------------- q156
     // Functional-dependency audit: for each DECLARED dependency
     // A → B, how many A-values map to more than one B — the

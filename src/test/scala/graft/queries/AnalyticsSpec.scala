@@ -133,7 +133,7 @@ class AnalyticsSpec extends SparkSpec {
       .join(graft.Tables.load(spark, sf, "lineitem"),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").cast("long"), col("l_suppkey").cast("long"))
-      .distinct().collect().map(r => (r.getLong(0), -r.getLong(1)))
+      .distinct().collect().map(r => (r.getLong(0), -(r.getLong(1) + 1)))
     val edges = pairs ++ pairs.map { case (c, s) => (s, c) }
     val outdeg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
     var rank = outdeg.keys.map(_ -> 10000L).toMap
@@ -153,7 +153,7 @@ class AnalyticsSpec extends SparkSpec {
       .join(graft.Tables.load(spark, sf, "lineitem"),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").cast("long"), col("l_suppkey").cast("long"))
-      .distinct().collect().map(r => (r.getLong(0), -r.getLong(1)))
+      .distinct().collect().map(r => (r.getLong(0), -(r.getLong(1) + 1)))
     val adj = (pairs ++ pairs.map { case (c, s) => (s, c) })
       .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
     val walks = scala.collection.mutable.Map((1L, 0L) -> 1L)
@@ -1530,7 +1530,7 @@ class AnalyticsSpec extends SparkSpec {
         col("o_orderkey") === col("l_orderkey"))
       .select("o_custkey", "l_suppkey").distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val edges = pairs.flatMap { case (c, s) => Seq((c, -s), (-s, c)) }
+    val edges = pairs.flatMap { case (c, s) => Seq((c, -(s + 1)), (-(s + 1), c)) }
     val bySrc = edges.groupBy(_._1)
     var label = bySrc.keys.map(v => v -> v).toMap
     for (_ <- 1 to 2) {
@@ -1971,7 +1971,7 @@ class AnalyticsSpec extends SparkSpec {
         .select("l_orderkey", "l_suppkey"),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").cast("long"), col("l_suppkey").cast("long"))
-      .distinct().collect().map(r => (r.getLong(0), -r.getLong(1)))
+      .distinct().collect().map(r => (r.getLong(0), -(r.getLong(1) + 1)))
     val edges = pairs.flatMap { case (c, s2) => Seq(c -> s2, s2 -> c) }
     def degrees(es: Array[(Long, Long)]): Map[Long, Long] =
       es.groupBy(_._1).map { case (n, o) => n -> o.length.toLong }
@@ -2180,6 +2180,72 @@ class AnalyticsSpec extends SparkSpec {
     assert(nears < raws, "near-dup stage never fired")
     assert(kepts < quals, "language stage never fired")
     assert(kepts > 0, "pipeline kept nothing — thresholds degenerate")
+  }
+
+  // ----------------------------------------------------------- q182
+  test("q182 drift profile replays from collected rows") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "lang", "source",
+        "CAST(length(text) div 256 AS STRING) AS lb")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    val cols = Map[String, ((Long, String, String, String)) => String](
+      "lang" -> (_._2), "source" -> (_._3), "len_bucket" -> (_._4))
+    val truth = cols.map { case (cn, f) =>
+      def side(even: Boolean) = {
+        val vals = docs.filter(d => (d._1 % 2 == 0) == even).map(f)
+        val cnt = vals.groupBy(identity).map { case (v, o) => v -> o.length.toLong }
+        (vals.length.toLong, cnt)
+      }
+      val (nE, cE) = side(true)
+      val (nO, cO) = side(false)
+      def modal(c: Map[String, Long]) =
+        c.toSeq.sortBy { case (v, n) => (-n, v) }.head
+      val (mvE, mcE) = modal(cE)
+      val (mvO, mcO) = modal(cO)
+      val l1 = (cE.keySet ++ cO.keySet).toSeq.map { v =>
+        math.abs(1000 * cE.getOrElse(v, 0L) / nE - 1000 * cO.getOrElse(v, 0L) / nO)
+      }.sum
+      cn -> ((nE, nO, cE.size.toLong, cO.size.toLong, mvE, mvO,
+        1000 * mcE / nE, 1000 * mcO / nO, l1))
+    }
+    val got = run("q182_profile_drift").collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getString(6), r.getLong(7),
+        r.getLong(8), r.getLong(9)))
+    }.toMap
+    assert(got === truth)
+  }
+
+  // ----------------------------------------------------------- q183
+  test("q183 walks replay from a collected-edge Scala walker") {
+    val pairs = graft.Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey")
+      .join(graft.Tables.load(spark, sf, "lineitem")
+        .select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long"), col("l_suppkey").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), -(r.getLong(1) + 1)))
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .map { case (n, o) => n -> o.map(_._2) }
+    def knuth(x: Long, salt: Long): Long =
+      ((x + salt) % 2147483648L) * 2654435761L % 4294967296L
+    def step(start: Long, cur: Long, t: Int): Long =
+      adj(cur).minBy(d => (knuth(start * 97 + d * 13 + t * 7919, 4243L), d))
+    val truth = adj.keys.filter(n => n >= 1 && n <= 20).map { s0 =>
+      val n1 = step(s0, s0, 1)
+      val n2 = step(s0, n1, 2)
+      val n3 = step(s0, n2, 3)
+      s0 -> ((n1, n2, n3))
+    }.toMap
+    val got = run("q183_random_walks").collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))
+    }.toMap
+    assert(got === truth)
+    // walks respect the bipartite structure: hops alternate sign
+    got.foreach { case (s0, (n1, n2, n3)) =>
+      assert(n1 < 0 && n2 >= 0 && n3 < 0, s"walk from $s0 broke bipartiteness")
+    }
   }
 
   // ----------------------------------------------------------- q168
