@@ -126,6 +126,8 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q181    graft.queries.Curation   — composed curation pipeline funnel
   *   q182    graft.queries.Relational — distribution-drift audit (2 halves)
   *   q183    graft.queries.Graph      — deterministic random walks
+  *   q184    graft.queries.Events     — mergeable histogram quantiles
+  *   q185    graft.queries.TextOps    — sampled Kendall rank correlation
   */
 object SparkEntry {
 

@@ -1697,6 +1697,60 @@ object Events {
           col("max_concurrency"), col("t_at_max"))
     },
 
+    // --------------------------------------------------------------- q184
+    // Per-type value quantiles from a MERGEABLE unit-bucket histogram —
+    // q96's algebra moved onto the event stream, where it doubles as
+    // the batch anchor for the streaming half (StreamOps.histQuantiles,
+    // parity-pinned): bucket = floor(value) (the value domain is
+    // bounded, so the histogram is fixed-size state no matter how many
+    // events arrive — the property that makes it a streaming sketch),
+    // quantile bounds are the first bucket whose cumulative count
+    // reaches ceil(n·q), exact integer rank arithmetic in both
+    // engines. One map-side-combined (type, bucket) shuffle; the
+    // cumulative window runs in bucket space.
+    Q(
+      "q184_value_quantiles",
+      Some("""
+        WITH hist AS (
+          SELECT event_type, CAST(floor(value) AS BIGINT) AS b,
+                 COUNT(*) AS c
+          FROM events GROUP BY 1, 2),
+        wc AS (
+          SELECT event_type, b, c,
+                 SUM(c) OVER (PARTITION BY event_type ORDER BY b
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 SUM(c) OVER (PARTITION BY event_type) AS n
+          FROM hist),
+        qp AS (SELECT unnest([5000, 9000, 9900]) AS qp)
+        SELECT event_type, qp,
+               MIN(b) AS est_lo, MIN(b) + 1 AS est_hi,
+               CAST(MIN(n) AS BIGINT) AS n,
+               CAST(MIN((n * qp + 9999) // 10000) AS BIGINT) AS target_rank
+        FROM wc CROSS JOIN qp
+        WHERE cum >= (n * qp + 9999) // 10000
+        GROUP BY event_type, qp""")
+    ) { (s, dir) =>
+      import s.implicits._
+      val hist = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(col("value")).cast("long").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val byType = Window.partitionBy("event_type")
+      val cum = byType.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val qps = Seq(5000, 9000, 9900).toDF("qp")
+      hist
+        .withColumn("cum", sum(col("c")).over(cum))
+        .withColumn("n", sum(col("c")).over(byType))
+        .crossJoin(broadcast(qps))
+        .filter(col("cum") >= expr("(n * qp + 9999) div 10000"))
+        .groupBy(col("event_type"), col("qp"))
+        .agg(min(col("b")).as("est_lo"),
+          (min(col("b")) + 1).as("est_hi"),
+          min(col("n")).as("n"),
+          min(expr("(n * qp + 9999) div 10000")).as("target_rank"))
+    },
+
     // --------------------------------------------------------------- q179
     // Incremental SCD2 apply — q171's IVM contract for INTERVAL tables:
     // the base dimension is q105's islands over every day but the

@@ -1971,5 +1971,79 @@ object TextOps {
         .select("doc_a", "doc_b", "ng_a", "ng_b", "n_common",
           "cont_a_permille", "cont_b_permille", "jaccard_permille", "relation")
     },
+
+    // --------------------------------------------------------------- q185
+    // Sampled Kendall rank correlation between document length and
+    // stopword hits — "does quality track length on this corpus?",
+    // answered WITHOUT the global ranking Spearman needs (a corpus-
+    // wide sort) and without floats: Kendall's tau is pure pair
+    // comparisons, so a deterministic 1/64 Knuth sample of ordered
+    // pairs (q163's thinning-in-the-join-condition move — the sampled
+    // pair set never materializes n²) yields exact concordant /
+    // discordant / tie counts and tau-a = (C − D)/n in integer
+    // permille. The declared sample rate is the scale knob, exactly
+    // as in q163; every comparison is exact BIGINT.
+    Q(
+      "q185_kendall_sampled",
+      Some(s"""
+        WITH f AS (
+          SELECT doc_id, CAST(length(text) AS BIGINT) AS x,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the','and','of','to','in','a'))) AS BIGINT) AS y
+          FROM documents),
+        p AS (
+          SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+          FROM f a JOIN f b ON b.doc_id > a.doc_id
+          WHERE (${graft.Knuth.sql("(a.doc_id * 524287 + b.doc_id)", 6007L)})
+                % 64 = 0)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN (xa > xb AND ya > yb)
+                              OR (xa < xb AND ya < yb)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+               CAST(SUM(CASE WHEN (xa > xb AND ya < yb)
+                              OR (xa < xb AND ya > yb)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+               CAST(SUM(CASE WHEN xa = xb AND ya <> yb THEN 1 ELSE 0 END)
+                 AS BIGINT) AS ties_x,
+               CAST(SUM(CASE WHEN ya = yb AND xa <> xb THEN 1 ELSE 0 END)
+                 AS BIGINT) AS ties_y,
+               CAST(SUM(CASE WHEN xa = xb AND ya = yb THEN 1 ELSE 0 END)
+                 AS BIGINT) AS ties_both,
+               CAST((1000 * (SUM(CASE WHEN (xa > xb AND ya > yb)
+                                       OR (xa < xb AND ya < yb)
+                                 THEN 1 ELSE 0 END)
+                             - SUM(CASE WHEN (xa > xb AND ya < yb)
+                                         OR (xa < xb AND ya > yb)
+                                   THEN 1 ELSE 0 END))) // COUNT(*)
+                 AS BIGINT) AS tau_a_permille
+        FROM p""")
+    ) { (s, dir) =>
+      val f = t(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("x"),
+          expr("CAST(size(filter(split(text, ' '), " +
+            "t -> t IN ('the','and','of','to','in','a'))) AS BIGINT)").as("y"))
+      val p = f.as("a").join(f.as("b"),
+        col("b.doc_id") > col("a.doc_id") &&
+          graft.Knuth.col(col("a.doc_id") * lit(524287L) + col("b.doc_id"),
+            6007L) % 64 === 0)
+        .select(col("a.x").as("xa"), col("a.y").as("ya"),
+          col("b.x").as("xb"), col("b.y").as("yb"))
+      val conc = (col("xa") > col("xb") && col("ya") > col("yb")) ||
+        (col("xa") < col("xb") && col("ya") < col("yb"))
+      val disc = (col("xa") > col("xb") && col("ya") < col("yb")) ||
+        (col("xa") < col("xb") && col("ya") > col("yb"))
+      p.agg(count(lit(1)).as("n_pairs"),
+          sum(when(conc, 1L).otherwise(0L)).as("concordant"),
+          sum(when(disc, 1L).otherwise(0L)).as("discordant"),
+          sum(when(col("xa") === col("xb") && col("ya") =!= col("yb"), 1L)
+            .otherwise(0L)).as("ties_x"),
+          sum(when(col("ya") === col("yb") && col("xa") =!= col("xb"), 1L)
+            .otherwise(0L)).as("ties_y"),
+          sum(when(col("xa") === col("xb") && col("ya") === col("yb"), 1L)
+            .otherwise(0L)).as("ties_both"))
+        .withColumn("tau_a_permille",
+          expr("(1000 * (concordant - discordant)) div n_pairs"))
+    },
   )
 }

@@ -385,4 +385,46 @@ object StreamOps {
           }.iterator
       }
   }
+
+  final case class QuantileRow(
+      event_type: String, qp: Int, est_lo: Long, est_hi: Long,
+      n: Long, target_rank: Long)
+
+  /** Streaming histogram quantiles — the incremental half of batch
+    * q184: per event type the state is a unit-bucket count map
+    * (bucket = floor(value); the value domain is bounded, so state is
+    * fixed-size regardless of stream length — the same property that
+    * makes the batch histogram a sketch). Counts merge by addition, so
+    * the final micro-batch emission carries the full-stream histogram
+    * and its quantile bounds EQUAL the batch query's (parity-pinned):
+    * est is the first bucket whose cumulative count reaches
+    * ceil(n·q/10⁴), identical exact-integer rank arithmetic. */
+  def histQuantiles(events: Dataset[ChangeRow],
+      qps: Seq[Int] = Seq(5000, 9000, 9900)): Dataset[QuantileRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[Map[Long, Long], QuantileRow](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        (et: String, rows: Iterator[ChangeRow],
+         state: GroupState[Map[Long, Long]]) =>
+          var h = state.getOption.getOrElse(Map.empty[Long, Long])
+          rows.foreach { r =>
+            val b = math.floor(r.value).toLong
+            h = h.updated(b, h.getOrElse(b, 0L) + 1L)
+          }
+          state.update(h)
+          val sorted = h.toSeq.sortBy(_._1)
+          val n = h.valuesIterator.sum
+          qps.map { qp =>
+            val target = (n * qp + 9999) / 10000
+            var cum = 0L
+            val b = sorted.iterator
+              .map { case (bb, c) => cum += c; (bb, cum) }
+              .find(_._2 >= target).get._1
+            QuantileRow(et, qp, b, b + 1, n, target)
+          }.iterator
+      }
+  }
 }

@@ -2248,6 +2248,69 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  // ----------------------------------------------------------- q184
+  test("q184 histogram quantiles replay and bracket the exact percentile") {
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val truth = ev.groupBy(_._1).flatMap { case (t, rows) =>
+      val hist = rows.map(r => math.floor(r._2).toLong)
+        .groupBy(identity).map { case (b, o) => b -> o.length.toLong }
+        .toSeq.sortBy(_._1)
+      val n = rows.length.toLong
+      Seq(5000, 9000, 9900).map { qp =>
+        val target = (n * qp + 9999) / 10000
+        var cum = 0L
+        val b = hist.iterator.map { case (bb, c) => cum += c; (bb, cum) }
+          .find(_._2 >= target).get._1
+        (t, qp) -> ((b, b + 1, n, target))
+      }
+    }
+    val got = run("q184_value_quantiles").collect().map { r =>
+      (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    }.toMap
+    assert(got === truth.toMap)
+    // the unit bucket genuinely brackets the exact order statistic
+    val sortedVals = ev.groupBy(_._1).map { case (t, rows) =>
+      t -> rows.map(_._2).sorted
+    }
+    got.foreach { case ((t, _), (lo, hi, _, target)) =>
+      val exact = sortedVals(t)(target.toInt - 1)
+      assert(exact >= lo && exact < hi, s"$t: $exact outside [$lo,$hi)")
+    }
+  }
+
+  // ----------------------------------------------------------- q185
+  test("q185 Kendall counts replay from the sampled pair universe") {
+    val f = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "CAST(length(text) AS BIGINT)",
+        "CAST(size(filter(split(text, ' '), t -> t IN ('the','and','of','to','in','a'))) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def knuth(x: Long): Long =
+      ((x + 6007L) % 2147483648L) * 2654435761L % 4294967296L
+    val pairs = for {
+      a <- f; b <- f
+      if b._1 > a._1 && knuth(a._1 * 524287L + b._1) % 64 == 0
+    } yield (a._2, a._3, b._2, b._3)
+    val c = pairs.count { case (xa, ya, xb, yb) =>
+      (xa > xb && ya > yb) || (xa < xb && ya < yb)
+    }.toLong
+    val d = pairs.count { case (xa, ya, xb, yb) =>
+      (xa > xb && ya < yb) || (xa < xb && ya > yb)
+    }.toLong
+    val tx = pairs.count(p => p._1 == p._3 && p._2 != p._4).toLong
+    val ty = pairs.count(p => p._2 == p._4 && p._1 != p._3).toLong
+    val tb = pairs.count(p => p._1 == p._3 && p._2 == p._4).toLong
+    val r = run("q185_kendall_sampled").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ===
+      ((pairs.length.toLong, c, d, tx, ty, tb,
+        1000L * (c - d) / pairs.length)))
+    // every sampled pair lands in exactly one class
+    assert(c + d + tx + ty + tb === pairs.length.toLong)
+  }
+
   // ----------------------------------------------------------- q168
   test("q168 decayed scores replay from collected events") {
     val ev = graft.Tables.load(spark, sf, "events")

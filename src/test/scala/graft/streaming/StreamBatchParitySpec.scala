@@ -454,6 +454,48 @@ class StreamBatchParitySpec extends SparkSpec {
       s"SpaceSaving: streaming $streamed vs batch $batch")
   }
 
+  test("streaming histogram quantiles across 3 micro-batches equal batch q184") {
+    import spark.implicits._
+    val events = realEvents
+    val in = stageInput(events, 3600000000L, chronoParts = 3)
+    val out = Files.createTempDirectory("graft-hq-out").toString
+    val ckpt = Files.createTempDirectory("graft-hq-ckpt").toString
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+    val q = StreamOps.histQuantiles(
+        stream.filter(col("event_type") =!= "pusher")
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[StreamOps.ChangeRow]).toDF()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty)
+          batch.withColumn("__bid", lit(bid)).write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val streamed = spark.read.parquet(out)
+      .withColumn("maxbid", max(col("__bid")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+      .filter(col("__bid") === col("maxbid"))
+      .select("event_type", "qp", "est_lo", "est_hi", "n", "target_rank")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val batch = SparkEntry.queries("q184_value_quantiles")(
+        spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(batch.nonEmpty, "batch quantiles must be non-empty")
+    assert(streamed === batch,
+      s"hist quantiles: streaming $streamed vs batch $batch")
+  }
+
   test("SpaceSaving eviction keeps its count bounds on a skewed stream") {
     import spark.implicits._
     // skewed synthetic stream: two heavy keys among a parade of
