@@ -128,6 +128,12 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q183    graft.queries.Graph      — deterministic random walks
   *   q184    graft.queries.Events     — mergeable histogram quantiles
   *   q185    graft.queries.TextOps    — sampled Kendall rank correlation
+  *   q186    graft.queries.Relational — per-segment OLS monthly-revenue trend
+  *   q187    graft.queries.Events     — seasonal-baseline anomaly screen
+  *   q188    graft.queries.Events     — declared-values pivot (daily matrix)
+  *   q189    graft.queries.Curation   — token-budget curriculum plan
+  *   q190    graft.queries.Multimodal — audio silence-split segmentation
+  *   q191    graft.queries.Vectors    — nDCG@10 retrieval eval
   */
 object SparkEntry {
 

@@ -1146,6 +1146,78 @@ object Curation {
           expr("(1000 * sum(CASE WHEN keep2 AND q_ok AND l_ok THEN 1 ELSE 0 END)) div count(1)")
             .as("kept_permille"))
     },
+
+    // --------------------------------------------------------------- q189
+    // Token-budget curriculum plan: rank sources by a quality signal
+    // (stopword hits per 1000 tokens — the "natural prose" proxy),
+    // then admit whole sources best-first until a declared token
+    // budget (60 % of the corpus) is spent; the boundary source is
+    // admitted fractionally. This is the data-mixing step between
+    // scoring and training: the output IS the sampling plan a loader
+    // executes. Scale: the only corpus-sized pass is one map-side-
+    // combinable per-source aggregation; the ranking window runs over
+    // |sources| rows (thousands at 100 TB, never corpus-sized) and
+    // the budget is a one-row broadcast — the corpus itself is never
+    // sorted or reshuffled. All-integer; floored permille everywhere.
+    Q(
+      "q189_token_budget",
+      Some("""
+        WITH per_src AS (
+          SELECT source,
+                 CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+                 CAST(SUM(len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the','and','of','to','in','a')))) AS BIGINT)
+                   AS stop_hits
+          FROM documents GROUP BY 1),
+        ranked AS (
+          SELECT source, tokens,
+                 (1000 * stop_hits) // tokens AS quality_pm,
+                 ROW_NUMBER() OVER (
+                   ORDER BY (1000 * stop_hits) // tokens DESC, source)
+                   AS rank,
+                 SUM(tokens) OVER (
+                   ORDER BY (1000 * stop_hits) // tokens DESC, source
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+          FROM per_src),
+        budget AS (
+          SELECT (6 * SUM(tokens)) // 10 AS b FROM per_src)
+        SELECT r.source, r.quality_pm, r.tokens,
+               CAST(r.rank AS BIGINT) AS rank,
+               CAST(r.cum_tokens AS BIGINT) AS cum_tokens,
+               r.cum_tokens - r.tokens < b.b AS kept,
+               CAST(CASE WHEN r.cum_tokens - r.tokens >= b.b THEN 0
+                    WHEN r.cum_tokens <= b.b THEN 1000
+                    ELSE (1000 * (b.b - (r.cum_tokens - r.tokens)))
+                         // r.tokens END AS BIGINT) AS kept_fraction_pm
+        FROM ranked r, budget b""")
+    ) { (s, dir) =>
+      val perSrc = t(s, dir, "documents")
+        .groupBy("source")
+        .agg(
+          sum(expr("size(split(text, ' '))")).cast("long").as("tokens"),
+          sum(expr("size(filter(split(text, ' '), " +
+            "t -> t IN ('the','and','of','to','in','a')))")).cast("long")
+            .as("stop_hits"))
+        .withColumn("quality_pm", expr("(1000 * stop_hits) div tokens"))
+      // windows over |sources| rows only — the deliberate single
+      // partition is the plan (the corpus never enters it)
+      val w = Window.orderBy(desc("quality_pm"), col("source"))
+      val ranked = perSrc
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("cum_tokens",
+          sum(col("tokens")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      val budget = perSrc.agg(
+        expr("(6 * sum(tokens)) div 10").as("b"))
+      ranked.crossJoin(broadcast(budget))
+        .select(col("source"), col("quality_pm"), col("tokens"),
+          col("rank"), col("cum_tokens"),
+          (col("cum_tokens") - col("tokens") < col("b")).as("kept"),
+          when(col("cum_tokens") - col("tokens") >= col("b"), 0L)
+            .when(col("cum_tokens") <= col("b"), 1000L)
+            .otherwise(expr(
+              "(1000 * (b - (cum_tokens - tokens))) div tokens"))
+            .as("kept_fraction_pm"))
+    },
   )
 
   /** q147's per-(doc, shard) rendezvous weight: the Carter–Wegman

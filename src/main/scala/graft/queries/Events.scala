@@ -1821,5 +1821,95 @@ object Events {
           col("event_type"), col("n_events"), col("start_us"), col("end_us"))
       baseKept.unionByName(mergedRows).unionByName(deltaRows)
     },
+
+    // --------------------------------------------------------------- q187
+    // Seasonal-baseline anomaly screen: each (event_type, date) daily
+    // count is judged against the day-of-week baseline for its type —
+    // the classic "is Tuesday unusually hot for purchases?" monitor
+    // that survives weekly seasonality where a flat global mean
+    // would false-alarm every weekend. All-integer: ratio_pm is the
+    // cell count over its dow-mean in floored permille
+    // (1000·n·n_days // total), flagged at ≥ 1050 (5 % above
+    // baseline — sized to the fixture's Poisson noise). Scale: the
+    // daily table is |types|×|dates| (one map-side-combinable
+    // aggregation over the raw events — the only corpus-sized pass);
+    // the baseline is |types|×7 and BROADCASTs into the join-back, so
+    // nothing corpus-sized ever reshuffles. dow uses the q141
+    // cross-engine identity (DuckDB dayofweek+1 = Spark dayofweek).
+    Q(
+      "q187_seasonal_anomaly",
+      Some("""
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+                 CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS dow,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2, 3),
+        base AS (
+          SELECT event_type, dow,
+                 CAST(SUM(n) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS n_days
+          FROM daily GROUP BY 1, 2)
+        SELECT d.event_type, d.d, d.dow, d.n, b.total AS dow_total,
+               b.n_days,
+               (1000 * d.n * b.n_days) // b.total AS ratio_pm,
+               (1000 * d.n * b.n_days) // b.total >= 1050 AS anomalous
+        FROM daily d JOIN base b
+          ON b.event_type = d.event_type AND b.dow = d.dow""")
+    ) { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          to_date(col("ts")).as("d"),
+          dayofweek(col("ts")).cast("long").as("dow"))
+        .agg(count(lit(1)).as("n"))
+      val base = daily.groupBy("event_type", "dow")
+        .agg(sum(col("n")).as("dow_total"),
+          count(lit(1)).as("n_days"))
+      daily.join(broadcast(base), Seq("event_type", "dow"))
+        .withColumn("ratio_pm",
+          expr("(1000 * n * n_days) div dow_total"))
+        .select(col("event_type"), col("d"), col("dow"), col("n"),
+          col("dow_total"), col("n_days"), col("ratio_pm"),
+          (col("ratio_pm") >= 1050).as("anomalous"))
+    },
+
+    // --------------------------------------------------------------- q188
+    // Pivot with a DECLARED value list: daily activity matrix with one
+    // count column per event type. Spark's .pivot(col) with no values
+    // runs a driver-side distinct collect to discover the columns — a
+    // full extra job and a scale hazard on high-cardinality keys; the
+    // explicit-values form here compiles straight to one two-phase
+    // pivot_first aggregation, no discovery pass (the schema is part
+    // of the contract, as it must be for a stable downstream table).
+    // One map-side-combinable shuffle on the date key; missing cells
+    // coalesce to 0 so the matrix is dense.
+    Q(
+      "q188_daily_type_matrix",
+      Some("""
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+               CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT)
+                 AS n_click,
+               CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT)
+                 AS n_error,
+               CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+                 AS n_purchase,
+               CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT)
+                 AS n_signup,
+               CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT)
+                 AS n_view,
+               CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM events GROUP BY 1""")
+    ) { (s, dir) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pv = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("d"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      types.foldLeft(pv)((df, ty) =>
+          df.withColumn(s"n_$ty", coalesce(col(ty), lit(0L))))
+        .withColumn("n_total",
+          types.map(ty => col(s"n_$ty")).reduce(_ + _))
+        .select(col("d") +: types.map(ty => col(s"n_$ty")) :+ col("n_total"): _*)
+    },
   )
 }

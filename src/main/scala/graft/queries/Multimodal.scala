@@ -251,5 +251,104 @@ object Multimodal {
           coalesce(min(when(col("dist") >= 24, col("frame_no"))), lit(-1L))
             .as("first_cut"))
     },
+
+    // --------------------------------------------------------------- q190
+    // Silence-split segmentation over the audio payloads (length%3=1,
+    // q55's mime rule): each 16-byte frame folds to an integer energy
+    // (Σ (codepoint div 16)² — the RMS stand-in with the codec
+    // stubbed, all plumbing real), frames below 32·len are "silence",
+    // and segments are maximal runs of non-silent frames — the
+    // voice-activity-detection shape that feeds ASR chunking. Runs
+    // count via the classic gaps-and-islands move: a segment starts
+    // where a non-silent frame follows silence (lag window), run ids
+    // are the running sum of starts. Scale: rows explode by frame
+    // (linear); the lag window, the run rollup and the per-doc rollup
+    // all share one doc_id-keyed partitioning — nothing global. A
+    // production corpus would fold the energy loop into a codegen
+    // kernel like PayloadSig; the HOF form here touches only the
+    // audio third of the corpus.
+    Q(
+      "q190_audio_segments",
+      Some("""
+        WITH aud AS (
+          SELECT doc_id, text FROM documents
+          WHERE length(text) % 3 = 1 AND length(text) >= 1),
+        fr AS (
+          SELECT doc_id, frame_no,
+                 substring(text, CAST(frame_no * 16 + 1 AS INT), 16) AS fr
+          FROM (
+            SELECT doc_id, text,
+                   unnest(range(0, CAST(ceil(length(text) / 16.0) AS BIGINT)))
+                     AS frame_no
+            FROM aud) t),
+        fl AS (
+          SELECT doc_id, frame_no,
+                 CAST(list_sum(list_transform(range(0, length(fr)),
+                   i -> (ascii(substr(fr, CAST(i + 1 AS INT), 1)) // 16)
+                        * (ascii(substr(fr, CAST(i + 1 AS INT), 1)) // 16)))
+                   AS BIGINT)
+                 < 32 * length(fr) AS silent
+          FROM fr),
+        lg AS (
+          SELECT doc_id, frame_no, silent,
+                 CASE WHEN NOT silent AND coalesce(lag(silent) OVER (
+                        PARTITION BY doc_id ORDER BY frame_no), TRUE)
+                      THEN 1 ELSE 0 END AS seg_start
+          FROM fl),
+        rid AS (
+          SELECT doc_id, silent,
+                 SUM(seg_start) OVER (PARTITION BY doc_id ORDER BY frame_no
+                   ROWS UNBOUNDED PRECEDING) AS run_id
+          FROM lg),
+        runs AS (
+          SELECT doc_id, run_id, CAST(COUNT(*) AS BIGINT) AS rl
+          FROM rid WHERE NOT silent GROUP BY 1, 2),
+        perdoc AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+                 CAST(SUM(CASE WHEN silent THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_silent
+          FROM fl GROUP BY 1)
+        SELECT p.doc_id, p.n_frames, p.n_silent,
+               CAST(coalesce(r.n_segments, 0) AS BIGINT) AS n_segments,
+               CAST(coalesce(r.longest_seg, 0) AS BIGINT) AS longest_seg
+        FROM perdoc p LEFT JOIN (
+          SELECT doc_id, COUNT(*) AS n_segments, MAX(rl) AS longest_seg
+          FROM runs GROUP BY 1) r ON r.doc_id = p.doc_id""")
+    ) { (s, dir) =>
+      val asc = "ascii(substring(fr, cast(i + 1 as int), 1))"
+      val fl = Tables.load(s, dir, "documents")
+        .filter(length(col("text")) % 3 === 1 && length(col("text")) >= 1)
+        .select(col("doc_id"), col("text"),
+          explode(expr(
+            "sequence(0, cast(ceil(length(text) / 16.0) as bigint) - 1)"))
+            .as("frame_no"))
+        .withColumn("fr",
+          expr("substring(text, cast(frame_no * 16 + 1 as int), 16)"))
+        .select(col("doc_id"), col("frame_no"),
+          (expr(s"aggregate(transform(sequence(0, length(fr) - 1), " +
+            s"i -> ($asc div 16) * ($asc div 16)), 0L, (acc, x) -> acc + x)")
+            < expr("32L * length(fr)")).as("silent"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("frame_no")
+      val rid = fl
+        .withColumn("seg_start",
+          when(!col("silent") &&
+            coalesce(lag(col("silent"), 1).over(w), lit(true)), 1L)
+            .otherwise(0L))
+        .withColumn("run_id", sum(col("seg_start"))
+          .over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      val runs = rid.filter(!col("silent"))
+        .groupBy("doc_id", "run_id").agg(count(lit(1)).as("rl"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_seg"), max(col("rl")).as("longest"))
+      rid.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("silent"), 1L).otherwise(0L)).as("n_silent"))
+        .join(runs, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_frames"), col("n_silent"),
+          coalesce(col("n_seg"), lit(0L)).as("n_segments"),
+          coalesce(col("longest"), lit(0L)).as("longest_seg"))
+    },
   )
 }

@@ -1404,5 +1404,80 @@ object Relational {
           col("c_nationkey").cast("string").as("rhs")),
           "c_custkey->c_nationkey"))
     },
+
+    // --------------------------------------------------------------- q186
+    // Per-segment OLS trend fit of monthly revenue — "is this market
+    // segment growing?" as a grouped regression from sufficient
+    // statistics (q88's move, made per-group): revenue quantizes to
+    // exact cents through DECIMAL(18,4) (the Det.dec image, so both
+    // engines see the identical BIGINT), months index from the fixed
+    // epoch 1995-01, and slope/intercept come from the closed-form
+    //   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    // in floored integer cents-per-month. Two map-side-combinable
+    // aggregations (orders → month cells → per-segment stats) and one
+    // equi-join orders⋈customer on the fact key; nothing is collected
+    // and no window touches the fact table. Scale: the month-cell
+    // table is |segments|×|months| (tiny forever); the BIGINT
+    // headroom is months²·monthly_cents ≈ 2e15 at sf0.1 — the
+    // production form at 1000× re-centers x at its midpoint and
+    // quantizes to whole dollars, same closed form.
+    Q(
+      "q186_segment_trend",
+      Some("""
+        WITH m AS (
+          SELECT c.c_mktsegment AS segment,
+                 CAST((year(CAST(o.o_orderdate AS TIMESTAMP)) - 1995) * 12
+                      + month(CAST(o.o_orderdate AS TIMESTAMP)) - 1 AS BIGINT)
+                   AS x,
+                 CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,4)) * 100
+                   AS BIGINT)) AS BIGINT) AS y,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+          GROUP BY 1, 2),
+        st AS (
+          SELECT segment,
+                 CAST(COUNT(*) AS BIGINT) AS n_months,
+                 CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM m GROUP BY 1),
+        fit AS (
+          SELECT segment, n_months, n_orders, sy,
+                 (n_months * sxy - sx * sy)
+                   // (n_months * sxx - sx * sx) AS slope_cents,
+                 sx
+          FROM st)
+        SELECT segment, n_months, n_orders,
+               sy // n_months AS mean_monthly_cents,
+               slope_cents,
+               (sy - slope_cents * sx) // n_months AS intercept_cents
+        FROM fit""")
+    ) { (s, dir) =>
+      val cents = (col("o_totalprice")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 4)) * 100)
+        .cast("long")
+      val m = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"),
+          ((year(col("o_orderdate")) - 1995) * 12
+            + month(col("o_orderdate")) - 1).cast("long").as("x"))
+        .agg(sum(cents).as("y"), count(lit(1)).as("n_orders"))
+      m.groupBy("segment")
+        .agg(count(lit(1)).as("n_months"),
+          sum(col("n_orders")).as("n_orders"),
+          sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("slope_cents",
+          expr("(n_months * sxy - sx * sy) div (n_months * sxx - sx * sx)"))
+        .select(col("segment"), col("n_months"), col("n_orders"),
+          expr("sy div n_months").as("mean_monthly_cents"),
+          col("slope_cents"),
+          expr("(sy - slope_cents * sx) div n_months").as("intercept_cents"))
+    },
   )
 }

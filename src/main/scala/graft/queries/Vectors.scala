@@ -1028,6 +1028,92 @@ object Vectors {
         .select(col("centroid_id").cast("long").as("centroid_id"),
           col("n_members"), col("inertia_before"), col("shift_l1"))
     },
+
+    // --------------------------------------------------------------- q191
+    // Retrieval-quality eval: nDCG@10 of the brute-force cosine
+    // ranking against label relevance (candidate relevant ⇔ shares
+    // the query's label) — the graded companion to q65's recall@k and
+    // q163's precision/recall: position-aware, so a ranker that buries
+    // its hits at rank 9–10 scores below one that leads with them.
+    // The log2 discount enters as a FIXED integer table
+    // (round(10⁶/log₂(r+1)), r = 1..10) — exact, engine-free integer
+    // sums instead of per-row libm calls (the q78/q90 idf dodge);
+    // ideal-DCG is the prefix-sum table indexed at min(n_rel, 10).
+    // Plan: the q36 shape (broadcast 20-query side, one pass over
+    // candidates), one per-query window for ranks, two tiny keyed
+    // aggregates — the candidate corpus is scanned once, never
+    // reshuffled.
+    Q(
+      "q191_ndcg_eval",
+      Some {
+        val disc = "[1000000, 630930, 500000, 430677, 386853, " +
+          "356207, 333333, 315465, 301030, 289065]"
+        val cum = "[1000000, 1630930, 2130930, 2561607, 2948460, " +
+          "3304667, 3638000, 3953465, 4254495, 4543560]"
+        s"""
+        WITH normed AS ($quantizedSql),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                 CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS rel,
+                 CAST(CAST(list_aggregate(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.qv[i]), 'sum') AS BIGINT) AS DOUBLE)
+                   / sqrt(CAST(q.qn AS DOUBLE) * CAST(c.qn AS DOUBLE)) AS score
+          FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < 20 AND q.qn > 0 AND c.qn > 0),
+        ranked AS (
+          SELECT query_id, rel,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, vec_id) AS rn
+          FROM scored),
+        top AS (
+          SELECT query_id,
+                 CAST(SUM(rel) AS BIGINT) AS n_rel_top10,
+                 CAST(SUM(rel * $disc[CAST(rn AS INT)]) AS BIGINT)
+                   AS dcg_micro
+          FROM ranked WHERE rn <= 10 GROUP BY 1),
+        tot AS (
+          SELECT query_id, CAST(SUM(rel) AS BIGINT) AS n_rel_total
+          FROM scored GROUP BY 1)
+        SELECT t.query_id, o.n_rel_total, t.n_rel_top10, t.dcg_micro,
+               CAST($cum[CAST(least(greatest(o.n_rel_total, 1), 10) AS INT)]
+                 AS BIGINT) AS idcg_micro,
+               (1000 * t.dcg_micro)
+                 // $cum[CAST(least(greatest(o.n_rel_total, 1), 10) AS INT)]
+                 AS ndcg_pm
+        FROM top t JOIN tot o ON o.query_id = t.query_id"""
+      }
+    ) { (s, dir) =>
+      val discArr = "array(1000000L, 630930L, 500000L, 430677L, 386853L, " +
+        "356207L, 333333L, 315465L, 301030L, 289065L)"
+      val cumArr = "array(1000000L, 1630930L, 2130930L, 2561607L, 2948460L, " +
+        "3304667L, 3638000L, 3953465L, 4254495L, 4543560L)"
+      val normed = quantized(s, dir).filter(col("qn") > 0)
+      val q = normed.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("qv").as("qqv"), col("qn").as("qqn"))
+      val scored = normed.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("rel",
+          when(col("label") === col("qlabel"), 1L).otherwise(0L))
+        .withColumn("dot", dotCol("qqv", "qv"))
+        .withColumn("score",
+          col("dot").cast("double") /
+            sqrt(col("qqn").cast("double") * col("qn").cast("double")))
+        .select("query_id", "vec_id", "rel", "score")
+      val w = Window.partitionBy("query_id").orderBy(desc("score"), col("vec_id"))
+      val ranked = scored.withColumn("rn", row_number().over(w))
+      val top = ranked.filter(col("rn") <= 10)
+        .groupBy("query_id")
+        .agg(sum(col("rel")).as("n_rel_top10"),
+          sum(col("rel") * expr(s"element_at($discArr, cast(rn as int))"))
+            .as("dcg_micro"))
+      val tot = scored.groupBy("query_id")
+        .agg(sum(col("rel")).as("n_rel_total"))
+      top.join(tot, "query_id")
+        .withColumn("idcg_micro", expr(
+          s"element_at($cumArr, cast(least(greatest(n_rel_total, 1), 10) as int))"))
+        .select(col("query_id"), col("n_rel_total"), col("n_rel_top10"),
+          col("dcg_micro"), col("idcg_micro"),
+          expr("(1000 * dcg_micro) div idcg_micro").as("ndcg_pm"))
+    },
   )
 
   /** q158's truncated-cosine top-5 at d dims: same candidate universe

@@ -1041,4 +1041,82 @@ class PlanSpec extends SparkSpec {
         s"$name: value/pair counting must combine map-side:\n$p")
     }
   }
+
+  test("q186: trend fit aggregates map-side; the fact join is an equi join") {
+    val p = plan("q186_segment_trend")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
+      p.collect { case n: BroadcastNestedLoopJoinExec => n }.isEmpty,
+      s"orders⋈customer must be keyed:\n$p")
+    val parts = p.collect { case a: HashAggregateExec
+      if a.aggregateExpressions.exists(_.mode.toString == "Partial") => a }
+    assert(parts.nonEmpty, s"month cells must partial-aggregate:\n$p")
+    // both aggregation levels + at most the join's own exchanges:
+    // the fact table is scanned exactly once
+    assert(scans(p).count(_.relation.location.rootPaths
+      .exists(_.toString.contains("orders"))) === 1,
+      s"orders scans once:\n$p")
+  }
+
+  test("q187: the dow baseline broadcasts into the join-back") {
+    val p = plan("q187_seasonal_anomaly")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.length === 1,
+      s"baseline (|types|×7 rows) must broadcast:\n$p")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+      p.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
+      s"nothing corpus-sized may shuffle-join:\n$p")
+    val Seq(scan) = scans(p)
+    assert(scan.requiredSchema.fieldNames.toSet === Set("ts", "event_type"),
+      s"q187 reads more than it buckets: ${scan.requiredSchema.fieldNames.toSeq}")
+  }
+
+  test("q188: declared-values pivot is ONE aggregation — no discovery job, no join") {
+    val p = plan("q188_daily_type_matrix")
+    assert(p.collect {
+      case j: SortMergeJoinExec => j
+      case j: ShuffledHashJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }.isEmpty, s"pivot must not join:\n$p")
+    // two exchanges: the (date, type) cell counts (corpus-reducing,
+    // map-side combined) and the pivotfirst over the |dates|×|types|
+    // cell table — the declared-values form adds NO discovery job
+    assert(shuffles(p).length === 2, s"cell + pivot exchanges only:\n$p")
+    val parts = p.collect { case a: HashAggregateExec
+      if a.aggregateExpressions.exists(_.mode.toString == "Partial") => a }
+    assert(parts.nonEmpty, s"pivot counts must combine map-side:\n$p")
+  }
+
+  test("q189: ranking windows run over aggregated per-source rows, never the corpus") {
+    val p = plan("q189_token_budget")
+    val wins = p.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, s"expected the curriculum ranking window:\n$p")
+    wins.foreach(w => assert(w.child.exists {
+      case a: HashAggregateExec =>
+        a.groupingExpressions.exists(_.toString.contains("source"))
+      case _ => false
+    }, s"window input must be the per-source aggregate:\n$p"))
+  }
+
+  test("q190: silence windows are doc-keyed — never a single global partition") {
+    val p = plan("q190_audio_segments")
+    val wins = p.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, s"expected the gaps-and-islands windows:\n$p")
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"segmentation must partition by doc_id:\n$p"))
+  }
+
+  test("q191: candidates scan once; the only nested loop carries the 20-row query side") {
+    val p = plan("q191_ndcg_eval")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"no cartesian:\n$p")
+    // the non-equi (vec_id <> query_id) join is a broadcast nested
+    // loop BY DESIGN — bounded by the filtered query side (vec_id <
+    // 20); assert every nested loop has a broadcast-filtered side
+    p.collect { case n: BroadcastNestedLoopJoinExec => n }.foreach { n =>
+      assert(n.toString.contains("BuildRight") || n.toString.contains("BuildLeft"),
+        s"nested loop must build the broadcast query side:\n$p")
+    }
+    val ranks = p.collect { case w: WindowExec => w }
+    assert(ranks.forall(_.partitionSpec.nonEmpty),
+      s"rank window must partition by query_id:\n$p")
+  }
 }
