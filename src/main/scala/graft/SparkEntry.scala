@@ -134,6 +134,8 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q189    graft.queries.Curation   — token-budget curriculum plan
   *   q190    graft.queries.Multimodal — audio silence-split segmentation
   *   q191    graft.queries.Vectors    — nDCG@10 retrieval eval
+  *   q192    graft.queries.TextOps    — leakage-safe cluster split audit
+  *   q193    graft.queries.Events     — event×dow independence (TVD)
   */
 object SparkEntry {
 

@@ -1911,5 +1911,78 @@ object Events {
           types.map(ty => col(s"n_$ty")).reduce(_ + _))
         .select(col("d") +: types.map(ty => col(s"n_$ty")) :+ col("n_total"): _*)
     },
+
+    // --------------------------------------------------------------- q193
+    // Independence audit, event_type × day-of-week: total-variation
+    // distance between the joint distribution and the product of
+    // marginals — "does WHAT users do depend on WHEN?" as exact
+    // integer ppm (the chi-square alternative that needs no division
+    // by expected counts, so empty cells can't blow up). One
+    // map-side-combinable corpus pass builds the |types|×7 joint;
+    // marginals and the total RE-AGGREGATE from those 35 rows (the
+    // corpus is never scanned again) and broadcast back. Per-type
+    // rows report the TVD contribution and the worst-deviating dow
+    // (deterministic argmax: min dow among the maximal cells).
+    Q(
+      "q193_independence_tvd",
+      Some("""
+        WITH joint AS (
+          SELECT event_type,
+                 CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS dow,
+                 CAST(COUNT(*) AS BIGINT) AS o
+          FROM events GROUP BY 1, 2),
+        r AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt
+              FROM joint GROUP BY 1),
+        c AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS ct FROM joint GROUP BY 1),
+        n AS (SELECT CAST(SUM(o) AS BIGINT) AS nt FROM joint),
+        dev AS (
+          SELECT j.event_type, j.dow, j.o,
+                 abs((1000000 * j.o) // n.nt
+                     - ((1000 * r.rt) // n.nt) * ((1000 * c.ct) // n.nt))
+                   AS dev_ppm
+          FROM joint j
+          JOIN r ON r.event_type = j.event_type
+          JOIN c ON c.dow = j.dow
+          CROSS JOIN n),
+        mx AS (
+          SELECT event_type,
+                 CAST(SUM(o) AS BIGINT) AS n_events,
+                 CAST(SUM(dev_ppm) AS BIGINT) AS tvd_contrib_ppm,
+                 CAST(MAX(dev_ppm) AS BIGINT) AS max_dev_ppm
+          FROM dev GROUP BY 1)
+        SELECT m.event_type, m.n_events, m.tvd_contrib_ppm, m.max_dev_ppm,
+               (SELECT MIN(d.dow) FROM dev d
+                WHERE d.event_type = m.event_type
+                  AND d.dev_ppm = m.max_dev_ppm) AS worst_dow
+        FROM mx m""")
+    ) { (s, dir) =>
+      val joint = graft.Checkpoints.materialize(
+        t(s, dir, "events")
+          .groupBy(col("event_type"),
+            dayofweek(col("ts")).cast("long").as("dow"))
+          .agg(count(lit(1)).as("o")))
+      val r = joint.groupBy("event_type").agg(sum(col("o")).as("rt"))
+      val c = joint.groupBy("dow").agg(sum(col("o")).as("ct"))
+      val n = joint.agg(sum(col("o")).as("nt"))
+      val dev = joint
+        .join(broadcast(r), "event_type")
+        .join(broadcast(c), "dow")
+        .crossJoin(broadcast(n))
+        .withColumn("dev_ppm", abs(
+          expr("(1000000 * o) div nt") -
+            expr("((1000 * rt) div nt) * ((1000 * ct) div nt)")))
+        .select("event_type", "dow", "o", "dev_ppm")
+      val mx = dev.groupBy("event_type")
+        .agg(sum(col("o")).as("n_events"),
+          sum(col("dev_ppm")).as("tvd_contrib_ppm"),
+          max(col("dev_ppm")).as("max_dev_ppm"))
+      mx.join(dev.select(col("event_type"),
+            col("dow"), col("dev_ppm").as("max_dev_ppm")),
+          Seq("event_type", "max_dev_ppm"))
+        .groupBy("event_type", "n_events", "tvd_contrib_ppm", "max_dev_ppm")
+        .agg(min(col("dow")).as("worst_dow"))
+        .select("event_type", "n_events", "tvd_contrib_ppm",
+          "max_dev_ppm", "worst_dow")
+    },
   )
 }

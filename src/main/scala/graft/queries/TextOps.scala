@@ -39,6 +39,49 @@ object TextOps {
   private def gramHashSql(g: String): String =
     s"((ascii(substr($g, 1, 1)) * 961 + ascii(substr($g, 2, 1)) * 31 + ascii(substr($g, 3, 1))) * 2654435761) % 4294967296"
 
+  /** The q66 min-label clustering pipeline as a WITH-clause body
+    * (b bands × r rows, 3 unrolled propagation rounds): terminates in
+    * `banded(doc_id, band, band_key)` and `it3(doc_id, cluster_id)`.
+    * Shared by the q66 oracle (3×2) and q192's leakage-safe split
+    * audit (1×6). */
+  private def minLabelCte(nBands: Int, rowsPerBand: Int): String = {
+    val hashes = (0 until nBands * rowsPerBand).map(j =>
+      s"list_min(list_transform(grams, g -> substr(md5('$j:' || g), 1, 8))) AS h$j")
+      .mkString(",\n                 ")
+    val bands = (0 until nBands).map(j =>
+      s"SELECT doc_id, $j AS band, " +
+        (0 until rowsPerBand).map(t => s"h${j * rowsPerBand + t}")
+          .mkString(" || '|' || ") +
+        " AS band_key FROM mh")
+      .mkString("\n          UNION ALL ")
+    val rounds = (0 until 3).map { t =>
+      s"""bm$t AS (
+          SELECT b.band, b.band_key, MIN(l.cluster_id) AS bucket_min
+          FROM banded b JOIN it$t l ON l.doc_id = b.doc_id
+          GROUP BY b.band, b.band_key),
+        dm$t AS (
+          SELECT b.doc_id, MIN(m.bucket_min) AS prop_min
+          FROM banded b JOIN bm$t m
+            ON m.band = b.band AND m.band_key = b.band_key
+          GROUP BY b.doc_id),
+        it${t + 1} AS (
+          SELECT l.doc_id,
+                 least(l.cluster_id, coalesce(d.prop_min, l.cluster_id)) AS cluster_id
+          FROM it$t l LEFT JOIN dm$t d ON d.doc_id = l.doc_id)"""
+    }.mkString(",\n        ")
+    s"""sh AS (
+          SELECT doc_id, $shinglesSql AS grams
+          FROM documents WHERE length(text) >= 3),
+        mh AS (
+          SELECT doc_id,
+                 $hashes
+          FROM sh),
+        banded AS (
+          $bands),
+        it0 AS (SELECT DISTINCT doc_id, doc_id AS cluster_id FROM banded),
+        $rounds"""
+  }
+
   private val simhashBits = 16
 
   /** q34's full oracle (doc_id, simhash) — the DuckDB replay of the
@@ -484,42 +527,9 @@ object TextOps {
     // SQL); production loops to fixpoint.
     Q(
       "q66_dedup_clusters",
-      Some {
-        val hashes = (0 until 6).map(j =>
-          s"list_min(list_transform(grams, g -> substr(md5('$j:' || g), 1, 8))) AS h$j")
-          .mkString(",\n                 ")
-        val bands = (0 until 3).map(j =>
-          s"SELECT doc_id, $j AS band, h${2 * j} || '|' || h${2 * j + 1} AS band_key FROM mh")
-          .mkString("\n          UNION ALL ")
-        val rounds = (0 until 3).map { t =>
-          s"""bm$t AS (
-          SELECT b.band, b.band_key, MIN(l.cluster_id) AS bucket_min
-          FROM banded b JOIN it$t l ON l.doc_id = b.doc_id
-          GROUP BY b.band, b.band_key),
-        dm$t AS (
-          SELECT b.doc_id, MIN(m.bucket_min) AS prop_min
-          FROM banded b JOIN bm$t m
-            ON m.band = b.band AND m.band_key = b.band_key
-          GROUP BY b.doc_id),
-        it${t + 1} AS (
-          SELECT l.doc_id,
-                 least(l.cluster_id, coalesce(d.prop_min, l.cluster_id)) AS cluster_id
-          FROM it$t l LEFT JOIN dm$t d ON d.doc_id = l.doc_id)"""
-        }.mkString(",\n        ")
-        s"""
-        WITH sh AS (
-          SELECT doc_id, $shinglesSql AS grams
-          FROM documents WHERE length(text) >= 3),
-        mh AS (
-          SELECT doc_id,
-                 $hashes
-          FROM sh),
-        banded AS (
-          $bands),
-        it0 AS (SELECT DISTINCT doc_id, doc_id AS cluster_id FROM banded),
-        $rounds
-        SELECT doc_id, cluster_id FROM it3"""
-      }
+      Some(s"""
+        WITH ${minLabelCte(3, 2)}
+        SELECT doc_id, cluster_id FROM it3""")
     ) { (s, dir) =>
       val cfg = graft.operators.MinHashLsh.Config(bands = 3, rowsPerBand = 2)
       val banded = graft.operators.MinHashLsh.explodeBands(
@@ -2044,6 +2054,91 @@ object TextOps {
             .otherwise(0L)).as("ties_both"))
         .withColumn("tau_a_permille",
           expr("(1000 * (concordant - discordant)) div n_pairs"))
+    },
+
+    // --------------------------------------------------------------- q192
+    // Leakage-safe train/val/test split audit: assigning docs to
+    // splits by hashing the doc id puts near-duplicates on BOTH sides
+    // of the train/test wall (the eval-contamination bug); hashing
+    // the q66 dedup CLUSTER id keeps every near-dup family on one
+    // side. Both strategies are scored side by side: leakage is
+    // counted per (band, band_key) bucket by the identity
+    //   cross-split incidences = (n·(n−1) − Σₛ nₛ·(nₛ−1)) / 2
+    // — pure bucket aggregates, the q66 move again: the banding graph
+    // is audited through its group counts, never a pair explosion, so
+    // the audit costs the same two keyed shuffles per strategy at any
+    // corpus size. Split fractions are 8/1/1 by the shared Knuth
+    // stream. (Incidences count bucket co-occurrences, not distinct
+    // pairs — a pair sharing two buckets counts twice; same
+    // monotone signal, no pairwise materialization.)
+    //
+    // Banding is 1 band × 6 rows — the near-EXACT end of the LSH
+    // dial (all 6 minima must agree): this template-heavy corpus
+    // collapses to a handful of mega-clusters under the recall-
+    // oriented 3×2 config (q66), which makes any whole-cluster split
+    // degenerate — itself a real finding the audit would surface.
+    // Splitting at the near-exact threshold keeps families small and
+    // the 8/1/1 fractions real while still walling every signature
+    // family off the eval side.
+    Q(
+      "q192_leakage_safe_split",
+      Some {
+        def auditSql(sp: String, label: String) = s"""
+        SELECT '$label' AS strategy,
+               (SELECT CAST(SUM(CASE WHEN $sp <= 7 THEN 1 ELSE 0 END) AS BIGINT)
+                FROM splits) AS n_train,
+               (SELECT CAST(SUM(CASE WHEN $sp = 8 THEN 1 ELSE 0 END) AS BIGINT)
+                FROM splits) AS n_val,
+               (SELECT CAST(SUM(CASE WHEN $sp = 9 THEN 1 ELSE 0 END) AS BIGINT)
+                FROM splits) AS n_test,
+               (SELECT CAST(SUM(n * (n - 1) - intra) // 2 AS BIGINT) FROM (
+                  SELECT SUM(ns) AS n, SUM(ns * (ns - 1)) AS intra FROM (
+                    SELECT b.band, b.band_key, s.$sp, COUNT(*) AS ns
+                    FROM banded b JOIN splits s ON s.doc_id = b.doc_id
+                    GROUP BY 1, 2, 3) per
+                  GROUP BY band, band_key) bk) AS n_leak_incidences"""
+        s"""
+        WITH ${minLabelCte(1, 6)},
+        splits AS (
+          SELECT doc_id,
+                 (${graft.Knuth.sql("cluster_id", 7919L)}) % 10 AS sp_cluster,
+                 (${graft.Knuth.sql("doc_id", 7919L)}) % 10 AS sp_naive
+          FROM it3)
+        ${auditSql("sp_naive", "naive")}
+        UNION ALL ${auditSql("sp_cluster", "cluster")}"""
+      }
+    ) { (s, dir) =>
+      val cfg = graft.operators.MinHashLsh.Config(bands = 1, rowsPerBand = 6)
+      // materialized once: the banding kernel feeds both the 3-round
+      // propagation (which persists its own slim projection) and the
+      // audit joins below
+      val banded = graft.Checkpoints.materialize(
+        graft.operators.MinHashLsh.explodeBands(
+          t(s, dir, "documents").select("doc_id", "text"), "text", cfg)
+          .select("doc_id", "band", "band_key"))
+      val clusters = graft.operators.MinHashLsh
+        .minLabelClusters(banded, "doc_id", rounds = 3)
+      val splits = graft.Checkpoints.materialize(clusters.select(col("doc_id"),
+        (graft.Knuth.col(col("cluster_id"), 7919L) % 10).as("sp_cluster"),
+        (graft.Knuth.col(col("doc_id"), 7919L) % 10).as("sp_naive")))
+      def audit(sp: String, label: String): DataFrame = {
+        val leak = banded
+          .join(splits.select(col("doc_id"), col(sp).as("sp")), "doc_id")
+          .groupBy("band", "band_key", "sp")
+          .agg(count(lit(1)).as("ns"))
+          .groupBy("band", "band_key")
+          .agg(sum(col("ns")).as("n"),
+            sum(col("ns") * (col("ns") - 1)).as("intra"))
+          .agg(expr("sum(n * (n - 1) - intra) div 2").as("n_leak_incidences"))
+        splits.agg(
+            sum(when(col(sp) <= 7, 1L).otherwise(0L)).as("n_train"),
+            sum(when(col(sp) === 8, 1L).otherwise(0L)).as("n_val"),
+            sum(when(col(sp) === 9, 1L).otherwise(0L)).as("n_test"))
+          .crossJoin(broadcast(leak))
+          .select(lit(label).as("strategy"), col("n_train"), col("n_val"),
+            col("n_test"), col("n_leak_incidences"))
+      }
+      audit("sp_naive", "naive").unionByName(audit("sp_cluster", "cluster"))
     },
   )
 }

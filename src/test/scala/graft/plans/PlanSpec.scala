@@ -1119,4 +1119,33 @@ class PlanSpec extends SparkSpec {
     assert(ranks.forall(_.partitionSpec.nonEmpty),
       s"rank window must partition by query_id:\n$p")
   }
+
+  test("q192: split audit traverses buckets by aggregate — every join is keyed") {
+    val p = plan("q192_leakage_safe_split")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"no cartesian:\n$p")
+    // the ONLY nested loops are the one-row leak-total attaches
+    p.collect { case n: BroadcastNestedLoopJoinExec => n }.foreach { n =>
+      assert(n.children.exists(_.exists {
+        case a: HashAggregateExec => a.groupingExpressions.isEmpty
+        case _ => false
+      }), s"nested loop must carry a one-row aggregate:\n$p")
+    }
+    val parts = p.collect { case a: HashAggregateExec
+      if a.aggregateExpressions.exists(_.mode.toString == "Partial") => a }
+    assert(parts.nonEmpty, s"bucket counting must combine map-side:\n$p")
+  }
+
+  test("q193: marginals re-aggregate from the joint and broadcast back") {
+    val p = plan("q193_independence_tvd")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+      p.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
+      s"the 35-row joint must never shuffle-join:\n$p")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"marginals attach by broadcast:\n$p")
+    // the corpus pass lives BELOW the materialize barrier (the plan
+    // reads the checkpointed 35-row joint, no parquet scan on top)
+    assert(scans(p).isEmpty,
+      s"everything above the joint materialization is cell-sized:\n$p")
+  }
 }
