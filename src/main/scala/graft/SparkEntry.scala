@@ -136,6 +136,10 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q191    graft.queries.Vectors    — nDCG@10 retrieval eval
   *   q192    graft.queries.TextOps    — leakage-safe cluster split audit
   *   q193    graft.queries.Events     — event×dow independence (TVD)
+  *   q194    graft.queries.Curation   — k-anonymity release audit
+  *   q195    graft.queries.Events     — chi-square independence test
+  *   q196    graft.queries.Events     — deterministic A/B lift readout
+  *   q197    graft.queries.Events     — CEP click→purchase pattern
   */
 object SparkEntry {
 

@@ -1218,6 +1218,50 @@ object Curation {
               "(1000 * (b - (cum_tokens - tokens))) div tokens"))
             .as("kept_fraction_pm"))
     },
+
+    // --------------------------------------------------------------- q194
+    // k-anonymity audit over the customer quasi-identifiers — the
+    // privacy gate a dataset-release pipeline runs before shipping:
+    // every (nation, segment, balance-band) equivalence class with its
+    // size, whether it meets k=5, and the re-identification risk
+    // 1/|class| in exact ppm. The balance band is an exact integer
+    // decile over the fixture's declared [-1000, 10000) range
+    // (cents+100000) div 110000 — no percentile pass, no floats, so
+    // the class key is stable across engines and across runs (a
+    // quantile-based band would move with the data and break release
+    // reproducibility). One map-side-combinable groupBy on the QID
+    // triple is the entire corpus cost; at 100 TB the class table is
+    // |nations|×|segments|×10 rows. Suppression accounting
+    // (rows_suppressed = class size where the class fails k) rides
+    // along so Σ rows_suppressed is the release's row cost.
+    Q(
+      "q194_k_anonymity",
+      Some("""
+        SELECT c_nationkey AS nation, c_mktsegment AS segment,
+               (CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 100 AS BIGINT)
+                + 100000) // 110000 AS bal_band,
+               CAST(COUNT(*) AS BIGINT) AS class_size,
+               COUNT(*) >= 5 AS meets_k5,
+               1000000 // COUNT(*) AS risk_ppm,
+               CAST(CASE WHEN COUNT(*) >= 5 THEN 0 ELSE COUNT(*) END
+                    AS BIGINT) AS rows_suppressed
+        FROM customer GROUP BY 1, 2, 3""")
+    ) { (s, dir) =>
+      val band = expr(
+        "(cast(cast(c_acctbal as decimal(18,4)) * 100 as bigint)" +
+          " + 100000) div 110000")
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nation"),
+          col("c_mktsegment").as("segment"),
+          band.as("bal_band"))
+        .agg(count(lit(1)).as("class_size"))
+        .select(col("nation"), col("segment"), col("bal_band"),
+          col("class_size"),
+          (col("class_size") >= 5).as("meets_k5"),
+          expr("1000000 div class_size").as("risk_ppm"),
+          when(col("class_size") >= 5, 0L).otherwise(col("class_size"))
+            .as("rows_suppressed"))
+    },
   )
 
   /** q147's per-(doc, shard) rendezvous weight: the Carter–Wegman

@@ -1984,5 +1984,241 @@ object Events {
         .select("event_type", "n_events", "tvd_contrib_ppm",
           "max_dev_ppm", "worst_dow")
     },
+
+    // --------------------------------------------------------------- q195
+    // Pearson chi-square independence test, event_type × day-of-week —
+    // q193's TVD sibling that DOES weight by expected counts, in exact
+    // integer milli-units: e₃ = ⌊1000·rm·cm/n⌋ (expected×1000) and
+    // contrib_milli = ⌊(1000·o − e₃)²/e₃⌋ ≈ 1000·(o−e)²/e. The grid is
+    // the CROSS product of observed types × dows (a chi-square must
+    // charge EMPTY cells their full expected mass — a joint-only scan
+    // would silently drop them), built from the 5×7 marginal tables,
+    // never from the corpus. One map-side-combinable corpus pass
+    // builds the joint; everything after re-aggregates 35 rows.
+    // BIGINT headroom: 1000·o and e₃ are ≤ 1000·n, so dev² needs
+    // n ≲ 3e6 per engine-exact run — the 1000× production form drops
+    // the milli scaling (whole-count devs) for n up to 3e9, same
+    // closed form. df = (|types|−1)(|dows|−1) rides along so the
+    // output is a self-contained test report.
+    Q(
+      "q195_chi_square",
+      Some("""
+        WITH joint AS (
+          SELECT event_type,
+                 CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS dow,
+                 CAST(COUNT(*) AS BIGINT) AS o
+          FROM events GROUP BY 1, 2),
+        r AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt
+              FROM joint GROUP BY 1),
+        c AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS ct FROM joint GROUP BY 1),
+        n AS (SELECT CAST(SUM(o) AS BIGINT) AS nt FROM joint),
+        grid AS (
+          SELECT r.event_type, c.dow, r.rt, c.ct,
+                 COALESCE(j.o, 0) AS o
+          FROM r CROSS JOIN c
+          LEFT JOIN joint j
+            ON j.event_type = r.event_type AND j.dow = c.dow),
+        cell AS (
+          SELECT g.event_type, g.dow, g.o,
+                 (1000 * g.rt * g.ct) // n.nt AS expected_milli,
+                 ((1000 * g.o - (1000 * g.rt * g.ct) // n.nt)
+                  * (1000 * g.o - (1000 * g.rt * g.ct) // n.nt))
+                   // ((1000 * g.rt * g.ct) // n.nt) AS contrib_milli
+          FROM grid g CROSS JOIN n),
+        tot AS (
+          SELECT CAST(SUM(contrib_milli) AS BIGINT) AS chi2_milli,
+                 CAST((COUNT(DISTINCT event_type) - 1)
+                      * (COUNT(DISTINCT dow) - 1) AS BIGINT) AS df
+          FROM cell)
+        SELECT cell.event_type, cell.dow, cell.o AS observed,
+               CAST(cell.expected_milli AS BIGINT) AS expected_milli,
+               CAST(cell.contrib_milli AS BIGINT) AS contrib_milli,
+               tot.chi2_milli, tot.df
+        FROM cell CROSS JOIN tot""")
+    ) { (s, dir) =>
+      val joint = graft.Checkpoints.materialize(
+        t(s, dir, "events")
+          .groupBy(col("event_type"),
+            dayofweek(col("ts")).cast("long").as("dow"))
+          .agg(count(lit(1)).as("o")))
+      val r = joint.groupBy("event_type").agg(sum(col("o")).as("rt"))
+      val c = joint.groupBy("dow").agg(sum(col("o")).as("ct"))
+      val n = joint.agg(sum(col("o")).as("nt"))
+      val cell = r.crossJoin(broadcast(c))
+        .join(joint, Seq("event_type", "dow"), "left")
+        .na.fill(0L, Seq("o"))
+        .crossJoin(broadcast(n))
+        .withColumn("expected_milli", expr("(1000 * rt * ct) div nt"))
+        .withColumn("contrib_milli", expr(
+          "((1000 * o - expected_milli) * (1000 * o - expected_milli))" +
+            " div expected_milli"))
+        .select("event_type", "dow", "o", "expected_milli", "contrib_milli")
+      val tot = cell.agg(
+        sum(col("contrib_milli")).as("chi2_milli"),
+        ((countDistinct(col("event_type")) - 1)
+          * (countDistinct(col("dow")) - 1)).as("df"))
+      cell.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("dow"), col("o").as("observed"),
+          col("expected_milli"), col("contrib_milli"),
+          col("chi2_milli"), col("df"))
+    },
+
+    // --------------------------------------------------------------- q196
+    // Deterministic A/B experiment readout: users assign to arms by the
+    // shared Knuth hash (never rand() — re-running the report NEVER
+    // moves a user between arms, the property an experiment system
+    // must have), conversion = ≥1 HIGH-VALUE purchase (value > 150 —
+    // the fixture's every-user-buys-something floor makes plain
+    // purchase a degenerate 100% metric). Per-arm rates in
+    // exact ppm; the cross-arm lift and the two-proportion z² ride
+    // along on both rows from a one-row broadcast so the output is a
+    // self-contained readout. z² is the only float: pooled-variance
+    // formula evaluated in IEEE doubles over exact BIGINT counts with
+    // the IDENTICAL operation order in both engines, floored to
+    // milli-units (floor of an identical double is engine-exact;
+    // round() would also work but floor needs no half-case argument).
+    // Scale: one map-side-combinable corpus pass to per-user flags,
+    // one |users|-sized groupBy per arm, then 2-row algebra.
+    Q(
+      "q196_ab_lift",
+      Some(s"""
+        WITH u AS (
+          SELECT user_id,
+                 CAST(MAX(CASE WHEN event_type = 'purchase'
+                     AND value > 150 THEN 1 ELSE 0
+                     END) AS BIGINT) AS conv,
+                 CAST(((${Knuth.sql("user_id", 1746L)}) // 65536) % 2
+                   AS BIGINT) AS arm
+          FROM events GROUP BY user_id),
+        a AS (
+          SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(SUM(conv) AS BIGINT) AS n_conv,
+                 (1000000 * CAST(SUM(conv) AS BIGINT)) // COUNT(*)
+                   AS rate_ppm
+          FROM u GROUP BY arm),
+        ab AS (
+          SELECT CAST(SUM(CASE WHEN arm = 0 THEN n_users END) AS BIGINT) AS n0,
+                 CAST(SUM(CASE WHEN arm = 0 THEN n_conv END) AS BIGINT) AS c0,
+                 CAST(SUM(CASE WHEN arm = 1 THEN n_users END) AS BIGINT) AS n1,
+                 CAST(SUM(CASE WHEN arm = 1 THEN n_conv END) AS BIGINT) AS c1
+          FROM a)
+        SELECT a.arm, a.n_users, a.n_conv, a.rate_ppm,
+               (1000000 * b.c1) // b.n1 - (1000000 * b.c0) // b.n0
+                 AS lift_ppm,
+               CAST(floor(1000e0 *
+                 (((CAST(b.c1 AS DOUBLE) / CAST(b.n1 AS DOUBLE))
+                   - (CAST(b.c0 AS DOUBLE) / CAST(b.n0 AS DOUBLE)))
+                  * ((CAST(b.c1 AS DOUBLE) / CAST(b.n1 AS DOUBLE))
+                   - (CAST(b.c0 AS DOUBLE) / CAST(b.n0 AS DOUBLE))))
+                 / ((CAST(b.c0 + b.c1 AS DOUBLE) / CAST(b.n0 + b.n1 AS DOUBLE))
+                    * (1e0 - CAST(b.c0 + b.c1 AS DOUBLE)
+                             / CAST(b.n0 + b.n1 AS DOUBLE))
+                    * (1e0 / CAST(b.n0 AS DOUBLE)
+                       + 1e0 / CAST(b.n1 AS DOUBLE)))) AS BIGINT)
+                 AS z2_milli
+        FROM a CROSS JOIN ab b""")
+    ) { (s, dir) =>
+      val u = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase"
+            && col("value") > 150, 1L).otherwise(0L))
+          .as("conv"))
+        .withColumn("hv", Knuth.col(col("user_id"), 1746L))
+        .withColumn("arm", expr("(hv div 65536) % 2").cast("long"))
+        .drop("hv")
+      val a = u.groupBy("arm")
+        .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+        .withColumn("rate_ppm", expr("(1000000 * n_conv) div n_users"))
+      val both = a.agg(
+        sum(when(col("arm") === 0, col("n_users"))).as("n0"),
+        sum(when(col("arm") === 0, col("n_conv"))).as("c0"),
+        sum(when(col("arm") === 1, col("n_users"))).as("n1"),
+        sum(when(col("arm") === 1, col("n_conv"))).as("c1"))
+      a.crossJoin(broadcast(both))
+        .select(col("arm"), col("n_users"), col("n_conv"), col("rate_ppm"),
+          expr("(1000000 * c1) div n1 - (1000000 * c0) div n0")
+            .as("lift_ppm"),
+          expr("""cast(floor(1000.0d *
+                 (((cast(c1 as double) / cast(n1 as double))
+                   - (cast(c0 as double) / cast(n0 as double)))
+                  * ((cast(c1 as double) / cast(n1 as double))
+                   - (cast(c0 as double) / cast(n0 as double))))
+                 / ((cast(c0 + c1 as double) / cast(n0 + n1 as double))
+                    * (1.0d - cast(c0 + c1 as double)
+                             / cast(n0 + n1 as double))
+                    * (1.0d / cast(n0 as double)
+                       + 1.0d / cast(n1 as double)))) as bigint)""")
+            .as("z2_milli"))
+    },
+
+    // --------------------------------------------------------------- q197
+    // CEP pattern detection — the MATCH_RECOGNIZE shape expressed as
+    // keyed relational algebra: for every purchase, the LATEST click
+    // by the same user within the 30-minute lookback, kept only if no
+    // error event falls strictly between that click and the purchase
+    // ("click leads uninterruptedly to purchase"). The candidate join
+    // keys on user_id (the natural event partition at 100 TB) with a
+    // bounded time-range residual; the per-purchase argmax is a
+    // row_number over candidate pairs (per-user-bounded, never
+    // corpus-wide); the interruption check is a keyed LEFT ANTI join
+    // against the error sub-stream — the three-step plan scales as
+    // events-per-user, not events². Tiebreak: equal click timestamps
+    // resolve to the larger event_id (latest-writer-wins), pinned in
+    // both engines.
+    Q(
+      "q197_cep_pattern",
+      Some("""
+        WITH p AS (
+          SELECT user_id, event_id AS purchase_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+          FROM events WHERE event_type = 'purchase'),
+        c AS (
+          SELECT user_id, event_id AS click_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS c_us
+          FROM events WHERE event_type = 'click'),
+        e AS (
+          SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS e_us
+          FROM events WHERE event_type = 'error'),
+        cand AS (
+          SELECT p.user_id, p.purchase_id, p.p_us, c.click_id, c.c_us,
+                 ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                   ORDER BY c.c_us DESC, c.click_id DESC) AS rn
+          FROM p JOIN c ON c.user_id = p.user_id
+            AND c.c_us < p.p_us AND c.c_us >= p.p_us - 1800000000),
+        best AS (SELECT * FROM cand WHERE rn = 1)
+        SELECT b.user_id, b.purchase_id, b.click_id,
+               (b.p_us - b.c_us) // 1000000 AS latency_sec
+        FROM best b
+        WHERE NOT EXISTS (
+          SELECT 1 FROM e
+          WHERE e.user_id = b.user_id
+            AND e.e_us > b.c_us AND e.e_us < b.p_us)""")
+    ) { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("us").as("p_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("us").as("c_us"))
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("us").as("e_us"))
+      val cand = p.join(c,
+        col("c_user") === col("user_id")
+          && col("c_us") < col("p_us")
+          && col("c_us") >= col("p_us") - 1800000000L)
+      val w = Window.partitionBy(col("purchase_id"))
+        .orderBy(desc("c_us"), desc("click_id"))
+      val best = cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      best.join(e,
+          col("e_user") === col("user_id")
+            && col("e_us") > col("c_us") && col("e_us") < col("p_us"),
+          "left_anti")
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          expr("(p_us - c_us) div 1000000").as("latency_sec"))
+    },
   )
 }
