@@ -140,6 +140,9 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q195    graft.queries.Events     — chi-square independence test
   *   q196    graft.queries.Events     — deterministic A/B lift readout
   *   q197    graft.queries.Events     — CEP click→purchase pattern
+  *   q198    graft.queries.Vectors    — MMR diversified retrieval
+  *   q199    graft.queries.Curation   — per-source KS drift gate
+  *   q200    graft.queries.Vectors    — product-quantization codes
   */
 object SparkEntry {
 

@@ -1262,6 +1262,89 @@ object Curation {
           when(col("class_size") >= 5, 0L).otherwise(col("class_size"))
             .as("rows_suppressed"))
     },
+
+    // --------------------------------------------------------------- q199
+    // Two-sample Kolmogorov–Smirnov drift gate, every source vs the
+    // pooled corpus, on the document-length distribution — the
+    // numeric-CDF sibling of q182's categorical L1: KS distance is
+    // max_x |F_s(x) − F_all(x)|, computed EXACTLY as cross-multiplied
+    // integers |c_s·n_all − c_all·n_s|·10⁶ ÷ (n_s·n_all) so both
+    // engines agree to the ppm. The per-source CDF evaluates on the
+    // GRID of all observed lengths (a source missing a length still
+    // has a CDF value there — a source-only scan would understate the
+    // sup). One corpus pass to (source, value) cells; every window
+    // runs in value space (|distinct lengths| rows — bounded by the
+    // length domain, never corpus-sized). Worst deviating length
+    // rides along (min-value argmax, the q138 rule). BIGINT headroom:
+    // c·n·10⁶ needs n ≲ 3e6; the 1000× production form quantizes both
+    // CDFs to ppm FIRST (q182's move), same sup-of-diffs.
+    Q(
+      "q199_ks_drift",
+      Some("""
+        WITH d AS (SELECT source, n_chars AS v FROM documents),
+        ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+               FROM d GROUP BY 1),
+        nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM d),
+        gc AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1),
+        gcum AS (
+          SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS c_all
+          FROM gc),
+        sc AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c
+               FROM d GROUP BY 1, 2),
+        grid AS (
+          SELECT ns.source, gc.v, COALESCE(sc.c, 0) AS c
+          FROM ns CROSS JOIN gc
+          LEFT JOIN sc ON sc.source = ns.source AND sc.v = gc.v),
+        scum AS (
+          SELECT source, v,
+                 CAST(SUM(c) OVER (PARTITION BY source ORDER BY v)
+                      AS BIGINT) AS c_s
+          FROM grid),
+        diff AS (
+          SELECT s.source, s.v,
+                 (abs(s.c_s * t.n_all - g.c_all * ns.n_s) * 1000000)
+                   // (ns.n_s * t.n_all) AS diff_ppm
+          FROM scum s JOIN gcum g ON g.v = s.v
+          JOIN ns ON ns.source = s.source CROSS JOIN nt t),
+        mx AS (SELECT source, CAST(MAX(diff_ppm) AS BIGINT) AS ks_ppm
+               FROM diff GROUP BY 1)
+        SELECT m.source, ns.n_s AS n_docs, m.ks_ppm,
+               (SELECT MIN(d2.v) FROM diff d2
+                WHERE d2.source = m.source AND d2.diff_ppm = m.ks_ppm)
+                 AS worst_length
+        FROM mx m JOIN ns ON ns.source = m.source""")
+    ) { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("source"), col("n_chars").as("v"))
+      val ns = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val nt = d.agg(count(lit(1)).as("n_all"))
+      val gc = d.groupBy("v").agg(count(lit(1)).as("c"))
+      // value-space windows: |distinct lengths| rows, the deliberate
+      // single partition is the plan (the corpus never enters it)
+      val gcum = gc.withColumn("c_all",
+        sum(col("c")).over(Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+        .select("v", "c_all")
+      val sc = d.groupBy("source", "v").agg(count(lit(1)).as("c"))
+      val grid = ns.crossJoin(broadcast(gc.select("v")))
+        .join(sc, Seq("source", "v"), "left")
+        .na.fill(0L, Seq("c"))
+      val scum = grid.withColumn("c_s",
+        sum(col("c")).over(Window.partitionBy("source").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+        .select("source", "v", "c_s", "n_s")
+      val diff = scum.join(gcum, "v").crossJoin(broadcast(nt))
+        .withColumn("diff_ppm", expr(
+          "(abs(c_s * n_all - c_all * n_s) * 1000000) div (n_s * n_all)"))
+        .select("source", "v", "diff_ppm")
+      val mx = diff.groupBy("source").agg(max(col("diff_ppm")).as("ks_ppm"))
+      mx.join(ns, "source")
+        .join(diff.select(col("source"), col("v"),
+          col("diff_ppm").as("ks_ppm")), Seq("source", "ks_ppm"))
+        .groupBy("source", "n_s", "ks_ppm")
+        .agg(min(col("v")).as("worst_length"))
+        .select(col("source"), col("n_s").as("n_docs"),
+          col("ks_ppm"), col("worst_length"))
+    },
   )
 
   /** q147's per-(doc, shard) rendezvous weight: the Carter–Wegman

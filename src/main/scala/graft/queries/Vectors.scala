@@ -1114,6 +1114,41 @@ object Vectors {
           col("dcg_micro"), col("idcg_micro"),
           expr("(1000 * dcg_micro) div idcg_micro").as("ndcg_pm"))
     },
+
+    // --------------------------------------------------------------- q198
+    // Maximal-marginal-relevance diversified retrieval (λ = 0.5, 3
+    // picks from a top-6 relevance pool): the greedy re-rank a RAG
+    // retriever runs so the context window isn't three near-copies of
+    // the same passage. Greedy MMR is inherently sequential, so the 3
+    // rounds unroll as dataflow — each round is a query_id-keyed join
+    // of the surviving pool against the previous pick (pool- and
+    // pick-sized frames, NEVER the corpus: the corpus-sized work is
+    // the one broadcast-candidate scoring pass q36 already pins) and
+    // a per-query argmax window over ≤6 rows. All similarities are
+    // the house integer-dot/sqrt formula; the MMR combine
+    // (rel − maxsim)·0.5 is three IEEE ops on identical operands —
+    // engine-exact, ties break to the smaller vec_id. Output: the
+    // diversified top-3 per query with pick rank and the score that
+    // won the round (rel for pick 1, the MMR margin after).
+    qMmr,
+
+    // --------------------------------------------------------------- q200
+    // Product-quantization encoding (m = 8 subspaces × 8 dims, 16-entry
+    // codebook): every vector compresses to 8 one-byte codes — the
+    // memory layout an at-scale ANN index stores instead of raw
+    // floats (64 dims × 4 B → 8 B, 32×). The codebook is the 16
+    // smallest-vec_id vectors' subvectors (deterministic seeding, the
+    // q178/q124 rule — a trained codebook would run q178's Lloyd step
+    // per subspace first, same assignment dataflow). Assignment is
+    // integer L2² over the quantized grid — exact, ties to the
+    // smaller code. Plan: subspaces EXPLODE from each row (no join),
+    // the 16-row codebook broadcasts, and the per-(vector, subspace)
+    // argmin is a map-side-combinable min(struct) aggregate — one
+    // corpus-sized shuffle of 16 bytes of codes per vector. Output
+    // grain: (vec_id, subspace) with the winning code and its
+    // residual err_sq, the number a PQ-recall audit (q150's sibling)
+    // reads directly.
+    qPq,
   )
 
   /** q158's truncated-cosine top-5 at d dims: same candidate universe
@@ -1285,5 +1320,146 @@ object Vectors {
         .filter(col("score") >= 0.30)
         .select(col("vec_id_a").as("vec_a"), col("vec_id_b").as("vec_b"), col("score"))
         .distinct()
+    }
+
+  /** Integer-dot cosine between two table aliases' (qv, qn) columns —
+    * the q36 formula with explicit qualifiers so MMR's round CTEs can
+    * score cand-vs-pick pairs. */
+  private def simSql(x: String, y: String): String =
+    s"""CAST(CAST(list_aggregate(list_transform(range(1, len($x.qv) + 1), i -> $x.qv[CAST(i AS INT)] * $y.qv[CAST(i AS INT)]), 'sum') AS BIGINT) AS DOUBLE)
+                 / sqrt(CAST($x.qn AS DOUBLE) * CAST($y.qn AS DOUBLE))"""
+
+  // (lazy: referenced from `all` above its definition)
+  private lazy val qMmr: Q = Q(
+      "q198_mmr_diversify",
+      Some(s"""
+        WITH normed AS ($quantizedSql),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS vec_id, c.qv AS qv,
+                 c.qn AS qn, ${simSql("q", "c")} AS rel
+          FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < 8 AND q.qn > 0 AND c.qn > 0),
+        cand AS (
+          SELECT * FROM (
+            SELECT query_id, vec_id, qv, qn, rel,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY rel DESC, vec_id) AS rn
+            FROM scored) t WHERE rn <= 6),
+        s1 AS (SELECT query_id, vec_id, qv, qn, rel FROM cand WHERE rn = 1),
+        r1 AS (
+          SELECT c.query_id, c.vec_id, c.qv, c.qn, c.rel,
+                 ${simSql("c", "s1")} AS m1
+          FROM cand c JOIN s1
+            ON s1.query_id = c.query_id AND c.vec_id <> s1.vec_id),
+        g2 AS (
+          SELECT r1.*, (rel - m1) * 5e-1 AS mmr,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY (rel - m1) * 5e-1 DESC, vec_id) AS rn2
+          FROM r1),
+        s2 AS (SELECT query_id, vec_id, qv, qn, mmr FROM g2 WHERE rn2 = 1),
+        r2 AS (
+          SELECT g2.query_id, g2.vec_id, g2.rel,
+                 CASE WHEN g2.m1 > ${simSql("g2", "s2")}
+                      THEN g2.m1 ELSE ${simSql("g2", "s2")} END AS m2
+          FROM g2 JOIN s2
+            ON s2.query_id = g2.query_id AND g2.vec_id <> s2.vec_id),
+        g3 AS (
+          SELECT r2.*, (rel - m2) * 5e-1 AS mmr,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY (rel - m2) * 5e-1 DESC, vec_id) AS rn3
+          FROM r2)
+        SELECT query_id, CAST(1 AS BIGINT) AS pick, vec_id, rel AS score
+        FROM s1
+        UNION ALL
+        SELECT query_id, CAST(2 AS BIGINT) AS pick, vec_id, mmr AS score
+        FROM s2
+        UNION ALL
+        SELECT query_id, CAST(3 AS BIGINT) AS pick, vec_id, mmr AS score
+        FROM g3 WHERE rn3 = 1""")
+    ) { (s, dir) =>
+      val normed = quantized(s, dir).filter(col("qn") > 0)
+      val q = normed.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("qv").as("qqv"), col("qn").as("qqn"))
+      val scored = normed.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("rel", dotCol("qqv", "qv").cast("double") /
+          sqrt(col("qqn").cast("double") * col("qn").cast("double")))
+        .select("query_id", "vec_id", "qv", "qn", "rel")
+      val w = Window.partitionBy("query_id").orderBy(desc("rel"), col("vec_id"))
+      val cand = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 6)
+      val s1 = cand.filter(col("rn") === 1)
+        .select(col("query_id"), col("vec_id").as("s_id"),
+          col("qv").as("sqv"), col("qn").as("sqn"), col("rel"))
+      val r1 = cand.join(s1.select("query_id", "s_id", "sqv", "sqn"),
+          Seq("query_id"))
+        .filter(col("vec_id") =!= col("s_id"))
+        .withColumn("m1", dotCol("qv", "sqv").cast("double") /
+          sqrt(col("qn").cast("double") * col("sqn").cast("double")))
+        .select("query_id", "vec_id", "qv", "qn", "rel", "m1")
+      val g2 = r1.withColumn("mmr", (col("rel") - col("m1")) * lit(0.5))
+        .withColumn("rn2", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("mmr"), col("vec_id"))))
+      val s2 = g2.filter(col("rn2") === 1)
+        .select(col("query_id"), col("vec_id").as("s_id"),
+          col("qv").as("sqv"), col("qn").as("sqn"), col("mmr"))
+      val r2 = g2.join(s2.select("query_id", "s_id", "sqv", "sqn"),
+          Seq("query_id"))
+        .filter(col("vec_id") =!= col("s_id"))
+        .withColumn("sim2", dotCol("qv", "sqv").cast("double") /
+          sqrt(col("qn").cast("double") * col("sqn").cast("double")))
+        .withColumn("m2", when(col("m1") > col("sim2"), col("m1"))
+          .otherwise(col("sim2")))
+      val g3 = r2.withColumn("mmr", (col("rel") - col("m2")) * lit(0.5))
+        .withColumn("rn3", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("mmr"), col("vec_id"))))
+      s1.select(col("query_id"), lit(1L).as("pick"),
+          col("s_id").as("vec_id"), col("rel").as("score"))
+        .unionAll(s2.select(col("query_id"), lit(2L).as("pick"),
+          col("s_id").as("vec_id"), col("mmr").as("score")))
+        .unionAll(g3.filter(col("rn3") === 1)
+          .select(col("query_id"), lit(3L).as("pick"),
+            col("vec_id"), col("mmr").as("score")))
+    }
+
+  // (lazy: referenced from `all` above its definition)
+  private lazy val qPq: Q = Q(
+      "q200_pq_codes",
+      Some(s"""
+        WITH qd AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+        cb AS (SELECT vec_id AS code, qv AS cqv FROM qd WHERE vec_id < 16),
+        sub AS (SELECT CAST(range AS BIGINT) AS subspace FROM range(0, 8)),
+        pairs AS (
+          SELECT v.vec_id, s.subspace, c.code,
+                 CAST(list_aggregate(list_transform(range(1, 9),
+                   i -> (v.qv[CAST(s.subspace * 8 + i AS INT)]
+                         - c.cqv[CAST(s.subspace * 8 + i AS INT)])
+                      * (v.qv[CAST(s.subspace * 8 + i AS INT)]
+                         - c.cqv[CAST(s.subspace * 8 + i AS INT)])),
+                   'sum') AS BIGINT) AS d
+          FROM qd v CROSS JOIN sub s CROSS JOIN cb c),
+        best AS (
+          SELECT vec_id, subspace, code, d,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                   ORDER BY d, code) AS rn
+          FROM pairs)
+        SELECT vec_id, subspace, code, d AS err_sq
+        FROM best WHERE rn = 1""")
+    ) { (s, dir) =>
+      val qd = t(s, dir, "embeddings").select(col("vec_id"), qvCol.as("qv"))
+      val cb = qd.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("code"), col("qv").as("cqv"))
+      qd.withColumn("subspace", explode(sequence(lit(0L), lit(7L))))
+        .crossJoin(broadcast(cb))
+        .withColumn("d", expr(
+          """aggregate(zip_with(
+               slice(qv, cast(subspace * 8 + 1 as int), 8),
+               slice(cqv, cast(subspace * 8 + 1 as int), 8),
+               (x, y) -> (x - y) * (x - y)),
+             0L, (acc, v) -> acc + v)"""))
+        .groupBy("vec_id", "subspace")
+        .agg(min(struct(col("d"), col("code"))).as("m"))
+        .select(col("vec_id"), col("subspace"),
+          col("m.code").as("code"), col("m.d").as("err_sq"))
     }
 }
