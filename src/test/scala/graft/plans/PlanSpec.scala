@@ -1148,4 +1148,49 @@ class PlanSpec extends SparkSpec {
     assert(scans(p).isEmpty,
       s"everything above the joint materialization is cell-sized:\n$p")
   }
+
+  test("q195: like q193, cell-space only above the joint — no shuffled joins") {
+    val p = plan("q195_chi_square")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+      p.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
+      s"the 35-cell grid must never shuffle-join:\n$p")
+    assert(scans(p).isEmpty,
+      s"everything above the joint materialization is cell-sized:\n$p")
+  }
+
+  test("q194/q196: one corpus pass, one aggregate exchange tree — no joins on the fact side") {
+    // q194 is a single groupBy over customer; q196's only corpus work
+    // is the per-user flag aggregate — per-arm stats and the 1-row
+    // cross-arm readout must attach by broadcast
+    val kp = plan("q194_k_anonymity")
+    assert(shuffles(kp).length === 1, s"q194 is one groupBy:\n$kp")
+    val ap = plan("q196_ab_lift")
+    assert(ap.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+      ap.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
+      s"q196 arm stats must broadcast, never shuffle-join:\n$ap")
+    assert(scans(ap).length === 1, s"q196 reads events exactly once:\n$ap")
+  }
+
+  test("q197: user-keyed equi joins only — candidate and anti steps never go cartesian") {
+    val p = plan("q197_cep_pattern")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
+      p.collect { case n: BroadcastNestedLoopJoinExec => n }.isEmpty,
+      s"range residuals must ride user_id equi joins:\n$p")
+    val joins = p.collect {
+      case j: SortMergeJoinExec => j.leftKeys
+      case j: ShuffledHashJoinExec => j.leftKeys
+      case j: BroadcastHashJoinExec => j.leftKeys
+    }
+    assert(joins.length === 2 && joins.forall(_.nonEmpty),
+      s"candidate join + error anti join, both keyed:\n$p")
+  }
+
+  test("q200: subspaces explode row-side, the codebook broadcasts, one agg shuffle") {
+    val p = plan("q200_pq_codes")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+      p.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
+      s"the 16-row codebook must broadcast:\n$p")
+    assert(shuffles(p).length === 1,
+      s"only the (vec, subspace) argmin aggregate shuffles:\n$p")
+  }
 }

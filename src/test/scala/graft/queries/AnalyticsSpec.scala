@@ -2338,4 +2338,68 @@ class AnalyticsSpec extends SparkSpec {
     }.toMap
     assert(got === truth)
   }
+
+  test("q195 chi-square algebra: marginal-consistent expecteds, contribs sum to the total") {
+    val rows = run("q195_chi_square").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // full grid: |types| × |dows| cells, including zero-observed ones
+    val types = rows.map(_._1).distinct
+    val dows = rows.map(_._2).distinct
+    assert(rows.length === types.length * dows.length, "grid must be complete")
+    assert(rows.map(_._7).distinct === Array((types.length - 1L) * (dows.length - 1L)))
+    val n = rows.map(_._3).sum
+    val rm = rows.groupBy(_._1).map { case (t, rs) => t -> rs.map(_._3).sum }
+    val cm = rows.groupBy(_._2).map { case (d, rs) => d -> rs.map(_._3).sum }
+    rows.foreach { case (t, d, o, e3, c3, _, _) =>
+      val expE = 1000L * rm(t) * cm(d) / n
+      assert(e3 === expE, s"cell ($t,$d) expected")
+      val dev = 1000L * o - expE
+      assert(c3 === dev * dev / expE, s"cell ($t,$d) contribution")
+    }
+    assert(rows.map(_._6).distinct === Array(rows.map(_._5).sum),
+      "chi2 total must equal the sum of all cell contributions")
+  }
+
+  test("q196 readout is internally consistent and rerun-stable") {
+    val a = run("q196_ab_lift").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(a.keySet === Set(0L, 1L), "exactly two arms")
+    a.foreach { case (_, (users, conv, rate, _, _)) =>
+      assert(rate === 1000000L * conv / users)
+      assert(conv <= users)
+    }
+    val lift = 1000000L * a(1L)._2 / a(1L)._1 - 1000000L * a(0L)._2 / a(0L)._1
+    assert(a.values.map(_._4).toSeq.distinct === Seq(lift),
+      "both rows carry the same cross-arm lift")
+    // arm assignment is a pure hash: a rerun reproduces every cell
+    val again = run("q196_ab_lift").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(again === a)
+  }
+
+  test("q197 matches the brute-force CEP ground truth") {
+    val ev = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._1)
+    val truth = byUser.toSeq.flatMap { case (u, rows) =>
+      val clicks = rows.filter(_._3 == "click")
+      val errs = rows.filter(_._3 == "error").map(_._4)
+      rows.filter(_._3 == "purchase").flatMap { case (_, pid, _, pUs) =>
+        val cand = clicks.filter(c => c._4 < pUs && c._4 >= pUs - 1800000000L)
+        if (cand.isEmpty) None
+        else {
+          val best = cand.maxBy(c => (c._4, c._2))
+          if (errs.exists(e => e > best._4 && e < pUs)) None
+          else Some((u, pid, best._2, (pUs - best._4) / 1000000L))
+        }
+      }
+    }.toSet
+    val got = run("q197_cep_pattern").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === truth, s"got ${got.size}, truth ${truth.size}")
+  }
 }

@@ -166,4 +166,41 @@ class CurationSpec extends SparkSpec {
     assert(byShard.filter(col("start") =!= 0L || col("end") =!= col("total"))
       .count() === 0L)
   }
+
+  test("q194 equivalence classes partition the customer table; suppression matches k") {
+    val rows = run("q194_k_anonymity").collect()
+    val total = graft.Tables.load(spark, sf, "customer").count()
+    assert(rows.map(_.getLong(3)).sum === total,
+      "class sizes must partition every customer row exactly once")
+    rows.foreach { r =>
+      val (size, meets, risk, supp) =
+        (r.getLong(3), r.getBoolean(4), r.getLong(5), r.getLong(6))
+      assert(meets === (size >= 5))
+      assert(risk === 1000000L / size)
+      assert(supp === (if (size >= 5) 0L else size),
+        "a failing class suppresses all of its rows")
+    }
+  }
+
+  test("q199 KS distance matches a driver-side exact recompute per source") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("source", "n_chars").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val nAll = docs.length.toLong
+    val allSorted = docs.map(_._2).sorted
+    def cdfCount(vals: Array[Long], x: Long): Long = vals.count(_ <= x).toLong
+    val grid = docs.map(_._2).distinct.sorted
+    val expect = docs.groupBy(_._1).map { case (src, rows) =>
+      val vs = rows.map(_._2).sorted
+      val nS = vs.length.toLong
+      val ks = grid.map { x =>
+        math.abs(cdfCount(vs, x) * nAll - cdfCount(allSorted, x) * nS) *
+          1000000L / (nS * nAll)
+      }.max
+      src -> ks
+    }
+    val got = run("q199_ks_drift").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got === expect, s"per-source KS ppm mismatch")
+  }
 }

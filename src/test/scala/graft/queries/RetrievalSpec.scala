@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Semantic properties of the retrieval-layer queries an oracle hash
+  * match alone cannot express: q198's greedy MMR selection replayed
+  * exactly in Scala (the unrolled dataflow must equal the sequential
+  * algorithm it encodes), and q200's PQ assignment replayed as a
+  * brute-force argmin plus the codebook self-coding invariant. */
+class RetrievalSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private def quantized(): Map[Long, Array[Long]] =
+    graft.Tables.load(spark, sf, "embeddings").collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        math.floor(x.toDouble * 1000).toLong).toArray
+    }.toMap
+
+  private def dot(a: Array[Long], b: Array[Long]): Long =
+    a.indices.map(i => a(i) * b(i)).sum
+
+  private def cos(a: Array[Long], b: Array[Long]): Double =
+    dot(a, b).toDouble / math.sqrt(dot(a, a).toDouble * dot(b, b).toDouble)
+
+  test("q198 equals the sequential greedy MMR algorithm, pick for pick") {
+    val vecs = quantized().filter { case (_, v) => dot(v, v) > 0 }
+    val truth = vecs.keys.filter(_ < 8).flatMap { qid =>
+      val q = vecs(qid)
+      val pool = vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, v, cos(q, v)) }
+        .sortBy { case (id, _, s) => (-s, id) }
+        .take(6)
+      // sequential greedy: argmax of (rel − max sim to selected)·0.5
+      var selected = List(pool.head)
+      var rest = pool.tail
+      val scores = collection.mutable.ListBuffer(
+        (qid, 1L, pool.head._1, pool.head._3))
+      for (pick <- 2 to 3) {
+        val scored = rest.map { case (id, v, rel) =>
+          val m = selected.map(s => cos(v, s._2)).max
+          (id, v, rel, (rel - m) * 0.5)
+        }
+        val best = scored.minBy { case (id, _, _, mmr) => (-mmr, id) }
+        scores += ((qid, pick.toLong, best._1, best._4))
+        selected = (best._1, best._2, best._3) :: selected
+        rest = rest.filter(_._1 != best._1)
+      }
+      scores
+    }.toSet
+    val got = run("q198_mmr_diversify").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got === truth, s"got ${got.size} picks, truth ${truth.size}")
+  }
+
+  test("q200 equals the brute-force PQ argmin; codebook vectors self-code at zero error") {
+    val vecs = quantized()
+    val cb = vecs.filter(_._1 < 16)
+    val truth = vecs.flatMap { case (id, v) =>
+      (0 until 8).map { j =>
+        val (code, d) = cb.toSeq.map { case (c, w) =>
+          val dd = (j * 8 until j * 8 + 8)
+            .map(i => (v(i) - w(i)) * (v(i) - w(i))).sum
+          (c, dd)
+        }.minBy { case (c, dd) => (dd, c) }
+        ((id, j.toLong), (code, d))
+      }
+    }
+    val got = run("q200_pq_codes").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.size === vecs.size * 8, "every (vector, subspace) coded once")
+    assert(got === truth)
+    // self-coding: a codebook member's residual is zero in every subspace
+    cb.keys.foreach { id =>
+      (0L until 8L).foreach { j =>
+        assert(got((id, j))._2 === 0L, s"codebook vector $id subspace $j")
+      }
+    }
+  }
+}
