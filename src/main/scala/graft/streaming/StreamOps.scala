@@ -192,6 +192,61 @@ object StreamOps {
       }
   }
 
+  final case class CepMatch(
+      user_id: Long, purchase_id: Long, click_id: Long, latency_sec: Long)
+
+  /** Streaming CEP — the incremental twin of batch q197: emit a match
+    * when a purchase follows the user's LATEST click within 30
+    * minutes with no error strictly between them. Per-user state is
+    * exactly what the pattern needs and nothing more: the latest
+    * click (ts, id) and the latest error ts — O(users) × 3 longs,
+    * carried across micro-batches so a click in batch n matches a
+    * purchase in batch n+1. With chronological per-user arrival (the
+    * transitionPairs contract), "latest error before this purchase"
+    * IS the max error ts seen so far, so the interruption check is
+    * one comparison: err > click_ts (strictly-before-purchase holds
+    * because the error already arrived). Same (ts, event_id) in-batch
+    * total order as the batch side; ties on click ts resolve to the
+    * larger event_id (q197's latest-writer rule).
+    */
+  def cepMatches(events: Dataset[EventRow],
+      lookbackUs: Long = 1800000000L): Dataset[CepMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Option[(Long, Long)], Option[Long]), CepMatch](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow],
+         state: GroupState[(Option[(Long, Long)], Option[Long])]) =>
+          val sorted = rows.toIndexedSeq
+            .sortBy(r => (r.ts.getTime, r.ts.getNanos, r.event_id))
+          var (lastClick, lastErr) = state.getOption.getOrElse(
+            (Option.empty[(Long, Long)], Option.empty[Long]))
+          val out = Seq.newBuilder[CepMatch]
+          sorted.foreach { r =>
+            val us = r.ts.getTime * 1000L + r.ts.getNanos / 1000 % 1000
+            r.event_type match {
+              case "click" =>
+                // chronological arrival makes each click the new latest;
+                // equal-ts clicks arrive id-ascending, so the last one
+                // seen is the (ts, id)-max the batch argmax picks
+                lastClick = Some((us, r.event_id))
+              case "error" =>
+                lastErr = Some(us)
+              case "purchase" =>
+                for ((cUs, cId) <- lastClick)
+                  if (cUs < us && cUs >= us - lookbackUs &&
+                      !lastErr.exists(e => e > cUs && e < us))
+                    out += CepMatch(uid, r.event_id, cId, (us - cUs) / 1000000L)
+              case _ => ()
+            }
+          }
+          state.update((lastClick, lastErr))
+          out.result().iterator
+      }
+  }
+
   /** Custom keyed state via mapGroupsWithState: per-user running
     * totals + an error-rate flag, carried across micro-batches. The
     * state store is partitioned by user_id, so this shuffles each

@@ -527,4 +527,27 @@ class StreamBatchParitySpec extends SparkSpec {
     // and the two genuinely heavy keys rank first in order
     assert(got.sortBy(_.rnk).take(2).map(_.user_id).toSeq === Seq(1L, 2L))
   }
+
+  test("streaming CEP matches across 3 micro-batches equal batch q197") {
+    import spark.implicits._
+    val events = realEvents
+    // chronological micro-batches: a click in batch n must match a
+    // purchase in batch n+1 through the per-user (click, error) state
+    val in = stageInput(events, 3600000000L, chronoParts = 3)
+    val result = runStream(in, events.schema,
+      st => StreamOps.cepMatches(
+        st.select("event_id", "ts", "user_id", "event_type")
+          .as[StreamOps.EventRow]).toDF())
+    val streamed = result
+      .filter(col("user_id") >= 0)
+      .select("user_id", "purchase_id", "click_id", "latency_sec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val batch = SparkEntry.queries("q197_cep_pattern")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(batch.nonEmpty, "batch CEP must find at least one match")
+    assert(streamed === batch,
+      s"CEP parity: streaming ${streamed.size} vs batch ${batch.size}")
+  }
 }
