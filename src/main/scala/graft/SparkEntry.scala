@@ -143,6 +143,8 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q198    graft.queries.Vectors    — MMR diversified retrieval
   *   q199    graft.queries.Curation   — per-source KS drift gate
   *   q200    graft.queries.Vectors    — product-quantization codes
+  *   q201    graft.queries.Vectors    — PQ asymmetric-distance top-k
+  *   q202    graft.queries.Events     — CUSUM changepoint scan
   */
 object SparkEntry {
 

@@ -2220,5 +2220,77 @@ object Events {
         .select(col("user_id"), col("purchase_id"), col("click_id"),
           expr("(p_us - c_us) div 1000000").as("latency_sec"))
     },
+
+    // --------------------------------------------------------------- q202
+    // CUSUM changepoint scan, per event type over its daily value
+    // series — "did this metric's level shift, and when?" The
+    // classical statistic S_i = Σ_{k≤i}(x_k − μ) needs the rational
+    // mean μ = T/N; multiplying through by N keeps it EXACT:
+    // S′_i = N·Σcents_k − T·Σcnt_k (units: cents × N, per type). The
+    // |S′| argmax day is the single most likely level-shift point
+    // (ties → earliest day, the q138 rule). One map-side-combinable
+    // corpus pass to (type, day) cells; cumulative windows run per
+    // type in day-space (|days| rows — never corpus-sized); per-type
+    // totals re-aggregate from the cells and attach by broadcast.
+    // BIGINT headroom: N·Σcents needs N·total_cents < 2⁶³ — holds to
+    // ~10⁹ events of ~10⁴ cents; past that, re-scale to whole dollars
+    // and daily grains coarsen the same closed form.
+    Q(
+      "q202_cusum_changepoint",
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+                 CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 100
+                   AS BIGINT)) AS BIGINT) AS day_cents,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1, 2),
+        tot AS (
+          SELECT event_type, CAST(SUM(day_cents) AS BIGINT) AS t_cents,
+                 CAST(SUM(n_events) AS BIGINT) AS n_tot
+          FROM daily GROUP BY 1),
+        cum AS (
+          SELECT d.event_type, d.d, d.n_events, d.day_cents,
+                 t.n_tot * CAST(SUM(d.day_cents) OVER (
+                     PARTITION BY d.event_type ORDER BY d.d) AS BIGINT)
+                 - t.t_cents * CAST(SUM(d.n_events) OVER (
+                     PARTITION BY d.event_type ORDER BY d.d) AS BIGINT)
+                   AS s_scaled
+          FROM daily d JOIN tot t ON t.event_type = d.event_type),
+        mx AS (
+          SELECT event_type, CAST(MAX(abs(s_scaled)) AS BIGINT) AS peak
+          FROM cum GROUP BY 1),
+        pk AS (
+          SELECT c.event_type, MIN(c.d) AS peak_d
+          FROM cum c JOIN mx m
+            ON m.event_type = c.event_type AND abs(c.s_scaled) = m.peak
+          GROUP BY 1)
+        SELECT c.event_type, c.d, c.n_events, c.day_cents, c.s_scaled,
+               c.d = p.peak_d AS is_peak
+        FROM cum c JOIN pk p ON p.event_type = c.event_type""")
+    ) { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum((col("value").cast(DecimalType(18, 4)) * 100).cast("long"))
+          .as("day_cents"),
+          count(lit(1)).as("n_events"))
+      val tot = daily.groupBy("event_type")
+        .agg(sum(col("day_cents")).as("t_cents"),
+          sum(col("n_events")).as("n_tot"))
+      val w = Window.partitionBy("event_type").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = daily.join(broadcast(tot), "event_type")
+        .withColumn("s_scaled",
+          col("n_tot") * sum(col("day_cents")).over(w)
+            - col("t_cents") * sum(col("n_events")).over(w))
+        .select("event_type", "d", "n_events", "day_cents", "s_scaled")
+      val mx = cum.groupBy("event_type").agg(max(abs(col("s_scaled"))).as("peak"))
+      val pk = cum.join(broadcast(mx), "event_type")
+        .filter(abs(col("s_scaled")) === col("peak"))
+        .groupBy("event_type").agg(min(col("d")).as("peak_d"))
+      cum.join(broadcast(pk), "event_type")
+        .select(col("event_type"), col("d"), col("n_events"),
+          col("day_cents"), col("s_scaled"),
+          (col("d") === col("peak_d")).as("is_peak"))
+    },
   )
 }

@@ -1149,6 +1149,21 @@ object Vectors {
     // residual err_sq, the number a PQ-recall audit (q150's sibling)
     // reads directly.
     qPq,
+
+    // --------------------------------------------------------------- q201
+    // PQ asymmetric-distance search (ADC) — the query path q200's
+    // codes exist FOR: each query precomputes a 8×16 integer distance
+    // table against the codebook (query-count-sized, broadcast), and
+    // every candidate's distance is 8 table lookups summed — the
+    // index side touches only its 8 one-byte codes, never the raw
+    // vectors. Dataflow: the (vec, subspace, code) table joins the
+    // broadcast distance table on (subspace, code), one
+    // map-side-combinable sum per (query, vec), then the q36-contract
+    // top-5 (asc distance, vec_id tiebreak). Exact-integer throughout
+    // — the 1000-grid L2² commutes with the table decomposition, so
+    // ADC here is not approximate RELATIVE to the codes: the only
+    // approximation is quantization itself, which q150/q200 audit.
+    qPqAdc,
   )
 
   /** q158's truncated-cosine top-5 at d dims: same candidate universe
@@ -1422,44 +1437,108 @@ object Vectors {
             col("vec_id"), col("mmr").as("score")))
     }
 
-  // (lazy: referenced from `all` above its definition)
-  private lazy val qPq: Q = Q(
-      "q200_pq_codes",
-      Some(s"""
-        WITH qd AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+  /** Shared PQ grid (q200/q201): m = 8 subspaces × 8 dims, 16-entry
+    * deterministic codebook, integer L2² in the 1000-quantized space.
+    * The subspace distance between table aliases `x`.qv and `y`.cqv at
+    * subspace `s`.subspace — inlined so both oracles read the
+    * IDENTICAL text. */
+  private def pqDistSql(x: String, y: String): String =
+    s"""CAST(list_aggregate(list_transform(range(1, 9),
+                   i -> ($x.qv[CAST(s.subspace * 8 + i AS INT)]
+                         - $y.cqv[CAST(s.subspace * 8 + i AS INT)])
+                      * ($x.qv[CAST(s.subspace * 8 + i AS INT)]
+                         - $y.cqv[CAST(s.subspace * 8 + i AS INT)])),
+                   'sum') AS BIGINT)"""
+
+  /** The assignment CTE chain both PQ oracles share: every vector's
+    * per-subspace argmin code against the 16-entry codebook. */
+  private lazy val pqCodesSql: String = s"""qd AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
         cb AS (SELECT vec_id AS code, qv AS cqv FROM qd WHERE vec_id < 16),
         sub AS (SELECT CAST(range AS BIGINT) AS subspace FROM range(0, 8)),
         pairs AS (
-          SELECT v.vec_id, s.subspace, c.code,
-                 CAST(list_aggregate(list_transform(range(1, 9),
-                   i -> (v.qv[CAST(s.subspace * 8 + i AS INT)]
-                         - c.cqv[CAST(s.subspace * 8 + i AS INT)])
-                      * (v.qv[CAST(s.subspace * 8 + i AS INT)]
-                         - c.cqv[CAST(s.subspace * 8 + i AS INT)])),
-                   'sum') AS BIGINT) AS d
+          SELECT v.vec_id, s.subspace, c.code, ${pqDistSql("v", "c")} AS d
           FROM qd v CROSS JOIN sub s CROSS JOIN cb c),
         best AS (
           SELECT vec_id, subspace, code, d,
                  ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
                    ORDER BY d, code) AS rn
-          FROM pairs)
+          FROM pairs)"""
+
+  /** Spark side of the shared assignment: one explode + one broadcast
+    * + one map-side min(struct) aggregate (see q200 scaladoc). */
+  private def pqAssign(s: SparkSession, dir: String): DataFrame = {
+    val qd = t(s, dir, "embeddings").select(col("vec_id"), qvCol.as("qv"))
+    val cb = qd.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code"), col("qv").as("cqv"))
+    qd.withColumn("subspace", explode(sequence(lit(0L), lit(7L))))
+      .crossJoin(broadcast(cb))
+      .withColumn("d", expr(
+        """aggregate(zip_with(
+             slice(qv, cast(subspace * 8 + 1 as int), 8),
+             slice(cqv, cast(subspace * 8 + 1 as int), 8),
+             (x, y) -> (x - y) * (x - y)),
+           0L, (acc, v) -> acc + v)"""))
+      .groupBy("vec_id", "subspace")
+      .agg(min(struct(col("d"), col("code"))).as("m"))
+      .select(col("vec_id"), col("subspace"),
+        col("m.code").as("code"), col("m.d").as("err_sq"))
+  }
+
+  // (lazy: referenced from `all` above its definition)
+  private lazy val qPq: Q = Q(
+      "q200_pq_codes",
+      Some(s"""
+        WITH $pqCodesSql
         SELECT vec_id, subspace, code, d AS err_sq
         FROM best WHERE rn = 1""")
+    )(pqAssign)
+
+  // (lazy: referenced from `all` above its definition)
+  private lazy val qPqAdc: Q = Q(
+      "q201_pq_adc",
+      Some(s"""
+        WITH $pqCodesSql,
+        codes AS (SELECT vec_id, subspace, code FROM best WHERE rn = 1),
+        qt AS (SELECT vec_id AS query_id, qv FROM qd WHERE vec_id < 8),
+        dt AS (
+          SELECT q.query_id, s.subspace, c.code, ${pqDistSql("q", "c")} AS dd
+          FROM qt q CROSS JOIN sub s CROSS JOIN cb c),
+        adc AS (
+          SELECT d.query_id, x.vec_id, CAST(SUM(d.dd) AS BIGINT) AS adc_dist
+          FROM codes x
+          JOIN dt d ON d.subspace = x.subspace AND d.code = x.code
+                    AND d.query_id <> x.vec_id
+          GROUP BY 1, 2)
+        SELECT query_id, vec_id, adc_dist FROM (
+          SELECT query_id, vec_id, adc_dist,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY adc_dist, vec_id) AS rn
+          FROM adc) t WHERE rn <= 5""")
     ) { (s, dir) =>
+      val codes = pqAssign(s, dir).select("vec_id", "subspace", "code")
       val qd = t(s, dir, "embeddings").select(col("vec_id"), qvCol.as("qv"))
       val cb = qd.filter(col("vec_id") < 16)
         .select(col("vec_id").as("code"), col("qv").as("cqv"))
-      qd.withColumn("subspace", explode(sequence(lit(0L), lit(7L))))
+      val dt = qd.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("qv"))
+        .withColumn("subspace", explode(sequence(lit(0L), lit(7L))))
         .crossJoin(broadcast(cb))
-        .withColumn("d", expr(
+        .withColumn("dd", expr(
           """aggregate(zip_with(
                slice(qv, cast(subspace * 8 + 1 as int), 8),
                slice(cqv, cast(subspace * 8 + 1 as int), 8),
                (x, y) -> (x - y) * (x - y)),
              0L, (acc, v) -> acc + v)"""))
-        .groupBy("vec_id", "subspace")
-        .agg(min(struct(col("d"), col("code"))).as("m"))
-        .select(col("vec_id"), col("subspace"),
-          col("m.code").as("code"), col("m.d").as("err_sq"))
+        .select("query_id", "subspace", "code", "dd")
+      val adc = codes
+        .join(broadcast(dt),
+          dt("subspace") === codes("subspace")
+            && dt("code") === codes("code")
+            && dt("query_id") =!= codes("vec_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("dd")).as("adc_dist"))
+      val w = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("vec_id"))
+      adc.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select("query_id", "vec_id", "adc_dist")
     }
 }

@@ -2380,6 +2380,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(again === a)
   }
 
+  test("q202 CUSUM algebra: telescoping ends at zero, peak flags the |S| argmax") {
+    val rows = run("q202_cusum_changepoint").collect().map(r =>
+      (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    rows.groupBy(_._1).foreach { case (tpe, cells) =>
+      val ordered = cells.sortBy(_._2)
+      val nTot = ordered.map(_._3).sum
+      val tCents = ordered.map(_._4).sum
+      // replay S'_i = N·Σcents − T·Σcnt day by day
+      var (cumC, cumN) = (0L, 0L)
+      ordered.foreach { case (_, _, n, cents, s, _) =>
+        cumC += cents; cumN += n
+        assert(s === nTot * cumC - tCents * cumN, s"$tpe CUSUM cell")
+      }
+      // the final cumulative deviation telescopes to exactly zero
+      assert(ordered.last._5 === 0L, s"$tpe must end at zero")
+      // exactly one peak, and it is the earliest |S| argmax
+      val peak = ordered.map(c => math.abs(c._5)).max
+      assert(ordered.filter(_._6).map(_._2) ===
+        Array(ordered.filter(c => math.abs(c._5) == peak).map(_._2).min),
+        s"$tpe peak day")
+    }
+  }
+
   test("q197 matches the brute-force CEP ground truth") {
     val ev = graft.Tables.load(spark, sf, "events")
       .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS us")

@@ -81,4 +81,27 @@ class RetrievalSpec extends SparkSpec {
       }
     }
   }
+
+  test("q201 ADC equals the brute-force code-plus-table recompute, top-5 for top-5") {
+    val vecs = quantized()
+    val cb = vecs.filter(_._1 < 16)
+    def subDist(a: Array[Long], b: Array[Long], j: Int): Long =
+      (j * 8 until j * 8 + 8).map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val codeOf = vecs.map { case (id, v) =>
+      id -> (0 until 8).map { j =>
+        cb.toSeq.map { case (c, w) => (c, subDist(v, w, j)) }
+          .minBy { case (c, d) => (d, c) }._1
+      }
+    }
+    val truth = vecs.keys.filter(_ < 8).flatMap { qid =>
+      val q = vecs(qid)
+      vecs.keys.filter(_ != qid).map { vid =>
+        val adc = (0 until 8).map(j => subDist(q, cb(codeOf(vid)(j)), j)).sum
+        (qid, vid, adc)
+      }.toSeq.sortBy { case (_, vid, adc) => (adc, vid) }.take(5)
+    }.toSet
+    val got = run("q201_pq_adc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === truth)
+  }
 }
