@@ -145,6 +145,7 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q200    graft.queries.Vectors    — product-quantization codes
   *   q201    graft.queries.Vectors    — PQ asymmetric-distance top-k
   *   q202    graft.queries.Events     — CUSUM changepoint scan
+  *   q203    graft.queries.Vectors    — grid-DBSCAN density clustering
   */
 object SparkEntry {
 

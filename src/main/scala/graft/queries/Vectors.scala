@@ -1164,6 +1164,29 @@ object Vectors {
     // ADC here is not approximate RELATIVE to the codes: the only
     // approximation is quantization itself, which q150/q200 audit.
     qPqAdc,
+
+    // --------------------------------------------------------------- q203
+    // Grid-DBSCAN density clustering on the first two embedding dims —
+    // the cell-level approximation that makes density clustering a
+    // keyed dataflow: bucket points into 50-unit cells (shifted
+    // positive first — both engines' integer div truncates toward
+    // zero, which would double-width the origin cell), a cell is CORE
+    // at ≥ 8 points, core cells connect through their 8-neighborhood,
+    // and every point lands core / border (non-core cell touching a
+    // core cell — it adopts the smallest adjacent cluster) / noise.
+    // Labels CONVERGE to connected components via 16 unrolled
+    // neighbor-min rounds — affordable depth BECAUSE the graph is the
+    // tiny cell table, not the corpus (the inverse of q157's trade);
+    // the fixtures' measured fixpoints are 6/6/11 rounds at the three
+    // SFs, and RetrievalSpec recomputes the true fixpoint so a
+    // fixture that outgrew the unroll FAILS loudly instead of
+    // mislabeling — the fixed-round discipline made safe for a query
+    // whose OUTPUT is the component id. The cell
+    // table is DOMAIN-bounded (range/width², independent of corpus
+    // size), so every cell-space join and the two label-attach joins
+    // back to points broadcast soundly at any SF; the corpus pays one
+    // map-side cell aggregation and one broadcast-join pass.
+    qGridDbscan,
   )
 
   /** q158's truncated-cosine top-5 at d dims: same candidate universe
@@ -1540,5 +1563,160 @@ object Vectors {
       val w = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("vec_id"))
       adc.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
         .select("query_id", "vec_id", "adc_dist")
+    }
+
+  // (lazy: referenced from `all` above its definition)
+  private lazy val qGridDbscan: Q = Q(
+      "q203_grid_dbscan",
+      Some(s"""
+        WITH pts AS (
+          SELECT vec_id,
+                 (CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)
+                  + 16384) // 50 AS cx,
+                 (CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT)
+                  + 16384) // 50 AS cy
+          FROM embeddings),
+        cells AS (
+          SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS c
+          FROM pts GROUP BY 1, 2),
+        core AS (SELECT cx, cy FROM cells WHERE c >= 8),
+        off AS (
+          SELECT CAST(a.range AS BIGINT) AS dx, CAST(b.range AS BIGINT) AS dy
+          FROM range(-1, 2) a CROSS JOIN range(-1, 2) b),
+        l0 AS (SELECT cx, cy, cx * 65536 + cy AS label FROM core),
+        n1 AS (
+          SELECT c.cx, c.cy, CAST(MIN(l.label) AS BIGINT) AS label
+          FROM l0 l CROSS JOIN off o
+          JOIN core c ON c.cx = l.cx + o.dx AND c.cy = l.cy + o.dy
+          GROUP BY 1, 2),
+        n2 AS (
+          SELECT c.cx, c.cy, CAST(MIN(l.label) AS BIGINT) AS label
+          FROM n1 l CROSS JOIN off o
+          JOIN core c ON c.cx = l.cx + o.dx AND c.cy = l.cy + o.dy
+          GROUP BY 1, 2),
+        n3 AS (
+          SELECT c.cx, c.cy, CAST(MIN(l.label) AS BIGINT) AS label
+          FROM n2 l CROSS JOIN off o
+          JOIN core c ON c.cx = l.cx + o.dx AND c.cy = l.cy + o.dy
+          GROUP BY 1, 2),
+        n4 AS (
+          SELECT c.cx, c.cy, CAST(MIN(l.label) AS BIGINT) AS label
+          FROM n3 l CROSS JOIN off o
+          JOIN core c ON c.cx = l.cx + o.dx AND c.cy = l.cy + o.dy
+          GROUP BY 1, 2),
+        n5 AS (
+          SELECT c.cx, c.cy, CAST(MIN(l.label) AS BIGINT) AS label
+          FROM n4 l CROSS JOIN off o
+          JOIN core c ON c.cx = l.cx + o.dx AND c.cy = l.cy + o.dy
+          GROUP BY 1, 2),
+        n6 AS (
+          SELECT c.cx, c.cy, CAST(MIN(l.label) AS BIGINT) AS label
+          FROM n5 l CROSS JOIN off o
+          JOIN core c ON c.cx = l.cx + o.dx AND c.cy = l.cy + o.dy
+          GROUP BY 1, 2),
+        n7 AS (
+          SELECT c.cx, c.cy, CAST(MIN(l.label) AS BIGINT) AS label
+          FROM n6 l CROSS JOIN off o
+          JOIN core c ON c.cx = l.cx + o.dx AND c.cy = l.cy + o.dy
+          GROUP BY 1, 2),
+        n8 AS (
+          SELECT c.cx, c.cy, CAST(MIN(l.label) AS BIGINT) AS label
+          FROM n7 l CROSS JOIN off o
+          JOIN core c ON c.cx = l.cx + o.dx AND c.cy = l.cy + o.dy
+          GROUP BY 1, 2),
+        n9 AS (
+          SELECT c.cx, c.cy, CAST(MIN(l.label) AS BIGINT) AS label
+          FROM n8 l CROSS JOIN off o
+          JOIN core c ON c.cx = l.cx + o.dx AND c.cy = l.cy + o.dy
+          GROUP BY 1, 2),
+        n10 AS (
+          SELECT c.cx, c.cy, CAST(MIN(l.label) AS BIGINT) AS label
+          FROM n9 l CROSS JOIN off o
+          JOIN core c ON c.cx = l.cx + o.dx AND c.cy = l.cy + o.dy
+          GROUP BY 1, 2),
+        n11 AS (
+          SELECT c.cx, c.cy, CAST(MIN(l.label) AS BIGINT) AS label
+          FROM n10 l CROSS JOIN off o
+          JOIN core c ON c.cx = l.cx + o.dx AND c.cy = l.cy + o.dy
+          GROUP BY 1, 2),
+        n12 AS (
+          SELECT c.cx, c.cy, CAST(MIN(l.label) AS BIGINT) AS label
+          FROM n11 l CROSS JOIN off o
+          JOIN core c ON c.cx = l.cx + o.dx AND c.cy = l.cy + o.dy
+          GROUP BY 1, 2),
+        n13 AS (
+          SELECT c.cx, c.cy, CAST(MIN(l.label) AS BIGINT) AS label
+          FROM n12 l CROSS JOIN off o
+          JOIN core c ON c.cx = l.cx + o.dx AND c.cy = l.cy + o.dy
+          GROUP BY 1, 2),
+        n14 AS (
+          SELECT c.cx, c.cy, CAST(MIN(l.label) AS BIGINT) AS label
+          FROM n13 l CROSS JOIN off o
+          JOIN core c ON c.cx = l.cx + o.dx AND c.cy = l.cy + o.dy
+          GROUP BY 1, 2),
+        n15 AS (
+          SELECT c.cx, c.cy, CAST(MIN(l.label) AS BIGINT) AS label
+          FROM n14 l CROSS JOIN off o
+          JOIN core c ON c.cx = l.cx + o.dx AND c.cy = l.cy + o.dy
+          GROUP BY 1, 2),
+        n16 AS (
+          SELECT c.cx, c.cy, CAST(MIN(l.label) AS BIGINT) AS label
+          FROM n15 l CROSS JOIN off o
+          JOIN core c ON c.cx = l.cx + o.dx AND c.cy = l.cy + o.dy
+          GROUP BY 1, 2),
+        nbr AS (
+          SELECT r.cx + o.dx AS nx, r.cy + o.dy AS ny,
+                 CAST(MIN(r.label) AS BIGINT) AS label
+          FROM n16 r CROSS JOIN off o GROUP BY 1, 2)
+        SELECT p.vec_id, p.cx, p.cy,
+               CASE WHEN c2.label IS NOT NULL THEN 'core'
+                    WHEN n.label IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS role,
+               COALESCE(c2.label, n.label, -1) AS cluster
+        FROM pts p
+        LEFT JOIN n16 c2 ON c2.cx = p.cx AND c2.cy = p.cy
+        LEFT JOIN nbr n ON n.nx = p.cx AND n.ny = p.cy""")
+    ) { (s, dir) =>
+      val pts = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("(cast(floor(cast(element_at(embedding, 1) as double) * 1000)" +
+            " as bigint) + 16384) div 50").as("cx"),
+          expr("(cast(floor(cast(element_at(embedding, 2) as double) * 1000)" +
+            " as bigint) + 16384) div 50").as("cy"))
+      val cells = pts.groupBy("cx", "cy").agg(count(lit(1)).as("c"))
+      val core = cells.filter(col("c") >= 8).select("cx", "cy")
+      def expand(lab: DataFrame): DataFrame = lab
+        .withColumn("dx", explode(sequence(lit(-1L), lit(1L))))
+        .withColumn("dy", explode(sequence(lit(-1L), lit(1L))))
+        .select((col("cx") + col("dx")).as("nx"),
+          (col("cy") + col("dy")).as("ny"), col("label"))
+      val l0 = core.withColumn("label", col("cx") * 65536L + col("cy"))
+      // 16 unrolled neighbor-min rounds over the domain-bounded
+      // core-cell graph — each is a 9-way expand + keyed min over the
+      // TINY cell table, so depth is cheap here where it would not be
+      // on a corpus-sized graph (q157's trade, inverted). A min-label
+      // pointer-jump does NOT double coverage (min over N_r(c)∪N_r(p)
+      // misses cells near neither — measured divergent), so plain
+      // rounds with spec-checked headroom are the honest plan. Core
+      // re-aliased per round: the label frame derives from it, and
+      // Spark's self-join ambiguity check demands distinct lineage.
+      val r2 = (1 to 16).foldLeft(l0) { (lab, _) =>
+        expand(lab)
+          .join(core.select(col("cx").as("kx"), col("cy").as("ky")),
+            col("nx") === col("kx") && col("ny") === col("ky"))
+          .groupBy(col("kx"), col("ky")).agg(min(col("label")).as("label"))
+          .select(col("kx").as("cx"), col("ky").as("cy"), col("label"))
+      }
+      val nbr = expand(r2).groupBy("nx", "ny").agg(min(col("label")).as("nlabel"))
+      pts
+        .join(broadcast(r2.withColumnRenamed("label", "clabel")),
+          Seq("cx", "cy"), "left")
+        .join(broadcast(nbr),
+          pts("cx") === nbr("nx") && pts("cy") === nbr("ny"), "left")
+        .select(col("vec_id"), col("cx"), col("cy"),
+          when(col("clabel").isNotNull, "core")
+            .when(col("nlabel").isNotNull, "border")
+            .otherwise("noise").as("role"),
+          coalesce(col("clabel"), col("nlabel"), lit(-1L)).as("cluster"))
     }
 }

@@ -104,4 +104,49 @@ class RetrievalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === truth)
   }
+
+  test("q203 equals a driver-side grid-DBSCAN with full label convergence on this fixture") {
+    val pts = graft.Tables.load(spark, sf, "embeddings").collect().map { r =>
+      val e = r.getSeq[Float](1)
+      val cx = (math.floor(e(0).toDouble * 1000).toLong + 16384) / 50
+      val cy = (math.floor(e(1).toDouble * 1000).toLong + 16384) / 50
+      (r.getLong(0), cx, cy)
+    }
+    val counts = pts.groupBy(p => (p._2, p._3)).map { case (c, ps) => c -> ps.length }
+    val core = counts.filter(_._2 >= 8).keySet
+    // fixpoint min-label over the 8-neighborhood core graph
+    var label = core.map(c => c -> (c._1 * 65536 + c._2)).toMap
+    var changed = true
+    var rounds = 0
+    while (changed) {
+      changed = false; rounds += 1
+      val next = core.map { c =>
+        val nbrs = for {
+          dx <- -1 to 1; dy <- -1 to 1
+          n = (c._1 + dx, c._2 + dy) if core(n)
+        } yield label(n)
+        c -> nbrs.min
+      }.toMap
+      if (next != label) { label = next; changed = true }
+    }
+    // the query unrolls 16 neighbor-min rounds; the naive fixpoint's
+    // round count here bounds the true need, so this asserts the
+    // unroll still converges on the fixture (measured 6 at sf0.001)
+    assert(rounds <= 16, s"fixture needs $rounds rounds — widen the unroll")
+    val nbrLabel = core.flatMap { c =>
+      for (dx <- -1 to 1; dy <- -1 to 1) yield (c._1 + dx, c._2 + dy) -> label(c)
+    }.groupBy(_._1).map { case (p, ls) => p -> ls.map(_._2).min }
+    val truth = pts.map { case (id, cx, cy) =>
+      val cell = (cx, cy)
+      if (core(cell)) (id, cx, cy, "core", label(cell))
+      else nbrLabel.get(cell) match {
+        case Some(l) => (id, cx, cy, "border", l)
+        case None => (id, cx, cy, "noise", -1L)
+      }
+    }.toSet
+    val got = run("q203_grid_dbscan").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4))).toSet
+    assert(got === truth)
+  }
 }
