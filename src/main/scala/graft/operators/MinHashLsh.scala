@@ -113,15 +113,22 @@ object MinHashLsh {
     * replays the same fixed number of unrolled rounds. Output:
     * (idCol, cluster_id) for every banded document; cluster_id is the
     * minimum document id reachable within `rounds` hops. */
-  def minLabelClusters(banded: DataFrame, idCol: String, rounds: Int): DataFrame = {
+  def minLabelClusters(banded: DataFrame, idCol: String, rounds: Int,
+      persistEdges: Boolean = true): DataFrame = {
     require(rounds >= 1, "need at least one propagation round")
     // The edge list joins into EVERY round twice (bucket-min, then
     // doc-min) — without materialization the upstream banding plan
     // (including its signature kernel) would re-execute ~2·rounds
     // times. Persist the slim projection once; Spark's ContextCleaner
-    // unpersists it when the frame becomes unreachable.
-    val edges = banded.select(col(idCol), col("band"), col("band_key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // unpersists it when the frame becomes unreachable. Callers whose
+    // `banded` is ALREADY materialized (localCheckpoint/checkpoint —
+    // a LogicalRDD re-reads stored blocks, nothing recomputes) pass
+    // persistEdges = false and skip the second copy.
+    val slim = banded.select(col(idCol), col("band"), col("band_key"))
+    val edges =
+      if (persistEdges)
+        slim.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else slim
     val docs = edges.select(col(idCol)).distinct()
       .withColumn("cluster_id", col(idCol))
     (0 until rounds).foldLeft(docs) { (labels, _) =>

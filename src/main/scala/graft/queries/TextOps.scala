@@ -2117,15 +2117,26 @@ object TextOps {
           t(s, dir, "documents").select("doc_id", "text"), "text", cfg)
           .select("doc_id", "band", "band_key"))
       val clusters = graft.operators.MinHashLsh
-        .minLabelClusters(banded, "doc_id", rounds = 3)
+        .minLabelClusters(banded, "doc_id", rounds = 3, persistEdges = false)
       val splits = graft.Checkpoints.materialize(clusters.select(col("doc_id"),
         (graft.Knuth.col(col("cluster_id"), 7919L) % 10).as("sp_cluster"),
         (graft.Knuth.col(col("doc_id"), 7919L) % 10).as("sp_naive")))
+      // ONE corpus-sized join feeds BOTH strategies: the joint
+      // (bucket, sp_naive, sp_cluster) counts determine either
+      // strategy's per-bucket split histogram by re-aggregation in
+      // bucket space, instead of two strategy-keyed audit joins
+      // shuffling the banded table twice for the same information;
+      // with the duplicate edge persist skipped (banded is already
+      // checkpointed) the pair of changes measured 4.7 -> 3.8 s
+      // steady-state at sf0.1
+      val joint = graft.Checkpoints.materialize(
+        banded.join(splits, "doc_id")
+          .groupBy("band", "band_key", "sp_naive", "sp_cluster")
+          .agg(count(lit(1)).as("c")))
       def audit(sp: String, label: String): DataFrame = {
-        val leak = banded
-          .join(splits.select(col("doc_id"), col(sp).as("sp")), "doc_id")
-          .groupBy("band", "band_key", "sp")
-          .agg(count(lit(1)).as("ns"))
+        val leak = joint
+          .groupBy(col("band"), col("band_key"), col(sp).as("sp"))
+          .agg(sum(col("c")).as("ns"))
           .groupBy("band", "band_key")
           .agg(sum(col("ns")).as("n"),
             sum(col("ns") * (col("ns") - 1)).as("intra"))
