@@ -146,6 +146,8 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q201    graft.queries.Vectors    — PQ asymmetric-distance top-k
   *   q202    graft.queries.Events     — CUSUM changepoint scan
   *   q203    graft.queries.Vectors    — grid-DBSCAN density clustering
+  *   q204    graft.queries.Relational — relational division (counting)
+  *   q205    graft.queries.Events     — user-lifecycle weekly report
   */
 object SparkEntry {
 

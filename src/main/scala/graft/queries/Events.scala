@@ -2292,5 +2292,81 @@ object Events {
           col("day_cents"), col("s_scaled"),
           (col("d") === col("peak_d")).as("is_peak"))
     },
+
+    // --------------------------------------------------------------- q205
+    // User-lifecycle weekly report — the growth-accounting table every
+    // product org keeps: per week, active / new (first week ever) /
+    // retained (active previous week) / resurrected (returning after
+    // a gap) / churned-into (active last week, absent this week).
+    // Weeks are epoch-day div 7 (exact integers — calendar week
+    // truncation differs across engines, the q141 dow lesson one
+    // level up). Per-user stage classification is a lag window over
+    // the user's DISTINCT active weeks (events-per-user bounded);
+    // churn emits from the same window via lead — a user churns into
+    // wk+1 when the next active week isn't wk+1 (bounded by the
+    // corpus max week so nobody churns past the observation window).
+    // The weekly grid joins stage counts by week key; every count
+    // coalesces to 0 so the report is dense. Corpus cost: one
+    // map-side distinct to (user, week), windows per user, counts per
+    // week — nothing global, nothing quadratic.
+    Q(
+      "q205_lifecycle",
+      Some("""
+        WITH uw AS (
+          SELECT DISTINCT user_id,
+                 (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) // 7 AS wk
+          FROM events),
+        gmax AS (SELECT CAST(MAX(wk) AS BIGINT) AS mx FROM uw),
+        staged AS (
+          SELECT user_id, wk,
+                 LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+                 LEAD(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+          FROM uw),
+        stages AS (
+          SELECT wk,
+                 CAST(COUNT(*) AS BIGINT) AS n_active,
+                 CAST(SUM(CASE WHEN prev_wk IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_new,
+                 CAST(SUM(CASE WHEN prev_wk = wk - 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_retained,
+                 CAST(SUM(CASE WHEN prev_wk IS NOT NULL AND prev_wk < wk - 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+          FROM staged GROUP BY 1),
+        churn AS (
+          SELECT s.wk + 1 AS wk, CAST(COUNT(*) AS BIGINT) AS n_churned
+          FROM staged s CROSS JOIN gmax g
+          WHERE (s.next_wk IS NULL OR s.next_wk > s.wk + 1)
+            AND s.wk < g.mx
+          GROUP BY 1)
+        SELECT st.wk, st.n_active, st.n_new, st.n_retained,
+               st.n_resurrected, COALESCE(c.n_churned, 0) AS n_churned
+        FROM stages st LEFT JOIN churn c ON c.wk = st.wk""")
+    ) { (s, dir) =>
+      val uw = t(s, dir, "events")
+        .select(col("user_id"),
+          expr("(unix_micros(ts) div 86400000000) div 7").as("wk"))
+        .distinct()
+      val gmax = uw.agg(max(col("wk")).as("mx"))
+      val w = Window.partitionBy("user_id").orderBy("wk")
+      val staged = uw
+        .withColumn("prev_wk", lag(col("wk"), 1).over(w))
+        .withColumn("next_wk", lead(col("wk"), 1).over(w))
+      val stages = staged.groupBy("wk").agg(
+        count(lit(1)).as("n_active"),
+        sum(when(col("prev_wk").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("prev_wk") === col("wk") - 1, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("prev_wk").isNotNull && col("prev_wk") < col("wk") - 1,
+          1L).otherwise(0L)).as("n_resurrected"))
+      val churn = staged.crossJoin(broadcast(gmax))
+        .filter((col("next_wk").isNull || col("next_wk") > col("wk") + 1)
+          && col("wk") < col("mx"))
+        .groupBy((col("wk") + 1).as("wk"))
+        .agg(count(lit(1)).as("n_churned"))
+      stages.join(churn, Seq("wk"), "left")
+        .na.fill(0L, Seq("n_churned"))
+        .select("wk", "n_active", "n_new", "n_retained", "n_resurrected",
+          "n_churned")
+    },
   )
 }

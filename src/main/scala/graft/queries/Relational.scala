@@ -1479,5 +1479,46 @@ object Relational {
           col("slope_cents"),
           expr("(sy - slope_cents * sx) div n_months").as("intercept_cents"))
     },
+
+    // --------------------------------------------------------------- q204
+    // Relational DIVISION — "customers with an order in EVERY quarter
+    // of 1995" — the classical operator the basic algebra can't
+    // express without double negation, in its scalable counting form:
+    // |distinct quarters the customer ordered in| = |divisor|. The
+    // divisor is the DECLARED literal set {1,2,3,4} (a division's
+    // divisor is part of the question), the dividend is one distinct
+    // pass over the year's orders, and the NOT EXISTS(EXCEPT)
+    // textbook form becomes one keyed distinct + one groupBy +
+    // HAVING — nothing correlated, nothing quadratic. Measured
+    // selectivity 3/16/144 qualifying customers at the three SFs —
+    // the mid-selectivity a division needs (part-set and
+    // region-coverage variants measured degenerate 0% / 100% on this
+    // uniform fixture; the operator shape is identical).
+    Q(
+      "q204_relational_division",
+      Some("""
+        WITH uq AS (
+          SELECT DISTINCT o_custkey,
+                 CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS q
+          FROM orders
+          WHERE year(CAST(o_orderdate AS DATE)) = 1995),
+        per AS (
+          SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_matched
+          FROM uq GROUP BY 1)
+        SELECT c.c_custkey, c.c_name, p.n_matched
+        FROM per p
+        JOIN customer c ON c.c_custkey = p.o_custkey
+        WHERE p.n_matched = 4""")
+    ) { (s, dir) =>
+      val uq = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_custkey"),
+          quarter(col("o_orderdate")).cast("long").as("q"))
+        .distinct()
+      uq.groupBy("o_custkey").agg(count(lit(1)).as("n_matched"))
+        .filter(col("n_matched") === 4)
+        .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_matched"))
+    },
   )
 }

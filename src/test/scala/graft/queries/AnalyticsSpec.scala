@@ -2404,6 +2404,33 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q204 division equals the brute-force all-quarters replay") {
+    val orders = graft.Tables.load(spark, sf, "orders")
+      .selectExpr("o_custkey", "year(o_orderdate) AS y", "quarter(o_orderdate) AS q")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val truth = orders.filter(_._2 == 1995).groupBy(_._1)
+      .filter { case (_, rs) => rs.map(_._3).distinct.length == 4 }
+      .keySet
+    val got = run("q204_relational_division").collect().map(_.getLong(0)).toSet
+    assert(got === truth, s"got ${got.size}, truth ${truth.size}")
+  }
+
+  test("q205 lifecycle accounting: stages partition actives, churn balances the ledger") {
+    val rows = run("q205_lifecycle").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    rows.foreach { case (wk, (active, nw, ret, res, _)) =>
+      assert(active === nw + ret + res, s"week $wk stages must partition actives")
+    }
+    // churned-into(w) = active(w−1) − retained(w) wherever week w−1 exists
+    rows.foreach { case (wk, (_, _, ret, _, _)) =>
+      rows.get(wk - 1).foreach { case (prevActive, _, _, _, _) =>
+        assert(rows(wk)._5 === prevActive - ret,
+          s"week $wk churn ledger must balance")
+      }
+    }
+  }
+
   test("q197 matches the brute-force CEP ground truth") {
     val ev = graft.Tables.load(spark, sf, "events")
       .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS us")
