@@ -148,6 +148,8 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q203    graft.queries.Vectors    — grid-DBSCAN density clustering
   *   q204    graft.queries.Relational — relational division (counting)
   *   q205    graft.queries.Events     — user-lifecycle weekly report
+  *   q206    graft.queries.Relational — floor-clamped running balance
+  *   q207    graft.queries.Events     — three-way merge reconciliation
   */
 object SparkEntry {
 

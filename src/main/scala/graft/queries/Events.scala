@@ -2368,5 +2368,126 @@ object Events {
         .select("wk", "n_active", "n_new", "n_retained", "n_resurrected",
           "n_churned")
     },
+
+    // --------------------------------------------------------------- q207
+    // Three-way merge reconciliation — the data-versioning operator
+    // behind branched ingestion: BASE is the per-user latest state
+    // before the split point (corpus max day − 2, a broadcast
+    // anchor), branches A/B are the even/odd epoch-days after it,
+    // each compacted to its per-user latest under the house
+    // (ts, event_id) total order. Per user: untouched → 'base',
+    // one-sided updates fast-forward ('from_a'/'from_b'), both-sided
+    // updates are a CONFLICT resolved latest-writer-wins with the
+    // winning side recorded — the audit a merge tool surfaces instead
+    // of silently clobbering. Compactions are user-keyed windows over
+    // one corpus pass routed into three branches by day arithmetic;
+    // the three latest-state tables full-outer-join on the user key.
+    // All exact integers (µs timestamps, DECIMAL→cents values).
+    Q(
+      "q207_three_way_merge",
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, event_type,
+                 CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+          FROM events),
+        anchor AS (SELECT CAST(MAX(day) - 2 AS BIGINT) AS split FROM ev),
+        routed AS (
+          SELECT e.*,
+                 CASE WHEN e.day < a.split THEN 'base'
+                      WHEN e.day % 2 = 0 THEN 'a' ELSE 'b' END AS branch
+          FROM ev e CROSS JOIN anchor a),
+        latest AS (
+          SELECT * FROM (
+            SELECT user_id, branch, event_type, cents, us, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, branch
+                     ORDER BY us DESC, event_id DESC) AS rn
+            FROM routed) t WHERE rn = 1),
+        p AS (
+          SELECT user_id,
+                 MIN(CASE WHEN branch = 'base' THEN event_type END) AS base_type,
+                 MIN(CASE WHEN branch = 'base' THEN cents END) AS base_cents,
+                 MIN(CASE WHEN branch = 'a' THEN event_type END) AS a_type,
+                 MIN(CASE WHEN branch = 'a' THEN cents END) AS a_cents,
+                 MIN(CASE WHEN branch = 'a' THEN us END) AS a_us,
+                 MIN(CASE WHEN branch = 'a' THEN event_id END) AS a_id,
+                 MIN(CASE WHEN branch = 'b' THEN event_type END) AS b_type,
+                 MIN(CASE WHEN branch = 'b' THEN cents END) AS b_cents,
+                 MIN(CASE WHEN branch = 'b' THEN us END) AS b_us,
+                 MIN(CASE WHEN branch = 'b' THEN event_id END) AS b_id
+          FROM latest GROUP BY 1)
+        SELECT user_id,
+               CASE WHEN a_type IS NULL AND b_type IS NULL THEN 'base'
+                    WHEN b_type IS NULL THEN 'from_a'
+                    WHEN a_type IS NULL THEN 'from_b'
+                    ELSE 'conflict' END AS status,
+               CASE WHEN a_type IS NULL AND b_type IS NULL THEN 'base'
+                    WHEN b_type IS NULL THEN 'a'
+                    WHEN a_type IS NULL THEN 'b'
+                    WHEN a_us > b_us OR (a_us = b_us AND a_id > b_id)
+                      THEN 'a' ELSE 'b' END AS winner,
+               CASE WHEN a_type IS NULL AND b_type IS NULL THEN base_type
+                    WHEN b_type IS NULL THEN a_type
+                    WHEN a_type IS NULL THEN b_type
+                    WHEN a_us > b_us OR (a_us = b_us AND a_id > b_id)
+                      THEN a_type ELSE b_type END AS merged_type,
+               CASE WHEN a_type IS NULL AND b_type IS NULL THEN base_cents
+                    WHEN b_type IS NULL THEN a_cents
+                    WHEN a_type IS NULL THEN b_cents
+                    WHEN a_us > b_us OR (a_us = b_us AND a_id > b_id)
+                      THEN a_cents ELSE b_cents END AS merged_cents,
+               base_type IS NOT NULL AS base_present
+        FROM p""")
+    ) { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          (col("value").cast(DecimalType(18, 4)) * 100).cast("long")
+            .as("cents"),
+          unix_micros(col("ts")).as("us"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+      val anchor = ev.agg((max(col("day")) - 2).as("split"))
+      val routed = ev.crossJoin(broadcast(anchor))
+        .withColumn("branch",
+          when(col("day") < col("split"), "base")
+            .when(col("day") % 2 === 0, "a").otherwise("b"))
+      val w = Window.partitionBy("user_id", "branch")
+        .orderBy(desc("us"), desc("event_id"))
+      val latest = routed.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      def m(b: String, c: String) =
+        min(when(col("branch") === b, col(c))).as(s"${b}_$c")
+      val p = latest.groupBy("user_id").agg(
+        min(when(col("branch") === "base", col("event_type"))).as("base_type"),
+        min(when(col("branch") === "base", col("cents"))).as("base_cents"),
+        min(when(col("branch") === "a", col("event_type"))).as("a_type"),
+        m("a", "cents"), m("a", "us"),
+        min(when(col("branch") === "a", col("event_id"))).as("a_id"),
+        min(when(col("branch") === "b", col("event_type"))).as("b_type"),
+        m("b", "cents"), m("b", "us"),
+        min(when(col("branch") === "b", col("event_id"))).as("b_id"))
+      val aWins = col("a_us") > col("b_us") ||
+        (col("a_us") === col("b_us") && col("a_id") > col("b_id"))
+      p.select(col("user_id"),
+        when(col("a_type").isNull && col("b_type").isNull, "base")
+          .when(col("b_type").isNull, "from_a")
+          .when(col("a_type").isNull, "from_b")
+          .otherwise("conflict").as("status"),
+        when(col("a_type").isNull && col("b_type").isNull, "base")
+          .when(col("b_type").isNull, "a")
+          .when(col("a_type").isNull, "b")
+          .when(aWins, "a").otherwise("b").as("winner"),
+        when(col("a_type").isNull && col("b_type").isNull, col("base_type"))
+          .when(col("b_type").isNull, col("a_type"))
+          .when(col("a_type").isNull, col("b_type"))
+          .when(aWins, col("a_type")).otherwise(col("b_type"))
+          .as("merged_type"),
+        when(col("a_type").isNull && col("b_type").isNull, col("base_cents"))
+          .when(col("b_type").isNull, col("a_cents"))
+          .when(col("a_type").isNull, col("b_cents"))
+          .when(aWins, col("a_cents")).otherwise(col("b_cents"))
+          .as("merged_cents"),
+        col("base_type").isNotNull.as("base_present"))
+    },
   )
 }

@@ -1520,5 +1520,67 @@ object Relational {
         .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
         .select(col("c_custkey"), col("c_name"), col("n_matched"))
     },
+
+    // --------------------------------------------------------------- q206
+    // Floor-clamped running balance — the inventory recurrence
+    // b_i = max(0, b_{i−1} + δ_i) looks inherently sequential, but it
+    // has a CLOSED FORM over plain prefix aggregates:
+    //   b_i = s_i − min(0, min_{j≤i} s_j)
+    // (s = unclamped prefix sum), so the "loop" distributes as two
+    // windows sharing one part-keyed partitioning — the q177 move for
+    // a clamped sum. Semantics: per part (slice l_partkey < 200 keeps
+    // the audit output bounded; the operator is identical unsliced),
+    // returns ('R') restock +qty, other rows consume −qty, ordered by
+    // (shipdate, orderkey, linenumber) — a synthetic inventory
+    // declared as such; lost_demand = b − s ≥ 0 is the cumulative
+    // unfilled quantity the clamp absorbed. All exact integers.
+    // Scale: windows partition by part (thousands of independent
+    // partitions), no global sort, no corpus-wide single partition.
+    Q(
+      "q206_clamped_balance",
+      Some("""
+        WITH d AS (
+          SELECT l_partkey, l_orderkey, l_linenumber,
+                 epoch_us(CAST(l_shipdate AS TIMESTAMP)) AS ship_us,
+                 CASE WHEN l_returnflag = 'R'
+                      THEN CAST(l_quantity AS BIGINT)
+                      ELSE -CAST(l_quantity AS BIGINT) END AS delta
+          FROM lineitem WHERE l_partkey < 200),
+        cum1 AS (
+          SELECT l_partkey, l_orderkey, l_linenumber, ship_us, delta,
+                 CAST(SUM(delta) OVER (PARTITION BY l_partkey
+                   ORDER BY ship_us, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+          FROM d),
+        cum AS (
+          SELECT l_partkey, l_orderkey, l_linenumber, delta, s,
+                 CAST(MIN(s) OVER (PARTITION BY l_partkey
+                   ORDER BY ship_us, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS smin
+          FROM cum1)
+        SELECT l_partkey, l_orderkey, l_linenumber, delta, s,
+               s - CASE WHEN smin < 0 THEN smin ELSE 0 END AS balance,
+               (s - CASE WHEN smin < 0 THEN smin ELSE 0 END) - s
+                 AS lost_demand
+        FROM cum""")
+    ) { (s, dir) =>
+      val d = t(s, dir, "lineitem").filter(col("l_partkey") < 200)
+        .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+          unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"),
+          when(col("l_returnflag") === "R", col("l_quantity").cast("long"))
+            .otherwise(-col("l_quantity").cast("long")).as("delta"))
+      val w = Window.partitionBy("l_partkey")
+        .orderBy("ship_us", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = d
+        .withColumn("s", sum(col("delta")).over(w))
+        .withColumn("smin", min(col("s")).over(w))
+      cum.select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        col("delta"), col("s"),
+        (col("s") - when(col("smin") < 0, col("smin")).otherwise(0L))
+          .as("balance"),
+        ((col("s") - when(col("smin") < 0, col("smin")).otherwise(0L))
+          - col("s")).as("lost_demand"))
+    },
   )
 }

@@ -2431,6 +2431,81 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q206 closed form equals the sequential clamp recurrence row for row") {
+    val rows = run("q206_clamped_balance").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong, r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // replay b_i = max(0, b_{i-1} + delta) in ship order per part
+    val src = graft.Tables.load(spark, sf, "lineitem")
+      .filter(col("l_partkey") < 200)
+      .selectExpr("l_partkey", "l_orderkey", "cast(l_linenumber as long)",
+        "unix_micros(cast(l_shipdate as timestamp))",
+        "case when l_returnflag = 'R' then cast(l_quantity as long)" +
+          " else -cast(l_quantity as long) end")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // (orderkey, linenumber) is NOT unique in this synthetic fixture
+    // — 4 duplicate pairs with distinct shipdates at sf0.001 — so the
+    // comparison is by sorted multiset, not by key
+    val truth = src.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      var b = 0L
+      rs.sortBy(r => (r._4, r._2, r._3)).map { case (pk, ok, ln, _, d) =>
+        b = math.max(0L, b + d)
+        (pk, ok, ln, d, b)
+      }
+    }.sorted
+    val got = rows.map(r => (r._1, r._2, r._3, r._4, r._6)).toSeq.sorted
+    assert(got === truth)
+    // lost_demand is exactly what the clamp absorbed: balance - s
+    rows.foreach { case (_, _, _, _, s0, b, lost) => assert(lost === b - s0) }
+  }
+
+  test("q207 merge statuses partition users; conflicts resolve latest-writer-wins") {
+    val rows = run("q207_three_way_merge").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getBoolean(5)))
+    val users = graft.Tables.load(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(rows.length.toLong === users, "every user reconciles exactly once")
+    // replay: route events by the same split arithmetic, pick latest per branch
+    val ev = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "event_type",
+        "cast(cast(value as decimal(18,4)) * 100 as long)",
+        "unix_micros(ts)").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    val split = ev.map(_._5 / 86400000000L).max - 2
+    def branchOf(us: Long): String = {
+      val day = us / 86400000000L
+      if (day < split) "base" else if (day % 2 == 0) "a" else "b"
+    }
+    val latest = ev.groupBy(e => (e._1, branchOf(e._5))).map { case (k, es) =>
+      k -> es.maxBy(e => (e._5, e._2))
+    }
+    rows.foreach { case (u, status, winner, mType, mCents, basePresent) =>
+      val base = latest.get((u, "base")); val a = latest.get((u, "a"))
+      val b = latest.get((u, "b"))
+      assert(basePresent === base.isDefined)
+      val expStatus = (a, b) match {
+        case (None, None) => "base"
+        case (Some(_), None) => "from_a"
+        case (None, Some(_)) => "from_b"
+        case _ => "conflict"
+      }
+      assert(status === expStatus, s"user $u status")
+      val win = (a, b) match {
+        case (None, None) => base.get
+        case (Some(x), None) => x
+        case (None, Some(y)) => y
+        case (Some(x), Some(y)) =>
+          if (x._5 > y._5 || (x._5 == y._5 && x._2 > y._2)) x else y
+      }
+      assert(mType === win._3 && mCents === win._4, s"user $u merged value")
+      if (status == "conflict")
+        assert(winner === (if (win == a.get) "a" else "b"), s"user $u winner")
+    }
+  }
+
   test("q197 matches the brute-force CEP ground truth") {
     val ev = graft.Tables.load(spark, sf, "events")
       .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS us")
