@@ -150,6 +150,8 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q205    graft.queries.Events     — user-lifecycle weekly report
   *   q206    graft.queries.Relational — floor-clamped running balance
   *   q207    graft.queries.Events     — three-way merge reconciliation
+  *   q208    graft.queries.Events     — multi-touch linear attribution
+  *   q209    graft.queries.Vectors    — per-cell medoid exemplars
   */
 object SparkEntry {
 

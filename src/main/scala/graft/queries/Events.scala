@@ -2489,5 +2489,70 @@ object Events {
           .as("merged_cents"),
         col("base_type").isNotNull.as("base_present"))
     },
+
+    // --------------------------------------------------------------- q208
+    // Multi-touch LINEAR attribution — q86 gives each purchase one
+    // click; marketing analytics wants credit SPLIT across every
+    // click in the lookback. Exact-integer credit: each of the n
+    // touches gets ⌊1000/n⌋ permille and the LATEST click absorbs the
+    // remainder, so per-purchase credit sums to EXACTLY 1000 (a float
+    // 1/n split neither sums to one nor replays cross-engine). The
+    // candidate join is q197's user-keyed shape with a bounded time
+    // residual; n and the latest-first rank come from one window over
+    // per-purchase candidates (per-user bounded). Purchases with no
+    // lookback click are excluded by the inner join — the unattributed
+    // remainder is q92's funnel-drop measurement, not this one.
+    Q(
+      "q208_linear_attribution",
+      Some("""
+        WITH p AS (
+          SELECT user_id, event_id AS purchase_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+          FROM events WHERE event_type = 'purchase'),
+        c AS (
+          SELECT user_id, event_id AS click_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS c_us
+          FROM events WHERE event_type = 'click'),
+        cand AS (
+          SELECT p.user_id, p.purchase_id, c.click_id, c.c_us,
+                 CAST(COUNT(*) OVER (PARTITION BY p.purchase_id) AS BIGINT)
+                   AS n_touches,
+                 ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                   ORDER BY c.c_us DESC, c.click_id DESC) AS rn
+          FROM p JOIN c ON c.user_id = p.user_id
+            AND c.c_us < p.p_us AND c.c_us >= p.p_us - 1800000000)
+        SELECT user_id, purchase_id, click_id, n_touches,
+               1000 // n_touches
+                 + CASE WHEN rn = 1
+                        THEN 1000 - n_touches * (1000 // n_touches)
+                        ELSE 0 END AS credit_pm
+        FROM cand""")
+    ) { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("us").as("p_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("us").as("c_us"))
+      val cand = p.join(c,
+        col("c_user") === col("user_id")
+          && col("c_us") < col("p_us")
+          && col("c_us") >= col("p_us") - 1800000000L)
+      val wN = Window.partitionBy("purchase_id")
+      val wR = Window.partitionBy("purchase_id")
+        .orderBy(desc("c_us"), desc("click_id"))
+      cand
+        .withColumn("n_touches", count(lit(1)).over(wN))
+        .withColumn("rn", row_number().over(wR))
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          col("n_touches"),
+          (expr("1000 div n_touches")
+            + when(col("rn") === 1,
+                lit(1000L) - col("n_touches") * expr("1000 div n_touches"))
+              .otherwise(0L)).as("credit_pm"))
+    },
   )
 }

@@ -1187,6 +1187,18 @@ object Vectors {
     // back to points broadcast soundly at any SF; the corpus pays one
     // map-side cell aggregation and one broadcast-join pass.
     qGridDbscan,
+
+    // --------------------------------------------------------------- q209
+    // Per-cell MEDOID selection — the exemplar a cluster summary or
+    // few-shot prompt picks: the member minimizing Σ exact squared-L2
+    // to its cellmates (ties → smaller vec_id), with the singleton
+    // cell falling back to its only member at cost 0. Reuses q89's
+    // IVF-cell blocking, so the pair work is Σ cell² — the SemDeDup
+    // scale contract (nCentroids ~ √n at production keeps cells
+    // bounded). One broadcast-centroid map-side assign, one
+    // cell-keyed pair join into a map-side-combinable (cell, member)
+    // sum, one ≤8-row argmin window.
+    qCellMedoids,
   )
 
   /** q158's truncated-cosine top-5 at d dims: same candidate universe
@@ -1718,5 +1730,68 @@ object Vectors {
             .when(col("nlabel").isNotNull, "border")
             .otherwise("noise").as("role"),
           coalesce(col("clabel"), col("nlabel"), lit(-1L)).as("cluster"))
+    }
+
+  // (lazy: referenced from `all` above its definition)
+  private lazy val qCellMedoids: Q = Q(
+      "q209_cell_medoids",
+      Some(s"""
+        WITH normed0 AS ($quantizedSql),
+        normed AS (SELECT vec_id, qv, qn FROM normed0 WHERE qn > 0),
+        cents AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, qv AS cv
+          FROM (SELECT vec_id, qv FROM normed ORDER BY vec_id LIMIT ${ivfCfg.nCentroids}) s),
+        assigned AS (
+          SELECT vec_id, qv, centroid_id FROM (
+            SELECT n.vec_id, n.qv, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                     ORDER BY ${graft.operators.Ivf.sqDistSql("n.qv", "c.cv")}, c.centroid_id) AS rn
+            FROM normed n CROSS JOIN cents c) t
+          WHERE rn = 1),
+        nm AS (
+          SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+                 CAST(MIN(vec_id) AS BIGINT) AS min_member
+          FROM assigned GROUP BY 1),
+        pair AS (
+          SELECT a.centroid_id, a.vec_id AS ma,
+                 CAST(SUM(${graft.operators.Ivf.sqDistSql("a.qv", "b.qv")})
+                      AS BIGINT) AS ssd
+          FROM assigned a JOIN assigned b
+            ON b.centroid_id = a.centroid_id AND b.vec_id <> a.vec_id
+          GROUP BY 1, 2),
+        best AS (
+          SELECT centroid_id, ma, ssd FROM (
+            SELECT centroid_id, ma, ssd,
+                   ROW_NUMBER() OVER (PARTITION BY centroid_id
+                     ORDER BY ssd, ma) AS rn
+            FROM pair) t WHERE rn = 1)
+        SELECT n.centroid_id, COALESCE(b.ma, n.min_member) AS medoid_id,
+               n.n_members, COALESCE(b.ssd, 0) AS medoid_ssd
+        FROM nm n LEFT JOIN best b ON b.centroid_id = n.centroid_id""")
+    ) { (s, dir) =>
+      val base = quantized(s, dir).filter(col("qn") > 0)
+        .select("vec_id", "qv", "qn")
+      val cents = graft.operators.Ivf.seedCentroids(base, "vec_id", "qv",
+        ivfCfg.nCentroids)
+      val assigned = graft.Checkpoints.materialize(
+        graft.operators.Ivf.assign(base, "qv", cents)
+          .select("vec_id", "qv", "centroid_id"))
+      val nm = assigned.groupBy("centroid_id")
+        .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("min_member"))
+      val a = assigned.select(col("centroid_id"), col("vec_id").as("ma"),
+        col("qv").as("qv_a"))
+      val b = assigned.select(col("centroid_id"), col("vec_id").as("id_b"),
+        col("qv").as("qv_b"))
+      val pair = a.join(b, Seq("centroid_id"))
+        .filter(col("id_b") =!= col("ma"))
+        .withColumn("d", expr(graft.operators.Ivf.sqDistExpr("qv_a", "qv_b")))
+        .groupBy("centroid_id", "ma").agg(sum(col("d")).as("ssd"))
+      val wB = Window.partitionBy("centroid_id").orderBy(col("ssd"), col("ma"))
+      val best = pair.withColumn("rn", row_number().over(wB))
+        .filter(col("rn") === 1).select("centroid_id", "ma", "ssd")
+      nm.join(best, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("ma"), col("min_member")).as("medoid_id"),
+          col("n_members"), coalesce(col("ssd"), lit(0L)).as("medoid_ssd"))
     }
 }

@@ -2506,6 +2506,21 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q208 credits sum to exactly 1000 per purchase; remainder lands on the latest touch") {
+    val rows = run("q208_linear_attribution").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (pid, ts) =>
+      assert(ts.map(_._4).sum === 1000L, s"purchase $pid credit must sum to 1000")
+      val n = ts.head._3
+      assert(ts.length.toLong === n, s"purchase $pid n_touches")
+      // every touch gets floor(1000/n); exactly one absorbs the remainder
+      val base = 1000L / n
+      val rem = 1000L - n * base
+      assert(ts.count(_._4 == base + rem) === (if (rem > 0) 1 else ts.length))
+      assert(ts.forall(t => t._4 == base || t._4 == base + rem))
+    }
+  }
+
   test("q197 matches the brute-force CEP ground truth") {
     val ev = graft.Tables.load(spark, sf, "events")
       .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS us")

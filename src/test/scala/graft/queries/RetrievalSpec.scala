@@ -149,4 +149,27 @@ class RetrievalSpec extends SparkSpec {
         r.getLong(4))).toSet
     assert(got === truth)
   }
+
+  test("q209 medoids equal the brute-force per-cell argmin") {
+    val vecs = quantized().filter { case (_, v) => dot(v, v) > 0 }
+    def sq(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    // replay the q89 seed-centroid assignment (8 smallest vec_ids)
+    val cents = vecs.keys.toSeq.sorted.take(8).zipWithIndex
+      .map { case (id, i) => i -> vecs(id) }
+    val cellOf = vecs.map { case (id, v) =>
+      id -> cents.minBy { case (i, cv) => (sq(v, cv), i) }._1
+    }
+    val truth = cellOf.groupBy(_._2).map { case (cell, ms) =>
+      val ids = ms.keys.toSeq
+      val (medoid, ssd) = ids.map { a =>
+        (a, ids.filter(_ != a).map(b => sq(vecs(a), vecs(b))).sum)
+      }.minBy { case (a, d) => (d, a) }
+      cell.toLong -> ((medoid, ids.length.toLong, ssd))
+    }
+    val got = run("q209_cell_medoids").collect()
+      .map(r => r.getInt(0).toLong -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got === truth)
+  }
 }
