@@ -152,6 +152,8 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q207    graft.queries.Events     — three-way merge reconciliation
   *   q208    graft.queries.Events     — multi-touch linear attribution
   *   q209    graft.queries.Vectors    — per-cell medoid exemplars
+  *   q210    graft.queries.Vectors    — class-separation audit
+  *   q211    graft.queries.Vectors    — conformal calibration threshold
   */
 object SparkEntry {
 

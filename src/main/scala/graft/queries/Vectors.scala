@@ -1199,6 +1199,30 @@ object Vectors {
     // cell-keyed pair join into a map-side-combinable (cell, member)
     // sum, one ≤8-row argmin window.
     qCellMedoids,
+
+    // --------------------------------------------------------------- q210
+    // Class-separation audit — "are these labels separable enough to
+    // train on?" as exact integers: per ordered label pair, the
+    // squared-L2 between integer-mean centroids (the q178 floor-div
+    // centroid) against both classes' mean within-class scatter, as
+    // the Fisher-style ratio ⌊1000·d²/(w_a + w_b)⌋. One corpus pass
+    // to (label, dim)-summed centroids, one broadcast-centroid
+    // join-back for the within sums, then everything lives in
+    // |labels|² space. The number that decides whether a
+    // hard-negative pass (q120) is even needed.
+    qClassSep,
+
+    // --------------------------------------------------------------- q211
+    // Split-conformal calibration threshold — the distribution-free
+    // eval gate: nonconformity = exact squared-L2 to the OWN-label
+    // centroid, per-label threshold = the ⌈0.9·n⌉-th smallest score
+    // (exact order statistic via a label-keyed rank window — no
+    // float quantiles), plus the achieved coverage in permille and
+    // the max score. A conformal deployment compares new points
+    // against q90_threshold; the audit proves coverage ≥ 900‰ by
+    // construction and surfaces the tail. Corpus cost: one
+    // assignment pass + one label-keyed window.
+    qConformal,
   )
 
   /** q158's truncated-cosine top-5 at d dims: same candidate universe
@@ -1793,5 +1817,138 @@ object Vectors {
         .select(col("centroid_id"),
           coalesce(col("ma"), col("min_member")).as("medoid_id"),
           col("n_members"), coalesce(col("ssd"), lit(0L)).as("medoid_ssd"))
+    }
+
+  // (lazy: referenced from `all` above its definition)
+  private lazy val qClassSep: Q = Q(
+      "q210_class_separation",
+      Some(s"""
+        WITH normed0 AS ($quantizedSql),
+        normed AS (SELECT vec_id, label, qv FROM normed0 WHERE qn > 0),
+        sums AS (
+          SELECT label, CAST(i AS BIGINT) AS i,
+                 CAST(SUM(qv[CAST(i AS INT)]) AS BIGINT) AS s,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM normed CROSS JOIN range(1, 65) r(i)
+          GROUP BY 1, 2),
+        cent AS (
+          SELECT label, list(s // n ORDER BY i) AS cv, MIN(n) AS n
+          FROM sums GROUP BY label),
+        within AS (
+          SELECT n.label,
+                 CAST(SUM(${graft.operators.Ivf.sqDistSql("n.qv", "c.cv")})
+                      AS BIGINT) AS w_total,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM normed n JOIN cent c ON c.label = n.label
+          GROUP BY 1)
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(${graft.operators.Ivf.sqDistSql("a.cv", "b.cv")} AS BIGINT)
+                 AS between_sq,
+               wa.w_total // wa.n AS within_a,
+               wb.w_total // wb.n AS within_b,
+               (1000 * CAST(${graft.operators.Ivf.sqDistSql("a.cv", "b.cv")} AS BIGINT))
+                 // (wa.w_total // wa.n + wb.w_total // wb.n) AS sep_pm
+        FROM cent a JOIN cent b ON b.label > a.label
+        JOIN within wa ON wa.label = a.label
+        JOIN within wb ON wb.label = b.label""")
+    ) { (s, dir) =>
+      val normed = quantized(s, dir).filter(col("qn") > 0)
+        .select("vec_id", "label", "qv")
+      // (label, dim) sums in one corpus pass, centroid = floor-div mean
+      val sums = normed
+        .select(col("label"), posexplode(col("qv")).as(Seq("i0", "v")))
+        .groupBy(col("label"), (col("i0") + 1).as("i"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      val cent = sums.groupBy("label")
+        .agg(expr("array_sort(collect_list(struct(i, s div n)))").as("kv"),
+          min(col("n")).as("n"))
+        .select(col("label"), expr("transform(kv, x -> x.col2)").as("cv"),
+          col("n"))
+      val centB = graft.Checkpoints.materialize(cent)
+      val within = normed.join(broadcast(centB), "label")
+        .withColumn("d", expr(graft.operators.Ivf.sqDistExpr("qv", "cv")))
+        .groupBy("label")
+        .agg(sum(col("d")).as("w_total"), count(lit(1)).as("n"))
+      val a = centB.select(col("label").as("label_a"), col("cv").as("cv_a"))
+      val b = centB.select(col("label").as("label_b"), col("cv").as("cv_b"))
+      val wa = within.select(col("label").as("label_a"),
+        expr("w_total div n").as("within_a"))
+      val wb = within.select(col("label").as("label_b"),
+        expr("w_total div n").as("within_b"))
+      a.join(b, col("label_b") > col("label_a"))
+        .withColumn("between_sq",
+          expr(graft.operators.Ivf.sqDistExpr("cv_a", "cv_b")))
+        .join(broadcast(wa), "label_a")
+        .join(broadcast(wb), "label_b")
+        .select(col("label_a"), col("label_b"), col("between_sq"),
+          col("within_a"), col("within_b"),
+          expr("(1000 * between_sq) div (within_a + within_b)").as("sep_pm"))
+    }
+
+  // (lazy: referenced from `all` above its definition)
+  private lazy val qConformal: Q = Q(
+      "q211_conformal_threshold",
+      Some(s"""
+        WITH normed0 AS ($quantizedSql),
+        normed AS (SELECT vec_id, label, qv FROM normed0 WHERE qn > 0),
+        sums AS (
+          SELECT label, CAST(i AS BIGINT) AS i,
+                 CAST(SUM(qv[CAST(i AS INT)]) AS BIGINT) AS s,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM normed CROSS JOIN range(1, 65) r(i)
+          GROUP BY 1, 2),
+        cent AS (
+          SELECT label, list(s // n ORDER BY i) AS cv FROM sums GROUP BY label),
+        scored AS (
+          SELECT n.label, n.vec_id,
+                 CAST(${graft.operators.Ivf.sqDistSql("n.qv", "c.cv")} AS BIGINT)
+                   AS score
+          FROM normed n JOIN cent c ON c.label = n.label),
+        ranked AS (
+          SELECT label, vec_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY label
+                   ORDER BY score, vec_id) AS rk,
+                 CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS n
+          FROM scored),
+        thr AS (
+          SELECT label, MIN(n) AS n, MIN(score) AS q90_threshold
+          FROM ranked WHERE 10 * rk >= 9 * n
+          GROUP BY label)
+        SELECT t.label, t.n, t.q90_threshold,
+               (1000 * CAST(SUM(CASE WHEN r.score <= t.q90_threshold
+                    THEN 1 ELSE 0 END) AS BIGINT)) // t.n AS coverage_pm,
+               CAST(MAX(r.score) AS BIGINT) AS max_score
+        FROM ranked r JOIN thr t ON t.label = r.label
+        GROUP BY t.label, t.n, t.q90_threshold""")
+    ) { (s, dir) =>
+      val normed = quantized(s, dir).filter(col("qn") > 0)
+        .select("vec_id", "label", "qv")
+      val sums = normed
+        .select(col("label"), posexplode(col("qv")).as(Seq("i0", "v")))
+        .groupBy(col("label"), (col("i0") + 1).as("i"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      val cent = sums.groupBy("label")
+        .agg(expr("array_sort(collect_list(struct(i, s div n)))").as("kv"))
+        .select(col("label"), expr("transform(kv, x -> x.col2)").as("cv"))
+      val scored = graft.Checkpoints.materialize(
+        normed.join(broadcast(cent), "label")
+          .withColumn("score",
+            expr(graft.operators.Ivf.sqDistExpr("qv", "cv")))
+          .select("label", "vec_id", "score"))
+      val w = Window.partitionBy("label").orderBy(col("score"), col("vec_id"))
+      val ranked = scored
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("label")))
+      val thr = ranked.filter(col("rk") * 10 >= col("n") * 9)
+        .groupBy("label")
+        .agg(min(col("n")).as("n_lab"), min(col("score")).as("q90_threshold"))
+      ranked.join(broadcast(thr), "label")
+        .groupBy(col("label"), col("n_lab"), col("q90_threshold"))
+        .agg(
+          expr("(1000 * sum(case when score <= q90_threshold then 1 else 0 end)) div min(n_lab)")
+            .as("coverage_pm"),
+          max(col("score")).as("max_score"))
+        .select(col("label"), col("n_lab").as("n"), col("q90_threshold"),
+          col("coverage_pm"), col("max_score"))
     }
 }

@@ -172,4 +172,57 @@ class RetrievalSpec extends SparkSpec {
         r.getLong(3)))).toMap
     assert(got === truth)
   }
+
+  private def labeled(): Map[Long, (Int, Array[Long])] =
+    graft.Tables.load(spark, sf, "embeddings").collect().map { r =>
+      r.getLong(0) -> ((r.getInt(2), r.getSeq[Float](1).map(x =>
+        math.floor(x.toDouble * 1000).toLong).toArray))
+    }.toMap.filter { case (_, (_, v)) => v.map(x => x * x).sum > 0 }
+
+  private def centroidsOf(vecs: Map[Long, (Int, Array[Long])]): Map[Int, Array[Long]] =
+    vecs.values.groupBy(_._1).map { case (lab, ms) =>
+      val n = ms.size.toLong
+      // Scala Long division truncates toward zero — identical to both
+      // engines' integer div (the verify-skill proven semantics)
+      lab -> (0 until 64).map(i => ms.map(_._2(i)).sum / n).toArray
+    }
+
+  test("q210 separation equals the replayed Fisher-style ratio per label pair") {
+    val vecs = labeled()
+    def sq(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val cent = centroidsOf(vecs)
+    val within = vecs.values.groupBy(_._1).map { case (lab, ms) =>
+      lab -> ms.map(m => sq(m._2, cent(lab))).sum / ms.size
+    }
+    val truth = (for {
+      a <- cent.keys; b <- cent.keys if b > a
+      d = sq(cent(a), cent(b))
+    } yield (a.toLong, b.toLong) ->
+        ((d, within(a), within(b), 1000L * d / (within(a) + within(b))))).toMap
+    val got = run("q210_class_separation").collect()
+      .map(r => (r.getInt(0).toLong, r.getInt(1).toLong) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === truth)
+  }
+
+  test("q211 threshold is the exact ceil(0.9n) order statistic; coverage in [900, 1000]") {
+    val vecs = labeled()
+    def sq(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val cent = centroidsOf(vecs)
+    val rows = run("q211_conformal_threshold").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    vecs.values.groupBy(_._1).foreach { case (lab, ms) =>
+      val scores = ms.toSeq.map(m => sq(m._2, cent(lab))).sorted
+      val n = scores.length
+      val k = math.ceil(0.9 * n).toInt
+      val (gn, thr, cov, mx) = rows(lab)
+      assert(gn === n.toLong)
+      assert(thr === scores(k - 1), s"label $lab threshold")
+      assert(cov >= 900L && cov <= 1000L, s"label $lab coverage $cov")
+      assert(mx === scores.last)
+    }
+  }
 }
