@@ -154,6 +154,9 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q209    graft.queries.Vectors    — per-cell medoid exemplars
   *   q210    graft.queries.Vectors    — class-separation audit
   *   q211    graft.queries.Vectors    — conformal calibration threshold
+  *   q212    graft.queries.Relational — business-day lag SLA report
+  *   q213    graft.queries.Events     — bitemporal as-of point query
+  *   q214    graft.queries.TextOps    — Cohen's kappa agreement
   */
 object SparkEntry {
 

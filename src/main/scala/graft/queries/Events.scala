@@ -2554,5 +2554,51 @@ object Events {
                 lit(1000L) - col("n_touches") * expr("1000 div n_touches"))
               .otherwise(0L)).as("credit_pm"))
     },
+
+    // --------------------------------------------------------------- q213
+    // Bitemporal point query ("time travel"): every user's state AS
+    // OF one instant — corpus max ts minus a day, a broadcast anchor
+    // — read from the q105 SCD2 interval table under the standard
+    // carry-forward convention: the governing interval is the LATEST
+    // one that STARTED at or before t (state persists until the next
+    // change), with `observed` flagging whether t falls inside the
+    // interval's event span or in the gap after it. This is the query
+    // a warehouse answers for "what did the dimension say when the
+    // model trained?"; the interval table comes from the shared
+    // islands dataflow (user-keyed windows), the point lookup is one
+    // per-user argmax window over that user's intervals — never a
+    // corpus-wide sort. Users whose first interval starts after t
+    // have no state yet and are correctly absent.
+    Q(
+      "q213_time_travel",
+      Some(s"""
+        WITH islands AS ($scd2RebuildSql),
+        anchor AS (
+          SELECT CAST(MAX(epoch_us(CAST(ts AS TIMESTAMP))) - 86400000000
+                 AS BIGINT) AS t
+          FROM events),
+        cand AS (
+          SELECT i.user_id, i.run_id, i.event_type, i.n_events,
+                 i.start_us, i.end_us, a.t,
+                 ROW_NUMBER() OVER (PARTITION BY i.user_id
+                   ORDER BY i.start_us DESC) AS rn
+          FROM islands i CROSS JOIN anchor a
+          WHERE i.start_us <= a.t)
+        SELECT user_id, run_id, event_type, n_events, start_us, end_us,
+               t <= end_us AS observed
+        FROM cand WHERE rn = 1""")
+    ) { (s, dir) =>
+      val islands = islandsOf(t(s, dir, "events"))
+      val anchor = t(s, dir, "events")
+        .agg((max(unix_micros(col("ts"))) - 86400000000L).as("t"))
+      val w = Window.partitionBy("user_id").orderBy(desc("start_us"))
+      islands.crossJoin(broadcast(anchor))
+        .filter(col("start_us") <= col("t"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("run_id"), col("event_type"),
+          col("n_events"), col("start_us"), col("end_us"),
+          (col("t") <= col("end_us")).as("observed"))
+    },
   )
 }

@@ -1582,5 +1582,56 @@ object Relational {
         ((col("s") - when(col("smin") < 0, col("smin")).otherwise(0L))
           - col("s")).as("lost_demand"))
     },
+
+    // --------------------------------------------------------------- q212
+    // Business-day order-to-ship lag — calendar arithmetic the
+    // warehouse SLA report needs, in pure integers: W(x) = weekdays in epoch
+    // days [0, x) has the closed form 5·⌊x/7⌋ + LUT[x mod 7] (epoch
+    // day 0 is a Thursday, so the partial week walks Thu..Wed and the
+    // LUT is the prefix count {0,1,2,2,2,3,4}); the ship→receipt lag
+    // is W(ship) − W(order) — no calendar table, no UDF, identical
+    // dense-array lookup in both engines (element_at on a literal —
+    // the q191 integer-table move). Aggregated per ship month: mean
+    // lag in exact permille, max, n. One map-side-combinable corpus
+    // pass; the LUT is a 7-element literal, never a join.
+    Q(
+      "q212_business_day_lag",
+      Some("""
+        WITH d AS (
+          SELECT year(CAST(l.l_shipdate AS DATE)) * 100
+                 + month(CAST(l.l_shipdate AS DATE)) AS ship_month,
+                 epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // 86400000000 AS a,
+                 epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) // 86400000000 AS b
+          FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        w AS (
+          SELECT ship_month,
+                 (5 * (b // 7) + [0,1,2,2,2,3,4][CAST(b % 7 + 1 AS INT)])
+                 - (5 * (a // 7) + [0,1,2,2,2,3,4][CAST(a % 7 + 1 AS INT)])
+                   AS bd
+          FROM d)
+        SELECT CAST(ship_month AS BIGINT) AS ship_month,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               (1000 * CAST(SUM(bd) AS BIGINT)) // COUNT(*) AS mean_bd_pm,
+               CAST(MAX(bd) AS BIGINT) AS max_bd
+        FROM w GROUP BY 1""")
+    ) { (s, dir) =>
+      def wdays(c: String): org.apache.spark.sql.Column =
+        expr(s"5 * ($c div 7) + element_at(array(0,1,2,2,2,3,4), " +
+          s"cast($c % 7 + 1 as int))")
+      val d = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .select(
+          (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+            .cast("long").as("ship_month"),
+          expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+            .as("a"),
+          expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+            .as("b"))
+      d.withColumn("bd", wdays("b") - wdays("a"))
+        .groupBy("ship_month")
+        .agg(count(lit(1)).as("n"),
+          expr("(1000 * sum(bd)) div count(1)").as("mean_bd_pm"),
+          max(col("bd")).as("max_bd"))
+    },
   )
 }

@@ -2151,5 +2151,60 @@ object TextOps {
       }
       audit("sp_naive", "naive").unionByName(audit("sp_cluster", "cluster"))
     },
+
+    // --------------------------------------------------------------- q214
+    // Cohen's kappa — chance-corrected agreement between two labelers,
+    // here the lang column ("annotator A says English") and q29's
+    // ' the '-hit heuristic ("annotator B says English") — the number
+    // an annotation-quality gate reports instead of raw accuracy
+    // (which a degenerate always-majority labeler games). Exact
+    // rational arithmetic: κ = (n·agree − Σ row·col) / (n² − Σ
+    // row·col) in floored ppm — no float probabilities, bit-identical
+    // cross-engine. One map-side-combinable corpus pass to the 2×2
+    // table; everything after is one-row algebra. BIGINT headroom:
+    // n²·10⁶ needs n ≲ 3e6 — the 1000× form drops to per-mille.
+    Q(
+      "q214_cohens_kappa",
+      Some("""
+        WITH j AS (
+          SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+                 CASE WHEN (length(text) - length(replace(text, ' the ', '')))
+                      / 5 > 0 THEN 1 ELSE 0 END AS b
+          FROM documents),
+        ct AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(a * b) AS BIGINT) AS n11,
+                 CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+                 CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+                 CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+          FROM j)
+        SELECT n, n11, n10, n01, n00,
+               (1000 * (n11 + n00)) // n AS agree_pm,
+               (1000000 * (n * (n11 + n00)
+                           - ((n11 + n10) * (n11 + n01)
+                              + (n01 + n00) * (n10 + n00))))
+                 // (n * n - ((n11 + n10) * (n11 + n01)
+                             + (n01 + n00) * (n10 + n00))) AS kappa_ppm
+        FROM ct""")
+    ) { (s, dir) =>
+      val j = t(s, dir, "documents").select(
+        when(col("lang") === "en", 1L).otherwise(0L).as("a"),
+        when((length(col("text"))
+          - length(regexp_replace(col("text"), " the ", ""))) / 5 > 0, 1L)
+          .otherwise(0L).as("b"))
+      j.agg(count(lit(1)).as("n"),
+          sum(col("a") * col("b")).as("n11"),
+          sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+          sum((lit(1L) - col("a")) * col("b")).as("n01"),
+          sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+        .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+          expr("(1000 * (n11 + n00)) div n").as("agree_pm"),
+          expr("""(1000000 * (n * (n11 + n00)
+                           - ((n11 + n10) * (n11 + n01)
+                              + (n01 + n00) * (n10 + n00))))
+                 div (n * n - ((n11 + n10) * (n11 + n01)
+                             + (n01 + n00) * (n10 + n00)))""")
+            .as("kappa_ppm"))
+    },
   )
 }

@@ -2521,6 +2521,62 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q212 closed-form weekday count equals a literal day-by-day walk") {
+    // W(x) closed form vs counting weekdays one day at a time
+    def dow(d: Long): Long = (d + 4) % 7 // 0=Sun .. 6=Sat; day 0 is Thursday
+    def wWalk(x: Long): Long = (0L until x).count(d => dow(d) >= 1 && dow(d) <= 5)
+    val lut = Array(0L, 1L, 2L, 2L, 2L, 3L, 4L)
+    def wClosed(x: Long): Long = 5 * (x / 7) + lut((x % 7).toInt)
+    (0L to 400L).foreach(x => assert(wClosed(x) === wWalk(x), s"W($x)"))
+    // and the aggregated report replays from collected rows
+    val src = graft.Tables.load(spark, sf, "lineitem")
+      .join(graft.Tables.load(spark, sf, "orders"),
+        col("o_orderkey") === col("l_orderkey"))
+      .selectExpr("year(l_shipdate) * 100 + month(l_shipdate)",
+        "unix_micros(cast(o_orderdate as timestamp)) div 86400000000",
+        "unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2)))
+    val truth = src.groupBy(_._1).map { case (m, rs) =>
+      val bds = rs.map(r => wClosed(r._3) - wClosed(r._2))
+      m -> ((rs.length.toLong, 1000L * bds.sum / rs.length, bds.max))
+    }
+    val got = run("q212_business_day_lag").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === truth)
+  }
+
+  test("q213 as-of state matches the q105 interval table under carry-forward") {
+    val islands = run("q105_scd2_islands").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val tAnchor = graft.Tables.load(spark, sf, "events")
+      .agg(max(expr("unix_micros(ts)"))).head().getLong(0) - 86400000000L
+    val truth = islands.filter(_._5 <= tAnchor).groupBy(_._1).map {
+      case (u, is) =>
+        val g = is.maxBy(_._5)
+        (u, g._2, g._3, g._4, g._5, g._6, tAnchor <= g._6)
+    }.toSet
+    val got = run("q213_time_travel").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))).toSet
+    assert(got === truth)
+  }
+
+  test("q214 kappa bounds and degenerate-case algebra hold") {
+    val Array(row) = run("q214_cohens_kappa").collect()
+    val (n, n11, n10, n01, n00, agree, kappa) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5),
+      row.getLong(6))
+    assert(n === n11 + n10 + n01 + n00, "2x2 table partitions the corpus")
+    assert(agree === 1000L * (n11 + n00) / n)
+    val pe = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    assert(kappa === 1000000L * (n * (n11 + n00) - pe) / (n * n - pe))
+    assert(kappa <= 1000000L, "kappa is at most 1")
+    // chance-corrected agreement is below raw agreement on this corpus
+    assert(kappa < agree * 1000L)
+  }
+
   test("q197 matches the brute-force CEP ground truth") {
     val ev = graft.Tables.load(spark, sf, "events")
       .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS us")
