@@ -157,6 +157,18 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q212    graft.queries.Relational — business-day lag SLA report
   *   q213    graft.queries.Events     — bitemporal as-of point query
   *   q214    graft.queries.TextOps    — Cohen's kappa agreement
+  *   q215    graft.queries.Events     — ROC-AUC by tie-corrected rank sums
+  *   q216    graft.queries.Relational — Nelson–Aalen cumulative hazard
+  *   q217    graft.queries.Relational — Spearman rank correlation per nation
+  *   q218    graft.queries.Curation   — l-diversity privacy audit
+  *   q219    graft.queries.Graph      — HITS hubs/authorities (fixed-point)
+  *   q220    graft.queries.Layout     — small-file compaction plan (next-fit)
+  *   q221    graft.queries.Relational — Gini-impurity feature ranking
+  *   q222    graft.queries.Events     — per-account max drawdown top-k
+  *   q223    graft.queries.Events     — Allen interval-relation census
+  *   q224    graft.queries.Graph      — nation-partition modularity
+  *   q225    graft.queries.Vectors    — MAP@10 / MRR@10 retrieval eval
+  *   q226    graft.queries.Relational — FIFO lot allocation (cum-interval)
   */
 object SparkEntry {
 

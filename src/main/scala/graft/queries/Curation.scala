@@ -1345,6 +1345,54 @@ object Curation {
         .select(col("source"), col("n_s").as("n_docs"),
           col("ks_ppm"), col("worst_length"))
     },
+
+    // --------------------------------------------------------------- q218
+    // l-diversity audit — the follow-on privacy gate to q194's
+    // k-anonymity: a class can meet k yet leak the sensitive
+    // attribute if every member shares it (the homogeneity attack).
+    // Quasi-identifiers here are the COARSER (nation, balance-band)
+    // pair — q194's triple minus segment — because mktsegment is now
+    // the SENSITIVE attribute whose within-class diversity l =
+    // |distinct segments| is the gate (distinct l-diversity, the
+    // Machanavajjhala base form). Per class: size, l, meets l≥3, and
+    // the homogeneity risk top_share_pm = max segment share in
+    // per-mille (the adversary's posterior on the modal segment).
+    // One corpus pass to (QI, segment) cells, then a class-space
+    // re-aggregate — cells ≤ |nations|·10·|segments|, never
+    // corpus-sized; both stages map-side combinable — scales.
+    Q(
+      "q218_l_diversity",
+      Some("""
+        WITH cell AS (
+          SELECT c_nationkey AS nation,
+                 (CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 100 AS BIGINT)
+                  + 100000) // 110000 AS bal_band,
+                 c_mktsegment AS seg,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM customer GROUP BY 1, 2, 3)
+        SELECT nation, bal_band,
+               CAST(SUM(c) AS BIGINT) AS class_size,
+               CAST(COUNT(*) AS BIGINT) AS l_distinct,
+               COUNT(*) >= 3 AS meets_l3,
+               (1000 * CAST(MAX(c) AS BIGINT)) // CAST(SUM(c) AS BIGINT)
+                 AS top_share_pm
+        FROM cell GROUP BY 1, 2""")
+    ) { (s, dir) =>
+      val band = expr(
+        "(cast(cast(c_acctbal as decimal(18,4)) * 100 as bigint)" +
+          " + 100000) div 110000")
+      val cell = t(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nation"), band.as("bal_band"),
+          col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("c"))
+      cell.groupBy("nation", "bal_band")
+        .agg(sum(col("c")).as("class_size"),
+          count(lit(1)).as("l_distinct"),
+          (count(lit(1)) >= 3).as("meets_l3"),
+          expr("(1000 * max(c)) div sum(c)").as("top_share_pm"))
+        .select(col("nation"), col("bal_band"), col("class_size"),
+          col("l_distinct"), col("meets_l3"), col("top_share_pm"))
+    },
   )
 
   /** q147's per-(doc, shard) rendezvous weight: the Carter–Wegman

@@ -2600,5 +2600,205 @@ object Events {
           col("n_events"), col("start_us"), col("end_us"),
           (col("t") <= col("end_us")).as("observed"))
     },
+
+    // --------------------------------------------------------------- q215
+    // ROC-AUC by rank statistic — the model-eval gate a scoring
+    // pipeline runs: does `value` separate purchases from the rest?
+    // AUC computed as the Mann-Whitney U through tie-corrected rank
+    // sums, in EXACT integers: scores quantize to 0.1-cent BIGINTs,
+    // then one groupBy into score-value space (|distinct scores|
+    // rows, never corpus-sized). For a tie group at cumulative offset
+    // c with n_g members, twice the average rank is 2c + n_g + 1 — an
+    // integer — so R2 = Σ pos_g·(2c + n_g + 1) is exact, U = (R2 −
+    // n_pos·(n_pos+1))/2, and AUC_ppm = 10⁶·2U div (2·n_pos·n_neg).
+    // One map-side-combinable corpus pass; the ordered window runs in
+    // score space. Gini (2·AUC−1) rides along. BIGINT headroom:
+    // 10⁶·R2 ~ 10⁶·n² needs n ≲ 3e6 per scored slice — the petascale
+    // form runs per-segment or banks R2 into DECIMAL(38,0) (both
+    // engines exact); the rank algebra is unchanged.
+    Q(
+      "q215_auc_rank",
+      Some("""
+        WITH s AS (
+          SELECT CAST(CAST(value AS DECIMAL(18,4)) * 1000 AS BIGINT) AS sc,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+          FROM events),
+        g AS (
+          SELECT sc, CAST(COUNT(*) AS BIGINT) AS n_g,
+                 CAST(SUM(y) AS BIGINT) AS pos_g
+          FROM s GROUP BY 1),
+        r AS (
+          SELECT pos_g, n_g,
+                 CAST(SUM(n_g) OVER (ORDER BY sc) AS BIGINT) - n_g AS c
+          FROM g),
+        u AS (
+          SELECT CAST(SUM(pos_g) AS BIGINT) AS n_pos,
+                 CAST(SUM(n_g - pos_g) AS BIGINT) AS n_neg,
+                 CAST(SUM(pos_g * (2 * c + n_g + 1)) AS BIGINT) AS r2
+          FROM r)
+        SELECT n_pos, n_neg,
+               (1000000 * (r2 - n_pos * (n_pos + 1)))
+                 // (2 * n_pos * n_neg) AS auc_ppm,
+               (1000000 * (r2 - n_pos * (n_pos + 1)))
+                 // (n_pos * n_neg) - 1000000 AS gini_ppm
+        FROM u""")
+    ) { (s, dir) =>
+      val sc = t(s, dir, "events").select(
+        expr("cast(cast(value as decimal(18,4)) * 1000 as bigint)").as("sc"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      val g = sc.groupBy("sc")
+        .agg(count(lit(1)).as("n_g"), sum(col("y")).as("pos_g"))
+      val r = g.select(col("pos_g"), col("n_g"),
+        (sum(col("n_g")).over(Window.orderBy("sc")) - col("n_g")).as("c"))
+      r.agg(sum(col("pos_g")).as("n_pos"),
+          sum(col("n_g") - col("pos_g")).as("n_neg"),
+          sum(col("pos_g") * (lit(2L) * col("c") + col("n_g") + 1L)).as("r2"))
+        .select(col("n_pos"), col("n_neg"),
+          expr("(1000000 * (r2 - n_pos * (n_pos + 1)))" +
+            " div (2 * n_pos * n_neg)").as("auc_ppm"),
+          expr("(1000000 * (r2 - n_pos * (n_pos + 1)))" +
+            " div (n_pos * n_neg) - 1000000").as("gini_ppm"))
+    },
+
+    // --------------------------------------------------------------- q222
+    // Maximum drawdown per account — the running-peak-minus-current
+    // statistic risk reporting wants (largest peak-to-trough drop of
+    // a signed balance series). Flow: purchases credit, errors debit,
+    // everything else is neutral; cents are exact BIGINTs. Per user,
+    // ordered by (ts, event_id) — a UNIQUE total order, so the
+    // default RANGE window frame degenerates to single-row peers and
+    // both engines agree bit-for-bit — two running windows (cumsum,
+    // then running max) give drawdown = peak − balance; the per-user
+    // aggregate keeps the max. Top 20 riskiest accounts by (drawdown
+    // DESC, user_id) — a TakeOrderedAndProject over the user-space
+    // aggregate, never corpus-sized. The windows partition by
+    // user_id: per-group sorts, no global sort of the corpus — scales
+    // with the busiest user, not the table.
+    Q(
+      "q222_max_drawdown",
+      Some("""
+        WITH f AS (
+          SELECT user_id, ts, event_id,
+                 CASE event_type
+                   WHEN 'purchase' THEN
+                     CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)
+                   WHEN 'error' THEN
+                     -CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)
+                   ELSE 0 END AS cents
+          FROM events),
+        r AS (
+          SELECT user_id, ts, event_id,
+                 CAST(SUM(cents) OVER w AS BIGINT) AS bal
+          FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        dd AS (
+          SELECT user_id, bal,
+                 CAST(MAX(bal) OVER (PARTITION BY user_id ORDER BY ts,
+                                     event_id) AS BIGINT) AS peak
+          FROM r)
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MAX(peak) AS BIGINT) AS peak_cents,
+               CAST(MAX(peak - bal) AS BIGINT) AS max_drawdown_cents
+        FROM dd GROUP BY 1
+        ORDER BY max_drawdown_cents DESC, user_id LIMIT 20""")
+    ) { (s, dir) =>
+      val f = t(s, dir, "events").select(col("user_id"), col("ts"),
+        col("event_id"),
+        when(col("event_type") === "purchase",
+          expr("cast(cast(value as decimal(18,4)) * 100 as bigint)"))
+          .when(col("event_type") === "error",
+            -expr("cast(cast(value as decimal(18,4)) * 100 as bigint)"))
+          .otherwise(0L).as("cents"))
+      val wSeq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val dd = f
+        .withColumn("bal", sum(col("cents")).over(wSeq))
+        .withColumn("peak", max(col("bal")).over(wSeq))
+      dd.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), max(col("peak")).as("peak_cents"),
+          max(col("peak") - col("bal")).as("max_drawdown_cents"))
+        .orderBy(desc("max_drawdown_cents"), col("user_id"))
+        .limit(20)
+    },
+
+    // --------------------------------------------------------------- q223
+    // Allen's interval-algebra census — classify each customer's
+    // consecutive order-fulfilment intervals [order day, first ship
+    // day] into the 13 Allen relations (before/meets/overlaps/starts/
+    // during/finishes/equals + inverses) and count them: the
+    // temporal-pattern profile a process-mining pass reads (how often
+    // does a new order start before the last one ships?). Consecutive
+    // pairs come from ONE lag window per customer (ordered by start
+    // day with an orderkey tiebreak — a unique total order); the
+    // relation is a single shared CASE over exact day integers,
+    // identical text in both engines, branches mutually exclusive and
+    // total. The census is |relations| rows; the only corpus work is
+    // the first-ship aggregation and the per-customer window — both
+    // keyed on corpus keys, no global sort — scales.
+    Q(
+      "q223_allen_relations",
+      Some("""
+        WITH fs AS (
+          SELECT l_orderkey,
+                 MIN(epoch_us(CAST(l_shipdate AS TIMESTAMP))
+                     // 86400000000) AS hi
+          FROM lineitem GROUP BY 1),
+        iv AS (
+          SELECT o.o_custkey AS ck, o.o_orderkey AS ok,
+                 epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+                   // 86400000000 AS lo,
+                 fs.hi
+          FROM orders o JOIN fs ON fs.l_orderkey = o.o_orderkey),
+        pr AS (
+          SELECT lag(lo) OVER w AS a_lo, lag(hi) OVER w AS a_hi,
+                 lo AS b_lo, hi AS b_hi
+          FROM iv WINDOW w AS (PARTITION BY ck ORDER BY lo, ok)),
+        cl AS (
+          SELECT CASE
+            WHEN a_hi < b_lo THEN 'before'
+            WHEN a_hi = b_lo THEN 'meets'
+            WHEN b_hi < a_lo THEN 'after'
+            WHEN b_hi = a_lo THEN 'met_by'
+            WHEN a_lo = b_lo AND a_hi = b_hi THEN 'equals'
+            WHEN a_lo = b_lo AND a_hi < b_hi THEN 'starts'
+            WHEN a_lo = b_lo AND a_hi > b_hi THEN 'started_by'
+            WHEN a_hi = b_hi AND a_lo < b_lo THEN 'finished_by'
+            WHEN a_hi = b_hi AND a_lo > b_lo THEN 'finishes'
+            WHEN a_lo < b_lo AND b_hi < a_hi THEN 'contains'
+            WHEN a_lo > b_lo AND a_hi < b_hi THEN 'during'
+            WHEN a_lo < b_lo AND b_lo < a_hi THEN 'overlaps'
+            ELSE 'overlapped_by' END AS rel
+          FROM pr WHERE a_lo IS NOT NULL)
+        SELECT rel, CAST(COUNT(*) AS BIGINT) AS n
+        FROM cl GROUP BY 1""")
+    ) { (s, dir) =>
+      val fs = t(s, dir, "lineitem").groupBy("l_orderkey")
+        .agg(expr("min(unix_micros(cast(l_shipdate as timestamp))" +
+          " div 86400000000)").as("hi"))
+      val iv = t(s, dir, "orders")
+        .join(fs, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
+          expr("unix_micros(cast(o_orderdate as timestamp))" +
+            " div 86400000000").as("lo"),
+          col("hi"))
+      val w = Window.partitionBy("ck").orderBy("lo", "ok")
+      val pr = iv.select(lag(col("lo"), 1).over(w).as("a_lo"),
+        lag(col("hi"), 1).over(w).as("a_hi"),
+        col("lo").as("b_lo"), col("hi").as("b_hi"))
+        .filter(col("a_lo").isNotNull)
+      pr.select(expr("""CASE
+            WHEN a_hi < b_lo THEN 'before'
+            WHEN a_hi = b_lo THEN 'meets'
+            WHEN b_hi < a_lo THEN 'after'
+            WHEN b_hi = a_lo THEN 'met_by'
+            WHEN a_lo = b_lo AND a_hi = b_hi THEN 'equals'
+            WHEN a_lo = b_lo AND a_hi < b_hi THEN 'starts'
+            WHEN a_lo = b_lo AND a_hi > b_hi THEN 'started_by'
+            WHEN a_hi = b_hi AND a_lo < b_lo THEN 'finished_by'
+            WHEN a_hi = b_hi AND a_lo > b_lo THEN 'finishes'
+            WHEN a_lo < b_lo AND b_hi < a_hi THEN 'contains'
+            WHEN a_lo > b_lo AND a_hi < b_hi THEN 'during'
+            WHEN a_lo < b_lo AND b_lo < a_hi THEN 'overlaps'
+            ELSE 'overlapped_by' END""").as("rel"))
+        .groupBy("rel").agg(count(lit(1)).as("n"))
+    },
   )
 }

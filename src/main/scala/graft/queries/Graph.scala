@@ -464,5 +464,164 @@ object Graph {
       }
       walked.select("start", "n1", "n2", "n3")
     },
+
+    // --------------------------------------------------------------- q219
+    // HITS hubs-and-authorities on the bipartite customer→supplier
+    // trading graph (Kleinberg's mutual reinforcement): a customer is
+    // a good hub when it buys from good-authority suppliers, a
+    // supplier a good authority when good hubs buy from it. Two full
+    // reinforcement rounds (a¹ = Aᵀh⁰, h¹ = Aa¹, a² = Aᵀh¹, h² = Aa²)
+    // in fixed-point BIGINTs; after every step scores renormalize to
+    // max = 10⁴ by an integer scaling divide ((x·10⁴) div max — the
+    // L∞ norm, chosen over L2 because it needs no sqrt and keeps both
+    // engines bit-identical). Each step is ONE edge⋈vertex
+    // shuffle-hash join + groupBy — q94's two-shuffle vertex-program
+    // shape; the vertex side is corpus-sized so it is never broadcast
+    // (only the one-row max is). The distinct pair list materializes
+    // once and keeps its partitioning across all four steps. BIGINT
+    // headroom: Σ over ≤deg terms of ≤10⁴, then ×10⁴ ≤ deg·10⁸ —
+    // safe to deg ~ 10¹⁰.
+    Q(
+      "q219_hits",
+      Some("""
+        WITH pairs AS (
+          SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        a1 AS (
+          SELECT s, CAST(COUNT(*) AS BIGINT) * 10000 AS x
+          FROM pairs GROUP BY s),
+        a1n AS (
+          SELECT s, (x * 10000) // (SELECT MAX(x) FROM a1) AS x FROM a1),
+        h1 AS (
+          SELECT c, CAST(SUM(a.x) AS BIGINT) AS x
+          FROM pairs p JOIN a1n a ON a.s = p.s GROUP BY c),
+        h1n AS (
+          SELECT c, (x * 10000) // (SELECT MAX(x) FROM h1) AS x FROM h1),
+        a2 AS (
+          SELECT s, CAST(SUM(h.x) AS BIGINT) AS x
+          FROM pairs p JOIN h1n h ON h.c = p.c GROUP BY s),
+        a2n AS (
+          SELECT s, (x * 10000) // (SELECT MAX(x) FROM a2) AS x FROM a2),
+        h2 AS (
+          SELECT c, CAST(SUM(a.x) AS BIGINT) AS x
+          FROM pairs p JOIN a2n a ON a.s = p.s GROUP BY c),
+        h2n AS (
+          SELECT c, (x * 10000) // (SELECT MAX(x) FROM h2) AS x FROM h2)
+        SELECT 'auth' AS role, s AS node, x AS score_fp FROM a2n
+        UNION ALL
+        SELECT 'hub' AS role, c AS node, x AS score_fp FROM h2n""")
+    ) { (s, dir) =>
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")).hint("merge")
+      val pairs = Checkpoints.materialize(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(orders, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+          .distinct())
+      // one reinforcement step: edge⋈vertex keyed join, groupBy the
+      // other side, L∞ renormalize via a one-row broadcast max.
+      def step(v: DataFrame, vKey: String, outKey: String): DataFrame = {
+        val summed = pairs.join(v.hint("shuffle_hash"),
+            col(vKey) === col(s"v_$vKey"))
+          .groupBy(col(outKey)).agg(sum(col("x")).as("x"))
+        val m = summed.agg(max(col("x")).as("m"))
+        summed.crossJoin(broadcast(m))
+          .select(col(outKey).as(s"v_$outKey"),
+            expr("(x * 10000) div m").as("x"))
+      }
+      val a1 = {
+        val raw = pairs.groupBy("s")
+          .agg((count(lit(1)) * 10000L).as("x"))
+        val m = raw.agg(max(col("x")).as("m"))
+        raw.crossJoin(broadcast(m))
+          .select(col("s").as("v_s"), expr("(x * 10000) div m").as("x"))
+      }
+      val h1 = step(a1, "s", "c")
+      val a2 = step(h1, "c", "s")
+      val h2 = step(a2, "s", "c")
+      a2.select(lit("auth").as("role"), col("v_s").as("node"),
+          col("x").as("score_fp"))
+        .unionByName(h2.select(lit("hub").as("role"),
+          col("v_c").as("node"), col("x").as("score_fp")))
+    },
+
+    // --------------------------------------------------------------- q224
+    // Newman modularity of the nation partition on the trading graph
+    // — does trade cluster along national lines? Communities are
+    // GIVEN (each node's nation — customers via customer, suppliers
+    // via supplier), so this is the modularity EVALUATION every
+    // community detection needs as its objective: Q = Σ_c (e_c/m −
+    // (d_c/2m)²) over the undirected distinct-pair edge set, in
+    // exact floored ppm per community (quantize-then-sum, the q216
+    // contract). e_c needs both endpoints' nations on each edge —
+    // two keyed shuffle joins of the edge list with the node⇒nation
+    // maps (vertex-sized sides, never broadcast); d_c re-aggregates
+    // the same annotated edges, so the corpus is read once. Output
+    // rows are |nations|-sized. BIGINT headroom: 10⁶·d_c² needs
+    // d_c ≲ 3e6 edge-endpoints per community — the petascale form
+    // banks d_c² into DECIMAL(38,0), same algebra.
+    Q(
+      "q224_modularity",
+      Some("""
+        WITH pairs AS (
+          SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        ann AS (
+          SELECT cu.c_nationkey AS cn, su.s_nationkey AS sn
+          FROM pairs p
+          JOIN customer cu ON cu.c_custkey = p.c
+          JOIN supplier su ON su.s_suppkey = p.s),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ann),
+        ein AS (
+          SELECT cn AS nation, CAST(COUNT(*) AS BIGINT) AS e_in
+          FROM ann WHERE cn = sn GROUP BY 1),
+        dsum AS (
+          SELECT nation, CAST(SUM(d) AS BIGINT) AS d_c FROM (
+            SELECT cn AS nation, CAST(COUNT(*) AS BIGINT) AS d
+            FROM ann GROUP BY 1
+            UNION ALL
+            SELECT sn AS nation, CAST(COUNT(*) AS BIGINT) AS d
+            FROM ann GROUP BY 1) u
+          GROUP BY 1)
+        SELECT CAST(d.nation AS BIGINT) AS nation,
+               COALESCE(e.e_in, 0) AS e_in, d.d_c,
+               (1000000 * COALESCE(e.e_in, 0)) // m.m
+                 - (1000000 * d.d_c * d.d_c) // (4 * m.m * m.m)
+                 AS contrib_ppm
+        FROM dsum d LEFT JOIN ein e ON e.nation = d.nation
+        CROSS JOIN m""")
+    ) { (s, dir) =>
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")).hint("merge")
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+      val cu = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").as("cn"))
+      val su = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey").as("sn"))
+      val ann = Checkpoints.materialize(pairs
+        .join(cu.hint("shuffle_hash"), col("c_custkey") === col("c"))
+        .join(su.hint("shuffle_hash"), col("s_suppkey") === col("s"))
+        .select(col("cn"), col("sn")))
+      val m = ann.agg(count(lit(1)).as("m"))
+      val ein = ann.filter(col("cn") === col("sn"))
+        .groupBy(col("cn").as("nation")).agg(count(lit(1)).as("e_in"))
+      val dsum = ann.groupBy(col("cn").as("nation"))
+        .agg(count(lit(1)).as("d"))
+        .unionByName(ann.groupBy(col("sn").as("nation"))
+          .agg(count(lit(1)).as("d")))
+        .groupBy("nation").agg(sum(col("d")).as("d_c"))
+      dsum.join(ein, Seq("nation"), "left")
+        .crossJoin(broadcast(m))
+        .select(col("nation").cast("long").as("nation"),
+          coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_c"),
+          (expr("(1000000 * coalesce(e_in, 0)) div m")
+            - expr("(1000000 * d_c * d_c) div (4 * m * m)"))
+            .as("contrib_ppm"))
+    },
   )
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Physical-layout operators: multi-dimensional clustering keys.
@@ -298,6 +299,7 @@ object Layout {
         .select(col("bucket"), col("hi"), col("n_rows").cast("long").as("n_rows"),
           expr("(1000 * n_rows * 32) div n").as("fill_permille"))
     },
+    q220,
   )
 
   /** The full 8-stage CTE chain h1..h8 over a `dims(x, y)` CTE —
@@ -329,6 +331,66 @@ object Layout {
 
   /** Spark-side replay of the identical stage arithmetic (selectExpr
     * over the same generated fragments — the engines cannot drift). */
+  // declared below `all` — lazy so the forward reference from the Seq
+  // resolves at first use instead of object-init order.
+  private lazy val q220 =
+    // --------------------------------------------------------------- q220
+    // Small-file compaction plan — the table-maintenance pass every
+    // lakehouse runs: given a file inventory (here one "file" per
+    // ship-day, bytes = 120·rows, the declared row width), pack each
+    // month's files into target bins of 1 MiB by NEXT-FIT in day
+    // order: bin = (running bytes − bytes) div target. Next-fit in
+    // KEY order (not first-fit-decreasing) is deliberate — it
+    // preserves the temporal clustering that makes q165's zone maps
+    // prune, at the cost of ≤ 2× the optimal bin count (the classic
+    // next-fit bound), and it is one window cumsum instead of a
+    // serial packing loop. Output: one row per planned output file
+    // with its input-file count and bytes, plus the month's ideal
+    // ceil(total/target) bin count so the report shows the next-fit
+    // overhead. Everything after the one corpus groupBy runs in
+    // file-inventory space (≤ |days| rows) — scales; the per-month
+    // window partitions on month, so the sort is per-group.
+    Q(
+      "q220_compaction_plan",
+      Some("""
+        WITH f AS (
+          SELECT year(CAST(l_shipdate AS DATE)) * 100
+                 + month(CAST(l_shipdate AS DATE)) AS mon,
+                 epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000 AS d,
+                 CAST(120 * COUNT(*) AS BIGINT) AS bytes
+          FROM lineitem GROUP BY 1, 2),
+        pk AS (
+          SELECT mon, d, bytes,
+                 (CAST(SUM(bytes) OVER (PARTITION BY mon ORDER BY d)
+                       AS BIGINT) - bytes) // 1048576 AS bin,
+                 CAST(SUM(bytes) OVER (PARTITION BY mon) AS BIGINT)
+                   AS mon_bytes
+          FROM f)
+        SELECT CAST(mon AS BIGINT) AS mon, bin,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+               (MAX(mon_bytes) + 1048575) // 1048576 AS ideal_bins
+        FROM pk GROUP BY 1, 2""")
+    ) { (s, dir) =>
+      val f = t(s, dir, "lineitem")
+        .groupBy(
+          (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+            .cast("long").as("mon"),
+          expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+            .as("d"))
+        .agg((lit(120L) * count(lit(1))).as("bytes"))
+      val wRun = Window.partitionBy("mon").orderBy("d")
+      val wMon = Window.partitionBy("mon")
+      val pk = f.select(col("mon"), col("bytes"),
+        sum(col("bytes")).over(wRun).as("run"),
+        sum(col("bytes")).over(wMon).as("mon_bytes"))
+        .withColumn("bin", expr("(run - bytes) div 1048576"))
+      pk.groupBy("mon", "bin")
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("bytes")).as("bin_bytes"),
+          expr("(max(mon_bytes) + 1048575) div 1048576").as("ideal_bins"))
+    }
+
   private[queries] def hilbertDf(dims: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val h0 = dims.selectExpr("p_partkey", "x AS x0", "y AS y0",
       "CAST(0 AS BIGINT) AS d", "x", "y")

@@ -1633,5 +1633,328 @@ object Relational {
           expr("(1000 * sum(bd)) div count(1)").as("mean_bd_pm"),
           max(col("bd")).as("max_bd"))
     },
+
+    // --------------------------------------------------------------- q216
+    // Nelson–Aalen cumulative hazard of order fulfilment — survival
+    // analysis with right-censoring, the time-to-event report an SLA
+    // dashboard wants when "mean days to ship" lies (open orders
+    // would silently drop out). Subjects = orders; duration = days
+    // from order to FIRST ship; status 'F' with a ship date is the
+    // event, everything else is censored at the fixture horizon (max
+    // ship date). H(t) = Σ_{s≤t} d_s/n_s quantized per-term to exact
+    // ppm ((10⁶·d_s) div n_s, then an integer cumsum — the quantize-
+    // then-sum contract, bit-identical cross-engine). The corpus cost
+    // is one orders⋈lineitem min-ship aggregation; the risk-set
+    // window runs in duration-value space (≤ a few hundred distinct
+    // days, never corpus-sized), so the plan is one shuffle on
+    // o_orderkey plus a value-space sort — scales.
+    Q(
+      "q216_nelson_aalen",
+      Some("""
+        WITH fs AS (
+          SELECT l_orderkey,
+                 MIN(epoch_us(CAST(l_shipdate AS TIMESTAMP))
+                     // 86400000000) AS ship_day
+          FROM lineitem GROUP BY 1),
+        hz AS (
+          SELECT MAX(ship_day) AS h FROM fs),
+        subj AS (
+          SELECT CASE WHEN o.o_orderstatus = 'F' AND fs.ship_day IS NOT NULL
+                      THEN fs.ship_day ELSE hz.h END
+                 - (epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+                    // 86400000000) AS dur,
+                 CASE WHEN o.o_orderstatus = 'F' AND fs.ship_day IS NOT NULL
+                      THEN 1 ELSE 0 END AS ev
+          FROM orders o
+          LEFT JOIN fs ON fs.l_orderkey = o.o_orderkey
+          CROSS JOIN hz),
+        grid AS (
+          SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_at,
+                 CAST(SUM(ev) AS BIGINT) AS d_at
+          FROM subj GROUP BY 1),
+        risk AS (
+          SELECT dur, d_at,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM subj)
+                 - (CAST(SUM(n_at) OVER (ORDER BY dur) AS BIGINT) - n_at)
+                   AS n_risk
+          FROM grid)
+        SELECT CAST(dur AS BIGINT) AS t_days, d_at AS d, n_risk,
+               CAST(SUM((1000000 * d_at) // n_risk)
+                    OVER (ORDER BY dur) AS BIGINT) AS hazard_ppm
+        FROM risk WHERE d_at > 0""")
+    ) { (s, dir) =>
+      val fs = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(expr("min(unix_micros(cast(l_shipdate as timestamp))" +
+          " div 86400000000)").as("ship_day"))
+      val hz = fs.agg(max(col("ship_day")).as("h"))
+      val subj = t(s, dir, "orders")
+        .join(fs, col("l_orderkey") === col("o_orderkey"), "left")
+        .crossJoin(broadcast(hz))
+        .select(
+          (when(col("o_orderstatus") === "F" && col("ship_day").isNotNull,
+            col("ship_day")).otherwise(col("h"))
+            - expr("unix_micros(cast(o_orderdate as timestamp))" +
+              " div 86400000000")).as("dur"),
+          when(col("o_orderstatus") === "F" && col("ship_day").isNotNull, 1L)
+            .otherwise(0L).as("ev"))
+      val grid = subj.groupBy("dur")
+        .agg(count(lit(1)).as("n_at"), sum(col("ev")).as("d_at"))
+      val total = subj.agg(count(lit(1)).as("n_total"))
+      val risk = grid.crossJoin(broadcast(total))
+        .select(col("dur"), col("d_at"),
+          (col("n_total")
+            - (sum(col("n_at")).over(Window.orderBy("dur")) - col("n_at")))
+            .as("n_risk"))
+      risk.select(col("dur").as("t_days"), col("d_at").as("d"), col("n_risk"),
+          sum(expr("(1000000 * d_at) div n_risk"))
+            .over(Window.orderBy("dur")).as("hazard_ppm"),
+          col("d_at"))
+        .filter(col("d_at") > 0)
+        .select(col("t_days"), col("d"), col("n_risk"), col("hazard_ppm"))
+    },
+
+    // --------------------------------------------------------------- q217
+    // Spearman rank correlation, balance vs spend, per nation — the
+    // monotone-association audit (Pearson chases outliers; ranks
+    // don't). Both variables rank by row_number over a TOTAL order
+    // (value, then custkey — the documented deterministic-tiebreak
+    // variant; c_acctbal is continuous so true ties are measure-zero,
+    // and the tiebreak keeps the result reproducible if they occur).
+    // ρ = 1 − 6·Σd²/(n(n²−1)) in exact floored ppm. Customers without
+    // orders stay in at spend 0 (dropping them would bias the rank
+    // domain). Corpus cost: one orders groupBy + one broadcast-sized
+    // join; both rank windows partition by nation, so the sort is
+    // per-group and the stat scales with the widest nation, not the
+    // table. BIGINT headroom: 6·10⁶·Σd² ≤ 2·10⁶·n³ needs n ≲ 1.6e4
+    // per nation at exact ppm — the petascale form banks Σd² into
+    // DECIMAL(38,0) with identical algebra.
+    Q(
+      "q217_spearman",
+      Some("""
+        WITH sp AS (
+          SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))
+                                      * 100) AS BIGINT) AS cents
+          FROM orders GROUP BY 1),
+        cx AS (
+          SELECT c.c_nationkey AS nation, c.c_custkey,
+                 c.c_acctbal, COALESCE(sp.cents, 0) AS cents
+          FROM customer c LEFT JOIN sp ON sp.o_custkey = c.c_custkey),
+        rk AS (
+          SELECT nation,
+                 ROW_NUMBER() OVER (PARTITION BY nation
+                   ORDER BY c_acctbal, c_custkey) AS rx,
+                 ROW_NUMBER() OVER (PARTITION BY nation
+                   ORDER BY cents, c_custkey) AS ry
+          FROM cx)
+        SELECT CAST(nation AS BIGINT) AS nation,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
+               1000000 - (6000000 * CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT))
+                 // (COUNT(*) * (COUNT(*) * COUNT(*) - 1)) AS rho_ppm
+        FROM rk GROUP BY 1""")
+    ) { (s, dir) =>
+      val sp = t(s, dir, "orders").groupBy("o_custkey")
+        .agg(expr("cast(sum(cast(o_totalprice as decimal(18,4)) * 100)" +
+          " as bigint)").as("cents"))
+      val cx = t(s, dir, "customer")
+        .join(sp, col("o_custkey") === col("c_custkey"), "left")
+        .select(col("c_nationkey").cast("long").as("nation"),
+          col("c_custkey"), col("c_acctbal"),
+          coalesce(col("cents"), lit(0L)).as("cents"))
+      val rk = cx.select(col("nation"),
+        row_number().over(Window.partitionBy("nation")
+          .orderBy(col("c_acctbal"), col("c_custkey"))).as("rx"),
+        row_number().over(Window.partitionBy("nation")
+          .orderBy(col("cents"), col("c_custkey"))).as("ry"))
+      rk.groupBy("nation")
+        .agg(count(lit(1)).as("n"),
+          sum((col("rx") - col("ry")) * (col("rx") - col("ry"))).as("sum_d2"))
+        .select(col("nation"), col("n"), col("sum_d2"),
+          (lit(1000000L) - expr("(6000000 * sum_d2)" +
+            " div (n * (n * n - 1))")).as("rho_ppm"))
+    },
+
+    // --------------------------------------------------------------- q221
+    // Gini-impurity feature ranking — the decision-tree split audit a
+    // feature-engineering pass runs: which candidate feature best
+    // predicts the return flag? Gini impurity (1 − Σp²) instead of
+    // entropy BECAUSE it is rational: every score is exact integer
+    // arithmetic in ppm, no log, bit-identical cross-engine.
+    // Per feature f: gain = base − Σ_v (n_v/n)·G_v computed as
+    // base_ppm − (Σ_v n_v·G_v_ppm) div n with G_v_ppm = 10⁶·(n_v² −
+    // Σ_c n_vc²) div n_v² — one quantization per class-vector, then
+    // exact sums. Features unpivot through one stack() pass so the
+    // corpus is read ONCE for all four candidates; everything after
+    // the (feature, value, class) groupBy is cell-space (Σ|domains|·
+    // |classes| rows). BIGINT headroom: 10⁶·n² needs n ≲ 3e6 — the
+    // petascale form banks n² into DECIMAL(38,0), same algebra.
+    Q(
+      "q221_gini_impurity",
+      Some("""
+        WITH b AS (
+          SELECT l_returnflag AS cls,
+                 CAST(CAST(l_quantity AS BIGINT) // 10 AS VARCHAR) AS f_qty,
+                 CAST(CAST(round(l_discount * 100) AS BIGINT) AS VARCHAR)
+                   AS f_disc,
+                 l_linestatus AS f_status,
+                 CAST(month(CAST(l_shipdate AS DATE)) AS VARCHAR) AS f_month
+          FROM lineitem),
+        u AS (
+          SELECT cls, 'qty_band' AS feature, f_qty AS val FROM b
+          UNION ALL SELECT cls, 'disc_pct', f_disc FROM b
+          UNION ALL SELECT cls, 'linestatus', f_status FROM b
+          UNION ALL SELECT cls, 'ship_month', f_month FROM b),
+        vc AS (
+          SELECT feature, val, cls, CAST(COUNT(*) AS BIGINT) AS c
+          FROM u GROUP BY 1, 2, 3),
+        v AS (
+          SELECT feature, val, CAST(SUM(c) AS BIGINT) AS n_v,
+                 CAST(SUM(c * c) AS BIGINT) AS s2
+          FROM vc GROUP BY 1, 2),
+        fw AS (
+          SELECT feature, CAST(COUNT(*) AS BIGINT) AS n_values,
+                 CAST(SUM(n_v) AS BIGINT) AS n,
+                 CAST(SUM(n_v * ((1000000 * (n_v * n_v - s2))
+                                 // (n_v * n_v))) AS BIGINT) AS wsum
+          FROM v GROUP BY 1),
+        cm AS (
+          SELECT cls, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1),
+        base AS (
+          SELECT CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT) AS nn,
+                 CAST(SUM(c * c) AS BIGINT) AS s2
+          FROM cm)
+        SELECT fw.feature, fw.n_values,
+               (1000000 * (base.nn - base.s2)) // base.nn AS base_ppm,
+               fw.wsum // fw.n AS weighted_ppm,
+               (1000000 * (base.nn - base.s2)) // base.nn
+                 - fw.wsum // fw.n AS gain_ppm
+        FROM fw CROSS JOIN base""")
+    ) { (s, dir) =>
+      val b = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("cls"),
+        expr("cast(cast(l_quantity as bigint) div 10 as string)")
+          .as("f_qty"),
+        expr("cast(cast(round(l_discount * 100) as bigint) as string)")
+          .as("f_disc"),
+        col("l_linestatus").as("f_status"),
+        month(col("l_shipdate")).cast("string").as("f_month"))
+      val u = b.select(col("cls"), expr(
+        """stack(4,
+           'qty_band', f_qty,
+           'disc_pct', f_disc,
+           'linestatus', f_status,
+           'ship_month', f_month) AS (feature, val)"""))
+      val vc = u.groupBy("feature", "val", "cls")
+        .agg(count(lit(1)).as("c"))
+      val v = vc.groupBy("feature", "val")
+        .agg(sum(col("c")).as("n_v"), sum(col("c") * col("c")).as("s2"))
+      val fw = v.groupBy("feature")
+        .agg(count(lit(1)).as("n_values"), sum(col("n_v")).as("n"),
+          sum(col("n_v") * expr("(1000000 * (n_v * n_v - s2))" +
+            " div (n_v * n_v)")).as("wsum"))
+      val base = b.groupBy("cls").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("nb"), sum(col("c") * col("c")).as("s2"))
+        .select((col("nb") * col("nb")).as("nn"), col("s2"))
+      fw.crossJoin(broadcast(base))
+        .select(col("feature"), col("n_values"),
+          expr("(1000000 * (nn - s2)) div nn").as("base_ppm"),
+          expr("wsum div n").as("weighted_ppm"),
+          expr("(1000000 * (nn - s2)) div nn - wsum div n").as("gain_ppm"))
+    },
+
+    // --------------------------------------------------------------- q226
+    // FIFO lot allocation — the inventory-costing match every
+    // warehouse ledger runs: per part, filled line items ('F') are
+    // supply lots in ship-date order, open ones ('O') are demands in
+    // the same order, and FIFO consumption is computed WITHOUT a
+    // serial loop via the cumulative-interval trick: a lot covers
+    // cumulative-quantity range [s_hi−q, s_hi), a demand covers
+    // [d_hi−q, d_hi), and the allocation of lot→demand is the length
+    // of their overlap — a per-part range join whose match count is
+    // LINEAR (≤ supplies + demands − 1 chained intervals per part,
+    // never quadratic). Quantities are exact BIGINTs; both cumsum
+    // windows partition by part with a unique (date, orderkey,
+    // linenumber) order. Output: per-part totals — lots, demands,
+    // allocated, unfilled demand, leftover supply — so the report is
+    // part-space. The join is an equi-join on partkey with range
+    // residuals: SMJ-able, no broadcast of corpus-sized sides, per-
+    // part windows only — scales with the busiest part.
+    Q(
+      "q226_fifo_allocation",
+      Some("""
+        WITH sup AS (
+          SELECT l_partkey AS pk, CAST(l_quantity AS BIGINT) AS q,
+                 CAST(SUM(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT) AS hi
+          FROM lineitem WHERE l_linestatus = 'F'
+          WINDOW w AS (PARTITION BY l_partkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber)),
+        dem AS (
+          SELECT l_partkey AS pk, CAST(l_quantity AS BIGINT) AS q,
+                 CAST(SUM(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT) AS hi
+          FROM lineitem WHERE l_linestatus = 'O'
+          WINDOW w AS (PARTITION BY l_partkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber)),
+        al AS (
+          SELECT s.pk,
+                 least(s.hi, d.hi) - greatest(s.hi - s.q, d.hi - d.q)
+                   AS alloc
+          FROM sup s JOIN dem d ON d.pk = s.pk
+            AND s.hi - s.q < d.hi AND d.hi - d.q < s.hi),
+        sa AS (
+          SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_lots,
+                 CAST(SUM(q) AS BIGINT) AS supply FROM sup GROUP BY 1),
+        da AS (
+          SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_demands,
+                 CAST(SUM(q) AS BIGINT) AS demand FROM dem GROUP BY 1),
+        aa AS (
+          SELECT pk, CAST(SUM(alloc) AS BIGINT) AS allocated
+          FROM al GROUP BY 1)
+        SELECT sa.pk AS partkey, sa.n_lots,
+               COALESCE(da.n_demands, 0) AS n_demands,
+               sa.supply, COALESCE(da.demand, 0) AS demand,
+               COALESCE(aa.allocated, 0) AS allocated,
+               COALESCE(da.demand, 0) - COALESCE(aa.allocated, 0)
+                 AS unfilled,
+               sa.supply - COALESCE(aa.allocated, 0) AS leftover
+        FROM sa LEFT JOIN da ON da.pk = sa.pk
+        LEFT JOIN aa ON aa.pk = sa.pk""")
+    ) { (s, dir) =>
+      def stream(status: String): DataFrame = {
+        val w = Window.partitionBy("pk")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        t(s, dir, "lineitem").filter(col("l_linestatus") === status)
+          .select(col("l_partkey").as("pk"),
+            col("l_quantity").cast("long").as("q"),
+            col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .withColumn("hi", sum(col("q")).over(w))
+          .select("pk", "q", "hi")
+      }
+      val sup = stream("F")
+      val dem = stream("O")
+      val al = sup.select(col("pk"), col("q").as("sq"), col("hi").as("sh"))
+        .join(dem.select(col("pk"), col("q").as("dq"), col("hi").as("dh")),
+          Seq("pk"))
+        .filter(col("sh") - col("sq") < col("dh") &&
+          col("dh") - col("dq") < col("sh"))
+        .select(col("pk"),
+          (least(col("sh"), col("dh"))
+            - greatest(col("sh") - col("sq"), col("dh") - col("dq")))
+            .as("alloc"))
+      val sa = sup.groupBy("pk")
+        .agg(count(lit(1)).as("n_lots"), sum(col("q")).as("supply"))
+      val da = dem.groupBy("pk")
+        .agg(count(lit(1)).as("n_demands"), sum(col("q")).as("demand"))
+      val aa = al.groupBy("pk").agg(sum(col("alloc")).as("allocated"))
+      sa.join(da, Seq("pk"), "left").join(aa, Seq("pk"), "left")
+        .select(col("pk").as("partkey"), col("n_lots"),
+          coalesce(col("n_demands"), lit(0L)).as("n_demands"),
+          col("supply"), coalesce(col("demand"), lit(0L)).as("demand"),
+          coalesce(col("allocated"), lit(0L)).as("allocated"),
+          (coalesce(col("demand"), lit(0L))
+            - coalesce(col("allocated"), lit(0L))).as("unfilled"),
+          (col("supply") - coalesce(col("allocated"), lit(0L)))
+            .as("leftover"))
+    },
   )
 }

@@ -1223,6 +1223,105 @@ object Vectors {
     // construction and surfaces the tail. Corpus cost: one
     // assignment pass + one label-keyed window.
     qConformal,
+
+    // --------------------------------------------------------------- q225
+    // MAP@10 / MRR@10 retrieval eval — the ranking metrics that
+    // complement q191's nDCG and q146's recall: relevance = label
+    // match (the labeled-eval contract of q65), ranked lists = exact
+    // brute-force cosine top-10 per query (the deterministic (score
+    // DESC, vec_id) total order every ANN variant is judged against).
+    // Reciprocal rank and average precision are rationals → exact
+    // floored ppm: rr = 10⁶ div first-hit-rank; AP = (Σ_{hit@k}
+    // (10⁶·hits≤k) div k) div min(R, 10) with R = corpus vectors
+    // sharing the query's label (quantize-then-sum, the documented
+    // contract). Aggregated per query label. The corpus cost is the
+    // scored join against the BROADCAST 20-query side (query tables
+    // are small by contract — the corpus side never shuffles); all
+    // windows run in (queries × 10)-space. Scales as one corpus scan.
+    Q(
+      "q225_map_mrr",
+      Some(s"""
+        WITH normed AS ($quantizedSql),
+        qs AS (
+          SELECT vec_id AS query_id, label AS q_label, qv AS qqv, qn AS qqn
+          FROM normed WHERE vec_id < 20 AND qn > 0),
+        rel AS (
+          SELECT q.query_id, CAST(COUNT(*) AS BIGINT) AS r
+          FROM qs q JOIN normed c
+            ON c.label = q.q_label AND c.vec_id <> q.query_id
+          WHERE c.qn > 0 GROUP BY 1),
+        scored AS (
+          SELECT q.query_id, q.q_label, c.vec_id, c.label,
+                 CAST(CAST(list_aggregate(list_transform(
+                        range(1, len(q.qqv) + 1), i -> q.qqv[i] * c.qv[i]),
+                      'sum') AS BIGINT) AS DOUBLE)
+                   / sqrt(CAST(q.qqn AS DOUBLE) * CAST(c.qn AS DOUBLE))
+                   AS score
+          FROM qs q JOIN normed c ON c.vec_id <> q.query_id
+          WHERE c.qn > 0),
+        ranked AS (
+          SELECT query_id, q_label,
+                 CASE WHEN label = q_label THEN 1 ELSE 0 END AS hit,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, vec_id) AS rn
+          FROM scored QUALIFY rn <= 10),
+        run AS (
+          SELECT query_id, q_label, hit, rn,
+                 CAST(SUM(hit) OVER (PARTITION BY query_id ORDER BY rn)
+                      AS BIGINT) AS h_at
+          FROM ranked),
+        perq AS (
+          SELECT query_id, q_label,
+                 CAST(MAX(CASE WHEN hit = 1 THEN 1000000 // rn ELSE 0 END)
+                      AS BIGINT) AS rr_ppm,
+                 CAST(SUM(CASE WHEN hit = 1 THEN (1000000 * h_at) // rn
+                          ELSE 0 END) AS BIGINT) AS ap_num
+          FROM run GROUP BY 1, 2),
+        withr AS (
+          SELECT p.q_label, p.rr_ppm,
+                 CASE WHEN least(rel.r, 10) > 0
+                      THEN p.ap_num // least(rel.r, 10) ELSE 0 END AS ap_ppm
+          FROM perq p JOIN rel ON rel.query_id = p.query_id)
+        SELECT CAST(q_label AS BIGINT) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(SUM(rr_ppm) AS BIGINT) // COUNT(*) AS mrr_ppm,
+               CAST(SUM(ap_ppm) AS BIGINT) // COUNT(*) AS map_ppm
+        FROM withr GROUP BY 1""")
+    ) { (s, dir) =>
+      val normed = quantized(s, dir).filter(col("qn") > 0)
+      val qs = normed.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+          col("qv").as("qqv"), col("qn").as("qqn"))
+      val rel = normed.join(broadcast(qs),
+          col("label") === col("q_label") && col("vec_id") =!= col("query_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("r"))
+      val scored = normed.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+        .withColumn("dot", dotCol("qqv", "qv"))
+        .withColumn("score", col("dot").cast("double")
+          / sqrt(col("qqn").cast("double") * col("qn").cast("double")))
+      val w = Window.partitionBy("query_id").orderBy(desc("score"), col("vec_id"))
+      val ranked = scored
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 10)
+        .select(col("query_id"), col("q_label"),
+          when(col("label") === col("q_label"), 1L).otherwise(0L).as("hit"),
+          col("rn"))
+      val run = ranked.withColumn("h_at",
+        sum(col("hit")).over(Window.partitionBy("query_id").orderBy("rn")))
+      val perq = run.groupBy("query_id", "q_label")
+        .agg(max(when(col("hit") === 1, expr("1000000 div rn"))
+          .otherwise(0L)).as("rr_ppm"),
+          sum(when(col("hit") === 1, expr("(1000000 * h_at) div rn"))
+            .otherwise(0L)).as("ap_num"))
+      perq.join(rel, "query_id")
+        .select(col("q_label"), col("rr_ppm"),
+          when(least(col("r"), lit(10L)) > 0,
+            expr("ap_num div least(r, 10)")).otherwise(0L).as("ap_ppm"))
+        .groupBy(col("q_label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_queries"),
+          expr("sum(rr_ppm) div count(1)").as("mrr_ppm"),
+          expr("sum(ap_ppm) div count(1)").as("map_ppm"))
+    },
   )
 
   /** q158's truncated-cosine top-5 at d dims: same candidate universe
