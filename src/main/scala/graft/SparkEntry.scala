@@ -169,6 +169,10 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q224    graft.queries.Graph      — nation-partition modularity
   *   q225    graft.queries.Vectors    — MAP@10 / MRR@10 retrieval eval
   *   q226    graft.queries.Relational — FIFO lot allocation (cum-interval)
+  *   q227    graft.queries.Layout     — RLE payoff estimate per sort order
+  *   q228    graft.queries.Graph      — bounded weighted shortest paths
+  *   q229    graft.queries.Curation   — 1-D EMD drift per source
+  *   q230    graft.queries.Curation   — Poisson-bootstrap mean CI
   */
 object SparkEntry {
 

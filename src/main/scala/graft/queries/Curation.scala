@@ -1393,6 +1393,149 @@ object Curation {
         .select(col("nation"), col("bal_band"), col("class_size"),
           col("l_distinct"), col("meets_l3"), col("top_share_pm"))
     },
+
+    // --------------------------------------------------------------- q229
+    // 1-D earth mover's distance per source vs the pooled corpus, on
+    // the doc-length distribution — the transport-cost drift metric
+    // that complements q199's KS (sup of CDF gaps) and q193's TVD:
+    // EMD integrates |F_s − F_all| over the value axis, so it sees
+    // HOW FAR mass moved, not just the worst gap. Per grid value:
+    // the CDF gap in exact cross-multiplied ppm ((10⁶·|c_s·n_all −
+    // c_all·n_s|) div (n_s·n_all) — q199's integers), times the gap
+    // to the next grid value (lead − v) — quantize-then-sum, so the
+    // result is exact ppm·chars in both engines. Same scale story as
+    // q199: one corpus pass to (source, length) cells, every window
+    // in length-value space. BIGINT headroom: c·n·10⁶ needs n ≲ 3e6
+    // — the 1000× form quantizes both CDFs to ppm first.
+    Q(
+      "q229_emd_drift",
+      Some("""
+        WITH d AS (SELECT source, n_chars AS v FROM documents),
+        ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+               FROM d GROUP BY 1),
+        nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM d),
+        gc AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1),
+        gcum AS (
+          SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS c_all,
+                 lead(v) OVER (ORDER BY v) AS v_next
+          FROM gc),
+        sc AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c
+               FROM d GROUP BY 1, 2),
+        grid AS (
+          SELECT ns.source, ns.n_s, gcum.v, gcum.v_next, gcum.c_all,
+                 COALESCE(sc.c, 0) AS c
+          FROM ns CROSS JOIN gcum
+          LEFT JOIN sc ON sc.source = ns.source AND sc.v = gcum.v),
+        scum AS (
+          SELECT source, n_s, v, v_next, c_all,
+                 CAST(SUM(c) OVER (PARTITION BY source ORDER BY v)
+                      AS BIGINT) AS c_s
+          FROM grid)
+        SELECT source, MIN(n_s) AS n_docs,
+               CAST(SUM(CASE WHEN v_next IS NULL THEN 0
+                 ELSE (v_next - v) * ((1000000 *
+                   abs(c_s * (SELECT n_all FROM nt) - c_all * n_s))
+                   // (n_s * (SELECT n_all FROM nt))) END) AS BIGINT)
+                 AS emd_ppm_chars
+        FROM scum GROUP BY source""")
+    ) { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("source"), col("n_chars").as("v"))
+      val ns = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val nt = d.agg(count(lit(1)).as("n_all"))
+      val gc = d.groupBy("v").agg(count(lit(1)).as("c"))
+      val wv = Window.orderBy("v")
+      val gcum = gc.select(col("v"), sum(col("c")).over(wv).as("c_all"),
+        lead(col("v"), 1).over(wv).as("v_next"))
+      val sc = d.groupBy("source", "v").agg(count(lit(1)).as("c"))
+      val grid = ns.crossJoin(broadcast(gcum))
+        .join(sc, Seq("source", "v"), "left").na.fill(0L, Seq("c"))
+      val scum = grid.withColumn("c_s",
+        sum(col("c")).over(Window.partitionBy("source").orderBy("v")))
+      scum.crossJoin(broadcast(nt))
+        .groupBy("source")
+        .agg(min(col("n_s")).as("n_docs"),
+          sum(when(col("v_next").isNull, 0L)
+            .otherwise((col("v_next") - col("v")) *
+              expr("(1000000 * abs(c_s * n_all - c_all * n_s))" +
+                " div (n_s * n_all)"))).as("emd_ppm_chars"))
+    },
+
+    // --------------------------------------------------------------- q230
+    // Deterministic Poisson-bootstrap confidence interval for the
+    // mean doc length per source — the uncertainty band a curation
+    // report should print next to every point estimate. Classic
+    // bootstrap resamples n rows with replacement B times — a
+    // shuffle-per-replicate disaster; the POISSON bootstrap (each row
+    // enters replicate b with weight ~ Poisson(1)) is one corpus
+    // pass: weights come from the salted Knuth hash mod 1000 pushed
+    // through the exact Poisson(1) inverse-CDF steps (368/736/920/
+    // 981/996 — ppt thresholds of e⁻¹ partial sums), so both engines
+    // draw IDENTICAL "randomness" (the q98 reproducible-sampling
+    // contract; no rand()). B = 16 replicates explode from one
+    // sequence() — map-side, combinable into (source, b) cells —
+    // then the CI is the 2nd/15th order statistic of the 16 replicate
+    // means (the 6.25/93.75 grid points; a production run raises B
+    // and the grid tightens). All integer permille arithmetic.
+    Q(
+      "q230_bootstrap_ci",
+      Some(s"""
+        WITH r AS (
+          SELECT d.source, d.n_chars, b.b,
+                 (((d.doc_id * 1000 + b.b + 9176) % 2147483648)
+                  * 2654435761) % 4294967296 % 1000 AS h
+          FROM documents d CROSS JOIN (
+            SELECT unnest(range(0, 16)) AS b) b),
+        w AS (
+          SELECT source, n_chars, b,
+                 CASE WHEN h < 368 THEN 0 WHEN h < 736 THEN 1
+                      WHEN h < 920 THEN 2 WHEN h < 981 THEN 3
+                      WHEN h < 996 THEN 4 ELSE 5 END AS wt
+          FROM r),
+        rep AS (
+          SELECT source, b,
+                 CASE WHEN SUM(wt) = 0 THEN 0
+                      ELSE (1000 * CAST(SUM(wt * n_chars) AS BIGINT))
+                           // CAST(SUM(wt) AS BIGINT) END AS mean_pm
+          FROM w GROUP BY 1, 2),
+        rk AS (
+          SELECT source, mean_pm,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY mean_pm, b) AS rn
+          FROM rep),
+        pt AS (
+          SELECT source,
+                 (1000 * CAST(SUM(n_chars) AS BIGINT)) // COUNT(*)
+                   AS point_pm
+          FROM documents GROUP BY 1)
+        SELECT pt.source, pt.point_pm,
+               MAX(CASE WHEN rk.rn = 2 THEN rk.mean_pm END) AS ci_lo_pm,
+               MAX(CASE WHEN rk.rn = 15 THEN rk.mean_pm END) AS ci_hi_pm
+        FROM pt JOIN rk ON rk.source = pt.source
+        GROUP BY 1, 2""")
+    ) { (s, dir) =>
+      val r = t(s, dir, "documents")
+        .select(col("source"), col("n_chars"), col("doc_id"))
+        .withColumn("b", explode(sequence(lit(0), lit(15))))
+        .withColumn("h", expr(
+          "(((doc_id * 1000 + b + 9176) % 2147483648)" +
+            " * 2654435761) % 4294967296 % 1000"))
+      val w = r.withColumn("wt",
+        when(col("h") < 368, 0L).when(col("h") < 736, 1L)
+          .when(col("h") < 920, 2L).when(col("h") < 981, 3L)
+          .when(col("h") < 996, 4L).otherwise(5L))
+      val rep = w.groupBy("source", "b")
+        .agg(when(sum(col("wt")) === 0, 0L)
+          .otherwise(expr("(1000 * sum(wt * n_chars)) div sum(wt)"))
+          .as("mean_pm"))
+      val rk = rep.withColumn("rn", row_number()
+        .over(Window.partitionBy("source").orderBy("mean_pm", "b")))
+      val pt = t(s, dir, "documents").groupBy("source")
+        .agg(expr("(1000 * sum(n_chars)) div count(1)").as("point_pm"))
+      pt.join(rk, "source")
+        .groupBy("source", "point_pm")
+        .agg(max(when(col("rn") === 2, col("mean_pm"))).as("ci_lo_pm"),
+          max(when(col("rn") === 15, col("mean_pm"))).as("ci_hi_pm"))
+    },
   )
 
   /** q147's per-(doc, shard) rendezvous weight: the Carter–Wegman

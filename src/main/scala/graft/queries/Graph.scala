@@ -623,5 +623,82 @@ object Graph {
             - expr("(1000000 * d_c * d_c) div (4 * m * m)"))
             .as("contrib_ppm"))
     },
+
+    // --------------------------------------------------------------- q228
+    // Bounded weighted shortest paths (3 Bellman-Ford relaxation
+    // rounds) from the first five customers over the trading graph,
+    // with TRADE-VOLUME weights: an edge costs 1 + 10000 div
+    // line-count — heavily-traded links are cheap, so the distance is
+    // a supply-chain "friction" metric, not hop count (q104 covers
+    // hops). Each round is ONE frontier⋈edges shuffle-hash join +
+    // a min aggregation — the q94 vertex-program shape; the distance
+    // table is vertex-sized and never broadcasts; edges materialize
+    // once with their weights and keep their src partitioning across
+    // rounds. All arithmetic is BIGINT (min of sums — no floats);
+    // the fixed round count unrolls into plain SQL for the oracle.
+    // At 100×: 3 keyed shuffles over the frontier, the only serial
+    // dimension is the round count — scales.
+    Q(
+      "q228_shortest_paths",
+      Some("""
+        WITH ln AS (
+          SELECT o_custkey AS c, l_suppkey AS s,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          GROUP BY 1, 2),
+        edges AS (
+          SELECT c AS src, -(s + 1) AS dst, 1 + 10000 // n AS w FROM ln
+          UNION ALL
+          SELECT -(s + 1) AS src, c AS dst, 1 + 10000 // n AS w FROM ln),
+        d0 AS (
+          SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS d
+          FROM edges WHERE src >= 0 AND src < 5),
+        d1 AS (
+          SELECT node, MIN(d) AS d FROM (
+            SELECT node, d FROM d0
+            UNION ALL
+            SELECT e.dst AS node, r.d + e.w AS d
+            FROM d0 r JOIN edges e ON e.src = r.node) u GROUP BY 1),
+        d2 AS (
+          SELECT node, MIN(d) AS d FROM (
+            SELECT node, d FROM d1
+            UNION ALL
+            SELECT e.dst AS node, r.d + e.w AS d
+            FROM d1 r JOIN edges e ON e.src = r.node) u GROUP BY 1),
+        d3 AS (
+          SELECT node, MIN(d) AS d FROM (
+            SELECT node, d FROM d2
+            UNION ALL
+            SELECT e.dst AS node, r.d + e.w AS d
+            FROM d2 r JOIN edges e ON e.src = r.node) u GROUP BY 1)
+        SELECT node, d AS dist FROM d3""")
+    ) { (s, dir) =>
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")).hint("merge")
+      val ln = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .agg(count(lit(1)).as("n"))
+      val edges = Checkpoints.materialize(ln
+        .withColumn("w", expr("1 + 10000 div n"))
+        .select(explode(array(
+          struct(col("c").as("src"), (-(col("s") + 1)).as("dst"), col("w")),
+          struct((-(col("s") + 1)).as("src"), col("c").as("dst"), col("w"))))
+          .as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"),
+          col("e.w").as("w")))
+      val d0 = edges.filter(col("src") >= 0 && col("src") < 5)
+        .select(col("src").as("node")).distinct()
+        .withColumn("d", lit(0L))
+      val d3 = (1 to 3).foldLeft(d0) { (r, _) =>
+        val relaxed = edges.join(r.hint("shuffle_hash"),
+            col("node") === col("src"))
+          .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+        r.select("node", "d").unionByName(relaxed)
+          .groupBy("node").agg(min(col("d")).as("d"))
+      }
+      d3.select(col("node"), col("d").as("dist"))
+    },
   )
 }

@@ -300,6 +300,7 @@ object Layout {
           expr("(1000 * n_rows * 32) div n").as("fill_permille"))
     },
     q220,
+    q227,
   )
 
   /** The full 8-stage CTE chain h1..h8 over a `dims(x, y)` CTE —
@@ -389,6 +390,82 @@ object Layout {
         .agg(count(lit(1)).as("n_files"),
           sum(col("bytes")).as("bin_bytes"),
           expr("(max(mon_bytes) + 1048575) div 1048576").as("ideal_bins"))
+    }
+
+  private lazy val q227 =
+    // --------------------------------------------------------------- q227
+    // Run-length-encoding payoff estimate — the layout-advisor sibling
+    // of q80/q99/q165: before rewriting a table clustered, PREDICT the
+    // encoding win by counting value runs per column under the current
+    // row order vs the candidate (returnflag, linestatus) cluster
+    // order. Runs are counted WITHIN each ship-month partition (files
+    // are partition-local, so a global-order count would model a sort
+    // the writer never does — and a global window wouldn't scale; the
+    // per-month window does). runs = Σ_partitions (1 + #(v ≠ lag v))
+    // via one lag window per candidate order; the fixture's
+    // (orderkey, linenumber) pairs are NOT unique, so each order
+    // appends the value itself as the last key — ties that remain
+    // have equal v and cannot change the run count, making the count
+    // engine-independent. Output per column: rows, runs under each
+    // order, and the clustered/natural ratio in permille — the
+    // decision number. Corpus cost: two per-partition window passes;
+    // everything after is |columns|-sized.
+    Q(
+      "q227_rle_estimate",
+      Some("""
+        WITH b AS (
+          SELECT year(CAST(l_shipdate AS DATE)) * 100
+                 + month(CAST(l_shipdate AS DATE)) AS mon,
+                 l_orderkey AS ok, l_linenumber AS ln,
+                 l_returnflag AS rf, l_linestatus AS ls,
+                 CAST(CAST(l_quantity AS BIGINT) // 10 AS VARCHAR) AS qb
+          FROM lineitem),
+        u AS (
+          SELECT mon, ok, ln, rf, ls, 'returnflag' AS col_name, rf AS v
+          FROM b
+          UNION ALL SELECT mon, ok, ln, rf, ls, 'linestatus', ls FROM b
+          UNION ALL SELECT mon, ok, ln, rf, ls, 'qty_band', qb FROM b),
+        runs AS (
+          SELECT col_name,
+                 CASE WHEN lag(v) OVER (PARTITION BY mon, col_name
+                        ORDER BY ok, ln, v) IS DISTINCT FROM v
+                      THEN 1 ELSE 0 END AS rn_nat,
+                 CASE WHEN lag(v) OVER (PARTITION BY mon, col_name
+                        ORDER BY rf, ls, ok, ln, v) IS DISTINCT FROM v
+                      THEN 1 ELSE 0 END AS rn_clu
+          FROM u)
+        SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(rn_nat) AS BIGINT) AS runs_natural,
+               CAST(SUM(rn_clu) AS BIGINT) AS runs_clustered,
+               (1000 * CAST(SUM(rn_clu) AS BIGINT))
+                 // CAST(SUM(rn_nat) AS BIGINT) AS ratio_pm
+        FROM runs GROUP BY 1""")
+    ) { (s, dir) =>
+      val b = t(s, dir, "lineitem").select(
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("mon"),
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        expr("cast(cast(l_quantity as bigint) div 10 as string)").as("qb"))
+      val u = b.select(col("mon"), col("ok"), col("ln"), col("rf"),
+        col("ls"), expr(
+          """stack(3,
+             'returnflag', rf,
+             'linestatus', ls,
+             'qty_band', qb) AS (col_name, v)"""))
+      val wNat = Window.partitionBy("mon", "col_name")
+        .orderBy("ok", "ln", "v")
+      val wClu = Window.partitionBy("mon", "col_name")
+        .orderBy("rf", "ls", "ok", "ln", "v")
+      val runs = u.select(col("col_name"),
+        when(not(lag(col("v"), 1).over(wNat) <=> col("v")), 1L)
+          .otherwise(0L).as("rn_nat"),
+        when(not(lag(col("v"), 1).over(wClu) <=> col("v")), 1L)
+          .otherwise(0L).as("rn_clu"))
+      runs.groupBy("col_name")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("rn_nat")).as("runs_natural"),
+          sum(col("rn_clu")).as("runs_clustered"),
+          expr("(1000 * sum(rn_clu)) div sum(rn_nat)").as("ratio_pm"))
     }
 
   private[queries] def hilbertDf(dims: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
