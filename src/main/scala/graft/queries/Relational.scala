@@ -1932,20 +1932,29 @@ object Relational {
       }
       val sup = stream("F")
       val dem = stream("O")
+      // both interval streams are corpus-sized: the allocation join is
+      // pinned sort-merge on pk (the planner's size estimate for the
+      // demand side is optimistic enough to broadcast — a 100× OOM)
       val al = sup.select(col("pk"), col("q").as("sq"), col("hi").as("sh"))
-        .join(dem.select(col("pk"), col("q").as("dq"), col("hi").as("dh")),
-          Seq("pk"))
+        .join(dem.select(col("pk"), col("q").as("dq"), col("hi").as("dh"))
+          .hint("merge"), Seq("pk"))
         .filter(col("sh") - col("sq") < col("dh") &&
           col("dh") - col("dq") < col("sh"))
         .select(col("pk"),
           (least(col("sh"), col("dh"))
             - greatest(col("sh") - col("sq"), col("dh") - col("dq")))
             .as("alloc"))
+      // the three summary tables are PART-space — they grow with the
+      // corpus, so the report joins are pinned to sort-merge (the
+      // static planner would happily broadcast their optimistic size
+      // estimates; at 100× that is a driver collect of |parts| rows)
       val sa = sup.groupBy("pk")
         .agg(count(lit(1)).as("n_lots"), sum(col("q")).as("supply"))
       val da = dem.groupBy("pk")
         .agg(count(lit(1)).as("n_demands"), sum(col("q")).as("demand"))
+        .hint("merge")
       val aa = al.groupBy("pk").agg(sum(col("alloc")).as("allocated"))
+        .hint("merge")
       sa.join(da, Seq("pk"), "left").join(aa, Seq("pk"), "left")
         .select(col("pk").as("partkey"), col("n_lots"),
           coalesce(col("n_demands"), lit(0L)).as("n_demands"),

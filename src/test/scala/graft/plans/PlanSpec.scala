@@ -1193,4 +1193,85 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(p).length === 1,
       s"only the (vec, subspace) argmin aggregate shuffles:\n$p")
   }
+
+  test("q219: every HITS step is a keyed shuffle join — vertex sides never broadcast") {
+    val p = plan("q219_hits")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"no cartesian:\n$p")
+    // hub/authority tables are vertex-sized (q94's rank lesson): a
+    // broadcast is a driver collect that dies at 100×. The three
+    // reinforcement joins (a1→h1, h1→a2, a2→h2) must shuffle.
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+      s"no vertex-derived side may broadcast:\n$p")
+    assert(p.collect { case j: ShuffledHashJoinExec => j }.length >= 3,
+      s"each reinforcement step is a shuffled hash join:\n$p")
+    // the only nested-loop joins are the one-row L∞-max rescales
+    p.collect { case n: BroadcastNestedLoopJoinExec => n }.foreach { n =>
+      assert(n.children.exists(_.exists {
+        case _: HashAggregateExec => true
+        case _ => false
+      }), s"nested-loop sides must be one-row max aggregates:\n$p")
+    }
+  }
+
+  test("q228: relaxation rounds shuffle keyed on the vertex — no broadcast, no loop") {
+    val p = plan("q228_shortest_paths")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
+      p.collect { case n: BroadcastNestedLoopJoinExec => n }.isEmpty,
+      s"distance propagation must never loop or cross-join:\n$p")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+      s"the distance table is vertex-sized — never broadcast:\n$p")
+    assert(p.collect { case j: ShuffledHashJoinExec => j }.length >= 3,
+      s"three Bellman-Ford rounds, each a shuffled hash join:\n$p")
+  }
+
+  test("q226: lot×demand is a partkey-keyed join — corpus sides never broadcast") {
+    val p = plan("q226_fifo_allocation")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
+      p.collect { case n: BroadcastNestedLoopJoinExec => n }.isEmpty,
+      s"the range residual must ride the partkey equi join:\n$p")
+    // supplies and demands both grow with the corpus — no broadcast side
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+      s"no corpus-sized side may broadcast:\n$p")
+    val keyed = p.collect {
+      case j: SortMergeJoinExec => j.leftKeys
+      case j: ShuffledHashJoinExec => j.leftKeys
+    }
+    assert(keyed.nonEmpty && keyed.forall(_.nonEmpty),
+      s"all joins key on pk:\n$p")
+    // FIFO cumsums partition by part — no global sort anywhere
+    val wins = p.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"cumulative quantities must window per part:\n$p")
+  }
+
+  test("q222: drawdown windows partition per user; top-20 is TakeOrdered") {
+    val p = plan("q222_max_drawdown")
+    val wins = p.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"running balance/peak must window per user, never globally:\n$p")
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      s"the top-20 must execute as TakeOrderedAndProject, not a full sort:\n$p")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty, s"$p")
+  }
+
+  test("q227: run counting is join-free; both lag windows partition by month") {
+    val p = plan("q227_rle_estimate")
+    assert(p.collect {
+      case j: SortMergeJoinExec => j
+      case j: ShuffledHashJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }.isEmpty, s"run counting never joins:\n$p")
+    val wins = p.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"both candidate orders sort per (month, column), never globally:\n$p")
+  }
+
+  test("q220: the packing window partitions per month; single corpus scan") {
+    val p = plan("q220_compaction_plan")
+    val wins = p.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"next-fit cumsum must window per month:\n$p")
+    assert(scans(p).length === 1, s"one pass over lineitem:\n$p")
+  }
 }
