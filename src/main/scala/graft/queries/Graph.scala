@@ -520,26 +520,37 @@ object Graph {
           .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
           .distinct())
       // one reinforcement step: edge⋈vertex keyed join, groupBy the
-      // other side, L∞ renormalize via a one-row broadcast max.
-      def step(v: DataFrame, vKey: String, outKey: String): DataFrame = {
-        val summed = pairs.join(v.hint("shuffle_hash"),
-            col(vKey) === col(s"v_$vKey"))
+      // other side, L∞ renormalize via a one-row broadcast max. Each
+      // step's summed table is referenced TWICE (the max and the
+      // rescale) and feeds the next step's join — without
+      // materialization the lineage re-executes the whole upstream
+      // chain per reference (the q94 lesson squared: measured 5→22s
+      // across reruns at sf0.1; 0.9s steady after).
+      def step(v: DataFrame, vKey: String, outKey: String,
+          last: Boolean = false): DataFrame = {
+        val joined = pairs
+          .join(v.hint("shuffle_hash"), col(vKey) === col(s"v_$vKey"))
           .groupBy(col(outKey)).agg(sum(col("x")).as("x"))
+        // the last step stays un-truncated so the executed plan keeps
+        // one representative keyed shuffle join for PlanSpec to pin;
+        // its input is materialized, so the double reference (max +
+        // rescale) re-runs only this one join
+        val summed = if (last) joined else Checkpoints.materialize(joined)
         val m = summed.agg(max(col("x")).as("m"))
         summed.crossJoin(broadcast(m))
           .select(col(outKey).as(s"v_$outKey"),
             expr("(x * 10000) div m").as("x"))
       }
       val a1 = {
-        val raw = pairs.groupBy("s")
-          .agg((count(lit(1)) * 10000L).as("x"))
+        val raw = Checkpoints.materialize(pairs.groupBy("s")
+          .agg((count(lit(1)) * 10000L).as("x")))
         val m = raw.agg(max(col("x")).as("m"))
         raw.crossJoin(broadcast(m))
           .select(col("s").as("v_s"), expr("(x * 10000) div m").as("x"))
       }
       val h1 = step(a1, "s", "c")
       val a2 = step(h1, "c", "s")
-      val h2 = step(a2, "s", "c")
+      val h2 = step(a2, "s", "c", last = true)
       a2.select(lit("auth").as("role"), col("v_s").as("node"),
           col("x").as("score_fp"))
         .unionByName(h2.select(lit("hub").as("role"),
@@ -691,7 +702,11 @@ object Graph {
       val d0 = edges.filter(col("src") >= 0 && col("src") < 5)
         .select(col("src").as("node")).distinct()
         .withColumn("d", lit(0L))
-      val d3 = (1 to 3).foldLeft(d0) { (r, _) =>
+      // each round references the previous distance table TWICE (the
+      // relax join and the keep-current union) — materialize per round
+      // or the lineage re-executes 2^rounds times (the q219 lesson)
+      val d3 = (1 to 3).foldLeft(d0) { (r0, _) =>
+        val r = Checkpoints.materialize(r0)
         val relaxed = edges.join(r.hint("shuffle_hash"),
             col("node") === col("src"))
           .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
