@@ -173,6 +173,10 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q228    graft.queries.Graph      — bounded weighted shortest paths
   *   q229    graft.queries.Curation   — 1-D EMD drift per source
   *   q230    graft.queries.Curation   — Poisson-bootstrap mean CI
+  *   q231    graft.queries.Vectors    — cell-blocked 5-NN LOOCV confusion
+  *   q232    graft.queries.Relational — Lorenz concentration deciles
+  *   q233    graft.queries.Events     — day-of-week seasonal index
+  *   q234    graft.queries.Events     — cohort LTV accumulation
   */
 object SparkEntry {
 

@@ -2800,5 +2800,107 @@ object Events {
             ELSE 'overlapped_by' END""").as("rel"))
         .groupBy("rel").agg(count(lit(1)).as("n"))
     },
+
+    // --------------------------------------------------------------- q233
+    // Day-of-week seasonal index per event type — the multiplicative
+    // seasonality profile a forecasting pass factors out first:
+    // index = (per-dow mean value) / (type overall mean), in exact
+    // cross-multiplied permille ((1000·cents_d·n_t) div (n_d·cents_t)
+    // — no division happens until both sides are integers, the q199
+    // move). Weekday from epoch days ((d+4) mod 7, day 0 = Thursday —
+    // q212's calendar identity, 0 = Sunday). One map-side-combinable
+    // corpus pass to the |types|×7 cell table; the type totals
+    // re-aggregate from the cells and join back in cell space —
+    // the corpus is read once. BIGINT headroom: 1000·cents_d·n_t
+    // needs cents_d·n_t ≲ 9e15 — per-type slices at petascale bank
+    // into DECIMAL(38,0), same algebra.
+    Q(
+      "q233_seasonal_index",
+      Some("""
+        WITH c AS (
+          SELECT event_type,
+                 (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+                 CAST(COUNT(*) AS BIGINT) AS n_d,
+                 CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 100
+                               AS BIGINT)) AS BIGINT) AS cents_d
+          FROM events GROUP BY 1, 2),
+        tt AS (
+          SELECT event_type, CAST(SUM(n_d) AS BIGINT) AS n_t,
+                 CAST(SUM(cents_d) AS BIGINT) AS cents_t
+          FROM c GROUP BY 1)
+        SELECT c.event_type, c.dow, c.n_d, c.cents_d,
+               (1000 * c.cents_d * tt.n_t) // (c.n_d * tt.cents_t)
+                 AS index_pm
+        FROM c JOIN tt ON tt.event_type = c.event_type""")
+    ) { (s, dir) =>
+      val c = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"))
+        .agg(count(lit(1)).as("n_d"),
+          sum(expr("cast(cast(value as decimal(18,4)) * 100 as bigint)"))
+            .as("cents_d"))
+      val tt = c.groupBy("event_type")
+        .agg(sum(col("n_d")).as("n_t"), sum(col("cents_d")).as("cents_t"))
+      c.join(broadcast(tt), "event_type")
+        .select(col("event_type"), col("dow"), col("n_d"), col("cents_d"),
+          expr("(1000 * cents_d * n_t) div (n_d * cents_t)").as("index_pm"))
+    },
+
+    // --------------------------------------------------------------- q234
+    // Cohort LTV accumulation — q91's revenue sibling: users cohort by
+    // first-event week (epoch-day div 7, the cross-engine-stable week
+    // q205 uses), purchases credit exact cents at cohort AGE = event
+    // week − cohort week, and each (cohort, age) row carries the
+    // cumulative revenue and the per-user LTV cents so far — the
+    // triangle a growth model fits its payback curve on. Two corpus
+    // passes share the user-keyed shuffle (first-week min, then the
+    // credited events); the cumulative window runs in cohort×age
+    // space. Cohort sizes join back broadcast (|weeks| rows).
+    Q(
+      "q234_cohort_ltv",
+      Some("""
+        WITH fw AS (
+          SELECT user_id,
+                 MIN(epoch_us(ts) // 86400000000 // 7) AS w0
+          FROM events GROUP BY 1),
+        sz AS (
+          SELECT w0, CAST(COUNT(*) AS BIGINT) AS n_users
+          FROM fw GROUP BY 1),
+        cr AS (
+          SELECT fw.w0,
+                 (epoch_us(e.ts) // 86400000000 // 7) - fw.w0 AS age,
+                 CAST(SUM(CASE WHEN e.event_type = 'purchase'
+                   THEN CAST(CAST(e.value AS DECIMAL(18,4)) * 100 AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS cents
+          FROM events e JOIN fw ON fw.user_id = e.user_id
+          GROUP BY 1, 2),
+        cum AS (
+          SELECT w0, age, cents,
+                 CAST(SUM(cents) OVER (PARTITION BY w0 ORDER BY age)
+                      AS BIGINT) AS cum_cents
+          FROM cr)
+        SELECT cum.w0 AS cohort_week, cum.age, sz.n_users,
+               cum.cents, cum.cum_cents,
+               cum.cum_cents // sz.n_users AS ltv_cents_per_user
+        FROM cum JOIN sz ON sz.w0 = cum.w0""")
+    ) { (s, dir) =>
+      val fw = t(s, dir, "events").groupBy("user_id")
+        .agg(expr("min(unix_micros(ts) div 86400000000 div 7)").as("w0"))
+      val sz = fw.groupBy("w0").agg(count(lit(1)).as("n_users"))
+      val cr = t(s, dir, "events")
+        .join(fw.hint("shuffle_hash"), "user_id")
+        .groupBy(col("w0"),
+          (expr("unix_micros(ts) div 86400000000 div 7") - col("w0"))
+            .as("age"))
+        .agg(sum(when(col("event_type") === "purchase",
+          expr("cast(cast(value as decimal(18,4)) * 100 as bigint)"))
+          .otherwise(0L)).as("cents"))
+      val cum = cr.withColumn("cum_cents",
+        sum(col("cents")).over(Window.partitionBy("w0").orderBy("age")))
+      cum.join(broadcast(sz), "w0")
+        .select(col("w0").as("cohort_week"), col("age"), col("n_users"),
+          col("cents"), col("cum_cents"),
+          expr("cum_cents div n_users").as("ltv_cents_per_user"))
+    },
   )
 }

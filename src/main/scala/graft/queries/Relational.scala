@@ -1965,5 +1965,63 @@ object Relational {
           (col("supply") - coalesce(col("allocated"), lit(0L)))
             .as("leftover"))
     },
+
+    // --------------------------------------------------------------- q232
+    // Lorenz concentration deciles of customer spend — the curve
+    // behind q152's Gini scalar: customers rank by exact spend cents
+    // (custkey tiebreak — zero-spend customers stay in, dropping them
+    // flatters the curve), decile = ⌊10·(rank−1)/n⌋, and each decile
+    // reports its share and cumulative share of total spend in exact
+    // permille. The window ranks CUSTOMER-space rows (one per
+    // customer after the orders groupBy, not corpus rows); the
+    // decile-space cumsum is 10 rows. The "top decile holds X% of
+    // revenue" report every account-concentration review wants,
+    // reproducible to the permille.
+    Q(
+      "q232_lorenz_deciles",
+      Some("""
+        WITH sp AS (
+          SELECT c.c_custkey AS ck,
+                 COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))
+                                   * 100) AS BIGINT), 0) AS cents
+          FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+          GROUP BY 1),
+        rk AS (
+          SELECT cents,
+                 ROW_NUMBER() OVER (ORDER BY cents, ck) AS rn,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS n,
+                 CAST(SUM(cents) OVER () AS BIGINT) AS total
+          FROM sp),
+        dec AS (
+          SELECT (10 * (rn - 1)) // n AS decile,
+                 CAST(COUNT(*) AS BIGINT) AS n_customers,
+                 CAST(SUM(cents) AS BIGINT) AS cents,
+                 MAX(total) AS total
+          FROM rk GROUP BY 1)
+        SELECT decile, n_customers, cents,
+               (1000 * cents) // total AS share_pm,
+               (1000 * CAST(SUM(cents) OVER (ORDER BY decile) AS BIGINT))
+                 // total AS cum_share_pm
+        FROM dec""")
+    ) { (s, dir) =>
+      val sp = t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"),
+          "left")
+        .groupBy(col("c_custkey").as("ck"))
+        .agg(coalesce(expr(
+          "cast(sum(cast(o_totalprice as decimal(18,4)) * 100) as bigint)"),
+          lit(0L)).as("cents"))
+      val rk = sp.select(col("cents"),
+        row_number().over(Window.orderBy("cents", "ck")).cast("long").as("rn"),
+        count(lit(1)).over(Window.partitionBy()).as("n"),
+        sum(col("cents")).over(Window.partitionBy()).as("total"))
+      val dec = rk.groupBy(expr("(10 * (rn - 1)) div n").as("decile"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("cents"),
+          max(col("total")).as("total"))
+      dec.select(col("decile"), col("n_customers"), col("cents"),
+        expr("(1000 * cents) div total").as("share_pm"),
+        expr("(1000 * sum(cents) over (order by decile)) div total")
+          .as("cum_share_pm"))
+    },
   )
 }

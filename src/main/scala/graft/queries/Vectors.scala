@@ -1322,6 +1322,98 @@ object Vectors {
           expr("sum(rr_ppm) div count(1)").as("mrr_ppm"),
           expr("sum(ap_ppm) div count(1)").as("map_ppm"))
     },
+
+    // --------------------------------------------------------------- q231
+    // Cell-blocked 5-NN leave-one-out classification — the confusion
+    // matrix of a k-nearest-neighbor labeler evaluated over the WHOLE
+    // corpus, made tractable by q89's IVF cell blocking: neighbors
+    // come from the vector's own cell only, so scored pairs are
+    // Σ cell² (the SemDeDup nCentroids ~ √n contract), never n².
+    // Distances are exact integer squared-L2 (qn_a + qn_b − 2·dot);
+    // the 5 nearest (dist, id)-ordered cellmates vote, majority with
+    // (votes DESC, label ASC) tiebreak. Output: the labels² confusion
+    // matrix — the q103 centroid classifier's honest nonparametric
+    // rival on identical eval protocol. All windows run per-vector on
+    // the cell-blocked pair table — scales with the widest cell
+    // (q54's refinement move applies when one skews).
+    Q(
+      "q231_knn_eval",
+      Some(s"""
+        WITH normed0 AS ($quantizedSql),
+        normed AS (
+          SELECT vec_id, label, qv, qn FROM normed0 WHERE qn > 0),
+        cents AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                   AS centroid_id, qv AS cv
+          FROM (SELECT vec_id, qv FROM normed ORDER BY vec_id
+                LIMIT ${ivfCfg.nCentroids}) s),
+        assigned AS (
+          SELECT vec_id, label, qv, qn, centroid_id FROM (
+            SELECT n.vec_id, n.label, n.qv, n.qn, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                     ORDER BY ${graft.operators.Ivf.sqDistSql("n.qv", "c.cv")},
+                       c.centroid_id) AS rn
+            FROM normed n CROSS JOIN cents c) t
+          WHERE rn = 1),
+        prs AS (
+          SELECT a.vec_id, a.label AS true_label, b.label AS nb_label,
+                 a.qn + b.qn - 2 * CAST(list_aggregate(list_transform(
+                   range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i]),
+                   'sum') AS BIGINT) AS d2,
+                 b.vec_id AS nb_id
+          FROM assigned a JOIN assigned b
+            ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id),
+        top5 AS (
+          SELECT vec_id, true_label, nb_label FROM (
+            SELECT vec_id, true_label, nb_label,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY d2, nb_id) AS rn
+            FROM prs) t WHERE rn <= 5),
+        votes AS (
+          SELECT vec_id, true_label, nb_label,
+                 CAST(COUNT(*) AS BIGINT) AS v
+          FROM top5 GROUP BY 1, 2, 3),
+        pred AS (
+          SELECT vec_id, true_label, nb_label AS pred_label FROM (
+            SELECT vec_id, true_label, nb_label,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY v DESC, nb_label) AS rn
+            FROM votes) t WHERE rn = 1)
+        SELECT CAST(true_label AS BIGINT) AS true_label,
+               CAST(pred_label AS BIGINT) AS pred_label,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred GROUP BY 1, 2""")
+    ) { (s, dir) =>
+      val base = quantized(s, dir).filter(col("qn") > 0)
+        .select("vec_id", "label", "qv", "qn")
+      val cents = graft.operators.Ivf.seedCentroids(
+        base, "vec_id", "qv", ivfCfg.nCentroids)
+      val assigned = graft.Checkpoints.materialize(
+        graft.operators.Ivf.assign(base, "qv", cents))
+      val a = assigned.select(col("vec_id"), col("label").as("true_label"),
+        col("qv").as("qv_a"), col("qn").as("qn_a"), col("centroid_id"))
+      val b = assigned.select(col("vec_id").as("nb_id"),
+        col("label").as("nb_label"), col("qv").as("qv_b"),
+        col("qn").as("qn_b"), col("centroid_id"))
+      val prs = a.join(b, Seq("centroid_id"))
+        .filter(col("vec_id") =!= col("nb_id"))
+        .withColumn("d2", col("qn_a") + col("qn_b")
+          - lit(2L) * dotCol("qv_a", "qv_b"))
+      val top5 = prs
+        .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+          .orderBy(col("d2"), col("nb_id"))))
+        .filter(col("rn") <= 5)
+        .select("vec_id", "true_label", "nb_label")
+      val votes = top5.groupBy("vec_id", "true_label", "nb_label")
+        .agg(count(lit(1)).as("v"))
+      val pred = votes
+        .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+          .orderBy(desc("v"), col("nb_label"))))
+        .filter(col("rn") === 1)
+      pred.groupBy(col("true_label").cast("long").as("true_label"),
+          col("nb_label").cast("long").as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+    },
   )
 
   /** q158's truncated-cosine top-5 at d dims: same candidate universe

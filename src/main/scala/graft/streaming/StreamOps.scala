@@ -482,4 +482,51 @@ object StreamOps {
           }.iterator
       }
   }
+
+  final case class DrawdownRow(
+      user_id: Long, n_events: Long, peak_cents: Long,
+      max_drawdown_cents: Long)
+
+  /** Streaming max drawdown — the incremental twin of batch q222:
+    * per-user state is exactly the recurrence's memory, four longs
+    * (count, balance, running peak, max drawdown), carried across
+    * micro-batches in mapGroupsWithState. Within a batch rows replay
+    * in the batch side's unique (ts, event_id) total order; because
+    * the state store already holds the prefix, a peak in batch n
+    * bounds drawdowns in batch n+1 with no reprocessing. Cents
+    * quantize through the identical half-up DECIMAL(18,4) contract as
+    * q222, so the last emission per user equals the batch aggregate
+    * bit for bit (parity-pinned). O(users)·4 longs of state. */
+  def drawdown(events: Dataset[ChangeRow]): Dataset[DrawdownRow] = {
+    import events.sparkSession.implicits._
+    def cents(v: Double): Long =
+      new java.math.BigDecimal(v)
+        .setScale(4, java.math.RoundingMode.HALF_UP)
+        .multiply(new java.math.BigDecimal(100L))
+        .toBigInteger.longValueExact()
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Long, Long, Long), DrawdownRow](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[ChangeRow],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          var (n, bal, peak, dd) = state.getOption
+            .getOrElse((0L, 0L, Long.MinValue, Long.MinValue))
+          rows.toIndexedSeq
+            .sortBy(r => (r.ts.getTime, r.ts.getNanos, r.event_id))
+            .foreach { r =>
+              val delta = r.event_type match {
+                case "purchase" => cents(r.value)
+                case "error" => -cents(r.value)
+                case _ => 0L
+              }
+              n += 1
+              bal += delta
+              peak = math.max(peak, bal)
+              dd = math.max(dd, peak - bal)
+            }
+          state.update((n, bal, peak, dd))
+          DrawdownRow(uid, n, peak, dd)
+      }
+  }
 }

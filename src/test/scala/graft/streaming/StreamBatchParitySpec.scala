@@ -550,4 +550,49 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(streamed === batch,
       s"CEP parity: streaming ${streamed.size} vs batch ${batch.size}")
   }
+
+  test("streaming drawdown across 3 micro-batches equals batch q222") {
+    import spark.implicits._
+    val events = realEvents
+    val in = stageInput(events, 3600000000L, chronoParts = 3)
+    val out = Files.createTempDirectory("graft-dd-out").toString
+    val ckpt = Files.createTempDirectory("graft-dd-ckpt").toString
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+    // the pusher's NULL value cannot cast into the non-nullable
+    // ChangeRow — drop it by its own marker, nothing else
+    val q = StreamOps.drawdown(
+        stream.filter(col("event_type") =!= "pusher")
+          .as[StreamOps.ChangeRow]).toDF()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty)
+          batch.withColumn("__bid", lit(bid)).write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+
+    // last emission per user = full-prefix state; the peak set in an
+    // early micro-batch must bound drawdowns in later ones, which is
+    // exactly what a per-batch recomputation would get wrong
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("__bid").desc)
+    val streamed = spark.read.parquet(out)
+      .withColumn("rn", row_number().over(wLast)).filter(col("rn") === 1)
+      .select("user_id", "n_events", "peak_cents", "max_drawdown_cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (-r._4, r._1)).take(20).toSeq
+    val batch = SparkEntry.queries("q222_max_drawdown")(
+        spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(batch.nonEmpty, "batch drawdown must be non-empty")
+    assert(streamed === batch,
+      s"drawdown parity: streaming ${streamed.size} vs batch ${batch.size}")
+  }
 }
