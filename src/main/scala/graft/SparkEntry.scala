@@ -177,6 +177,9 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q232    graft.queries.Relational — Lorenz concentration deciles
   *   q233    graft.queries.Events     — day-of-week seasonal index
   *   q234    graft.queries.Events     — cohort LTV accumulation
+  *   q235    graft.queries.TextOps    — LIX readability + hapax share
+  *   q236    graft.queries.Events     — funnel latency order statistics
+  *   q237    graft.queries.Events     — Markov removal-effect attribution
   */
 object SparkEntry {
 

@@ -2902,5 +2902,227 @@ object Events {
           col("cents"), col("cum_cents"),
           expr("cum_cents div n_users").as("ltv_cents_per_user"))
     },
+
+    // --------------------------------------------------------------- q236
+    // Funnel advance-latency percentiles — q92 reports conversion
+    // counts and TOTAL dwell; this reports the exact p50/p90/max of
+    // each step's latency as ORDER STATISTICS (value at rank
+    // ⌈n·q/100⌉ via a rank window — no float quantile estimator, the
+    // q211 move), because funnel latencies are heavy-tailed and the
+    // mean q92 implies is the wrong SLA number. Latencies live in
+    // user-space (one first-advance row per converting user per
+    // step); the rank windows partition by step. Seconds are exact
+    // integer floors of the µs difference.
+    Q(
+      "q236_funnel_latency",
+      Some("""
+        WITH v AS (
+          SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS v_us
+          FROM events WHERE event_type = 'view' GROUP BY user_id),
+        c AS (
+          SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS c_us
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click'
+            AND epoch_us(CAST(e.ts AS TIMESTAMP)) > v.v_us
+          GROUP BY e.user_id),
+        p AS (
+          SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS p_us
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase'
+            AND epoch_us(CAST(e.ts AS TIMESTAMP)) > c.c_us
+          GROUP BY e.user_id),
+        lat AS (
+          SELECT 'view>click' AS step, c.user_id,
+                 (c.c_us - v.v_us) // 1000000 AS sec
+          FROM c JOIN v ON v.user_id = c.user_id
+          UNION ALL
+          SELECT 'click>purchase', p.user_id, (p.p_us - c.c_us) // 1000000
+          FROM p JOIN c ON c.user_id = p.user_id),
+        rk AS (
+          SELECT step, sec,
+                 ROW_NUMBER() OVER (PARTITION BY step
+                   ORDER BY sec, user_id) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY step) AS BIGINT) AS n
+          FROM lat)
+        SELECT step, MAX(n) AS n,
+               MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN sec END)
+                 AS p50_sec,
+               MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN sec END)
+                 AS p90_sec,
+               MAX(sec) AS max_sec
+        FROM rk GROUP BY step""")
+    ) { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("v_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("us") > col("v_us"))
+        .groupBy("user_id").agg(min(col("us")).as("c_us"), min(col("v_us")).as("v_us"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c.select("user_id", "c_us"), "user_id")
+        .filter(col("us") > col("c_us"))
+        .groupBy("user_id").agg(min(col("us")).as("p_us"), min(col("c_us")).as("c2_us"))
+      val lat = c.select(lit("view>click").as("step"), col("user_id"),
+          expr("(c_us - v_us) div 1000000").as("sec"))
+        .unionByName(p.select(lit("click>purchase").as("step"),
+          col("user_id"), expr("(p_us - c2_us) div 1000000").as("sec")))
+      val w = Window.partitionBy("step").orderBy("sec", "user_id")
+      val rk = lat.select(col("step"), col("sec"),
+        row_number().over(w).cast("long").as("rn"),
+        count(lit(1)).over(Window.partitionBy("step")).as("n"))
+      rk.groupBy("step")
+        .agg(max(col("n")).as("n"),
+          max(when(col("rn") === expr("(n * 50 + 99) div 100"),
+            col("sec"))).as("p50_sec"),
+          max(when(col("rn") === expr("(n * 90 + 99) div 100"),
+            col("sec"))).as("p90_sec"),
+          max(col("sec")).as("max_sec"))
+    },
+
+    // --------------------------------------------------------------- q237
+    // Markov removal-effect attribution — the data-driven alternative
+    // to q208's position rules: journeys are per-user event-type
+    // sequences truncated at the first purchase, a first-order chain
+    // with START plus the four channels, purchase absorbing at 10⁶
+    // ppm, journey-end absorbing at 0. Conversion probability p(s) =
+    // P(absorb in purchase | s) evaluates by 8 synchronous Jacobi
+    // sweeps p' = (Σ_t cnt(s,t)·val(t)) div out(s) in quantized ppm —
+    // both engines run the identical integer recurrence, so the
+    // fixpoint approximation is bit-stable (convergence is geometric;
+    // the spec replays the sweeps). Removal effect of channel c:
+    // rerun the sweeps with val(c) forced 0 (paths through c die) —
+    // removal_pm = 1000·(p − p_c)/p, the channel's true marginal
+    // contribution. The corpus contributes ONE pass (lead window per
+    // user → transition counts); every sweep runs on the ≤6×6 count
+    // table, and the four scenarios (base + 3 removals) share it.
+    Q(
+      "q237_removal_effect",
+      Some(removalEffectSql)
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val rows = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("rnp", min(when(col("event_type") === "purchase",
+          col("rn"))).over(Window.partitionBy("user_id")))
+        .filter(col("rnp").isNull || col("rn") <= col("rnp"))
+      val steps = rows
+        .withColumn("nxt", lead(col("event_type"), 1)
+          .over(Window.partitionBy("user_id").orderBy("rn")))
+      val trans = steps.filter(col("rn") === 1)
+        .select(lit("START").as("s"), col("event_type").as("t"))
+        .unionByName(steps
+          .filter(col("nxt").isNotNull && col("event_type") =!= "purchase")
+          .select(col("event_type").as("s"), col("nxt").as("t")))
+        .unionByName(steps
+          .filter(col("nxt").isNull && col("event_type") =!= "purchase")
+          .select(col("event_type").as("s"), lit("END").as("t")))
+      val tc = graft.Checkpoints.materialize(
+        trans.groupBy("s", "t").agg(count(lit(1)).as("cnt")))
+      val outs = tc.groupBy("s").agg(sum(col("cnt")).as("cnt_out"))
+      // 8 quantized Jacobi sweeps; `removed` forces that channel's
+      // value to 0 (its paths die). All tables are ≤6 rows off the
+      // materialized counts — scenario cost is independent of the
+      // corpus.
+      def sweep(removed: Option[String]): DataFrame = {
+        val p0 = outs.select(col("s"), lit(0L).as("p"))
+        (1 to 8).foldLeft(p0) { (pk, _) =>
+          val vCase = {
+            val base = when(col("t") === "purchase", lit(1000000L))
+              .when(col("t") === "END", lit(0L))
+            removed.map(r => base.when(col("t") === r, lit(0L)))
+              .getOrElse(base)
+              .otherwise(coalesce(col("p"), lit(0L)))
+          }
+          tc.join(pk.withColumnRenamed("s", "ps"),
+              col("t") === col("ps"), "left")
+            .select(col("s"), col("cnt"), vCase.as("v"))
+            .groupBy("s").agg(sum(col("cnt") * col("v")).as("num"))
+            .join(outs, "s")
+            .select(col("s"), expr("num div cnt_out").as("p"))
+        }
+      }
+      val base = sweep(None)
+        .filter(col("s") === "START").select(col("p").as("p_base_ppm"))
+      Seq("view", "click", "signup").map { ch =>
+        sweep(Some(ch)).filter(col("s") === "START")
+          .select(lit(ch).as("channel"), col("p").as("p_removed_ppm"))
+          .crossJoin(broadcast(base))
+          .select(col("channel"), col("p_base_ppm"), col("p_removed_ppm"),
+            when(col("p_base_ppm") > 0,
+              expr("(1000 * (p_base_ppm - p_removed_ppm)) div p_base_ppm"))
+              .otherwise(0L).as("removal_pm"))
+      }.reduce(_ unionByName _)
+    },
   )
+
+  /** q237's oracle: the transition-count CTEs plus four unrolled
+    * 8-sweep chains (base + one per removed channel), generated so the
+    * Spark fold and the SQL can never drift. */
+  private lazy val removalEffectSql: String = {
+    def chain(tag: String, removed: Option[String]): String = {
+      val rm = removed.map(r => s"WHEN c.t = '$r' THEN 0 ").getOrElse("")
+      val p0 = s"p${tag}0 AS (SELECT s, CAST(0 AS BIGINT) AS p FROM outs)"
+      val ks = (1 to 8).map { k =>
+        s"""p$tag$k AS (
+          SELECT c.s,
+                 CAST(SUM(c.cnt * (CASE WHEN c.t = 'purchase' THEN 1000000
+                        WHEN c.t = 'END' THEN 0 $rm
+                        ELSE COALESCE(p.p, 0) END)) AS BIGINT)
+                   // MAX(o.cnt_out) AS p
+          FROM tc c JOIN outs o ON o.s = c.s
+          LEFT JOIN p$tag${k - 1} p ON p.s = c.t
+          GROUP BY c.s)"""
+      }
+      (p0 +: ks).mkString(",\n        ")
+    }
+    val chains = Seq("b" -> None, "v" -> Some("view"), "c" -> Some("click"),
+      "g" -> Some("signup"))
+    val finals = Seq(("view", "v"), ("click", "c"), ("signup", "g")).map {
+      case (ch, tag) =>
+        s"""SELECT '$ch' AS channel,
+               (SELECT p FROM pb8 WHERE s = 'START') AS p_base_ppm,
+               (SELECT p FROM p${tag}8 WHERE s = 'START') AS p_removed_ppm,
+               CASE WHEN (SELECT p FROM pb8 WHERE s = 'START') > 0
+                    THEN (1000 * ((SELECT p FROM pb8 WHERE s = 'START')
+                          - (SELECT p FROM p${tag}8 WHERE s = 'START')))
+                         // (SELECT p FROM pb8 WHERE s = 'START')
+                    ELSE 0 END AS removal_pm"""
+    }.mkString("\n        UNION ALL\n        ")
+    s"""
+        WITH seqd AS (
+          SELECT user_id, event_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+                   AS rn
+          FROM events),
+        cut AS (
+          SELECT user_id, MIN(rn) AS rnp FROM seqd
+          WHERE event_type = 'purchase' GROUP BY 1),
+        kept AS (
+          SELECT s.user_id, s.rn, s.event_type,
+                 lead(s.event_type) OVER (PARTITION BY s.user_id
+                   ORDER BY s.rn) AS nxt
+          FROM seqd s LEFT JOIN cut ON cut.user_id = s.user_id
+          WHERE cut.rnp IS NULL OR s.rn <= cut.rnp),
+        trans AS (
+          SELECT 'START' AS s, event_type AS t FROM kept WHERE rn = 1
+          UNION ALL
+          SELECT event_type, nxt FROM kept
+          WHERE nxt IS NOT NULL AND event_type <> 'purchase'
+          UNION ALL
+          SELECT event_type, 'END' FROM kept
+          WHERE nxt IS NULL AND event_type <> 'purchase'),
+        tc AS (
+          SELECT s, t, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM trans GROUP BY 1, 2),
+        outs AS (
+          SELECT s, CAST(SUM(cnt) AS BIGINT) AS cnt_out FROM tc GROUP BY 1),
+        ${chains.map { case (tag, rm) => chain(tag, rm) }
+        .mkString(",\n        ")}
+        $finals"""
+  }
 }

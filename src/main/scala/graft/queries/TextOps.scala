@@ -2206,5 +2206,84 @@ object TextOps {
                              + (n01 + n00) * (n10 + n00)))""")
             .as("kappa_ppm"))
     },
+
+    // --------------------------------------------------------------- q235
+    // Readability profile per source — LIX (Björnsson's läsbarhets-
+    // index), the readability formula that needs NO syllable counting:
+    // LIX = words/sentences + 100·longwords/words, long = ≥ 7 letters.
+    // Chosen over Flesch exactly because it is rational — per doc it
+    // computes in exact integer milli-units ((1000·w) div max(s,1) +
+    // (100000·lw) div w), then averages per source quantize-then-sum.
+    // Token counts come from three regexp_extract_all passes with
+    // patterns simple enough ([A-Za-z]+, [.!?], [A-Za-z]{7,}) to mean
+    // the same thing in Java regex and DuckDB's RE2. One corpus
+    // map-side pass; the report is |sources| rows. Hapax share (words
+    // seen exactly once corpus-wide — the vocabulary's long tail)
+    // rides along from a vocab-space re-aggregate of the same token
+    // explode, the only shuffle that isn't the final groupBy.
+    Q(
+      "q235_readability",
+      Some("""
+        WITH d AS (
+          SELECT source, doc_id,
+                 CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+                   AS w,
+                 CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS s,
+                 CAST(len(regexp_extract_all(text, '[A-Za-z]{7,}'))
+                   AS BIGINT) AS lw
+          FROM documents),
+        lx AS (
+          SELECT source,
+                 CASE WHEN w = 0 THEN 0
+                      ELSE (1000 * w) // greatest(s, 1)
+                           + (100000 * lw) // w END AS lix_milli
+          FROM d),
+        toks AS (
+          SELECT source, unnest(regexp_extract_all(text, '[A-Za-z]+'))
+                   AS tok
+          FROM documents),
+        vocab AS (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+        hap AS (
+          SELECT t.source,
+                 CAST(SUM(CASE WHEN v.c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hapax,
+                 CAST(COUNT(*) AS BIGINT) AS n_tok
+          FROM toks t JOIN vocab v ON v.tok = t.tok
+          GROUP BY 1),
+        agg AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(lix_milli) AS BIGINT) // COUNT(*) AS mean_lix_milli
+          FROM lx GROUP BY 1)
+        SELECT a.source, a.n_docs, a.mean_lix_milli,
+               (1000 * h.hapax) // h.n_tok AS hapax_share_pm
+        FROM agg a JOIN hap h ON h.source = a.source""")
+    ) { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("source"), col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0)))
+          .cast("long").as("w"),
+        size(regexp_extract_all(col("text"), lit("[.!?]"), lit(0)))
+          .cast("long").as("s"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]{7,}"), lit(0)))
+          .cast("long").as("lw"))
+      val lx = d.select(col("source"),
+        when(col("w") === 0, 0L)
+          .otherwise(expr("(1000 * w) div greatest(s, 1)" +
+            " + (100000 * lw) div w")).as("lix_milli"))
+      val toks = t(s, dir, "documents").select(col("source"),
+        explode(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0)))
+          .as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val hap = toks.join(vocab.hint("shuffle_hash"), "tok")
+        .groupBy("source")
+        .agg(sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+          count(lit(1)).as("n_tok"))
+      val agg = lx.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(lix_milli) div count(1)").as("mean_lix_milli"))
+      agg.join(hap, "source")
+        .select(col("source"), col("n_docs"), col("mean_lix_milli"),
+          expr("(1000 * hapax) div n_tok").as("hapax_share_pm"))
+    },
   )
 }

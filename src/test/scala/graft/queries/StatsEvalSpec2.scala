@@ -1,0 +1,270 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+import java.math.{BigDecimal => JBD, RoundingMode}
+
+/** In-Scala replays for q231–q237 (the second post-r06 batch): kNN
+  * LOOCV under cell blocking, Lorenz deciles, seasonal indexes,
+  * cohort LTV, LIX readability, funnel order statistics, and the
+  * Markov removal-effect sweeps — each recomputed independently with
+  * the exact integer semantics both engines share. */
+class StatsEvalSpec2 extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private def cents(v: Double): Long =
+    new JBD(v).setScale(4, RoundingMode.HALF_UP)
+      .multiply(new JBD(100L)).toBigInteger.longValueExact()
+
+  // ---------------------------------------------------------------- q231
+  test("q231 confusion matrix replays cell-blocked 5-NN votes") {
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label"),
+        graft.functions.VecMath.quantize(col("embedding")).as("qv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getSeq[Long](2).toArray))
+      .map { case (id, lab, qv) => (id, lab, qv, qv.map(x => x * x).sum) }
+      .filter(_._4 > 0)
+      .sortBy(_._1)
+    val cents8 = vecs.take(8).map(_._3)
+    def sqDist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => val d = x - y; d * d }.sum
+    def cellOf(qv: Array[Long]): Int =
+      cents8.zipWithIndex.minBy { case (cv, i) => (sqDist(qv, cv), i) }._2
+    val assigned = vecs.map { case (id, lab, qv, qn) =>
+      (id, lab, qv, qn, cellOf(qv))
+    }
+    val byCell = assigned.groupBy(_._5)
+    val truth = assigned.map { case (id, lab, qv, qn, cell) =>
+      val top5 = byCell(cell).filter(_._1 != id)
+        .map(b => (qn + b._4 - 2 * qv.zip(b._3).map(p => p._1 * p._2).sum,
+          b._1, b._2))
+        .sortBy(r => (r._1, r._2)).take(5)
+      val pred = top5.groupBy(_._3).toSeq
+        .map { case (l, vs) => (l, vs.length) }
+        .minBy { case (l, v) => (-v, l) }._1
+      (lab, pred)
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = run("q231_knn_eval").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === truth)
+    assert(got.values.sum === assigned.length.toLong,
+      "every vector classifies exactly once")
+  }
+
+  // ---------------------------------------------------------------- q232
+  test("q232 deciles replay; Lorenz curve is convex and ends at 1000") {
+    val spend = graft.Tables.load(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(r => cents(r.getDouble(1))).sum }
+    val ranked = graft.Tables.load(spark, sf, "customer")
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+      .map(ck => (ck, spend.getOrElse(ck, 0L)))
+      .sortBy { case (ck, c) => (c, ck) }
+    val n = ranked.length.toLong
+    val total = ranked.map(_._2).sum
+    val truth = ranked.zipWithIndex
+      .groupBy { case (_, i) => (10L * i) / n }
+      .map { case (d, rows) =>
+        d -> ((rows.length.toLong, rows.map(_._1._2).sum))
+      }
+    val got = run("q232_lorenz_deciles").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    got.foreach { case (d, nc, cts, share, _) =>
+      assert((nc, cts) === truth(d))
+      assert(share === 1000L * cts / total)
+    }
+    // shares are nondecreasing by construction of the rank order
+    assert(got.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    assert(got.last._5 === 1000L, "cumulative share must reach 1000")
+  }
+
+  // ---------------------------------------------------------------- q233
+  test("q233 indexes replay; per-type weighted index averages to ~1") {
+    val ev = graft.Tables.load(spark, sf, "events")
+      .selectExpr("event_type", "(unix_micros(ts) div 86400000000 + 4) % 7",
+        "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), cents(r.getDouble(2))))
+    val truth = ev.groupBy(r => (r._1, r._2)).map { case ((tpe, dow), rs) =>
+      val (nT, cT) = {
+        val all = ev.filter(_._1 == tpe)
+        (all.length.toLong, all.map(_._3).sum)
+      }
+      val nD = rs.length.toLong
+      val cD = rs.map(_._3).sum
+      (tpe, dow) -> ((nD, cD, (1000L * cD * nT) / (nD * cT)))
+    }
+    val got = run("q233_seasonal_index").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === truth)
+    // the count-weighted mean index per type is 1000 up to flooring
+    got.groupBy(_._1._1).foreach { case (tpe, cells) =>
+      val n = cells.values.map(_._1).sum
+      val wsum = cells.values.map(c => c._1 * c._3).sum
+      assert(math.abs(wsum / n - 1000L) <= 7L,
+        s"$tpe weighted index ${wsum / n} strays from 1000")
+    }
+  }
+
+  // ---------------------------------------------------------------- q234
+  test("q234 LTV triangle replays; cumulative is nondecreasing") {
+    val ev = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "unix_micros(ts) div 86400000000 div 7",
+        "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3)))
+    val w0 = ev.groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).min }
+    val sz = w0.values.groupBy(identity).map { case (w, us) =>
+      w -> us.size.toLong
+    }
+    val cr = ev.groupBy(r => (w0(r._1), r._2 - w0(r._1)))
+      .map { case ((cw, age), rs) =>
+        (cw, age) -> rs.filter(_._3 == "purchase").map(r => cents(r._4)).sum
+      }
+    val truth = cr.groupBy(_._1._1).flatMap { case (cw, cells) =>
+      val sorted = cells.toSeq.sortBy(_._1._2)
+      var cum = 0L
+      sorted.map { case ((_, age), c) =>
+        cum += c
+        (cw, age) -> ((sz(cw), c, cum, cum / sz(cw)))
+      }
+    }
+    val got = run("q234_cohort_ltv").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === truth)
+    got.groupBy(_._1._1).foreach { case (_, rows) =>
+      val byAge = rows.toSeq.sortBy(_._1._2).map(_._2._3)
+      assert(byAge.sliding(2).forall(w => w.length < 2 || w(0) <= w(1)),
+        "cumulative revenue must be nondecreasing in age")
+    }
+  }
+
+  // ---------------------------------------------------------------- q235
+  test("q235 LIX and hapax replay through the same Java regexes") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def all(p: String, s: String): Seq[String] =
+      p.r.findAllIn(s).toSeq
+    val lix = docs.map { case (src, text) =>
+      val w = all("[A-Za-z]+", text).length.toLong
+      val sct = all("[.!?]", text).length.toLong
+      val lw = all("[A-Za-z]{7,}", text).length.toLong
+      (src, if (w == 0) 0L else 1000L * w / math.max(sct, 1L)
+        + 100000L * lw / w)
+    }
+    val toks = docs.flatMap { case (src, text) =>
+      all("[A-Za-z]+", text).map(t => (src, t))
+    }
+    val vocab = toks.groupBy(_._2).map { case (t, v) => t -> v.length.toLong }
+    val truth = docs.map(_._1).distinct.map { src =>
+      val l = lix.filter(_._1 == src)
+      val tk = toks.filter(_._1 == src)
+      val hap = tk.count(t => vocab(t._2) == 1L).toLong
+      src -> ((l.length.toLong, l.map(_._2).sum / l.length,
+        1000L * hap / tk.length))
+    }.toMap
+    val got = run("q235_readability").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === truth)
+  }
+
+  // ---------------------------------------------------------------- q236
+  test("q236 latency order statistics replay from first-advance times") {
+    val ev = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_type", "unix_micros(ts)").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val lats = byUser.toSeq.flatMap { case (u, rs) =>
+      val v = rs.filter(_._2 == "view").map(_._3).minOption
+      val c = v.flatMap(vu =>
+        rs.filter(r => r._2 == "click" && r._3 > vu).map(_._3).minOption)
+      val p = c.flatMap(cu =>
+        rs.filter(r => r._2 == "purchase" && r._3 > cu).map(_._3).minOption)
+      Seq(
+        for (vu <- v; cu <- c) yield ("view>click", u, (cu - vu) / 1000000L),
+        for (cu <- c; pu <- p)
+          yield ("click>purchase", u, (pu - cu) / 1000000L)).flatten
+    }
+    def stat(step: String) = {
+      val xs = lats.filter(_._1 == step).sortBy(r => (r._3, r._2)).map(_._3)
+      val n = xs.length.toLong
+      (n, xs(((n * 50 + 99) / 100 - 1).toInt),
+        xs(((n * 90 + 99) / 100 - 1).toInt), xs.max)
+    }
+    val got = run("q236_funnel_latency").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map("view>click" -> stat("view>click"),
+      "click>purchase" -> stat("click>purchase")))
+    got.values.foreach { case (_, p50, p90, mx) =>
+      assert(p50 <= p90 && p90 <= mx, "order statistics must order")
+    }
+  }
+
+  // ---------------------------------------------------------------- q237
+  test("q237 removal effects replay the 8 quantized Jacobi sweeps") {
+    val ev = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts)")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val ordered = rs.sortBy(r => (r._4, r._2)).map(_._3)
+      val cut = ordered.indexOf("purchase") match {
+        case -1 => ordered
+        case i => ordered.take(i + 1)
+      }
+      val start = Seq(("START", cut.head))
+      val mids = cut.sliding(2).collect {
+        case Array(a, b) if a != "purchase" => (a, b)
+      }.toSeq
+      val end =
+        if (cut.last != "purchase") Seq((cut.last, "END")) else Seq.empty
+      start ++ mids ++ end
+    }
+    val tc = trans.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val outs = trans.groupBy(_._1).map { case (s, v) => s -> v.length.toLong }
+    def sweep(removed: Option[String]): Map[String, Long] = {
+      var p = outs.keys.map(_ -> 0L).toMap
+      (1 to 8).foreach { _ =>
+        p = outs.keys.map { s =>
+          val num = tc.collect {
+            case ((s2, t), cnt) if s2 == s =>
+              cnt * (t match {
+                case "purchase" => 1000000L
+                case "END" => 0L
+                case x if removed.contains(x) => 0L
+                case x => p.getOrElse(x, 0L)
+              })
+          }.sum
+          s -> num / outs(s)
+        }.toMap
+      }
+      p
+    }
+    val base = sweep(None)("START")
+    val truth = Seq("view", "click", "signup").map { ch =>
+      val rem = sweep(Some(ch))("START")
+      ch -> ((base, rem,
+        if (base > 0) 1000L * (base - rem) / base else 0L))
+    }.toMap
+    val got = run("q237_removal_effect").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === truth)
+    // removing a touched channel cannot raise conversion
+    got.values.foreach { case (b, r, eff) =>
+      assert(r <= b, "removal cannot raise conversion probability")
+      assert(eff >= 0L && eff <= 1000L)
+    }
+  }
+}
