@@ -3023,39 +3023,47 @@ object Events {
       val tc = graft.Checkpoints.materialize(
         trans.groupBy("s", "t").agg(count(lit(1)).as("cnt")))
       val outs = tc.groupBy("s").agg(sum(col("cnt")).as("cnt_out"))
-      // 8 quantized Jacobi sweeps; `removed` forces that channel's
-      // value to 0 (its paths die). All tables are ≤6 rows off the
-      // materialized counts — scenario cost is independent of the
-      // corpus.
-      def sweep(removed: Option[String]): DataFrame = {
-        val p0 = outs.select(col("s"), lit(0L).as("p"))
-        (1 to 8).foldLeft(p0) { (pk, _) =>
-          val vCase = {
-            val base = when(col("t") === "purchase", lit(1000000L))
-              .when(col("t") === "END", lit(0L))
-            removed.map(r => base.when(col("t") === r, lit(0L)))
-              .getOrElse(base)
-              .otherwise(coalesce(col("p"), lit(0L)))
-          }
-          tc.join(pk.withColumnRenamed("s", "ps"),
-              col("t") === col("ps"), "left")
-            .select(col("s"), col("cnt"), vCase.as("v"))
-            .groupBy("s").agg(sum(col("cnt") * col("v")).as("num"))
-            .join(outs, "s")
-            .select(col("s"), expr("num div cnt_out").as("p"))
-        }
+      // 8 quantized Jacobi sweeps; the removed channel's value is
+      // forced 0 (its paths die). ALL FOUR scenarios (base + one per
+      // removed channel) ride one dataflow tagged by a scenario
+      // column — one chain of 8 tiny joins over the ≤6-row state
+      // table instead of four chains (the four-chain form spawned
+      // ~60 scheduler-bound jobs and benched 5.6s; this is one job).
+      val scen = outs.sparkSession
+        .createDataFrame(Seq(Tuple1("base"), Tuple1("view"),
+          Tuple1("click"), Tuple1("signup")))
+        .toDF("scenario")
+      val p0 = outs.crossJoin(broadcast(scen))
+        .select(col("scenario"), col("s"), lit(0L).as("p"))
+      val p8 = (1 to 8).foldLeft(p0) { (pk, _) =>
+        val vCase = when(col("t") === "purchase", lit(1000000L))
+          .when(col("t") === "END", lit(0L))
+          .when(col("t") === col("scenario"), lit(0L))
+          .otherwise(coalesce(col("p"), lit(0L)))
+        tc.crossJoin(broadcast(scen))
+          .join(pk.withColumnsRenamed(
+            Map("s" -> "ps", "scenario" -> "pscen")),
+            col("t") === col("ps") && col("scenario") === col("pscen"),
+            "left")
+          .select(col("scenario"), col("s"), col("cnt"), vCase.as("v"))
+          .groupBy("scenario", "s").agg(sum(col("cnt") * col("v")).as("num"))
+          .join(outs, "s")
+          .select(col("scenario"), col("s"),
+            expr("num div cnt_out").as("p"))
       }
-      val base = sweep(None)
-        .filter(col("s") === "START").select(col("p").as("p_base_ppm"))
-      Seq("view", "click", "signup").map { ch =>
-        sweep(Some(ch)).filter(col("s") === "START")
-          .select(lit(ch).as("channel"), col("p").as("p_removed_ppm"))
-          .crossJoin(broadcast(base))
-          .select(col("channel"), col("p_base_ppm"), col("p_removed_ppm"),
-            when(col("p_base_ppm") > 0,
-              expr("(1000 * (p_base_ppm - p_removed_ppm)) div p_base_ppm"))
-              .otherwise(0L).as("removal_pm"))
-      }.reduce(_ unionByName _)
+      // referenced twice (base row + channel rows) — truncate the
+      // 8-join lineage once; 4 rows
+      val starts = graft.Checkpoints.materialize(
+        p8.filter(col("s") === "START"))
+      val base = starts.filter(col("scenario") === "base")
+        .select(col("p").as("p_base_ppm"))
+      starts.filter(col("scenario") =!= "base")
+        .select(col("scenario").as("channel"), col("p").as("p_removed_ppm"))
+        .crossJoin(broadcast(base))
+        .select(col("channel"), col("p_base_ppm"), col("p_removed_ppm"),
+          when(col("p_base_ppm") > 0,
+            expr("(1000 * (p_base_ppm - p_removed_ppm)) div p_base_ppm"))
+            .otherwise(0L).as("removal_pm"))
     },
   )
 
