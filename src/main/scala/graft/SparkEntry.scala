@@ -180,6 +180,9 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q235    graft.queries.TextOps    — LIX readability + hapax share
   *   q236    graft.queries.Events     — funnel latency order statistics
   *   q237    graft.queries.Events     — Markov removal-effect attribution
+  *   q238    graft.queries.Graph      — degree-mixing association (χ², V²)
+  *   q239    graft.queries.Curation   — leave-one-out target encoding
+  *   q240    graft.queries.Layout     — packed-corpus shard offsets
   */
 object SparkEntry {
 

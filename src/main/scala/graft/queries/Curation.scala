@@ -1536,6 +1536,61 @@ object Curation {
         .agg(max(when(col("rn") === 2, col("mean_pm"))).as("ci_lo_pm"),
           max(when(col("rn") === 15, col("mean_pm"))).as("ci_hi_pm"))
     },
+
+    // --------------------------------------------------------------- q239
+    // Leave-one-out target encoding — the leakage-safe categorical
+    // feature every tabular-ML pipeline ships: encode a customer's
+    // market segment by the urgent-order rate of the OTHER orders in
+    // that segment, enc_i = 1000·(S_seg − y_i) div (n_seg − 1) —
+    // excluding the row's own label is what stops the encoding from
+    // memorizing its target (plain mean encoding leaks). Per-segment
+    // sums broadcast back onto the orders (tiny dim table), so the
+    // encoding is one map-side pass; with only two distinct y values
+    // the row-level encodings collapse to segment×y space, which is
+    // what the audit emits: each (segment, y) cell with its count and
+    // exact-permille encoding, plus the naive leaky mean alongside so
+    // the report SHOWS the leakage gap the LOO form closes.
+    Q(
+      "q239_target_encoding",
+      Some("""
+        WITH o AS (
+          SELECT c.c_mktsegment AS seg,
+                 CAST(CASE WHEN ord.o_orderpriority = '1-URGENT'
+                      THEN 1 ELSE 0 END AS BIGINT) AS y
+          FROM orders ord JOIN customer c ON c.c_custkey = ord.o_custkey),
+        st AS (
+          SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_seg,
+                 CAST(SUM(y) AS BIGINT) AS s_seg
+          FROM o GROUP BY 1),
+        cells AS (
+          SELECT o.seg, o.y, CAST(COUNT(*) AS BIGINT) AS n,
+                 MAX(st.n_seg) AS n_seg, MAX(st.s_seg) AS s_seg
+          FROM o JOIN st ON st.seg = o.seg GROUP BY 1, 2)
+        SELECT seg, y, n,
+               (1000 * (s_seg - y)) // (n_seg - 1) AS loo_enc_pm,
+               (1000 * s_seg) // n_seg AS naive_enc_pm,
+               (1000 * (s_seg - y)) // (n_seg - 1)
+                 - (1000 * s_seg) // n_seg AS leak_gap_pm
+        FROM cells""")
+    ) { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("c_custkey") === col("o_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+            .as("y"))
+      val st = o.groupBy("seg")
+        .agg(count(lit(1)).as("n_seg"), sum(col("y")).as("s_seg"))
+      o.join(broadcast(st), "seg")
+        .groupBy("seg", "y")
+        .agg(count(lit(1)).as("n"), max(col("n_seg")).as("n_seg"),
+          max(col("s_seg")).as("s_seg"))
+        .select(col("seg"), col("y"), col("n"),
+          expr("(1000 * (s_seg - y)) div (n_seg - 1)").as("loo_enc_pm"),
+          expr("(1000 * s_seg) div n_seg").as("naive_enc_pm"),
+          (expr("(1000 * (s_seg - y)) div (n_seg - 1)")
+            - expr("(1000 * s_seg) div n_seg")).as("leak_gap_pm"))
+    },
   )
 
   /** q147's per-(doc, shard) rendezvous weight: the Carter–Wegman

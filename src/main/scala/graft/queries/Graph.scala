@@ -715,5 +715,107 @@ object Graph {
       }
       d3.select(col("node"), col("d").as("dist"))
     },
+
+    // --------------------------------------------------------------- q238
+    // Degree-mixing association — do high-degree customers trade with
+    // high-degree suppliers? The assortativity question, answered
+    // WITHOUT Pearson's r (whose n·Σxy cross terms overflow BIGINT at
+    // corpus degree scales and whose sqrt breaks integer parity):
+    // degrees bucket into exact log₂ classes via length(bin(deg))−1 —
+    // bit arithmetic, engine-identical — and the (customer-class ×
+    // supplier-class) contingency table yields q195's exact milli-χ²
+    // plus Cramér's V² in ppm (V² needs no sqrt; V² → 0 means degree-
+    // independent mixing). One edge pass with two degree joins (vertex
+    // maps, keyed shuffles); everything after lives in class² space
+    // (≲ 15×15). Output: one summary row — m, table shape, χ², V²,
+    // and the most over-represented class pair with its lift.
+    Q(
+      "q238_degree_mixing",
+      Some("""
+        WITH pairs AS (
+          SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        cd AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS dc
+               FROM pairs GROUP BY 1),
+        sd AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS ds
+               FROM pairs GROUP BY 1),
+        ed AS (
+          SELECT length(bin(cd.dc)) - 1 AS kc, length(bin(sd.ds)) - 1 AS ks
+          FROM pairs p
+          JOIN cd ON cd.c = p.c JOIN sd ON sd.s = p.s),
+        ct AS (
+          SELECT kc, ks, CAST(COUNT(*) AS BIGINT) AS o
+          FROM ed GROUP BY 1, 2),
+        mr AS (SELECT kc, CAST(SUM(o) AS BIGINT) AS rc FROM ct GROUP BY 1),
+        mc AS (SELECT ks, CAST(SUM(o) AS BIGINT) AS cc FROM ct GROUP BY 1),
+        m AS (SELECT CAST(SUM(o) AS BIGINT) AS m FROM ct),
+        grid AS (
+          SELECT mr.kc, mc.ks, COALESCE(ct.o, 0) AS o,
+                 (1000 * mr.rc * mc.cc) // m.m AS e_milli
+          FROM mr CROSS JOIN mc CROSS JOIN m
+          LEFT JOIN ct ON ct.kc = mr.kc AND ct.ks = mc.ks),
+        chi AS (
+          SELECT CAST(SUM(CASE WHEN e_milli > 0
+                   THEN ((1000 * o - e_milli) * (1000 * o - e_milli))
+                        // (1000 * e_milli) ELSE 0 END) AS BIGINT)
+                   AS chi2_milli
+          FROM grid),
+        dims AS (
+          SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM mr) AS r,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM mc) AS c),
+        lift AS (
+          SELECT kc, ks, (1000000 * o) // (e_milli // 1000 + 1) AS lift_ppm
+          FROM grid WHERE e_milli > 0 AND o > 0
+          ORDER BY (1000000 * o) // (e_milli // 1000 + 1) DESC, kc, ks
+          LIMIT 1)
+        SELECT m.m, dims.r, dims.c, chi.chi2_milli,
+               (1000 * chi.chi2_milli)
+                 // (m.m * greatest(least(dims.r - 1, dims.c - 1), 1))
+                 AS v2_ppm,
+               lift.kc AS top_kc, lift.ks AS top_ks, lift.lift_ppm
+        FROM m CROSS JOIN dims CROSS JOIN chi CROSS JOIN lift""")
+    ) { (s, dir) =>
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")).hint("merge")
+      val pairs = Checkpoints.materialize(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(orders, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+          .distinct())
+      val cd = pairs.groupBy("c").agg(count(lit(1)).as("dc"))
+      val sd = pairs.groupBy("s").agg(count(lit(1)).as("ds"))
+      val ed = pairs
+        .join(cd.hint("shuffle_hash"), "c")
+        .join(sd.hint("shuffle_hash"), "s")
+        .select((length(expr("bin(dc)")) - 1).cast("long").as("kc"),
+          (length(expr("bin(ds)")) - 1).cast("long").as("ks"))
+      val ct = Checkpoints.materialize(
+        ed.groupBy("kc", "ks").agg(count(lit(1)).as("o")))
+      val mr = ct.groupBy("kc").agg(sum(col("o")).as("rc"))
+      val mc = ct.groupBy("ks").agg(sum(col("o")).as("cc"))
+      val m = ct.agg(sum(col("o")).as("m"))
+      val grid = mr.crossJoin(mc).crossJoin(broadcast(m))
+        .join(ct, Seq("kc", "ks"), "left").na.fill(0L, Seq("o"))
+        .withColumn("e_milli", expr("(1000 * rc * cc) div m"))
+      val gridM = Checkpoints.materialize(grid
+        .select(col("kc"), col("ks"), col("o"), col("e_milli"), col("m")))
+      val chi = gridM.agg(sum(when(col("e_milli") > 0,
+        expr("((1000 * o - e_milli) * (1000 * o - e_milli))" +
+          " div (1000 * e_milli)")).otherwise(0L)).as("chi2_milli"))
+      val dims = mr.agg(count(lit(1)).as("r"))
+        .crossJoin(mc.agg(count(lit(1)).as("c")))
+      val lift = gridM.filter(col("e_milli") > 0 && col("o") > 0)
+        .select(col("kc").as("top_kc"), col("ks").as("top_ks"),
+          expr("(1000000 * o) div (e_milli div 1000 + 1)").as("lift_ppm"))
+        .orderBy(desc("lift_ppm"), col("top_kc"), col("top_ks"))
+        .limit(1)
+      m.crossJoin(broadcast(dims)).crossJoin(broadcast(chi))
+        .crossJoin(broadcast(lift))
+        .select(col("m"), col("r"), col("c"), col("chi2_milli"),
+          expr("(1000 * chi2_milli)" +
+            " div (m * greatest(least(r - 1, c - 1), 1))").as("v2_ppm"),
+          col("top_kc"), col("top_ks"), col("lift_ppm"))
+    },
   )
 }

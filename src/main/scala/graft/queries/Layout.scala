@@ -301,6 +301,7 @@ object Layout {
     },
     q220,
     q227,
+    q240,
   )
 
   /** The full 8-stage CTE chain h1..h8 over a `dims(x, y)` CTE —
@@ -466,6 +467,51 @@ object Layout {
           sum(col("rn_nat")).as("runs_natural"),
           sum(col("rn_clu")).as("runs_clustered"),
           expr("(1000 * sum(rn_clu)) div sum(rn_nat)").as("ratio_pm"))
+    }
+
+  private lazy val q240 =
+    // --------------------------------------------------------------- q240
+    // Packed-corpus offset assignment — the export step that turns a
+    // document table into memory-mappable training shards: each doc
+    // gets its shard (salted-hash mod 8, q67's reproducible routing —
+    // no rand()) and its exact BYTE OFFSET inside that shard's packed
+    // file, offset = exclusive prefix sum of (n_chars + 1) in
+    // (doc_id) order (+1 for the separator byte). A trainer seeks to
+    // the offset and reads len bytes — no index file needed beyond
+    // this table. The prefix sum is one per-shard window (keyed, no
+    // global sort); shard totals ride along so the writer can
+    // preallocate. At 100 TB this IS the shard-writer's manifest:
+    // one corpus pass, one window, deterministic bytes.
+    Q(
+      "q240_packed_offsets",
+      Some("""
+        WITH r AS (
+          SELECT doc_id, n_chars,
+                 ((doc_id + 9176) % 2147483648) * 2654435761
+                   % 4294967296 % 8 AS shard
+          FROM documents),
+        w AS (
+          SELECT doc_id, shard, n_chars,
+                 CAST(SUM(n_chars + 1) OVER (PARTITION BY shard
+                   ORDER BY doc_id) AS BIGINT) - (n_chars + 1) AS off,
+                 CAST(SUM(n_chars + 1) OVER (PARTITION BY shard)
+                   AS BIGINT) AS shard_bytes
+          FROM r)
+        SELECT doc_id, shard, off, CAST(n_chars AS BIGINT) AS len,
+               shard_bytes
+        FROM w""")
+    ) { (s, dir) =>
+      val r = t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+        expr("((doc_id + 9176) % 2147483648) * 2654435761" +
+          " % 4294967296 % 8").as("shard"))
+      val wRun = Window.partitionBy("shard").orderBy("doc_id")
+      val wAll = Window.partitionBy("shard")
+      r.select(col("doc_id"), col("shard"),
+          (sum(col("n_chars") + 1).over(wRun) - (col("n_chars") + 1))
+            .as("off"),
+          col("n_chars").cast("long").as("len"),
+          sum(col("n_chars") + 1).over(wAll).as("shard_bytes"))
+        .select("doc_id", "shard", "off", "len", "shard_bytes")
     }
 
   private[queries] def hilbertDf(dims: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
