@@ -267,4 +267,89 @@ class StatsEvalSpec2 extends SparkSpec {
       assert(eff >= 0L && eff <= 1000L)
     }
   }
+
+  // ---------------------------------------------------------------- q238
+  test("q238 chi-square and V-squared replay from the edge class table") {
+    val pairs = graft.Tables.load(spark, sf, "lineitem")
+      .join(graft.Tables.load(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def log2c(d: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(d)
+    val cd = pairs.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val sd = pairs.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val cells = pairs.map(p => (log2c(cd(p._1)), log2c(sd(p._2))))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val m = pairs.length.toLong
+    val rc = cells.groupBy(_._1._1).map { case (k, v) => k -> v.values.sum }
+    val cc = cells.groupBy(_._1._2).map { case (k, v) => k -> v.values.sum }
+    val chi2 = (for (r <- rc.keys; c <- cc.keys) yield {
+      val e = 1000L * rc(r) * cc(c) / m
+      if (e > 0) {
+        val o = cells.getOrElse((r, c), 0L)
+        (1000L * o - e) * (1000L * o - e) / (1000L * e)
+      } else 0L
+    }).sum
+    val k = math.max(math.min(rc.size - 1, cc.size - 1).toLong, 1L)
+    val Array(row) = run("q238_degree_mixing").collect()
+    assert(row.getLong(0) === m)
+    assert((row.getLong(1), row.getLong(2)) ===
+      ((rc.size.toLong, cc.size.toLong)))
+    assert(row.getLong(3) === chi2)
+    assert(row.getLong(4) === 1000L * chi2 / (m * k))
+  }
+
+  // ---------------------------------------------------------------- q239
+  test("q239 encodings replay and the leak gap has the right sign") {
+    val o = graft.Tables.load(spark, sf, "orders")
+      .join(graft.Tables.load(spark, sf, "customer"),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("c_mktsegment"), col("o_orderpriority")).collect()
+      .map(r => (r.getString(0),
+        if (r.getString(1) == "1-URGENT") 1L else 0L))
+    val st = o.groupBy(_._1).map { case (seg, rs) =>
+      seg -> ((rs.length.toLong, rs.map(_._2).sum))
+    }
+    val truth = o.groupBy(identity).map { case ((seg, y), rs) =>
+      val (n, sSum) = st(seg)
+      (seg, y) -> ((rs.length.toLong, 1000L * (sSum - y) / (n - 1),
+        1000L * sSum / n))
+    }
+    val got = run("q239_target_encoding").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet === truth.keySet)
+    got.foreach { case (k, (n, loo, naive, gap)) =>
+      val (tn, tloo, tnaive) = truth(k)
+      assert((n, loo, naive) === ((tn, tloo, tnaive)))
+      assert(gap === loo - naive)
+      // dropping an urgent row lowers the rate; dropping a non-urgent
+      // row raises it (up to flooring)
+      if (k._2 == 1L) assert(gap <= 0L) else assert(gap >= -1L)
+    }
+  }
+
+  // ---------------------------------------------------------------- q240
+  test("q240 offsets tile each shard exactly with one separator per doc") {
+    val got = run("q240_packed_offsets").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val nDocs = graft.Tables.load(spark, sf, "documents").count()
+    assert(got.length.toLong === nDocs, "every doc gets an offset")
+    got.groupBy(_._2).foreach { case (shard, rows) =>
+      val sorted = rows.sortBy(_._1)
+      var off = 0L
+      sorted.foreach { case (_, _, o, len, _) =>
+        assert(o === off, s"shard $shard offsets must tile densely")
+        off += len + 1
+      }
+      assert(rows.forall(_._5 === off),
+        s"shard $shard total must equal the final offset")
+      // the declared hash routing replays
+      rows.foreach { case (id, sh, _, _, _) =>
+        val h = ((id + 9176) % 2147483648L) * 2654435761L % 4294967296L % 8
+        assert(sh === h)
+      }
+    }
+  }
 }
