@@ -1990,16 +1990,20 @@ object Vectors {
         ivfCfg.nCentroids)
       val assigned = graft.Checkpoints.materialize(
         graft.operators.Ivf.assign(base, "qv", cents)
-          .select("vec_id", "qv", "centroid_id"))
+          .select("vec_id", "qv", "qn", "centroid_id"))
       val nm = assigned.groupBy("centroid_id")
         .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("min_member"))
       val a = assigned.select(col("centroid_id"), col("vec_id").as("ma"),
-        col("qv").as("qv_a"))
+        col("qv").as("qv_a"), col("qn").as("qn_a"))
       val b = assigned.select(col("centroid_id"), col("vec_id").as("id_b"),
-        col("qv").as("qv_b"))
+        col("qv").as("qv_b"), col("qn").as("qn_b"))
+      // ||a−b||² = qn_a + qn_b − 2·a·b through the codegen'd qdot
+      // kernel — the interpreted aggregate(zip_with(...)) HOF on the
+      // hot pair loop benched 9s; this form is the q231 shape (1.1s)
       val pair = a.join(b, Seq("centroid_id"))
         .filter(col("id_b") =!= col("ma"))
-        .withColumn("d", expr(graft.operators.Ivf.sqDistExpr("qv_a", "qv_b")))
+        .withColumn("d",
+          col("qn_a") + col("qn_b") - lit(2L) * dotCol("qv_a", "qv_b"))
         .groupBy("centroid_id", "ma").agg(sum(col("d")).as("ssd"))
       val wB = Window.partitionBy("centroid_id").orderBy(col("ssd"), col("ma"))
       val best = pair.withColumn("rn", row_number().over(wB))
