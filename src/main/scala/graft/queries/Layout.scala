@@ -402,15 +402,17 @@ object Layout {
     // order. Runs are counted WITHIN each ship-month partition (files
     // are partition-local, so a global-order count would model a sort
     // the writer never does — and a global window wouldn't scale; the
-    // per-month window does). runs = Σ_partitions (1 + #(v ≠ lag v))
-    // via one lag window per candidate order; the fixture's
-    // (orderkey, linenumber) pairs are NOT unique, so each order
-    // appends the value itself as the last key — ties that remain
-    // have equal v and cannot change the run count, making the count
-    // engine-independent. Output per column: rows, runs under each
-    // order, and the clustered/natural ratio in permille — the
-    // decision number. Corpus cost: two per-partition window passes;
-    // everything after is |columns|-sized.
+    // per-month window does). runs = Σ_partitions (1 + #(v ≠ lag v)).
+    // ALL THREE columns' lag flags ride the SAME two window passes
+    // over the base table — the stack()-then-window form sorted 3×
+    // the rows twice (benched 2.8s; this shape halves it). Both
+    // orders end in the shared composite tiebreak (rf, ls, qb):
+    // the fixture's (orderkey, linenumber) pairs are NOT unique, and
+    // a fixed engine-identical total order is what keeps every
+    // column's run count bit-stable. Output per column: rows, runs
+    // under each order, and the clustered/natural ratio in permille —
+    // the decision number. Corpus cost: two per-partition window
+    // passes; everything after is |columns|-sized.
     Q(
       "q227_rle_estimate",
       Some("""
@@ -421,52 +423,65 @@ object Layout {
                  l_returnflag AS rf, l_linestatus AS ls,
                  CAST(CAST(l_quantity AS BIGINT) // 10 AS VARCHAR) AS qb
           FROM lineitem),
-        u AS (
-          SELECT mon, ok, ln, rf, ls, 'returnflag' AS col_name, rf AS v
+        fl AS (
+          SELECT
+            CASE WHEN lag(rf) OVER wn IS DISTINCT FROM rf
+                 THEN 1 ELSE 0 END AS nat_rf,
+            CASE WHEN lag(ls) OVER wn IS DISTINCT FROM ls
+                 THEN 1 ELSE 0 END AS nat_ls,
+            CASE WHEN lag(qb) OVER wn IS DISTINCT FROM qb
+                 THEN 1 ELSE 0 END AS nat_qb,
+            CASE WHEN lag(rf) OVER wc IS DISTINCT FROM rf
+                 THEN 1 ELSE 0 END AS clu_rf,
+            CASE WHEN lag(ls) OVER wc IS DISTINCT FROM ls
+                 THEN 1 ELSE 0 END AS clu_ls,
+            CASE WHEN lag(qb) OVER wc IS DISTINCT FROM qb
+                 THEN 1 ELSE 0 END AS clu_qb
           FROM b
-          UNION ALL SELECT mon, ok, ln, rf, ls, 'linestatus', ls FROM b
-          UNION ALL SELECT mon, ok, ln, rf, ls, 'qty_band', qb FROM b),
-        runs AS (
-          SELECT col_name,
-                 CASE WHEN lag(v) OVER (PARTITION BY mon, col_name
-                        ORDER BY ok, ln, v) IS DISTINCT FROM v
-                      THEN 1 ELSE 0 END AS rn_nat,
-                 CASE WHEN lag(v) OVER (PARTITION BY mon, col_name
-                        ORDER BY rf, ls, ok, ln, v) IS DISTINCT FROM v
-                      THEN 1 ELSE 0 END AS rn_clu
-          FROM u)
-        SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
-               CAST(SUM(rn_nat) AS BIGINT) AS runs_natural,
-               CAST(SUM(rn_clu) AS BIGINT) AS runs_clustered,
-               (1000 * CAST(SUM(rn_clu) AS BIGINT))
-                 // CAST(SUM(rn_nat) AS BIGINT) AS ratio_pm
-        FROM runs GROUP BY 1""")
+          WINDOW wn AS (PARTITION BY mon ORDER BY ok, ln, rf, ls, qb),
+                 wc AS (PARTITION BY mon ORDER BY rf, ls, ok, ln, qb)),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(nat_rf) AS BIGINT) AS nr, CAST(SUM(clu_rf) AS BIGINT) AS cr,
+                 CAST(SUM(nat_ls) AS BIGINT) AS nl, CAST(SUM(clu_ls) AS BIGINT) AS cl,
+                 CAST(SUM(nat_qb) AS BIGINT) AS nq, CAST(SUM(clu_qb) AS BIGINT) AS cq
+          FROM fl)
+        SELECT 'returnflag' AS col_name, n_rows, nr AS runs_natural,
+               cr AS runs_clustered, (1000 * cr) // nr AS ratio_pm FROM agg
+        UNION ALL
+        SELECT 'linestatus', n_rows, nl, cl, (1000 * cl) // nl FROM agg
+        UNION ALL
+        SELECT 'qty_band', n_rows, nq, cq, (1000 * cq) // nq FROM agg""")
     ) { (s, dir) =>
       val b = t(s, dir, "lineitem").select(
         (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("mon"),
         col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
         col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
         expr("cast(cast(l_quantity as bigint) div 10 as string)").as("qb"))
-      val u = b.select(col("mon"), col("ok"), col("ln"), col("rf"),
-        col("ls"), expr(
-          """stack(3,
-             'returnflag', rf,
-             'linestatus', ls,
-             'qty_band', qb) AS (col_name, v)"""))
-      val wNat = Window.partitionBy("mon", "col_name")
-        .orderBy("ok", "ln", "v")
-      val wClu = Window.partitionBy("mon", "col_name")
-        .orderBy("rf", "ls", "ok", "ln", "v")
-      val runs = u.select(col("col_name"),
-        when(not(lag(col("v"), 1).over(wNat) <=> col("v")), 1L)
-          .otherwise(0L).as("rn_nat"),
-        when(not(lag(col("v"), 1).over(wClu) <=> col("v")), 1L)
-          .otherwise(0L).as("rn_clu"))
-      runs.groupBy("col_name")
-        .agg(count(lit(1)).as("n_rows"),
-          sum(col("rn_nat")).as("runs_natural"),
-          sum(col("rn_clu")).as("runs_clustered"),
-          expr("(1000 * sum(rn_clu)) div sum(rn_nat)").as("ratio_pm"))
+      val wNat = Window.partitionBy("mon")
+        .orderBy("ok", "ln", "rf", "ls", "qb")
+      val wClu = Window.partitionBy("mon")
+        .orderBy("rf", "ls", "ok", "ln", "qb")
+      def flag(c: String, w: org.apache.spark.sql.expressions.WindowSpec) =
+        when(not(lag(col(c), 1).over(w) <=> col(c)), 1L).otherwise(0L)
+      val fl = b.select(
+        flag("rf", wNat).as("nat_rf"), flag("ls", wNat).as("nat_ls"),
+        flag("qb", wNat).as("nat_qb"),
+        flag("rf", wClu).as("clu_rf"), flag("ls", wClu).as("clu_ls"),
+        flag("qb", wClu).as("clu_qb"))
+      val agg = fl.agg(count(lit(1)).as("n_rows"),
+        sum(col("nat_rf")).as("nr"), sum(col("clu_rf")).as("cr"),
+        sum(col("nat_ls")).as("nl"), sum(col("clu_ls")).as("cl"),
+        sum(col("nat_qb")).as("nq"), sum(col("clu_qb")).as("cq"))
+      agg.select(expr(
+        """stack(3,
+           'returnflag', nr, cr,
+           'linestatus', nl, cl,
+           'qty_band', nq, cq) AS (col_name, runs_natural, runs_clustered)"""),
+        col("n_rows"))
+        .select(col("col_name"), col("n_rows"), col("runs_natural"),
+          col("runs_clustered"),
+          expr("(1000 * runs_clustered) div runs_natural").as("ratio_pm"))
     }
 
   private lazy val q240 =

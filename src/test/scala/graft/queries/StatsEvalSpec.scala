@@ -424,13 +424,15 @@ class StatsEvalSpec extends SparkSpec {
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getString(3),
         r.getString(4), r.getString(5)))
+    // both orders share the composite (rf, ls, qb) tiebreak the query
+    // declares — one total order per pass for all three columns
     def runs(vOf: ((Int, Long, Int, String, String, String)) => String,
         clustered: Boolean): Long =
       li.groupBy(_._1).values.map { rows =>
         val sorted =
           if (clustered)
-            rows.sortBy(r => (r._4, r._5, r._2, r._3, vOf(r)))
-          else rows.sortBy(r => (r._2, r._3, vOf(r)))
+            rows.sortBy(r => (r._4, r._5, r._2, r._3, r._6))
+          else rows.sortBy(r => (r._2, r._3, r._4, r._5, r._6))
         1L + sorted.sliding(2).count {
           case Array(a, b) => vOf(a) != vOf(b)
           case _ => false
