@@ -183,6 +183,8 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q238    graft.queries.Graph      — degree-mixing association (χ², V²)
   *   q239    graft.queries.Curation   — leave-one-out target encoding
   *   q240    graft.queries.Layout     — packed-corpus shard offsets
+  *   q241    graft.queries.Events     — sessionization gap-parameter sweep
+  *   q242    graft.queries.Multimodal — media header validation audit
   */
 object SparkEntry {
 

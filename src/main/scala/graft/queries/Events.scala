@@ -2903,6 +2903,65 @@ object Events {
           expr("cum_cents div n_users").as("ltv_cents_per_user"))
     },
 
+    // --------------------------------------------------------------- q241
+    // Sessionization gap sweep — the knob report behind q23's fixed
+    // 30-minute gap (the q146 move applied to sessions): how do
+    // session counts and density respond to gap ∈ {15, 30, 60} min?
+    // All three gaps share ONE per-user lag window (the inter-event
+    // delta is gap-independent); each flag column sums map-side, so
+    // the sweep costs one corpus window pass + one aggregate — not
+    // three sessionization runs. Mean events/session in exact
+    // permille. The operations answer to "is 30 minutes the right
+    // gap": the count curve's knee is in this table.
+    Q(
+      "q241_session_gap_sweep",
+      Some("""
+        WITH d AS (
+          SELECT epoch_us(CAST(ts AS TIMESTAMP))
+                 - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+          FROM events),
+        f AS (
+          SELECT CASE WHEN gap IS NULL OR gap > 900000000
+                      THEN 1 ELSE 0 END AS s15,
+                 CASE WHEN gap IS NULL OR gap > 1800000000
+                      THEN 1 ELSE 0 END AS s30,
+                 CASE WHEN gap IS NULL OR gap > 3600000000
+                      THEN 1 ELSE 0 END AS s60
+          FROM d),
+        a AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(SUM(s15) AS BIGINT) AS n15,
+                 CAST(SUM(s30) AS BIGINT) AS n30,
+                 CAST(SUM(s60) AS BIGINT) AS n60
+          FROM f)
+        SELECT CAST(900 AS BIGINT) AS gap_sec, n15 AS n_sessions, n_events,
+               (1000 * n_events) // n15 AS mean_events_pm FROM a
+        UNION ALL
+        SELECT 1800, n30, n_events, (1000 * n_events) // n30 FROM a
+        UNION ALL
+        SELECT 3600, n60, n_events, (1000 * n_events) // n60 FROM a""")
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val d = t(s, dir, "events")
+        .withColumn("gap",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      def flag(us: Long) =
+        when(col("gap").isNull || col("gap") > us, 1L).otherwise(0L)
+      val a = d.agg(count(lit(1)).as("n_events"),
+        sum(flag(900000000L)).as("n15"),
+        sum(flag(1800000000L)).as("n30"),
+        sum(flag(3600000000L)).as("n60"))
+      a.select(expr(
+        """stack(3,
+           900L, n15,
+           1800L, n30,
+           3600L, n60) AS (gap_sec, n_sessions)"""),
+        col("n_events"))
+        .select(col("gap_sec"), col("n_sessions"), col("n_events"),
+          expr("(1000 * n_events) div n_sessions").as("mean_events_pm"))
+    },
+
     // --------------------------------------------------------------- q236
     // Funnel advance-latency percentiles — q92 reports conversion
     // counts and TOTAL dwell; this reports the exact p50/p90/max of

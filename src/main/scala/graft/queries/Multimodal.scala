@@ -350,5 +350,63 @@ object Multimodal {
           coalesce(col("n_seg"), lit(0L)).as("n_segments"),
           coalesce(col("longest"), lit(0L)).as("longest_seg"))
     },
+
+    // --------------------------------------------------------------- q242
+    // Media header validation — the ingest gate that rejects corrupt
+    // binaries BEFORE a decoder ever runs: parse the (stub) header's
+    // declared dimensions from the first four payload bytes (w =
+    // b₀·256 + b₁, h = b₂·256 + b₃ — the plumbing of a real magic-
+    // number check, codec semantics stubbed like q84's), classify the
+    // aspect (portrait/landscape/square), and flag plausibility —
+    // nonzero dims and w·h not exceeding 8× the byte length (a
+    // compressed image can't promise more pixels than that here).
+    // Grouped to the (mime, aspect, plausible) audit cells with byte
+    // totals — the quarantine report. Pure per-row byte arithmetic
+    // (ascii() on substrings, identical both engines), one map-side
+    // pass, cell-space output — scales trivially.
+    Q(
+      "q242_media_header_audit",
+      Some("""
+        WITH h AS (
+          SELECT CAST(length(text) AS BIGINT) AS n_bytes,
+                 CASE WHEN length(text) % 3 = 0 THEN 'image/png'
+                      WHEN length(text) % 3 = 1 THEN 'audio/wav'
+                      ELSE 'video/mp4' END AS mime,
+                 CAST(ascii(substring(text, 1, 1)) AS BIGINT) * 256
+                   + CAST(ascii(substring(text, 2, 1)) AS BIGINT) AS w,
+                 CAST(ascii(substring(text, 3, 1)) AS BIGINT) * 256
+                   + CAST(ascii(substring(text, 4, 1)) AS BIGINT) AS h
+          FROM documents),
+        c AS (
+          SELECT mime, n_bytes, w, h,
+                 CASE WHEN w > h THEN 'landscape'
+                      WHEN w < h THEN 'portrait'
+                      ELSE 'square' END AS aspect,
+                 w > 0 AND h > 0 AND w * h <= 8 * n_bytes AS plausible
+          FROM h)
+        SELECT mime, aspect, plausible,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_bytes) AS BIGINT) AS bytes
+        FROM c GROUP BY 1, 2, 3""")
+    ) { (s, dir) =>
+      val h = Tables.load(s, dir, "documents").select(
+        length(col("text")).cast("long").as("n_bytes"),
+        when(length(col("text")) % 3 === 0, "image/png")
+          .when(length(col("text")) % 3 === 1, "audio/wav")
+          .otherwise("video/mp4").as("mime"),
+        (ascii(substring(col("text"), 1, 1)).cast("long") * 256
+          + ascii(substring(col("text"), 2, 1)).cast("long")).as("w"),
+        (ascii(substring(col("text"), 3, 1)).cast("long") * 256
+          + ascii(substring(col("text"), 4, 1)).cast("long")).as("h"))
+      h.select(col("mime"), col("n_bytes"), col("w"), col("h"),
+          when(col("w") > col("h"), "landscape")
+            .when(col("w") < col("h"), "portrait")
+            .otherwise("square").as("aspect"),
+          (col("w") > 0 && col("h") > 0
+            && col("w") * col("h") <= lit(8L) * col("n_bytes"))
+            .as("plausible"))
+        .groupBy("mime", "aspect", "plausible")
+        .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("bytes"))
+    },
   )
 }
