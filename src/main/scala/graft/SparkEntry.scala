@@ -185,6 +185,10 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q240    graft.queries.Layout     — packed-corpus shard offsets
   *   q241    graft.queries.Events     — sessionization gap-parameter sweep
   *   q242    graft.queries.Multimodal — media header validation audit
+  *   q243    graft.queries.Relational — two-phase exact distributed median
+  *   q244    graft.queries.Layout     — broadcast-join threshold advisor
+  *   q245    graft.queries.Relational — partition-grain snapshot diff plan
+  *   q246    graft.queries.Relational — join-cardinality estimator audit
   */
 object SparkEntry {
 

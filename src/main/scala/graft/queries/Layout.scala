@@ -302,6 +302,7 @@ object Layout {
     q220,
     q227,
     q240,
+    q244,
   )
 
   /** The full 8-stage CTE chain h1..h8 over a `dims(x, y)` CTE —
@@ -482,6 +483,59 @@ object Layout {
         .select(col("col_name"), col("n_rows"), col("runs_natural"),
           col("runs_clustered"),
           expr("(1000 * runs_clustered) div runs_natural").as("ratio_pm"))
+    }
+
+  private lazy val q244 =
+    // --------------------------------------------------------------- q244
+    // Broadcast-join advisor — the planning table behind every
+    // broadcast() decision this library makes: per table, the row
+    // count, the estimated in-memory bytes (declared per-table row
+    // widths; documents adds its actual character mass), and whether
+    // it fits under the 10 MiB autoBroadcastJoinThreshold default.
+    // The point at scale: dimension tables (region/nation) stay
+    // broadcastable forever, fact tables (lineitem/orders/events)
+    // cross the line at tiny SFs — exactly the split the PlanSpec
+    // pins enforce qualitatively; this query makes it quantitative,
+    // and at 100 TB it is the table a join planner would consult
+    // before hinting. Count-star scans read parquet footers only.
+    Q(
+      "q244_broadcast_advisor",
+      Some("""
+        WITH t AS (
+          SELECT 'region' AS tbl, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(32 AS BIGINT) AS width, CAST(0 AS BIGINT) AS extra
+          FROM region
+          UNION ALL SELECT 'nation', COUNT(*), 40, 0 FROM nation
+          UNION ALL SELECT 'customer', COUNT(*), 80, 0 FROM customer
+          UNION ALL SELECT 'supplier', COUNT(*), 72, 0 FROM supplier
+          UNION ALL SELECT 'part', COUNT(*), 96, 0 FROM part
+          UNION ALL SELECT 'orders', COUNT(*), 88, 0 FROM orders
+          UNION ALL SELECT 'lineitem', COUNT(*), 120, 0 FROM lineitem
+          UNION ALL SELECT 'events', COUNT(*), 96, 0 FROM events
+          UNION ALL SELECT 'documents', COUNT(*), 24,
+                 CAST(SUM(n_chars) AS BIGINT) FROM documents
+          UNION ALL SELECT 'embeddings', COUNT(*), 272, 0 FROM embeddings)
+        SELECT tbl, n, n * width + extra AS est_bytes,
+               n * width + extra <= 10485760 AS broadcastable
+        FROM t""")
+    ) { (s, dir) =>
+      def cnt(name: String, width: Long): DataFrame =
+        t(s, dir, name).agg(count(lit(1)).as("n"))
+          .select(lit(name).as("tbl"), col("n"), lit(width).as("width"),
+            lit(0L).as("extra"))
+      val docs = t(s, dir, "documents")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("extra"))
+        .select(lit("documents").as("tbl"), col("n"),
+          lit(24L).as("width"), col("extra"))
+      Seq(cnt("region", 32), cnt("nation", 40), cnt("customer", 80),
+        cnt("supplier", 72), cnt("part", 96), cnt("orders", 88),
+        cnt("lineitem", 120), cnt("events", 96), docs,
+        cnt("embeddings", 272))
+        .reduce(_ unionByName _)
+        .select(col("tbl"), col("n"),
+          (col("n") * col("width") + col("extra")).as("est_bytes"),
+          (col("n") * col("width") + col("extra") <= 10485760L)
+            .as("broadcastable"))
     }
 
   private lazy val q240 =

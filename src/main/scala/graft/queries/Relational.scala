@@ -2023,5 +2023,201 @@ object Relational {
         expr("(1000 * sum(cents) over (order by decile)) div total")
           .as("cum_share_pm"))
     },
+
+    // --------------------------------------------------------------- q243
+    // Two-phase EXACT median — the distributed pattern for an exact
+    // order statistic that q96's sketch only bounds: phase 1
+    // aggregates the corpus into $1000-wide price buckets (map-side
+    // combinable, one exchange) and locates the bucket containing
+    // rank ⌈n/2⌉ via a value-space cumsum; phase 2 rescans ONLY that
+    // bucket (the predicate pushes to the parquet scan) and takes the
+    // exact within-bucket order statistic with a rank window over
+    // n/|buckets| rows. At 100 TB the second pass touches one
+    // bucket's worth of rows — and if a bucket ever skews too wide,
+    // the same two-phase step recurses on sub-buckets (documented,
+    // not needed at these SFs). Output: n, target rank, located
+    // bucket, both phase row counts, and the exact median in cents.
+    Q(
+      "q243_exact_median",
+      Some("""
+        WITH v AS (
+          SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100
+                      AS BIGINT) AS cents
+          FROM lineitem),
+        b AS (
+          SELECT cents // 100000 AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM v GROUP BY 1),
+        n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM b),
+        cum AS (
+          SELECT bucket, c,
+                 CAST(SUM(c) OVER (ORDER BY bucket) AS BIGINT) AS cc
+          FROM b),
+        loc AS (
+          SELECT bucket, cc - c AS below, c AS in_bucket
+          FROM cum CROSS JOIN n
+          WHERE cc >= (n.n + 1) // 2 AND cc - c < (n.n + 1) // 2),
+        ranked AS (
+          SELECT v.cents,
+                 ROW_NUMBER() OVER (ORDER BY v.cents) AS rn
+          FROM v CROSS JOIN loc
+          WHERE v.cents // 100000 = loc.bucket)
+        SELECT n.n, (n.n + 1) // 2 AS target_rank, loc.bucket,
+               loc.in_bucket AS phase2_rows,
+               r.cents AS median_cents
+        FROM ranked r CROSS JOIN loc CROSS JOIN n
+        WHERE r.rn = (n.n + 1) // 2 - loc.below""")
+    ) { (s, dir) =>
+      val v = t(s, dir, "lineitem").select(
+        expr("cast(cast(l_extendedprice as decimal(18,4)) * 100 as bigint)")
+          .as("cents"))
+      val b = v.groupBy(expr("cents div 100000").as("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val n = b.agg(sum(col("c")).as("n"))
+      val cum = b.withColumn("cc", sum(col("c")).over(Window.orderBy("bucket")))
+      val loc = cum.crossJoin(broadcast(n))
+        .filter(col("cc") >= expr("(n + 1) div 2")
+          && col("cc") - col("c") < expr("(n + 1) div 2"))
+        .select(col("bucket"), (col("cc") - col("c")).as("below"),
+          col("c").as("in_bucket"), col("n"))
+      // phase 2: one bucket rescans with the predicate pushed down;
+      // the located bucket is a one-row broadcast
+      val ranked = v.crossJoin(broadcast(loc))
+        .filter(expr("cents div 100000") === col("bucket"))
+        .withColumn("rn", row_number().over(Window.orderBy("cents")))
+      ranked.filter(col("rn") === expr("(n + 1) div 2") - col("below"))
+        .select(col("n"), expr("(n + 1) div 2").as("target_rank"),
+          col("bucket"), col("in_bucket").as("phase2_rows"),
+          col("cents").as("median_cents"))
+    },
+
+    // --------------------------------------------------------------- q245
+    // Partition-grain snapshot diff plan — the incremental-sync
+    // planner: given yesterday's orders and today's (simulated: the
+    // newest month's totals restate by one cent — a late-arriving
+    // correction), roll each version up to per-month (row count,
+    // order-free checksum) and emit ONLY months whose fingerprints
+    // disagree. Sync cost drops from the table to the changed
+    // partitions — the plan a lakehouse CDC shipper executes. The
+    // checksum is q112's order-free md5-prefix sum (one md5 per row,
+    // decimal-banked, mod 2⁶²); both versions derive from one scan
+    // pass each; the diff is month-space. At 100 TB: two corpus
+    // passes + a |months| join — scales.
+    Q(
+      "q245_partition_diff",
+      Some {
+        val poly = (0 until 12).map { p =>
+          s"(instr('0123456789abcdef', substr(h, ${12 - p}, 1)) - 1) * ${1L << (4 * p)}"
+        }.mkString(" + ")
+        def side(expr2: String) = s"""
+          SELECT mon, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST($poly AS DECIMAL(38,0)))
+                      % 4611686018427387904 AS BIGINT) AS cksum
+          FROM (
+            SELECT year(CAST(o_orderdate AS DATE)) * 100
+                   + month(CAST(o_orderdate AS DATE)) AS mon,
+                   md5(concat_ws('|', o_orderkey, o_orderstatus,
+                       CAST($expr2 AS VARCHAR))) AS h
+            FROM orders) t
+          GROUP BY mon"""
+        val restated = """CASE WHEN year(CAST(o_orderdate AS DATE)) * 100
+                   + month(CAST(o_orderdate AS DATE)) =
+                   (SELECT MAX(year(CAST(o_orderdate AS DATE)) * 100
+                    + month(CAST(o_orderdate AS DATE))) FROM orders)
+              THEN CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) + 1
+              ELSE CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) END"""
+        s"""
+        WITH v1 AS (${side("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)")}),
+        v2 AS (${side(restated)})
+        SELECT v1.mon, v1.n AS n_old, v2.n AS n_new,
+               v1.cksum <> v2.cksum AS changed
+        FROM v1 JOIN v2 ON v2.mon = v1.mon
+        WHERE v1.cksum <> v2.cksum OR v1.n <> v2.n"""
+      }
+    ) { (s, dir) =>
+      val base = t(s, dir, "orders").select(
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("mon"),
+        col("o_orderkey"), col("o_orderstatus"),
+        expr("cast(cast(o_totalprice as decimal(18,4)) * 100 as bigint)")
+          .as("cents"))
+      val maxMon = base.agg(max(col("mon")).as("mx"))
+      def rollup(df: DataFrame): DataFrame =
+        df.select(col("mon"),
+          expr("md5(concat_ws('|', o_orderkey, o_orderstatus, " +
+            "CAST(__c AS STRING)))").as("h"))
+          .groupBy("mon")
+          .agg(count(lit(1)).as("n"),
+            expr("""CAST(SUM(CAST(conv(substring(h, 1, 12), 16, 10)
+                     AS DECIMAL(38,0))) % 4611686018427387904 AS BIGINT)""")
+              .as("cksum"))
+      val v1 = rollup(base.withColumn("__c", col("cents")))
+      val v2 = rollup(base.crossJoin(broadcast(maxMon))
+        .withColumn("__c",
+          when(col("mon") === col("mx"), col("cents") + 1)
+            .otherwise(col("cents"))))
+      v1.select(col("mon"), col("n").as("n_old"), col("cksum").as("ck1"))
+        .join(v2.select(col("mon"), col("n").as("n_new"),
+          col("cksum").as("ck2")), "mon")
+        .filter(col("ck1") =!= col("ck2") || col("n_old") =!= col("n_new"))
+        .select(col("mon"), col("n_old"), col("n_new"),
+          (col("ck1") =!= col("ck2")).as("changed"))
+    },
+
+    // --------------------------------------------------------------- q246
+    // Join-cardinality estimator audit — validate the uniform-
+    // frequency assumption every cost-based optimizer leans on:
+    // for each order month, the estimated orders⋈lineitem output
+    // under |O_m|·(|L|/|O|) vs the ACTUAL per-month join size, error
+    // in signed permille (cross-multiplied exact integers). Months
+    // where the estimate misses by > 10% are exactly where a CBO
+    // would pick the wrong join order without histogram stats — the
+    // motivating table for q131's skew report. One orders pass + one
+    // keyed join rollup; month-space after.
+    Q(
+      "q246_cardinality_audit",
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey,
+                 year(CAST(o_orderdate AS DATE)) * 100
+                 + month(CAST(o_orderdate AS DATE)) AS mon
+          FROM orders),
+        om AS (SELECT mon, CAST(COUNT(*) AS BIGINT) AS n_o
+               FROM o GROUP BY 1),
+        tot AS (
+          SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_l,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_o_all),
+        act AS (
+          SELECT o.mon, CAST(COUNT(*) AS BIGINT) AS actual
+          FROM lineitem l JOIN o ON o.o_orderkey = l.l_orderkey
+          GROUP BY 1)
+        SELECT om.mon, om.n_o,
+               (om.n_o * tot.n_l) // tot.n_o_all AS estimated,
+               COALESCE(act.actual, 0) AS actual,
+               CASE WHEN COALESCE(act.actual, 0) > 0
+                    THEN (1000 * ((om.n_o * tot.n_l) // tot.n_o_all
+                          - act.actual)) // act.actual
+                    ELSE 0 END AS err_pm
+        FROM om CROSS JOIN tot
+        LEFT JOIN act ON act.mon = om.mon""")
+    ) { (s, dir) =>
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("mon"))
+      val om = o.groupBy("mon").agg(count(lit(1)).as("n_o"))
+      val tot = t(s, dir, "lineitem").agg(count(lit(1)).as("n_l"))
+        .crossJoin(t(s, dir, "orders").agg(count(lit(1)).as("n_o_all")))
+      val act = t(s, dir, "lineitem").select(col("l_orderkey"))
+        .join(o.hint("shuffle_hash"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("mon").agg(count(lit(1)).as("actual"))
+      om.crossJoin(broadcast(tot))
+        .join(act, Seq("mon"), "left").na.fill(0L, Seq("actual"))
+        .select(col("mon"), col("n_o"),
+          expr("(n_o * n_l) div n_o_all").as("estimated"),
+          col("actual"),
+          when(col("actual") > 0,
+            expr("(1000 * ((n_o * n_l) div n_o_all - actual)) div actual"))
+            .otherwise(0L).as("err_pm"))
+    },
   )
 }
