@@ -352,4 +352,127 @@ class StatsEvalSpec2 extends SparkSpec {
       }
     }
   }
+
+  // ---------------------------------------------------------------- q241
+  test("q241 session counts replay per gap and are monotone in the gap") {
+    val ev = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "unix_micros(ts)", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def sessions(gapUs: Long): Long =
+      ev.groupBy(_._1).values.map { rs =>
+        val ts = rs.sortBy(r => (r._2, r._3)).map(_._2)
+        1L + ts.sliding(2).count {
+          case Array(a, b) => b - a > gapUs
+          case _ => false
+        }
+      }.sum
+    val got = run("q241_session_gap_sweep").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(900L)._1 === sessions(900000000L))
+    assert(got(1800L)._1 === sessions(1800000000L))
+    assert(got(3600L)._1 === sessions(3600000000L))
+    assert(got.values.map(_._2).toSet.size === 1, "event total is shared")
+    // a larger gap can only merge sessions
+    assert(got(900L)._1 >= got(1800L)._1 && got(1800L)._1 >= got(3600L)._1)
+  }
+
+  // ---------------------------------------------------------------- q242
+  test("q242 header cells replay and partition the corpus") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val truth = docs.map { s0 =>
+      val nb = s0.length.toLong
+      val mime =
+        if (nb % 3 == 0) "image/png"
+        else if (nb % 3 == 1) "audio/wav" else "video/mp4"
+      def b(i: Int): Long =
+        if (s0.length > i) s0.charAt(i).toLong else 0L
+      val w = b(0) * 256 + b(1); val h = b(2) * 256 + b(3)
+      val aspect =
+        if (w > h) "landscape" else if (w < h) "portrait" else "square"
+      ((mime, aspect, w > 0 && h > 0 && w * h <= 8 * nb), nb)
+    }.groupBy(_._1).map { case (k, v) =>
+      k -> ((v.length.toLong, v.map(_._2).sum))
+    }
+    val got = run("q242_media_header_audit").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got === truth)
+    assert(got.values.map(_._1).sum === docs.length.toLong)
+  }
+
+  // ---------------------------------------------------------------- q243
+  test("q243 two-phase median equals the direct sorted order statistic") {
+    val cents = graft.Tables.load(spark, sf, "lineitem")
+      .select(col("l_extendedprice")).collect()
+      .map(r => new JBD(r.getDouble(0)).setScale(4, RoundingMode.HALF_UP)
+        .multiply(new JBD(100L)).toBigInteger.longValueExact())
+      .sorted
+    val n = cents.length.toLong
+    val target = (n + 1) / 2
+    val Array(row) = run("q243_exact_median").collect()
+    assert(row.getLong(0) === n)
+    assert(row.getLong(1) === target)
+    assert(row.getLong(4) === cents((target - 1).toInt),
+      "two-phase median != direct kth smallest")
+    // phase 2 touched only the located bucket
+    assert(row.getLong(3) ===
+      cents.count(_ / 100000L == row.getLong(2)).toLong)
+  }
+
+  // ---------------------------------------------------------------- q244
+  test("q244 advisor replays counts; dims broadcast, facts at sf0.1 don't") {
+    val got = run("q244_broadcast_advisor").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.size === 10)
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { tn =>
+      val n = graft.Tables.load(spark, sf, tn).count()
+      assert(got(tn)._1 === n, s"$tn count")
+      assert(got(tn)._3 === (got(tn)._2 <= 10485760L))
+    }
+    assert(got("region")._3 && got("nation")._3,
+      "pure dimensions stay broadcastable")
+  }
+
+  // ---------------------------------------------------------------- q245
+  test("q245 flags exactly the restated month") {
+    val maxMon = graft.Tables.load(spark, sf, "orders")
+      .selectExpr("max(year(o_orderdate) * 100 + month(o_orderdate))")
+      .head().getInt(0).toLong
+    val got = run("q245_partition_diff").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.length === 1, "exactly one partition changed")
+    val (mon, nOld, nNew, changed) = got.head
+    assert(mon === maxMon)
+    assert(nOld === nNew, "a restatement changes values, not counts")
+    assert(changed)
+  }
+
+  // ---------------------------------------------------------------- q246
+  test("q246 estimates replay the uniform-frequency formula") {
+    val orders = graft.Tables.load(spark, sf, "orders")
+      .selectExpr("o_orderkey", "year(o_orderdate) * 100 + month(o_orderdate)")
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong))
+    val liKeys = graft.Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey")).collect().map(_.getLong(0))
+    val monOf = orders.toMap
+    val nL = liKeys.length.toLong; val nO = orders.length.toLong
+    val om = orders.groupBy(_._2).map { case (m, v) => m -> v.length.toLong }
+    val act = liKeys.flatMap(monOf.get).groupBy(identity)
+      .map { case (m, v) => m -> v.length.toLong }
+    val got = run("q246_cardinality_audit").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet === om.keySet)
+    got.foreach { case (m, (no, est, actual, err)) =>
+      assert(no === om(m))
+      assert(est === no * nL / nO)
+      assert(actual === act.getOrElse(m, 0L))
+      if (actual > 0) assert(err === 1000L * (est - actual) / actual)
+      else assert(err === 0L)
+    }
+  }
 }
