@@ -189,6 +189,8 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q244    graft.queries.Layout     — broadcast-join threshold advisor
   *   q245    graft.queries.Relational — partition-grain snapshot diff plan
   *   q246    graft.queries.Relational — join-cardinality estimator audit
+  *   q247    graft.queries.TextOps    — dedup cluster-size report
+  *   q248    graft.queries.Events     — retention vacuum plan (keep-newest-k)
   */
 object SparkEntry {
 

@@ -2962,6 +2962,46 @@ object Events {
           expr("(1000 * n_events) div n_sessions").as("mean_events_pm"))
     },
 
+    // --------------------------------------------------------------- q248
+    // Retention vacuum plan — the table-maintenance policy "keep the
+    // newest 3 events per (user, type), reclaim the rest" turned into
+    // an executable deletion plan: per event type, how many rows the
+    // policy deletes, the bytes reclaimed (declared 96 B/row width),
+    // and the deletion share in permille — what a VACUUM/retention
+    // job reads before touching data, and the dry-run report a data-
+    // retention compliance review signs off on. One rank window per
+    // (user, type) — keyed, per-group sorts, no global order; the
+    // plan is |types| rows.
+    Q(
+      "q248_retention_vacuum_plan",
+      Some("""
+        WITH r AS (
+          SELECT event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN rn > 3 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_delete,
+               CAST(96 * SUM(CASE WHEN rn > 3 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS reclaimed_bytes,
+               (1000 * CAST(SUM(CASE WHEN rn > 3 THEN 1 ELSE 0 END)
+                 AS BIGINT)) // COUNT(*) AS delete_share_pm
+        FROM r GROUP BY 1""")
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("rn") > 3, 1L).otherwise(0L)).as("n_delete"),
+          (lit(96L) * sum(when(col("rn") > 3, 1L).otherwise(0L)))
+            .as("reclaimed_bytes"),
+          expr("(1000 * sum(case when rn > 3 then 1 else 0 end))" +
+            " div count(1)").as("delete_share_pm"))
+    },
+
     // --------------------------------------------------------------- q236
     // Funnel advance-latency percentiles — q92 reports conversion
     // counts and TOTAL dwell; this reports the exact p50/p90/max of

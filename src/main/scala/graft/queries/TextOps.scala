@@ -537,6 +537,47 @@ object TextOps {
       graft.operators.MinHashLsh.minLabelClusters(banded, "doc_id", rounds = 3)
     },
 
+    // --------------------------------------------------------------- q247
+    // Dedup cluster-size report — the operations readout on top of
+    // q66's transitive clusters: the size histogram (how many
+    // clusters of 2, of 3, …), each size's share of the corpus in
+    // exact permille, and the singleton share — the numbers that
+    // decide whether a dedup pass is worth running and whether the
+    // banding is over-merging (one giant cluster is the classic LSH
+    // failure mode, and it shows up HERE first). Costs one extra
+    // cluster-space aggregation over the q66 assignment — the corpus
+    // work is shared banding; the histogram is |distinct sizes| rows.
+    Q(
+      "q247_cluster_size_report",
+      Some(s"""
+        WITH ${minLabelCte(3, 2)},
+        cl AS (SELECT doc_id, cluster_id FROM it3),
+        sz AS (
+          SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS csize
+          FROM cl GROUP BY 1),
+        hist AS (
+          SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_clusters
+          FROM sz GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM cl)
+        SELECT h.csize, h.n_clusters,
+               h.csize * h.n_clusters AS n_docs_at_size,
+               (1000 * h.csize * h.n_clusters) // tot.n_docs AS share_pm
+        FROM hist h CROSS JOIN tot""")
+    ) { (s, dir) =>
+      val cfg = graft.operators.MinHashLsh.Config(bands = 3, rowsPerBand = 2)
+      val banded = graft.operators.MinHashLsh.explodeBands(
+        t(s, dir, "documents").select("doc_id", "text"), "text", cfg)
+      val cl = graft.operators.MinHashLsh
+        .minLabelClusters(banded, "doc_id", rounds = 3)
+      val sz = cl.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+      val tot = cl.agg(count(lit(1)).as("n_docs"))
+      sz.groupBy("csize").agg(count(lit(1)).as("n_clusters"))
+        .crossJoin(broadcast(tot))
+        .select(col("csize"), col("n_clusters"),
+          (col("csize") * col("n_clusters")).as("n_docs_at_size"),
+          expr("(1000 * csize * n_clusters) div n_docs").as("share_pm"))
+    },
+
     // ---------------------------------------------------------------- q34
     // SimHash: per-bit majority vote over shingle hashes (explode ->
     // 16 conditional sums -> recombine). Integer-exact in both engines.

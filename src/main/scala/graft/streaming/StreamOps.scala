@@ -529,4 +529,42 @@ object StreamOps {
           DrawdownRow(uid, n, peak, dd)
       }
   }
+
+  final case class GapSweepRow(
+      user_id: Long, n_events: Long, s15: Long, s30: Long, s60: Long)
+
+  /** Streaming sessionization gap sweep — the incremental twin of
+    * batch q241: per-user state is (last event µs, event count, and
+    * one session counter per candidate gap), five longs. A new
+    * session starts at a gap strictly greater than the threshold —
+    * the identical predicate on the identical inter-event delta as
+    * the batch lag window, so the summed last emissions equal the
+    * batch sweep exactly (parity-pinned). The sweep shares one
+    * state pass for all three gaps, mirroring the batch side's
+    * single-window trick. */
+  def sessionGapSweep(events: Dataset[EventRow]): Dataset[GapSweepRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Long, Long, Long, Long), GapSweepRow](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow],
+         state: GroupState[(Long, Long, Long, Long, Long)]) =>
+          var (last, n, s15, s30, s60) = state.getOption
+            .getOrElse((Long.MinValue, 0L, 0L, 0L, 0L))
+          rows.toIndexedSeq
+            .sortBy(r => (r.ts.getTime, r.ts.getNanos, r.event_id))
+            .foreach { r =>
+              val us = r.ts.getTime * 1000L + r.ts.getNanos / 1000 % 1000
+              val gap = if (n == 0L) Long.MaxValue else us - last
+              if (gap > 900000000L) s15 += 1
+              if (gap > 1800000000L) s30 += 1
+              if (gap > 3600000000L) s60 += 1
+              n += 1
+              last = us
+            }
+          state.update((last, n, s15, s30, s60))
+          GapSweepRow(uid, n, s15, s30, s60)
+      }
+  }
 }

@@ -595,4 +595,46 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(streamed === batch,
       s"drawdown parity: streaming ${streamed.size} vs batch ${batch.size}")
   }
+
+  test("streaming session gap sweep across 3 micro-batches equals batch q241") {
+    import spark.implicits._
+    val events = realEvents
+    val in = stageInput(events, 3600000000L, chronoParts = 3)
+    val out = Files.createTempDirectory("graft-gap-out").toString
+    val ckpt = Files.createTempDirectory("graft-gap-ckpt").toString
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+    val q = StreamOps.sessionGapSweep(
+        stream.filter(col("event_type") =!= "pusher")
+          .select("event_id", "ts", "user_id", "event_type")
+          .as[StreamOps.EventRow]).toDF()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty)
+          batch.withColumn("__bid", lit(bid)).write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+
+    // a session spanning a micro-batch boundary must NOT double count
+    // — the carried last-event timestamp is what prevents it
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("__bid").desc)
+    val streamed = spark.read.parquet(out)
+      .withColumn("rn", row_number().over(wLast)).filter(col("rn") === 1)
+      .agg(sum("n_events"), sum("s15"), sum("s30"), sum("s60"))
+      .head()
+    val batch = SparkEntry.queries("q241_session_gap_sweep")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(batch.nonEmpty)
+    assert(streamed.getLong(0) === batch(900L)._2, "event totals")
+    assert(streamed.getLong(1) === batch(900L)._1, "15-min sessions")
+    assert(streamed.getLong(2) === batch(1800L)._1, "30-min sessions")
+    assert(streamed.getLong(3) === batch(3600L)._1, "60-min sessions")
+  }
 }
