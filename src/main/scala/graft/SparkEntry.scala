@@ -191,6 +191,8 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q246    graft.queries.Relational — join-cardinality estimator audit
   *   q247    graft.queries.TextOps    — dedup cluster-size report
   *   q248    graft.queries.Events     — retention vacuum plan (keep-newest-k)
+  *   q249    graft.queries.Relational — skew-salting routing table
+  *   q250    graft.queries.Relational — incremental join-view maintenance
   */
 object SparkEntry {
 

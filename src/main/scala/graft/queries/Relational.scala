@@ -2219,5 +2219,128 @@ object Relational {
             expr("(1000 * ((n_o * n_l) div n_o_all - actual)) div actual"))
             .otherwise(0L).as("err_pm"))
     },
+
+    // --------------------------------------------------------------- q249
+    // Skew-salting routing table — the executable successor to q131's
+    // diagnostics and the input q46's salted join consumes: per join
+    // key (supplier), its row count and the salt fanout n_salts =
+    // ⌈count / target⌉ (target = 256 rows per salted partition here;
+    // a config in production). Emitting the FULL routing table — not
+    // only the hot keys — is deliberate: the salted-join build side
+    // replicates each key n_salts times, so the planner needs every
+    // key's fanout, and the table is dimension-sized (|suppliers|),
+    // which broadcasts. One map-side-combinable corpus count; the
+    // salted share tells whether salting is worth the replication.
+    Q(
+      "q249_salting_plan",
+      Some("""
+        WITH c AS (
+          SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM lineitem GROUP BY 1)
+        SELECT l_suppkey, cnt,
+               (cnt + 255) // 256 AS n_salts,
+               cnt > 256 AS salted
+        FROM c""")
+    ) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+        .select(col("l_suppkey"), col("cnt"),
+          expr("(cnt + 255) div 256").as("n_salts"),
+          (col("cnt") > 256).as("salted"))
+    },
+
+    // --------------------------------------------------------------- q250
+    // Incremental join-view maintenance — the delta-rule algebra
+    // behind every materialized view refresh: for the month-grain
+    // join view V = |σ_m(O ⋈ L)|, with disjoint splits O = O_b ∪ ΔO
+    // and L = L_b ∪ ΔL (deterministic key-mod splits simulating a new
+    // ingest batch), the refresh is ΔV = ΔO⋈L_b + O_b⋈ΔL + ΔO⋈ΔL —
+    // three KEYED delta joins whose sides are delta-sized where it
+    // matters, instead of recomputing the full join. The query emits
+    // both the incremental result and the direct recomputation with a
+    // consistency flag per month — the self-auditing refresh. At
+    // 100 TB the full-join term never runs: ΔO⋈L_b streams the delta
+    // against the base index, the classic IVM win.
+    Q(
+      "q250_incremental_join_view",
+      Some("""
+        WITH ob AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 0),
+        od AS (SELECT * FROM orders WHERE o_orderkey % 10 = 0),
+        lb AS (SELECT * FROM lineitem WHERE l_orderkey % 7 <> 0),
+        ld AS (SELECT * FROM lineitem WHERE l_orderkey % 7 = 0),
+        base AS (
+          SELECT year(CAST(o.o_orderdate AS DATE)) * 100
+                 + month(CAST(o.o_orderdate AS DATE)) AS mon,
+                 CAST(COUNT(*) AS BIGINT) AS v
+          FROM ob o JOIN lb l ON l.l_orderkey = o.o_orderkey GROUP BY 1),
+        d1 AS (
+          SELECT year(CAST(o.o_orderdate AS DATE)) * 100
+                 + month(CAST(o.o_orderdate AS DATE)) AS mon,
+                 CAST(COUNT(*) AS BIGINT) AS v
+          FROM od o JOIN lb l ON l.l_orderkey = o.o_orderkey GROUP BY 1),
+        d2 AS (
+          SELECT year(CAST(o.o_orderdate AS DATE)) * 100
+                 + month(CAST(o.o_orderdate AS DATE)) AS mon,
+                 CAST(COUNT(*) AS BIGINT) AS v
+          FROM ob o JOIN ld l ON l.l_orderkey = o.o_orderkey GROUP BY 1),
+        d3 AS (
+          SELECT year(CAST(o.o_orderdate AS DATE)) * 100
+                 + month(CAST(o.o_orderdate AS DATE)) AS mon,
+                 CAST(COUNT(*) AS BIGINT) AS v
+          FROM od o JOIN ld l ON l.l_orderkey = o.o_orderkey GROUP BY 1),
+        direct AS (
+          SELECT year(CAST(o.o_orderdate AS DATE)) * 100
+                 + month(CAST(o.o_orderdate AS DATE)) AS mon,
+                 CAST(COUNT(*) AS BIGINT) AS v
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          GROUP BY 1),
+        mons AS (SELECT DISTINCT mon FROM direct)
+        SELECT m.mon,
+               COALESCE(b.v, 0) AS v_base,
+               COALESCE(d1.v, 0) AS delta_o,
+               COALESCE(d2.v, 0) AS delta_l,
+               COALESCE(d3.v, 0) AS delta_both,
+               COALESCE(b.v, 0) + COALESCE(d1.v, 0) + COALESCE(d2.v, 0)
+                 + COALESCE(d3.v, 0) AS v_incremental,
+               dd.v AS v_direct,
+               COALESCE(b.v, 0) + COALESCE(d1.v, 0) + COALESCE(d2.v, 0)
+                 + COALESCE(d3.v, 0) = dd.v AS consistent
+        FROM mons m
+        JOIN direct dd ON dd.mon = m.mon
+        LEFT JOIN base b ON b.mon = m.mon
+        LEFT JOIN d1 ON d1.mon = m.mon
+        LEFT JOIN d2 ON d2.mon = m.mon
+        LEFT JOIN d3 ON d3.mon = m.mon""")
+    ) { (s, dir) =>
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("mon"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"))
+      val ob = o.filter(col("o_orderkey") % 10 =!= 0)
+      val od = o.filter(col("o_orderkey") % 10 === 0)
+      val lb = l.filter(col("l_orderkey") % 7 =!= 0)
+      val ld = l.filter(col("l_orderkey") % 7 === 0)
+      def viewOf(os: DataFrame, ls: DataFrame, name: String): DataFrame =
+        ls.join(os.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("mon").agg(count(lit(1)).as(name))
+      val base = viewOf(ob, lb, "v_base")
+      val d1 = viewOf(od, lb, "delta_o")
+      val d2 = viewOf(ob, ld, "delta_l")
+      val d3 = viewOf(od, ld, "delta_both")
+      val direct = viewOf(o, l, "v_direct")
+      direct
+        .join(base, Seq("mon"), "left")
+        .join(d1, Seq("mon"), "left")
+        .join(d2, Seq("mon"), "left")
+        .join(d3, Seq("mon"), "left")
+        .na.fill(0L, Seq("v_base", "delta_o", "delta_l", "delta_both"))
+        .select(col("mon"), col("v_base"), col("delta_o"), col("delta_l"),
+          col("delta_both"),
+          (col("v_base") + col("delta_o") + col("delta_l")
+            + col("delta_both")).as("v_incremental"),
+          col("v_direct"),
+          ((col("v_base") + col("delta_o") + col("delta_l")
+            + col("delta_both")) === col("v_direct")).as("consistent"))
+    },
   )
 }

@@ -475,4 +475,71 @@ class StatsEvalSpec2 extends SparkSpec {
       else assert(err === 0L)
     }
   }
+
+  // ---------------------------------------------------------------- q247
+  test("q247 histogram accounts for every document exactly once") {
+    val rows = run("q247_cluster_size_report").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = graft.Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_._3).sum === nDocs, "sizes × clusters cover the corpus")
+    rows.foreach { case (size, nc, docsAt, share) =>
+      assert(docsAt === size * nc)
+      assert(share === 1000L * docsAt / nDocs)
+    }
+  }
+
+  // ---------------------------------------------------------------- q248
+  test("q248 vacuum plan replays the keep-newest-3 policy") {
+    val ev = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_type", "unix_micros(ts)", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val truth = ev.groupBy(_._2).map { case (tpe, rs) =>
+      val del = rs.groupBy(_._1).values
+        .map(g => math.max(0, g.length - 3).toLong).sum
+      tpe -> ((rs.length.toLong, del))
+    }
+    val got = run("q248_retention_vacuum_plan").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet === truth.keySet)
+    got.foreach { case (tpe, (n, del, bytes, share)) =>
+      assert((n, del) === truth(tpe))
+      assert(bytes === 96L * del)
+      assert(share === 1000L * del / n)
+    }
+  }
+
+  // ---------------------------------------------------------------- q249
+  test("q249 routing table replays and fanout conserves rows") {
+    val counts = graft.Tables.load(spark, sf, "lineitem")
+      .select(col("l_suppkey")).collect().map(_.getLong(0))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = run("q249_salting_plan").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.keySet === counts.keySet)
+    got.foreach { case (k, (cnt, salts, salted)) =>
+      assert(cnt === counts(k))
+      assert(salts === (cnt + 255) / 256)
+      assert(salted === (cnt > 256))
+      // every salted partition holds ≤ target rows
+      assert((cnt + salts - 1) / salts <= 256L)
+    }
+  }
+
+  // ---------------------------------------------------------------- q250
+  test("q250 incremental refresh is consistent for every month") {
+    val rows = run("q250_incremental_join_view").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(7),
+        s"month ${r.getLong(0)}: incremental ${r.getLong(5)} != " +
+          s"direct ${r.getLong(6)}")
+      assert(r.getLong(5) === r.getLong(1) + r.getLong(2) + r.getLong(3)
+        + r.getLong(4))
+    }
+    // the deltas are non-trivial (the split actually moved rows)
+    assert(rows.map(_.getLong(2)).sum > 0 && rows.map(_.getLong(3)).sum > 0)
+  }
 }
