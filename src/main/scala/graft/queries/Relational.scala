@@ -2029,11 +2029,14 @@ object Relational {
     // order statistic that q96's sketch only bounds: phase 1
     // aggregates the corpus into $1000-wide price buckets (map-side
     // combinable, one exchange) and locates the bucket containing
-    // rank ⌈n/2⌉ via a value-space cumsum; phase 2 rescans ONLY that
-    // bucket (the predicate pushes to the parquet scan) and takes the
-    // exact within-bucket order statistic with a rank window over
-    // n/|buckets| rows. At 100 TB the second pass touches one
-    // bucket's worth of rows — and if a bucket ever skews too wide,
+    // rank ⌈n/2⌉ via a value-space cumsum; phase 2 re-reads the price
+    // column (pruned to ONE column; the derived-bucket predicate
+    // filters in codegen right above the scan — a computed quantized
+    // cast cannot reach parquet stats) so only the located bucket's
+    // rows survive to the rank window, which sorts n/|buckets| rows
+    // instead of n — at 100 TB that sort is the win, and a writer
+    // that stores cents as a real column gets stats pruning on the
+    // re-read too. If a bucket ever skews too wide,
     // the same two-phase step recurses on sub-buckets (documented,
     // not needed at these SFs). Output: n, target rank, located
     // bucket, both phase row counts, and the exact median in cents.

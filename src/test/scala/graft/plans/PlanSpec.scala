@@ -1280,4 +1280,39 @@ class PlanSpec extends SparkSpec {
       s"next-fit cumsum must window per month:\n$p")
     assert(scans(p).length === 1, s"one pass over lineitem:\n$p")
   }
+
+  test("q243: both phases prune to the single price column") {
+    val p = plan("q243_exact_median")
+    // the two-phase point: every lineitem scan reads exactly one column
+    assert(scans(p).nonEmpty && scans(p).forall(
+      _.requiredSchema.fieldNames.toSet === Set("l_extendedprice")),
+      s"median phases must read only the price column:\n$p")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty, s"$p")
+  }
+
+  test("q248/q240: maintenance windows partition per key, never globally") {
+    Seq("q248_retention_vacuum_plan", "q240_packed_offsets").foreach { q =>
+      val p = plan(q)
+      val wins = p.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+        s"$q must window per key:\n$p")
+    }
+  }
+
+  test("q250: every IVM term is a keyed join — no corpus side broadcasts") {
+    val p = plan("q250_incremental_join_view")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
+      p.collect { case n: BroadcastNestedLoopJoinExec => n }.isEmpty,
+      s"no cartesian in the delta algebra:\n$p")
+    // orders and lineitem splits all grow with the corpus: the five
+    // view terms must join keyed, never broadcast
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+      s"no corpus-derived side may broadcast:\n$p")
+    val keyed = p.collect {
+      case j: SortMergeJoinExec => j.leftKeys
+      case j: ShuffledHashJoinExec => j.leftKeys
+    }
+    assert(keyed.length >= 5 && keyed.forall(_.nonEmpty),
+      s"five view terms, all keyed on the order key:\n$p")
+  }
 }
