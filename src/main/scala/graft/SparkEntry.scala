@@ -193,6 +193,8 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q248    graft.queries.Events     — retention vacuum plan (keep-newest-k)
   *   q249    graft.queries.Relational — skew-salting routing table
   *   q250    graft.queries.Relational — incremental join-view maintenance
+  *   q251    graft.queries.Relational — correlated-sampling join estimation
+  *   q252    graft.queries.Relational — GDPR erasure cascade plan
   */
 object SparkEntry {
 

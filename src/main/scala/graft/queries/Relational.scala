@@ -2345,5 +2345,132 @@ object Relational {
           ((col("v_base") + col("delta_o") + col("delta_l")
             + col("delta_both")) === col("v_direct")).as("consistent"))
     },
+
+    // --------------------------------------------------------------- q251
+    // Correlated-sampling join estimation — WHY join samples must
+    // share the join key's hash: sampling BOTH sides by the same
+    // key-hash bucket (Knuth mod 16 = 0) makes the sample join an
+    // exact 1/16 key-universe sample of the true join (every kept
+    // key keeps ALL its rows on both sides), so est = 16·|sample ⋈|.
+    // Independent per-row samples (order side by orderkey, line side
+    // by a different (orderkey, linenumber) hash) intersect with
+    // probability 1/256 and the ×256 scale-up carries the variance —
+    // the estimator a naive sampler ships and the error this query
+    // makes visible next to q246's uniform-frequency estimate. Both
+    // samples are deterministic salted hashes (no rand()); per-month
+    // actual, the three estimates, and signed-permille errors. At
+    // 100 TB the sample join touches 1/16 of keys — the whole point.
+    Q(
+      "q251_sample_estimate",
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey,
+                 year(CAST(o_orderdate AS DATE)) * 100
+                 + month(CAST(o_orderdate AS DATE)) AS mon
+          FROM orders),
+        act AS (
+          SELECT o.mon, CAST(COUNT(*) AS BIGINT) AS actual
+          FROM lineitem l JOIN o ON o.o_orderkey = l.l_orderkey
+          GROUP BY 1),
+        ck AS (
+          SELECT o.mon, CAST(16 * COUNT(*) AS BIGINT) AS est_corr
+          FROM lineitem l JOIN o ON o.o_orderkey = l.l_orderkey
+          WHERE ((l.l_orderkey + 9176) % 2147483648) * 2654435761
+                % 4294967296 % 16 = 0
+          GROUP BY 1),
+        ind AS (
+          SELECT o.mon, CAST(256 * COUNT(*) AS BIGINT) AS est_indep
+          FROM lineitem l JOIN o ON o.o_orderkey = l.l_orderkey
+          WHERE ((o.o_orderkey + 9176) % 2147483648) * 2654435761
+                % 4294967296 % 16 = 0
+            AND ((l.l_orderkey * 8 + l.l_linenumber + 5189) % 2147483648)
+                * 2654435761 % 4294967296 % 16 = 0
+          GROUP BY 1)
+        SELECT act.mon, act.actual,
+               COALESCE(ck.est_corr, 0) AS est_corr,
+               COALESCE(ind.est_indep, 0) AS est_indep,
+               (1000 * (COALESCE(ck.est_corr, 0) - act.actual))
+                 // act.actual AS err_corr_pm,
+               (1000 * (COALESCE(ind.est_indep, 0) - act.actual))
+                 // act.actual AS err_indep_pm
+        FROM act
+        LEFT JOIN ck ON ck.mon = act.mon
+        LEFT JOIN ind ON ind.mon = act.mon""")
+    ) { (s, dir) =>
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("mon"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"))
+      def keyHash(c: String, salt: Long) =
+        expr(s"(($c + $salt) % 2147483648) * 2654435761 % 4294967296 % 16")
+      val joined = li.join(o.hint("shuffle_hash"),
+        col("o_orderkey") === col("l_orderkey"))
+      val act = joined.groupBy("mon").agg(count(lit(1)).as("actual"))
+      val ck = joined.filter(keyHash("l_orderkey", 9176L) === 0)
+        .groupBy("mon").agg((lit(16L) * count(lit(1))).as("est_corr"))
+      val ind = joined
+        .filter(keyHash("o_orderkey", 9176L) === 0 &&
+          expr("((l_orderkey * 8 + l_linenumber + 5189) % 2147483648)" +
+            " * 2654435761 % 4294967296 % 16") === 0)
+        .groupBy("mon").agg((lit(256L) * count(lit(1))).as("est_indep"))
+      act.join(ck, Seq("mon"), "left").join(ind, Seq("mon"), "left")
+        .na.fill(0L, Seq("est_corr", "est_indep"))
+        .select(col("mon"), col("actual"), col("est_corr"), col("est_indep"),
+          expr("(1000 * (est_corr - actual)) div actual").as("err_corr_pm"),
+          expr("(1000 * (est_indep - actual)) div actual")
+            .as("err_indep_pm"))
+    },
+
+    // --------------------------------------------------------------- q252
+    // Erasure cascade plan — the GDPR/right-to-be-forgotten dry run:
+    // given the subjects to erase (here custkey ≡ 0 mod 97, a
+    // deterministic stand-in for a request list), the plan walks the
+    // foreign-key cascade customer → orders → lineitem and reports
+    // rows and estimated bytes per table BEFORE any delete runs —
+    // the artifact a compliance review and the deletion job both
+    // consume (q248's policy twin, driven by identity instead of
+    // recency). Cascades are keyed semi-join aggregations: subjects
+    // broadcast (request lists are small by nature), orders keyed on
+    // custkey, lineitems keyed on the cascaded orderkeys — no corpus
+    // side ever broadcasts. Output: table, rows_affected, est_bytes.
+    Q(
+      "q252_erasure_plan",
+      Some("""
+        WITH vic AS (
+          SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+        vo AS (
+          SELECT o_orderkey FROM orders
+          WHERE o_custkey IN (SELECT c_custkey FROM vic)),
+        nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vic),
+        no_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vo),
+        nl AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
+          WHERE l_orderkey IN (SELECT o_orderkey FROM vo))
+        SELECT 'customer' AS tbl, n AS rows_affected,
+               80 * n AS est_bytes FROM nc
+        UNION ALL SELECT 'orders', n, 88 * n FROM no_
+        UNION ALL SELECT 'lineitem', n, 120 * n FROM nl""")
+    ) { (s, dir) =>
+      val vic = t(s, dir, "customer")
+        .filter(col("c_custkey") % 97 === 0).select("c_custkey")
+      val vo = t(s, dir, "orders")
+        .join(broadcast(vic), col("c_custkey") === col("o_custkey"),
+          "left_semi")
+        .select("o_orderkey")
+      val nl = t(s, dir, "lineitem")
+        .join(vo.hint("shuffle_hash"), col("o_orderkey") === col("l_orderkey"),
+          "left_semi")
+        .agg(count(lit(1)).as("n"))
+      val nc = vic.agg(count(lit(1)).as("n"))
+      val no = vo.agg(count(lit(1)).as("n"))
+      nc.select(lit("customer").as("tbl"), col("n").as("rows_affected"),
+          (lit(80L) * col("n")).as("est_bytes"))
+        .unionByName(no.select(lit("orders").as("tbl"),
+          col("n").as("rows_affected"), (lit(88L) * col("n")).as("est_bytes")))
+        .unionByName(nl.select(lit("lineitem").as("tbl"),
+          col("n").as("rows_affected"),
+          (lit(120L) * col("n")).as("est_bytes")))
+    },
   )
 }

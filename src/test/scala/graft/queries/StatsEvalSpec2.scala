@@ -542,4 +542,54 @@ class StatsEvalSpec2 extends SparkSpec {
     // the deltas are non-trivial (the split actually moved rows)
     assert(rows.map(_.getLong(2)).sum > 0 && rows.map(_.getLong(3)).sum > 0)
   }
+
+  // ---------------------------------------------------------------- q251
+  test("q251 correlated estimate replays; key-sampling beats row-sampling") {
+    def kh(x: Long, salt: Long): Long =
+      ((x + salt) % 2147483648L) * 2654435761L % 4294967296L % 16
+    val orders = graft.Tables.load(spark, sf, "orders")
+      .selectExpr("o_orderkey", "year(o_orderdate) * 100 + month(o_orderdate)")
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong)).toMap
+    val li = graft.Tables.load(spark, sf, "lineitem")
+      .selectExpr("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong))
+      .filter(r => orders.contains(r._1))
+    val act = li.groupBy(r => orders(r._1))
+      .map { case (m, v) => m -> v.length.toLong }
+    val corr = li.filter(r => kh(r._1, 9176L) == 0)
+      .groupBy(r => orders(r._1))
+      .map { case (m, v) => m -> 16L * v.length }
+    val got = run("q251_sample_estimate").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got.keySet === act.keySet)
+    got.foreach { case (m, (actual, estC, _, errC, _)) =>
+      assert(actual === act(m))
+      assert(estC === corr.getOrElse(m, 0L))
+      assert(errC === 1000L * (estC - actual) / actual)
+    }
+    // aggregate quality: the correlated estimator lands far closer
+    val mC = got.values.map(v => math.abs(v._4)).sum / got.size
+    val mI = got.values.map(v => math.abs(v._5)).sum / got.size
+    assert(mC < mI, s"correlated $mC pm must beat independent $mI pm")
+  }
+
+  // ---------------------------------------------------------------- q252
+  test("q252 cascade replays exactly") {
+    val vic = graft.Tables.load(spark, sf, "customer")
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+      .filter(_ % 97 == 0).toSet
+    val vo = graft.Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .filter(r => vic(r.getLong(1))).map(_.getLong(0)).toSet
+    val nl = graft.Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey")).collect().count(r => vo(r.getLong(0)))
+    val got = run("q252_erasure_plan").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      "customer" -> ((vic.size.toLong, 80L * vic.size)),
+      "orders" -> ((vo.size.toLong, 88L * vo.size)),
+      "lineitem" -> ((nl.toLong, 120L * nl))))
+  }
 }
