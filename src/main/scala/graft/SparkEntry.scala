@@ -195,6 +195,8 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q250    graft.queries.Relational — incremental join-view maintenance
   *   q251    graft.queries.Relational — correlated-sampling join estimation
   *   q252    graft.queries.Relational — GDPR erasure cascade plan
+  *   q253    graft.queries.Events     — calibration reliability table + ECE
+  *   q254    graft.queries.Events     — exact weighted median per flag
   */
 object SparkEntry {
 

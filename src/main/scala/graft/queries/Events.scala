@@ -2962,6 +2962,134 @@ object Events {
           expr("(1000 * n_events) div n_sessions").as("mean_events_pm"))
     },
 
+    // --------------------------------------------------------------- q253
+    // Calibration reliability table + ECE — is the score an honest
+    // probability? The proxy score is the event value's exact
+    // percentile rank in permille (a rank window over score-value
+    // space), the outcome is "was a purchase", and each decile-of-
+    // score bin reports predicted mean vs observed rate with the
+    // absolute gap. Expected calibration error = Σ n_b·|gap| div n
+    // rides on every row. All integer permille — rank-based scores
+    // make the calibration question exact (a float sigmoid would
+    // drag in libm). One corpus pass to score space, one bin
+    // aggregate; the ECE one-row broadcast joins back. The eval gate
+    // a model-scoring pipeline runs next to q215's AUC: AUC measures
+    // ranking, THIS measures whether 0.7 means 70%.
+    Q(
+      "q253_calibration_ece",
+      Some("""
+        WITH s AS (
+          SELECT CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS sc,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+          FROM events),
+        g AS (
+          SELECT sc, CAST(COUNT(*) AS BIGINT) AS n_g,
+                 CAST(SUM(y) AS BIGINT) AS pos_g
+          FROM s GROUP BY 1),
+        r AS (
+          SELECT sc, n_g, pos_g,
+                 CAST(SUM(n_g) OVER (ORDER BY sc) AS BIGINT) AS cum,
+                 CAST(SUM(n_g) OVER () AS BIGINT) AS n
+          FROM g),
+        p AS (
+          SELECT pos_g, n_g,
+                 (1000 * (cum - (n_g + 1) // 2)) // n AS p_hat_pm
+          FROM r),
+        b AS (
+          SELECT least(p_hat_pm // 100, 9) AS bin,
+                 CAST(SUM(n_g) AS BIGINT) AS n_b,
+                 CAST(SUM(n_g * p_hat_pm) AS BIGINT) AS psum,
+                 CAST(SUM(pos_g) AS BIGINT) AS pos
+          FROM p GROUP BY 1),
+        e AS (
+          SELECT CAST(SUM(n_b * abs(psum // n_b - (1000 * pos) // n_b))
+                      AS BIGINT) // CAST(SUM(n_b) AS BIGINT) AS ece_pm
+          FROM b)
+        SELECT b.bin, b.n_b,
+               b.psum // b.n_b AS pred_pm,
+               (1000 * b.pos) // b.n_b AS obs_pm,
+               abs(b.psum // b.n_b - (1000 * b.pos) // b.n_b) AS gap_pm,
+               e.ece_pm
+        FROM b CROSS JOIN e""")
+    ) { (s, dir) =>
+      val sVals = t(s, dir, "events").select(
+        expr("cast(cast(value as decimal(18,4)) * 10000 as bigint)").as("sc"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      val g = sVals.groupBy("sc")
+        .agg(count(lit(1)).as("n_g"), sum(col("y")).as("pos_g"))
+      val r = g.select(col("sc"), col("n_g"), col("pos_g"),
+        sum(col("n_g")).over(Window.orderBy("sc")).as("cum"),
+        sum(col("n_g")).over(Window.partitionBy()).as("n"))
+      val p = r.select(col("pos_g"), col("n_g"),
+        expr("(1000 * (cum - (n_g + 1) div 2)) div n").as("p_hat_pm"))
+      val b = p.groupBy(least(expr("p_hat_pm div 100"), lit(9L)).as("bin"))
+        .agg(sum(col("n_g")).as("n_b"),
+          sum(col("n_g") * col("p_hat_pm")).as("psum"),
+          sum(col("pos_g")).as("pos"))
+      val e = b.agg(expr(
+        "sum(n_b * abs(psum div n_b - (1000 * pos) div n_b))" +
+          " div sum(n_b)").as("ece_pm"))
+      b.crossJoin(broadcast(e))
+        .select(col("bin"), col("n_b"),
+          expr("psum div n_b").as("pred_pm"),
+          expr("(1000 * pos) div n_b").as("obs_pm"),
+          expr("abs(psum div n_b - (1000 * pos) div n_b)").as("gap_pm"),
+          col("ece_pm"))
+    },
+
+    // --------------------------------------------------------------- q254
+    // Exact weighted median — quantity-weighted median price per
+    // return flag: the first price (in a (price, order, line) total
+    // order) whose cumulative quantity reaches half the flag's total.
+    // The unweighted median answers "the middle ROW"; procurement
+    // wants "the middle UNIT", and the two diverge whenever cheap
+    // lines carry big quantities. Exact integer arithmetic: cents
+    // quantize through decimal, the half-total threshold is
+    // (W + 1) div 2 on BIGINT quantities, and the per-flag window is
+    // keyed — no global sort. The same shape generalizes to any
+    // token-weighted document percentile in the curation stack.
+    Q(
+      "q254_weighted_median",
+      Some("""
+        WITH v AS (
+          SELECT l_returnflag AS rf,
+                 CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100
+                      AS BIGINT) AS cents,
+                 CAST(l_quantity AS BIGINT) AS q,
+                 l_orderkey AS ok, l_linenumber AS ln
+          FROM lineitem),
+        w AS (
+          SELECT rf, cents, q,
+                 CAST(SUM(q) OVER (PARTITION BY rf
+                   ORDER BY cents, ok, ln) AS BIGINT) AS cw,
+                 CAST(SUM(q) OVER (PARTITION BY rf) AS BIGINT) AS tw
+          FROM v),
+        m AS (
+          SELECT rf, cents, cw, tw,
+                 ROW_NUMBER() OVER (PARTITION BY rf ORDER BY cw) AS rn
+          FROM w WHERE cw >= (tw + 1) // 2)
+        SELECT rf AS l_returnflag, tw AS total_qty,
+               cents AS weighted_median_cents
+        FROM m WHERE rn = 1""")
+    ) { (s, dir) =>
+      val v = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("rf"),
+        expr("cast(cast(l_extendedprice as decimal(18,4)) * 100 as bigint)")
+          .as("cents"),
+        col("l_quantity").cast("long").as("q"),
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+      val w = v.select(col("rf"), col("cents"), col("q"),
+        sum(col("q")).over(Window.partitionBy("rf")
+          .orderBy("cents", "ok", "ln")).as("cw"),
+        sum(col("q")).over(Window.partitionBy("rf")).as("tw"))
+      w.filter(col("cw") >= expr("(tw + 1) div 2"))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("rf").orderBy("cw")))
+        .filter(col("rn") === 1)
+        .select(col("rf").as("l_returnflag"), col("tw").as("total_qty"),
+          col("cents").as("weighted_median_cents"))
+    },
+
     // --------------------------------------------------------------- q248
     // Retention vacuum plan — the table-maintenance policy "keep the
     // newest 3 events per (user, type), reclaim the rest" turned into

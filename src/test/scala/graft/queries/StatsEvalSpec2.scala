@@ -592,4 +592,61 @@ class StatsEvalSpec2 extends SparkSpec {
       "orders" -> ((vo.size.toLong, 88L * vo.size)),
       "lineitem" -> ((nl.toLong, 120L * nl))))
   }
+
+  // ---------------------------------------------------------------- q253
+  test("q253 reliability table replays; ECE aggregates the bins") {
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(col("value"), col("event_type")).collect()
+      .map(r => (new JBD(r.getDouble(0)).setScale(4, RoundingMode.HALF_UP)
+        .multiply(new JBD(10000L)).toBigInteger.longValueExact(),
+        if (r.getString(1) == "purchase") 1L else 0L))
+    val g = ev.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (sc, rs) => (sc, rs.length.toLong, rs.map(_._2).sum) }
+    val n = ev.length.toLong
+    var cum = 0L
+    val bins = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
+    g.foreach { case (_, nG, posG) =>
+      cum += nG
+      val pHat = 1000L * (cum - (nG + 1) / 2) / n
+      val bin = math.min(pHat / 100, 9L)
+      val (nb, ps, po) = bins.getOrElse(bin, (0L, 0L, 0L))
+      bins(bin) = (nb + nG, ps + nG * pHat, po + posG)
+    }
+    val ece = bins.values.map { case (nb, ps, po) =>
+      nb * math.abs(ps / nb - 1000L * po / nb)
+    }.sum / bins.values.map(_._1).sum
+    val got = run("q253_calibration_ece").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet === bins.keySet)
+    got.foreach { case (bin, (nb, pred, obs, gap, e)) =>
+      val (tn, ps, po) = bins(bin)
+      assert(nb === tn)
+      assert(pred === ps / tn)
+      assert(obs === 1000L * po / tn)
+      assert(gap === math.abs(pred - obs))
+      assert(e === ece)
+    }
+  }
+
+  // ---------------------------------------------------------------- q254
+  test("q254 weighted median replays a serial cumulative-weight scan") {
+    val li = graft.Tables.load(spark, sf, "lineitem")
+      .selectExpr("l_returnflag",
+        "cast(cast(l_extendedprice as decimal(18,4)) * 100 as bigint)",
+        "cast(l_quantity as bigint)", "l_orderkey", "l_linenumber")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    val truth = li.groupBy(_._1).map { case (rf, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._4, r._5))
+      val tw = rows.map(_._3).sum
+      var cw = 0L
+      val med = sorted.find { r => cw += r._3; cw >= (tw + 1) / 2 }.get._2
+      rf -> ((tw, med))
+    }
+    val got = run("q254_weighted_median").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === truth)
+  }
 }
