@@ -197,6 +197,9 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q252    graft.queries.Relational — GDPR erasure cascade plan
   *   q253    graft.queries.Events     — calibration reliability table + ECE
   *   q254    graft.queries.Events     — exact weighted median per flag
+  *   q255    graft.queries.Events     — rolling 7-day WAU + stickiness
+  *   q256    graft.queries.Relational — FIFO stock aging (closed form)
+  *   q257    graft.queries.Events     — event-type audience overlap
   */
 object SparkEntry {
 

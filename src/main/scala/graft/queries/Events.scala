@@ -2962,6 +2962,108 @@ object Events {
           expr("(1000 * n_events) div n_sessions").as("mean_events_pm"))
     },
 
+    // --------------------------------------------------------------- q255
+    // Rolling 7-day active users (WAU) with stickiness — the product
+    // health metric computed EXACTLY: distinct (user, day) pairs
+    // explode to the ≤7 window-days they serve (map-side, a bounded
+    // ×7 fanout — the standard trick that turns a sliding distinct
+    // into a keyed exact count), then one exact count-distinct per
+    // window day. DAU rides along from the same pair table, and
+    // stickiness = 1000·DAU/WAU. The window fanout never touches raw
+    // events (the user-day distinct comes first), so the exploded
+    // table is ≤ 7·|user-days| — scales. Output restricted to days
+    // with a FULL trailing window so every WAU means the same thing.
+    Q(
+      "q255_rolling_wau",
+      Some("""
+        WITH ud AS (
+          SELECT DISTINCT user_id,
+                 epoch_us(ts) // 86400000000 AS d
+          FROM events),
+        bounds AS (
+          SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM ud),
+        win AS (
+          SELECT ud.user_id, ud.d + off.o AS wd
+          FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS o) off),
+        wau AS (
+          SELECT wd, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+          FROM win GROUP BY 1),
+        dau AS (
+          SELECT d AS wd, CAST(COUNT(*) AS BIGINT) AS dau
+          FROM ud GROUP BY 1)
+        SELECT w.wd AS day, COALESCE(dau.dau, 0) AS dau, w.wau,
+               (1000 * COALESCE(dau.dau, 0)) // w.wau AS stickiness_pm
+        FROM wau w
+        LEFT JOIN dau ON dau.wd = w.wd
+        CROSS JOIN bounds
+        WHERE w.wd >= bounds.dmin + 6 AND w.wd <= bounds.dmax""")
+    ) { (s, dir) =>
+      val ud = t(s, dir, "events")
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+        .distinct()
+      val bounds = ud.agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+      val win = ud.withColumn("wd",
+        explode(sequence(col("d"), col("d") + 6)))
+      val wau = win.groupBy("wd")
+        .agg(countDistinct(col("user_id")).as("wau"))
+      val dau = ud.groupBy(col("d").as("wd")).agg(count(lit(1)).as("dau"))
+      wau.join(dau, Seq("wd"), "left").na.fill(0L, Seq("dau"))
+        .crossJoin(broadcast(bounds))
+        .filter(col("wd") >= col("dmin") + 6 && col("wd") <= col("dmax"))
+        .select(col("wd").as("day"), col("dau"), col("wau"),
+          expr("(1000 * dau) div wau").as("stickiness_pm"))
+    },
+
+    // --------------------------------------------------------------- q257
+    // Event-type audience overlap — exact Jaccard between the USER
+    // SETS of every event-type pair, without a user×user join: the
+    // per-user distinct type set (≤5 types) expands to its within-
+    // user type pairs map-side (C(5,2) = 10 at most — bounded by the
+    // type domain, not the corpus), so |A∩B| is one count per pair
+    // and |A| one count per type. The segmentation question ("do
+    // error-users also purchase?") answered in set algebra; at 100 TB
+    // the pair fanout stays ≤ C(|types|,2) per user — scales. Jaccard
+    // and containment both reported in exact permille.
+    Q(
+      "q257_segment_overlap",
+      Some("""
+        WITH ut AS (
+          SELECT DISTINCT user_id, event_type FROM events),
+        sz AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM ut GROUP BY 1),
+        pr AS (
+          SELECT a.event_type AS ta, b.event_type AS tb,
+                 CAST(COUNT(*) AS BIGINT) AS both_n
+          FROM ut a JOIN ut b
+            ON b.user_id = a.user_id AND b.event_type > a.event_type
+          GROUP BY 1, 2)
+        SELECT pr.ta, pr.tb, sa.n AS n_a, sb.n AS n_b, pr.both_n,
+               (1000 * pr.both_n) // (sa.n + sb.n - pr.both_n)
+                 AS jaccard_pm,
+               (1000 * pr.both_n) // least(sa.n, sb.n)
+                 AS containment_pm
+        FROM pr
+        JOIN sz sa ON sa.event_type = pr.ta
+        JOIN sz sb ON sb.event_type = pr.tb""")
+    ) { (s, dir) =>
+      val ut = t(s, dir, "events")
+        .select(col("user_id"), col("event_type")).distinct()
+      val sz = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val pr = ut.as("a")
+        .join(ut.as("b"), col("a.user_id") === col("b.user_id")
+          && col("b.event_type") > col("a.event_type"))
+        .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+        .agg(count(lit(1)).as("both_n"))
+      pr.join(broadcast(sz.select(col("event_type").as("ta"),
+          col("n").as("n_a"))), "ta")
+        .join(broadcast(sz.select(col("event_type").as("tb"),
+          col("n").as("n_b"))), "tb")
+        .select(col("ta"), col("tb"), col("n_a"), col("n_b"), col("both_n"),
+          expr("(1000 * both_n) div (n_a + n_b - both_n)").as("jaccard_pm"),
+          expr("(1000 * both_n) div least(n_a, n_b)").as("containment_pm"))
+    },
+
     // --------------------------------------------------------------- q253
     // Calibration reliability table + ECE — is the score an honest
     // probability? The proxy score is the event value's exact

@@ -2346,6 +2346,78 @@ object Relational {
             + col("delta_both")) === col("v_direct")).as("consistent"))
     },
 
+    // --------------------------------------------------------------- q256
+    // Stock aging report — how OLD is the unsold inventory? Under
+    // q226's FIFO semantics the unconsumed units of a lot covering
+    // cumulative range [s_lo, s_hi) against total part demand D are
+    // exactly max(0, s_hi − max(s_lo, D)) — closed form, NO
+    // allocation join needed (the demand total is a part-space
+    // aggregate that joins back keyed). Leftover units bucket by lot
+    // age (days since ship, 30-day buckets against the fixture
+    // horizon — a one-row broadcast). The writedown report every
+    // inventory review wants: old stock is dead stock, and FIFO
+    // means the leftovers are always the NEWEST units — which this
+    // query makes visible. One per-part cumsum window + one keyed
+    // join + a bucket-space rollup — scales.
+    Q(
+      "q256_stock_aging",
+      Some("""
+        WITH hz AS (
+          SELECT MAX(epoch_us(CAST(l_shipdate AS TIMESTAMP))
+                     // 86400000000) AS h
+          FROM lineitem),
+        sup AS (
+          SELECT l_partkey AS pk, CAST(l_quantity AS BIGINT) AS q,
+                 epoch_us(CAST(l_shipdate AS TIMESTAMP))
+                   // 86400000000 AS sd,
+                 CAST(SUM(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT)
+                   AS hi
+          FROM lineitem WHERE l_linestatus = 'F'
+          WINDOW w AS (PARTITION BY l_partkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber)),
+        dem AS (
+          SELECT l_partkey AS pk,
+                 CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS d
+          FROM lineitem WHERE l_linestatus = 'O' GROUP BY 1),
+        lo AS (
+          SELECT s.pk, s.sd,
+                 greatest(0, s.hi - greatest(s.hi - s.q,
+                   COALESCE(dem.d, 0))) AS leftover
+          FROM sup s LEFT JOIN dem ON dem.pk = s.pk)
+        SELECT (hz.h - lo.sd) // 30 AS age_bucket_30d,
+               CAST(COUNT(*) AS BIGINT) AS n_lots,
+               CAST(SUM(lo.leftover) AS BIGINT) AS leftover_qty
+        FROM lo CROSS JOIN hz
+        WHERE lo.leftover > 0
+        GROUP BY 1""")
+    ) { (s, dir) =>
+      val wq = Window.partitionBy("pk")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      val sup = t(s, dir, "lineitem").filter(col("l_linestatus") === "F")
+        .select(col("l_partkey").as("pk"),
+          col("l_quantity").cast("long").as("q"),
+          expr("unix_micros(cast(l_shipdate as timestamp))" +
+            " div 86400000000").as("sd"),
+          col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .withColumn("hi", sum(col("q")).over(wq))
+      val dem = t(s, dir, "lineitem").filter(col("l_linestatus") === "O")
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity").cast("long")).as("d"))
+        .hint("merge")
+      val hz = t(s, dir, "lineitem")
+        .agg(expr("max(unix_micros(cast(l_shipdate as timestamp))" +
+          " div 86400000000)").as("h"))
+      sup.join(dem, Seq("pk"), "left").na.fill(0L, Seq("d"))
+        .select(col("sd"),
+          greatest(lit(0L), col("hi")
+            - greatest(col("hi") - col("q"), col("d"))).as("leftover"))
+        .filter(col("leftover") > 0)
+        .crossJoin(broadcast(hz))
+        .groupBy(expr("(h - sd) div 30").as("age_bucket_30d"))
+        .agg(count(lit(1)).as("n_lots"),
+          sum(col("leftover")).as("leftover_qty"))
+    },
+
     // --------------------------------------------------------------- q251
     // Correlated-sampling join estimation — WHY join samples must
     // share the join key's hash: sampling BOTH sides by the same

@@ -649,4 +649,80 @@ class StatsEvalSpec2 extends SparkSpec {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got === truth)
   }
+
+  // ---------------------------------------------------------------- q255
+  test("q255 rolling WAU replays a direct 7-day set union") {
+    val ud = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "unix_micros(ts) div 86400000000").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val dmin = ud.map(_._2).min; val dmax = ud.map(_._2).max
+    val truth = (dmin + 6 to dmax).map { d =>
+      val win = ud.filter(r => r._2 >= d - 6 && r._2 <= d)
+      val wau = win.map(_._1).distinct.length.toLong
+      val dau = ud.filter(_._2 == d).length.toLong
+      d -> ((dau, wau, 1000L * dau / wau))
+    }.toMap
+    val got = run("q255_rolling_wau").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === truth)
+    // WAU dominates DAU by construction
+    assert(got.values.forall(v => v._2 >= v._1))
+  }
+
+  // ---------------------------------------------------------------- q256
+  test("q256 closed-form leftovers equal the q226 simulator's") {
+    val li = graft.Tables.load(spark, sf, "lineitem")
+      .selectExpr("l_partkey", "l_linestatus", "cast(l_quantity as bigint)",
+        "unix_micros(cast(l_shipdate as timestamp)) div 86400000000",
+        "unix_micros(cast(l_shipdate as timestamp))", "l_orderkey",
+        "l_linenumber")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getInt(6)))
+    val horizon = li.map(_._4).max
+    // serial FIFO: consume lots oldest-first; whatever remains is the
+    // leftover this query buckets by age
+    val buckets = scala.collection.mutable.Map[Long, (Long, Long)]()
+    li.groupBy(_._1).foreach { case (_, rows) =>
+      val sup = rows.filter(_._2 == "F").sortBy(r => (r._5, r._6, r._7))
+      var demand = rows.filter(_._2 == "O").map(_._3).sum
+      sup.foreach { lot =>
+        val consumed = math.min(lot._3, demand)
+        demand -= consumed
+        val left = lot._3 - consumed
+        if (left > 0) {
+          val b = (horizon - lot._4) / 30
+          val (n, q) = buckets.getOrElse(b, (0L, 0L))
+          buckets(b) = (n + 1, q + left)
+        }
+      }
+    }
+    val got = run("q256_stock_aging").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === buckets.toMap)
+  }
+
+  // ---------------------------------------------------------------- q257
+  test("q257 overlap matrix replays exact set algebra") {
+    val ut = graft.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).distinct
+    val sets = ut.groupBy(_._2).map { case (t0, v) => t0 -> v.map(_._1).toSet }
+    val types = sets.keys.toSeq.sorted
+    val truth = (for {
+      i <- types.indices; j <- i + 1 until types.length
+    } yield {
+      val (a, b) = (types(i), types(j))
+      val both = (sets(a) & sets(b)).size.toLong
+      val (na, nb) = (sets(a).size.toLong, sets(b).size.toLong)
+      (a, b) -> ((na, nb, both, 1000L * both / (na + nb - both),
+        1000L * both / math.min(na, nb)))
+    }).toMap
+    val got = run("q257_segment_overlap").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    assert(got === truth)
+  }
 }
