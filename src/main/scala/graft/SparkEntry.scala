@@ -200,6 +200,7 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q255    graft.queries.Events     — rolling 7-day WAU + stickiness
   *   q256    graft.queries.Relational — FIFO stock aging (closed form)
   *   q257    graft.queries.Events     — event-type audience overlap
+  *   q258    graft.queries.Events     — duplicate-payment detection
   */
 object SparkEntry {
 

@@ -2962,6 +2962,64 @@ object Events {
           expr("(1000 * n_events) div n_sessions").as("mean_events_pm"))
     },
 
+    // --------------------------------------------------------------- q258
+    // Duplicate-payment detection — the payables audit: two purchases
+    // by the SAME user for the SAME dollar amount within 24 hours are
+    // a refund-or-double-charge candidate. The pair join keys on
+    // (user, dollar band) — banding the amount is what keeps the join
+    // keyed and the candidate set tiny (a time-only window would be
+    // quadratic in a user's purchases); the ±24h residual rides the
+    // equi join. The band width is the detector's precision/recall
+    // knob (exact cents on this continuous fixture matches nothing —
+    // banding is also what a real detector does about fees). Pairs are canonical (earlier id first, consecutive
+    // by time via a min-gap argmin window) so each duplicate reports
+    // once. Output: user, the two event ids, amount, gap minutes.
+    // Corpus cost: one purchase-filtered pass + one keyed self-join
+    // of (user, cents) groups — scales with the largest same-amount
+    // group per user, which the equality key bounds.
+    Q(
+      "q258_duplicate_payments",
+      Some("""
+        WITH p AS (
+          SELECT user_id, event_id,
+                 CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)
+                   // 100 AS dollars,
+                 epoch_us(ts) AS us
+          FROM events WHERE event_type = 'purchase'),
+        cand AS (
+          SELECT a.user_id, a.event_id AS first_id, b.event_id AS second_id,
+                 a.dollars, (b.us - a.us) // 60000000 AS gap_min,
+                 ROW_NUMBER() OVER (PARTITION BY a.user_id, a.event_id
+                   ORDER BY b.us - a.us, b.event_id) AS rn
+          FROM p a JOIN p b
+            ON b.user_id = a.user_id AND b.dollars = a.dollars
+            AND (b.us > a.us OR (b.us = a.us AND b.event_id > a.event_id))
+            AND b.us - a.us <= 86400000000)
+        SELECT user_id, first_id, second_id, dollars, gap_min
+        FROM cand WHERE rn = 1""")
+    ) { (s, dir) =>
+      val p = t(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          expr("cast(cast(value as decimal(18,4)) * 100 as bigint) div 100")
+            .as("dollars"),
+          unix_micros(col("ts")).as("us"))
+      val a = p.select(col("user_id"), col("event_id").as("first_id"),
+        col("dollars"), col("us").as("us_a"))
+      val b = p.select(col("user_id"), col("event_id").as("second_id"),
+        col("dollars"), col("us").as("us_b"))
+      val cand = a.join(b, Seq("user_id", "dollars"))
+        .filter((col("us_b") > col("us_a")
+          || (col("us_b") === col("us_a")
+            && col("second_id") > col("first_id")))
+          && col("us_b") - col("us_a") <= 86400000000L)
+      cand.withColumn("rn", row_number().over(
+          Window.partitionBy("user_id", "first_id")
+            .orderBy(col("us_b") - col("us_a"), col("second_id"))))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("first_id"), col("second_id"),
+          col("dollars"), expr("(us_b - us_a) div 60000000").as("gap_min"))
+    },
+
     // --------------------------------------------------------------- q255
     // Rolling 7-day active users (WAU) with stickiness — the product
     // health metric computed EXACTLY: distinct (user, day) pairs

@@ -725,4 +725,34 @@ class StatsEvalSpec2 extends SparkSpec {
           r.getLong(6)))).toMap
     assert(got === truth)
   }
+
+  // ---------------------------------------------------------------- q258
+  test("q258 duplicate pairs replay; each first-payment reports once") {
+    val p = graft.Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .selectExpr("user_id", "event_id", "value", "unix_micros(ts)")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        new JBD(r.getDouble(2)).setScale(4, RoundingMode.HALF_UP)
+          .multiply(new JBD(100L)).toBigInteger.longValueExact() / 100,
+        r.getLong(3)))
+    val truth = p.groupBy(r => (r._1, r._3)).values.flatMap { g =>
+      g.flatMap { a =>
+        val later = g.filter(b =>
+          (b._4 > a._4 || (b._4 == a._4 && b._2 > a._2)) &&
+            b._4 - a._4 <= 86400000000L)
+        if (later.isEmpty) None
+        else {
+          val b = later.minBy(x => (x._4 - a._4, x._2))
+          Some((a._1, a._2, b._2, a._3, (b._4 - a._4) / 60000000L))
+        }
+      }
+    }.toSet
+    val got = run("q258_duplicate_payments").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got === truth)
+    // canonical: each first payment appears at most once
+    assert(got.toSeq.map(r => (r._1, r._2)).distinct.length === got.size)
+  }
 }
