@@ -3056,9 +3056,11 @@ object Events {
         CROSS JOIN bounds
         WHERE w.wd >= bounds.dmin + 6 AND w.wd <= bounds.dmax""")
     ) { (s, dir) =>
-      val ud = t(s, dir, "events")
+      // referenced three times (bounds, the window fanout, DAU) —
+      // materialize or the events distinct re-executes per reference
+      val ud = graft.Checkpoints.materialize(t(s, dir, "events")
         .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
-        .distinct()
+        .distinct())
       val bounds = ud.agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"))
       val win = ud.withColumn("wd",
         explode(sequence(col("d"), col("d") + 6)))
@@ -3105,8 +3107,9 @@ object Events {
         JOIN sz sa ON sa.event_type = pr.ta
         JOIN sz sb ON sb.event_type = pr.tb""")
     ) { (s, dir) =>
-      val ut = t(s, dir, "events")
-        .select(col("user_id"), col("event_type")).distinct()
+      // referenced three times (sizes + both pair sides) — materialize
+      val ut = graft.Checkpoints.materialize(t(s, dir, "events")
+        .select(col("user_id"), col("event_type")).distinct())
       val sz = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
       val pr = ut.as("a")
         .join(ut.as("b"), col("a.user_id") === col("b.user_id")

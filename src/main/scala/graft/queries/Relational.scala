@@ -2476,18 +2476,19 @@ object Relational {
         .select(col("l_orderkey"), col("l_linenumber"))
       def keyHash(c: String, salt: Long) =
         expr(s"(($c + $salt) % 2147483648) * 2654435761 % 4294967296 % 16")
+      // one corpus join pass: actual and both sampled counts fold into
+      // conditional aggregates (three separate aggregations over the
+      // shared join subtree would re-execute it three times)
       val joined = li.join(o.hint("shuffle_hash"),
         col("o_orderkey") === col("l_orderkey"))
-      val act = joined.groupBy("mon").agg(count(lit(1)).as("actual"))
-      val ck = joined.filter(keyHash("l_orderkey", 9176L) === 0)
-        .groupBy("mon").agg((lit(16L) * count(lit(1))).as("est_corr"))
-      val ind = joined
-        .filter(keyHash("o_orderkey", 9176L) === 0 &&
-          expr("((l_orderkey * 8 + l_linenumber + 5189) % 2147483648)" +
-            " * 2654435761 % 4294967296 % 16") === 0)
-        .groupBy("mon").agg((lit(256L) * count(lit(1))).as("est_indep"))
-      act.join(ck, Seq("mon"), "left").join(ind, Seq("mon"), "left")
-        .na.fill(0L, Seq("est_corr", "est_indep"))
+      joined.groupBy("mon").agg(
+          count(lit(1)).as("actual"),
+          (lit(16L) * sum(when(keyHash("l_orderkey", 9176L) === 0, 1L)
+            .otherwise(0L))).as("est_corr"),
+          (lit(256L) * sum(when(keyHash("o_orderkey", 9176L) === 0 &&
+            expr("((l_orderkey * 8 + l_linenumber + 5189) % 2147483648)" +
+              " * 2654435761 % 4294967296 % 16") === 0, 1L)
+            .otherwise(0L))).as("est_indep"))
         .select(col("mon"), col("actual"), col("est_corr"), col("est_indep"),
           expr("(1000 * (est_corr - actual)) div actual").as("err_corr_pm"),
           expr("(1000 * (est_indep - actual)) div actual")
