@@ -3189,15 +3189,15 @@ object Events {
         .agg(sum(col("n_g")).as("n_b"),
           sum(col("n_g") * col("p_hat_pm")).as("psum"),
           sum(col("pos_g")).as("pos"))
-      val e = b.agg(expr(
-        "sum(n_b * abs(psum div n_b - (1000 * pos) div n_b))" +
-          " div sum(n_b)").as("ece_pm"))
-      b.crossJoin(broadcast(e))
-        .select(col("bin"), col("n_b"),
+      // ECE aggregates the 10-row bin table — a global window over
+      // bin-space references b ONCE (an agg + cross-join back would
+      // re-execute b's corpus lineage a second time)
+      b.select(col("bin"), col("n_b"),
           expr("psum div n_b").as("pred_pm"),
           expr("(1000 * pos) div n_b").as("obs_pm"),
           expr("abs(psum div n_b - (1000 * pos) div n_b)").as("gap_pm"),
-          col("ece_pm"))
+          expr("sum(n_b * abs(psum div n_b - (1000 * pos) div n_b))" +
+            " over () div sum(n_b) over ()").as("ece_pm"))
     },
 
     // --------------------------------------------------------------- q254
