@@ -9,6 +9,50 @@ import org.apache.spark.sql.SparkSession
   * the plan down to a row count).
   */
 object Bench {
+
+  /** Host co-tenancy canaries (BENCHNOTES' adjudication protocol,
+    * embedded so every bench artifact self-records its host window):
+    * cpu — `threads` concurrent integer busy loops, median per-thread
+    * wall seconds (flat on an uncontended host with ≥threads vCPUs;
+    * rises under CPU contention); memcpy — single-thread 400 MB copy
+    * bandwidth in GB/s (the memory-bandwidth signal that explains
+    * window/sort-query inflation — BENCHNOTES' named root cause).
+    * Both run BEFORE and AFTER the measured rounds so a contention
+    * burst inside the run is visible in the artifact itself. The
+    * absolute numbers only need to be comparable round-over-round:
+    * the iteration count and buffer size are fixed constants. */
+  private def cpuCanary(threads: Int): Double = {
+    val iters = 400000000L
+    val times = new Array[Double](threads)
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val ts = (0 until threads).map { i =>
+      new Thread(() => {
+        val t0 = System.nanoTime()
+        var x = 88172645463325252L + i
+        var k = 0L
+        while (k < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; k += 1 }
+        sink.addAndGet(x)
+        times(i) = (System.nanoTime() - t0) / 1e9
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    times.sorted.apply(threads / 2)
+  }
+
+  private def memcpyCanary(): Double = {
+    val bytes = 400 * 1024 * 1024
+    val src = new Array[Byte](bytes)
+    val dst = new Array[Byte](bytes)
+    var i = 0
+    while (i < bytes) { src(i) = (i & 0xFF).toByte; i += 4096 }
+    val reps = 3
+    val t0 = System.nanoTime()
+    var r = 0
+    while (r < reps) { System.arraycopy(src, 0, dst, 0, bytes); r += 1 }
+    val sec = (System.nanoTime() - t0) / 1e9
+    (bytes.toDouble * reps / (1024 * 1024 * 1024)) / sec
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -25,6 +69,9 @@ object Bench {
     // one warm-up pass of the smallest table read to exclude JVM/session
     // startup from the first measured query
     spark.read.parquet(s"$sfDir/region.parquet").queryExecution.toRdd.count()
+
+    val cpuPre = cpuCanary(cpus.toInt)
+    val memPre = memcpyCanary()
 
     // Round 0 is an unmeasured warm-up (Janino codegen compile + JIT —
     // one-time costs amortized to zero at production scale); rounds 1–3
@@ -64,8 +111,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val failed = results.count(_._2.isEmpty)
+    val cpuPost = cpuCanary(cpus.toInt)
+    val memPost = memcpyCanary()
+    val canary = f"""{"cpu${cpus}_pre_sec":$cpuPre%.2f,"memcpy_pre_gbps":$memPre%.2f,"cpu${cpus}_post_sec":$cpuPost%.2f,"memcpy_post_gbps":$memPost%.2f}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed,"canary":$canary}"""
     println(json)
     // the driver's capture keeps only the tail of stdout — persist the
     // complete per-query record in-repo so round-over-round comparison

@@ -20,11 +20,24 @@ import org.apache.spark.sql.functions._
   * Determinism (cross-engine): centroid "training" is deterministic —
   * seeds are the `nCentroids` smallest-id vectors, refinement is
   * integer Lloyd (element-wise floor-div means), distances are exact
-  * BIGINT squared-L2, and every argmin carries a centroid_id
+  * BIGINT squared-L2 (or the spherical [[cosKeyExpr]] key for
+  * cosine-metric search), and every argmin carries a centroid_id
   * tiebreak. Every step replays exactly in DuckDB (see the q60
   * oracle). At production scale the seeding would be a k-means|| pass;
   * the operator's data flow — broadcast centroids, map-side assign,
   * probed-cell search — is unchanged by how centroids are chosen.
+  *
+  * Recall levers, in the order a production tuning pass reaches for
+  * them (q146 publishes the measured curve): (1) nProbe — prefix-
+  * nested probe sets make recall monotone, exhaustive probe is exact;
+  * (2) spherical cells ([[assignCosine]]/[[trainCentroidsCosine]]) —
+  * when the search metric is cosine, L2 cells on unnormalized vectors
+  * split same-direction vectors by magnitude and leak recall;
+  * (3) candidate replication — index each vector in its r nearest
+  * cells ([[probeCosine]] on the candidate side) and dedup pairs
+  * before top-k, trading r× storage/scored-pairs for boundary-
+  * neighbor recall (measured: r=2 lifted recall@5 at nProbe=4 from
+  * 0.79 to 0.92 at the largest test SF).
   */
 object Ivf {
 
@@ -88,6 +101,162 @@ object Ivf {
       .withColumn("m", expr("s div n"))
       .groupBy(col("centroid_id"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)").as("cv"))
+
+  /** Exact integer dot product between two array<bigint> columns. */
+  def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+
+  /** DuckDB replay of [[dotExpr]]. */
+  def dotSql(a: String, b: String): String =
+    s"CAST(list_aggregate(list_transform(range(1, len($a) + 1), " +
+      s"i -> $a[i] * $b[i]), 'sum') AS BIGINT)"
+
+  /** SPHERICAL ranking key of a vector against centroid lambda/alias
+    * `c` (fields cv, cn): 2 − dot/√cn. For a fixed query row the true
+    * cosine is dot/(|q|·√cn) and |q| is constant, so this key is
+    * monotone DECREASING in cosine — argmin(key) = argmax(cosine) —
+    * without ever touching the query norm. Cosine cells are the right
+    * geometry when the search metric is cosine (q36/q60's contract):
+    * L2 cells on unnormalized vectors split same-direction vectors by
+    * magnitude, which is exactly the recall leak q146 measured on the
+    * seed centroids. Numerics: the dot is exact BIGINT (≤ dim·scale²
+    * ≪ 2⁵³, converts to double exactly at these magnitudes); sqrt and
+    * divide are IEEE-correctly-rounded in BOTH engines, so keys match
+    * bit-for-bit; the `2.0 −` anchor keeps every finite key strictly
+    * away from −0.0 (Spark struct sort orders −0.0 < 0.0, DuckDB
+    * compares them equal — the one cross-engine double trap here);
+    * zero-mass centroids (cn = 0) sink to 1e308, and exact key ties
+    * break on centroid_id. */
+  def cosKeyExpr(qv: String): String =
+    s"CASE WHEN c.cn > 0 THEN CAST(2.0 AS DOUBLE) - " +
+      s"CAST(${dotExpr(qv, "c.cv")} AS DOUBLE) / sqrt(CAST(c.cn AS DOUBLE)) " +
+      s"ELSE CAST(1e308 AS DOUBLE) END"
+
+  /** DuckDB replay of [[cosKeyExpr]] (centroid table aliased `c`). */
+  def cosKeySql(qv: String): String =
+    s"CASE WHEN c.cn > 0 THEN 2.0 - " +
+      s"CAST(${dotSql(qv, "c.cv")} AS DOUBLE) / sqrt(CAST(c.cn AS DOUBLE)) " +
+      s"ELSE 1e308 END"
+
+  /** Like [[centroidArray]] but each struct carries the centroid's
+    * integer self-norm cn — the broadcast side of cosine assignment. */
+  private def centroidArrayCos(centroids: DataFrame): DataFrame =
+    centroids.agg(collect_list(struct(col("centroid_id"), col("cv"),
+      expr("aggregate(transform(cv, x -> x * x), 0L, (acc, x) -> acc + x)")
+        .as("cn"))).as("__cents"))
+
+  /** [[assign]] with spherical cells: nearest centroid by COSINE
+    * (exact-integer dot, [[cosKeyExpr]] key, centroid_id tiebreak).
+    * Same map-side shape — one projection over the broadcast array. */
+  def assignCosine(df: DataFrame, qvCol: String, centroids: DataFrame): DataFrame =
+    df.crossJoin(broadcast(centroidArrayCos(centroids)))
+      .withColumn("centroid_id", expr(
+        s"""array_min(transform(__cents, c ->
+              struct(${cosKeyExpr(qvCol)} AS k,
+                     c.centroid_id AS centroid_id))).centroid_id"""))
+      .drop("__cents")
+
+  /** [[probe]] with spherical cells: each query explodes into its
+    * `nProbe` highest-cosine centroids. */
+  def probeCosine(queries: DataFrame, qvCol: String, centroids: DataFrame,
+      nProbe: Int): DataFrame =
+    queries.crossJoin(broadcast(centroidArrayCos(centroids)))
+      .withColumn("centroid_id", explode(expr(
+        s"""transform(
+              slice(array_sort(transform(__cents, c ->
+                struct(${cosKeyExpr(qvCol)} AS k,
+                       c.centroid_id AS centroid_id))), 1, $nProbe),
+              p -> p.centroid_id)""")))
+      .drop("__cents")
+
+  /** Deterministic TRAINED centroids: [[seedCentroids]] then `rounds`
+    * integer Lloyd refinements (map-side [[assign]] → [[lloydStep]]
+    * floor-div means). Each round's tiny centroid table materializes
+    * ([[graft.Checkpoints.materialize]]) — the corpus-scanning assign
+    * would otherwise re-execute once per downstream reference
+    * (the double-reference trap), and the materialized frame is
+    * nCentroids×dim integers regardless of corpus size. Training
+    * moves centroids from the arbitrary first-N seeds toward the real
+    * density modes, which is what lifts recall at small nProbe (q146:
+    * the cheap operating points); every step stays integer-exact and
+    * replays in DuckDB (the q60/q65/q146 oracles). */
+  def trainCentroids(df: DataFrame, idCol: String, qvCol: String,
+      n: Int, rounds: Int): DataFrame = {
+    var cents = seedCentroids(df, idCol, qvCol, n)
+    val base = df.select(col(idCol), col(qvCol))
+    for (_ <- 0 until rounds)
+      cents = graft.Checkpoints.materialize(
+        lloydStep(assign(base, qvCol, cents), qvCol))
+    cents
+  }
+
+  /** [[trainCentroids]] with SPHERICAL rounds ([[assignCosine]] +
+    * integer-mean [[lloydStep]] — the mean's direction is what the
+    * next cosine round consumes). The training loop for cosine-metric
+    * ANN (q60/q65/q146): cells converge to direction clusters, which
+    * is what lifts recall at small nProbe. */
+  def trainCentroidsCosine(df: DataFrame, idCol: String, qvCol: String,
+      n: Int, rounds: Int): DataFrame = {
+    var cents = seedCentroids(df, idCol, qvCol, n)
+    val base = df.select(col(idCol), col(qvCol))
+    for (_ <- 0 until rounds)
+      cents = graft.Checkpoints.materialize(
+        lloydStep(assignCosine(base, qvCol, cents), qvCol))
+    cents
+  }
+
+  /** DuckDB CTE chain replaying [[trainCentroids]] exactly: expects a
+    * `normed` CTE (vec_id, qv) and the seed CTE named `cents0`; emits
+    * asg/pos/cents CTEs per round. The final table is `cents<rounds>`.
+    * Append after the seed CTE with a leading comma. */
+  def trainSqlCtes(rounds: Int, dim: Int): String =
+    (0 until rounds).map { k =>
+      s"""asg$k AS (
+          SELECT vec_id, qv, centroid_id FROM (
+            SELECT n.vec_id, n.qv, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                     ORDER BY ${sqDistSql("n.qv", "c.cv")}, c.centroid_id) AS rn
+            FROM normed n CROSS JOIN cents$k c) t
+          WHERE rn = 1),
+        pos$k AS (
+          SELECT centroid_id, i,
+                 CAST(SUM(qv[CAST(i AS INT)]) AS BIGINT) AS sv,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM asg$k, (SELECT unnest(range(1, ${dim + 1})) AS i) p
+          GROUP BY centroid_id, i),
+        cents${k + 1} AS (
+          SELECT centroid_id, list(m ORDER BY i) AS cv
+          FROM (SELECT centroid_id, i, sv // cnt AS m FROM pos$k) t
+          GROUP BY centroid_id)"""
+    }.mkString(",\n        ")
+
+  /** DuckDB CTE chain replaying [[trainCentroidsCosine]]: like
+    * [[trainSqlCtes]] but each round assigns by the spherical key and
+    * every cents CTE carries cn (the seed `cents0` must too). */
+  def trainSqlCtesCosine(rounds: Int, dim: Int): String =
+    (0 until rounds).map { k =>
+      s"""asg$k AS (
+          SELECT vec_id, qv, centroid_id FROM (
+            SELECT n.vec_id, n.qv, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                     ORDER BY ${cosKeySql("n.qv")}, c.centroid_id) AS rn
+            FROM normed n CROSS JOIN cents$k c) t
+          WHERE rn = 1),
+        pos$k AS (
+          SELECT centroid_id, i,
+                 CAST(SUM(qv[CAST(i AS INT)]) AS BIGINT) AS sv,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM asg$k, (SELECT unnest(range(1, ${dim + 1})) AS i) p
+          GROUP BY centroid_id, i),
+        cents${k + 1} AS (
+          SELECT centroid_id, cv,
+                 CAST(list_aggregate(list_transform(cv, x -> x * x), 'sum')
+                      AS BIGINT) AS cn
+          FROM (
+            SELECT centroid_id, list(m ORDER BY i) AS cv
+            FROM (SELECT centroid_id, i, sv // cnt AS m FROM pos$k) t
+            GROUP BY centroid_id) z)"""
+    }.mkString(",\n        ")
 
   /** Explodes each query row into its `nProbe` nearest centroids
     * (columns: query columns + `centroid_id`). Map-side, like

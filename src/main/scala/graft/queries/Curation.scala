@@ -1567,10 +1567,12 @@ object Curation {
                  MAX(st.n_seg) AS n_seg, MAX(st.s_seg) AS s_seg
           FROM o JOIN st ON st.seg = o.seg GROUP BY 1, 2)
         SELECT seg, y, n,
-               (1000 * (s_seg - y)) // (n_seg - 1) AS loo_enc_pm,
+               CASE WHEN n_seg > 1
+                 THEN (1000 * (s_seg - y)) // (n_seg - 1) END AS loo_enc_pm,
                (1000 * s_seg) // n_seg AS naive_enc_pm,
-               (1000 * (s_seg - y)) // (n_seg - 1)
-                 - (1000 * s_seg) // n_seg AS leak_gap_pm
+               CASE WHEN n_seg > 1
+                 THEN (1000 * (s_seg - y)) // (n_seg - 1)
+                    - (1000 * s_seg) // n_seg END AS leak_gap_pm
         FROM cells""")
     ) { (s, dir) =>
       val o = t(s, dir, "orders")
@@ -1586,10 +1588,14 @@ object Curation {
         .agg(count(lit(1)).as("n"), max(col("n_seg")).as("n_seg"),
           max(col("s_seg")).as("s_seg"))
         .select(col("seg"), col("y"), col("n"),
-          expr("(1000 * (s_seg - y)) div (n_seg - 1)").as("loo_enc_pm"),
+          // n_seg = 1 guard: a singleton segment has no "other rows"
+          // to encode from — NULL, in both engines, never div-by-zero
+          expr("CASE WHEN n_seg > 1 THEN (1000 * (s_seg - y)) div (n_seg - 1) END")
+            .as("loo_enc_pm"),
           expr("(1000 * s_seg) div n_seg").as("naive_enc_pm"),
-          (expr("(1000 * (s_seg - y)) div (n_seg - 1)")
-            - expr("(1000 * s_seg) div n_seg")).as("leak_gap_pm"))
+          expr("""CASE WHEN n_seg > 1
+                  THEN (1000 * (s_seg - y)) div (n_seg - 1)
+                     - (1000 * s_seg) div n_seg END""").as("leak_gap_pm"))
     },
   )
 

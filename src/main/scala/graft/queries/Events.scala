@@ -2612,7 +2612,12 @@ object Events {
     // integer — so R2 = Σ pos_g·(2c + n_g + 1) is exact, U = (R2 −
     // n_pos·(n_pos+1))/2, and AUC_ppm = 10⁶·2U div (2·n_pos·n_neg).
     // One map-side-combinable corpus pass; the ordered window runs in
-    // score space. Gini (2·AUC−1) rides along. BIGINT headroom:
+    // score space — WITH the declared cardinality assumption that
+    // 0.1-cent quantization collapses scores well below corpus size
+    // (true for bounded score ranges; a continuous unbounded score
+    // column approaches |corpus| distinct values, where the escape is
+    // q243's two-phase move: coarse score buckets first, rank within).
+    // Gini (2·AUC−1) rides along. BIGINT headroom:
     // 10⁶·R2 ~ 10⁶·n² needs n ≲ 3e6 per scored slice — the petascale
     // form runs per-segment or banks R2 into DECIMAL(38,0) (both
     // engines exact); the rank algebra is unchanged.
@@ -3135,7 +3140,10 @@ object Events {
     // rides on every row. All integer permille — rank-based scores
     // make the calibration question exact (a float sigmoid would
     // drag in libm). One corpus pass to score space, one bin
-    // aggregate; the ECE one-row broadcast joins back. The eval gate
+    // aggregate; the ECE one-row broadcast joins back. Same declared
+    // cardinality assumption as q215: the quantized distinct-score
+    // table must sit well below corpus size, else bucket scores
+    // first (q243's two-phase move). The eval gate
     // a model-scoring pipeline runs next to q215's AUC: AUC measures
     // ranking, THIS measures whether 0.7 means 70%.
     Q(

@@ -569,9 +569,10 @@ object Graph {
     // two keyed shuffle joins of the edge list with the node⇒nation
     // maps (vertex-sized sides, never broadcast); d_c re-aggregates
     // the same annotated edges, so the corpus is read once. Output
-    // rows are |nations|-sized. BIGINT headroom: 10⁶·d_c² needs
-    // d_c ≲ 3e6 edge-endpoints per community — the petascale form
-    // banks d_c² into DECIMAL(38,0), same algebra.
+    // rows are |nations|-sized. The 10⁶·d_c² and 4m² terms are BANKED
+    // into DECIMAL(38,0) (Spark) / HUGEINT (oracle) — exact integral
+    // quotients in both engines — so the ppm algebra holds to
+    // d_c, m ~ 10¹⁵ edge-endpoints, not the raw-BIGINT 3e6 bound.
     Q(
       "q224_modularity",
       Some("""
@@ -598,7 +599,8 @@ object Graph {
         SELECT CAST(d.nation AS BIGINT) AS nation,
                COALESCE(e.e_in, 0) AS e_in, d.d_c,
                (1000000 * COALESCE(e.e_in, 0)) // m.m
-                 - (1000000 * d.d_c * d.d_c) // (4 * m.m * m.m)
+                 - CAST((1000000 * CAST(d.d_c AS HUGEINT) * d.d_c)
+                        // (4 * CAST(m.m AS HUGEINT) * m.m) AS BIGINT)
                  AS contrib_ppm
         FROM dsum d LEFT JOIN ein e ON e.nation = d.nation
         CROSS JOIN m""")
@@ -630,8 +632,13 @@ object Graph {
         .crossJoin(broadcast(m))
         .select(col("nation").cast("long").as("nation"),
           coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_c"),
+          // d_c² and m² are the 10¹⁰-row overflow terms — banked into
+          // DECIMAL(38,0) (Spark `div` on decimals is the exact
+          // BigDecimal integral quotient; DuckDB side banks the same
+          // terms into HUGEINT — both truncate toward zero)
           (expr("(1000000 * coalesce(e_in, 0)) div m")
-            - expr("(1000000 * d_c * d_c) div (4 * m * m)"))
+            - expr("""(1000000 * cast(d_c as decimal(38,0)) * d_c)
+                      div (4 * cast(m as decimal(38,0)) * m)"""))
             .as("contrib_ppm"))
     },
 
@@ -751,12 +758,13 @@ object Graph {
         m AS (SELECT CAST(SUM(o) AS BIGINT) AS m FROM ct),
         grid AS (
           SELECT mr.kc, mc.ks, COALESCE(ct.o, 0) AS o,
-                 (1000 * mr.rc * mc.cc) // m.m AS e_milli
+                 CAST((1000 * CAST(mr.rc AS HUGEINT) * mc.cc) // m.m
+                      AS BIGINT) AS e_milli
           FROM mr CROSS JOIN mc CROSS JOIN m
           LEFT JOIN ct ON ct.kc = mr.kc AND ct.ks = mc.ks),
         chi AS (
           SELECT CAST(SUM(CASE WHEN e_milli > 0
-                   THEN ((1000 * o - e_milli) * (1000 * o - e_milli))
+                   THEN ((1000 * o - e_milli) * CAST(1000 * o - e_milli AS HUGEINT))
                         // (1000 * e_milli) ELSE 0 END) AS BIGINT)
                    AS chi2_milli
           FROM grid),
@@ -797,11 +805,16 @@ object Graph {
       val m = ct.agg(sum(col("o")).as("m"))
       val grid = mr.crossJoin(mc).crossJoin(broadcast(m))
         .join(ct, Seq("kc", "ks"), "left").na.fill(0L, Seq("o"))
-        .withColumn("e_milli", expr("(1000 * rc * cc) div m"))
+        // rc·cc and the squared residual are the 10¹⁰-row overflow
+        // terms — banked into DECIMAL(38,0) (oracle: HUGEINT), result
+        // cast back to BIGINT (e_milli ≤ 1000·m, χ² ≤ 1000·m·min(r,c)
+        // — both far inside BIGINT after the division)
+        .withColumn("e_milli",
+          expr("cast((1000 * cast(rc as decimal(38,0)) * cc) div m as bigint)"))
       val gridM = Checkpoints.materialize(grid
         .select(col("kc"), col("ks"), col("o"), col("e_milli"), col("m")))
       val chi = gridM.agg(sum(when(col("e_milli") > 0,
-        expr("((1000 * o - e_milli) * (1000 * o - e_milli))" +
+        expr("((1000 * o - e_milli) * cast(1000 * o - e_milli as decimal(38,0)))" +
           " div (1000 * e_milli)")).otherwise(0L)).as("chi2_milli"))
       val dims = mr.agg(count(lit(1)).as("r"))
         .crossJoin(mc.agg(count(lit(1)).as("c")))

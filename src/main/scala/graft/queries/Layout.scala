@@ -341,13 +341,16 @@ object Layout {
     // Small-file compaction plan — the table-maintenance pass every
     // lakehouse runs: given a file inventory (here one "file" per
     // ship-day, bytes = 120·rows, the declared row width), pack each
-    // month's files into target bins of 1 MiB by NEXT-FIT in day
-    // order: bin = (running bytes − bytes) div target. Next-fit in
-    // KEY order (not first-fit-decreasing) is deliberate — it
-    // preserves the temporal clustering that makes q165's zone maps
-    // prune, at the cost of ≤ 2× the optimal bin count (the classic
-    // next-fit bound), and it is one window cumsum instead of a
-    // serial packing loop. Output: one row per planned output file
+    // month's files into target bins of 1 MiB by CUMULATIVE OFFSET
+    // BINNING in day order: bin = (running bytes − bytes) div target
+    // — a file is assigned by its start offset, so a file may
+    // straddle a bin boundary and a bin's bytes can overflow the
+    // target by at most one file (tighter than next-fit's ≤2× bound:
+    // every bin except possibly the last is full by construction).
+    // Packing in KEY order (not first-fit-decreasing) is deliberate —
+    // it preserves the temporal clustering that makes q165's zone
+    // maps prune, and it is one window cumsum instead of a serial
+    // packing loop. Output: one row per planned output file
     // with its input-file count and bytes, plus the month's ideal
     // ceil(total/target) bin count so the report shows the next-fit
     // overhead. Everything after the one corpus groupBy runs in

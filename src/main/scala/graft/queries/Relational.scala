@@ -1969,14 +1969,24 @@ object Relational {
     // --------------------------------------------------------------- q232
     // Lorenz concentration deciles of customer spend — the curve
     // behind q152's Gini scalar: customers rank by exact spend cents
-    // (custkey tiebreak — zero-spend customers stay in, dropping them
-    // flatters the curve), decile = ⌊10·(rank−1)/n⌋, and each decile
-    // reports its share and cumulative share of total spend in exact
-    // permille. The window ranks CUSTOMER-space rows (one per
-    // customer after the orders groupBy, not corpus rows); the
-    // decile-space cumsum is 10 rows. The "top decile holds X% of
-    // revenue" report every account-concentration review wants,
-    // reproducible to the permille.
+    // (zero-spend customers stay in, dropping them flatters the
+    // curve), decile = ⌊10·(rank−1)/n⌋, and each decile reports its
+    // share and cumulative share of total spend in exact permille.
+    // The Spark plan is the two-phase bucket form (q243's move, no
+    // corpus-sized rank window anywhere): per-customer cents collapse
+    // into value groups, value groups into $1000 buckets; the ONLY
+    // unpartitioned cumsum runs over the bounded bucket table, whole
+    // buckets map to their decile arithmetically, and the ≤9 buckets
+    // that straddle a decile boundary resolve via a PARTITIONED
+    // per-bucket window (≤100k value rows each by bucket width) with
+    // equal-cents groups split across deciles by exact integer
+    // arithmetic — valid because equal-spend customers are
+    // interchangeable for count/sum reporting, so which of them lands
+    // on which side of a boundary cannot change any output cell. The
+    // oracle keeps the direct global-rank form; the hash match proves
+    // the two plans identical. The "top decile holds X% of revenue"
+    // report every account-concentration review wants, reproducible
+    // to the permille — and the sort is now per-bucket, not corpus.
     Q(
       "q232_lorenz_deciles",
       Some("""
@@ -2011,13 +2021,51 @@ object Relational {
         .agg(coalesce(expr(
           "cast(sum(cast(o_totalprice as decimal(18,4)) * 100) as bigint)"),
           lit(0L)).as("cents"))
-      val rk = sp.select(col("cents"),
-        row_number().over(Window.orderBy("cents", "ck")).cast("long").as("rn"),
-        count(lit(1)).over(Window.partitionBy()).as("n"),
-        sum(col("cents")).over(Window.partitionBy()).as("total"))
-      val dec = rk.groupBy(expr("(10 * (rn - 1)) div n").as("decile"))
-        .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("cents"),
-          max(col("total")).as("total"))
+      // phase 1: value groups (distinct spend levels), then $1000
+      // buckets — both map-side-combinable aggregates
+      val vg = sp.groupBy(col("cents")).agg(count(lit(1)).as("c"))
+        .withColumn("bucket", expr("cents div 100000"))
+      val bk = vg.groupBy(col("bucket"))
+        .agg(sum(col("c")).as("bc"), sum(expr("c * cents")).as("bcents"))
+      val nt = bk.agg(sum(col("bc")).as("n"), sum(col("bcents")).as("total"))
+      // the one unpartitioned cumsum: over the BOUNDED bucket table
+      val bkn = bk
+        .withColumn("below_b",
+          sum(col("bc")).over(Window.orderBy("bucket")) - col("bc"))
+        .crossJoin(broadcast(nt))
+        .withColumn("d0", expr("(10 * below_b) div n"))
+        .withColumn("d1", expr("(10 * (below_b + bc - 1)) div n"))
+      // buckets wholly inside one decile contribute as a unit
+      val whole = bkn.filter(col("d0") === col("d1"))
+        .select(col("d0").as("decile"), col("bc").as("n_customers"),
+          col("bcents").as("cents"))
+      // ≤9 straddlers (each holds ≥1 of the 9 boundaries) → broadcast
+      val strad = bkn.filter(col("d0") =!= col("d1"))
+        .select(col("bucket"), col("below_b"), col("n"))
+      // decile d covers global ranks [⌈d·n/10⌉+1, ⌈((d+1)·n)/10⌉−…]:
+      // lo_d = (d·n+9) div 10 + 1, hi_d = ((d+1)·n−1) div 10 + 1;
+      // a value group at ranks [below_v+1, below_v+c] sends the
+      // overlap count k (and k·cents) to each intersected decile
+      val split = vg.join(broadcast(strad), "bucket")
+        .withColumn("below_v", col("below_b")
+          + sum(col("c")).over(Window.partitionBy("bucket").orderBy("cents"))
+          - col("c"))
+        .withColumn("decile", explode(expr(
+          "sequence((10 * below_v) div n, (10 * (below_v + c - 1)) div n)")))
+        .withColumn("k",
+          least(expr("((decile + 1) * n - 1) div 10 + 1"),
+            col("below_v") + col("c"))
+          - greatest(expr("(decile * n + 9) div 10 + 1"),
+            col("below_v") + 1) + lit(1L))
+        .filter(col("k") > 0)
+        .groupBy(col("decile"))
+        .agg(sum(col("k")).as("n_customers"),
+          sum(col("k") * col("cents")).as("cents"))
+      val dec = whole.unionByName(split)
+        .groupBy(col("decile"))
+        .agg(sum(col("n_customers")).as("n_customers"),
+          sum(col("cents")).as("cents"))
+        .crossJoin(broadcast(nt))
       dec.select(col("decile"), col("n_customers"), col("cents"),
         expr("(1000 * cents) div total").as("share_pm"),
         expr("(1000 * sum(cents) over (order by decile)) div total")

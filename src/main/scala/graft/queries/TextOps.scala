@@ -2202,8 +2202,9 @@ object TextOps {
     // rational arithmetic: κ = (n·agree − Σ row·col) / (n² − Σ
     // row·col) in floored ppm — no float probabilities, bit-identical
     // cross-engine. One map-side-combinable corpus pass to the 2×2
-    // table; everything after is one-row algebra. BIGINT headroom:
-    // n²·10⁶ needs n ≲ 3e6 — the 1000× form drops to per-mille.
+    // table; everything after is one-row algebra. The n² and row·col
+    // cross terms are BANKED into DECIMAL(38,0) / HUGEINT — the ppm
+    // form holds to n ~ 10¹⁵ rows, not the raw-BIGINT 3e6 bound.
     Q(
       "q214_cohens_kappa",
       Some("""
@@ -2221,11 +2222,13 @@ object TextOps {
           FROM j)
         SELECT n, n11, n10, n01, n00,
                (1000 * (n11 + n00)) // n AS agree_pm,
-               (1000000 * (n * (n11 + n00)
-                           - ((n11 + n10) * (n11 + n01)
-                              + (n01 + n00) * (n10 + n00))))
-                 // (n * n - ((n11 + n10) * (n11 + n01)
-                             + (n01 + n00) * (n10 + n00))) AS kappa_ppm
+               CAST((1000000 * (CAST(n AS HUGEINT) * (n11 + n00)
+                           - ((n11 + n10) * CAST(n11 + n01 AS HUGEINT)
+                              + (n01 + n00) * CAST(n10 + n00 AS HUGEINT))))
+                 // (CAST(n AS HUGEINT) * n
+                     - ((n11 + n10) * CAST(n11 + n01 AS HUGEINT)
+                        + (n01 + n00) * CAST(n10 + n00 AS HUGEINT)))
+                 AS BIGINT) AS kappa_ppm
         FROM ct""")
     ) { (s, dir) =>
       val j = t(s, dir, "documents").select(
@@ -2240,11 +2243,15 @@ object TextOps {
           sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
         .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
           expr("(1000 * (n11 + n00)) div n").as("agree_pm"),
-          expr("""(1000000 * (n * (n11 + n00)
-                           - ((n11 + n10) * (n11 + n01)
-                              + (n01 + n00) * (n10 + n00))))
-                 div (n * n - ((n11 + n10) * (n11 + n01)
-                             + (n01 + n00) * (n10 + n00)))""")
+          // every n² / row·col cross term banked into DECIMAL(38,0)
+          // (oracle: HUGEINT) — exact integral quotient in both
+          // engines, holds to n ~ 10¹⁵ rows
+          expr("""(1000000 * (cast(n as decimal(38,0)) * (n11 + n00)
+                           - ((n11 + n10) * cast(n11 + n01 as decimal(38,0))
+                              + (n01 + n00) * cast(n10 + n00 as decimal(38,0)))))
+                 div (cast(n as decimal(38,0)) * n
+                      - ((n11 + n10) * cast(n11 + n01 as decimal(38,0))
+                         + (n01 + n00) * cast(n10 + n00 as decimal(38,0))))""")
             .as("kappa_ppm"))
     },
 

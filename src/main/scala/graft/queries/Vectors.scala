@@ -58,6 +58,21 @@ object Vectors {
     * scored-pair count). */
   private val ivfCfg = graft.operators.Ivf.Config(nCentroids = 8, nProbe = 2)
 
+  /** Lloyd rounds for the q60/q65/q146 centroids: first-N-id seeds
+    * REFINED by deterministic integer k-means (Ivf.trainCentroids).
+    * Untrained seeds were the round-7 recall gap at cheap nProbe
+    * (0.72@2 / 0.85@4); trained centroids track the density modes, so
+    * cell membership aligns with cosine neighborhoods. At production
+    * scale this is the k-means|| stand-in — same data flow (broadcast
+    * centroids, map-side assign, tiny per-round reduce). */
+  private val ivfTrainRounds = 3
+
+  /** Candidate replication factor: each vector indexes into its r
+    * highest-cosine cells (closure/multi-assignment — the SPANN
+    * recipe). r − 1 extra copies buy boundary-neighbor recall at
+    * fixed nProbe; pairs dedup before top-k. */
+  private val ivfReplication = 2
+
   /** Exact cosine of a candidate pair (tables aliased a/b), DuckDB
     * side: one BIGINT dot, one double division by one sqrt — shared by
     * q39 and q54 so both verify steps use the identical formula. */
@@ -276,9 +291,12 @@ object Vectors {
     // approximate top-5 must out-score it and is therefore itself in
     // the exact top-5 (AnalyticsSpec pins the monotone property). At
     // nProbe = nCentroids the probe is exhaustive and recall is
-    // exactly 1.0 — the documented ≥ 0.9 operating point. The exact
-    // ground truth is computed ONCE and materialized; each sweep
-    // point is one bucketed IVF search + a 100-row join.
+    // exactly 1.0. With spherical trained cells + r=2 candidate
+    // replication the measured curve is 0.80-0.84@2 / 0.92-0.99@4 /
+    // 1.00@8 across sf0.001-0.1 — nProbe=4 IS the ≥0.9 operating
+    // point below exhaustive probing. The exact ground truth is
+    // computed ONCE and materialized; each sweep point is one
+    // bucketed IVF search + a 100-row join.
     Q(
       "q146_recall_sweep",
       Some(Seq(2, 4, 8).map { p =>
@@ -1463,29 +1481,32 @@ object Vectors {
 
   private def ivfTopkSqlAt(nProbe: Int): String = {
         val cfg = ivfCfg.copy(nProbe = nProbe)
+        val fc = s"cents$ivfTrainRounds"
         s"""
         WITH normed0 AS ($quantizedSql),
         normed AS (SELECT vec_id, qv, qn FROM normed0 WHERE qn > 0),
-        cents AS (
-          SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, qv AS cv
+        cents0 AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, qv AS cv,
+                 CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS BIGINT) AS cn
           FROM (SELECT vec_id, qv FROM normed ORDER BY vec_id LIMIT ${cfg.nCentroids}) s),
+        ${graft.operators.Ivf.trainSqlCtesCosine(ivfTrainRounds, 64)},
         assigned AS (
           SELECT vec_id, qv, qn, centroid_id FROM (
             SELECT n.vec_id, n.qv, n.qn, c.centroid_id,
                    ROW_NUMBER() OVER (PARTITION BY n.vec_id
-                     ORDER BY ${graft.operators.Ivf.sqDistSql("n.qv", "c.cv")}, c.centroid_id) AS rn
-            FROM normed n CROSS JOIN cents c) t
-          WHERE rn = 1),
+                     ORDER BY ${graft.operators.Ivf.cosKeySql("n.qv")}, c.centroid_id) AS rn
+            FROM normed n CROSS JOIN $fc c) t
+          WHERE rn <= $ivfReplication),
         probed AS (
           SELECT query_id, qqv, qqn, centroid_id FROM (
             SELECT q.vec_id AS query_id, q.qv AS qqv, q.qn AS qqn, c.centroid_id,
                    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                     ORDER BY ${graft.operators.Ivf.sqDistSql("q.qv", "c.cv")}, c.centroid_id) AS rn
-            FROM normed q CROSS JOIN cents c
+                     ORDER BY ${graft.operators.Ivf.cosKeySql("q.qv")}, c.centroid_id) AS rn
+            FROM normed q CROSS JOIN $fc c
             WHERE q.vec_id < 20) t
           WHERE rn <= ${cfg.nProbe}),
         scored AS (
-          SELECT p.query_id, a.vec_id,
+          SELECT DISTINCT p.query_id, a.vec_id,
                  CAST(CAST(list_aggregate(list_transform(range(1, len(p.qqv) + 1), i -> p.qqv[i] * a.qv[i]), 'sum') AS BIGINT) AS DOUBLE)
                    / sqrt(CAST(p.qqn AS DOUBLE) * CAST(a.qn AS DOUBLE)) AS score
           FROM probed p JOIN assigned a
@@ -1503,16 +1524,30 @@ object Vectors {
   private def ivfTopkAt(s: SparkSession, dir: String, nProbe: Int): DataFrame = {
       val base = quantized(s, dir).filter(col("qn") > 0)
         .select("vec_id", "qv", "qn")
-      val cents = graft.operators.Ivf.seedCentroids(base, "vec_id", "qv", ivfCfg.nCentroids)
-      val candidates = graft.operators.Ivf.assign(base, "qv", cents)
+      val cents = graft.operators.Ivf.trainCentroidsCosine(base, "vec_id", "qv",
+        ivfCfg.nCentroids, ivfTrainRounds)
+      // candidate REPLICATION (the SPANN-style closure assignment):
+      // each vector indexes into its ivfReplication highest-cosine
+      // cells, so a neighbor sitting just across a cell boundary is
+      // still reachable through its secondary cell — the second
+      // recall/cost knob beside nProbe (storage and scored pairs
+      // scale by r, recall at fixed nProbe jumps). probeCosine IS the
+      // multi-assign (explode over the top-r cells).
+      val candidates = graft.operators.Ivf.probeCosine(base, "qv", cents,
+        ivfReplication)
       val queries = base.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("qn").as("qqn"))
-      val probes = graft.operators.Ivf.probe(queries, "qqv", cents, nProbe)
+      val probes = graft.operators.Ivf.probeCosine(queries, "qqv", cents, nProbe)
       val scored = candidates.join(broadcast(probes), Seq("centroid_id"))
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("dot", dotCol("qqv", "qv"))
         .withColumn("score",
           col("dot").cast("double") / sqrt(col("qqn").cast("double") * col("qn").cast("double")))
+        // a (query, candidate) pair surfaces once per SHARED probed
+        // cell under replication — dedup before top-k (map-side
+        // combinable; the score is identical on every duplicate)
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(max(col("score")).as("score"))
       // per-query top-5 via the bounded-heap aggregator (same ordering
       // contract as the oracle's row_number window: score desc, vec_id
       // tiebreak) — map-side partial top-k ships O(queries × k) shuffle

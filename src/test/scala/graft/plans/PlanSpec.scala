@@ -830,6 +830,77 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("global sweep: no unpartitioned WindowExec over a corpus-derived frame") {
+    // An unpartitioned window whose input is raw corpus rows is THE
+    // classic scale-killer: one task sorts everything (q232's round-7
+    // shape before its two-phase rewrite). An unpartitioned window is
+    // acceptable ONLY when its input frame was already shrunk below
+    // corpus size — an aggregate (value-/bucket-space table) or a
+    // limit sits between the window and every scan. Sweep every
+    // registered query's static plan; any WindowExec with an empty
+    // partitionSpec must have a shrinking node beneath it, or be on
+    // the explicit whitelist with a justification.
+    // ReusedExchangeExec is a leaf whose referenced exchange holds the
+    // real subtree (exchange reuse would otherwise HIDE the shrinking
+    // aggregate, as it does in q180) — recurse through it.
+    def shrunk(p: SparkPlan): Boolean = p.exists {
+      case _: HashAggregateExec => true
+      case _: ObjectHashAggregateExec => true
+      case _: org.apache.spark.sql.execution.aggregate.SortAggregateExec => true
+      case _: TakeOrderedAndProjectExec => true
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+      case _: org.apache.spark.sql.execution.LocalLimitExec => true
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        shrunk(r.child)
+      case _ => false
+    }
+    def shrunkBeneath(w: org.apache.spark.sql.execution.window.WindowExec): Boolean =
+      shrunk(w.child)
+    // Justified sites where the shrink is not visible as a plan node
+    // beneath the window (each audited by hand):
+    val whitelist: Map[String, String] = Map(
+      // q121 phase 2 re-windows the UNION OF LOCAL SKYLINES — the
+      // shrink is the phase-1 dominance FILTER (a random 2-D skyline
+      // keeps O(log n) rows per bucket), which no plan-node class can
+      // attest; the corpus window is the partitioned phase-1 one.
+      "q121_skyline" -> "phase-2 input is phase-1 local-skyline survivors"
+    )
+    val offenders = SparkEntry.allQueries.flatMap { q =>
+      val p = plan(q.name)
+      val bad = p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty && !shrunkBeneath(w) => w
+      }
+      if (bad.nonEmpty && !whitelist.contains(q.name)) Some(q.name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned corpus-frame windows in: $offenders")
+  }
+
+  test("q232: two-phase Lorenz — every unpartitioned window sits above an aggregate") {
+    // round-7's weak component: the old plan ranked the whole customer
+    // table in ONE task. The rewrite must keep every empty-partition
+    // window over value-/bucket-/decile-space aggregates only, and the
+    // per-bucket boundary resolution must be a PARTITIONED window.
+    val p = plan("q232_lorenz_deciles")
+    val wins = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, s"expected window operators:\n$p")
+    val unpart = wins.filter(_.partitionSpec.isEmpty)
+    unpart.foreach { w =>
+      assert(w.child.exists {
+        case _: HashAggregateExec => true
+        case _: ObjectHashAggregateExec => true
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          r.child.exists { case _: HashAggregateExec => true; case _ => false }
+        case _ => false
+      }, s"unpartitioned window over a non-aggregated frame:\n$p")
+    }
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      s"boundary-straddler resolution must be a partitioned window:\n$p")
+  }
+
   test("q127/q133: drift and collocation top-k run as TakeOrderedAndProject") {
     for (name <- Seq("q127_token_drift", "q133_collocations")) {
       val p = plan(name)
