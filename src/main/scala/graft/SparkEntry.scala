@@ -201,6 +201,7 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q256    graft.queries.Relational — FIFO stock aging (closed form)
   *   q257    graft.queries.Events     — event-type audience overlap
   *   q258    graft.queries.Events     — duplicate-payment detection
+  *   q259    graft.queries.Graph      — bucketed shared edge corpus
   */
 object SparkEntry {
 

@@ -9,11 +9,18 @@ import org.apache.spark.sql.functions._
   *
   * The real Spark machinery here — typed Datasets over binary columns,
   * mapPartitions batch shape, schema of the decoded output, partition
-  * sizing — is production-shaped. The codec itself is a clearly-marked
-  * STUB (this container ships no image/audio libraries): `decodeFrame`
-  * produces a deterministic fake feature vector from the bytes. A real
-  * deployment swaps only that function (e.g. JNI into libjpeg /
-  * ffmpeg), keeping every Spark-side contract identical.
+  * sizing — is production-shaped. Two decode tiers:
+  *
+  *   - REAL container parsers for RIFF/WAV and BMP ([[parseWav]],
+  *     [[parseBmp]], [[wavFrameEnergies]]) — pure byte-layout public
+  *     formats need no codec library, so header walk, PCM sample
+  *     decode and per-frame energy are fully implemented and
+  *     spec-verified against hand-built files.
+  *   - A clearly-marked STUB for compressed codecs (this container
+  *     ships no image/audio libraries): `decodeFrame` produces a
+  *     deterministic fake feature vector from the bytes. A real
+  *     deployment swaps only that function (e.g. JNI into libjpeg /
+  *     ffmpeg), keeping every Spark-side contract identical.
   *
   * Scale notes: decode is embarrassingly parallel and CPU-bound, so the
   * operator repartitions to many small partitions (codec memory per
@@ -62,6 +69,144 @@ object BinaryDecode {
         }
       }
     }
+  }
+
+  // ------------------------------------------------------------------
+  // REAL container parsers — RIFF/WAV and BMP are pure-byte-layout
+  // public formats, so their header+payload parsing needs no codec
+  // library: these are production decode paths, not stubs. A payload
+  // that parses feeds the REAL per-frame PCM energy; anything else
+  // falls back to the disclosed stub codec above. (Spec-verified
+  // against hand-built files in BinaryDecodeSpec.)
+  // ------------------------------------------------------------------
+
+  /** Parsed RIFF/WAVE header: PCM format fields + the location of the
+    * raw sample bytes inside the payload. */
+  final case class WavInfo(
+      audioFormat: Int,
+      numChannels: Int,
+      sampleRate: Int,
+      bitsPerSample: Int,
+      dataOffset: Int,
+      dataBytes: Int)
+
+  /** Parsed BMP (BITMAPINFOHEADER) header. Height may be negative in
+    * a real top-down BMP; `height` keeps the signed value. */
+  final case class BmpInfo(
+      fileSize: Int,
+      pixelOffset: Int,
+      width: Int,
+      height: Int,
+      bitsPerPixel: Int)
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def tag(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Real RIFF/WAVE parser: 'RIFF'<size>'WAVE', then a chunk walk for
+    * 'fmt ' (PCM format fields) and 'data' (sample payload). Returns
+    * None on any malformed structure — the ingest-gate contract
+    * (q242's audit shape): never throw on corpus bytes. */
+  def parseWav(b: Array[Byte]): Option[WavInfo] = {
+    if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None
+    var data: Option[(Int, Int)] = None
+    while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(b, off)
+      val sz = le32(b, off + 4)
+      if (sz < 0 || off + 8 + sz > b.length) return None
+      if (id == "fmt " && sz >= 16)
+        fmt = Some((le16(b, off + 8), le16(b, off + 10),
+          le32(b, off + 12), le16(b, off + 22)))
+      else if (id == "data")
+        data = Some((off + 8, sz))
+      // chunks are word-aligned: odd sizes carry a pad byte
+      off += 8 + sz + (sz & 1)
+    }
+    for ((af, ch, sr, bps) <- fmt; (dOff, dLen) <- data
+         if ch > 0 && sr > 0 && (bps == 8 || bps == 16))
+      yield WavInfo(af, ch, sr, bps, dOff, dLen)
+  }
+
+  /** Real BMP parser: 'BM' magic, pixel-array offset at byte 10, and
+    * the BITMAPINFOHEADER geometry (width/height/bpp). None on any
+    * malformed structure. */
+  def parseBmp(b: Array[Byte]): Option[BmpInfo] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val fileSize = le32(b, 2)
+    val pixOff = le32(b, 10)
+    val dibSize = le32(b, 14)
+    if (dibSize < 40 || pixOff < 54 || pixOff > b.length) return None
+    val info = BmpInfo(fileSize, pixOff, le32(b, 18), le32(b, 22), le16(b, 28))
+    if (info.width <= 0 || info.bitsPerPixel <= 0) None else Some(info)
+  }
+
+  /** Real PCM frame energy: decode the WAV's sample stream (8-bit
+    * unsigned / 16-bit signed little-endian PCM) and emit one RMS-
+    * proportional integer per `frameSamples` window — the actual
+    * voice-activity energy a VAD consumes (q190 runs the same
+    * gaps-and-islands segmentation over its stubbed energy; this is
+    * the drop-in real kernel for true WAV payloads). */
+  def wavFrameEnergies(b: Array[Byte], info: WavInfo,
+      frameSamples: Int): Array[Long] = {
+    require(frameSamples > 0, "frameSamples must be positive")
+    val bytesPerSample = info.bitsPerSample / 8
+    val n = info.dataBytes / bytesPerSample
+    val frames = (n + frameSamples - 1) / frameSamples
+    val out = new Array[Long](frames)
+    var i = 0
+    while (i < n) {
+      val off = info.dataOffset + i * bytesPerSample
+      val s =
+        if (bytesPerSample == 1) (b(off) & 0xff) - 128
+        else (le16(b, off) << 16) >> 16 // sign-extend 16-bit LE
+      out(i / frameSamples) += s.toLong * s
+      i += 1
+    }
+    out
+  }
+
+  /** Typed decode result of the real-container path. */
+  final case class MediaProbe(
+      doc_id: Long,
+      container: String, // "wav" | "bmp" | "opaque"
+      sample_rate: Int,
+      channels: Int,
+      bits: Int,
+      width: Int,
+      height: Int,
+      n_frames: Int)
+
+  /** Container-dispatch decode: real WAV/BMP payloads parse with the
+    * real parsers, everything else reports as opaque (and would flow
+    * to the stub codec). Same mapPartitions batch shape as
+    * [[decodeFrames]] — a per-partition pure pass, no driver hop. */
+  def probeContainers(records: Dataset[MediaRecord],
+      frameSamples: Int = 256): Dataset[MediaProbe] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map { r =>
+      parseWav(r.payload) match {
+        case Some(w) =>
+          val frames = wavFrameEnergies(r.payload, w, frameSamples).length
+          MediaProbe(r.doc_id, "wav", w.sampleRate, w.numChannels,
+            w.bitsPerSample, 0, 0, frames)
+        case None => parseBmp(r.payload) match {
+          case Some(bm) =>
+            MediaProbe(r.doc_id, "bmp", 0, 0, bm.bitsPerPixel,
+              bm.width, bm.height, 1)
+          case None =>
+            MediaProbe(r.doc_id, "opaque", 0, 0, 0, 0, 0,
+              (r.payload.length + FrameBytes - 1) / FrameBytes)
+        }
+      }
+    })
   }
 
   /** STUB RESIZE — nearest-neighbor downsample of a payload to exactly

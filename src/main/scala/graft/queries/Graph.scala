@@ -830,5 +830,64 @@ object Graph {
             " div (m * greatest(least(r - 1, c - 1), 1))").as("v2_ppm"),
           col("top_kc"), col("top_ks"), col("lift_ppm"))
     },
+
+    // --------------------------------------------------------------- q259
+    // Bucketed shared edge corpus — the 100 TB layout move for the
+    // trading graph every query in this file re-derives: the distinct
+    // customer⇄supplier pair list is computed ONCE, written as a
+    // 32-bucket table CLUSTERED BY the customer key, and every
+    // downstream consumer reads it back exchange-free. Two consumers
+    // demonstrate the payoff in one plan: (1) the per-customer degree
+    // aggregate runs with NO exchange at all — the bucketed scan's
+    // HashPartitioning(c, 32) already satisfies the aggregate's
+    // clustering, so partial and final collapse into the scan stage;
+    // (2) the customer-nation join shuffles ONLY the vertex side into
+    // the bucket layout — the (much larger) edge side never moves.
+    // At production scale this is the difference between re-shuffling
+    // the edge corpus per graph query and paying its shuffle once at
+    // ingest (PlanSpec pins zero Exchange above the bucketed scan).
+    // The write is the one-time layout investment and is part of the
+    // measured query on purpose — the bench shows the investment AND
+    // the exchange-free read in one number. The oracle computes the
+    // identical report straight from parquet (bucketing is a layout,
+    // not a semantics).
+    Q(
+      "q259_bucketed_edge_corpus",
+      Some("""
+        WITH pairs AS (
+          SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        deg AS (
+          SELECT c, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM pairs GROUP BY 1)
+        SELECT CAST(c_nationkey AS BIGINT) AS nation,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(deg) AS BIGINT) AS n_edges,
+               MAX(deg) AS max_deg
+        FROM deg JOIN customer ON c_custkey = deg.c
+        GROUP BY 1""")
+    ) { (s, dir) =>
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+      val loc = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_edges_bucketed").getAbsolutePath
+      pairs.write.mode("overwrite")
+        .bucketBy(32, "c").sortBy("c")
+        .option("path", loc)
+        .saveAsTable("graft_edges_bucketed")
+      val edges = s.table("graft_edges_bucketed")
+      // zero-exchange: bucketed-by-c scan already clusters by c
+      val deg = edges.groupBy(col("c")).agg(count(lit(1)).as("deg"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      deg.join(cust.hint("shuffle_hash"), col("c_custkey") === col("c"))
+        .groupBy(col("c_nationkey").cast("long").as("nation"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("deg")).as("n_edges"),
+          max(col("deg")).as("max_deg"))
+    },
   )
 }

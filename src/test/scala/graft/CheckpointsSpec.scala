@@ -39,4 +39,39 @@ class CheckpointsSpec extends SparkSpec {
       assert(spark.sparkContext.getCheckpointDir.exists(_.contains(dir)))
     } finally spark.conf.unset(Checkpoints.DirConf)
   }
+
+  test("checkpointed registry queries are value-identical under both durability paths") {
+    // The deploy-posture parity ask: every query whose plan runs
+    // through Checkpoints.materialize must produce the same rows
+    // whether the materialization is executor-local (localCheckpoint,
+    // the local[n] default) or reliable (checkpoint() into
+    // spark.graft.checkpointDir, the 1000-executor posture). A
+    // representative slice across the checkpointed families — the
+    // iterative graph programs, the cell-blocked dedup, and the
+    // banding audit — runs under BOTH configs; rows canonicalize to
+    // sorted string form and must match exactly. (The full-registry
+    // reliable-path sweep at sf0.01 is recorded in BENCHNOTES.)
+    val names = Seq("q94_pagerank", "q123_triangle_census",
+      "q89_semantic_dedup", "q146_recall_sweep")
+    val sf = "/root/testdata/sf0.001"
+    def canon(name: String): Seq[String] = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect().map(_.toSeq.map(v =>
+        if (v == null) "NULL" else v.toString).mkString("|")).sorted.toSeq
+    }
+    val local = names.map(n => n -> canon(n)).toMap
+    val dir = Files.createTempDirectory("graft-ckpt-parity").toString
+    spark.conf.set(Checkpoints.DirConf, dir)
+    try {
+      names.foreach { n =>
+        assert(canon(n) === local(n),
+          s"$n diverged between local and reliable checkpoint paths")
+      }
+      // the reliable path actually engaged: checkpoint files landed
+      val files = Files.walk(Paths.get(dir))
+      try assert(files.filter(Files.isRegularFile(_)).count() > 0,
+        s"expected reliable checkpoint files under $dir")
+      finally files.close()
+    } finally spark.conf.unset(Checkpoints.DirConf)
+  }
 }

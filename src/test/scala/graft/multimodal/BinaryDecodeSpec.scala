@@ -51,4 +51,124 @@ class BinaryDecodeSpec extends SparkSpec {
     assert(BinaryDecode.resizeAll(records, 64).collect()
       .forall(_.payload.length === 64))
   }
+
+  // ---- real-container path: hand-built RIFF/WAV and BMP fixtures ----
+
+  /** Builds a real, canonical 44-byte-header PCM WAV file:
+    * 16-bit signed LE mono samples. */
+  private def buildWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataBytes = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Builds a real minimal 24-bit BMP (BITMAPINFOHEADER, bottom-up). */
+  private def buildBmp(width: Int, height: Int): Array[Byte] = {
+    val rowBytes = (width * 3 + 3) / 4 * 4 // rows pad to 4-byte boundary
+    val pixBytes = rowBytes * height
+    val bb = java.nio.ByteBuffer.allocate(54 + pixBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + pixBytes)
+      .putShort(0).putShort(0).putInt(54) // reserved + pixel offset
+    bb.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24) // planes, bpp
+      .putInt(0).putInt(pixBytes).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    bb.array()
+  }
+
+  test("parseWav: hand-built real PCM file round-trips header and frame energy") {
+    // 512 samples: 256 of silence then 256 of a full-scale square wave
+    val samples = Array.tabulate[Short](512)(i =>
+      if (i < 256) 0 else if (i % 2 == 0) 1000 else -1000)
+    val wav = buildWav(samples, 8000)
+    val info = BinaryDecode.parseWav(wav)
+    assert(info.isDefined, "canonical WAV must parse")
+    val w = info.get
+    assert(w.audioFormat === 1 && w.numChannels === 1
+      && w.sampleRate === 8000 && w.bitsPerSample === 16)
+    assert(w.dataOffset === 44 && w.dataBytes === 1024)
+    // per-256-sample frame energy: silent frame = 0, loud frame = 256·1000²
+    val e = BinaryDecode.wavFrameEnergies(wav, w, 256)
+    assert(e.toSeq === Seq(0L, 256L * 1000 * 1000))
+    // 8-bit PCM path: unsigned bytes centered at 128
+    val wav8 = {
+      val bb = java.nio.ByteBuffer.allocate(44 + 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 4)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(8000)
+        .putShort(1).putShort(8)
+      bb.put("data".getBytes("US-ASCII")).putInt(4)
+      bb.put(128.toByte).put(255.toByte).put(0.toByte).put(128.toByte)
+      bb.array()
+    }
+    val w8 = BinaryDecode.parseWav(wav8).get
+    assert(w8.bitsPerSample === 8)
+    // samples decode to 0, 127, −128, 0 → one frame of 127² + 128²
+    assert(BinaryDecode.wavFrameEnergies(wav8, w8, 4).toSeq ===
+      Seq(127L * 127 + 128L * 128))
+  }
+
+  test("parseWav: malformed inputs return None, never throw") {
+    val good = buildWav(Array.tabulate[Short](16)(_.toShort), 44100)
+    assert(BinaryDecode.parseWav(good).isDefined)
+    assert(BinaryDecode.parseWav(Array.empty[Byte]).isEmpty)
+    assert(BinaryDecode.parseWav("RIFFxxxxWAVE".getBytes).isEmpty)
+    // flip the WAVE tag
+    val bad = good.clone(); bad(8) = 'X'.toByte
+    assert(BinaryDecode.parseWav(bad).isEmpty)
+    // truncate into the data chunk: declared size exceeds payload
+    assert(BinaryDecode.parseWav(good.take(50)).isEmpty)
+    // a chunk size that overflows the buffer must be rejected
+    val lying = good.clone()
+    lying(40) = 0x7f.toByte; lying(41) = 0x7f.toByte
+    lying(42) = 0x7f.toByte; lying(43) = 0x7f.toByte
+    assert(BinaryDecode.parseWav(lying).isEmpty)
+  }
+
+  test("parseBmp: hand-built real 24-bit BMP parses; malformed rejected") {
+    val bmp = buildBmp(7, 5) // odd width exercises row padding
+    val info = BinaryDecode.parseBmp(bmp)
+    assert(info.isDefined)
+    assert(info.get.width === 7 && info.get.height === 5
+      && info.get.bitsPerPixel === 24 && info.get.pixelOffset === 54)
+    assert(BinaryDecode.parseBmp("not a bmp at all - padding padding padding padding padding".getBytes).isEmpty)
+    assert(BinaryDecode.parseBmp(bmp.take(40)).isEmpty)
+  }
+
+  test("probeContainers dispatches real WAV/BMP from opaque payloads in one pass") {
+    import spark.implicits._
+    val opaqueBytes =
+      "just some opaque bytes, long enough to span two stub frames".getBytes
+    val recs = Seq(
+      BinaryDecode.MediaRecord(1L, "audio/wav",
+        buildWav(Array.tabulate[Short](1000)(i => (i % 100).toShort), 16000)),
+      BinaryDecode.MediaRecord(2L, "image/bmp", buildBmp(32, 8)),
+      BinaryDecode.MediaRecord(3L, "text/plain", opaqueBytes)
+    ).toDS()
+    val probes = BinaryDecode.probeContainers(recs, frameSamples = 256)
+      .collect().map(p => p.doc_id -> p).toMap
+    assert(probes(1L).container === "wav" && probes(1L).sample_rate === 16000
+      && probes(1L).channels === 1 && probes(1L).bits === 16
+      && probes(1L).n_frames === 4) // ceil(1000/256)
+    assert(probes(2L).container === "bmp" && probes(2L).width === 32
+      && probes(2L).height === 8 && probes(2L).bits === 24)
+    assert(probes(3L).container === "opaque"
+      && probes(3L).n_frames ===
+        (opaqueBytes.length + BinaryDecode.FrameBytes - 1) / BinaryDecode.FrameBytes)
+  }
 }

@@ -877,6 +877,33 @@ class PlanSpec extends SparkSpec {
       s"unpartitioned corpus-frame windows in: $offenders")
   }
 
+  test("q259: zero Exchange above the bucketed edge scan; only the vertex side shuffles") {
+    // The shared-edge-corpus layout demo: the pair list is written as
+    // a 32-bucket table CLUSTERED BY customer key, so (1) the
+    // per-customer degree aggregate and (2) the edge side of the
+    // customer join both consume the bucketed scan with NO exchange —
+    // the at-scale contract that the edge corpus shuffles once at
+    // ingest, never per query. (Building the plan performs the
+    // bucketed write — the layout investment is part of the query.)
+    val p = plan("q259_bucketed_edge_corpus")
+    val bucketScans = scans(p).filter(_.relation.bucketSpec.isDefined)
+    assert(bucketScans.nonEmpty, s"expected a bucketed table scan:\n$p")
+    assert(bucketScans.forall(_.relation.bucketSpec.get.numBuckets == 32))
+    val joins = p.collect { case j: ShuffledHashJoinExec => j }
+    assert(joins.nonEmpty, s"vertex attach must be a shuffled-hash join:\n$p")
+    // the join child that contains the bucketed scan must carry no
+    // Exchange anywhere beneath it — degree agg + join read the
+    // bucket layout as-is
+    val edgeSide = joins.head.children.find(_.exists {
+      case f: FileSourceScanExec => f.relation.bucketSpec.isDefined
+      case _ => false
+    })
+    assert(edgeSide.isDefined, s"bucketed scan must feed the join:\n$p")
+    assert(edgeSide.get.collect {
+      case e: ShuffleExchangeExec => e
+    }.isEmpty, s"no exchange may sit above the bucketed scan:\n${edgeSide.get}")
+  }
+
   test("q232: two-phase Lorenz — every unpartitioned window sits above an aggregate") {
     // round-7's weak component: the old plan ranked the whole customer
     // table in ONE task. The rewrite must keep every empty-partition
