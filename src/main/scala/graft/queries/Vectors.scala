@@ -65,7 +65,7 @@ object Vectors {
     * cell membership aligns with cosine neighborhoods. At production
     * scale this is the k-means|| stand-in — same data flow (broadcast
     * centroids, map-side assign, tiny per-round reduce). */
-  private val ivfTrainRounds = 3
+  private val ivfTrainRounds = 2
 
   /** Candidate replication factor: each vector indexes into its r
     * highest-cosine cells (closure/multi-assignment — the SPANN
@@ -291,10 +291,10 @@ object Vectors {
     // approximate top-5 must out-score it and is therefore itself in
     // the exact top-5 (AnalyticsSpec pins the monotone property). At
     // nProbe = nCentroids the probe is exhaustive and recall is
-    // exactly 1.0. With spherical trained cells + r=2 candidate
-    // replication the measured curve is 0.80-0.84@2 / 0.92-0.99@4 /
-    // 1.00@8 across sf0.001-0.1 — nProbe=4 IS the ≥0.9 operating
-    // point below exhaustive probing. The exact ground truth is
+    // exactly 1.0. With spherical trained cells (2 Lloyd rounds) +
+    // r=2 candidate replication the measured curve is 0.81-0.84@2 /
+    // 0.95-0.97@4 / 1.00@8 across sf0.001-0.1 — nProbe=4 IS the ≥0.9
+    // operating point below exhaustive probing. The exact ground truth is
     // computed ONCE and materialized; each sweep point is one
     // bucketed IVF search + a 100-row join.
     Q(
@@ -312,8 +312,13 @@ object Vectors {
     ) { (s, dir) =>
       val bf = graft.Checkpoints.materialize(
         bruteTopk(s, dir).select("query_id", "vec_id"))
+      // train ONCE; the three sweep points share the centroid table
+      val base = quantized(s, dir).filter(col("qn") > 0)
+        .select("vec_id", "qv", "qn")
+      val cents = graft.operators.Ivf.trainCentroidsCosine(base, "vec_id", "qv",
+        ivfCfg.nCentroids, ivfTrainRounds)
       Seq(2, 4, 8).map { p =>
-        val iv = ivfTopkAt(s, dir, p)
+        val iv = ivfTopkWith(base, cents, p)
           .select(col("query_id"), col("vec_id")).withColumn("hit", lit(1))
         bf.join(iv, Seq("query_id", "vec_id"), "left")
           .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("k"))
@@ -1526,6 +1531,15 @@ object Vectors {
         .select("vec_id", "qv", "qn")
       val cents = graft.operators.Ivf.trainCentroidsCosine(base, "vec_id", "qv",
         ivfCfg.nCentroids, ivfTrainRounds)
+      ivfTopkWith(base, cents, nProbe)
+  }
+
+  /** The search phase against ALREADY-TRAINED centroids — split out so
+    * q146's sweep trains ONCE and probes three times (training is the
+    * expensive phase: each Lloyd round is an eager materialize + a
+    * corpus assign pass; re-training per sweep point tripled it). */
+  private def ivfTopkWith(base: DataFrame, cents: DataFrame,
+      nProbe: Int): DataFrame = {
       // candidate REPLICATION (the SPANN-style closure assignment):
       // each vector indexes into its ivfReplication highest-cosine
       // cells, so a neighbor sitting just across a cell boundary is
