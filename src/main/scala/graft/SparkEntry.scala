@@ -202,6 +202,10 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q257    graft.queries.Events     — event-type audience overlap
   *   q258    graft.queries.Events     — duplicate-payment detection
   *   q259    graft.queries.Graph      — bucketed shared edge corpus
+  *   q260    graft.queries.Events     — Page's CUSUM alarm (online)
+  *   q261    graft.queries.Events     — A/B sample-ratio-mismatch check
+  *   q262    graft.queries.Events     — CUPED variance reduction
+  *   q263    graft.queries.Vectors    — ANN replication sweep
   */
 object SparkEntry {
 

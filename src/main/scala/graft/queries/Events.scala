@@ -3463,6 +3463,242 @@ object Events {
             expr("(1000 * (p_base_ppm - p_removed_ppm)) div p_base_ppm"))
             .otherwise(0L).as("removal_pm"))
     },
+
+    // --------------------------------------------------------------- q260
+    // Page's sequential CUSUM alarm over the daily event volume — the
+    // ONLINE drift detector beside q202's offline changepoint LOCATOR
+    // (q202 answers "where was the level shift, in hindsight"; this
+    // answers "raise the alarm NOW, with tunable slack and delay" —
+    // the form an ingest pipeline actually pages on): Page's recursion s_t = max(0,
+    // s_{t-1} + (x_t − μ − k)) is NOT a window sum, but its closed
+    // form IS: s_t = S_t − min(0, min_{j≤t} S_j) for the plain cumsum
+    // S — so the whole detector is two cumulative windows over the
+    // DAY-SPACE table (|days| rows; the corpus pays one groupBy).
+    // Baseline μ = integer mean of the first 14 days, slack k = μ/20
+    // (5%), alarm threshold h = μ — all exact BIGINT, both tails
+    // (surge and drop) reported per day. The classic sequential-
+    // detection trade: k tunes sensitivity-vs-noise, h the detection
+    // delay; both knobs are visible columns, not buried constants.
+    Q(
+      "q260_page_cusum_alarm",
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+          FROM events GROUP BY 1),
+        base AS (
+          SELECT CAST(SUM(x) AS BIGINT) // 14 AS mu FROM (
+            SELECT x, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM daily) t
+          WHERE rn <= 14),
+        cum AS (
+          SELECT d, x, mu,
+                 CAST(SUM(x - (mu + mu // 20)) OVER (ORDER BY d
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sp,
+                 CAST(SUM((mu - mu // 20) - x) OVER (ORDER BY d
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sn
+          FROM daily CROSS JOIN base)
+        SELECT d, x, mu,
+               sp - LEAST(CAST(MIN(sp) OVER (ORDER BY d
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT), 0) AS cusum_up,
+               sn - LEAST(CAST(MIN(sn) OVER (ORDER BY d
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT), 0) AS cusum_down,
+               sp - LEAST(CAST(MIN(sp) OVER (ORDER BY d
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT), 0) > mu AS alarm_up,
+               sn - LEAST(CAST(MIN(sn) OVER (ORDER BY d
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT), 0) > mu AS alarm_down
+        FROM cum""")
+    ) { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("x"))
+      val base = daily
+        .select(col("x"), row_number().over(Window.orderBy("d")).as("rn"))
+        .filter(col("rn") <= 14)
+        .agg(expr("sum(x) div 14").as("mu"))
+      val wd = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.crossJoin(broadcast(base))
+        .withColumn("sp",
+          sum(col("x") - (col("mu") + expr("mu div 20"))).over(wd))
+        .withColumn("sn",
+          sum((col("mu") - expr("mu div 20")) - col("x")).over(wd))
+        .withColumn("cusum_up", col("sp") - least(min(col("sp")).over(wd), lit(0L)))
+        .withColumn("cusum_down", col("sn") - least(min(col("sn")).over(wd), lit(0L)))
+        .select(col("d"), col("x"), col("mu"), col("cusum_up"),
+          col("cusum_down"),
+          (col("cusum_up") > col("mu")).as("alarm_up"),
+          (col("cusum_down") > col("mu")).as("alarm_down"))
+    },
+
+    // --------------------------------------------------------------- q261
+    // Sample-ratio-mismatch (SRM) check — the first gate every A/B
+    // platform runs before reading ANY metric: do the observed arm
+    // sizes match the intended split? Three assignment scenarios ride
+    // one user-space dataflow with a tag column (the q237/q251 move):
+    // a salted-Knuth 50/50 hash (healthy), a user_id%10<4 "bug" that
+    // was INTENDED 50/50 (the SRM catch — id-pattern assignment is
+    // the classic cause), and a deliberate 90/10 weighted rollout
+    // (healthy at its own weights). The 1-df χ² reduces EXACTLY to
+    // (W·oA − n·wA)² / (n·wA·wB) for a two-arm split (d² · W² /
+    // (n·wA·wB) with d the observed−expected gap) — reported in
+    // milli, banked through DECIMAL(38,0)/HUGEINT so the square never
+    // overflows, flagged at the 95% threshold 3.841. Assignment is
+    // per-USER (first shuffle collapses events to users), so the χ²
+    // sees users, not event volume.
+    Q(
+      "q261_srm_check",
+      Some(s"""
+        WITH users AS (SELECT DISTINCT user_id FROM events),
+        arms AS (
+          SELECT scenario, wa, wb,
+                 CAST(SUM(a) AS BIGINT) AS oa,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM (
+            SELECT 'hash_50_50' AS scenario, CAST(1 AS BIGINT) AS wa,
+                   CAST(1 AS BIGINT) AS wb,
+                   CASE WHEN (${graft.Knuth.sql("user_id", 7L)}) // 1024 % 2 = 0
+                     THEN 1 ELSE 0 END AS a
+            FROM users
+            UNION ALL
+            SELECT 'mod_bug_50_50', 1, 1,
+                   CASE WHEN user_id % 10 < 4 THEN 1 ELSE 0 END
+            FROM users
+            UNION ALL
+            SELECT 'hash_90_10', 9, 1,
+                   CASE WHEN (${graft.Knuth.sql("user_id", 7L)}) // 1024 % 10 < 9
+                     THEN 1 ELSE 0 END
+            FROM users) t
+          GROUP BY 1, 2, 3)
+        SELECT scenario, n, oa, n - oa AS ob, wa, wb,
+               CAST((1000 * ((wa + wb) * CAST(oa AS HUGEINT) - n * wa)
+                          * ((wa + wb) * CAST(oa AS HUGEINT) - n * wa))
+                    // (CAST(n AS HUGEINT) * wa * wb) AS BIGINT)
+                 AS chi2_milli,
+               CAST((1000 * ((wa + wb) * CAST(oa AS HUGEINT) - n * wa)
+                          * ((wa + wb) * CAST(oa AS HUGEINT) - n * wa))
+                    // (CAST(n AS HUGEINT) * wa * wb) AS BIGINT) > 3841
+                 AS srm
+        FROM arms""")
+    ) { (s, dir) =>
+      val users = t(s, dir, "events").select(col("user_id")).distinct()
+      // assignment reads hash BIT 10, not bit 0: the multiplicative
+      // hash's bottom bit is just input parity (the q153 lattice trap
+      // — consecutive ids would split EXACTLY 50/50, a giveaway no
+      // real assignment produces); the middle bits mix
+      val hb = expr(s"(${graft.Knuth.sql("user_id", 7L)}) div 1024")
+      val scen = users.select(lit("hash_50_50").as("scenario"),
+          lit(1L).as("wa"), lit(1L).as("wb"),
+          when(hb % 2 === 0, 1L).otherwise(0L).as("a"))
+        .unionByName(users.select(lit("mod_bug_50_50").as("scenario"),
+          lit(1L).as("wa"), lit(1L).as("wb"),
+          when(col("user_id") % 10 < 4, 1L).otherwise(0L).as("a")))
+        .unionByName(users.select(lit("hash_90_10").as("scenario"),
+          lit(9L).as("wa"), lit(1L).as("wb"),
+          when(hb % 10 < 9, 1L).otherwise(0L).as("a")))
+      val chi2 = expr("""cast((1000 * ((wa + wb) * cast(oa as decimal(38,0)) - n * wa)
+                       * ((wa + wb) * cast(oa as decimal(38,0)) - n * wa))
+                  div (cast(n as decimal(38,0)) * wa * wb) as bigint)""")
+      scen.groupBy(col("scenario"), col("wa"), col("wb"))
+        .agg(sum(col("a")).as("oa"), count(lit(1)).as("n"))
+        .select(col("scenario"), col("n"), col("oa"),
+          (col("n") - col("oa")).as("ob"), col("wa"), col("wb"),
+          chi2.as("chi2_milli"), (chi2 > 3841L).as("srm"))
+    },
+
+    // --------------------------------------------------------------- q262
+    // CUPED variance reduction — the experimentation-platform
+    // estimator upgrade: adjust each user's post-period metric by
+    // their PRE-period activity (y − θ·x) so pre-existing user
+    // variance cancels out of the treatment comparison. θ* =
+    // cov(x,y)/var(x) in exact permyriad; the key move is that the
+    // adjusted variance needs NO second pass — Σadj and Σadj² expand
+    // ALGEBRAICALLY from the six sufficient statistics (n, Σx, Σy,
+    // Σxy, Σx², Σy²): Σadj = 10⁴Σy − θΣx, Σadj² = 10⁸Σy² −
+    // 2·10⁴θΣxy + θ²Σx². One user-space aggregate, one stats row,
+    // all cross terms banked DECIMAL(38,0)/HUGEINT (θ²Σx² is the
+    // overflow term). x = events in days 1-15 of month, y = days
+    // 16+; variance ratio and the headline "CUPED cuts variance by
+    // X%" in exact ppm. Singleton/constant-x corpora degrade to θ
+    // NULL, ratio 10⁶ (no reduction) — guarded identically in both
+    // engines.
+    Q(
+      "q262_cuped",
+      Some("""
+        WITH ux AS (
+          SELECT user_id,
+                 CAST(SUM(CASE WHEN day(CAST(ts AS DATE)) <= 15
+                      THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                 CAST(SUM(CASE WHEN day(CAST(ts AS DATE)) > 15
+                      THEN 1 ELSE 0 END) AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        st AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y) AS BIGINT) AS syy
+          FROM ux),
+        th AS (
+          SELECT n, sx, sy, sxy, sxx, syy,
+                 CASE WHEN n * CAST(sxx AS HUGEINT) - CAST(sx AS HUGEINT) * sx > 0
+                   THEN CAST((10000 * (n * CAST(sxy AS HUGEINT) - CAST(sx AS HUGEINT) * sy))
+                        // (n * CAST(sxx AS HUGEINT) - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+                 END AS theta_pq
+          FROM st),
+        agg AS (
+          SELECT n, sx, sy, theta_pq,
+                 n * CAST(syy AS HUGEINT) - CAST(sy AS HUGEINT) * sy AS var_y,
+                 CASE WHEN theta_pq IS NULL THEN NULL ELSE
+                   n * (100000000 * CAST(syy AS HUGEINT)
+                        - 2 * 10000 * CAST(theta_pq AS HUGEINT) * sxy
+                        + CAST(theta_pq AS HUGEINT) * theta_pq * sxx)
+                   - (10000 * CAST(sy AS HUGEINT) - CAST(theta_pq AS HUGEINT) * sx)
+                     * (10000 * CAST(sy AS HUGEINT) - CAST(theta_pq AS HUGEINT) * sx)
+                 END AS var_adj
+          FROM th)
+        SELECT n, sx, sy, theta_pq,
+               CAST(var_y AS BIGINT) AS var_y_n,
+               CASE WHEN theta_pq IS NULL OR var_y = 0 THEN 1000000
+                 ELSE CAST((1000000 * var_adj) // (100000000 * var_y) AS BIGINT)
+               END AS var_ratio_ppm,
+               1000000 - CASE WHEN theta_pq IS NULL OR var_y = 0 THEN 1000000
+                 ELSE CAST((1000000 * var_adj) // (100000000 * var_y) AS BIGINT)
+               END AS reduction_ppm
+        FROM agg""")
+    ) { (s, dir) =>
+      val ux = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(when(dayofmonth(to_date(col("ts"))) <= 15, 1L).otherwise(0L))
+          .as("x"),
+          sum(when(dayofmonth(to_date(col("ts"))) > 15, 1L).otherwise(0L))
+            .as("y"))
+      val st = ux.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val th = st.withColumn("theta_pq", expr("""
+        CASE WHEN n * cast(sxx as decimal(38,0)) - cast(sx as decimal(38,0)) * sx > 0
+          THEN cast((10000 * (n * cast(sxy as decimal(38,0)) - cast(sx as decimal(38,0)) * sy))
+               div (n * cast(sxx as decimal(38,0)) - cast(sx as decimal(38,0)) * sx) as bigint)
+        END"""))
+      val agg = th
+        .withColumn("var_y",
+          expr("n * cast(syy as decimal(38,0)) - cast(sy as decimal(38,0)) * sy"))
+        .withColumn("var_adj", expr("""
+          CASE WHEN theta_pq IS NULL THEN NULL ELSE
+            n * (100000000 * cast(syy as decimal(38,0))
+                 - 2 * 10000 * cast(theta_pq as decimal(38,0)) * sxy
+                 + cast(theta_pq as decimal(38,0)) * theta_pq * sxx)
+            - (10000 * cast(sy as decimal(38,0)) - cast(theta_pq as decimal(38,0)) * sx)
+              * (10000 * cast(sy as decimal(38,0)) - cast(theta_pq as decimal(38,0)) * sx)
+          END"""))
+      val ratio = expr("""
+        CASE WHEN theta_pq IS NULL OR var_y = 0 THEN 1000000
+          ELSE cast((1000000 * var_adj) div (100000000 * var_y) as bigint)
+        END""")
+      agg.select(col("n"), col("sx"), col("sy"), col("theta_pq"),
+        col("var_y").cast("long").as("var_y_n"),
+        ratio.as("var_ratio_ppm"),
+        (lit(1000000L) - ratio).as("reduction_ppm"))
+    },
   )
 
   /** q237's oracle: the transition-count CTEs plus four unrolled

@@ -327,6 +327,47 @@ object Vectors {
       }.reduce(_ unionAll _)
     },
 
+    // --------------------------------------------------------------- q263
+    // ANN replication sweep — q146's sibling for the SECOND recall
+    // knob: recall@5 at fixed nProbe=2 (the cheapest operating point,
+    // where boundary losses concentrate) for candidate replication
+    // r ∈ {1, 2}. r=1 is plain single-cell assignment; r=2 indexes
+    // each vector in its two best cells for 2× storage/scored pairs.
+    // Together with q146 this publishes the full tuning surface a
+    // production deployment sweeps: (nProbe, r) → (recall, cost).
+    // Training and exact ground truth are shared across both sweep
+    // points (one trained centroid table, one materialized brute
+    // top-5); replication recall is monotone in r for the same
+    // prefix-nesting reason as nProbe (candidate cells only grow).
+    Q(
+      "q263_replication_sweep",
+      Some(Seq(1, 2).map { r =>
+        s"""
+        SELECT CAST($r AS BIGINT) AS replication,
+               CAST(COUNT(iv.vec_id) AS BIGINT) AS n_hits,
+               COUNT(*) AS k,
+               CAST(COUNT(iv.vec_id) AS DOUBLE) / COUNT(*) AS recall
+        FROM ($bruteTopkSql) bf
+        LEFT JOIN (${ivfTopkSqlAtR(2, r)}) iv
+          ON iv.query_id = bf.query_id AND iv.vec_id = bf.vec_id"""
+      }.mkString("\n        UNION ALL\n"))
+    ) { (s, dir) =>
+      val bf = graft.Checkpoints.materialize(
+        bruteTopk(s, dir).select("query_id", "vec_id"))
+      val base = quantized(s, dir).filter(col("qn") > 0)
+        .select("vec_id", "qv", "qn")
+      val cents = graft.operators.Ivf.trainCentroidsCosine(base, "vec_id", "qv",
+        ivfCfg.nCentroids, ivfTrainRounds)
+      Seq(1, 2).map { r =>
+        val iv = ivfTopkWith(base, cents, 2, r)
+          .select(col("query_id"), col("vec_id")).withColumn("hit", lit(1))
+        bf.join(iv, Seq("query_id", "vec_id"), "left")
+          .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("k"))
+          .select(lit(r.toLong).as("replication"), col("n_hits"), col("k"),
+            (col("n_hits").cast("double") / col("k")).as("recall"))
+      }.reduce(_ unionAll _)
+    },
+
     qSkewcap,
 
     // ---------------------------------------------------------------- q89
@@ -1484,7 +1525,10 @@ object Vectors {
     * the probe knob, so the SQL is parameterized on nProbe. */
   private lazy val ivfTopkSql: String = ivfTopkSqlAt(ivfCfg.nProbe)
 
-  private def ivfTopkSqlAt(nProbe: Int): String = {
+  private def ivfTopkSqlAt(nProbe: Int): String =
+    ivfTopkSqlAtR(nProbe, ivfReplication)
+
+  private def ivfTopkSqlAtR(nProbe: Int, replication: Int): String = {
         val cfg = ivfCfg.copy(nProbe = nProbe)
         val fc = s"cents$ivfTrainRounds"
         s"""
@@ -1501,7 +1545,7 @@ object Vectors {
                    ROW_NUMBER() OVER (PARTITION BY n.vec_id
                      ORDER BY ${graft.operators.Ivf.cosKeySql("n.qv")}, c.centroid_id) AS rn
             FROM normed n CROSS JOIN $fc c) t
-          WHERE rn <= $ivfReplication),
+          WHERE rn <= $replication),
         probed AS (
           SELECT query_id, qqv, qqn, centroid_id FROM (
             SELECT q.vec_id AS query_id, q.qv AS qqv, q.qn AS qqn, c.centroid_id,
@@ -1539,16 +1583,16 @@ object Vectors {
     * expensive phase: each Lloyd round is an eager materialize + a
     * corpus assign pass; re-training per sweep point tripled it). */
   private def ivfTopkWith(base: DataFrame, cents: DataFrame,
-      nProbe: Int): DataFrame = {
+      nProbe: Int, replication: Int = ivfReplication): DataFrame = {
       // candidate REPLICATION (the SPANN-style closure assignment):
-      // each vector indexes into its ivfReplication highest-cosine
+      // each vector indexes into its `replication` highest-cosine
       // cells, so a neighbor sitting just across a cell boundary is
       // still reachable through its secondary cell — the second
       // recall/cost knob beside nProbe (storage and scored pairs
       // scale by r, recall at fixed nProbe jumps). probeCosine IS the
       // multi-assign (explode over the top-r cells).
       val candidates = graft.operators.Ivf.probeCosine(base, "qv", cents,
-        ivfReplication)
+        replication)
       val queries = base.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("qn").as("qqn"))
       val probes = graft.operators.Ivf.probeCosine(queries, "qqv", cents, nProbe)
