@@ -192,6 +192,94 @@ object StreamOps {
       }
   }
 
+  final case class CusumRow(
+      d: String, x: Long, mu: Long, cusum_up: Long, cusum_down: Long,
+      alarm_up: Boolean, alarm_down: Boolean)
+
+  final case class CusumState(
+      curDay: String, curCount: Long,
+      pending: List[(String, Long)],
+      calibrated: Boolean, mu: Long,
+      sp: Long, minSp: Long, sn: Long, minSn: Long)
+
+  /** Streaming Page CUSUM — the ONLINE twin of batch q260, and the
+    * deployment shape that query documents: a sequential drift alarm
+    * that pages the moment a day's volume closes, not at the end of a
+    * batch scan. One global group (a sequential statistic is
+    * inherently single-key — at 100 TB the corpus-sized work is the
+    * upstream per-day COUNT, which a watermarked streaming aggregate
+    * does keyed; this operator consumes the tiny day stream and holds
+    * O(1) state: nine fields). Day d closes when the first event of a
+    * LATER day arrives (the parity spec's watermark-pusher row closes
+    * the final day). While fewer than `baselineDays` days have
+    * closed, the detector CALIBRATES: closed days buffer in state,
+    * and when the baseline completes, μ fixes (integer mean — the
+    * identical `div` the batch side uses) and the buffered days
+    * replay retroactively through the statistic, so emissions for
+    * days 1..baseline match the batch rows bit for bit. After
+    * calibration each closing day folds incrementally: sp += x −
+    * (μ + μ/20), cusum = sp − min(0, min sp) — Page's max(0,·)
+    * recursion in the same closed form as the batch windows.
+    * Chronological-arrival contract and (ts, event_id) in-batch
+    * ordering as transitionPairs. */
+  def cusumAlarm(events: Dataset[EventRow],
+      baselineDays: Int = 14): Dataset[CusumRow] = {
+    import events.sparkSession.implicits._
+    // UTC epoch-day, matching batch to_date under the UTC session tz
+    def dayOf(ts: java.sql.Timestamp): String =
+      java.time.LocalDate.ofEpochDay(
+        Math.floorDiv(ts.getTime, 86400000L)).toString
+    def emitDay(st0: CusumState, d: String, x: Long,
+        out: scala.collection.mutable.Builder[CusumRow, Seq[CusumRow]]): CusumState = {
+      val slack = st0.mu / 20
+      val sp = st0.sp + (x - (st0.mu + slack))
+      val sn = st0.sn + ((st0.mu - slack) - x)
+      val minSp = math.min(st0.minSp, sp)
+      val minSn = math.min(st0.minSn, sn)
+      val cu = sp - math.min(minSp, 0L)
+      val cd = sn - math.min(minSn, 0L)
+      out += CusumRow(d, x, st0.mu, cu, cd, cu > st0.mu, cd > st0.mu)
+      st0.copy(sp = sp, minSp = minSp, sn = sn, minSn = minSn)
+    }
+    def closeDay(st: CusumState, d: String, x: Long,
+        out: scala.collection.mutable.Builder[CusumRow, Seq[CusumRow]]): CusumState =
+      if (st.calibrated) emitDay(st, d, x, out)
+      else {
+        val pending = st.pending :+ ((d, x))
+        if (pending.length >= baselineDays) {
+          val mu = pending.map(_._2).sum / baselineDays
+          var s = st.copy(pending = Nil, calibrated = true, mu = mu)
+          pending.foreach { case (pd, px) => s = emitDay(s, pd, px, out) }
+          s
+        } else st.copy(pending = pending)
+      }
+    events
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[CusumState, CusumRow](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[EventRow], state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(
+            null, 0L, Nil, calibrated = false, 0L,
+            0L, Long.MaxValue, 0L, Long.MaxValue))
+          val out = Seq.newBuilder[CusumRow]
+          rows.toIndexedSeq
+            .sortBy(r => (r.ts.getTime, r.ts.getNanos, r.event_id))
+            .foreach { r =>
+              val d = dayOf(r.ts)
+              if (st.curDay == null)
+                st = st.copy(curDay = d, curCount = 1L)
+              else if (d == st.curDay)
+                st = st.copy(curCount = st.curCount + 1)
+              else
+                st = closeDay(st, st.curDay, st.curCount, out)
+                  .copy(curDay = d, curCount = 1L)
+            }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class CepMatch(
       user_id: Long, purchase_id: Long, click_id: Long, latency_sec: Long)
 

@@ -235,6 +235,34 @@ class StreamBatchParitySpec extends SparkSpec {
     }
   }
 
+  test("streaming Page CUSUM across 3 micro-batches equals batch q260") {
+    import spark.implicits._
+    val events = realEvents
+    // pusher 2 days after the last event: its later DATE closes the
+    // final real day; days split across the 3 chronological batches
+    // must fold through the carried (curDay, curCount) state
+    val in = stageInput(events, 2L * 86400000000L, chronoParts = 3)
+    val result = runStream(in, events.schema,
+      st => StreamOps.cusumAlarm(
+        st.select("event_id", "ts", "user_id", "event_type")
+          .as[StreamOps.EventRow]).toDF())
+    def canon(df: DataFrame) = df
+      .select(col("d").cast("string"), col("x"), col("mu"),
+        col("cusum_up"), col("cusum_down"), col("alarm_up"), col("alarm_down"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getBoolean(6)))
+      .sortBy(_._1)
+    val streamed = canon(result)
+    val batch = canon(
+      SparkEntry.queries("q260_page_cusum_alarm")(spark, "/root/testdata/sf0.001"))
+    assert(batch.nonEmpty, "batch CUSUM table must be non-empty")
+    // every real day closes (the pusher's own day never does), the
+    // retroactively-replayed baseline days included
+    assert(streamed.toSeq === batch.toSeq,
+      s"CUSUM rows: streaming ${streamed.length} days vs batch ${batch.length}")
+  }
+
   test("motif state survives a one-event first micro-batch (boundary trigram kept)") {
     import spark.implicits._
     // user 1's FIRST batch holds exactly one event: the (Option, Option)
