@@ -206,6 +206,7 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q261    graft.queries.Events     — A/B sample-ratio-mismatch check
   *   q262    graft.queries.Events     — CUPED variance reduction
   *   q263    graft.queries.Vectors    — ANN replication sweep
+  *   q264    graft.queries.Events     — exact Shapley attribution
   */
 object SparkEntry {
 

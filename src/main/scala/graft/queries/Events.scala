@@ -3699,6 +3699,139 @@ object Events {
         ratio.as("var_ratio_ppm"),
         (lit(1000000L) - ratio).as("reduction_ppm"))
     },
+
+    // --------------------------------------------------------------- q264
+    // EXACT Shapley-value attribution — the game-theoretic credit
+    // split beside q208's positional and q237's Markov removal
+    // models: each converting user's pre-purchase DISTINCT channel
+    // set C is a coalition observation, the characteristic v(S) =
+    // #journeys with C ⊆ S (conversions reachable using only
+    // channels in S), and channel i's credit is the Shapley sum
+    // φ_i = Σ_{S∌i} |S|!(k−|S|−1)!/k! · (v(S∪{i}) − v(S)). The whole
+    // game lives in VALUE SPACE: one corpus pass to per-user channel
+    // BITMASKS (sum of DISTINCT powers of two — OR as arithmetic),
+    // journeys collapse to ≤2^k distinct-mask counts, subsets
+    // enumerate 2^k rows, and φ is a join of two tiny tables.
+    // Integers end to end: φ scaled by k! (factorial lookup table
+    // shared by both engines), shares in exact permille of
+    // ATTRIBUTABLE conversions (v(full) − v(∅); channel-less organic
+    // conversions reported, never attributed — the efficiency axiom
+    // Σφ = v(full) − v(∅) is StatsEvalSpec3-pinned). Declared bound:
+    // exact Shapley is inherently 2^k — k ≤ 8 here (fixture k = 4);
+    // beyond that production samples permutations, the data flow
+    // (mask collapse, subset-containment join) unchanged.
+    Q(
+      "q264_shapley_attribution",
+      Some("""
+        WITH fp AS (
+          SELECT user_id, MIN(ts) AS pts FROM events
+          WHERE event_type = 'purchase' GROUP BY 1),
+        pre AS (
+          SELECT e.user_id, e.event_type AS ch
+          FROM events e JOIN fp ON fp.user_id = e.user_id
+          WHERE e.event_type <> 'purchase' AND e.ts < fp.pts),
+        ci AS (
+          SELECT ch, CAST(ROW_NUMBER() OVER (ORDER BY ch) AS BIGINT) AS idx
+          FROM (SELECT DISTINCT ch FROM pre) t),
+        kt AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM ci),
+        jm AS (
+          SELECT fp.user_id,
+                 CAST(COALESCE(SUM(DISTINCT (1 << (ci.idx - 1))), 0)
+                   AS BIGINT) AS cmask
+          FROM fp
+          LEFT JOIN pre ON pre.user_id = fp.user_id
+          LEFT JOIN ci ON ci.ch = pre.ch
+          GROUP BY 1),
+        setcnt AS (
+          SELECT cmask, CAST(COUNT(*) AS BIGINT) AS n FROM jm GROUP BY 1),
+        subsets AS (
+          SELECT CAST(unnest(range(0, 256)) AS BIGINT) AS smask),
+        vt AS (
+          SELECT s.smask, CAST(COALESCE(SUM(m.n), 0) AS BIGINT) AS v
+          FROM subsets s CROSS JOIN kt
+          LEFT JOIN setcnt m ON (m.cmask & s.smask) = m.cmask
+          WHERE s.smask < (1 << kt.k)
+          GROUP BY 1),
+        fact(s, f) AS (VALUES (0, 1), (1, 1), (2, 2), (3, 6), (4, 24),
+          (5, 120), (6, 720), (7, 5040), (8, 40320)),
+        tot AS (
+          SELECT (SELECT v FROM vt CROSS JOIN kt
+                    WHERE smask = (1 << kt.k) - 1) AS n_conv,
+                 (SELECT v FROM vt WHERE smask = 0) AS n_organic),
+        phi AS (
+          SELECT ci.ch AS channel,
+                 CAST(SUM(CAST(fw.f AS BIGINT) * gw.f * (v2.v - v1.v))
+                   AS BIGINT) AS phi_num
+          FROM vt v1 CROSS JOIN kt CROSS JOIN ci
+          JOIN vt v2 ON v2.smask = v1.smask + (1 << (ci.idx - 1))
+          JOIN fact fw ON fw.s = bit_count(v1.smask)
+          JOIN fact gw ON gw.s = kt.k - bit_count(v1.smask) - 1
+          WHERE (v1.smask & (1 << (ci.idx - 1))) = 0
+          GROUP BY 1)
+        SELECT p.channel, p.phi_num,
+               CAST(fk.f AS BIGINT) AS kfact, t.n_conv, t.n_organic,
+               CASE WHEN t.n_conv > t.n_organic
+                 THEN (1000 * p.phi_num)
+                      // (CAST(fk.f AS BIGINT) * (t.n_conv - t.n_organic))
+               END AS share_pm
+        FROM phi p CROSS JOIN kt JOIN fact fk ON fk.s = kt.k
+        CROSS JOIN tot t""")
+    ) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val fp = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min(col("ts")).as("pts"))
+      val pre = ev.filter(col("event_type") =!= "purchase")
+        .join(fp.hint("shuffle_hash"), "user_id")
+        .filter(col("ts") < col("pts"))
+        .select(col("user_id"), col("event_type").as("ch"))
+      val ci = pre.select("ch").distinct()
+        .withColumn("idx",
+          row_number().over(Window.orderBy("ch")).cast("long"))
+      val kt = broadcast(ci.agg(count(lit(1)).as("k")))
+      val jm = fp.join(
+          pre.join(broadcast(ci), "ch")
+            .select(col("user_id"), expr("shiftleft(1L, cast(idx - 1 as int))").as("bit")),
+          Seq("user_id"), "left")
+        .groupBy("user_id")
+        .agg(coalesce(expr("sum(distinct bit)"), lit(0L)).as("cmask"))
+      val setcnt = jm.groupBy("cmask").agg(count(lit(1)).as("n"))
+      val subsets = s.range(0, 256).select(col("id").as("smask"))
+        .crossJoin(kt).filter(col("smask") < expr("shiftleft(1L, cast(k as int))"))
+      val vt = graft.Checkpoints.materialize(
+        subsets.join(broadcast(setcnt),
+            expr("(cmask & smask) = cmask"), "left")
+          .groupBy("smask", "k")
+          .agg(coalesce(sum(col("n")), lit(0L)).as("v")))
+      val fact = {
+        import s.implicits._
+        Seq(0 -> 1L, 1 -> 1L, 2 -> 2L, 3 -> 6L, 4 -> 24L, 5 -> 120L,
+          6 -> 720L, 7 -> 5040L, 8 -> 40320L).toDF("s", "f")
+      }
+      val tot = broadcast(
+        vt.filter(col("smask") === expr("shiftleft(1L, cast(k as int)) - 1"))
+          .select(col("v").as("n_conv"))
+          .crossJoin(vt.filter(col("smask") === 0)
+            .select(col("v").as("n_organic"))))
+      val v2 = vt.select(col("smask").as("smask2"), col("v").as("v2"))
+      val phi = vt.crossJoin(broadcast(ci))
+        .filter(expr("(smask & shiftleft(1L, cast(idx - 1 as int))) = 0"))
+        .join(broadcast(v2),
+          col("smask2") === col("smask") + expr("shiftleft(1L, cast(idx - 1 as int))"))
+        .join(broadcast(fact.withColumnsRenamed(Map("s" -> "fs", "f" -> "fw"))),
+          col("fs") === expr("bit_count(smask)"))
+        .join(broadcast(fact.withColumnsRenamed(Map("s" -> "gs", "f" -> "gw"))),
+          col("gs") === col("k") - expr("bit_count(smask)") - 1)
+        .groupBy(col("ch").as("channel"))
+        .agg(sum(col("fw") * col("gw") * (col("v2") - col("v"))).as("phi_num"))
+      phi.crossJoin(kt)
+        .join(broadcast(fact), col("s") === col("k"))
+        .crossJoin(tot)
+        .select(col("channel"), col("phi_num"), col("f").as("kfact"),
+          col("n_conv"), col("n_organic"),
+          when(col("n_conv") > col("n_organic"),
+            expr("(1000 * phi_num) div (f * (n_conv - n_organic))"))
+            .as("share_pm"))
+    },
   )
 
   /** q237's oracle: the transition-count CTEs plus four unrolled

@@ -99,6 +99,44 @@ class StatsEvalSpec3 extends SparkSpec {
     assert(row.getAs[Long]("reduction_ppm") === 1000000L - ratioDirect.toLong)
   }
 
+  // ---------------------------------------------------------------- q264
+  test("q264 Shapley axioms: efficiency holds exactly; symmetry on a replayed game") {
+    val rows = run("q264_shapley_attribution").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val (kfact, nConv, nOrg) = (rows.head._3, rows.head._4, rows.head._5)
+    // efficiency: Σ φ_i = v(full) − v(∅), exactly, in k!-scaled integers
+    assert(rows.map(_._2).sum === kfact * (nConv - nOrg),
+      s"Σφ·k! must equal k!·(v_full − v_empty): $rows")
+    // independent replay: rebuild the characteristic from per-user
+    // channel sets and recompute φ by direct subset enumeration
+    val ev = graft.Tables.load(spark, sf, "events").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("ts"),
+        r.getAs[String]("event_type")))
+    val firstP = ev.filter(_._3 == "purchase").groupBy(_._1)
+      .map { case (u, rs) => u -> rs.map(_._2.getTime).min }
+    val sets = firstP.map { case (u, pts) =>
+      ev.filter(e => e._1 == u && e._3 != "purchase" && e._2.getTime < pts)
+        .map(_._3).toSet
+    }.toSeq
+    val chans = sets.flatten.distinct.sorted
+    val k = chans.length
+    def v(s: Set[String]): Long = sets.count(_.subsetOf(s))
+    def factL(n: Int): Long = (1 to n).map(_.toLong).product
+    val phiDirect = chans.map { c =>
+      val others = chans.filterNot(_ == c)
+      val subsets = others.toSet.subsets().toSeq
+      c -> subsets.map { sub =>
+        factL(sub.size) * factL(k - sub.size - 1) *
+          (v(sub + c) - v(sub))
+      }.sum
+    }.toMap
+    rows.foreach { case (ch, phi, _, _, _) =>
+      assert(phiDirect(ch) === phi, s"$ch: direct ${phiDirect(ch)} vs $phi")
+    }
+  }
+
   // ---------------------------------------------------------------- q263
   test("q263 replication recall is monotone and consistent with q146's probe point") {
     val sweep = run("q263_replication_sweep").collect()
