@@ -3807,11 +3807,11 @@ object Events {
         Seq(0 -> 1L, 1 -> 1L, 2 -> 2L, 3 -> 6L, 4 -> 24L, 5 -> 120L,
           6 -> 720L, 7 -> 5040L, 8 -> 40320L).toDF("s", "f")
       }
-      val tot = broadcast(
-        vt.filter(col("smask") === expr("shiftleft(1L, cast(k as int)) - 1"))
-          .select(col("v").as("n_conv"))
-          .crossJoin(vt.filter(col("smask") === 0)
-            .select(col("v").as("n_organic"))))
+      val tot = vt
+        .filter(col("smask") === expr("shiftleft(1L, cast(k as int)) - 1"))
+        .select(col("v").as("n_conv"))
+        .crossJoin(broadcast(vt.filter(col("smask") === 0)
+          .select(col("v").as("n_organic"))))
       val v2 = vt.select(col("smask").as("smask2"), col("v").as("v2"))
       val phi = vt.crossJoin(broadcast(ci))
         .filter(expr("(smask & shiftleft(1L, cast(idx - 1 as int))) = 0"))
@@ -3825,7 +3825,7 @@ object Events {
         .agg(sum(col("fw") * col("gw") * (col("v2") - col("v"))).as("phi_num"))
       phi.crossJoin(kt)
         .join(broadcast(fact), col("s") === col("k"))
-        .crossJoin(tot)
+        .crossJoin(broadcast(tot))
         .select(col("channel"), col("phi_num"), col("f").as("kfact"),
           col("n_conv"), col("n_organic"),
           when(col("n_conv") > col("n_organic"),

@@ -904,6 +904,40 @@ class PlanSpec extends SparkSpec {
     }.isEmpty, s"no exchange may sit above the bucketed scan:\n${edgeSide.get}")
   }
 
+  test("q260/q262: one corpus exchange each — detector and CUPED run in day/user space") {
+    // q260: the corpus pays ONE shuffle (the daily groupBy); both
+    // cumulative windows and the baseline window run over the
+    // |days|-row table. q262: ONE shuffle (the per-user groupBy);
+    // θ and the adjusted variance are algebra over a one-row stats
+    // aggregate — no second corpus pass, no shuffled join.
+    for ((name, maxEx) <- Seq("q260_page_cusum_alarm" -> 2,
+        "q262_cuped" -> 2)) {
+      val p = plan(name)
+      assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+        p.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
+        s"$name: nothing may shuffle-join:\n$p")
+      assert(shuffles(p).length <= maxEx,
+        s"$name: at most $maxEx exchanges (corpus pays one):\n$p")
+    }
+  }
+
+  test("q264: the Shapley game is value-space — subset joins all broadcast") {
+    // the corpus collapses to per-user bitmask counts; every join in
+    // the 2^k subset machinery (containment, S∪{i}, factorial
+    // lookups) must be a broadcast join, never a shuffled one
+    val p = plan("q264_shapley_attribution")
+    val shuffledJoins = p.collect {
+      case j: SortMergeJoinExec => j
+    } ++ p.collect {
+      case j: ShuffledHashJoinExec => j
+    }
+    // the single allowed keyed shuffle join: events ⋈ first-purchase
+    assert(shuffledJoins.length <= 1,
+      s"only the corpus⋈fp join may shuffle:\n$p")
+    assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
+      s"no cartesian in the subset machinery:\n$p")
+  }
+
   test("q232: two-phase Lorenz — every unpartitioned window sits above an aggregate") {
     // round-7's weak component: the old plan ranked the whole customer
     // table in ONE task. The rewrite must keep every empty-partition
