@@ -207,6 +207,7 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q262    graft.queries.Events     — CUPED variance reduction
   *   q263    graft.queries.Vectors    — ANN replication sweep
   *   q264    graft.queries.Events     — exact Shapley attribution
+  *   q265    graft.queries.Events     — rank-1 ALS recommender sweep
   */
 object SparkEntry {
 

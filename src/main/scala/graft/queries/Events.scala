@@ -3832,6 +3832,104 @@ object Events {
             expr("(1000 * phi_num) div (f * (n_conv - n_organic))"))
             .as("share_pm"))
     },
+
+    // --------------------------------------------------------------- q265
+    // Rank-1 ALS sweep — the distributed-recommender primitive: the
+    // user × event-type implicit-count matrix R factorizes as u·vᵀ,
+    // and one alternating-least-squares sweep runs in exact permyriad
+    // fixed point: with items initialized flat (v⁰ = 10⁴), the user
+    // solve uᵢ = 10⁴·Σₜ rᵢₜvₜ div Σₜ vₜ² is ONE keyed aggregate with
+    // the TYPE-SPACE factor table broadcast (the canonical ALS
+    // distribution: item factors broadcast, user factors stay
+    // partitioned — at 100 TB the user side never collects or
+    // shuffles beyond its own groupBy), then the item solve re-keys
+    // the same interaction pass by type. Closed-form least squares,
+    // floor-div quantization — every engine replays it exactly.
+    // Output per type: the updated factor, its interaction mass, and
+    // the sum-of-squared-error BEFORE (flat-v baseline) vs AFTER the
+    // sweep in 10⁻⁸-scaled integers (decimal-banked — the u·v
+    // products are the 2⁶³ overflow terms); err_after < err_before
+    // is the descent property StatsEvalSpec3 pins. The ALS loop at
+    // depth is this sweep iterated with Checkpoints.materialize
+    // between rounds (the q94 pattern).
+    Q(
+      "q265_rank1_als",
+      Some("""
+        WITH r AS (
+          SELECT user_id, event_type AS t, CAST(COUNT(*) AS BIGINT) AS r
+          FROM events GROUP BY 1, 2),
+        v0 AS (
+          SELECT t, CAST(10000 AS BIGINT) AS v
+          FROM (SELECT DISTINCT event_type AS t FROM events) d),
+        vden AS (SELECT CAST(SUM(v * v) AS BIGINT) AS den FROM v0),
+        u AS (
+          SELECT r.user_id,
+                 CAST((100000000 * CAST(SUM(r.r * v0.v) AS HUGEINT))
+                      // MAX(vden.den) AS BIGINT) AS u
+          FROM r JOIN v0 ON v0.t = r.t CROSS JOIN vden
+          GROUP BY 1),
+        uden AS (SELECT CAST(SUM(CAST(u AS HUGEINT) * u) AS HUGEINT) AS den
+                 FROM u),
+        v1 AS (
+          SELECT r.t,
+                 CAST((100000000 * SUM(CAST(r.r AS HUGEINT) * u.u))
+                      // MAX(uden.den) AS BIGINT) AS v,
+                 CAST(SUM(r.r) AS BIGINT) AS mass,
+                 CAST(COUNT(*) AS BIGINT) AS n_users
+          FROM r JOIN u ON u.user_id = r.user_id CROSS JOIN uden
+          GROUP BY 1),
+        err AS (
+          SELECT r.t,
+                 CAST(SUM((100000000 * CAST(r.r AS HUGEINT) - CAST(u.u AS HUGEINT) * 10000)
+                        * (100000000 * CAST(r.r AS HUGEINT) - CAST(u.u AS HUGEINT) * 10000))
+                      AS HUGEINT) AS e_before,
+                 CAST(SUM((100000000 * CAST(r.r AS HUGEINT) - CAST(u.u AS HUGEINT) * v1.v)
+                        * (100000000 * CAST(r.r AS HUGEINT) - CAST(u.u AS HUGEINT) * v1.v))
+                      AS HUGEINT) AS e_after
+          FROM r JOIN u ON u.user_id = r.user_id
+          JOIN v1 ON v1.t = r.t
+          GROUP BY 1)
+        SELECT v1.t AS event_type, v1.v AS v_new, v1.mass, v1.n_users,
+               CAST(err.e_before % 4611686018427387904 AS BIGINT) AS err_before_mod,
+               CAST(err.e_after % 4611686018427387904 AS BIGINT) AS err_after_mod,
+               err.e_after < err.e_before AS improved
+        FROM v1 JOIN err ON err.t = v1.t""")
+    ) { (s, dir) =>
+      val r = t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type").as("t"))
+        .agg(count(lit(1)).as("r"))
+      val v0 = t(s, dir, "events").select(col("event_type").as("t"))
+        .distinct().withColumn("v", lit(10000L))
+      val vden = broadcast(v0.agg(sum(col("v") * col("v")).as("den")))
+      val u = r.join(broadcast(v0), "t").crossJoin(vden)
+        .groupBy("user_id")
+        .agg(expr("cast((100000000 * cast(sum(r * v) as decimal(38,0))) div max(den) as bigint)").as("u"))
+      val uden = broadcast(u.agg(
+        expr("sum(cast(u as decimal(38,0)) * u)").as("den")))
+      val ru = graft.Checkpoints.materialize(
+        r.join(u.hint("shuffle_hash"), "user_id"))
+      val v1 = ru.crossJoin(uden)
+        .groupBy("t")
+        .agg(expr("cast((100000000 * sum(cast(r as decimal(38,0)) * u)) div max(den) as bigint)")
+          .as("v"),
+          sum(col("r")).as("mass"), count(lit(1)).as("n_users"))
+      val err = ru.join(broadcast(v1.select(col("t"), col("v"))), "t")
+        .groupBy("t")
+        .agg(expr("""sum((100000000 * cast(r as decimal(38,0)) - cast(u as decimal(38,0)) * 10000)
+                   * (100000000 * cast(r as decimal(38,0)) - cast(u as decimal(38,0)) * 10000))""")
+          .as("e_before"),
+          expr("""sum((100000000 * cast(r as decimal(38,0)) - cast(u as decimal(38,0)) * v)
+                * (100000000 * cast(r as decimal(38,0)) - cast(u as decimal(38,0)) * v))""")
+            .as("e_after"))
+      v1.join(err, "t")
+        .select(col("t").as("event_type"), col("v").as("v_new"),
+          col("mass"), col("n_users"),
+          expr("cast(e_before % 4611686018427387904 as bigint)")
+            .as("err_before_mod"),
+          expr("cast(e_after % 4611686018427387904 as bigint)")
+            .as("err_after_mod"),
+          (col("e_after") < col("e_before")).as("improved"))
+    },
   )
 
   /** q237's oracle: the transition-count CTEs plus four unrolled

@@ -137,6 +137,33 @@ class StatsEvalSpec3 extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- q265
+  test("q265 ALS sweep: per-type SSE descends and factors replay from collected counts") {
+    val rows = run("q265_rank1_als").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, _, improved) =>
+      assert(improved, s"$t: one ALS sweep must not increase its SSE")
+    }
+    // independent replay of both closed-form solves in BigInt
+    val r = graft.Tables.load(spark, sf, "events")
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("r"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val types = r.map(_._2).distinct.sorted
+    val vden = BigInt(types.length) * BigInt(10000) * 10000
+    val u = r.groupBy(_._1).map { case (uid, rs) =>
+      uid -> (BigInt(100000000) * rs.map(x => BigInt(x._3) * 10000).sum / vden)
+    }
+    val uden = u.values.map(x => x * x).sum
+    val vNew = types.map { t =>
+      val rs = r.filter(_._2 == t)
+      t -> (BigInt(100000000) * rs.map(x => BigInt(x._3) * u(x._1)).sum / uden)
+    }.toMap
+    rows.foreach { case (t, v, _) =>
+      assert(vNew(t) === BigInt(v), s"$t: replay ${vNew(t)} vs $v")
+    }
+  }
+
   // ---------------------------------------------------------------- q263
   test("q263 replication recall is monotone and consistent with q146's probe point") {
     val sweep = run("q263_replication_sweep").collect()
