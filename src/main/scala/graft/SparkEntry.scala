@@ -208,6 +208,7 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q263    graft.queries.Vectors    — ANN replication sweep
   *   q264    graft.queries.Events     — exact Shapley attribution
   *   q265    graft.queries.Events     — rank-1 ALS recommender sweep
+  *   q266    graft.queries.Events     — Benjamini–Hochberg FDR gate
   */
 object SparkEntry {
 

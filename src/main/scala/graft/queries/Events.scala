@@ -3930,7 +3930,173 @@ object Events {
             .as("err_after_mod"),
           (col("e_after") < col("e_before")).as("improved"))
     },
+
+    // --------------------------------------------------------------- q266
+    // Benjamini–Hochberg FDR gate — the multiple-testing control an
+    // experimentation platform runs when it reads MANY metrics at
+    // once (q261 gates one split; this gates a FAMILY of readouts):
+    // one hypothesis per event type — "is an above-mean count of
+    // type t associated with being an above-mean spender?" — each a
+    // 2×2 user-space χ² (cross-multiplied n(ad−bc)²/Πmarginals in
+    // exact milli; above-mean flags are cross-multiplied too, n·x >
+    // Σx, so no division anywhere). BH then runs entirely in
+    // TEST-SPACE (m rows): order by χ² descending (1-df p is
+    // monotone in χ², so p-ascending == χ²-descending; ties break on
+    // the type name), compare test j against the critical value at
+    // tail mass α·j/m via an EMBEDDED 50-rung inverse-χ² ladder
+    // (α = 5%; public constants, milli-quantized, identical literals
+    // in both engines — no erf in either), reject ranks 1..j* where
+    // j* is the LAST rung passed. The j/m fraction floors to the
+    // ladder grid, which can only lower the tail mass → raise the
+    // bar: the quantized gate is conservative, never
+    // anti-conservative. The purchase-count test is the built-in
+    // positive control (it must reject — spend IS purchases);
+    // StatsEvalSpec3 replays the whole procedure. Declared bound:
+    // (ad−bc)² caps the exact path at n ≲ 3·10⁹ users per family —
+    // beyond that the family shards per segment (the q214 trade).
+    Q(
+      "q266_fdr_gate",
+      Some(s"""
+        WITH users AS (SELECT DISTINCT user_id FROM events),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM users),
+        spend AS (
+          SELECT u.user_id, CAST(COALESCE(SUM(CASE WHEN e.event_type = 'purchase'
+                   THEN CAST(CAST(e.value AS DECIMAL(18,4)) * 100 AS BIGINT)
+                   ELSE 0 END), 0) AS BIGINT) AS cents
+          FROM users u LEFT JOIN events e ON e.user_id = u.user_id
+          GROUP BY 1),
+        stot AS (SELECT CAST(SUM(cents) AS BIGINT) AS tot FROM spend),
+        y AS (
+          SELECT s.user_id,
+                 CASE WHEN n.n * s.cents > stot.tot THEN 1 ELSE 0 END AS y
+          FROM spend s CROSS JOIN n CROSS JOIN stot),
+        types AS (SELECT DISTINCT event_type AS t FROM events),
+        cnt AS (
+          SELECT user_id, event_type AS t, CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        ttot AS (SELECT t, CAST(SUM(c) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+        x AS (
+          SELECT u.user_id, ty.t,
+                 CASE WHEN n.n * COALESCE(c.c, 0) > tt.tot
+                   THEN 1 ELSE 0 END AS x
+          FROM users u CROSS JOIN types ty CROSS JOIN n
+          JOIN ttot tt ON tt.t = ty.t
+          LEFT JOIN cnt c ON c.user_id = u.user_id AND c.t = ty.t),
+        ct AS (
+          SELECT x.t,
+                 CAST(SUM(x.x * y.y) AS BIGINT) AS a,
+                 CAST(SUM(x.x * (1 - y.y)) AS BIGINT) AS b,
+                 CAST(SUM((1 - x.x) * y.y) AS BIGINT) AS c,
+                 CAST(SUM((1 - x.x) * (1 - y.y)) AS BIGINT) AS d
+          FROM x JOIN y ON y.user_id = x.user_id
+          GROUP BY 1),
+        chi AS (
+          SELECT t, a, b, c, d,
+                 CASE WHEN (a+b) > 0 AND (c+d) > 0 AND (a+c) > 0 AND (b+d) > 0
+                   THEN CAST((1000 * (a+b+c+d)
+                          * ((a * CAST(d AS HUGEINT) - b * CAST(c AS HUGEINT))
+                           * (a * CAST(d AS HUGEINT) - b * CAST(c AS HUGEINT))))
+                        // ((a+b) * CAST(c+d AS HUGEINT) * (a+c) * (b+d))
+                        AS BIGINT)
+                   ELSE 0 END AS chi2_milli
+          FROM ct),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM chi),
+        ladder(q_pm, crit_milli) AS (VALUES
+          $fdrLadderSql),
+        ranked AS (
+          SELECT chi.*, m.m,
+                 CAST(ROW_NUMBER() OVER (ORDER BY chi2_milli DESC, t)
+                   AS BIGINT) AS rank,
+                 CAST((50 * ROW_NUMBER() OVER (ORDER BY chi2_milli DESC, t))
+                   // m.m AS BIGINT) AS q_pm
+          FROM chi CROSS JOIN m),
+        flagged AS (
+          SELECT r.*, l.crit_milli,
+                 r.chi2_milli >= l.crit_milli AS passed
+          FROM ranked r JOIN ladder l ON l.q_pm = r.q_pm),
+        jstar AS (
+          SELECT COALESCE(MAX(CASE WHEN passed THEN rank END), 0) AS jstar
+          FROM flagged)
+        SELECT f.t AS event_type, f.a, f.b, f.c, f.d, f.chi2_milli,
+               f.rank, f.q_pm, CAST(f.crit_milli AS BIGINT) AS crit_milli,
+               f.rank <= j.jstar AS reject
+        FROM flagged f CROSS JOIN jstar j""")
+    ) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val users = ev.select("user_id").distinct()
+      val n = broadcast(users.agg(count(lit(1)).as("n")))
+      val spend = users.join(ev.hint("shuffle_hash"), Seq("user_id"), "left")
+        .groupBy("user_id")
+        .agg(coalesce(sum(when(col("event_type") === "purchase",
+          expr("cast(cast(value as decimal(18,4)) * 100 as bigint)"))
+          .otherwise(0L)), lit(0L)).as("cents"))
+      val stot = broadcast(spend.agg(sum(col("cents")).as("tot")))
+      val y = spend.crossJoin(n).crossJoin(stot)
+        .select(col("user_id"),
+          when(col("n") * col("cents") > col("tot"), 1L).otherwise(0L).as("y"))
+      val types = ev.select(col("event_type").as("t")).distinct()
+      val cnt = ev.groupBy(col("user_id"), col("event_type").as("t"))
+        .agg(count(lit(1)).as("c"))
+      val ttot = cnt.groupBy("t").agg(sum(col("c")).as("tot"))
+      val x = users.crossJoin(broadcast(types.join(ttot, "t"))).crossJoin(n)
+        .join(cnt.hint("shuffle_hash"), Seq("user_id", "t"), "left")
+        .select(col("user_id"), col("t"),
+          when(col("n") * coalesce(col("c"), lit(0L)) > col("tot"), 1L)
+            .otherwise(0L).as("x"))
+      val ct = x.join(y.hint("shuffle_hash"), "user_id")
+        .groupBy("t")
+        .agg(sum(col("x") * col("y")).as("a"),
+          sum(col("x") * (lit(1L) - col("y"))).as("b"),
+          sum((lit(1L) - col("x")) * col("y")).as("c"),
+          sum((lit(1L) - col("x")) * (lit(1L) - col("y"))).as("d"))
+      val chi = ct.withColumn("chi2_milli", expr("""
+        CASE WHEN (a+b) > 0 AND (c+d) > 0 AND (a+c) > 0 AND (b+d) > 0
+          THEN CAST((1000 * (a+b+c+d)
+                 * ((a * CAST(d AS DECIMAL(38,0)) - b * CAST(c AS DECIMAL(38,0)))
+                  * (a * CAST(d AS DECIMAL(38,0)) - b * CAST(c AS DECIMAL(38,0)))))
+               div ((a+b) * CAST(c+d AS DECIMAL(38,0)) * (a+c) * (b+d))
+               AS BIGINT)
+          ELSE 0L END"""))
+      val m = broadcast(chi.agg(count(lit(1)).as("m")))
+      val ladder = {
+        import s.implicits._
+        fdrLadder.toDF("q_pm", "crit_milli")
+      }
+      val ranked = chi.crossJoin(m)
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(desc("chi2_milli"), col("t"))).cast("long"))
+        .withColumn("q_pm", expr("(50 * rank) div m"))
+      val flagged = graft.Checkpoints.materialize(
+        ranked.join(broadcast(ladder), "q_pm")
+          .withColumn("passed", col("chi2_milli") >= col("crit_milli")))
+      val jstar = broadcast(flagged.agg(
+        coalesce(max(when(col("passed"), col("rank"))), lit(0L)).as("jstar")))
+      flagged.crossJoin(jstar)
+        .select(col("t").as("event_type"), col("a"), col("b"), col("c"),
+          col("d"), col("chi2_milli"), col("rank"), col("q_pm"),
+          col("crit_milli"), (col("rank") <= col("jstar")).as("reject"))
+    },
   )
+
+  /** The 50-rung 1-df inverse-χ² ladder shared verbatim by q266's
+    * Spark side and oracle: q_pm = tail mass in per-mille (1..50,
+    * i.e. up to α = 5%), crit_milli = 1000·(Φ⁻¹(1 − q/2000))² —
+    * public statistical constants (10‰ → 6.635, 50‰ → 3.841). */
+  // lazy: referenced from `all` above its declaration (init order)
+  private lazy val fdrLadder: Seq[(Long, Long)] = Seq(
+    1L -> 10828L, 2L -> 9550L, 3L -> 8807L, 4L -> 8284L, 5L -> 7879L,
+    6L -> 7550L, 7L -> 7273L, 8L -> 7033L, 9L -> 6823L, 10L -> 6635L,
+    11L -> 6465L, 12L -> 6311L, 13L -> 6169L, 14L -> 6038L, 15L -> 5916L,
+    16L -> 5803L, 17L -> 5696L, 18L -> 5596L, 19L -> 5502L, 20L -> 5412L,
+    21L -> 5327L, 22L -> 5246L, 23L -> 5169L, 24L -> 5095L, 25L -> 5024L,
+    26L -> 4956L, 27L -> 4891L, 28L -> 4828L, 29L -> 4768L, 30L -> 4709L,
+    31L -> 4653L, 32L -> 4598L, 33L -> 4546L, 34L -> 4495L, 35L -> 4445L,
+    36L -> 4397L, 37L -> 4350L, 38L -> 4305L, 39L -> 4261L, 40L -> 4218L,
+    41L -> 4176L, 42L -> 4135L, 43L -> 4095L, 44L -> 4057L, 45L -> 4019L,
+    46L -> 3982L, 47L -> 3945L, 48L -> 3910L, 49L -> 3875L, 50L -> 3841L)
+
+  private def fdrLadderSql: String =
+    fdrLadder.map { case (q, c) => s"($q, $c)" }.mkString(", ")
 
   /** q237's oracle: the transition-count CTEs plus four unrolled
     * 8-sweep chains (base + one per removed channel), generated so the

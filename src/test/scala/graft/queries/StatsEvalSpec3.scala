@@ -164,6 +164,37 @@ class StatsEvalSpec3 extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- q266
+  test("q266 BH gate replays step-up; positive control rejects at sf0.01") {
+    // full procedure replay from the emitted chi2 column: rank by
+    // (chi2 desc, type), threshold at the ladder rung (50·j) div m,
+    // reject ranks 1..j* — must reproduce the query's own flags
+    val ladder = Map(10L -> 6635L, 20L -> 5412L, 30L -> 4709L,
+      40L -> 4218L, 50L -> 3841L)
+    for (sfDir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val rows = SparkEntry.queries("q266_fdr_gate")(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getLong(5), r.getLong(6),
+          r.getLong(7), r.getBoolean(9)))
+      val m = rows.length
+      val sorted = rows.sortBy(r => (-r._2, r._1))
+      sorted.zipWithIndex.foreach { case ((_, _, rank, qpm, _), i) =>
+        assert(rank === i + 1L && qpm === (50L * (i + 1)) / m, "rank/rung")
+      }
+      val jstar = sorted.zipWithIndex
+        .filter { case ((_, chi, _, qpm, _), _) => chi >= ladder(qpm) }
+        .map(_._2 + 1).maxOption.getOrElse(0)
+      sorted.zipWithIndex.foreach { case ((t, _, _, _, reject), i) =>
+        assert(reject === (i + 1 <= jstar), s"$t reject flag")
+      }
+    }
+    // power: the purchase-count test IS spend — it must reject once
+    // the family has users (1500 at sf0.01); the nulls must not
+    val big = SparkEntry.queries("q266_fdr_gate")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(0) -> r.getBoolean(9)).toMap
+    assert(big("purchase"), "positive control must reject at sf0.01")
+    assert(!big("view") && !big("error"), "null metrics stay controlled")
+  }
+
   // ---------------------------------------------------------------- q263
   test("q263 replication recall is monotone and consistent with q146's probe point") {
     val sweep = run("q263_replication_sweep").collect()
