@@ -3949,7 +3949,9 @@ object Events {
     // j* is the LAST rung passed. The j/m fraction floors to the
     // ladder grid, which can only lower the tail mass → raise the
     // bar: the quantized gate is conservative, never
-    // anti-conservative. The purchase-count test is the built-in
+    // anti-conservative (families larger than 50 tests floor to
+    // rung 1 — the strictest bar — same conservative direction). The
+    // purchase-count test is the built-in
     // positive control (it must reject — spend IS purchases);
     // StatsEvalSpec3 replays the whole procedure. Declared bound:
     // (ad−bc)² caps the exact path at n ≲ 3·10⁹ users per family —
@@ -4007,8 +4009,8 @@ object Events {
           SELECT chi.*, m.m,
                  CAST(ROW_NUMBER() OVER (ORDER BY chi2_milli DESC, t)
                    AS BIGINT) AS rank,
-                 CAST((50 * ROW_NUMBER() OVER (ORDER BY chi2_milli DESC, t))
-                   // m.m AS BIGINT) AS q_pm
+                 CAST(GREATEST((50 * ROW_NUMBER() OVER (ORDER BY chi2_milli DESC, t))
+                   // m.m, 1) AS BIGINT) AS q_pm
           FROM chi CROSS JOIN m),
         flagged AS (
           SELECT r.*, l.crit_milli,
@@ -4065,7 +4067,7 @@ object Events {
       val ranked = chi.crossJoin(m)
         .withColumn("rank", row_number()
           .over(Window.orderBy(desc("chi2_milli"), col("t"))).cast("long"))
-        .withColumn("q_pm", expr("(50 * rank) div m"))
+        .withColumn("q_pm", expr("greatest((50 * rank) div m, 1)"))
       val flagged = graft.Checkpoints.materialize(
         ranked.join(broadcast(ladder), "q_pm")
           .withColumn("passed", col("chi2_milli") >= col("crit_milli")))
