@@ -105,6 +105,63 @@ object Quality {
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8))
 
+  /** The reference's NAMED-DATASOURCE indirection
+    * (/root/reference/soda/configuration.yml:2-7): `data_source:`
+    * selects one of the `data_sources` entries, whose `path` may
+    * interpolate `{{ env('VAR', 'default') }}`. The reference's
+    * datasource type is `duckdb` (a warehouse file); ours is
+    * `parquet` (a warehouse directory root) — the INDIRECTION is the
+    * contract, not the engine: checks address a named datasource, and
+    * re-pointing the warehouse is a config edit, not a code change. */
+  final case class DataSource(name: String, dsType: String, path: String)
+
+  /** Parses a configuration file in the reference's shape. Missing
+    * selection, unknown selected name, or a source without type/path
+    * FAILS the load — a scan against a half-configured datasource
+    * must not silently fall back. */
+  def parseConfiguration(text: String,
+      env: String => Option[String] = sys.env.get): DataSource = {
+    val selPat = """data_source:\s*(\S+)""".r
+    val namePat = """([A-Za-z0-9_]+):\s*""".r
+    val fieldPat = """(type|path):\s*(.+?)\s*""".r
+    val envPat = """\{\{\s*env\(\s*'([^']+)'\s*,\s*'([^']*)'\s*\)\s*\}\}""".r
+    def interp(s: String): String =
+      envPat.replaceAllIn(s, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          env(m.group(1)).getOrElse(m.group(2))))
+    def unquote(s: String): String =
+      if (s.length >= 2 && s.head == '"' && s.last == '"')
+        s.substring(1, s.length - 1)
+      else s
+    var selected: Option[String] = None
+    var inSources = false
+    var current: Option[String] = None
+    val fields = scala.collection.mutable.Map.empty[(String, String), String]
+    text.linesIterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .foreach {
+        case selPat(name) => selected = Some(name)
+        case "data_sources:" => inSources = true
+        case fieldPat(k, v) if inSources && current.isDefined =>
+          fields((current.get, k)) = interp(unquote(v))
+        case namePat(name) if inSources => current = Some(name)
+        case _ => ()
+      }
+    val name = selected.getOrElse(sys.error("configuration has no data_source selection"))
+    DataSource(name,
+      fields.getOrElse(name -> "type",
+        sys.error(s"datasource '$name' has no type")),
+      fields.getOrElse(name -> "path",
+        sys.error(s"datasource '$name' has no path")))
+  }
+
+  /** Loads [[parseConfiguration]] from a file. */
+  def loadConfiguration(path: String,
+      env: String => Option[String] = sys.env.get): DataSource =
+    parseConfiguration(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8), env)
+
   def silverChecks(silver: DataFrame): Seq[CheckResult] =
     evaluate(silver, silverSuite)
 
@@ -115,12 +172,23 @@ object Quality {
     * QUALITY_CHECKS_PATH) switches from the in-code literals to the
     * file-driven suites — checks as configuration, the reference's
     * operational shape. A dataset absent from the file falls back to
-    * its in-code default (never silently check-less). */
+    * its in-code default (never silently check-less). When
+    * `settings.qualityConfigPath` (env QUALITY_CONFIG_PATH) names a
+    * configuration file, the warehouse scan reads through its
+    * SELECTED datasource ([[parseConfiguration]]) instead of the
+    * settings warehouse root — the reference's soda-scan wiring. */
   def run(spark: SparkSession, settings: Settings,
       ingestionDate: String): Seq[CheckResult] = {
     val suites = settings.qualityChecksPath.map(loadSuites).getOrElse(Map.empty)
+    val warehouseDir = settings.qualityConfigPath.map(loadConfiguration(_))
+      .map { ds =>
+        require(ds.dsType == "parquet",
+          s"unsupported quality datasource type '${ds.dsType}'")
+        s"${ds.path}/$GoldDataset"
+      }
+      .getOrElse(settings.warehouseTableDir)
     val silver = spark.read.parquet(settings.silverDir(ingestionDate))
-    val gold = spark.read.parquet(settings.warehouseTableDir)
+    val gold = spark.read.parquet(warehouseDir)
       .filter(col("ingestion_date") === to_date(lit(ingestionDate)))
     evaluate(silver, suites.getOrElse(SilverDataset, silverSuite)) ++
       evaluate(gold, suites.getOrElse(GoldDataset, goldSuite))

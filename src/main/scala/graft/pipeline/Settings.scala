@@ -27,7 +27,8 @@ final case class Settings(
     awsKey: String = "minio",
     awsSecret: String = "minio12345",
     awsRegion: String = "us-east-1",
-    qualityChecksPath: Option[String] = None) {
+    qualityChecksPath: Option[String] = None,
+    qualityConfigPath: Option[String] = None) {
 
   def bronzeDir(ingestionDate: String): String =
     s"${bronzeRoot.getOrElse(lakeRoot)}/$bronzePrefix/breweries/ingestion_date=$ingestionDate"
@@ -59,5 +60,6 @@ object Settings {
     awsKey = env.getOrElse("AWS_ACCESS_KEY_ID", "minio"),
     awsSecret = env.getOrElse("AWS_SECRET_ACCESS_KEY", "minio12345"),
     awsRegion = env.getOrElse("AWS_DEFAULT_REGION", "us-east-1"),
-    qualityChecksPath = env.get("QUALITY_CHECKS_PATH"))
+    qualityChecksPath = env.get("QUALITY_CHECKS_PATH"),
+    qualityConfigPath = env.get("QUALITY_CONFIG_PATH"))
 }

@@ -123,6 +123,50 @@ class PipelineE2ESpec extends SparkSpec {
     intercept[RuntimeException](Quality.parseSuites("  - row_count > 0"))
   }
 
+  test("named-datasource configuration: selection, env interpolation, failure modes") {
+    // the shipped file mirrors soda/configuration.yml shape-for-shape
+    val shipped = new String(Files.readAllBytes(
+      java.nio.file.Paths.get("conf/quality-configuration.yml")), "UTF-8")
+    val noEnv = Quality.parseConfiguration(shipped, _ => None)
+    assert(noEnv === Quality.DataSource("warehouse", "parquet", "/data/warehouse"))
+    val withEnv = Quality.parseConfiguration(shipped,
+      Map("WAREHOUSE_ROOT" -> "/tmp/elsewhere").get)
+    assert(withEnv.path === "/tmp/elsewhere")
+    // a half-configured datasource must fail loudly, never fall back
+    intercept[RuntimeException](
+      Quality.parseConfiguration("data_sources:\n  a:\n    type: parquet"))
+    intercept[RuntimeException](
+      Quality.parseConfiguration("data_source: missing\ndata_sources:\n  other:\n    type: parquet\n    path: /x"))
+  }
+
+  test("quality run reads the warehouse THROUGH the configured datasource") {
+    val root = Files.createTempDirectory("graft-qds").toString
+    // config whose datasource points at this run's warehouse root —
+    // the warehouse scan must resolve through it (a bogus path here
+    // would fail the read; a silently ignored config would too,
+    // because the settings warehouse root is the same — so point the
+    // settings at a WRONG root and let only the datasource be right)
+    val st0 = settings(root)
+    val conf = Files.createTempFile("graft-qconf", ".yml")
+    Files.write(conf,
+      s"""data_source: warehouse
+         |data_sources:
+         |  warehouse:
+         |    type: parquet
+         |    path: "${st0.warehouseRoot}"
+         |""".stripMargin.getBytes("UTF-8"))
+    val report = Pipeline.run(spark, st0, FakeSource, Some("2026-01-18"),
+      retryDelayMs = 0)
+    assert(report.allChecksPassed)
+    // now run ONLY the quality stage with settings whose warehouse
+    // root is wrong; the datasource must rescue the read
+    val broken = st0.copy(warehouseRoot = s"$root/nowhere",
+      qualityConfigPath = Some(conf.toString))
+    val checks = Quality.run(spark, broken, "2026-01-18")
+    assert(checks.nonEmpty && checks.forall(_.passed),
+      s"datasource-resolved warehouse scan must pass: $checks")
+  }
+
   test("no-Link pagination stops on short page") {
     FakeSource.calls = Nil
     val root = Files.createTempDirectory("graft-pg").toString
