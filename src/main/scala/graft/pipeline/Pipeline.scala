@@ -36,13 +36,20 @@ object Pipeline {
       ingestionDate: Option[String] = None,
       retryDelayMs: Long = 5000): RunReport = {
     val d = ingestionDate.getOrElse(LocalDate.now().toString)
+    Log.info("pipeline_start", "ingestion_date" -> d)
     val (pages, records) =
       retry(3, retryDelayMs)(Bronze.ingest(spark, settings, source, d))
+    Log.info("bronze_done", "ingestion_date" -> d,
+      "pages" -> pages, "records" -> records)
     val silverRows =
       retry(3, retryDelayMs)(Silver.transform(spark, settings, d))
+    Log.info("silver_done", "ingestion_date" -> d, "rows" -> silverRows)
     val goldBase =
       retry(3, retryDelayMs)(Gold.aggregate(spark, settings, d))
+    Log.info("gold_done", "ingestion_date" -> d, "base_dir" -> goldBase)
     val checks = Quality.run(spark, settings, d)
+    Log.info("quality_done", "ingestion_date" -> d,
+      "checks" -> checks.size, "failed" -> checks.count(!_.passed))
     RunReport(d, pages, records, silverRows, goldBase, checks)
   }
 }
