@@ -209,6 +209,7 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q264    graft.queries.Events     — exact Shapley attribution
   *   q265    graft.queries.Events     — rank-1 ALS recommender sweep
   *   q266    graft.queries.Events     — Benjamini–Hochberg FDR gate
+  *   q267    graft.queries.Events     — Poisson overdispersion audit
   */
 object SparkEntry {
 

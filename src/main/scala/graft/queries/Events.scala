@@ -4078,6 +4078,82 @@ object Events {
           col("d"), col("chi2_milli"), col("rank"), col("q_pm"),
           col("crit_milli"), (col("rank") <= col("jstar")).as("reject"))
     },
+
+    // --------------------------------------------------------------- q267
+    // Poisson overdispersion audit — the model-adequacy gate BEHIND
+    // q130's rate anomalies and q187's seasonal baselines: both
+    // assume count variance tracks the mean (Poisson); real user
+    // traffic is usually overdispersed (burstiness, user
+    // heterogeneity), which silently widens their true false-alarm
+    // rates. The dispersion index D = var/mean of per-user counts is
+    // exact in integers: D_pm = 1000·(n·Σx² − (Σx)²) div
+    // ((n−1)·Σx) — the n(n−1) denominators of sample variance and
+    // the mean's n CANCEL into one floor division, so no
+    // intermediate quotient ever exists. The zero-user/zero-count
+    // guards are identical in both engines; the n²-class terms bank
+    // into DECIMAL(38,0)/HUGEINT. Output per event type: n users
+    // (the full universe — a user with zero events of a type is a
+    // zero COUNT, not a missing row; dropping them flatters D), the
+    // count sums, mean and D in exact permille, and the descriptive
+    // over/under flags at ±10% (the q266 χ² family is where formal
+    // testing lives; this is the diagnostic that says WHICH model to
+    // test). One corpus pass to (user, type) counts, a bounded
+    // type-grid fill, type-space output.
+    Q(
+      "q267_dispersion_audit",
+      Some("""
+        WITH users AS (SELECT DISTINCT user_id FROM events),
+        types AS (SELECT DISTINCT event_type AS t FROM events),
+        cnt AS (
+          SELECT user_id, event_type AS t, CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        grid AS (
+          SELECT u.user_id, ty.t, CAST(COALESCE(c.c, 0) AS BIGINT) AS x
+          FROM users u CROSS JOIN types ty
+          LEFT JOIN cnt c ON c.user_id = u.user_id AND c.t = ty.t),
+        st AS (
+          SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM grid GROUP BY 1)
+        SELECT t AS event_type, n, sx,
+               CASE WHEN n > 0 THEN (1000 * sx) // n END AS mean_pm,
+               CASE WHEN n > 1 AND sx > 0
+                 THEN CAST((1000 * (n * CAST(sxx AS HUGEINT) - CAST(sx AS HUGEINT) * sx))
+                      // ((n - 1) * CAST(sx AS HUGEINT)) AS BIGINT)
+               END AS dispersion_pm,
+               CASE WHEN n > 1 AND sx > 0
+                 THEN CAST((1000 * (n * CAST(sxx AS HUGEINT) - CAST(sx AS HUGEINT) * sx))
+                      // ((n - 1) * CAST(sx AS HUGEINT)) AS BIGINT) > 1100
+               END AS overdispersed,
+               CASE WHEN n > 1 AND sx > 0
+                 THEN CAST((1000 * (n * CAST(sxx AS HUGEINT) - CAST(sx AS HUGEINT) * sx))
+                      // ((n - 1) * CAST(sx AS HUGEINT)) AS BIGINT) < 900
+               END AS underdispersed
+        FROM st""")
+    ) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val users = ev.select("user_id").distinct()
+      val types = ev.select(col("event_type").as("t")).distinct()
+      val cnt = ev.groupBy(col("user_id"), col("event_type").as("t"))
+        .agg(count(lit(1)).as("c"))
+      val grid = users.crossJoin(broadcast(types))
+        .join(cnt.hint("shuffle_hash"), Seq("user_id", "t"), "left")
+        .select(col("user_id"), col("t"), coalesce(col("c"), lit(0L)).as("x"))
+      val st = grid.groupBy("t")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+      val disp = expr("""
+        CASE WHEN n > 1 AND sx > 0
+          THEN CAST((1000 * (n * CAST(sxx AS DECIMAL(38,0)) - CAST(sx AS DECIMAL(38,0)) * sx))
+               div ((n - 1) * CAST(sx AS DECIMAL(38,0))) AS BIGINT)
+        END""")
+      st.select(col("t").as("event_type"), col("n"), col("sx"),
+        when(col("n") > 0, expr("(1000 * sx) div n")).as("mean_pm"),
+        disp.as("dispersion_pm"),
+        (disp > 1100L).as("overdispersed"),
+        (disp < 900L).as("underdispersed"))
+    },
   )
 
   /** The 50-rung 1-df inverse-χ² ladder shared verbatim by q266's

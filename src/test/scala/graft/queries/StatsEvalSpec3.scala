@@ -195,6 +195,28 @@ class StatsEvalSpec3 extends SparkSpec {
     assert(!big("view") && !big("error"), "null metrics stay controlled")
   }
 
+  // ---------------------------------------------------------------- q267
+  test("q267 dispersion index replays var/mean over the FULL user grid") {
+    val ev = graft.Tables.load(spark, sf, "events").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+    val users = ev.map(_._1).distinct
+    val types = ev.map(_._2).distinct
+    val rows = run("q267_dispersion_audit").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(4)))
+      .toMap
+    types.foreach { t =>
+      // zero-count users are rows, not absences — dropping them
+      // flatters D (the pinned contract)
+      val xs = users.map(u => ev.count(e => e._1 == u && e._2 == t).toLong)
+      val n = BigInt(xs.length); val sx = BigInt(xs.sum)
+      val sxx = xs.map(x => BigInt(x) * x).sum
+      val d = (BigInt(1000) * (n * sxx - sx * sx)) / ((n - 1) * sx)
+      val (gn, gsx, gd) = rows(t)
+      assert(gn === xs.length && BigInt(gsx) === sx && BigInt(gd) === d,
+        s"$t: direct ($n, $sx, $d) vs ($gn, $gsx, $gd)")
+    }
+  }
+
   // ---------------------------------------------------------------- q263
   test("q263 replication recall is monotone and consistent with q146's probe point") {
     val sweep = run("q263_replication_sweep").collect()
