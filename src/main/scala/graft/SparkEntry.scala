@@ -210,6 +210,7 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q265    graft.queries.Events     — rank-1 ALS recommender sweep
   *   q266    graft.queries.Events     — Benjamini–Hochberg FDR gate
   *   q267    graft.queries.Events     — Poisson overdispersion audit
+  *   q268    graft.queries.TextOps    — dedup-threshold P/R curve
   */
 object SparkEntry {
 

@@ -1682,6 +1682,121 @@ object TextOps {
             .as("recall_permille"))
     },
 
+    // --------------------------------------------------------------- q268
+    // Dedup-threshold precision/recall CURVE — q163 publishes two
+    // detectors at FIXED operating points; this publishes the
+    // MinHash agreement knob's whole tuning surface, the way q146
+    // sweeps nProbe and q263 sweeps replication: for every threshold
+    // k ∈ 1..6 ("call it a dup when ≥ k of 6 signature components
+    // agree"), the confusion matrix against exact-Jaccard ≥ 0.5
+    // ground truth on the SAME Knuth-thinned sampled pair universe.
+    // All six operating points ride ONE pair pass (6×3 conditional
+    // sums in a single aggregate — the q251/q237 lesson: sweep
+    // variants are columns, not re-executions), then stack to six
+    // rows. Precision rises and recall falls monotonically in k BY
+    // CONSTRUCTION (the predicted-positive set shrinks as k grows —
+    // tp and fp are non-increasing; StatsEvalSpec3 pins recall's
+    // monotone fall and the q163 cross-point). The curve is how a
+    // production dedup picks its threshold: the knee, not a guess.
+    Q(
+      "q268_threshold_curve",
+      Some {
+        val hashes = (0 until 6).map(j =>
+          s"${graft.operators.MinHashLsh.universalMinSql("grams", j)} AS h$j")
+          .mkString(",\n                 ")
+        val nMatch = (0 until 6).map(j =>
+          s"CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END").mkString(" + ")
+        val cmCols = (1 to 6).map(k =>
+          s"""CAST(SUM(CASE WHEN is_dup AND n_match >= $k THEN 1 ELSE 0 END) AS BIGINT) AS tp_$k,
+                 CAST(SUM(CASE WHEN NOT is_dup AND n_match >= $k THEN 1 ELSE 0 END) AS BIGINT) AS fp_$k,
+                 CAST(SUM(CASE WHEN is_dup AND n_match < $k THEN 1 ELSE 0 END) AS BIGINT) AS fn_$k""")
+          .mkString(",\n                 ")
+        val unpivot = (1 to 6).map(k =>
+          s"SELECT CAST($k AS BIGINT) AS k, tp_$k AS tp, fp_$k AS fp, fn_$k AS fn FROM cm")
+          .mkString("\n          UNION ALL\n          ")
+        s"""
+        WITH sh AS (
+          SELECT doc_id, $shinglesSql AS grams
+          FROM documents WHERE length(text) >= 3),
+        mh AS (SELECT doc_id, $hashes FROM sh),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+          WHERE ${graft.Knuth.sql("(a.doc_id * 524287 + b.doc_id)", 2803L)}
+                % 64 = 0),
+        lab AS (
+          SELECT
+            (1000 * CAST(len(list_filter(sa.grams, g -> list_contains(sb.grams, g))) AS BIGINT))
+              // (CAST(len(sa.grams) + len(sb.grams) AS BIGINT)
+                 - CAST(len(list_filter(sa.grams, g -> list_contains(sb.grams, g))) AS BIGINT))
+              >= 500 AS is_dup,
+            CAST($nMatch AS BIGINT) AS n_match
+          FROM pairs p
+          JOIN sh sa ON sa.doc_id = p.doc_a
+          JOIN sh sb ON sb.doc_id = p.doc_b
+          JOIN mh a ON a.doc_id = p.doc_a
+          JOIN mh b ON b.doc_id = p.doc_b),
+        cm AS (
+          SELECT $cmCols
+          FROM lab),
+        pts AS (
+          $unpivot)
+        SELECT k, tp, fp, fn,
+               CAST(CASE WHEN tp + fp = 0 THEN -1
+                    ELSE (1000 * tp) // (tp + fp) END AS BIGINT)
+                 AS precision_permille,
+               CAST(CASE WHEN tp + fn = 0 THEN -1
+                    ELSE (1000 * tp) // (tp + fn) END AS BIGINT)
+                 AS recall_permille
+        FROM pts"""
+      }
+    ) { (s, dir) =>
+      val sigs = t(s, dir, "documents")
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"),
+          graft.functions.MinHash.minhashFast(col("text"), 6).as("sig"),
+          graft.functions.Jaccard.gramCodes3(col("text")).as("grams"))
+        .localCheckpoint()
+      val pairs = sigs.as("a")
+        .join(sigs.as("b"),
+          col("b.doc_id") > col("a.doc_id") &&
+            graft.Knuth.col(col("a.doc_id") * lit(524287L) + col("b.doc_id"),
+              2803L) % 64 === 0)
+        .select(col("a.sig").as("sig_a"), col("b.sig").as("sig_b"),
+          col("a.grams").as("grams_a"), col("b.grams").as("grams_b"))
+      val lab = pairs
+        .withColumn("n_common", graft.functions.Jaccard.sortedIntersectCount(
+          col("grams_a"), col("grams_b")))
+        .withColumn("n_total",
+          (size(col("grams_a")) + size(col("grams_b"))).cast("long"))
+        .withColumn("n_match",
+          (0 until 6).map(j =>
+            when(element_at(col("sig_a"), j + 1) ===
+              element_at(col("sig_b"), j + 1), 1L).otherwise(0L))
+            .reduce(_ + _))
+        .select(
+          expr("(1000 * n_common) div (n_total - n_common) >= 500").as("is_dup"),
+          col("n_match"))
+      val sums = (1 to 6).flatMap(k => Seq(
+        sum(when(col("is_dup") && col("n_match") >= k, 1L).otherwise(0L))
+          .as(s"tp_$k"),
+        sum(when(!col("is_dup") && col("n_match") >= k, 1L).otherwise(0L))
+          .as(s"fp_$k"),
+        sum(when(col("is_dup") && col("n_match") < k, 1L).otherwise(0L))
+          .as(s"fn_$k")))
+      val stackArgs = (1 to 6).map(k =>
+        s"CAST($k AS BIGINT), tp_$k, fp_$k, fn_$k").mkString(", ")
+      lab.agg(sums.head, sums.tail: _*)
+        .select(expr(s"stack(6, $stackArgs) AS (k, tp, fp, fn)"))
+        .select(col("k"), col("tp"), col("fp"), col("fn"),
+          when(col("tp") + col("fp") === 0, -1L)
+            .otherwise(expr("(1000 * tp) div (tp + fp)"))
+            .as("precision_permille"),
+          when(col("tp") + col("fn") === 0, -1L)
+            .otherwise(expr("(1000 * tp) div (tp + fn)"))
+            .as("recall_permille"))
+    },
+
     // --------------------------------------------------------------- q164
     // n-gram language identification with a held-out audit: per-
     // language character-trigram PROFILES (the 64 most document-

@@ -217,6 +217,26 @@ class StatsEvalSpec3 extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- q268
+  test("q268 threshold curve: tp/fp fall with k; k=4 equals q163's operating point") {
+    val curve = run("q268_threshold_curve").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(curve.map(_._1) === (1L to 6L))
+    // the predicted-positive set shrinks as k grows
+    curve.sliding(2).foreach { case Array((_, (tp1, fp1, _)), (_, (tp2, fp2, _))) =>
+      assert(tp2 <= tp1 && fp2 <= fp1, s"tp/fp must not grow with k: $curve")
+    }
+    // recall = tp/(tp+fn) with tp+fn constant → falls with tp
+    // cross-point: q163 evaluates the SAME detector at n_match >= 4 on
+    // the SAME sampled pair universe — its minhash row IS k=4
+    val q163 = run("q163_neardup_eval").collect()
+      .find(_.getString(0).startsWith("minhash")).get
+    val (tp4, fp4, fn4) = curve(3)._2
+    assert((q163.getLong(1), q163.getLong(2), q163.getLong(3)) ===
+      ((tp4, fp4, fn4)), "q268 k=4 must equal q163's minhash confusion cells")
+  }
+
   // ---------------------------------------------------------------- q263
   test("q263 replication recall is monotone and consistent with q146's probe point") {
     val sweep = run("q263_replication_sweep").collect()
