@@ -211,6 +211,7 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q266    graft.queries.Events     — Benjamini–Hochberg FDR gate
   *   q267    graft.queries.Events     — Poisson overdispersion audit
   *   q268    graft.queries.TextOps    — dedup-threshold P/R curve
+  *   q269    graft.queries.Events     — group-sequential OBF monitor
   */
 object SparkEntry {
 

@@ -4079,6 +4079,143 @@ object Events {
           col("crit_milli"), (col("rank") <= col("jstar")).as("reject"))
     },
 
+    // --------------------------------------------------------------- q269
+    // Group-sequential O'Brien–Fleming monitor — the INTERIM-look
+    // discipline that completes the experimentation set (q261 gates
+    // the split, q266 the metric family, THIS the peeking): five
+    // equally-spaced looks over the month, each computing the
+    // cumulative arm×converted χ² and comparing it against the OBF
+    // boundary B_k = c·K/k (c = 4.1604 = 2.0397², the standard
+    // K = 5 two-sided α ≈ 5% OBF constant — steep early, nominal at
+    // the end; milli-quantized with CEILING division so the integer
+    // boundary is conservative). Two scenarios ride one tagged
+    // dataflow (q261's move): the salted-hash arm (healthy — must
+    // never cross) and a deliberately CONFOUNDED arm (above-mean
+    // activity, which correlates with conversion — the monitor
+    // should fire early, demonstrating why peeking without
+    // boundaries is unsafe). Conversion-by-look derives from each
+    // user's first-purchase day, so the whole monitor is one
+    // user-space pass exploded by the bounded 5-look table; χ² cells
+    // and cumulative stopped flags live in scenario×look space.
+    Q(
+      "q269_obf_monitor",
+      Some(s"""
+        WITH ua AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev
+          FROM events GROUP BY 1),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(n_ev) AS BIGINT) AS tot FROM ua),
+        arms AS (
+          SELECT ua.user_id,
+                 CASE WHEN (${graft.Knuth.sql("ua.user_id", 7L)}) // 1024 % 2 = 0
+                   THEN 1 ELSE 0 END AS arm_hash,
+                 CASE WHEN nn.n * ua.n_ev > nn.tot THEN 1 ELSE 0 END AS arm_conf
+          FROM ua CROSS JOIN nn),
+        looks(k, d) AS (VALUES (CAST(1 AS BIGINT), 6), (2, 12), (3, 18),
+          (4, 24), (5, 30)),
+        pc AS (
+          SELECT a.user_id, l.k, l.d,
+                 CAST(COALESCE(SUM(CASE WHEN e.event_type = 'purchase'
+                        AND day(CAST(e.ts AS DATE)) <= l.d
+                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS p
+          FROM arms a CROSS JOIN looks l
+          LEFT JOIN events e ON e.user_id = a.user_id
+          GROUP BY 1, 2, 3),
+        lt AS (
+          SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(p) AS BIGINT) AS tot
+          FROM pc GROUP BY 1),
+        grid AS (
+          SELECT s.scenario, pc.k, pc.d, s.arm,
+                 CASE WHEN lt.n * pc.p > lt.tot THEN 1 ELSE 0 END AS conv
+          FROM pc
+          JOIN lt ON lt.k = pc.k
+          JOIN arms a ON a.user_id = pc.user_id
+          CROSS JOIN LATERAL (VALUES ('hash', a.arm_hash),
+                                     ('confounded', a.arm_conf))
+            AS s(scenario, arm)),
+        cells AS (
+          SELECT scenario, k, d,
+                 CAST(SUM(arm * conv) AS BIGINT) AS a,
+                 CAST(SUM(arm * (1 - conv)) AS BIGINT) AS b,
+                 CAST(SUM((1 - arm) * conv) AS BIGINT) AS c,
+                 CAST(SUM((1 - arm) * (1 - conv)) AS BIGINT) AS dd
+          FROM grid GROUP BY 1, 2, 3),
+        chi AS (
+          SELECT scenario, k, d, a, b, c, dd,
+                 CASE WHEN (a+b) > 0 AND (c+dd) > 0 AND (a+c) > 0 AND (b+dd) > 0
+                   THEN CAST((1000 * (a+b+c+dd)
+                          * ((a * CAST(dd AS HUGEINT) - b * CAST(c AS HUGEINT))
+                           * (a * CAST(dd AS HUGEINT) - b * CAST(c AS HUGEINT))))
+                        // ((a+b) * CAST(c+dd AS HUGEINT) * (a+c) * (b+dd))
+                        AS BIGINT)
+                   ELSE 0 END AS chi2_milli,
+                 CAST((20802 + k - 1) // k AS BIGINT) AS boundary_milli
+          FROM cells)
+        SELECT scenario, k, d, a + c AS above_mean,
+               chi2_milli, boundary_milli,
+               chi2_milli >= boundary_milli AS crossed,
+               CAST(MAX(CASE WHEN chi2_milli >= boundary_milli THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY scenario ORDER BY k
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) = 1 AS stopped
+        FROM chi""")
+    ) { (s, dir) =>
+      val ua = t(s, dir, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("n_ev"))
+      val nn = broadcast(ua.agg(count(lit(1)).as("n"), sum(col("n_ev")).as("tot")))
+      val arms = ua.crossJoin(nn).select(col("user_id"),
+        when(expr(s"(${graft.Knuth.sql("user_id", 7L)}) div 1024") % 2 === 0, 1L)
+          .otherwise(0L).as("arm_hash"),
+        when(col("n") * col("n_ev") > col("tot"), 1L).otherwise(0L)
+          .as("arm_conf"))
+      val looks = {
+        import s.implicits._
+        broadcast(Seq(1L -> 6, 2L -> 12, 3L -> 18, 4L -> 24, 5L -> 30)
+          .toDF("k", "d"))
+      }
+      // cumulative purchases per (user, look): bounded 5-way fanout of
+      // the user universe, zero-purchase users are 0-count rows
+      val pc = arms.select("user_id").crossJoin(looks)
+        .join(t(s, dir, "events").hint("shuffle_hash"), Seq("user_id"), "left")
+        .groupBy("user_id", "k", "d")
+        .agg(coalesce(sum(when(col("event_type") === "purchase" &&
+          dayofmonth(to_date(col("ts"))) <= col("d"), 1L).otherwise(0L)),
+          lit(0L)).as("p"))
+      val lt = broadcast(pc.groupBy("k")
+        .agg(count(lit(1)).as("n"), sum(col("p")).as("tot")))
+      val grid = pc.join(lt, "k")
+        .join(arms.hint("shuffle_hash"), "user_id")
+        .select(col("k"), col("d"),
+          when(col("n") * col("p") > col("tot"), 1L).otherwise(0L).as("conv"),
+          explode(expr(
+            "array(struct('hash' as scenario, arm_hash as arm)," +
+              " struct('confounded' as scenario, arm_conf as arm))")).as("s"))
+        .select(col("s.scenario").as("scenario"), col("k"), col("d"),
+          col("s.arm").as("arm"), col("conv"))
+      val cells = grid.groupBy("scenario", "k", "d")
+        .agg(sum(col("arm") * col("conv")).as("a"),
+          sum(col("arm") * (lit(1L) - col("conv"))).as("b"),
+          sum((lit(1L) - col("arm")) * col("conv")).as("c"),
+          sum((lit(1L) - col("arm")) * (lit(1L) - col("conv"))).as("dd"))
+      val chi = cells.withColumn("chi2_milli", expr("""
+        CASE WHEN (a+b) > 0 AND (c+dd) > 0 AND (a+c) > 0 AND (b+dd) > 0
+          THEN CAST((1000 * (a+b+c+dd)
+                 * ((a * CAST(dd AS DECIMAL(38,0)) - b * CAST(c AS DECIMAL(38,0)))
+                  * (a * CAST(dd AS DECIMAL(38,0)) - b * CAST(c AS DECIMAL(38,0)))))
+               div ((a+b) * CAST(c+dd AS DECIMAL(38,0)) * (a+c) * (b+dd))
+               AS BIGINT)
+          ELSE 0L END"""))
+        .withColumn("boundary_milli", expr("(20802 + k - 1) div k"))
+      chi.select(col("scenario"), col("k"), col("d"),
+        (col("a") + col("c")).as("above_mean"),
+        col("chi2_milli"), col("boundary_milli"),
+        (col("chi2_milli") >= col("boundary_milli")).as("crossed"),
+        (max(when(col("chi2_milli") >= col("boundary_milli"), 1L).otherwise(0L))
+          .over(Window.partitionBy("scenario").orderBy("k")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          === 1L).as("stopped"))
+    },
+
     // --------------------------------------------------------------- q267
     // Poisson overdispersion audit — the model-adequacy gate BEHIND
     // q130's rate anomalies and q187's seasonal baselines: both

@@ -237,6 +237,39 @@ class StatsEvalSpec3 extends SparkSpec {
       ((tp4, fp4, fn4)), "q268 k=4 must equal q163's minhash confusion cells")
   }
 
+  // ---------------------------------------------------------------- q269
+  test("q269 OBF monitor: boundary ladder exact; confounded fires, hash never") {
+    for (sfDir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val rows = SparkEntry.queries("q269_obf_monitor")(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(4), r.getLong(5),
+          r.getBoolean(6), r.getBoolean(7)))
+      assert(rows.length === 10)
+      // B_k = ceil(20802 / k): the K=5 OBF χ² ladder, conservative
+      rows.foreach { case (_, k, _, b, _, _) =>
+        assert(b === (20802 + k - 1) / k, s"boundary at look $k")
+      }
+      // stopped is the running OR of crossed, per scenario
+      rows.groupBy(_._1).foreach { case (scen, rs) =>
+        var fired = false
+        rs.sortBy(_._2).foreach { case (_, k, chi, b, crossed, stopped) =>
+          assert(crossed === (chi >= b), s"$scen look $k crossed")
+          fired ||= crossed
+          assert(stopped === fired, s"$scen look $k stopped")
+        }
+      }
+    }
+    // power at sf0.01+: the deliberately confounded arm must trip the
+    // monitor; the salted-hash arm must survive every look (15 users
+    // at sf0.001 genuinely cannot reach the early boundaries)
+    val big = SparkEntry.queries("q269_obf_monitor")(
+        spark, "/root/testdata/sf0.01").collect()
+      .map(r => r.getString(0) -> r.getBoolean(7))
+    assert(big.filter(_._1 == "confounded").exists(_._2),
+      "confounded assignment must stop early")
+    assert(big.filter(_._1 == "hash").forall(!_._2),
+      "healthy assignment must never stop")
+  }
+
   // ---------------------------------------------------------------- q263
   test("q263 replication recall is monotone and consistent with q146's probe point") {
     val sweep = run("q263_replication_sweep").collect()
