@@ -212,6 +212,7 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q267    graft.queries.Events     — Poisson overdispersion audit
   *   q268    graft.queries.TextOps    — dedup-threshold P/R curve
   *   q269    graft.queries.Events     — group-sequential OBF monitor
+  *   q270    graft.queries.Curation   — leave-one-source-out ablation
   */
 object SparkEntry {
 

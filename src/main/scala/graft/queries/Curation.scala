@@ -1597,6 +1597,88 @@ object Curation {
                   THEN (1000 * (s_seg - y)) div (n_seg - 1)
                      - (1000 * s_seg) div n_seg END""").as("leak_gap_pm"))
     },
+
+    // --------------------------------------------------------------- q270
+    // Leave-one-source-out ablation — data VALUATION by exact
+    // algebra, no re-scans: for every source, what happens to the
+    // corpus' quality profile if that source is dropped? The whole
+    // sweep is totals-minus-group arithmetic over per-source
+    // sufficient statistics — LOSO mean = (T − T_s) div (n − n_s) —
+    // so |sources| ablations cost ONE corpus pass, not |sources|
+    // re-aggregations (the same algebra trick as q262's
+    // no-second-pass variance). Two metrics per ablation: mean doc
+    // length and mean English share (the q29 heuristic's ' the '
+    // hits per kchar — a crude quality proxy whose point here is the
+    // DELTA, not the level), each in exact permille, with influence
+    // = LOSO − overall (positive: dropping the source RAISES the
+    // metric — the source drags it down). The rank orders sources by
+    // length influence (source-space window). This is the first
+    // question a data-mixing review asks — "which source is hurting
+    // us" — answered for every source at once, at the price of one.
+    Q(
+      "q270_source_ablation",
+      Some("""
+        WITH d AS (
+          SELECT source, CAST(length(text) AS BIGINT) AS len,
+                 CAST((length(text) - length(replace(text, ' the ', '')))
+                   / 5 AS BIGINT) AS hits
+          FROM documents),
+        src AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,
+                 CAST(SUM(len) AS BIGINT) AS len_s,
+                 CAST(SUM(hits) AS BIGINT) AS hits_s
+          FROM d GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(n_s) AS BIGINT) AS n,
+                 CAST(SUM(len_s) AS BIGINT) AS len_t,
+                 CAST(SUM(hits_s) AS BIGINT) AS hits_t
+          FROM src),
+        ab AS (
+          SELECT s.source, s.n_s,
+                 (1000 * t.len_t) // t.n AS mean_len_pm,
+                 (1000000 * t.hits_t) // t.len_t AS eng_ppm,
+                 CASE WHEN t.n > s.n_s
+                   THEN (1000 * (t.len_t - s.len_s)) // (t.n - s.n_s) END
+                   AS loso_len_pm,
+                 CASE WHEN t.len_t > s.len_s
+                   THEN (1000000 * (t.hits_t - s.hits_s)) // (t.len_t - s.len_s) END
+                   AS loso_eng_ppm
+          FROM src s CROSS JOIN tot t)
+        SELECT source, n_s, loso_len_pm,
+               loso_len_pm - mean_len_pm AS len_influence_pm,
+               loso_eng_ppm,
+               loso_eng_ppm - eng_ppm AS eng_influence_ppm,
+               CAST(ROW_NUMBER() OVER (
+                 ORDER BY loso_len_pm - mean_len_pm DESC, source)
+                 AS BIGINT) AS len_influence_rank
+        FROM ab""")
+    ) { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("source"),
+        length(col("text")).cast("long").as("len"),
+        ((length(col("text"))
+          - length(regexp_replace(col("text"), " the ", ""))) / 5)
+          .cast("long").as("hits"))
+      val src = d.groupBy("source")
+        .agg(count(lit(1)).as("n_s"), sum(col("len")).as("len_s"),
+          sum(col("hits")).as("hits_s"))
+      val tot = broadcast(src.agg(sum(col("n_s")).as("n"),
+        sum(col("len_s")).as("len_t"), sum(col("hits_s")).as("hits_t")))
+      val ab = src.crossJoin(tot).select(col("source"), col("n_s"),
+        expr("(1000 * len_t) div n").as("mean_len_pm"),
+        expr("(1000000 * hits_t) div len_t").as("eng_ppm"),
+        expr("CASE WHEN n > n_s THEN (1000 * (len_t - len_s)) div (n - n_s) END")
+          .as("loso_len_pm"),
+        expr("""CASE WHEN len_t > len_s
+                THEN (1000000 * (hits_t - hits_s)) div (len_t - len_s) END""")
+          .as("loso_eng_ppm"))
+      ab.select(col("source"), col("n_s"), col("loso_len_pm"),
+        (col("loso_len_pm") - col("mean_len_pm")).as("len_influence_pm"),
+        col("loso_eng_ppm"),
+        (col("loso_eng_ppm") - col("eng_ppm")).as("eng_influence_ppm"),
+        row_number().over(Window.orderBy(
+          (col("loso_len_pm") - col("mean_len_pm")).desc, col("source")))
+          .cast("long").as("len_influence_rank"))
+    },
   )
 
   /** q147's per-(doc, shard) rendezvous weight: the Carter–Wegman

@@ -270,6 +270,26 @@ class StatsEvalSpec3 extends SparkSpec {
       "healthy assignment must never stop")
   }
 
+  // ---------------------------------------------------------------- q270
+  test("q270 LOSO algebra equals literally re-aggregating without each source") {
+    val docs = graft.Tables.load(spark, sf, "documents").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("text")))
+      .map { case (src, txt) =>
+        val hits = (txt.length - txt.replace(" the ", "").length) / 5
+        (src, txt.length.toLong, hits.toLong)
+      }
+    val rows = run("q270_source_ablation").collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(4))).toMap
+    docs.map(_._1).distinct.foreach { s0 =>
+      // the literal ablation: drop the source, re-aggregate
+      val rest = docs.filterNot(_._1 == s0)
+      val lenPm = 1000L * rest.map(_._2).sum / rest.length
+      val engPpm = 1000000L * rest.map(_._3).sum / rest.map(_._2).sum
+      assert(rows(s0) === ((lenPm, engPpm)),
+        s"$s0: direct ($lenPm, $engPpm) vs ${rows(s0)}")
+    }
+  }
+
   // ---------------------------------------------------------------- q263
   test("q263 replication recall is monotone and consistent with q146's probe point") {
     val sweep = run("q263_replication_sweep").collect()
