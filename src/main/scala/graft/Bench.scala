@@ -105,18 +105,21 @@ object Bench {
       val fallback = Some(times.head(q.name)).filter(_ >= 0)
       q.name -> (if (measured.nonEmpty) Some(measured.min) else fallback)
     }
+    // explicit Locale.ROOT: the f interpolator is locale-sensitive and
+    // a comma-decimal default locale would emit invalid JSON
+    def num(v: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
     val qs = results.map {
-      case (k, Some(v)) => "\"" + k + "\":" + f"$v%.3f"
+      case (k, Some(v)) => "\"" + k + "\":" + num(v, 3)
       case (k, None)    => "\"" + k + "\":\"error\""
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val failed = results.count(_._2.isEmpty)
     val cpuPost = cpuCanary(cpus.toInt)
     val memPost = memcpyCanary()
-    val canary = f"""{"cpu${cpus}_pre_sec":$cpuPre%.2f,"memcpy_pre_gbps":$memPre%.2f,"cpu${cpus}_post_sec":$cpuPost%.2f,"memcpy_post_gbps":$memPost%.2f}"""
+    val canary = s"""{"cpu${cpus}_pre_sec":${num(cpuPre, 2)},"memcpy_pre_gbps":${num(memPre, 2)},"cpu${cpus}_post_sec":${num(cpuPost, 2)},"memcpy_post_gbps":${num(memPost, 2)}}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed,"canary":$canary}"""
-    println(json)
     // the driver's capture keeps only the tail of stdout — persist the
     // complete per-query record in-repo so round-over-round comparison
     // can always diff every query
@@ -125,7 +128,12 @@ object Bench {
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(out,
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // stop Spark BEFORE printing so the result JSON is the final
+    // stdout line (the driver parses the tail of captured stdout;
+    // shutdown logging routes to stderr but must not trail the JSON)
     spark.stop()
+    println(json)
+    System.out.flush()
     if (failed > 0) sys.exit(1)
   }
 }

@@ -115,20 +115,24 @@ object BinaryDecode {
     * (q242's audit shape): never throw on corpus bytes. */
   def parseWav(b: Array[Byte]): Option[WavInfo] = {
     if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
-    var off = 12
+    // the cursor is a Long: a hostile chunk size near 2^31 would wrap
+    // `off + 8 + sz` computed in Int, sneaking a past-the-end chunk
+    // through the bounds check (and a multi-GB frame alloc after it)
+    var off = 12L
     var fmt: Option[(Int, Int, Int, Int)] = None
     var data: Option[(Int, Int)] = None
     while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
-      val id = tag(b, off)
-      val sz = le32(b, off + 4)
+      val o = off.toInt
+      val id = tag(b, o)
+      val sz = le32(b, o + 4)
       if (sz < 0 || off + 8 + sz > b.length) return None
       if (id == "fmt " && sz >= 16)
-        fmt = Some((le16(b, off + 8), le16(b, off + 10),
-          le32(b, off + 12), le16(b, off + 22)))
+        fmt = Some((le16(b, o + 8), le16(b, o + 10),
+          le32(b, o + 12), le16(b, o + 22)))
       else if (id == "data")
-        data = Some((off + 8, sz))
+        data = Some((o + 8, sz))
       // chunks are word-aligned: odd sizes carry a pad byte
-      off += 8 + sz + (sz & 1)
+      off += 8L + sz + (sz & 1)
     }
     for ((af, ch, sr, bps) <- fmt; (dOff, dLen) <- data
          if ch > 0 && sr > 0 && (bps == 8 || bps == 16))

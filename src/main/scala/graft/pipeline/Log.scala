@@ -33,8 +33,12 @@ object Log {
 
   private def fmt(event: String, fields: Seq[(String, Any)]): String = {
     val kv = fields.map { case (k, v) =>
-      val s = String.valueOf(v)
-      val quoted = if (s.exists(c => c == ' ' || c == '"')) {
+      val raw = String.valueOf(v)
+      // newlines escape (one event per line); '=' and spaces quote so
+      // key=value splitting stays unambiguous for any value content
+      val s = raw.replace("\r", "\\r").replace("\n", "\\n")
+      val quoted = if (s.isEmpty || raw != s ||
+          s.exists(c => c == ' ' || c == '"' || c == '=')) {
         "\"" + s.replace("\"", "\\\"") + "\""
       } else s
       s"$k=$quoted"

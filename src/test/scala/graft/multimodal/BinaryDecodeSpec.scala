@@ -138,6 +138,25 @@ class BinaryDecodeSpec extends SparkSpec {
     lying(40) = 0x7f.toByte; lying(41) = 0x7f.toByte
     lying(42) = 0x7f.toByte; lying(43) = 0x7f.toByte
     assert(BinaryDecode.parseWav(lying).isEmpty)
+    // a chunk size near 2^31 would wrap `off + 8 + sz` computed in
+    // Int arithmetic (0x7ffffff0 + 44 < 0), sneaking the bounds check
+    // — the guard must do its arithmetic in Long
+    val wrapping = good.clone()
+    wrapping(40) = 0xf0.toByte; wrapping(41) = 0xff.toByte
+    wrapping(42) = 0xff.toByte; wrapping(43) = 0x7f.toByte
+    assert(BinaryDecode.parseWav(wrapping).isEmpty)
+    // same trap on a NON-data chunk: the walk must not wrap `off`
+    // negative and keep walking (the data chunk sits first here, so
+    // the loop continues past the hostile fmt-like chunk)
+    val hostile = {
+      val bb = java.nio.ByteBuffer.allocate(64)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(56)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("junk".getBytes("US-ASCII")).putInt(0x7ffffff0)
+      bb.array()
+    }
+    assert(BinaryDecode.parseWav(hostile).isEmpty)
   }
 
   test("parseBmp: hand-built real 24-bit BMP parses; malformed rejected") {

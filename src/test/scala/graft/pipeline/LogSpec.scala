@@ -27,6 +27,15 @@ class LogSpec extends AnyFunSuite {
     assert(fmt("x", "msg" -> "say \"hi\"") === "event=x msg=\"say \\\"hi\\\"\"")
   }
 
+  test("values with '=' or newlines stay machine-splittable") {
+    // '=' quotes (else `path=a=b` splits ambiguously); newlines escape
+    // (one event per line); empty values quote (else the token drops)
+    assert(fmt("x", "path" -> "a=b") === "event=x path=\"a=b\"")
+    assert(fmt("x", "msg" -> "l1\nl2") === "event=x msg=\"l1\\nl2\"")
+    assert(fmt("x", "msg" -> "a\r\nb") === "event=x msg=\"a\\r\\nb\"")
+    assert(fmt("x", "v" -> "") === "event=x v=\"\"")
+  }
+
   test("setup accepts the reference's level strings without throwing") {
     Log.setup("DEBUG")
     Log.setup("INFO") // restore

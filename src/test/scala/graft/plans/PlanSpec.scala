@@ -843,7 +843,13 @@ class PlanSpec extends SparkSpec {
     // ReusedExchangeExec is a leaf whose referenced exchange holds the
     // real subtree (exchange reuse would otherwise HIDE the shrinking
     // aggregate, as it does in q180) — recurse through it.
-    def shrunk(p: SparkPlan): Boolean = p.exists {
+    // Walk only the NON-BROADCAST lineage: an aggregate/limit on a
+    // broadcast branch (a one-row stats attach feeding the window via
+    // a join) must NOT attest the frame as shrunk — the corpus branch
+    // could still reach the window unaggregated, which is exactly the
+    // scale-killer this sweep exists to catch. Broadcast subtrees are
+    // pruned (return false) so only the streamed lineage can attest.
+    def shrunk(p: SparkPlan): Boolean = p match {
       case _: HashAggregateExec => true
       case _: ObjectHashAggregateExec => true
       case _: org.apache.spark.sql.execution.aggregate.SortAggregateExec => true
@@ -852,7 +858,9 @@ class PlanSpec extends SparkSpec {
       case _: org.apache.spark.sql.execution.LocalLimitExec => true
       case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
         shrunk(r.child)
-      case _ => false
+      case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+        false
+      case n => n.children.exists(shrunk)
     }
     def shrunkBeneath(w: org.apache.spark.sql.execution.window.WindowExec): Boolean =
       shrunk(w.child)
