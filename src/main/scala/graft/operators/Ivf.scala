@@ -205,6 +205,42 @@ object Ivf {
     cents
   }
 
+  /** Per-JVM unique tag for persisted centroid artifacts (same
+    * collision-avoidance contract as EdgeLayout's run tag). */
+  private val persistTag: String =
+    java.lang.Long.toHexString(ProcessHandle.current().pid()) + "x" +
+      java.lang.Long.toHexString(System.nanoTime() & 0xffffffffL)
+
+  /** cache key → persisted parquet path, written at most once/JVM. */
+  private val persistedPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** TRAIN-ONCE / PERSIST / READ-BACK — the production split of
+    * [[trainCentroidsCosine]]: the centroid table is a LAYOUT
+    * ARTIFACT like a bucketed edge corpus (EdgeLayout), trained once
+    * per corpus snapshot and read back by every search query, so
+    * queries pay search cost only. Keyed by (corpus key, k, rounds);
+    * the artifact is nCentroids×dim integers — a trivial parquet
+    * read that broadcasts downstream. Training is deterministic
+    * (integer Lloyd over first-N-id seeds), so the persisted table
+    * is bit-identical to an inline retrain and the DuckDB oracle
+    * replays it exactly ([[trainSqlCtesCosine]]). */
+  def persistedCentroidsCosine(df: DataFrame, corpusKey: String,
+      idCol: String, qvCol: String, n: Int, rounds: Int): DataFrame = {
+    val spark = df.sparkSession
+    val path = persistedPaths.computeIfAbsent(
+      s"$corpusKey|$n|$rounds|cos", _ => {
+        val p = new java.io.File(
+          new java.io.File(sys.props("java.io.tmpdir"),
+            s"graft_ivf_$persistTag"),
+          s"c${persistedPaths.size}").getAbsolutePath
+        trainCentroidsCosine(df, idCol, qvCol, n, rounds)
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+    spark.read.parquet(path)
+  }
+
   /** DuckDB CTE chain replaying [[trainCentroids]] exactly: expects a
     * `normed` CTE (vec_id, qv) and the seed CTE named `cents0`; emits
     * asg/pos/cents CTEs per round. The final table is `cents<rounds>`.

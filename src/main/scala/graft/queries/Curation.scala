@@ -1275,9 +1275,10 @@ object Curation {
     // sup). One corpus pass to (source, value) cells; every window
     // runs in value space (|distinct lengths| rows — bounded by the
     // length domain, never corpus-sized). Worst deviating length
-    // rides along (min-value argmax, the q138 rule). BIGINT headroom:
-    // c·n·10⁶ needs n ≲ 3e6; the 1000× production form quantizes both
-    // CDFs to ppm FIRST (q182's move), same sup-of-diffs.
+    // rides along (min-value argmax, the q138 rule). The cross-
+    // multiplied CDF-gap terms (c·n products, past BIGINT at n ≳ 3e6)
+    // are BANKED into DECIMAL(38,0) / HUGEINT — exact sup-of-diffs
+    // past 10¹⁰ rows; the per-cell ppm quotient lands back in BIGINT.
     Q(
       "q199_ks_drift",
       Some("""
@@ -1302,8 +1303,10 @@ object Curation {
           FROM grid),
         diff AS (
           SELECT s.source, s.v,
-                 (abs(s.c_s * t.n_all - g.c_all * ns.n_s) * 1000000)
-                   // (ns.n_s * t.n_all) AS diff_ppm
+                 CAST((abs(CAST(s.c_s AS HUGEINT) * t.n_all
+                           - CAST(g.c_all AS HUGEINT) * ns.n_s) * 1000000)
+                   // (CAST(ns.n_s AS HUGEINT) * t.n_all) AS BIGINT)
+                   AS diff_ppm
           FROM scum s JOIN gcum g ON g.v = s.v
           JOIN ns ON ns.source = s.source CROSS JOIN nt t),
         mx AS (SELECT source, CAST(MAX(diff_ppm) AS BIGINT) AS ks_ppm
@@ -1334,7 +1337,9 @@ object Curation {
         .select("source", "v", "c_s", "n_s")
       val diff = scum.join(gcum, "v").crossJoin(broadcast(nt))
         .withColumn("diff_ppm", expr(
-          "(abs(c_s * n_all - c_all * n_s) * 1000000) div (n_s * n_all)"))
+          "(abs(cast(c_s as decimal(38,0)) * n_all" +
+            " - cast(c_all as decimal(38,0)) * n_s) * 1000000)" +
+            " div (cast(n_s as decimal(38,0)) * n_all)"))
         .select("source", "v", "diff_ppm")
       val mx = diff.groupBy("source").agg(max(col("diff_ppm")).as("ks_ppm"))
       mx.join(ns, "source")
@@ -1405,8 +1410,11 @@ object Curation {
     // to the next grid value (lead − v) — quantize-then-sum, so the
     // result is exact ppm·chars in both engines. Same scale story as
     // q199: one corpus pass to (source, length) cells, every window
-    // in length-value space. BIGINT headroom: c·n·10⁶ needs n ≲ 3e6
-    // — the 1000× form quantizes both CDFs to ppm first.
+    // in length-value space. The cross-multiplied CDF-gap terms
+    // (c·n products, past BIGINT at n ≳ 3e6) are BANKED into
+    // DECIMAL(38,0) / HUGEINT; the per-cell gap is ≤ 10⁶ after the
+    // exact integral divide, so the ppm·chars sum stays in BIGINT
+    // (≤ char_range·10⁶) — exact past 10¹⁰ rows.
     Q(
       "q229_emd_drift",
       Some("""
@@ -1434,8 +1442,10 @@ object Curation {
         SELECT source, MIN(n_s) AS n_docs,
                CAST(SUM(CASE WHEN v_next IS NULL THEN 0
                  ELSE (v_next - v) * ((1000000 *
-                   abs(c_s * (SELECT n_all FROM nt) - c_all * n_s))
-                   // (n_s * (SELECT n_all FROM nt))) END) AS BIGINT)
+                   abs(CAST(c_s AS HUGEINT) * (SELECT n_all FROM nt)
+                       - CAST(c_all AS HUGEINT) * n_s))
+                   // (CAST(n_s AS HUGEINT) * (SELECT n_all FROM nt)))
+                 END) AS BIGINT)
                  AS emd_ppm_chars
         FROM scum GROUP BY source""")
     ) { (s, dir) =>
@@ -1456,8 +1466,10 @@ object Curation {
         .agg(min(col("n_s")).as("n_docs"),
           sum(when(col("v_next").isNull, 0L)
             .otherwise((col("v_next") - col("v")) *
-              expr("(1000000 * abs(c_s * n_all - c_all * n_s))" +
-                " div (n_s * n_all)"))).as("emd_ppm_chars"))
+              expr("(1000000 * abs(cast(c_s as decimal(38,0)) * n_all" +
+                " - cast(c_all as decimal(38,0)) * n_s))" +
+                " div (cast(n_s as decimal(38,0)) * n_all)")))
+            .as("emd_ppm_chars"))
     },
 
     // --------------------------------------------------------------- q230

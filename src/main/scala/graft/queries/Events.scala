@@ -1995,11 +1995,12 @@ object Events {
     // would silently drop them), built from the 5×7 marginal tables,
     // never from the corpus. One map-side-combinable corpus pass
     // builds the joint; everything after re-aggregates 35 rows.
-    // BIGINT headroom: 1000·o and e₃ are ≤ 1000·n, so dev² needs
-    // n ≲ 3e6 per engine-exact run — the 1000× production form drops
-    // the milli scaling (whole-count devs) for n up to 3e9, same
-    // closed form. df = (|types|−1)(|dows|−1) rides along so the
-    // output is a self-contained test report.
+    // The marginal products (rt·ct ≤ n², past BIGINT at n ≳ 3e6) and
+    // the squared deviations ((1000·o − e₃)² ≤ 10⁶·n²) are BANKED
+    // into DECIMAL(38,0) / HUGEINT; the contrib quotient lands back
+    // in BIGINT (≤ ~1225·n for any cell whose marginals carry ≥1/35
+    // of the mass) — exact past 10¹⁰ rows. df = (|types|−1)(|dows|−1)
+    // rides along so the output is a self-contained test report.
     Q(
       "q195_chi_square",
       Some("""
@@ -2020,10 +2021,12 @@ object Events {
             ON j.event_type = r.event_type AND j.dow = c.dow),
         cell AS (
           SELECT g.event_type, g.dow, g.o,
-                 (1000 * g.rt * g.ct) // n.nt AS expected_milli,
-                 ((1000 * g.o - (1000 * g.rt * g.ct) // n.nt)
-                  * (1000 * g.o - (1000 * g.rt * g.ct) // n.nt))
-                   // ((1000 * g.rt * g.ct) // n.nt) AS contrib_milli
+                 (1000 * CAST(g.rt AS HUGEINT) * g.ct) // n.nt
+                   AS expected_milli,
+                 ((1000 * g.o - (1000 * CAST(g.rt AS HUGEINT) * g.ct) // n.nt)
+                  * (1000 * g.o - (1000 * CAST(g.rt AS HUGEINT) * g.ct) // n.nt))
+                   // ((1000 * CAST(g.rt AS HUGEINT) * g.ct) // n.nt)
+                   AS contrib_milli
           FROM grid g CROSS JOIN n),
         tot AS (
           SELECT CAST(SUM(contrib_milli) AS BIGINT) AS chi2_milli,
@@ -2048,10 +2051,11 @@ object Events {
         .join(joint, Seq("event_type", "dow"), "left")
         .na.fill(0L, Seq("o"))
         .crossJoin(broadcast(n))
-        .withColumn("expected_milli", expr("(1000 * rt * ct) div nt"))
+        .withColumn("expected_milli",
+          expr("(1000 * cast(rt as decimal(38,0)) * ct) div nt"))
         .withColumn("contrib_milli", expr(
-          "((1000 * o - expected_milli) * (1000 * o - expected_milli))" +
-            " div expected_milli"))
+          "(cast(1000 * o - expected_milli as decimal(38,0))" +
+            " * (1000 * o - expected_milli)) div expected_milli"))
         .select("event_type", "dow", "o", "expected_milli", "contrib_milli")
       val tot = cell.agg(
         sum(col("contrib_milli")).as("chi2_milli"),
@@ -2226,15 +2230,18 @@ object Events {
     // series — "did this metric's level shift, and when?" The
     // classical statistic S_i = Σ_{k≤i}(x_k − μ) needs the rational
     // mean μ = T/N; multiplying through by N keeps it EXACT:
-    // S′_i = N·Σcents_k − T·Σcnt_k (units: cents × N, per type). The
-    // |S′| argmax day is the single most likely level-shift point
-    // (ties → earliest day, the q138 rule). One map-side-combinable
-    // corpus pass to (type, day) cells; cumulative windows run per
-    // type in day-space (|days| rows — never corpus-sized); per-type
-    // totals re-aggregate from the cells and attach by broadcast.
-    // BIGINT headroom: N·Σcents needs N·total_cents < 2⁶³ — holds to
-    // ~10⁹ events of ~10⁴ cents; past that, re-scale to whole dollars
-    // and daily grains coarsen the same closed form.
+    // S′_i = N·Σcents_k − T·Σcnt_k, BANKED into DECIMAL(38,0) /
+    // HUGEINT (N·total_cents wrapped BIGINT past ~10⁹ events of ~10⁴
+    // cents), then REPORTED as s_cents = S′_i div N — the CUSUM
+    // deviation in exact floored CENTS, bounded by total cents, so
+    // the exposed column stays BIGINT at any corpus size. The
+    // |s_cents| argmax day is the single most likely level-shift
+    // point (ties → earliest day, the q138 rule — applied after the
+    // cents flooring, identically in both engines). One map-side-
+    // combinable corpus pass to (type, day) cells; cumulative windows
+    // run per type in day-space (|days| rows — never corpus-sized);
+    // per-type totals re-aggregate from the cells and attach by
+    // broadcast.
     Q(
       "q202_cusum_changepoint",
       Some("""
@@ -2250,21 +2257,21 @@ object Events {
           FROM daily GROUP BY 1),
         cum AS (
           SELECT d.event_type, d.d, d.n_events, d.day_cents,
-                 t.n_tot * CAST(SUM(d.day_cents) OVER (
-                     PARTITION BY d.event_type ORDER BY d.d) AS BIGINT)
-                 - t.t_cents * CAST(SUM(d.n_events) OVER (
-                     PARTITION BY d.event_type ORDER BY d.d) AS BIGINT)
-                   AS s_scaled
+                 CAST((CAST(t.n_tot AS HUGEINT) * SUM(d.day_cents) OVER (
+                     PARTITION BY d.event_type ORDER BY d.d)
+                 - CAST(t.t_cents AS HUGEINT) * SUM(d.n_events) OVER (
+                     PARTITION BY d.event_type ORDER BY d.d))
+                   // t.n_tot AS BIGINT) AS s_cents
           FROM daily d JOIN tot t ON t.event_type = d.event_type),
         mx AS (
-          SELECT event_type, CAST(MAX(abs(s_scaled)) AS BIGINT) AS peak
+          SELECT event_type, CAST(MAX(abs(s_cents)) AS BIGINT) AS peak
           FROM cum GROUP BY 1),
         pk AS (
           SELECT c.event_type, MIN(c.d) AS peak_d
           FROM cum c JOIN mx m
-            ON m.event_type = c.event_type AND abs(c.s_scaled) = m.peak
+            ON m.event_type = c.event_type AND abs(c.s_cents) = m.peak
           GROUP BY 1)
-        SELECT c.event_type, c.d, c.n_events, c.day_cents, c.s_scaled,
+        SELECT c.event_type, c.d, c.n_events, c.day_cents, c.s_cents,
                c.d = p.peak_d AS is_peak
         FROM cum c JOIN pk p ON p.event_type = c.event_type""")
     ) { (s, dir) =>
@@ -2279,17 +2286,19 @@ object Events {
       val w = Window.partitionBy("event_type").orderBy("d")
         .rowsBetween(Window.unboundedPreceding, 0)
       val cum = daily.join(broadcast(tot), "event_type")
-        .withColumn("s_scaled",
-          col("n_tot") * sum(col("day_cents")).over(w)
-            - col("t_cents") * sum(col("n_events")).over(w))
-        .select("event_type", "d", "n_events", "day_cents", "s_scaled")
-      val mx = cum.groupBy("event_type").agg(max(abs(col("s_scaled"))).as("peak"))
+        .withColumn("cum_cents", sum(col("day_cents")).over(w))
+        .withColumn("cum_n", sum(col("n_events")).over(w))
+        .withColumn("s_cents",
+          expr("(cast(n_tot as decimal(38,0)) * cum_cents" +
+            " - cast(t_cents as decimal(38,0)) * cum_n) div n_tot"))
+        .select("event_type", "d", "n_events", "day_cents", "s_cents")
+      val mx = cum.groupBy("event_type").agg(max(abs(col("s_cents"))).as("peak"))
       val pk = cum.join(broadcast(mx), "event_type")
-        .filter(abs(col("s_scaled")) === col("peak"))
+        .filter(abs(col("s_cents")) === col("peak"))
         .groupBy("event_type").agg(min(col("d")).as("peak_d"))
       cum.join(broadcast(pk), "event_type")
         .select(col("event_type"), col("d"), col("n_events"),
-          col("day_cents"), col("s_scaled"),
+          col("day_cents"), col("s_cents"),
           (col("d") === col("peak_d")).as("is_peak"))
     },
 
@@ -2611,16 +2620,17 @@ object Events {
     // c with n_g members, twice the average rank is 2c + n_g + 1 — an
     // integer — so R2 = Σ pos_g·(2c + n_g + 1) is exact, U = (R2 −
     // n_pos·(n_pos+1))/2, and AUC_ppm = 10⁶·2U div (2·n_pos·n_neg).
-    // One map-side-combinable corpus pass; the ordered window runs in
-    // score space — WITH the declared cardinality assumption that
-    // 0.1-cent quantization collapses scores well below corpus size
-    // (true for bounded score ranges; a continuous unbounded score
-    // column approaches |corpus| distinct values, where the escape is
-    // q243's two-phase move: coarse score buckets first, rank within).
-    // Gini (2·AUC−1) rides along. BIGINT headroom:
-    // 10⁶·R2 ~ 10⁶·n² needs n ≲ 3e6 per scored slice — the petascale
-    // form runs per-segment or banks R2 into DECIMAL(38,0) (both
-    // engines exact); the rank algebra is unchanged.
+    // One map-side-combinable corpus pass. The Spark plan is the
+    // TWO-PHASE bucket form (q243/q232's move): score-value groups
+    // collapse into fixed-width score buckets, the ONLY unpartitioned
+    // cumsum runs over the bounded bucket table, and each group's
+    // global cumulative offset is bucket-below + a PARTITIONED
+    // within-bucket cumsum — no corpus-cardinality ordered window
+    // even when the score column is continuous and unbounded (the
+    // oracle keeps the direct global-rank form; the hash match proves
+    // the two plans identical). Gini (2·AUC−1) rides along. R2 ~ n²
+    // and the ppm products are BANKED into DECIMAL(38,0) / HUGEINT —
+    // exact past 10¹⁰ rows, same rank algebra.
     Q(
       "q215_auc_rank",
       Some("""
@@ -2639,30 +2649,48 @@ object Events {
         u AS (
           SELECT CAST(SUM(pos_g) AS BIGINT) AS n_pos,
                  CAST(SUM(n_g - pos_g) AS BIGINT) AS n_neg,
-                 CAST(SUM(pos_g * (2 * c + n_g + 1)) AS BIGINT) AS r2
+                 SUM(CAST(pos_g AS HUGEINT) * (2 * c + n_g + 1)) AS r2
           FROM r)
         SELECT n_pos, n_neg,
-               (1000000 * (r2 - n_pos * (n_pos + 1)))
-                 // (2 * n_pos * n_neg) AS auc_ppm,
-               (1000000 * (r2 - n_pos * (n_pos + 1)))
-                 // (n_pos * n_neg) - 1000000 AS gini_ppm
+               CAST((1000000 * (r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)))
+                 // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+                 AS auc_ppm,
+               CAST((1000000 * (r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)))
+                 // (CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) - 1000000
+                 AS gini_ppm
         FROM u""")
     ) { (s, dir) =>
       val sc = t(s, dir, "events").select(
         expr("cast(cast(value as decimal(18,4)) * 1000 as bigint)").as("sc"),
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      // phase 1: score-value groups → fixed-width ($10) score buckets
       val g = sc.groupBy("sc")
         .agg(count(lit(1)).as("n_g"), sum(col("y")).as("pos_g"))
-      val r = g.select(col("pos_g"), col("n_g"),
-        (sum(col("n_g")).over(Window.orderBy("sc")) - col("n_g")).as("c"))
+        .withColumn("bucket", expr("sc div 10000"))
+      // within-bucket cumulative count: PARTITIONED window, bounded
+      // by the bucket's value width — never a corpus-ordered sort
+      val cw = g.withColumn("cum_w",
+        sum(col("n_g")).over(Window.partitionBy("bucket").orderBy("sc")))
+      // the one unpartitioned cumsum: over the BOUNDED bucket table
+      val bk = g.groupBy("bucket").agg(sum(col("n_g")).as("bn"))
+      val bkc = bk
+        .withColumn("below_b",
+          sum(col("bn")).over(Window.orderBy("bucket")) - col("bn"))
+        .select("bucket", "below_b")
+      val r = cw.join(broadcast(bkc), "bucket")
+        .select(col("pos_g"), col("n_g"),
+          (col("below_b") + col("cum_w") - col("n_g")).as("c"))
       r.agg(sum(col("pos_g")).as("n_pos"),
           sum(col("n_g") - col("pos_g")).as("n_neg"),
-          sum(col("pos_g") * (lit(2L) * col("c") + col("n_g") + 1L)).as("r2"))
+          sum(col("pos_g").cast("decimal(38,0)")
+            * (lit(2L) * col("c") + col("n_g") + 1L)).as("r2"))
         .select(col("n_pos"), col("n_neg"),
-          expr("(1000000 * (r2 - n_pos * (n_pos + 1)))" +
-            " div (2 * n_pos * n_neg)").as("auc_ppm"),
-          expr("(1000000 * (r2 - n_pos * (n_pos + 1)))" +
-            " div (n_pos * n_neg) - 1000000").as("gini_ppm"))
+          expr("(1000000 * (r2 - cast(n_pos as decimal(38,0))" +
+            " * (n_pos + 1))) div (2 * cast(n_pos as decimal(38,0))" +
+            " * n_neg)").as("auc_ppm"),
+          (expr("(1000000 * (r2 - cast(n_pos as decimal(38,0))" +
+            " * (n_pos + 1))) div (cast(n_pos as decimal(38,0))" +
+            " * n_neg)") - 1000000L).as("gini_ppm"))
     },
 
     // --------------------------------------------------------------- q222
@@ -2816,9 +2844,10 @@ object Events {
     // q212's calendar identity, 0 = Sunday). One map-side-combinable
     // corpus pass to the |types|×7 cell table; the type totals
     // re-aggregate from the cells and join back in cell space —
-    // the corpus is read once. BIGINT headroom: 1000·cents_d·n_t
-    // needs cents_d·n_t ≲ 9e15 — per-type slices at petascale bank
-    // into DECIMAL(38,0), same algebra.
+    // the corpus is read once. The cross-multiplied index terms
+    // (cents_d·n_t and n_d·cents_t — past BIGINT once cents_d·n_t ≳
+    // 9e15) are BANKED into DECIMAL(38,0) / HUGEINT, so the permille
+    // index is exact at any per-type row and cent volume.
     Q(
       "q233_seasonal_index",
       Some("""
@@ -2834,7 +2863,8 @@ object Events {
                  CAST(SUM(cents_d) AS BIGINT) AS cents_t
           FROM c GROUP BY 1)
         SELECT c.event_type, c.dow, c.n_d, c.cents_d,
-               (1000 * c.cents_d * tt.n_t) // (c.n_d * tt.cents_t)
+               CAST((1000 * CAST(c.cents_d AS HUGEINT) * tt.n_t)
+                 // (CAST(c.n_d AS HUGEINT) * tt.cents_t) AS BIGINT)
                  AS index_pm
         FROM c JOIN tt ON tt.event_type = c.event_type""")
     ) { (s, dir) =>
@@ -2848,7 +2878,8 @@ object Events {
         .agg(sum(col("n_d")).as("n_t"), sum(col("cents_d")).as("cents_t"))
       c.join(broadcast(tt), "event_type")
         .select(col("event_type"), col("dow"), col("n_d"), col("cents_d"),
-          expr("(1000 * cents_d * n_t) div (n_d * cents_t)").as("index_pm"))
+          expr("(1000 * cast(cents_d as decimal(38,0)) * n_t)" +
+            " div (cast(n_d as decimal(38,0)) * cents_t)").as("index_pm"))
     },
 
     // --------------------------------------------------------------- q234
@@ -3140,12 +3171,14 @@ object Events {
     // rides on every row. All integer permille — rank-based scores
     // make the calibration question exact (a float sigmoid would
     // drag in libm). One corpus pass to score space, one bin
-    // aggregate; the ECE one-row broadcast joins back. Same declared
-    // cardinality assumption as q215: the quantized distinct-score
-    // table must sit well below corpus size, else bucket scores
-    // first (q243's two-phase move). The eval gate
-    // a model-scoring pipeline runs next to q215's AUC: AUC measures
-    // ranking, THIS measures whether 0.7 means 70%.
+    // aggregate. Like q215, the Spark plan is the TWO-PHASE bucket
+    // form: the percentile rank's cumulative count comes from a
+    // bounded-bucket cumsum plus a PARTITIONED within-bucket window,
+    // so no ordered window ever runs at score-table cardinality even
+    // for a continuous unbounded score column (the oracle keeps the
+    // direct global-rank form; the hash match proves equivalence).
+    // The eval gate a model-scoring pipeline runs next to q215's
+    // AUC: AUC measures ranking, THIS measures whether 0.7 means 70%.
     Q(
       "q253_calibration_ece",
       Some("""
@@ -3186,13 +3219,24 @@ object Events {
       val sVals = t(s, dir, "events").select(
         expr("cast(cast(value as decimal(18,4)) * 10000 as bigint)").as("sc"),
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      // phase 1: score-value groups → fixed-width ($10) score buckets
       val g = sVals.groupBy("sc")
         .agg(count(lit(1)).as("n_g"), sum(col("y")).as("pos_g"))
-      val r = g.select(col("sc"), col("n_g"), col("pos_g"),
-        sum(col("n_g")).over(Window.orderBy("sc")).as("cum"),
-        sum(col("n_g")).over(Window.partitionBy()).as("n"))
-      val p = r.select(col("pos_g"), col("n_g"),
-        expr("(1000 * (cum - (n_g + 1) div 2)) div n").as("p_hat_pm"))
+        .withColumn("bucket", expr("sc div 100000"))
+      // within-bucket INCLUSIVE cumsum: partitioned, width-bounded
+      val cw = g.withColumn("cum_w",
+        sum(col("n_g")).over(Window.partitionBy("bucket").orderBy("sc")))
+      // bucket offsets + corpus total from the bounded bucket table
+      val bk = g.groupBy("bucket").agg(sum(col("n_g")).as("bn"))
+      val bkc = bk
+        .withColumn("below_b",
+          sum(col("bn")).over(Window.orderBy("bucket")) - col("bn"))
+        .withColumn("n", sum(col("bn")).over(Window.partitionBy()))
+        .select("bucket", "below_b", "n")
+      val p = cw.join(broadcast(bkc), "bucket")
+        .select(col("pos_g"), col("n_g"),
+          expr("(1000 * (below_b + cum_w - (n_g + 1) div 2)) div n")
+            .as("p_hat_pm"))
       val b = p.groupBy(least(expr("p_hat_pm div 100"), lit(9L)).as("bin"))
         .agg(sum(col("n_g")).as("n_b"),
           sum(col("n_g") * col("p_hat_pm")).as("psum"),

@@ -995,11 +995,10 @@ object Relational {
     // key-cardinality-sized. Percentiles on integer frequencies via
     // the proven percentile == quantile_cont match; skew candidates
     // use the exact cross-multiplied integer test (freq·n_keys >
-    // 4·total). Declared scale bound: the test is exact while
-    // max-freq·n_keys < 2⁶³ (e.g. 10⁹ distinct keys × 9·10⁹ top
-    // frequency); beyond it, compare freq against the precomputed
-    // 4·total div n_keys mean instead — one floor-div of headroom-safe
-    // operands, the q127 trade.
+    // 4·total), BANKED into DECIMAL(38,0) / HUGEINT — freq·n_keys
+    // passes BIGINT once keys × top-frequency exceeds ~9e18, well
+    // inside petascale corpora, so the comparison is done in exact
+    // wide integers on both engines.
     Q(
       "q131_skew_report",
       Some("""
@@ -1015,7 +1014,8 @@ object Relational {
                quantile_cont(f, 0.5) AS p50_f,
                quantile_cont(f, 0.99) AS p99_f,
                CAST(MAX(f) AS DOUBLE) / t.n_rows AS top_share,
-               CAST(SUM(CASE WHEN f * t.n_keys > 4 * t.n_rows
+               CAST(SUM(CASE WHEN CAST(f AS HUGEINT) * t.n_keys
+                                  > 4 * CAST(t.n_rows AS HUGEINT)
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_skew_keys
         FROM freq CROSS JOIN tot t
         GROUP BY t.n_keys, t.n_rows""")
@@ -1030,7 +1030,8 @@ object Relational {
           expr("percentile(f, 0.5)").as("p50_f"),
           expr("percentile(f, 0.99)").as("p99_f"),
           (max(col("f")).cast("double") / col("n_rows")).as("top_share"),
-          sum(when(col("f") * col("n_keys") > lit(4L) * col("n_rows"), 1L)
+          sum(when(col("f").cast("decimal(38,0)") * col("n_keys")
+              > lit(4L) * col("n_rows").cast("decimal(38,0)"), 1L)
             .otherwise(0L)).as("n_skew_keys"))
         .select("n_keys", "n_rows", "max_f", "p50_f", "p99_f",
           "top_share", "n_skew_keys")
@@ -1046,10 +1047,11 @@ object Relational {
     // Benford expected SHARE log10(1+1/d) is a compile-time Scala
     // constant folded into both query texts as the same per-million
     // literal, so no runtime libm call exists in either engine; the
-    // deviation statistic quantizes the ppm difference div 1000 BEFORE
-    // squaring (keeps every term under 2⁶³ at any corpus size) and is
-    // exact BIGINT end to end. One map-side pass into a 9-row
-    // aggregate.
+    // deviation statistic quantizes the ppm difference div 1000
+    // before squaring and BANKS the square into DECIMAL(38,0) /
+    // HUGEINT (an all-mass-on-one-digit corpus pushes the square to
+    // ~n²·10⁶, past BIGINT at n ≳ 3e6) — the quotient lands back in
+    // BIGINT. One map-side pass into a 9-row aggregate.
     Q(
       "q134_benford_audit", {
         val expPpm = (1 to 9).map(d =>
@@ -1065,9 +1067,10 @@ object Relational {
         SELECT c.d, c.obs,
                CAST(CASE c.d $sqlCase END AS BIGINT) AS exp_ppm,
                CAST(c.obs AS DOUBLE) / t.n AS obs_share,
-               (((c.obs * 1000000 - t.n * (CASE c.d $sqlCase END)) // 1000)
+               CAST((CAST((c.obs * 1000000 - t.n * (CASE c.d $sqlCase END))
+                          // 1000 AS HUGEINT)
                  * ((c.obs * 1000000 - t.n * (CASE c.d $sqlCase END)) // 1000))
-                 // ((t.n * (CASE c.d $sqlCase END)) // 1000) AS dev
+                 // ((t.n * (CASE c.d $sqlCase END)) // 1000) AS BIGINT) AS dev
         FROM cnt c CROSS JOIN tot t""")
       }
     ) { (s, dir) =>
@@ -1086,7 +1089,8 @@ object Relational {
         .withColumn("exp_ppm", expCol)
         .select(col("d"), col("obs"), col("exp_ppm"),
           (col("obs").cast("double") / col("n")).as("obs_share"),
-          expr("(((obs * 1000000 - n * exp_ppm) div 1000) * " +
+          expr("(cast((obs * 1000000 - n * exp_ppm) div 1000" +
+            " as decimal(38,0)) * " +
             "((obs * 1000000 - n * exp_ppm) div 1000)) div ((n * exp_ppm) div 1000)")
             .as("dev"))
     },
@@ -1417,10 +1421,12 @@ object Relational {
     // aggregations (orders → month cells → per-segment stats) and one
     // equi-join orders⋈customer on the fact key; nothing is collected
     // and no window touches the fact table. Scale: the month-cell
-    // table is |segments|×|months| (tiny forever); the BIGINT
-    // headroom is months²·monthly_cents ≈ 2e15 at sf0.1 — the
-    // production form at 1000× re-centers x at its midpoint and
-    // quantizes to whole dollars, same closed form.
+    // table is |segments|×|months| (tiny forever); the slope /
+    // intercept cross-products (months²·total_cents — approaching
+    // BIGINT at petascale cent volumes) are BANKED into
+    // DECIMAL(38,0) / HUGEINT, so the closed form is exact at any
+    // corpus size (sxy's per-cell terms stay ≤ months·total_cents,
+    // inside BIGINT past 10¹⁰ orders).
     Q(
       "q186_segment_trend",
       Some("""
@@ -1445,14 +1451,17 @@ object Relational {
           FROM m GROUP BY 1),
         fit AS (
           SELECT segment, n_months, n_orders, sy,
-                 (n_months * sxy - sx * sy)
-                   // (n_months * sxx - sx * sx) AS slope_cents,
+                 CAST((CAST(n_months AS HUGEINT) * sxy
+                       - CAST(sx AS HUGEINT) * sy)
+                   // (CAST(n_months AS HUGEINT) * sxx
+                      - CAST(sx AS HUGEINT) * sx) AS BIGINT) AS slope_cents,
                  sx
           FROM st)
         SELECT segment, n_months, n_orders,
                sy // n_months AS mean_monthly_cents,
                slope_cents,
-               (sy - slope_cents * sx) // n_months AS intercept_cents
+               CAST((CAST(sy AS HUGEINT) - CAST(slope_cents AS HUGEINT) * sx)
+                 // n_months AS BIGINT) AS intercept_cents
         FROM fit""")
     ) { (s, dir) =>
       val cents = (col("o_totalprice")
@@ -1473,11 +1482,16 @@ object Relational {
           sum(col("x") * col("y")).as("sxy"),
           sum(col("x") * col("x")).as("sxx"))
         .withColumn("slope_cents",
-          expr("(n_months * sxy - sx * sy) div (n_months * sxx - sx * sx)"))
+          expr("(cast(n_months as decimal(38,0)) * sxy" +
+            " - cast(sx as decimal(38,0)) * sy)" +
+            " div (cast(n_months as decimal(38,0)) * sxx" +
+            " - cast(sx as decimal(38,0)) * sx)"))
         .select(col("segment"), col("n_months"), col("n_orders"),
           expr("sy div n_months").as("mean_monthly_cents"),
           col("slope_cents"),
-          expr("(sy - slope_cents * sx) div n_months").as("intercept_cents"))
+          expr("(cast(sy as decimal(38,0))" +
+            " - cast(slope_cents as decimal(38,0)) * sx)" +
+            " div n_months").as("intercept_cents"))
     },
 
     // --------------------------------------------------------------- q204
@@ -1726,9 +1740,13 @@ object Relational {
     // domain). Corpus cost: one orders groupBy + one broadcast-sized
     // join; both rank windows partition by nation, so the sort is
     // per-group and the stat scales with the widest nation, not the
-    // table. BIGINT headroom: 6·10⁶·Σd² ≤ 2·10⁶·n³ needs n ≲ 1.6e4
-    // per nation at exact ppm — the petascale form banks Σd² into
-    // DECIMAL(38,0) with identical algebra.
+    // table. Σd² and the ppm quotient are BANKED: a single d² is ≤ n²
+    // (past BIGINT at n > 3e9/nation), Σd² ≤ n³/3 and the ppm
+    // numerator 6·10⁶·Σd² wrapped BIGINT at n ≳ 1.6e4/nation — the
+    // d² terms cast to DECIMAL(38,0) before summing (Spark `div` on
+    // decimals is the exact BigDecimal integral quotient) and the
+    // oracle banks the same terms through HUGEINT, so the rank
+    // algebra is exact to ~10¹⁰ rows per nation.
     Q(
       "q217_spearman",
       Some("""
@@ -1749,9 +1767,10 @@ object Relational {
           FROM cx)
         SELECT CAST(nation AS BIGINT) AS nation,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
-               1000000 - (6000000 * CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT))
-                 // (COUNT(*) * (COUNT(*) * COUNT(*) - 1)) AS rho_ppm
+               1000000 - CAST(
+                 (6000000 * SUM(CAST(rx - ry AS HUGEINT) * (rx - ry)))
+                 // (CAST(COUNT(*) AS HUGEINT) * COUNT(*) * COUNT(*)
+                    - COUNT(*)) AS BIGINT) AS rho_ppm
         FROM rk GROUP BY 1""")
     ) { (s, dir) =>
       val sp = t(s, dir, "orders").groupBy("o_custkey")
@@ -1767,12 +1786,16 @@ object Relational {
           .orderBy(col("c_acctbal"), col("c_custkey"))).as("rx"),
         row_number().over(Window.partitionBy("nation")
           .orderBy(col("cents"), col("c_custkey"))).as("ry"))
+      // Σd² stays an INTERNAL decimal (a DECIMAL output column would
+      // force a decimal/hugeint schema split across engines); the
+      // report carries n and the banked ppm statistic.
       rk.groupBy("nation")
         .agg(count(lit(1)).as("n"),
-          sum((col("rx") - col("ry")) * (col("rx") - col("ry"))).as("sum_d2"))
-        .select(col("nation"), col("n"), col("sum_d2"),
+          sum(((col("rx") - col("ry")).cast("decimal(38,0)")
+            * (col("rx") - col("ry")))).as("sum_d2"))
+        .select(col("nation"), col("n"),
           (lit(1000000L) - expr("(6000000 * sum_d2)" +
-            " div (n * (n * n - 1))")).as("rho_ppm"))
+            " div (cast(n as decimal(38,0)) * n * n - n)")).as("rho_ppm"))
     },
 
     // --------------------------------------------------------------- q221
@@ -1787,8 +1810,10 @@ object Relational {
     // exact sums. Features unpivot through one stack() pass so the
     // corpus is read ONCE for all four candidates; everything after
     // the (feature, value, class) groupBy is cell-space (Σ|domains|·
-    // |classes| rows). BIGINT headroom: 10⁶·n² needs n ≲ 3e6 — the
-    // petascale form banks n² into DECIMAL(38,0), same algebra.
+    // |classes| rows). The n² terms (class-count squares, per-value
+    // squares, corpus square) are BANKED into DECIMAL(38,0) /
+    // HUGEINT — exact past 10¹⁰ rows; the only residual BIGINT sum
+    // is wsum = Σ n_v·G_ppm ≤ 10⁶·n, safe to n ≲ 9e12.
     Q(
       "q221_gini_impurity",
       Some("""
@@ -1810,24 +1835,27 @@ object Relational {
           FROM u GROUP BY 1, 2, 3),
         v AS (
           SELECT feature, val, CAST(SUM(c) AS BIGINT) AS n_v,
-                 CAST(SUM(c * c) AS BIGINT) AS s2
+                 SUM(CAST(c AS HUGEINT) * c) AS s2
           FROM vc GROUP BY 1, 2),
         fw AS (
           SELECT feature, CAST(COUNT(*) AS BIGINT) AS n_values,
                  CAST(SUM(n_v) AS BIGINT) AS n,
-                 CAST(SUM(n_v * ((1000000 * (n_v * n_v - s2))
-                                 // (n_v * n_v))) AS BIGINT) AS wsum
+                 CAST(SUM(n_v * CAST((1000000 *
+                        (CAST(n_v AS HUGEINT) * n_v - s2))
+                      // (CAST(n_v AS HUGEINT) * n_v) AS BIGINT))
+                   AS BIGINT) AS wsum
           FROM v GROUP BY 1),
         cm AS (
           SELECT cls, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1),
         base AS (
-          SELECT CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT) AS nn,
-                 CAST(SUM(c * c) AS BIGINT) AS s2
+          SELECT CAST(SUM(c) AS HUGEINT) * CAST(SUM(c) AS BIGINT) AS nn,
+                 SUM(CAST(c AS HUGEINT) * c) AS s2
           FROM cm)
         SELECT fw.feature, fw.n_values,
-               (1000000 * (base.nn - base.s2)) // base.nn AS base_ppm,
+               CAST((1000000 * (base.nn - base.s2)) // base.nn AS BIGINT)
+                 AS base_ppm,
                fw.wsum // fw.n AS weighted_ppm,
-               (1000000 * (base.nn - base.s2)) // base.nn
+               CAST((1000000 * (base.nn - base.s2)) // base.nn AS BIGINT)
                  - fw.wsum // fw.n AS gain_ppm
         FROM fw CROSS JOIN base""")
     ) { (s, dir) =>
@@ -1848,14 +1876,18 @@ object Relational {
       val vc = u.groupBy("feature", "val", "cls")
         .agg(count(lit(1)).as("c"))
       val v = vc.groupBy("feature", "val")
-        .agg(sum(col("c")).as("n_v"), sum(col("c") * col("c")).as("s2"))
+        .agg(sum(col("c")).as("n_v"),
+          sum(col("c").cast("decimal(38,0)") * col("c")).as("s2"))
       val fw = v.groupBy("feature")
         .agg(count(lit(1)).as("n_values"), sum(col("n_v")).as("n"),
-          sum(col("n_v") * expr("(1000000 * (n_v * n_v - s2))" +
-            " div (n_v * n_v)")).as("wsum"))
+          sum(col("n_v")
+            * expr("(1000000 * (cast(n_v as decimal(38,0)) * n_v - s2))" +
+              " div (cast(n_v as decimal(38,0)) * n_v)")).as("wsum"))
       val base = b.groupBy("cls").agg(count(lit(1)).as("c"))
-        .agg(sum(col("c")).as("nb"), sum(col("c") * col("c")).as("s2"))
-        .select((col("nb") * col("nb")).as("nn"), col("s2"))
+        .agg(sum(col("c")).as("nb"),
+          sum(col("c").cast("decimal(38,0)") * col("c")).as("s2"))
+        .select((col("nb").cast("decimal(38,0)") * col("nb")).as("nn"),
+          col("s2"))
       fw.crossJoin(broadcast(base))
         .select(col("feature"), col("n_values"),
           expr("(1000000 * (nn - s2)) div nn").as("base_ppm"),
@@ -2132,10 +2164,15 @@ object Relational {
         .select(col("bucket"), (col("cc") - col("c")).as("below"),
           col("c").as("in_bucket"), col("n"))
       // phase 2: one bucket rescans with the predicate pushed down;
-      // the located bucket is a one-row broadcast
+      // the located bucket is a one-row broadcast. The rank window
+      // PARTITIONS BY bucket: exactly one bucket survives the filter,
+      // so the result is identical — and the window's per-group scope
+      // (sorts n/|buckets| rows, never the corpus) is declared in the
+      // plan itself, which the global unpartitioned-window sweep pins.
       val ranked = v.crossJoin(broadcast(loc))
         .filter(expr("cents div 100000") === col("bucket"))
-        .withColumn("rn", row_number().over(Window.orderBy("cents")))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("bucket").orderBy("cents")))
       ranked.filter(col("rn") === expr("(n + 1) div 2") - col("below"))
         .select(col("n"), expr("(n + 1) div 2").as("target_rank"),
           col("bucket"), col("in_bucket").as("phase2_rows"),

@@ -851,11 +851,11 @@ object TextOps {
     // fold of the vocabulary table. The second stage is VOCABULARY-
     // bounded, so at 100 TB the expensive shuffle is the first keyed
     // count and everything after is negligible.
-    // Declared scale bound: Σc² is exact while the top per-source
-    // token count stays under ~3·10⁹ (c² < 2⁶³); past that Spark
-    // wraps where DuckDB errors. A corpus beyond the bound takes
-    // q127's move — per-million-quantized rates before squaring —
-    // trading exactness for headroom.
+    // Σc² is BANKED into DECIMAL(38,0) / HUGEINT (a token counted
+    // ≥ 3e9 times in one source squared past BIGINT) — the wide sum
+    // is exact and only the FINAL ratio casts to double, so the
+    // indices never wrap; past 2⁵³ the cast is the documented 1-ulp
+    // float caveat, not an integer overflow.
     Q(
       "q116_lexical_diversity",
       Some("""
@@ -868,10 +868,10 @@ object TextOps {
                CAST(SUM(c) AS BIGINT) AS n_tokens,
                CAST(COUNT(*) AS BIGINT) AS n_types,
                CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS ttr,
-               1.0 - CAST(SUM(c * c) AS DOUBLE)
+               1.0 - CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE)
                      / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) AS simpson,
                CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)
-                     / CAST(SUM(c * c) AS DOUBLE) AS eff_vocab,
+                     / CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) AS eff_vocab,
                CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_share
         FROM cnt GROUP BY source""")
     ) { (s, dir) =>
@@ -880,7 +880,7 @@ object TextOps {
         .filter(col("tok") =!= "")
         .groupBy("source", "tok").agg(count(lit(1)).as("c"))
       val tT = sum(col("c")).cast("double")
-      val sS = sum(col("c") * col("c")).cast("double")
+      val sS = sum(col("c").cast("decimal(38,0)") * col("c")).cast("double")
       cnt.groupBy("source").agg(
         sum(col("c")).as("n_tokens"),
         count(lit(1)).as("n_types"),

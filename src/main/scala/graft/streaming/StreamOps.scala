@@ -280,6 +280,115 @@ object StreamOps {
       }
   }
 
+  final case class ObfUser(n_ev: Long, p: Seq[Long])
+
+  final case class ObfState(users: Map[Long, ObfUser])
+
+  final case class ObfRow(
+      scenario: String, k: Long, d: Long, above_mean: Long,
+      chi2_milli: Long, boundary_milli: Long, crossed: Boolean,
+      stopped: Boolean)
+
+  /** Streaming O'Brien–Fleming group-sequential monitor — the ONLINE
+    * twin of batch q269, completing the experimentation parities the
+    * way cusumAlarm completes drift detection: one pass over the
+    * event feed accumulates each user's (event count, cumulative
+    * purchases per look), and the full scenario×look monitor table
+    * emits when the period-close PUNCTUATION arrives (a negative-user
+    * control row — the harness's watermark pusher; in a deployment
+    * the scheduler emits the close record when the experiment window
+    * ends). The close-time replay is forced by the monitor's own
+    * definitions: both the confounded arm (above-mean activity) and
+    * the conversion cut (above-mean purchases per look) are
+    * COHORT-RELATIVE, so no look's 2×2 table is final until the
+    * cohort is — the same buffer-then-replay move as cusumAlarm's
+    * calibration window. All close-time algebra is BigInt-exact (the
+    * batch side's banked DECIMAL(38,0)/HUGEINT χ²), so the emitted
+    * rows match the oracle-backed batch table bit for bit.
+    *
+    * Scale: state is O(users)×(looks+1) longs in ONE group — like
+    * cusumAlarm, the operator is the sequential TAIL of the pipeline;
+    * at 100 TB the per-(user, look) accumulation upstream is a
+    * keyed watermarked streaming aggregate, and this group consumes
+    * the user-vector stream (users ≪ events). The χ² table itself is
+    * scenario×look space (10 rows). */
+  def obfMonitor(events: Dataset[EventRow],
+      looks: Seq[(Long, Int)] =
+        Seq(1L -> 6, 2L -> 12, 3L -> 18, 4L -> 24, 5L -> 30)): Dataset[ObfRow] = {
+    import events.sparkSession.implicits._
+    // UTC day-of-month, matching batch dayofmonth(to_date(ts))
+    def dayOfMonth(ts: java.sql.Timestamp): Int =
+      java.time.LocalDate.ofEpochDay(
+        Math.floorDiv(ts.getTime, 86400000L)).getDayOfMonth
+    // the shared salted Knuth arm hash (graft.Knuth, salt 7), middle
+    // bits: (h div 1024) % 2 — identical to the batch assignment
+    def hashArm(u: Long): Long =
+      if ((((u + 7L) % 2147483648L) * 2654435761L) % 4294967296L
+          / 1024L % 2L == 0L) 1L else 0L
+    events
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[ObfState, ObfRow](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[EventRow], state: GroupState[ObfState]) =>
+          var users = state.getOption.map(_.users).getOrElse(
+            Map.empty[Long, ObfUser])
+          var close = false
+          // pure counting — no ordering sensitivity, so no sort
+          rows.foreach { r =>
+            if (r.user_id < 0) close = true
+            else {
+              val u = users.getOrElse(r.user_id,
+                ObfUser(0L, Seq.fill(looks.length)(0L)))
+              val p =
+                if (r.event_type == "purchase") {
+                  val dom = dayOfMonth(r.ts)
+                  u.p.zip(looks).map { case (cnt, (_, d)) =>
+                    if (dom <= d) cnt + 1L else cnt }
+                } else u.p
+              users = users.updated(r.user_id, ObfUser(u.n_ev + 1L, p))
+            }
+          }
+          state.update(ObfState(users))
+          if (!close) Iterator.empty
+          else {
+            val n = BigInt(users.size)
+            val totEv = users.valuesIterator.map(u => BigInt(u.n_ev)).sum
+            val out = Seq.newBuilder[ObfRow]
+            for (scenario <- Seq("hash", "confounded")) {
+              var stopped = false
+              looks.zipWithIndex.foreach { case ((k, d), i) =>
+                val tot = users.valuesIterator.map(u => BigInt(u.p(i))).sum
+                var (a, b, c, dd) = (BigInt(0), BigInt(0), BigInt(0), BigInt(0))
+                users.foreach { case (uid, u) =>
+                  val arm =
+                    if (scenario == "hash") hashArm(uid)
+                    else if (n * u.n_ev > totEv) 1L else 0L
+                  val conv = if (n * u.p(i) > tot) 1L else 0L
+                  (arm, conv) match {
+                    case (1L, 1L) => a += 1
+                    case (1L, 0L) => b += 1
+                    case (0L, 1L) => c += 1
+                    case _        => dd += 1
+                  }
+                }
+                val chi2 =
+                  if (a + b > 0 && c + dd > 0 && a + c > 0 && b + dd > 0)
+                    (1000 * (a + b + c + dd) * (a * dd - b * c).pow(2)) /
+                      ((a + b) * (c + dd) * (a + c) * (b + dd))
+                  else BigInt(0)
+                val boundary = (20802L + k - 1L) / k
+                val crossed = chi2 >= boundary
+                stopped = stopped || crossed
+                out += ObfRow(scenario, k, d.toLong, (a + c).toLong,
+                  chi2.toLong, boundary, crossed, stopped)
+              }
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   final case class CepMatch(
       user_id: Long, purchase_id: Long, click_id: Long, latency_sec: Long)
 

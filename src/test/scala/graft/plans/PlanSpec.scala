@@ -524,21 +524,73 @@ class PlanSpec extends SparkSpec {
       s"no vertex-derived side may broadcast:\n$p")
     assert(p.collect { case j: ShuffledHashJoinExec => j }.length >= 3,
       s"each iteration is a shuffled hash join of edges with ranks:\n$p")
+    assertBucketedEdgeSide(p, minScans = 3)
+    // the degree window consumes the bucket partitioning exchange-free
+    val wins = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, s"expected the degree window:\n$p")
+    wins.foreach { w =>
+      assert(w.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"degree window must sit on the bucketed scan, no exchange:\n$w")
+    }
+  }
+
+  /** The shared-layout contract (q94/q123/q157): every shuffled hash
+    * join has a PURE edge side — a child that reads the bucketed
+    * layout table with no nested join and NO shuffle exchange, i.e.
+    * the edge corpus never moves; only the vertex side shuffles. */
+  private def assertBucketedEdgeSide(p: SparkPlan, minScans: Int): Unit = {
+    val bucketScans = scans(p).filter(_.relation.bucketSpec.isDefined)
+    assert(bucketScans.length >= minScans,
+      s"expected >= $minScans bucketed layout scans:\n$p")
+    val shjs = p.collect { case j: ShuffledHashJoinExec => j }
+    val withEdgeSide = shjs.filter(_.children.exists { c =>
+      val hasBucket = c.exists {
+        case f: FileSourceScanExec => f.relation.bucketSpec.isDefined
+        case _ => false
+      }
+      val hasJoin = c.exists {
+        case _: ShuffledHashJoinExec | _: SortMergeJoinExec
+           | _: BroadcastHashJoinExec => true
+        case _ => false
+      }
+      hasBucket && !hasJoin &&
+        c.collect { case e: ShuffleExchangeExec => e }.isEmpty
+    })
+    assert(withEdgeSide.nonEmpty,
+      s"at least one join must consume the bucketed scan exchange-free:\n$p")
   }
 
   test("q123: adjacency joins shuffle — no vertex-sized broadcast anywhere") {
     val p = plan("q123_triangle_census")
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
       s"no cartesian product:\n$p")
-    // the adjacency table grows with the corpus: broadcasting it is a
-    // driver-side collect that dies at 100×. Pin: both closure joins
-    // (proj⋈adj on u, proj⋈adj on v) are shuffled hash joins; the only
-    // broadcast-side joins left are the one-row census aggregates
-    // (BroadcastNestedLoopJoin of single-row frames — bounded).
+    // the adjacency and degree-cap tables grow with the corpus:
+    // broadcasting either is a driver-side collect that dies at 100×.
+    // Pin: both closure joins (proj⋈adj on u, proj⋈adj on v) AND the
+    // cap semi-join on the bucketed pair table are shuffled hash
+    // joins; the only broadcast-side joins left are the one-row
+    // census aggregates (BroadcastNestedLoopJoin of single-row
+    // frames — bounded).
     assert(p.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
       s"no vertex-sized side may broadcast:\n$p")
-    assert(p.collect { case j: ShuffledHashJoinExec => j }.length === 2,
-      s"wedge-closure must be two shuffled adjacency joins:\n$p")
+    assert(p.collect { case j: ShuffledHashJoinExec => j }.length === 3,
+      s"closure joins + the cap join must all shuffle-hash:\n$p")
+    // the shared-layout contract: the pair scan is bucketed and the
+    // cap join consumes it with NO shuffle exchange on either side
+    // (both sides carry the bucket partitioning)
+    val bucketScans = scans(p).filter(_.relation.bucketSpec.isDefined)
+    assert(bucketScans.nonEmpty, s"expected the bucketed pair scan:\n$p")
+    val capJoin = p.collect { case j: ShuffledHashJoinExec => j }
+      .find(_.exists {
+        case f: FileSourceScanExec => f.relation.bucketSpec.isDefined
+        case _ => false
+      })
+    assert(capJoin.isDefined, s"bucketed scan must feed the cap join:\n$p")
+    assert(capJoin.get.collect {
+      case e: ShuffleExchangeExec => e
+    }.isEmpty, s"no exchange may sit above the bucketed pair scan:\n$p")
   }
 
   test("q95: BPE pair counting joins nothing; top-k is TakeOrderedAndProject") {
@@ -1093,6 +1145,7 @@ class PlanSpec extends SparkSpec {
       s"no vertex-derived side may broadcast:\n$p")
     assert(p.collect { case j: ShuffledHashJoinExec => j }.length >= 2,
       s"each round is a shuffled hash join of edges with labels:\n$p")
+    assertBucketedEdgeSide(p, minScans = 2)
   }
 
   test("q159: positional joins stay sort-merge; only the vocabulary broadcasts") {

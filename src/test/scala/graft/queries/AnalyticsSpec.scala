@@ -2388,11 +2388,13 @@ class AnalyticsSpec extends SparkSpec {
       val ordered = cells.sortBy(_._2)
       val nTot = ordered.map(_._3).sum
       val tCents = ordered.map(_._4).sum
-      // replay S'_i = N·Σcents − T·Σcnt day by day
-      var (cumC, cumN) = (0L, 0L)
+      // replay s_cents_i = (N·Σcents − T·Σcnt) div N day by day in
+      // BigInt (the banked form: wide internally, floored cents out)
+      var (cumC, cumN) = (BigInt(0), BigInt(0))
       ordered.foreach { case (_, _, n, cents, s, _) =>
         cumC += cents; cumN += n
-        assert(s === nTot * cumC - tCents * cumN, s"$tpe CUSUM cell")
+        val want = (BigInt(nTot) * cumC - BigInt(tCents) * cumN) / nTot
+        assert(BigInt(s) === want, s"$tpe CUSUM cell")
       }
       // the final cumulative deviation telescopes to exactly zero
       assert(ordered.last._5 === 0L, s"$tpe must end at zero")

@@ -263,6 +263,35 @@ class StreamBatchParitySpec extends SparkSpec {
       s"CUSUM rows: streaming ${streamed.length} days vs batch ${batch.length}")
   }
 
+  test("streaming OBF sequential monitor across 3 micro-batches equals batch q269") {
+    import spark.implicits._
+    val events = realEvents
+    // the pusher row (user_id −1) is the period-close punctuation: the
+    // monitor table emits only when it arrives, after the per-user
+    // state has folded through all 3 chronological micro-batches
+    val in = stageInput(events, 2L * 86400000000L, chronoParts = 3)
+    val result = runStream(in, events.schema,
+      st => StreamOps.obfMonitor(
+        st.select("event_id", "ts", "user_id", "event_type")
+          .as[StreamOps.EventRow]).toDF())
+    def canon(df: DataFrame) = df
+      .select(col("scenario"), col("k").cast("long"), col("d").cast("long"),
+        col("above_mean").cast("long"), col("chi2_milli"),
+        col("boundary_milli"), col("crossed"), col("stopped"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6), r.getBoolean(7)))
+      .sortBy(t => (t._1, t._2))
+    val streamed = canon(result)
+    val batch = canon(
+      SparkEntry.queries("q269_obf_monitor")(spark, "/root/testdata/sf0.001"))
+    assert(batch.nonEmpty, "batch OBF table must be non-empty")
+    assert(streamed.length === 10,
+      s"exactly one close emission (2 scenarios × 5 looks): $streamed")
+    assert(streamed.toSeq === batch.toSeq,
+      s"OBF rows: streaming ${streamed.length} vs batch ${batch.length}")
+  }
+
   test("motif state survives a one-event first micro-batch (boundary trigram kept)") {
     import spark.implicits._
     // user 1's FIRST batch holds exactly one event: the (Option, Option)
