@@ -213,6 +213,13 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q268    graft.queries.TextOps    — dedup-threshold P/R curve
   *   q269    graft.queries.Events     — group-sequential OBF monitor
   *   q270    graft.queries.Curation   — leave-one-source-out ablation
+  *   q271    graft.queries.Multimodal — real-container dispatch round-trip
+  *   q272    graft.queries.Multimodal — real PCM frame-energy round-trip
+  *   q273    graft.queries.Graph      — degree-magnitude profile (layout)
+  *   q274    graft.queries.Vectors    — reciprocal-rank fusion (hybrid)
+  *   q275    graft.queries.Events     — Mann–Kendall trend test
+  *   q276    graft.queries.TextOps    — Chao1 vocabulary richness
+  *   q277    graft.queries.Curation   — blocklist scrub report
   */
 object SparkEntry {
 

@@ -177,6 +177,51 @@ object BinaryDecode {
     out
   }
 
+  /** REAL 8-bit mono PCM WAV writer — the ENCODE half of [[parseWav]]:
+    * a canonical 44-byte RIFF/WAVE layout (PCM 'fmt ' chunk, one
+    * channel, 8 bits/sample) followed by the raw unsigned sample
+    * bytes. The oracle-backed round-trip queries (q271/q272) use it
+    * to emit GENUINE containers deterministically from corpus bytes,
+    * so the real chunk walk runs under the DuckDB gate: any header-
+    * offset or little-endian bug breaks their hash match. */
+  def buildWav8(samples: Array[Byte], sampleRate: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .putInt(36 + samples.length)
+      .put("WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.put("fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate) // byte rate (1 byte/sample)
+      .putShort(1) // block align
+      .putShort(8) // bits per sample
+    bb.put("data".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .putInt(samples.length)
+    bb.put(samples)
+    bb.array()
+  }
+
+  /** REAL 24-bit bottom-up BMP writer (BITMAPINFOHEADER, rows padded
+    * to 4 bytes, zeroed pixel array) — the ENCODE half of
+    * [[parseBmp]], same round-trip role as [[buildWav8]]. */
+  def buildBmp24(width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0, "BMP needs positive dimensions")
+    val rowBytes = (width * 3 + 3) / 4 * 4
+    val pixBytes = rowBytes * height
+    val bb = java.nio.ByteBuffer.allocate(54 + pixBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + pixBytes)
+      .putShort(0).putShort(0).putInt(54) // reserved + pixel offset
+    bb.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24) // planes, bpp
+      .putInt(0).putInt(pixBytes).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    bb.array()
+  }
+
   /** Typed decode result of the real-container path. */
   final case class MediaProbe(
       doc_id: Long,

@@ -36,8 +36,9 @@ import org.apache.spark.sql.functions._
   * (3) candidate replication — index each vector in its r nearest
   * cells ([[probeCosine]] on the candidate side) and dedup pairs
   * before top-k, trading r× storage/scored-pairs for boundary-
-  * neighbor recall (measured: spherical cells + r=2 lifted recall@5
-  * at nProbe=4 from 0.79 to 0.95 at the largest test SF).
+  * neighbor recall (measured at the largest test SF: spherical cells
+  * + r=2 lifted recall@5 at nProbe=4 from 0.79 to 0.95; r=3 lifts
+  * the cheap nProbe=2 point to 0.90 and nProbe=4 to 1.00).
   */
 object Ivf {
 

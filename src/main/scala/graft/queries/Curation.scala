@@ -1691,6 +1691,54 @@ object Curation {
           (col("loso_len_pm") - col("mean_len_pm")).desc, col("source")))
           .cast("long").as("len_influence_rank"))
     },
+
+    // --------------------------------------------------------------- q277
+    // Blocklist scrub report — the regex-class scan a privacy/policy
+    // pass runs before release (PII patterns, banned terms, template
+    // boilerplate — same operator, different pattern file): per
+    // source, how many documents carry a blocklisted term, how many
+    // matches total, how many characters a redaction would remove,
+    // and the redacted share of the source's bytes in exact permille.
+    // Word-boundary alternation regex evaluated ONCE per document
+    // (the extract-all list feeds both the count and the char sum);
+    // both engines run the same RE2-compatible pattern. One map-side
+    // corpus pass into source-space cells — embarrassingly parallel,
+    // no shuffle beyond the final per-source aggregate. The fixture's
+    // blocklist {customer, key, slow} is the stand-in for a PII
+    // lexicon; the operator is the real scrubbing-audit shape.
+    Q(
+      "q277_blocklist_scrub",
+      Some("""
+        WITH m AS (
+          SELECT source, CAST(length(text) AS BIGINT) AS len,
+                 regexp_extract_all(text, '\b(customer|key|slow)\b') AS hits
+          FROM documents)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN len(hits) > 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS docs_flagged,
+               CAST(SUM(len(hits)) AS BIGINT) AS total_matches,
+               CAST(SUM(COALESCE(list_sum(list_transform(hits,
+                 x -> length(x))), 0)) AS BIGINT) AS chars_redacted,
+               (1000 * CAST(SUM(COALESCE(list_sum(list_transform(hits,
+                 x -> length(x))), 0)) AS BIGINT)) // CAST(SUM(len) AS BIGINT)
+                 AS redacted_share_pm
+        FROM m GROUP BY 1""")
+    ) { (s, dir) =>
+      val m = t(s, dir, "documents").select(col("source"),
+        length(col("text")).cast("long").as("len"),
+        expr("regexp_extract_all(text, '\\\\b(customer|key|slow)\\\\b', 0)")
+          .as("hits"))
+      m.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(size(col("hits")) > 0, 1L).otherwise(0L))
+            .as("docs_flagged"),
+          sum(size(col("hits")).cast("long")).as("total_matches"),
+          sum(expr("aggregate(transform(hits, x -> length(x))," +
+            " 0L, (a, x) -> a + x)")).as("chars_redacted"),
+          expr("(1000 * sum(aggregate(transform(hits, x -> length(x))," +
+            " 0L, (a, x) -> a + x))) div sum(len)").as("redacted_share_pm"))
+    },
   )
 
   /** q147's per-(doc, shard) rendezvous weight: the Carter–Wegman

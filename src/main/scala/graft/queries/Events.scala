@@ -4335,6 +4335,74 @@ object Events {
         (disp > 1100L).as("overdispersed"),
         (disp < 900L).as("underdispersed"))
     },
+
+    // --------------------------------------------------------------- q275
+    // Mann–Kendall trend test, per event type over its daily revenue
+    // series — the NONPARAMETRIC monotone-trend monitor beside q202's
+    // level-shift CUSUM (CUSUM finds A changepoint; this asks "is the
+    // whole series drifting?", robust to outliers because only SIGNS
+    // of pairwise differences enter). S = Σ_{i<j} sign(x_j − x_i) is
+    // EXACT integer arithmetic end to end — the reason to choose MK
+    // over a fitted slope when cross-engine bit-equality matters.
+    // The pair join runs in DAY-VALUE SPACE per type (|days|² ≈ 900
+    // pairs at a 30-day window — bounded by the CALENDAR, not the
+    // corpus; the corpus pays one map-side-combinable daily groupBy).
+    // The variance rides along as its exact integer numerator
+    // var18 = n(n−1)(2n+5) (ties uncorrected — declared: cent-exact
+    // daily sums make exact ties measure-zero), so a consumer gets
+    // z ≈ (S∓1)/√(var18/18) with one sqrt of an exact integer.
+    Q(
+      "q275_mann_kendall",
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+                 CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 100
+                   AS BIGINT)) AS BIGINT) AS cents
+          FROM events GROUP BY 1, 2),
+        pairs AS (
+          SELECT a.event_type,
+                 CASE WHEN b.cents > a.cents THEN 1
+                      WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sg
+          FROM daily a JOIN daily b
+            ON b.event_type = a.event_type AND b.d > a.d),
+        nd AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+          FROM daily GROUP BY 1)
+        SELECT nd.event_type, nd.n_days,
+               CAST(COALESCE(SUM(p.sg), 0) AS BIGINT) AS s_stat,
+               nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5) AS var18,
+               CASE WHEN COALESCE(SUM(p.sg), 0) > 0 THEN 'up'
+                    WHEN COALESCE(SUM(p.sg), 0) < 0 THEN 'down'
+                    ELSE 'flat' END AS direction
+        FROM nd LEFT JOIN pairs p ON p.event_type = nd.event_type
+        GROUP BY 1, 2""")
+    ) { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(expr("cast(cast(value as decimal(18,4)) * 100 as bigint)"))
+          .as("cents"))
+      // day-space pair join per type: both sides are the |types|×|days|
+      // aggregate — bounded by the calendar, broadcast-join safe
+      val a = daily.select(col("event_type"), col("d").as("da"),
+        col("cents").as("ca"))
+      val b = daily.select(col("event_type"), col("d").as("db"),
+        col("cents").as("cb"))
+      val pairs = a.join(b, Seq("event_type"))
+        .filter(col("db") > col("da"))
+        .select(col("event_type"),
+          when(col("cb") > col("ca"), 1L)
+            .when(col("cb") < col("ca"), -1L).otherwise(0L).as("sg"))
+      val nd = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      nd.join(pairs.groupBy("event_type").agg(sum(col("sg")).as("s_raw")),
+          Seq("event_type"), "left")
+        .select(col("event_type"), col("n_days"),
+          coalesce(col("s_raw"), lit(0L)).as("s_stat"),
+          (col("n_days") * (col("n_days") - 1)
+            * (lit(2L) * col("n_days") + 5)).as("var18"),
+          when(coalesce(col("s_raw"), lit(0L)) > 0, "up")
+            .when(coalesce(col("s_raw"), lit(0L)) < 0, "down")
+            .otherwise("flat").as("direction"))
+    },
   )
 
   /** The 50-rung 1-df inverse-χ² ladder shared verbatim by q266's

@@ -873,5 +873,60 @@ object Graph {
         .agg(count(lit(1)).as("n_customers"), sum(col("deg")).as("n_edges"),
           max(col("deg")).as("max_deg"))
     },
+
+    // --------------------------------------------------------------- q273
+    // Degree-distribution profile of the trading graph — the
+    // heavy-tail audit a graph pipeline runs BEFORE choosing join
+    // strategies (a power-law tail is what makes vertex broadcasts
+    // and unsalted joins blow up): customer degrees bin by decimal
+    // MAGNITUDE (digit count of the degree — an exact integer log10,
+    // no libm), and each bin reports its population, degree range and
+    // edge mass, plus exact permille shares. Consumes the SHARED
+    // BUCKETED LAYOUT: the per-customer degree aggregate runs on the
+    // pair table's bucket partitioning with NO exchange, everything
+    // after is bin-space (≤ digits-of-max-degree rows). The oracle
+    // derives the identical pairs from raw parquet (layout ≠
+    // semantics).
+    Q(
+      "q273_degree_profile",
+      Some("""
+        WITH pairs AS (
+          SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        deg AS (
+          SELECT c, CAST(COUNT(*) AS BIGINT) AS deg FROM pairs GROUP BY 1),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_c,
+                 CAST(SUM(deg) AS BIGINT) AS n_e
+          FROM deg),
+        b AS (
+          SELECT CAST(length(CAST(deg AS VARCHAR)) AS BIGINT) AS magnitude,
+                 CAST(COUNT(*) AS BIGINT) AS n_customers,
+                 CAST(MIN(deg) AS BIGINT) AS min_deg,
+                 CAST(MAX(deg) AS BIGINT) AS max_deg,
+                 CAST(SUM(deg) AS BIGINT) AS n_edges
+          FROM deg GROUP BY 1)
+        SELECT b.magnitude, b.n_customers, b.min_deg, b.max_deg, b.n_edges,
+               (1000 * b.n_customers) // t.n_c AS customer_share_pm,
+               (1000 * b.n_edges) // t.n_e AS edge_share_pm
+        FROM b CROSS JOIN tot t""")
+    ) { (s, dir) =>
+      val deg = graft.operators.EdgeLayout.pairs(s, dir)
+        .groupBy(col("c")).agg(count(lit(1)).as("deg"))
+      val b = deg
+        .groupBy(length(col("deg").cast("string")).cast("long")
+          .as("magnitude"))
+        .agg(count(lit(1)).as("n_customers"), min(col("deg")).as("min_deg"),
+          max(col("deg")).as("max_deg"), sum(col("deg")).as("n_edges"))
+      // totals re-aggregate from the BIN table (never the corpus) and
+      // attach broadcast — shares are exact permille floor-divs
+      val tot = b.agg(sum(col("n_customers")).as("n_c"),
+        sum(col("n_edges")).as("n_e"))
+      b.crossJoin(broadcast(tot))
+        .select(col("magnitude"), col("n_customers"), col("min_deg"),
+          col("max_deg"), col("n_edges"),
+          expr("(1000 * n_customers) div n_c").as("customer_share_pm"),
+          expr("(1000 * n_edges) div n_e").as("edge_share_pm"))
+    },
   )
 }

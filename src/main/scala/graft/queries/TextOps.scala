@@ -2448,5 +2448,61 @@ object TextOps {
         .select(col("source"), col("n_docs"), col("mean_lix_milli"),
           expr("(1000 * hapax) div n_tok").as("hapax_share_pm"))
     },
+
+    // --------------------------------------------------------------- q276
+    // Chao1 vocabulary-richness estimator per source — the "how many
+    // words does this source REALLY have?" projection a curation pass
+    // runs before budgeting dedup/tokenizer work: observed vocabulary
+    // V underestimates the true type count when sampling is shallow,
+    // and Chao1 corrects it from the rare-type counts alone:
+    // Ĉ = V + f₁(f₁−1)/(2(f₂+1)) (bias-corrected form, defined even
+    // at f₂ = 0), where f₁/f₂ = types seen exactly once/twice. The
+    // whole estimator is EXACT integer milli-units — one corpus
+    // token-count shuffle, then everything in vocabulary- and
+    // frequency-space (Σ over counts-of-counts). The coverage ratio
+    // 1000·V div chao1_milli-scaled rides along as the "how much of
+    // the vocabulary have we actually seen" gauge.
+    Q(
+      "q276_chao1_richness",
+      Some("""
+        WITH tok AS (
+          SELECT source, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        cnt AS (
+          SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tok WHERE tok <> '' GROUP BY 1, 2),
+        f AS (
+          SELECT source,
+                 CAST(COUNT(*) AS BIGINT) AS v,
+                 CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+                 CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+          FROM cnt GROUP BY 1)
+        SELECT source, v, f1, f2,
+               1000 * v + CAST((1000 * CAST(f1 AS HUGEINT) * (f1 - 1))
+                 // (2 * (f2 + 1)) AS BIGINT) AS chao1_milli,
+               (1000000 * v) // (1000 * v
+                 + CAST((1000 * CAST(f1 AS HUGEINT) * (f1 - 1))
+                   // (2 * (f2 + 1)) AS BIGINT)) AS coverage_pm
+        FROM f""")
+    ) { (s, dir) =>
+      val cnt = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      cnt.groupBy("source")
+        .agg(count(lit(1)).as("v"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+        // f₁² is BANKED into DECIMAL(38,0)/HUGEINT; the milli-scaled
+        // estimate itself stays BIGINT to f₁ ≲ 4.3e9 singleton types
+        // (past that, drop the milli scale — documented bound, far
+        // beyond 10¹⁰ corpus rows of ~100-token documents)
+        .select(col("source"), col("v"), col("f1"), col("f2"),
+          expr("1000 * v + (1000 * cast(f1 as decimal(38,0)) * (f1 - 1))" +
+            " div (2 * (f2 + 1))").as("chao1_milli"),
+          expr("(1000000 * v) div (1000 * v" +
+            " + (1000 * cast(f1 as decimal(38,0)) * (f1 - 1))" +
+            " div (2 * (f2 + 1)))").as("coverage_pm"))
+    },
   )
 }

@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** In-Scala replays and invariants for the round-9 additions
+  * (q271–q277) — each backed by a DuckDB oracle in CORRECTNESS; these
+  * pin the SEMANTICS against independent replays the way
+  * StatsEvalSpec does for the stats family. */
+class Round9Spec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf)
+
+  test("q271/q272: the real parsers recover exactly what the real writers encoded") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val probes = run("q271_container_roundtrip").collect()
+    assert(probes.length === docs.size, "every document probes")
+    probes.foreach { r =>
+      val (id, container) = (r.getLong(0), r.getString(1))
+      if (id % 2 == 0) {
+        assert(container === "wav")
+        assert(r.getLong(2) === 8000 + (id % 4) * 4000, "sample rate")
+        assert(r.getLong(7) === (docs(id).length + 255) / 256, "frames")
+      } else {
+        assert(container === "bmp")
+        assert(r.getLong(5) === 1 + id % 16, "width")
+        assert(r.getLong(6) === 1 + id % 9, "height")
+      }
+    }
+    // q272: total energy replays from the character codes (8-bit PCM
+    // decode: sample = byte − 128)
+    val e = run("q272_wav_energy_roundtrip").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    docs.foreach { case (id, text) =>
+      val want = text.map(c => { val s = c.toLong - 128; s * s }).sum
+      assert(e(id) === want, s"doc $id energy")
+    }
+  }
+
+  test("q273: magnitude bins conserve the degree mass and shares are sane") {
+    val rows = run("q273_degree_profile").collect()
+    val pairs = graft.Tables.load(spark, sf, "lineitem")
+      .join(graft.Tables.load(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+    val nEdges = pairs.count()
+    val nCust = pairs.select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(1)).sum === nCust, "customers partition")
+    assert(rows.map(_.getLong(4)).sum === nEdges, "edge mass conserves")
+    rows.foreach { r =>
+      val (mag, mn, mx) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(mn.toString.length.toLong === mag
+        && mx.toString.length.toLong === mag, "bin = digit count")
+      assert(r.getLong(5) <= 1000L && r.getLong(6) <= 1000L)
+    }
+  }
+
+  test("q274: RRF fuses the two oracle-backed lists with exact reciprocal weights") {
+    val fused = run("q274_rank_fusion").collect()
+    // 20 queries × top-5
+    assert(fused.length === 100)
+    fused.foreach { r =>
+      val (rrf, nLists, rank) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nLists >= 1 && nLists <= 2)
+      // a candidate on both lists carries two reciprocal terms; the
+      // extremes are rank 1 on both (2·10⁶/61) and rank 5 on one
+      assert(rrf >= 1000000L / 65 && rrf <= 2 * (1000000L / 61))
+      assert(rank >= 1 && rank <= 5)
+    }
+    // a candidate on BOTH lists at any ranks beats one on a single
+    // list at the worst rank — check per query that n_lists=2 rows
+    // never score below the single-list floor
+    fused.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val both = rs.filter(_.getLong(3) == 2).map(_.getLong(2))
+      both.foreach(s => assert(s >= 2 * (1000000L / 65)))
+    }
+  }
+
+  test("q275: Mann-Kendall S replays pairwise from the collected daily series") {
+    val daily = graft.Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(sum(expr("cast(cast(value as decimal(18,4)) * 100 as bigint)"))
+        .as("cents"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val got = run("q275_mann_kendall").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    daily.groupBy(_._1).foreach { case (tpe, rows) =>
+      val xs = rows.sortBy(_._2).map(_._3)
+      val n = xs.length.toLong
+      var s = 0L
+      for (i <- xs.indices; j <- i + 1 until xs.length)
+        s += java.lang.Long.signum(xs(j) - xs(i))
+      val (gn, gs, gv, gd) = got(tpe)
+      assert(gn === n && gs === s, s"$tpe S statistic")
+      assert(gv === n * (n - 1) * (2 * n + 5), s"$tpe variance numerator")
+      assert(gd === (if (s > 0) "up" else if (s < 0) "down" else "flat"))
+    }
+  }
+
+  test("q276: Chao1 dominates observed vocabulary; coverage bounded") {
+    val rows = run("q276_chao1_richness").collect()
+    rows.foreach { r =>
+      val (v, f1, f2, chao, cov) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(f1 + f2 <= v)
+      assert(chao >= 1000 * v, "estimator never below observed")
+      assert(chao === 1000 * v + (1000 * f1 * (f1 - 1)) / (2 * (f2 + 1)))
+      assert(cov >= 1 && cov <= 1000000L, "coverage is a proper share")
+    }
+  }
+
+  test("q277: scrub report replays from a driver-side regex pass") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val re = "\\b(customer|key|slow)\\b".r
+    val truth = docs.groupBy(_._1).map { case (src, rows) =>
+      val hits = rows.map(r => re.findAllIn(r._2).toSeq)
+      src -> ((rows.length.toLong, hits.count(_.nonEmpty).toLong,
+        hits.map(_.length.toLong).sum, hits.flatten.map(_.length.toLong).sum))
+    }
+    val got = run("q277_blocklist_scrub").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got === truth)
+  }
+}

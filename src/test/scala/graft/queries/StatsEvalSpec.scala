@@ -106,15 +106,19 @@ class StatsEvalSpec extends SparkSpec {
       val ry = rows.sortBy(r => (spend.getOrElse(r._2, 0L), r._2)).zipWithIndex
         .map { case (r, i) => r._2 -> (i + 1L) }.toMap
       val n = rows.length.toLong
-      val d2 = rows.map(r => { val d = rx(r._2) - ry(r._2); d * d }).sum
-      nation -> ((n, d2, 1000000L - floorDiv(6000000L * d2, n * (n * n - 1))))
+      // the banked form: Σd² and the quotient replay in BigInt (the
+      // DECIMAL(38,0)/HUGEINT algebra — truncation toward zero)
+      val d2 = rows.map(r => { val d = BigInt(rx(r._2) - ry(r._2)); d * d }).sum
+      val rho = BigInt(1000000) -
+        (BigInt(6000000) * d2) / (BigInt(n) * n * n - n)
+      nation -> ((n, rho.toLong))
     }
     val got = run("q217_spearman").collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
       .toMap
     assert(got === truth)
     // a rank correlation is bounded
-    assert(got.values.forall(v => v._3 >= -1000000L && v._3 <= 1000000L))
+    assert(got.values.forall(v => v._2 >= -1000000L && v._2 <= 1000000L))
   }
 
   // ---------------------------------------------------------------- q218

@@ -294,15 +294,15 @@ class StatsEvalSpec3 extends SparkSpec {
   test("q263 replication recall is monotone and consistent with q146's probe point") {
     val sweep = run("q263_replication_sweep").collect()
       .map(r => r.getLong(0) -> r.getDouble(3)).toMap
-    assert(sweep.keySet === Set(1L, 2L))
+    assert(sweep.keySet === Set(1L, 2L, 3L))
     // candidate cells only grow with r — recall cannot drop
-    assert(sweep(1L) <= sweep(2L),
+    assert(sweep(1L) <= sweep(2L) && sweep(2L) <= sweep(3L),
       s"recall must not drop as replication widens: $sweep")
-    // r=2 at nProbe=2 IS q146's nProbe=2 sweep point — same machinery,
-    // same number
+    // r=3 at nProbe=2 IS q146's nProbe=2 sweep point — same machinery
+    // (ivfReplication = 3 is the default q146 sweeps at), same number
     val q146 = run("q146_recall_sweep").collect()
       .map(r => r.getLong(0) -> r.getDouble(3)).toMap
-    assert(sweep(2L) === q146(2L),
-      s"q263 r=2 (${sweep(2L)}) must equal q146 nProbe=2 (${q146(2L)})")
+    assert(sweep(3L) === q146(2L),
+      s"q263 r=3 (${sweep(3L)}) must equal q146 nProbe=2 (${q146(2L)})")
   }
 }
