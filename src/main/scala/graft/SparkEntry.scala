@@ -220,6 +220,8 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q275    graft.queries.Events     — Mann–Kendall trend test
   *   q276    graft.queries.TextOps    — Chao1 vocabulary richness
   *   q277    graft.queries.Curation   — blocklist scrub report
+  *   q278    graft.queries.Curation   — Neyman allocation (Hamilton seats)
+  *   q279    graft.queries.Events     — Wald–Wolfowitz runs test
   */
 object SparkEntry {
 

@@ -1739,6 +1739,95 @@ object Curation {
           expr("(1000 * sum(aggregate(transform(hits, x -> length(x))," +
             " 0L, (a, x) -> a + x))) div sum(len)").as("redacted_share_pm"))
     },
+
+    // --------------------------------------------------------------- q278
+    // Neyman sample allocation with LARGEST-REMAINDER apportionment —
+    // the "how many docs to hand-review per source" budget every
+    // curation QA pass sets: a fixed budget B = 10000 splits across
+    // sources ∝ n_s·σ_s (Neyman's variance-optimal rule — noisy
+    // strata get more looks), and the integer seats come from the
+    // exact Hamilton method: floor quotas first, then one seat to
+    // each of the L largest remainders (ties → source name), so the
+    // allocations SUM TO EXACTLY B — the property naive rounding
+    // loses. σ_s comes from the exact integer variance numerator
+    // n·Σx² − (Σx)² (BANKED into DECIMAL(38,0)/HUGEINT) through one
+    // sqrt, milli-quantized via round() (both engines IEEE; exact
+    // while the numerator sits under 2⁵³ — the documented
+    // decimal→double caveat, declared here since the allocation is
+    // integer-exact downstream of that quantization). One corpus
+    // pass to source-space; the remainder ranking is a window over
+    // the 20-row strata table.
+    Q(
+      "q278_neyman_allocation",
+      Some("""
+        WITH st AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(n_chars) AS BIGINT) AS sx,
+                 SUM(CAST(n_chars AS HUGEINT) * n_chars) AS sxx
+          FROM documents GROUP BY 1),
+        sd AS (
+          SELECT source, n,
+                 CAST(round(1000 * sqrt(CAST(n * sxx - CAST(sx AS HUGEINT)
+                   * sx AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))))
+                   AS BIGINT) AS sd_milli
+          FROM st WHERE n > 1),
+        w AS (
+          SELECT source, n, sd_milli, n * sd_milli AS wt,
+                 CAST(SUM(n * sd_milli) OVER () AS BIGINT) AS wt_total
+          FROM sd),
+        q AS (
+          SELECT source, n, sd_milli,
+                 CAST((10000000000 * CAST(wt AS HUGEINT)) // wt_total
+                   AS BIGINT) AS quota_micro
+          FROM w),
+        r AS (
+          SELECT source, n, sd_milli,
+                 quota_micro // 1000000 AS base,
+                 quota_micro % 1000000 AS rem,
+                 CAST(10000 - SUM(quota_micro // 1000000) OVER ()
+                   AS BIGINT) AS leftover,
+                 ROW_NUMBER() OVER (ORDER BY quota_micro % 1000000 DESC,
+                   source) AS rr
+          FROM q)
+        SELECT source, n AS n_docs, sd_milli,
+               CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                 AS BIGINT) AS alloc,
+               CAST(base AS BIGINT) AS floor_quota,
+               CAST(rem AS BIGINT) AS remainder_micro
+        FROM r""")
+    ) { (s, dir) =>
+      val st = t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sx"),
+          sum(col("n_chars").cast("decimal(38,0)") * col("n_chars"))
+            .as("sxx"))
+      val sd = st.filter(col("n") > 1)
+        .select(col("source"), col("n"),
+          expr("cast(round(1000 * sqrt(cast(n * sxx - cast(sx as" +
+            " decimal(38,0)) * sx as double) / (cast(n as double)" +
+            " * (n - 1)))) as bigint)").as("sd_milli"))
+      // strata-space from here: every window runs over the ≤|sources|
+      // row table (beneath an aggregate — sweep-attested)
+      val w = sd.withColumn("wt", col("n") * col("sd_milli"))
+        .withColumn("wt_total",
+          sum(col("n") * col("sd_milli")).over(Window.partitionBy()))
+      val q = w.select(col("source"), col("n"), col("sd_milli"),
+        expr("(10000000000 * cast(wt as decimal(38,0))) div wt_total")
+          .as("quota_micro"))
+      val r = q
+        .withColumn("base", expr("quota_micro div 1000000"))
+        .withColumn("rem", expr("quota_micro % 1000000"))
+        .withColumn("leftover",
+          lit(10000L) - sum(expr("quota_micro div 1000000"))
+            .over(Window.partitionBy()))
+        .withColumn("rr", row_number().over(
+          Window.orderBy(desc("rem"), col("source"))).cast("long"))
+      r.select(col("source"), col("n").as("n_docs"), col("sd_milli"),
+        (col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc"),
+        col("base").as("floor_quota"),
+        col("rem").as("remainder_micro"))
+    },
   )
 
   /** q147's per-(doc, shard) rendezvous weight: the Carter–Wegman

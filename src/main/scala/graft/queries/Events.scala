@@ -4403,6 +4403,89 @@ object Events {
             .when(coalesce(col("s_raw"), lit(0L)) < 0, "down")
             .otherwise("flat").as("direction"))
     },
+
+    // --------------------------------------------------------------- q279
+    // Wald–Wolfowitz runs test, per event type over the daily revenue
+    // series — the RANDOMNESS audit beside q275's trend and q202's
+    // changepoint: a series can be trend-free yet autocorrelated
+    // (sticky above/below-mean streaks), which breaks the independence
+    // assumption every daily-metric alarm quietly makes. Each day
+    // classifies above/below the type's mean via the EXACT
+    // cross-multiplied test n·x > Σx (at-mean days count below —
+    // declared; exact ties are measure-zero on cent sums), runs count
+    // by a lag window over the day-space series, and the expected
+    // runs 1 + 2·n₊·n₋/n and variance numerator
+    // 2·n₊·n₋·(2·n₊·n₋ − n) report as exact milli/raw integers (the
+    // denominator n²(n−1) rides along) — no libm anywhere. One
+    // map-side corpus pass to (type, day) cells; windows per type in
+    // day-space, bounded by the calendar.
+    Q(
+      "q279_runs_test",
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+                 CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 100
+                   AS BIGINT)) AS BIGINT) AS cents
+          FROM events GROUP BY 1, 2),
+        tot AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(cents) AS BIGINT) AS sx
+          FROM daily GROUP BY 1),
+        sg AS (
+          SELECT d.event_type, d.d,
+                 CASE WHEN t.n * d.cents > t.sx THEN 1 ELSE 0 END AS up,
+                 t.n, t.sx
+          FROM daily d JOIN tot t ON t.event_type = d.event_type),
+        rn AS (
+          SELECT event_type, n, up,
+                 CASE WHEN lag(up) OVER (PARTITION BY event_type
+                        ORDER BY d) IS DISTINCT FROM up
+                      THEN 1 ELSE 0 END AS brk
+          FROM sg)
+        SELECT event_type, CAST(MIN(n) AS BIGINT) AS n_days,
+               CAST(SUM(up) AS BIGINT) AS n_above,
+               CAST(MIN(n) - SUM(up) AS BIGINT) AS n_below,
+               CAST(SUM(brk) AS BIGINT) AS n_runs,
+               1000 + CAST((2000 * CAST(SUM(up) AS BIGINT)
+                 * (MIN(n) - SUM(up))) // MIN(n) AS BIGINT)
+                 AS expected_runs_milli,
+               CAST(2 * SUM(up) * (MIN(n) - SUM(up))
+                 * (2 * SUM(up) * (MIN(n) - SUM(up)) - MIN(n))
+                 AS BIGINT) AS var_num,
+               MIN(n) * MIN(n) * (MIN(n) - 1) AS var_den
+        FROM rn GROUP BY 1""")
+    ) { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(expr("cast(cast(value as decimal(18,4)) * 100 as bigint)"))
+          .as("cents"))
+      val tot = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"))
+      val sg = daily.join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("d"), col("n"),
+          when(col("n") * col("cents") > col("sx"), 1L).otherwise(0L)
+            .as("up"))
+      // the first day of each type has no predecessor: lag is NULL,
+      // which differs from 0/1 — counted as a break, so n_runs counts
+      // runs directly (first run included)
+      val rn = sg.withColumn("brk",
+        when(lag(col("up"), 1).over(
+          Window.partitionBy("event_type").orderBy("d")) <=> col("up"), 0L)
+          .otherwise(1L))
+      rn.groupBy("event_type")
+        .agg(min(col("n")).as("n_days"), sum(col("up")).as("n_above"),
+          (min(col("n")) - sum(col("up"))).as("n_below"),
+          sum(col("brk")).as("n_runs"))
+        .select(col("event_type"), col("n_days"), col("n_above"),
+          col("n_below"), col("n_runs"),
+          (lit(1000L) + expr("(2000 * n_above * n_below) div n_days"))
+            .as("expected_runs_milli"),
+          (lit(2L) * col("n_above") * col("n_below")
+            * (lit(2L) * col("n_above") * col("n_below") - col("n_days")))
+            .as("var_num"),
+          (col("n_days") * col("n_days") * (col("n_days") - 1))
+            .as("var_den"))
+    },
   )
 
   /** The 50-rung 1-df inverse-χ² ladder shared verbatim by q266's

@@ -114,6 +114,50 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("q278: Hamilton seats sum to exactly the budget; quotas replay in BigInt") {
+    val rows = run("q278_neyman_allocation").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._4).sum === 10000L,
+      "largest-remainder apportionment must conserve the budget exactly")
+    rows.foreach { case (_, _, _, alloc, base, rem) =>
+      assert(alloc === base || alloc === base + 1, "at most one bonus seat")
+      assert(rem >= 0 && rem < 1000000L)
+    }
+    // replay the quota split: Σ floor quotas + #bonus seats = budget,
+    // and bonus seats go to the LARGEST remainders (ties by source)
+    val leftover = 10000L - rows.map(_._5).sum
+    val bonus = rows.filter(r => r._4 == r._5 + 1)
+    assert(bonus.length.toLong === leftover)
+    val cut = rows.sortBy(r => (-r._6, r._1)).take(leftover.toInt)
+      .map(_._1).toSet
+    assert(bonus.map(_._1).toSet === cut, "bonus = top remainders")
+  }
+
+  test("q279: runs count replays from the collected daily sign sequence") {
+    val daily = graft.Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(sum(expr("cast(cast(value as decimal(18,4)) * 100 as bigint)"))
+        .as("cents"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val got = run("q279_runs_test").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    daily.groupBy(_._1).foreach { case (tpe, rows) =>
+      val xs = rows.sortBy(_._2).map(_._3)
+      val n = xs.length.toLong
+      val sx = xs.sum
+      val ups = xs.map(x => if (n * x > sx) 1L else 0L)
+      val runs = 1L + ups.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+      val nA = ups.sum
+      val (gn, ga, gb, gr, gm, gvn, gvd) = got(tpe)
+      assert(gn === n && ga === nA && gb === n - nA && gr === runs, tpe)
+      assert(gm === 1000L + 2000L * nA * (n - nA) / n, s"$tpe expected runs")
+      assert(gvn === 2 * nA * (n - nA) * (2 * nA * (n - nA) - n))
+      assert(gvd === n * n * (n - 1))
+    }
+  }
+
   test("q277: scrub report replays from a driver-side regex pass") {
     val docs = graft.Tables.load(spark, sf, "documents")
       .select("source", "text").collect()
