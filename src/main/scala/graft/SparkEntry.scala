@@ -222,6 +222,10 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q277    graft.queries.Curation   — blocklist scrub report
   *   q278    graft.queries.Curation   — Neyman allocation (Hamilton seats)
   *   q279    graft.queries.Events     — Wald–Wolfowitz runs test
+  *   q280    graft.queries.Vectors    — label-centroid embedding drift
+  *   q281    graft.queries.TextOps    — Heaps' vocabulary-growth curve
+  *   q282    graft.queries.Curation   — exact per-source length bands
+  *   q283    graft.queries.Curation   — shard interleave audit
   */
 object SparkEntry {
 

@@ -1828,6 +1828,120 @@ object Curation {
         col("base").as("floor_quota"),
         col("rem").as("remainder_micro"))
     },
+
+    // --------------------------------------------------------------- q282
+    // Exact per-source length bands (P10/P50/P90) — the distribution
+    // summary a curation dashboard prints next to q199's drift score:
+    // three EXACT order statistics per source from ONE value-space
+    // cumsum (never a per-percentile rescan, never a corpus sort —
+    // the q243 move, batched): length-value cells cumulate per
+    // source, and percentile p is the smallest length whose
+    // cumulative count reaches ⌈p·n/100⌉ (ceil via (p·n + 99) div
+    // 100 — the declared convention, exact in both engines). The
+    // P90−P10 band width rides along — the "how wide is this
+    // source's length regime" number length-cap tuning reads.
+    Q(
+      "q282_length_bands",
+      Some("""
+        WITH d AS (SELECT source, n_chars AS v FROM documents),
+        ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+               FROM d GROUP BY 1),
+        vc AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c
+               FROM d GROUP BY 1, 2),
+        cum AS (
+          SELECT source, v,
+                 CAST(SUM(c) OVER (PARTITION BY source ORDER BY v)
+                   AS BIGINT) AS cc
+          FROM vc)
+        SELECT cum.source, ns.n AS n_docs,
+               CAST(MIN(CASE WHEN cc >= (10 * ns.n + 99) // 100
+                 THEN v END) AS BIGINT) AS p10,
+               CAST(MIN(CASE WHEN cc >= (50 * ns.n + 99) // 100
+                 THEN v END) AS BIGINT) AS p50,
+               CAST(MIN(CASE WHEN cc >= (90 * ns.n + 99) // 100
+                 THEN v END) AS BIGINT) AS p90,
+               CAST(MIN(CASE WHEN cc >= (90 * ns.n + 99) // 100
+                 THEN v END)
+                 - MIN(CASE WHEN cc >= (10 * ns.n + 99) // 100
+                 THEN v END) AS BIGINT) AS band_width
+        FROM cum JOIN ns ON ns.source = cum.source
+        GROUP BY 1, 2""")
+    ) { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("source"), col("n_chars").as("v"))
+      val ns = d.groupBy("source").agg(count(lit(1)).as("n"))
+      val vc = d.groupBy("source", "v").agg(count(lit(1)).as("c"))
+      val cum = vc.withColumn("cc",
+        sum(col("c")).over(Window.partitionBy("source").orderBy("v")))
+      cum.join(broadcast(ns), "source")
+        .groupBy(col("source"), col("n").as("n_docs"))
+        .agg(
+          min(when(col("cc") >= expr("(10 * n + 99) div 100"), col("v")))
+            .as("p10"),
+          min(when(col("cc") >= expr("(50 * n + 99) div 100"), col("v")))
+            .as("p50"),
+          min(when(col("cc") >= expr("(90 * n + 99) div 100"), col("v")))
+            .as("p90"))
+        .select(col("source"), col("n_docs"), col("p10"), col("p50"),
+          col("p90"), (col("p90") - col("p10")).as("band_width"))
+    },
+
+    // --------------------------------------------------------------- q283
+    // Shard interleave audit — "is the training order actually
+    // shuffled?": docs assign to 32 shards by the salted Knuth hash
+    // (middle bits — the q153 lattice rule) and read back in hash
+    // order within each shard; a well-interleaved shard has source
+    // runs of length ~1, while clumps (long same-source streaks) are
+    // exactly what makes a training curriculum silently non-IID. Per
+    // shard: docs, runs, the LONGEST streak and the mean run length
+    // in exact milli — run boundaries from one lag window, run
+    // lengths from a (shard, run_id) count (run_id = cumulative break
+    // count — the gaps-and-islands move), maxima in shard space. At
+    // production shard COUNT scales with the corpus (shards are
+    // sized, not fixed), so the per-shard windows stay bounded — the
+    // declared posture; the 32 here mirrors the bucket layout.
+    Q(
+      "q283_interleave_audit",
+      Some(s"""
+        WITH a AS (
+          SELECT doc_id, source,
+                 (${knuthSql(13L)}) AS h,
+                 ((${knuthSql(13L)}) // 1024) % 32 AS shard
+          FROM documents),
+        b AS (
+          SELECT shard, source, h, doc_id,
+                 CASE WHEN lag(source) OVER w IS DISTINCT FROM source
+                      THEN 1 ELSE 0 END AS brk
+          FROM a WINDOW w AS (PARTITION BY shard ORDER BY h, doc_id)),
+        c AS (
+          SELECT shard, source,
+                 CAST(SUM(brk) OVER (PARTITION BY shard ORDER BY h, doc_id)
+                   AS BIGINT) AS run_id
+          FROM b),
+        runs AS (
+          SELECT shard, run_id, CAST(COUNT(*) AS BIGINT) AS len
+          FROM c GROUP BY 1, 2)
+        SELECT shard, CAST(SUM(len) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_runs,
+               CAST(MAX(len) AS BIGINT) AS max_run,
+               (1000 * CAST(SUM(len) AS BIGINT)) // COUNT(*)
+                 AS mean_run_milli
+        FROM runs GROUP BY 1""")
+    ) { (s, dir) =>
+      val a = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        knuthCol(13L).as("h"))
+        .withColumn("shard", expr("(h div 1024) % 32"))
+      val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+      val b = a.withColumn("brk",
+        when(lag(col("source"), 1).over(w) <=> col("source"), 0L)
+          .otherwise(1L))
+      val c = b.withColumn("run_id", sum(col("brk")).over(w))
+      val runs = c.groupBy("shard", "run_id").agg(count(lit(1)).as("len"))
+      runs.groupBy("shard")
+        .agg(sum(col("len")).as("n_docs"), count(lit(1)).as("n_runs"),
+          max(col("len")).as("max_run"))
+        .select(col("shard"), col("n_docs"), col("n_runs"), col("max_run"),
+          expr("(1000 * n_docs) div n_runs").as("mean_run_milli"))
+    },
   )
 
   /** q147's per-(doc, shard) rendezvous weight: the Carter–Wegman

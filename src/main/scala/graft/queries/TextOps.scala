@@ -2504,5 +2504,77 @@ object TextOps {
             " + (1000 * cast(f1 as decimal(38,0)) * (f1 - 1))" +
             " div (2 * (f2 + 1)))").as("coverage_pm"))
     },
+
+    // --------------------------------------------------------------- q281
+    // Heaps'-law vocabulary-growth curve per source — q276's dynamic
+    // sibling: Chao1 asks "how big is the vocabulary?", this asks
+    // "how fast are we still discovering it?" — V(k) and the token
+    // count after the first k documents (k ∈ {5, 10, 25}, capped at
+    // the source size), published as the curve a crawl scheduler
+    // reads to decide whether MORE of a source still buys new types.
+    // Exact integers end to end: documents rank per source by doc_id
+    // (a per-source window over doc-space), each type's FIRST
+    // appearance is its min doc rank (one vocabulary-space aggregate
+    // after the corpus token count), and V(k) = #types with first
+    // rank ≤ k — counts-of-first-ranks, never a rescan per
+    // checkpoint. new-type rate (types per 1000 tokens) rides along.
+    Q(
+      "q281_heaps_curve",
+      Some("""
+        WITH dr AS (
+          SELECT doc_id, source, text,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                   AS r
+          FROM documents),
+        tok AS (
+          SELECT source, r, unnest(string_split(text, ' ')) AS tok
+          FROM dr),
+        tk AS (SELECT source, r, tok FROM tok WHERE tok <> ''),
+        first AS (
+          SELECT source, tok, CAST(MIN(r) AS BIGINT) AS fr
+          FROM tk GROUP BY 1, 2),
+        ks(k) AS (VALUES (CAST(5 AS BIGINT)), (10), (25)),
+        v AS (
+          SELECT f.source, ks.k,
+                 CAST(SUM(CASE WHEN f.fr <= ks.k THEN 1 ELSE 0 END)
+                   AS BIGINT) AS v_k
+          FROM first f CROSS JOIN ks GROUP BY 1, 2),
+        dtc AS (
+          SELECT source, r, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tk GROUP BY 1, 2),
+        tt AS (
+          SELECT source, ks.k,
+                 CAST(SUM(CASE WHEN r <= ks.k THEN c ELSE 0 END)
+                   AS BIGINT) AS tok_k
+          FROM dtc CROSS JOIN ks GROUP BY 1, 2)
+        SELECT v.source, v.k, v.v_k, tt.tok_k,
+               CASE WHEN tt.tok_k > 0
+                 THEN (1000 * v.v_k) // tt.tok_k END AS types_per_1000_tok
+        FROM v JOIN tt ON tt.source = v.source AND tt.k = v.k""")
+    ) { (s, dir) =>
+      import s.implicits._
+      val dr = t(s, dir, "documents")
+        .withColumn("r", row_number().over(
+          Window.partitionBy("source").orderBy("doc_id")).cast("long"))
+      val tk = dr.select(col("source"), col("r"),
+          explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val first = tk.groupBy("source", "tok").agg(min(col("r")).as("fr"))
+      val ks = broadcast(Seq(5L, 10L, 25L).toDF("k"))
+      val v = first.crossJoin(ks)
+        .groupBy("source", "k")
+        .agg(sum(when(col("fr") <= col("k"), 1L).otherwise(0L)).as("v_k"))
+      // tokens-per-doc first (doc-space), THEN the 3-way checkpoint
+      // expansion — the corpus token stream is never tripled
+      val tc = tk.groupBy("source", "r").agg(count(lit(1)).as("c"))
+        .crossJoin(ks)
+        .groupBy("source", "k")
+        .agg(sum(when(col("r") <= col("k"), col("c")).otherwise(0L))
+          .as("tok_k"))
+      v.join(tc, Seq("source", "k"))
+        .select(col("source"), col("k"), col("v_k"), col("tok_k"),
+          when(col("tok_k") > 0, expr("(1000 * v_k) div tok_k"))
+            .as("types_per_1000_tok"))
+    },
   )
 }

@@ -430,6 +430,72 @@ object Vectors {
           col("n_lists"), col("fused_rank").cast("long").as("fused_rank"))
     },
 
+    // --------------------------------------------------------------- q280
+    // Label-centroid embedding drift — the representation-health check
+    // a curation pass runs beside q229's length drift: does each
+    // label's embedding CENTROID still point where the corpus points?
+    // Per-label mean vectors come from ONE positional aggregate
+    // (label×dim cells — the lloydStep shape: map-side combinable,
+    // never a collect), element-wise floor means keep every
+    // coordinate a bounded exact integer (|m| ≤ quantization scale,
+    // independent of corpus size — the reason to compare MEANS, not
+    // raw sums, whose dot would pass BIGINT at petascale), and the
+    // global centroid RE-AGGREGATES from the same cells (the corpus
+    // is read once). Cosine via the codegen'd integer dot + one
+    // IEEE sqrt per label — cross-engine bit-stable (q39's contract).
+    // Low cosine = the label's region is drifting away from the
+    // corpus mean direction — the flag for re-embedding or split.
+    Q(
+      "q280_label_centroid_drift",
+      Some(s"""
+        WITH q AS (SELECT vec_id, label, $qvSql AS qv FROM embeddings),
+        cells AS (
+          SELECT label, i, CAST(SUM(qv[CAST(i AS INT)]) AS BIGINT) AS sv,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM q, (SELECT unnest(range(1, 65)) AS i) p
+          GROUP BY 1, 2),
+        ms AS (
+          SELECT label, CAST(MAX(n) AS BIGINT) AS n_vecs,
+                 list(sv // n ORDER BY i) AS mv
+          FROM cells GROUP BY 1),
+        gc AS (
+          SELECT i, CAST(SUM(sv) AS BIGINT) AS sv,
+                 CAST(SUM(n) AS BIGINT) AS n
+          FROM cells GROUP BY 1),
+        g AS (SELECT list(sv // n ORDER BY i) AS gv FROM gc)
+        SELECT label, n_vecs,
+               ${graft.operators.Ivf.dotSql("ms.mv", "g.gv")} AS dot,
+               CAST(${graft.operators.Ivf.dotSql("ms.mv", "g.gv")} AS DOUBLE)
+                 / sqrt(CAST(${graft.operators.Ivf.dotSql("ms.mv", "ms.mv")}
+                         AS DOUBLE)
+                      * CAST(${graft.operators.Ivf.dotSql("g.gv", "g.gv")}
+                         AS DOUBLE)) AS cos_sim
+        FROM ms CROSS JOIN g""")
+    ) { (s, dir) =>
+      val cells = t(s, dir, "embeddings")
+        .select(col("label"), posexplode(qvCol).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      val ms = cells.withColumn("m", expr("sv div n"))
+        .groupBy("label")
+        .agg(max(col("n")).as("n_vecs"),
+          expr("transform(array_sort(collect_list(struct(pos, m)))," +
+            " x -> x.m)").as("mv"))
+      val g = cells.groupBy("pos")
+        .agg(sum(col("sv")).as("sv"), sum(col("n")).as("n"))
+        .withColumn("m", expr("sv div n"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m)))," +
+          " x -> x.m)").as("gv"))
+      ms.crossJoin(broadcast(g))
+        .select(col("label"), col("n_vecs"),
+          graft.functions.VecMath.qdot(col("mv"), col("gv")).as("dot"),
+          (graft.functions.VecMath.qdot(col("mv"), col("gv")).cast("double")
+            / sqrt(graft.functions.VecMath.qdot(col("mv"), col("mv"))
+                .cast("double")
+              * graft.functions.VecMath.qdot(col("gv"), col("gv"))
+                .cast("double"))).as("cos_sim"))
+    },
+
     qSkewcap,
 
     // ---------------------------------------------------------------- q89

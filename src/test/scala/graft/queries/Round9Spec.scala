@@ -158,6 +158,82 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("q280: centroid cosine is bounded and the floor-mean vectors replay in BigInt") {
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("label"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double)" +
+          " * 1000) as bigint))").as("qv"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+    val dim = vecs.head._2.length
+    def mean(rows: Seq[Array[Long]]): Array[Long] =
+      Array.tabulate(dim)(i =>
+        (rows.map(r => BigInt(r(i))).sum / rows.length).toLong)
+    val global = mean(vecs.map(_._2).toSeq)
+    val got = run("q280_label_centroid_drift").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    vecs.groupBy(_._1).foreach { case (label, rows) =>
+      val mv = mean(rows.map(_._2).toSeq)
+      val dot = mv.zip(global).map { case (a, b) => a * b }.sum
+      val (n, gdot, cos) = got(label)
+      assert(n === rows.length.toLong && gdot === dot, s"$label dot")
+      assert(cos >= -1.0001 && cos <= 1.0001, s"$label cosine bound")
+    }
+  }
+
+  test("q281: vocabulary growth is monotone and V(25) is the full source vocabulary") {
+    val rows = run("q281_heaps_curve").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val byK = rs.sortBy(_._2)
+      // V and token counts only grow with the checkpoint
+      assert(byK.map(_._3) === byK.map(_._3).sorted, s"$src V monotone")
+      assert(byK.map(_._4) === byK.map(_._4).sorted, s"$src tokens monotone")
+    }
+    // at sf0.001 every source has exactly 25 docs: V(25) = |vocab|
+    val vocab = graft.Tables.load(spark, sf, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "").select("source", "tok").distinct()
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.filter(_._2 == 25L).foreach { case (src, _, v, _) =>
+      assert(v === vocab(src), s"$src full vocabulary at k=25")
+    }
+  }
+
+  test("q282: exact length bands replay from sorted per-source lengths") {
+    val lens = graft.Tables.load(spark, sf, "documents")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val got = run("q282_length_bands").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    lens.groupBy(_._1).foreach { case (src, rows) =>
+      val xs = rows.map(_._2).sorted
+      val n = xs.length.toLong
+      def pct(p: Long): Long = xs(((p * n + 99) / 100 - 1).toInt)
+      val (gn, p10, p50, p90, band) = got(src)
+      assert(gn === n)
+      assert((p10, p50, p90) === ((pct(10), pct(50), pct(90))), src)
+      assert(band === p90 - p10 && p10 <= p50 && p50 <= p90)
+    }
+  }
+
+  test("q283: interleave audit conserves docs and the run algebra holds") {
+    val rows = run("q283_interleave_audit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val nDocs = graft.Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_._2).sum === nDocs, "shards partition the corpus")
+    rows.foreach { case (shard, n, runs, maxRun, meanMilli) =>
+      assert(shard >= 0 && shard < 32)
+      assert(runs >= 1 && runs <= n)
+      assert(maxRun >= 1 && maxRun <= n)
+      assert(maxRun * runs >= n, "max run bounds the packing")
+      assert(meanMilli === 1000L * n / runs)
+    }
+  }
+
   test("q277: scrub report replays from a driver-side regex pass") {
     val docs = graft.Tables.load(spark, sf, "documents")
       .select("source", "text").collect()
