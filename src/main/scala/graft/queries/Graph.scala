@@ -504,14 +504,11 @@ object Graph {
         UNION ALL
         SELECT 'hub' AS role, c AS node, x AS score_fp FROM h2n""")
     ) { (s, dir) =>
-      val orders = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey")).hint("merge")
-      val pairs = Checkpoints.materialize(
-        t(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_suppkey"))
-          .join(orders, col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-          .distinct())
+      // shared bucketed pair layout: each reinforcement step's
+      // re-reference costs one exchange-free scan (c-keyed steps ride
+      // the bucket partitioning; s-keyed steps shuffle the scan, as
+      // the checkpointed blob did) — no per-query fact⋈fact derivation
+      val pairs = graft.operators.EdgeLayout.pairs(s, dir)
       // one reinforcement step: edge⋈vertex keyed join, groupBy the
       // other side, L∞ renormalize via a one-row broadcast max. Each
       // step's summed table is referenced TWICE (the max and the
@@ -598,13 +595,9 @@ object Graph {
         FROM dsum d LEFT JOIN ein e ON e.nation = d.nation
         CROSS JOIN m""")
     ) { (s, dir) =>
-      val orders = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey")).hint("merge")
-      val pairs = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"))
-        .join(orders, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-        .distinct()
+      // shared bucketed pair layout (exchange-free on the c side of
+      // the nation attach; the s side shuffles as before)
+      val pairs = graft.operators.EdgeLayout.pairs(s, dir)
       val cu = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey").as("cn"))
       val su = t(s, dir, "supplier")
@@ -776,14 +769,12 @@ object Graph {
                lift.kc AS top_kc, lift.ks AS top_ks, lift.lift_ppm
         FROM m CROSS JOIN dims CROSS JOIN chi CROSS JOIN lift""")
     ) { (s, dir) =>
-      val orders = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey")).hint("merge")
-      val pairs = Checkpoints.materialize(
-        t(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_suppkey"))
-          .join(orders, col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-          .distinct())
+      // shared bucketed pair layout: the c-degree aggregate and the
+      // c-keyed attach run on the bucket partitioning with no
+      // exchange; the s side shuffles the scan (as the checkpointed
+      // blob did) — the three references cost three bucketed scans,
+      // not three re-derivations
+      val pairs = graft.operators.EdgeLayout.pairs(s, dir)
       val cd = pairs.groupBy("c").agg(count(lit(1)).as("dc"))
       val sd = pairs.groupBy("s").agg(count(lit(1)).as("ds"))
       val ed = pairs
