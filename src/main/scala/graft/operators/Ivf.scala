@@ -206,39 +206,48 @@ object Ivf {
     cents
   }
 
-  /** Per-JVM unique tag for persisted centroid artifacts (same
-    * collision-avoidance contract as EdgeLayout's run tag). */
-  private val persistTag: String =
-    java.lang.Long.toHexString(ProcessHandle.current().pid()) + "x" +
-      java.lang.Long.toHexString(System.nanoTime() & 0xffffffffL)
-
-  /** cache key → persisted parquet path, written at most once/JVM. */
+  /** (catalog root, corpus, config) → persisted parquet path.
+    * Memoizes the resolve only — the artifact is durable on disk
+    * (see [[graft.operators.LayoutCatalog]]). */
   private val persistedPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Test hook: forget in-process resolves (disk untouched). */
+  def reset(): Unit = persistedPaths.clear()
 
   /** TRAIN-ONCE / PERSIST / READ-BACK — the production split of
     * [[trainCentroidsCosine]]: the centroid table is a LAYOUT
     * ARTIFACT like a bucketed edge corpus (EdgeLayout), trained once
     * per corpus snapshot and read back by every search query, so
-    * queries pay search cost only. Keyed by (corpus key, k, rounds);
-    * the artifact is nCentroids×dim integers — a trivial parquet
-    * read that broadcasts downstream. Training is deterministic
-    * (integer Lloyd over first-N-id seeds), so the persisted table
-    * is bit-identical to an inline retrain and the DuckDB oracle
-    * replays it exactly ([[trainSqlCtesCosine]]). */
+    * queries pay search cost only. Since round 10 the artifact is
+    * DURABLE under the [[LayoutCatalog]] root, keyed by (corpus key,
+    * k, rounds) plus a content fingerprint of the corpus's
+    * `embeddings` table — a new JVM reads the trained table from disk
+    * instead of re-running Lloyd; a changed corpus snapshot
+    * fingerprints to a new directory and retrains. The artifact is
+    * nCentroids×dim integers — a trivial parquet read that broadcasts
+    * downstream. Training is deterministic (integer Lloyd over
+    * first-N-id seeds), so the persisted table is bit-identical to an
+    * inline retrain and the DuckDB oracle replays it exactly
+    * ([[trainSqlCtesCosine]]). */
   def persistedCentroidsCosine(df: DataFrame, corpusKey: String,
       idCol: String, qvCol: String, n: Int, rounds: Int): DataFrame = {
+    import graft.operators.{LayoutCatalog => LC}
     val spark = df.sparkSession
-    val path = persistedPaths.computeIfAbsent(
-      s"$corpusKey|$n|$rounds|cos", _ => {
-        val p = new java.io.File(
-          new java.io.File(sys.props("java.io.tmpdir"),
-            s"graft_ivf_$persistTag"),
-          s"c${persistedPaths.size}").getAbsolutePath
+    val key = s"${LC.root.getAbsolutePath}|$corpusKey|$n|$rounds|cos"
+    val path = persistedPaths.computeIfAbsent(key, _ => {
+      // corpusKey is the corpus directory for every current caller;
+      // fingerprint its embeddings table so a changed snapshot
+      // retrains (an absent table still yields a stable key)
+      val fp = LC.fingerprint(corpusKey, Seq("embeddings"))
+      val dest = LC.publishedDir("ivf_v1",
+        s"${LC.sanitize(corpusKey)}_k${n}_r${rounds}_cos", fp)
+      LC.buildAndPublish(dest, tmp =>
         trainCentroidsCosine(df, idCol, qvCol, n, rounds)
-          .write.mode("overwrite").parquet(p)
-        p
-      })
+          .write.mode("overwrite")
+          .parquet(new java.io.File(tmp, "centroids").getAbsolutePath))
+      new java.io.File(dest, "centroids").getAbsolutePath
+    })
     spark.read.parquet(path)
   }
 

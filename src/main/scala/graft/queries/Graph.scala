@@ -677,21 +677,13 @@ object Graph {
             FROM d2 r JOIN edges e ON e.src = r.node) u GROUP BY 1)
         SELECT node, d AS dist FROM d3""")
     ) { (s, dir) =>
-      val orders = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey")).hint("merge")
-      val ln = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"))
-        .join(orders, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-        .agg(count(lit(1)).as("n"))
-      val edges = Checkpoints.materialize(ln
-        .withColumn("w", expr("1 + 10000 div n"))
-        .select(explode(array(
-          struct(col("c").as("src"), (-(col("s") + 1)).as("dst"), col("w")),
-          struct((-(col("s") + 1)).as("src"), col("c").as("dst"), col("w"))))
-          .as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"),
-          col("e.w").as("w")))
+      // weighted SHARED LAYOUT: the per-pair line counts ride the
+      // bucketed edge table (EdgeLayout v2), so the fact⋈fact join
+      // this query re-ran every time through round 9 is gone — the
+      // friction weight is a projection over the bucketed scan, and
+      // the edge side of every relax join keeps its src bucketing
+      val edges = graft.operators.EdgeLayout.weightedEdges(s, dir)
+        .select(col("src"), col("dst"), expr("1 + 10000 div n").as("w"))
       val d0 = edges.filter(col("src") >= 0 && col("src") < 5)
         .select(col("src").as("node")).distinct()
         .withColumn("d", lit(0L))
@@ -918,6 +910,78 @@ object Graph {
           col("max_deg"), col("n_edges"),
           expr("(1000 * n_customers) div n_c").as("customer_share_pm"),
           expr("(1000 * n_edges) div n_e").as("edge_share_pm"))
+    },
+
+    // --------------------------------------------------------------- q284
+    // VOLUME-WEIGHTED PageRank — q94 with rank mass flowing in
+    // proportion to trade volume instead of splitting evenly: each
+    // node's strength W = Σ line-counts over its edges, and an edge
+    // carries r·n div W of its source's rank. This is the SECOND
+    // consumer of the weighted edge layout beyond q228 (the column
+    // must earn its 8 bytes/pair): strength attaches as a SUM window
+    // over the bucket partitioning (no join, no exchange — q94's
+    // degree move), and every relax join keeps the bucketed edge side.
+    // Headroom at the declared 10¹⁰-row target: the per-edge quotient
+    // r·n div W is ≤ r (n ≤ W by construction), so sums stay at rank-
+    // mass scale (~V·10⁴ ≈ 10¹⁴ « 2⁶³) — but the r·n PRODUCT itself
+    // is the overflow term (10¹⁴·10⁴ at hub ranks), so it banks into
+    // DECIMAL(38,0) / HUGEINT before the divide, the q217 pattern.
+    Q(
+      "q284_weighted_pagerank",
+      Some(s"""
+        WITH ln AS (
+          SELECT o_custkey AS c, l_suppkey AS s,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          GROUP BY 1, 2),
+        edges AS (
+          SELECT c AS src, -(s + 1) AS dst, n FROM ln
+          UNION ALL
+          SELECT -(s + 1) AS src, c AS dst, n FROM ln),
+        st AS (SELECT src, CAST(SUM(n) AS BIGINT) AS w
+               FROM edges GROUP BY 1),
+        ed AS (
+          SELECT e.src, e.dst, e.n, st.w
+          FROM edges e JOIN st ON st.src = e.src),
+        r0 AS (SELECT src AS node, CAST($rankOne AS BIGINT) AS r FROM st),
+        r1 AS (
+          SELECT ed.dst AS node,
+                 CAST(1500 + (85 * SUM(CAST(
+                   (CAST(r.r AS HUGEINT) * ed.n) // ed.w AS BIGINT))) // 100
+                   AS BIGINT) AS r
+          FROM ed JOIN r0 r ON r.node = ed.src GROUP BY ed.dst),
+        r2 AS (
+          SELECT ed.dst AS node,
+                 CAST(1500 + (85 * SUM(CAST(
+                   (CAST(r.r AS HUGEINT) * ed.n) // ed.w AS BIGINT))) // 100
+                   AS BIGINT) AS r
+          FROM ed JOIN r1 r ON r.node = ed.src GROUP BY ed.dst),
+        r3 AS (
+          SELECT ed.dst AS node,
+                 CAST(1500 + (85 * SUM(CAST(
+                   (CAST(r.r AS HUGEINT) * ed.n) // ed.w AS BIGINT))) // 100
+                   AS BIGINT) AS r
+          FROM ed JOIN r2 r ON r.node = ed.src GROUP BY ed.dst)
+        SELECT node, r AS rank_fp FROM r3""")
+    ) { (s, dir) =>
+      // strength as a window over the bucketed scan — exchange-free,
+      // exactly like q94's degree window
+      val ed = graft.operators.EdgeLayout.weightedEdges(s, dir)
+        .withColumn("w", sum(col("n"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      val r0 = ed.select(col("src").as("node")).distinct()
+        .withColumn("r", lit(rankOne))
+      // ranks shuffle on node (vertex-sized — never broadcast); the
+      // edge side keeps its src bucketing across all three rounds
+      val r3 = (1 to 3).foldLeft(r0) { (r, _) =>
+        ed.join(r.hint("shuffle_hash"), col("node") === col("src"))
+          .groupBy(col("dst"))
+          .agg(sum(expr("cast(r as decimal(38,0)) * n div w"))
+            .as("contrib"))
+          .select(col("dst").as("node"),
+            expr("CAST(1500 + (85 * contrib) div 100 AS BIGINT)").as("r"))
+      }
+      r3.select(col("node"), col("r").as("rank_fp"))
     },
   )
 }

@@ -517,7 +517,7 @@ object Multimodal {
       import s.implicits._
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("text")).as[(Long, String)]
-        .map { case (id, text) =>
+        .flatMap { case (id, text) =>
           val wav = graft.multimodal.BinaryDecode.buildWav8(
             text.getBytes(java.nio.charset.StandardCharsets.US_ASCII), 8000)
           // construction guarantees a parseable container; a None here
@@ -525,9 +525,16 @@ object Multimodal {
           val info = graft.multimodal.BinaryDecode.parseWav(wav)
             .getOrElse(sys.error(s"round-trip parse failed for doc $id"))
           val e = graft.multimodal.BinaryDecode.wavFrameEnergies(wav, info, 256)
-          val peak = e.max
-          (id, e.length.toLong, info.dataBytes.toLong, e.sum,
-            e.indexOf(peak).toLong, peak)
+          // a zero-frame (empty-text) document has no energy rows —
+          // DROP it, matching the oracle's LATERAL range semantics
+          // (which emit no frame rows for len = 0); e.max on an empty
+          // array would otherwise throw
+          if (e.isEmpty) None
+          else {
+            val peak = e.max
+            Some((id, e.length.toLong, info.dataBytes.toLong, e.sum,
+              e.indexOf(peak).toLong, peak))
+          }
         }
         .toDF("doc_id", "n_frames", "data_bytes", "total_energy",
           "peak_frame", "peak_energy")

@@ -1,0 +1,169 @@
+package graft.operators
+
+import java.io.File
+import java.nio.file.{Files, StandardCopyOption}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The durable-layout contract (round-10 promotion of the per-JVM tmp
+  * artifacts): a layout built once is resolved FROM DISK by a later
+  * process — proven here by clearing the in-process memo (the only
+  * JVM-local state) and re-resolving — and a changed corpus snapshot
+  * fingerprints to a new artifact, rebuilds, and retires the stale
+  * sibling. The in-memory clear + catalog drop is exactly what a new
+  * JVM sees: empty memo, empty session catalog, files on disk.
+  */
+class LayoutCatalogSpec extends SparkSpec {
+
+  private val scratch =
+    Files.createTempDirectory("graft-layout-spec").toFile
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    sys.props("graft.layout.root") = new File(scratch, "root").getAbsolutePath
+    EdgeLayout.reset()
+    Ivf.reset()
+  }
+
+  override def afterAll(): Unit = {
+    // restore the default root for later suites in the shared JVM and
+    // drop any memoized resolves that point into the scratch root
+    sys.props.remove("graft.layout.root")
+    EdgeLayout.reset()
+    Ivf.reset()
+    LayoutCatalog.deleteRecursively(scratch)
+    super.afterAll()
+  }
+
+  /** A private corpus copy (orders + lineitem are all the edge layout
+    * fingerprints and reads) so mtime edits never touch the shared
+    * read-only fixtures. */
+  private lazy val corpus: File = {
+    val d = new File(scratch, "corpus"); d.mkdirs()
+    Seq("orders", "lineitem", "embeddings").foreach { t =>
+      Files.copy(new File(s"/root/testdata/sf0.001/$t.parquet").toPath,
+        new File(d, s"$t.parquet").toPath,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    d
+  }
+
+  private def edgeTableNames(): Seq[String] =
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(n => n.startsWith("graft_pairs_") || n.startsWith("graft_edges_"))
+      .toSeq
+
+  test("edge layout: built once, re-resolved from disk by a 'new process'") {
+    val dir = corpus.getAbsolutePath
+    val before = LayoutCatalog.buildsPublished.get()
+    val cold = EdgeLayout.weightedPairs(spark, dir)
+      .orderBy("c", "s").collect().map(_.toSeq).toSeq
+    assert(LayoutCatalog.buildsPublished.get() == before + 1,
+      "cold resolve must publish exactly one artifact")
+    assert(cold.nonEmpty)
+
+    // simulate a brand-new JVM: no memo, no catalog entries — only disk
+    EdgeLayout.reset()
+    edgeTableNames().foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    val warm = EdgeLayout.weightedPairs(spark, dir)
+      .orderBy("c", "s").collect().map(_.toSeq).toSeq
+    assert(LayoutCatalog.buildsPublished.get() == before + 1,
+      "warm resolve must NOT rebuild — the artifact is durable")
+    assert(warm == cold, "disk read-back must be bit-identical")
+  }
+
+  test("edge layout: warm read-back keeps the bucketed (exchange-free) scan") {
+    val dir = corpus.getAbsolutePath
+    EdgeLayout.reset()
+    edgeTableNames().foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    // AQE wraps the plan in an opaque AdaptiveSparkPlanExec; disable it
+    // so the scan/exchange assertions can see the nodes
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p =
+      try EdgeLayout.edges(spark, dir)
+        .groupBy("src").agg(count(lit(1)).as("d"))
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val scans = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty && scans.forall(_.relation.bucketSpec.isDefined),
+      s"re-registered table must still read as bucketed:\n$p")
+    assert(p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, s"src aggregate over the bucketed scan must not shuffle:\n$p")
+  }
+
+  test("edge layout: weighted pairs carry the exact per-pair line counts") {
+    val dir = corpus.getAbsolutePath
+    val wp = EdgeLayout.weightedPairs(spark, dir)
+    // ground truth straight from the facts
+    val truth = graft.Tables.load(spark, dir, "lineitem")
+      .join(graft.Tables.load(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).as("n"))
+    assert(wp.join(truth, Seq("c", "s"))
+      .filter(wp("n") =!= truth("n")).count() == 0)
+    assert(wp.count() == truth.count())
+    // the unweighted view is the same rows, projected
+    assert(EdgeLayout.pairs(spark, dir).distinct().count() == wp.count())
+  }
+
+  test("edge layout: a changed corpus snapshot rebuilds and retires the stale artifact") {
+    val dir = corpus.getAbsolutePath
+    EdgeLayout.weightedPairs(spark, dir).queryExecution // ensure built
+    val kind = new File(LayoutCatalog.root, s"edges_v${EdgeLayout.LayoutVersion}")
+    val oldDirs = kind.listFiles().map(_.getName).toSet
+    assert(oldDirs.count(!_.startsWith(".tmp_")) == 1)
+
+    // a new snapshot: same bytes, new mtime — the fingerprint moves
+    val li = new File(corpus, "lineitem.parquet")
+    assert(li.setLastModified(li.lastModified() + 60000))
+    EdgeLayout.reset()
+    val before = LayoutCatalog.buildsPublished.get()
+    EdgeLayout.weightedPairs(spark, dir).count()
+    assert(LayoutCatalog.buildsPublished.get() == before + 1,
+      "changed fingerprint must rebuild")
+    val newDirs = kind.listFiles().map(_.getName)
+      .filterNot(_.startsWith(".tmp_")).toSet
+    assert(newDirs.size == 1 && newDirs.intersect(oldDirs).isEmpty,
+      s"retention must keep only the live artifact: old=$oldDirs new=$newDirs")
+  }
+
+  test("ivf centroids: trained once, re-resolved from disk, bit-identical") {
+    val dir = corpus.getAbsolutePath
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(x * 64) AS BIGINT))")
+          .as("qv"))
+    val before = LayoutCatalog.buildsPublished.get()
+    val cold = Ivf.persistedCentroidsCosine(base, dir, "vec_id", "qv", 4, 1)
+      .orderBy("centroid_id").collect().map(_.toSeq).toSeq
+    assert(LayoutCatalog.buildsPublished.get() == before + 1)
+
+    Ivf.reset()
+    val warm = Ivf.persistedCentroidsCosine(base, dir, "vec_id", "qv", 4, 1)
+      .orderBy("centroid_id").collect().map(_.toSeq).toSeq
+    assert(LayoutCatalog.buildsPublished.get() == before + 1,
+      "warm resolve must read the persisted table, not retrain")
+    assert(warm == cold)
+  }
+
+  test("publish loser of a concurrent race reads the winner's artifact") {
+    // two 'processes' racing on one fingerprint: simulate the loser by
+    // pre-publishing dest, then calling buildAndPublish — the build
+    // callback must be skipped entirely (published-artifact fast path)
+    val dest = LayoutCatalog.publishedDir("racekind", "base", "aabbccdd")
+    LayoutCatalog.buildAndPublish(dest, tmp => {
+      tmp.mkdirs()
+      Files.writeString(new File(tmp, "payload").toPath, "winner")
+    })
+    var called = false
+    LayoutCatalog.buildAndPublish(dest, _ => { called = true })
+    assert(!called, "a published artifact must short-circuit the build")
+    assert(Files.readString(new File(dest, "payload").toPath) == "winner")
+  }
+}

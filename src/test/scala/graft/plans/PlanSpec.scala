@@ -1422,6 +1422,31 @@ class PlanSpec extends SparkSpec {
     // final round's keyed shuffle join pins the shape of every round
     assert(p.collect { case j: ShuffledHashJoinExec => j }.nonEmpty,
       s"the relaxation round is a shuffled hash join:\n$p")
+    // round 10: the friction weights ride the WEIGHTED edge layout —
+    // the relax join's edge side is the bucketed scan (w is a
+    // projection over it), not a re-derived fact join
+    assertBucketedEdgeSide(p, minScans = 1)
+  }
+
+  test("q284: weighted rank rounds keep the bucketed edge side; strength is a window, not a join") {
+    val p = plan("q284_weighted_pagerank")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
+      p.collect { case n: BroadcastNestedLoopJoinExec => n }.isEmpty,
+      s"rank propagation must never loop or cross-join:\n$p")
+    // the rank table is vertex-sized — exactly q94's contract
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+      s"no vertex-derived side may broadcast:\n$p")
+    assert(p.collect { case j: ShuffledHashJoinExec => j }.length >= 3,
+      s"each round is a shuffled hash join of weighted edges with ranks:\n$p")
+    assertBucketedEdgeSide(p, minScans = 3)
+    // node strength (Σn) attaches as a SUM window over the bucket
+    // partitioning — no strength join, no exchange under the window
+    val wins = p.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, s"expected the strength window:\n$p")
+    wins.foreach { w =>
+      assert(w.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"strength window must sit on the bucketed scan, no exchange:\n$w")
+    }
   }
 
   test("q226: lot×demand is a partkey-keyed join — corpus sides never broadcast") {
