@@ -277,6 +277,208 @@ object BinaryDecode {
       MediaRecord(r.doc_id, r.mime, resizePayload(r.payload, target))))
   }
 
+  // ------------------------------------------------------------------
+  // REAL PNG container — the third pure-byte-layout public format
+  // (after RIFF/WAV and BMP), and the one the other two lack a story
+  // for: CHECKSUM-VALIDATED parsing. Every PNG chunk is
+  // length-tagged and carries a CRC32 over its type+data, so the
+  // chunk walk here verifies each chunk's integrity before trusting
+  // its fields — the ingest-gate posture a 100 TB crawl needs (a
+  // truncated or bit-flipped object must be detected, not decoded
+  // into garbage). Uses only java.util.zip (CRC32, Inflater): the
+  // container layout and zlib framing are public specs (RFC 2083 /
+  // RFC 1950-1951), no codec library involved.
+  // ------------------------------------------------------------------
+
+  /** Parsed PNG: IHDR geometry + chunk inventory + checksum verdict.
+    * `crcOk` is true iff EVERY chunk's stored CRC32 matches the one
+    * recomputed over its type+data bytes. */
+  final case class PngInfo(
+      width: Int,
+      height: Int,
+      bitDepth: Int,
+      colorType: Int,
+      nChunks: Int,
+      idatBytes: Int,
+      crcOk: Boolean)
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+
+  /** Real PNG chunk walk: verify the 8-byte signature, then walk
+    * length-tagged chunks to IEND, recomputing each chunk's CRC32.
+    * Returns None on any STRUCTURAL violation (bad signature, chunk
+    * overrunning the buffer, missing IHDR/IEND); a structurally sound
+    * file whose checksums fail parses with `crcOk = false` — the
+    * quarantine verdict, distinct from "not a PNG". The cursor is a
+    * Long for the same reason as [[parseWav]]: a hostile 2³¹-adjacent
+    * length must not wrap the bounds check. */
+  def parsePng(b: Array[Byte]): Option[PngInfo] = {
+    if (b.length < 8 + 25 + 12) return None // sig + IHDR chunk + IEND
+    var i = 0
+    while (i < 8) { if (b(i) != PngSig(i)) return None; i += 1 }
+    var off = 8L
+    var ihdr: Option[(Int, Int, Int, Int)] = None
+    var nChunks = 0
+    var idatBytes = 0L
+    var crcOk = true
+    var sawEnd = false
+    val crc = new java.util.zip.CRC32()
+    while (!sawEnd) {
+      if (off + 12 > b.length) return None // truncated chunk header
+      val o = off.toInt
+      val len = be32(b, o)
+      if (len < 0 || off + 12 + len > b.length) return None
+      val typ = tag(b, o + 4)
+      crc.reset()
+      crc.update(b, o + 4, 4 + len)
+      if (crc.getValue.toInt != be32(b, o + 8 + len)) crcOk = false
+      nChunks += 1
+      typ match {
+        case "IHDR" if len >= 13 =>
+          ihdr = Some((be32(b, o + 8), be32(b, o + 12),
+            b(o + 16) & 0xff, b(o + 17) & 0xff))
+        case "IDAT" => idatBytes += len
+        case "IEND" => sawEnd = true
+        case _ => ()
+      }
+      off += 12L + len
+    }
+    // trailing garbage after IEND is a structural violation too
+    if (off != b.length) return None
+    for ((w, h, bd, ct) <- ihdr if w > 0 && h > 0)
+      yield PngInfo(w, h, bd, ct, nChunks, idatBytes.toInt, crcOk)
+  }
+
+  /** Decode the pixel bytes of a parsed 8-bit GRAYSCALE PNG: inflate
+    * the concatenated IDAT zlib stream (java.util.zip.Inflater — zlib
+    * is a public spec, not a codec) and strip the per-scanline filter
+    * byte, accepting only filter 0 (None) — the only filter
+    * [[buildPngGray8]] emits. Returns None if inflation fails, a
+    * scanline uses an unsupported filter, or the pixel count is
+    * short. Callers gate on `info.crcOk` FIRST: decoding bytes that
+    * failed their checksum is exactly what the CRC exists to stop. */
+  def pngGray(b: Array[Byte], info: PngInfo): Option[Array[Byte]] = {
+    if (info.bitDepth != 8 || info.colorType != 0) return None
+    // gather the zlib stream across all IDAT chunks (second walk —
+    // structure already validated by parsePng)
+    val z = new Array[Byte](info.idatBytes)
+    var off = 8L
+    var zo = 0
+    while (off + 12 <= b.length) {
+      val o = off.toInt
+      val len = be32(b, o)
+      if (tag(b, o + 4) == "IDAT") {
+        System.arraycopy(b, o + 8, z, zo, len); zo += len
+      }
+      off += 12L + len
+    }
+    val raw = new Array[Byte]((1 + info.width) * info.height)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(z)
+    try {
+      var done = 0
+      while (done < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, done, raw.length - done)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        done += n
+      }
+      if (done != raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    val px = new Array[Byte](info.width * info.height)
+    var r = 0
+    while (r < info.height) {
+      if (raw(r * (1 + info.width)) != 0) return None // only filter None
+      System.arraycopy(raw, r * (1 + info.width) + 1, px,
+        r * info.width, info.width)
+      r += 1
+    }
+    Some(px)
+  }
+
+  /** Bytes-per-IDAT-chunk when the writer splits the zlib stream —
+    * small enough that multi-IDAT reassembly is exercised by every
+    * realistic payload. */
+  val PngIdatChunk = 8192
+
+  /** Deflate STORED-block size cap (RFC 1951 stored LEN is 16-bit). */
+  private val StoredMax = 65535
+
+  /** REAL 8-bit grayscale PNG writer — the ENCODE half of
+    * [[parsePng]]/[[pngGray]], same round-trip role as [[buildWav8]]:
+    * signature, IHDR, the zlib stream (handwritten RFC-1950 framing
+    * over RFC-1951 STORED blocks — deterministic byte-for-byte, no
+    * Deflater heuristics) split across IDAT chunks of
+    * [[PngIdatChunk]] bytes, and IEND; every chunk carries its real
+    * CRC32. `pixels` fills rows left-to-right top-to-bottom; the last
+    * row zero-pads. */
+  def buildPngGray8(width: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(width > 0 && pixels.nonEmpty, "PNG needs pixels")
+    val height = (pixels.length + width - 1) / width
+    // raw scanlines: filter byte 0 + width pixels per row
+    val raw = new Array[Byte]((1 + width) * height)
+    var r = 0
+    while (r < height) {
+      val n = math.min(width, pixels.length - r * width)
+      System.arraycopy(pixels, r * width, raw, r * (1 + width) + 1, n)
+      r += 1
+    }
+    // zlib: 0x78 0x01 header, stored deflate blocks, big-endian adler32
+    val nBlocks = (raw.length + StoredMax - 1) / StoredMax
+    val z = java.nio.ByteBuffer.allocate(2 + 5 * nBlocks + raw.length + 4)
+    z.put(0x78.toByte).put(0x01.toByte)
+    var done = 0
+    while (done < raw.length) {
+      val n = math.min(StoredMax, raw.length - done)
+      val last = done + n == raw.length
+      z.put(if (last) 1.toByte else 0.toByte) // BFINAL | BTYPE=00 (stored)
+        .put((n & 0xff).toByte).put(((n >> 8) & 0xff).toByte)
+        .put(((~n) & 0xff).toByte).put((((~n) >> 8) & 0xff).toByte)
+        .put(raw, done, n)
+      done += n
+    }
+    val adler = new java.util.zip.Adler32()
+    adler.update(raw)
+    z.putInt(adler.getValue.toInt)
+    val zlib = z.array()
+
+    def chunk(typ: String, data: Array[Byte], from: Int, len: Int)
+        (bb: java.nio.ByteBuffer): Unit = {
+      bb.putInt(len)
+        .put(typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        .put(data, from, len)
+      val c = new java.util.zip.CRC32()
+      c.update(typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      c.update(data, from, len)
+      bb.putInt(c.getValue.toInt)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(0.toByte)  // color type: grayscale
+      .put(0.toByte).put(0.toByte).put(0.toByte) // compress/filter/interlace
+      .array()
+    val nIdat = (zlib.length + PngIdatChunk - 1) / PngIdatChunk
+    val out = java.nio.ByteBuffer.allocate(
+      8 + (12 + 13) + nIdat * 12 + zlib.length + 12)
+    out.put(PngSig)
+    chunk("IHDR", ihdr, 0, 13)(out)
+    var zi = 0
+    while (zi < zlib.length) {
+      val n = math.min(PngIdatChunk, zlib.length - zi)
+      chunk("IDAT", zlib, zi, n)(out)
+      zi += n
+    }
+    chunk("IEND", Array.emptyByteArray, 0, 0)(out)
+    out.array()
+  }
+
   /** DataFrame entry point: documents → media records (payload
     * synthesized from text in this environment) → decoded frames. */
   def decodeDocuments(spark: SparkSession, documents: DataFrame,

@@ -539,5 +539,91 @@ object Multimodal {
         .toDF("doc_id", "n_frames", "data_bytes", "total_energy",
           "peak_frame", "peak_energy")
     },
+
+    // --------------------------------------------------------------- q285
+    // REAL PNG round-trip with CHECKSUM-VALIDATED parsing — the third
+    // genuine container (after q271's RIFF/WAV + BMP) and the one
+    // exercising what those two lack: every PNG chunk carries a CRC32
+    // the parser recomputes before trusting its fields. Each document
+    // becomes a real 8-bit grayscale PNG (pixels = text bytes,
+    // id-derived width; handwritten RFC-1950/1951 stored-block zlib,
+    // so byte counts are deterministic), docs with doc_id % 7 == 3 get
+    // ONE payload byte flipped inside the first IDAT — structurally
+    // still a PNG, but the CRC must catch it and the decode is then
+    // REFUSED (the ingest-quarantine posture: a bit-flipped object in
+    // a 100 TB crawl must be detected, never decoded into garbage).
+    // Intact docs inflate through the real zlib decode and report
+    // position-weighted pixel sums the oracle recomputes from the
+    // text's character codes — a wrong scanline order, filter byte or
+    // inflate bug diverges the hash. Per-row pure work, zero shuffles.
+    Q(
+      "q285_png_crc_roundtrip",
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text,
+                 CAST(length(text) AS BIGINT) AS len,
+                 CAST(16 + doc_id % 17 AS BIGINT) AS w
+          FROM documents WHERE length(text) > 0),
+        g AS (
+          SELECT *, (len + w - 1) // w AS h,
+                 (1 + w) * ((len + w - 1) // w) AS raw
+          FROM d),
+        z AS (
+          SELECT *, 2 + 5 * ((raw + 65534) // 65535) + raw + 4 AS zlib
+          FROM g)
+        SELECT doc_id,
+               w AS width, h AS height,
+               2 + (zlib + 8191) // 8192 AS n_chunks,
+               zlib AS idat_bytes,
+               CAST(CASE WHEN doc_id % 7 = 3 THEN 0 ELSE 1 END AS BIGINT)
+                 AS crc_ok,
+               CASE WHEN doc_id % 7 = 3 THEN -1 ELSE
+                 CAST(COALESCE(list_sum(list_transform(range(1, len + 1),
+                   i -> ascii(substr(text, CAST(i AS INT), 1)))), 0)
+                   AS BIGINT) END AS pixel_sum,
+               CASE WHEN doc_id % 7 = 3 THEN -1 ELSE
+                 CAST(COALESCE(list_sum(list_transform(range(1, len + 1),
+                   i -> ((i - 1) % 997 + 1)
+                      * ascii(substr(text, CAST(i AS INT), 1)))), 0)
+                   AS BIGINT) END AS pos_sum
+        FROM z""")
+    ) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .filter(_._2.nonEmpty)
+        .map { case (id, text) =>
+          val w = (16 + id % 17).toInt
+          val clean = graft.multimodal.BinaryDecode.buildPngGray8(w,
+            text.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          val png =
+            if (id % 7 == 3) {
+              // flip one byte inside the first IDAT's data region
+              // (offset 43 = sig 8 + IHDR chunk 25 + IDAT len/type 8
+              // + 2): structure intact, checksum must catch it
+              val t = clean.clone(); t(43) = (t(43) ^ 0x5a).toByte; t
+            } else clean
+          // construction guarantees structural validity; a None here
+          // is a writer/parser bug and must fail loudly
+          val info = graft.multimodal.BinaryDecode.parsePng(png)
+            .getOrElse(sys.error(s"PNG round-trip parse failed for doc $id"))
+          if (!info.crcOk)
+            (id, info.width.toLong, info.height.toLong, info.nChunks.toLong,
+              info.idatBytes.toLong, 0L, -1L, -1L)
+          else {
+            val px = graft.multimodal.BinaryDecode.pngGray(png, info)
+              .getOrElse(sys.error(s"PNG pixel decode failed for doc $id"))
+            var psum = 0L; var wsum = 0L; var i = 0
+            while (i < px.length) {
+              val v = (px(i) & 0xff).toLong
+              psum += v; wsum += ((i % 997) + 1) * v; i += 1
+            }
+            (id, info.width.toLong, info.height.toLong, info.nChunks.toLong,
+              info.idatBytes.toLong, 1L, psum, wsum)
+          }
+        }
+        .toDF("doc_id", "width", "height", "n_chunks", "idat_bytes",
+          "crc_ok", "pixel_sum", "pos_sum")
+    },
   )
 }

@@ -169,6 +169,62 @@ class BinaryDecodeSpec extends SparkSpec {
     assert(BinaryDecode.parseBmp(bmp.take(40)).isEmpty)
   }
 
+  // ---- real PNG container: checksum-validated chunk walk ----
+
+  test("buildPngGray8/parsePng/pngGray: pixel-exact round-trip incl. multi-IDAT") {
+    // small image: 2 scanlines, last row padded
+    val px = Array.tabulate[Byte](11)(i => (i * 23 + 1).toByte)
+    val png = BinaryDecode.buildPngGray8(7, px)
+    val info = BinaryDecode.parsePng(png).getOrElse(fail("must parse"))
+    assert(info.width === 7 && info.height === 2
+      && info.bitDepth === 8 && info.colorType === 0)
+    assert(info.crcOk, "writer must emit valid CRCs")
+    assert(info.nChunks === 3) // IHDR + 1 IDAT + IEND
+    val out = BinaryDecode.pngGray(png, info).getOrElse(fail("must decode"))
+    assert(out.length === 14)
+    assert(out.take(11).toSeq === px.toSeq)
+    assert(out.drop(11).forall(_ === 0), "last row zero-pads")
+
+    // large image: zlib stream spans multiple IDAT chunks AND multiple
+    // stored deflate blocks (raw > 65535) — reassembly must be exact
+    val big = Array.tabulate[Byte](300 * 300)(i => (i * 131 + 7).toByte)
+    val png2 = BinaryDecode.buildPngGray8(300, big)
+    val info2 = BinaryDecode.parsePng(png2).getOrElse(fail("big must parse"))
+    assert(info2.crcOk && info2.width === 300 && info2.height === 300)
+    assert(info2.nChunks > 3, "stream must span several IDAT chunks")
+    val out2 = BinaryDecode.pngGray(png2, info2).getOrElse(fail("big must decode"))
+    assert(java.util.Arrays.equals(out2, big))
+  }
+
+  test("parsePng: CRC32 catches tampering; structural violations return None") {
+    val png = BinaryDecode.buildPngGray8(16,
+      Array.tabulate[Byte](64)(_.toByte))
+    // flip one byte INSIDE the first IDAT's data: structure intact,
+    // checksum must fail — the quarantine verdict, not a parse error
+    val tampered = png.clone()
+    tampered(43) = (tampered(43) ^ 0x5a).toByte
+    val ti = BinaryDecode.parsePng(tampered)
+    assert(ti.isDefined, "tampered file is still structurally a PNG")
+    assert(!ti.get.crcOk, "CRC32 must catch the flipped byte")
+    assert(BinaryDecode.parsePng(png).get.crcOk)
+
+    assert(BinaryDecode.parsePng(Array.empty[Byte]).isEmpty)
+    assert(BinaryDecode.parsePng("definitely not a png, just text padding".getBytes).isEmpty)
+    // bad signature byte
+    val badSig = png.clone(); badSig(0) = 0x42.toByte
+    assert(BinaryDecode.parsePng(badSig).isEmpty)
+    // truncation mid-chunk
+    assert(BinaryDecode.parsePng(png.take(png.length - 5)).isEmpty)
+    // trailing garbage after IEND
+    assert(BinaryDecode.parsePng(png ++ Array[Byte](1, 2, 3)).isEmpty)
+    // hostile chunk length near 2^31: Int arithmetic would wrap the
+    // bounds check negative — the Long cursor must reject it
+    val hostile = png.clone()
+    hostile(33) = 0x7f.toByte; hostile(34) = 0xff.toByte
+    hostile(35) = 0xff.toByte; hostile(36) = 0xf0.toByte
+    assert(BinaryDecode.parsePng(hostile).isEmpty)
+  }
+
   test("probeContainers dispatches real WAV/BMP from opaque payloads in one pass") {
     import spark.implicits._
     val opaqueBytes =
