@@ -764,4 +764,55 @@ object StreamOps {
           GapSweepRow(uid, n, s15, s30, s60)
       }
   }
+
+  /** Streaming incremental near-dup dedup — the streaming half of
+    * batch q87 (the ingest-gate a daily crawl actually runs as):
+    * incoming documents band against a STATIC corpus band index and
+    * only (banded ∧ small-bucket ∧ jaccard ≥ `minJaccard`) pairs
+    * survive. The corpus side — explodeBands + the stop-bucket cap
+    * that DROPS mega-buckets before any pairing (generic templates
+    * whose pair expansion is quadratic poison) — is a static frame a
+    * production job reads back as the saved band-index parquet; the
+    * per-batch work is a stream-static hash join that scales with the
+    * BATCH, never the accumulated archive. Multi-band hits of the same
+    * (new, corpus) pair collapse via `dropDuplicatesWithinWatermark`
+    * (state expires with the event-time watermark, so dedup state is
+    * bounded by the watermark horizon, not the stream's lifetime —
+    * the batch side's `.distinct()` made incremental), and the exact
+    * one-pass Jaccard kernel verifies only the surviving candidates.
+    *
+    * `incoming` must carry (doc_id, ts, text); `corpus` (doc_id, text).
+    * Output: (new_id, corpus_id, n_common, jaccard) in append mode,
+    * rows emitted as processed (no window close needed). */
+  def incrementalDedup(
+      incoming: DataFrame,
+      corpus: DataFrame,
+      cfg: graft.operators.MinHashLsh.Config,
+      maxBucket: Int,
+      minJaccard: Double = 0.7,
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.operators.MinHashLsh
+    val cb = MinHashLsh.explodeBands(
+        corpus.select(col("doc_id"), col("text")), "text", cfg)
+      .select(col("doc_id").as("corpus_id"),
+        col("text").as("text_c"), col("band"), col("band_key"))
+    // stop-bucket cap: the join must never see a mega-bucket
+    val small = cb.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("bn")).filter(col("bn") <= maxBucket)
+      .select("band", "band_key")
+    val index = cb.join(small, Seq("band", "band_key"))
+    val ib = MinHashLsh.explodeBands(
+        incoming.withWatermark("ts", watermark), "text", cfg)
+      .select(col("ts"), col("doc_id").as("new_id"),
+        col("text").as("text_n"), col("band"), col("band_key"))
+    ib.join(index, Seq("band", "band_key"))
+      .select(col("ts"), col("new_id"), col("text_n"),
+        col("corpus_id"), col("text_c"))
+      .dropDuplicatesWithinWatermark("new_id", "corpus_id")
+      .withColumn("jc",
+        graft.functions.Jaccard.jaccard3(col("text_n"), col("text_c")))
+      .filter(col("jc.jaccard") >= minJaccard)
+      .select(col("new_id"), col("corpus_id"),
+        col("jc.n_common").as("n_common"), col("jc.jaccard").as("jaccard"))
+  }
 }

@@ -694,4 +694,50 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(streamed.getLong(2) === batch(1800L)._1, "30-min sessions")
     assert(streamed.getLong(3) === batch(3600L)._1, "60-min sessions")
   }
+
+  test("streaming incremental dedup vs the static corpus index equals batch q87") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    // today's crawl arrives as a stream; synthesize arrival times so
+    // the watermark (and dedup-state expiry) has an event-time axis
+    val incoming = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("ts",
+        timestamp_micros(lit(1700000000000000L) + col("doc_id") * 1000000L))
+      .select("doc_id", "ts", "text")
+
+    // stage 3 chronological files so the candidate join, the
+    // within-watermark dedup and the Jaccard gate all run across
+    // micro-batch boundaries
+    val in = Files.createTempDirectory("graft-incr-in")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    val tiled = incoming.withColumn("__p", ntile(3).over(w))
+    (1 to 3).foreach { i =>
+      val tmp = in.resolve(s"stage$i")
+      tiled.filter(col("__p") === i).drop("__p")
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = in.resolve(s"batch$i.parquet")
+      Files.move(part, dst)
+      dst.toFile.setLastModified(System.currentTimeMillis() + (i - 1) * 2000L)
+    }
+
+    val cfg = graft.operators.MinHashLsh.Config(
+      bands = 3, rowsPerBand = 2, universal = true)
+    val result = runStream(in, incoming.schema, st =>
+      StreamOps.incrementalDedup(st, corpus, cfg, maxBucket = 20))
+
+    def canon(df: DataFrame) = df
+      .select(col("new_id"), col("corpus_id"), col("n_common"),
+        round(col("jaccard"), 9).as("j"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sorted
+    val streamed = canon(result)
+    val batch = canon(
+      SparkEntry.queries("q87_incremental_dedup")(spark, "/root/testdata/sf0.001"))
+    assert(batch.nonEmpty, "batch q87 found no incremental duplicates")
+    assert(streamed.toSeq === batch.toSeq)
+  }
 }
