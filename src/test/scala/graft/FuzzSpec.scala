@@ -1,0 +1,226 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import scala.collection.JavaConverters._
+import scala.sys.process._
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Differential fuzz harness against the DuckDB oracle.
+  *
+  * The 285 registry queries pin FIXED paths; this property harness
+  * covers the semantic-drift classes a fixed registry can't — div/mod
+  * sign behavior on negative operands, null ordering in window sorts,
+  * 3VL IN/NOT IN, cast edges, decimal scale/rounding — by generating
+  * random small relations and instantiating parameterized query
+  * templates across six operator families (agg, window, join, string,
+  * div/mod/decimal, date), then running BOTH engines over the same
+  * parquet bytes and comparing through the exact canonicalization the
+  * driver's gate uses (tools/check_oracle.py: sorted columns, sorted
+  * rows, str values).
+  *
+  * Templates are written in the registry's cross-engine discipline
+  * (explicit NULLS FIRST/LAST, unique tiebreaks, BIGINT casts on
+  * sums, NULLIF guards on divisors, per-engine spelling only where
+  * the dialects genuinely differ: DIV vs //, STRING vs VARCHAR,
+  * date_add vs date + n) — so a mismatch is a real semantic drift,
+  * not a known dialect gap.
+  *
+  * The seed is logged for replay; set GRAFT_FUZZ_SEED to reproduce a
+  * failing universe exactly.
+  */
+class FuzzSpec extends SparkSpec {
+
+  private val seed: Long =
+    sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260815L)
+
+  private case class FQ(name: String, sparkSql: String, duckSql: String)
+
+  private def duckdbAvailable: Boolean =
+    try Process(Seq("python3", "-c", "import duckdb")).! == 0
+    catch { case _: java.io.IOException => false }
+
+  test("differential fuzz: 100 random relations × 6 template families match DuckDB") {
+    assume(duckdbAvailable, "python3+duckdb oracle not available on this host")
+    info(s"fuzz seed = $seed (set GRAFT_FUZZ_SEED to replay)")
+    val rng = new scala.util.Random(seed)
+
+    // ---- 1. generate relations: one parquet FILE each (both engines
+    //         read the identical bytes), registered as Spark temp views
+    val relDir = Files.createTempDirectory("graft-fuzz-rel")
+    val outDir = Files.createTempDirectory("graft-fuzz-out")
+    val nRel = 100
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("k", LongType, nullable = true),
+      StructField("a", LongType, nullable = true),
+      StructField("b", LongType, nullable = true),
+      StructField("s", StringType, nullable = true),
+      StructField("dt", DateType, nullable = true)))
+    val alphabet = "abcxyz XY" // spaces exercise TRIM; case exercises UPPER
+    def randStr(): String = {
+      val n = rng.nextInt(13)
+      (0 until n).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+    }
+    (0 until nRel).foreach { t =>
+      val n = 30 + rng.nextInt(171)
+      val rows: java.util.List[Row] = (0 until n).map { i =>
+        Row(
+          i.toLong,
+          if (rng.nextInt(10) == 0) null else rng.nextInt(8).toLong,
+          if (rng.nextInt(8) == 0) null
+          else (rng.nextInt(2000001) - 1000000).toLong,
+          if (rng.nextInt(8) == 0) null else (rng.nextInt(201) - 100).toLong,
+          if (rng.nextInt(10) == 0) null else randStr(),
+          if (rng.nextInt(10) == 0) null
+          else java.sql.Date.valueOf(
+            java.time.LocalDate.ofEpochDay(17000L + rng.nextInt(4000))))
+      }.asJava
+      val name = f"t$t%03d"
+      val stage = relDir.resolve(s"stage$t")
+      spark.createDataFrame(rows, schema).coalesce(1)
+        .write.parquet(stage.toString)
+      val part = Files.list(stage)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, relDir.resolve(s"$name.parquet"))
+      spark.read.parquet(relDir.resolve(s"$name.parquet").toString)
+        .createOrReplaceTempView(name)
+    }
+
+    // ---- 2. instantiate templates
+    def rel(): String = f"t${rng.nextInt(nRel)}%03d"
+    val perFamily = 17
+    val queries = scala.collection.mutable.ArrayBuffer[FQ]()
+
+    // F1 agg: grouped aggregates with a mod-filter (negative operands
+    // hit %'s sign behavior) and HAVING
+    (0 until perFamily).foreach { i =>
+      val t = rel(); val m = 2 + rng.nextInt(6)
+      val r = rng.nextInt(2 * m - 1) - (m - 1); val h = rng.nextInt(3)
+      val sql = s"""SELECT k, COUNT(*) AS n, COUNT(a) AS na,
+        CAST(SUM(a) AS BIGINT) AS sa, MIN(b) AS mnb, MAX(b) AS mxb,
+        MIN(dt) AS mndt, MAX(s) AS mxs
+        FROM $t WHERE a IS NULL OR a % $m = $r
+        GROUP BY k HAVING COUNT(*) > $h"""
+      queries += FQ(f"f1_agg_$i%02d", sql, sql)
+    }
+
+    // F2 window: ranking + framed running sum + lag under explicit
+    // null ordering, unique (sort key, id) tiebreak
+    (0 until perFamily).foreach { i =>
+      val t = rel()
+      val dir = if (rng.nextBoolean()) "ASC NULLS FIRST" else "DESC NULLS LAST"
+      val fn = Seq("ROW_NUMBER()", "RANK()", "DENSE_RANK()")(rng.nextInt(3))
+      val p = 1 + rng.nextInt(4); val o = 1 + rng.nextInt(3)
+      val sql = s"""SELECT id, k,
+        $fn OVER (PARTITION BY k ORDER BY a $dir, id) AS rnk,
+        CAST(SUM(a) OVER (PARTITION BY k ORDER BY a $dir, id
+          ROWS BETWEEN $p PRECEDING AND CURRENT ROW) AS BIGINT) AS run,
+        LAG(b, $o) OVER (PARTITION BY k ORDER BY a $dir, id) AS pb
+        FROM $t"""
+      queries += FQ(f"f2_win_$i%02d", sql, sql)
+    }
+
+    // F3 joins: inner-agg, left-agg, IN, guarded NOT IN (3VL)
+    (0 until perFamily).foreach { i =>
+      val (ta, tb) = (rel(), rel()); val c = rng.nextInt(101) - 50
+      val sql = i % 4 match {
+        case 0 => s"""SELECT x.k AS k, COUNT(*) AS n,
+          CAST(SUM(x.a + y.b) AS BIGINT) AS sab
+          FROM $ta x JOIN $tb y ON x.k = y.k GROUP BY x.k"""
+        case 1 => s"""SELECT x.id AS id, x.k AS k, COALESCE(y.mb, -1) AS mb
+          FROM $ta x LEFT JOIN
+            (SELECT k, MIN(b) AS mb FROM $tb GROUP BY k) y ON x.k = y.k"""
+        case 2 => s"""SELECT x.id AS id, x.a AS a FROM $ta x
+          WHERE x.k IN (SELECT y.k FROM $tb y WHERE y.b > $c)"""
+        case _ => s"""SELECT x.id AS id, x.a AS a FROM $ta x
+          WHERE x.k NOT IN (SELECT y.k FROM $tb y
+                            WHERE y.k IS NOT NULL AND y.b > $c)"""
+      }
+      queries += FQ(f"f3_join_$i%02d", sql, sql)
+    }
+
+    // F4 strings: case, length, substr, trim, NULLIF/COALESCE, LIKE,
+    // null-propagating concat (|| in both; concat() diverges on NULL)
+    (0 until perFamily).foreach { i =>
+      val t = rel(); val p = 1 + rng.nextInt(4); val n = 1 + rng.nextInt(5)
+      val c = "abcxyz".charAt(rng.nextInt(6))
+      def sql(castStr: String) = s"""SELECT id,
+        UPPER(s) AS us, LENGTH(s) AS ls, SUBSTR(s, $p, $n) AS ss,
+        TRIM(s) AS ts, COALESCE(NULLIF(TRIM(s), ''), '-') AS ns,
+        (s LIKE '%$c%') AS lk,
+        s || '_' || CAST(id AS $castStr) AS cat
+        FROM $t"""
+      queries += FQ(f"f4_str_$i%02d", sql("STRING"), sql("VARCHAR"))
+    }
+
+    // F5 div/mod/decimal: remainder sign on negatives, integral
+    // division truncation (Spark DIV vs DuckDB //), decimal scale
+    // arithmetic under explicit result casts, decimal SUM
+    (0 until perFamily).foreach { i =>
+      val t = rel(); val c = rng.nextInt(20001) - 10000
+      def sql(div: String) =
+        if (i % 3 == 2) s"""SELECT k,
+          CAST(SUM(CAST(a AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sd,
+          CAST(SUM(b $div NULLIF(a % 7, 0)) AS BIGINT) AS sq
+          FROM $t GROUP BY k"""
+        else s"""SELECT id, a % NULLIF(b, 0) AS md, a $div NULLIF(b, 0) AS dv,
+          CAST(CAST(a AS DECIMAL(18,4)) * CAST(COALESCE(b, 0) AS DECIMAL(10,2))
+            AS DECIMAL(38,6)) AS pr,
+          CAST(CAST(a AS DECIMAL(18,4)) + CAST($c AS DECIMAL(18,4))
+            AS DECIMAL(19,4)) AS q,
+          CAST(-a AS BIGINT) AS neg
+          FROM $t"""
+      queries += FQ(f"f5_dec_$i%02d", sql("DIV"), sql("//"))
+    }
+
+    // F6 dates: day arithmetic and field extraction (per-engine
+    // spelling: date_add vs +, datediff arg conventions)
+    (0 until perFamily).foreach { i =>
+      val t = rel(); val d = 1 + rng.nextInt(30)
+      val sSql = s"""SELECT id, date_add(dt, $d) AS dp, year(dt) AS y,
+        month(dt) AS mo, day(dt) AS dm,
+        datediff(dt, DATE '2020-01-01') AS dd FROM $t"""
+      val dSql = s"""SELECT id, dt + $d AS dp, year(dt) AS y,
+        month(dt) AS mo, day(dt) AS dm,
+        CAST(datediff('day', DATE '2020-01-01', dt) AS BIGINT) AS dd FROM $t"""
+      queries += FQ(f"f6_date_$i%02d", sSql, dSql)
+    }
+
+    // ---- 3. run the Spark side, dump results + oracle SQL in the
+    //         exact layout the driver's gate consumes
+    queries.foreach { fq =>
+      spark.sql(fq.sparkSql).coalesce(1).write.mode("overwrite")
+        .parquet(outDir.resolve(fq.name).toString)
+    }
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case ch if ch < ' ' => f"\\u${ch.toInt}%04x"
+      case ch => ch.toString
+    } + "\""
+    Files.writeString(outDir.resolve("oracle_sql.json"),
+      queries.map(q => s"${jq(q.name)}: ${jq(q.duckSql)}")
+        .mkString("{", ",", "}"))
+
+    // ---- 4. DuckDB replays every query over the same parquet bytes
+    val buf = new StringBuilder
+    val rc = Process(
+      Seq("python3", "/root/repo/tools/check_oracle.py",
+        relDir.toString, outDir.toString))
+      .!(ProcessLogger(l => buf.append(l).append('\n'),
+        l => buf.append(l).append('\n')))
+    val report = buf.toString
+    val fails = report.linesIterator.filter(_.startsWith("FAIL")).toSeq
+    assert(rc == 0 && fails.isEmpty,
+      s"fuzz mismatches (seed=$seed):\n${fails.take(10).mkString("\n")}")
+    val oks = report.linesIterator.count(_.startsWith("OK"))
+    assert(oks == queries.size, s"expected ${queries.size} OK rows, got $oks")
+    info(s"$oks fuzz queries matched DuckDB exactly")
+  }
+}
