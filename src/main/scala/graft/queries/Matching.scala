@@ -128,27 +128,41 @@ object Matching {
         WHERE CAST(d.dot AS DOUBLE) /
                 (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) >= $minCosine""")
     ) { (s, dir) =>
-      // size >= 2 guards sequence(1, 0) descending on single-token
-      // docs (q83's lesson); DuckDB's range(1, 1) is already empty
-      val grams = t(s, dir, "documents")
-        .withColumn("tk", split(col("text"), " "))
-        .filter(size(col("tk")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(tk) - 1), " +
-            "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))")).as("g"))
-      val tf = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+      // postings from the durable TextIndex artifact, bucketed by g:
+      // df's aggregate, the idf join, AND the candidate-generating
+      // posting-list self-join below all run on the bucket
+      // partitioning — zero exchange until the pair aggregate. The
+      // shuffle_hash hint keeps the vocabulary-sized df table off the
+      // driver (it would not stay broadcastable at 100×).
+      val tf = graft.operators.TextIndex.bigramPostings(s, dir)
       val df = tf.groupBy("g").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf)
-      val wts = tf.join(df, "g")
+      val wts = tf.join(df.hint("shuffle_hash"), "g")
         .select(col("doc_id"), col("g"),
           (col("tf") * expr("10000 div df")).as("wq"))
-      val norms = wts.groupBy("doc_id")
-        .agg(sum(col("wq") * col("wq")).as("nrm"))
-      val dots = wts.select(col("doc_id").as("doc_a"), col("g"), col("wq").as("wa"))
-        .join(wts.select(col("doc_id").as("doc_b"), col("g"), col("wq").as("wb")), "g")
-        .filter(col("doc_b") > col("doc_a"))
+      // norms are doc-count-sized: materialize so the exchange-free
+      // wts chain is not re-executed per reference (the bucketed scan
+      // has no exchange for ReuseExchange to match — the q94 lesson)
+      val norms = graft.Checkpoints.materialize(wts.groupBy("doc_id")
+        .agg(sum(col("wq") * col("wq")).as("nrm")))
+      // candidate pairs WITHOUT a posting-list self-join: each
+      // g-bucket's list explodes its ordered pairs in place — the
+      // groupBy(g) runs exchange-free on the bucket partitioning and
+      // wts is referenced ONCE on this path; fanout is bounded by the
+      // df ≤ maxDf stop cap (≤ maxDf·(maxDf−1)/2 pairs per bigram at
+      // ANY corpus size), so the interpreted HOF sees a bounded list,
+      // never a corpus×corpus loop
+      val dots = wts.groupBy("g")
+        .agg(collect_list(struct(col("doc_id"), col("wq"))).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, a -> transform(" +
+            "filter(ps, b -> b.doc_id > a.doc_id), " +
+            "b -> named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id, " +
+            "'w', a.wq * b.wq))))")).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+          col("p.w").as("w"))
         .groupBy("doc_a", "doc_b")
-        .agg(sum(col("wa") * col("wb")).as("dot"),
+        .agg(sum(col("w")).as("dot"),
           count(lit(1)).as("n_shared"))
       val cosine = col("dot").cast("double") /
         (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double")))
@@ -242,20 +256,12 @@ object Matching {
         WHERE rnk <= 10""")
     ) { (s, dir) =>
       import s.implicits._
-      // size >= 2 guards sequence(1, 0) descending on single-token
-      // docs (q83's lesson); DuckDB's range(1, 1) is already empty
-      val big = t(s, dir, "documents")
-        .withColumn("tk", split(col("text"), " "))
-        .filter(size(col("tk")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(tk) - 1), " +
-            "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))")).as("g"))
-      // every index table derives from tf, so the gram explode and the
-      // (doc, gram) exchange compute ONCE and ReuseExchange shares the
-      // shuffle output across the four references: dl = Σ tf per doc
-      // (identical to counting big per doc), stats from dl, df from tf
-      val tf = big.groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
-      val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      // the inverted index is the durable TextIndex artifact: the
+      // tokenize + (doc, gram) aggregation is paid once at ingest,
+      // the postings scan is bucketed by g so df aggregates with ZERO
+      // exchange, and dl is the persisted doc-count-sized side table
+      val tf = graft.operators.TextIndex.bigramPostings(s, dir)
+      val dl = graft.operators.TextIndex.docLengths(s, dir)
       val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
       val df = tf.groupBy("g").agg(count(lit(1)).as("df"))
       val qt = Seq((1, "hash join"), (1, "merge join"),

@@ -24,6 +24,7 @@ class LayoutCatalogSpec extends SparkSpec {
     sys.props("graft.layout.root") = new File(scratch, "root").getAbsolutePath
     EdgeLayout.reset()
     Ivf.reset()
+    TextIndex.reset()
   }
 
   override def afterAll(): Unit = {
@@ -32,6 +33,7 @@ class LayoutCatalogSpec extends SparkSpec {
     sys.props.remove("graft.layout.root")
     EdgeLayout.reset()
     Ivf.reset()
+    TextIndex.reset()
     LayoutCatalog.deleteRecursively(scratch)
     super.afterAll()
   }
@@ -41,7 +43,7 @@ class LayoutCatalogSpec extends SparkSpec {
     * read-only fixtures. */
   private lazy val corpus: File = {
     val d = new File(scratch, "corpus"); d.mkdirs()
-    Seq("orders", "lineitem", "embeddings").foreach { t =>
+    Seq("orders", "lineitem", "embeddings", "documents").foreach { t =>
       Files.copy(new File(s"/root/testdata/sf0.001/$t.parquet").toPath,
         new File(d, s"$t.parquet").toPath,
         StandardCopyOption.REPLACE_EXISTING)
@@ -94,6 +96,72 @@ class LayoutCatalogSpec extends SparkSpec {
     assert(p.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }.isEmpty, s"src aggregate over the bucketed scan must not shuffle:\n$p")
+  }
+
+  test("lexical index: built once, re-resolved from disk, postings exact") {
+    val dir = corpus.getAbsolutePath
+    val before = LayoutCatalog.buildsPublished.get()
+    val cold = TextIndex.bigramPostings(spark, dir)
+      .orderBy("doc_id", "g").collect().map(_.toSeq).toSeq
+    assert(LayoutCatalog.buildsPublished.get() == before + 1,
+      "cold resolve must publish exactly one lexical artifact")
+    assert(cold.nonEmpty)
+
+    // postings must equal the inline derivation character for character
+    val inline = graft.Tables.load(spark, dir, "documents")
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), " +
+          "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+      .orderBy("doc_id", "g").collect().map(_.toSeq).toSeq
+    assert(cold == inline, "artifact postings must equal the inline tf table")
+
+    // doc lengths: Σ tf per doc, persisted — equal by construction
+    val dl = TextIndex.docLengths(spark, dir)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val dlInline = inline.groupBy(_.head).view
+      .mapValues(_.map(_(2).asInstanceOf[Long]).sum).toSeq
+      .sortBy(_._1.asInstanceOf[Long]).map(kv => Seq(kv._1, kv._2))
+    assert(dl == dlInline)
+
+    // simulate a brand-new JVM: no memo, no catalog entries — only disk
+    TextIndex.reset()
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_postings_"))
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    val warm = TextIndex.bigramPostings(spark, dir)
+      .orderBy("doc_id", "g").collect().map(_.toSeq).toSeq
+    assert(LayoutCatalog.buildsPublished.get() == before + 1,
+      "warm resolve must NOT rebuild — the artifact is durable")
+    assert(warm == cold, "disk read-back must be bit-identical")
+  }
+
+  test("lexical index: g-keyed aggregate and self-join run exchange-free") {
+    val dir = corpus.getAbsolutePath
+    TextIndex.reset()
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_postings_"))
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p =
+      try {
+        val tf = TextIndex.bigramPostings(spark, dir)
+        val df = tf.groupBy("g").agg(count(lit(1)).as("df"))
+        tf.join(df.hint("shuffle_hash"), "g")
+          .queryExecution.executedPlan
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val scans = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty && scans.forall(_.relation.bucketSpec.isDefined),
+      s"postings must read as bucketed:\n$p")
+    assert(p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, s"df aggregate + idf join over the bucketed postings " +
+      s"must not shuffle:\n$p")
   }
 
   test("edge layout: weighted pairs carry the exact per-pair line counts") {

@@ -270,11 +270,21 @@ class PlanSpec extends SparkSpec {
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
       p.collect { case n: BroadcastNestedLoopJoinExec => n }.isEmpty,
       s"candidates must come from the inverted index only:\n$p")
-    // the doc scan is shared by several subtrees; every instance must
-    // stay pruned to the two used columns
+    // the inverted index is the durable TextIndex artifact: every scan
+    // is the bucketed postings table (no documents re-tokenize), each
+    // pruned to the columns it uses — the df subtree reads g alone
     assert(scans(p).nonEmpty && scans(p).forall(
-      _.requiredSchema.fieldNames.toSet == Set("doc_id", "text")),
-      s"q76 reads more than it projects:\n$p")
+      _.relation.bucketSpec.isDefined),
+      s"q76 must read only the bucketed postings artifact:\n$p")
+    assert(scans(p).exists(_.requiredSchema.fieldNames.toSet == Set("g")),
+      s"df's subtree must prune the postings scan to g alone:\n$p")
+    // the zero-exchange contract: the g-keyed df aggregate and the
+    // tf⋈df idf join run on the bucket partitioning; the ONLY
+    // shuffle is the (doc_a, doc_b) pair aggregate, and the pair
+    // explode itself sits exchange-free on a g-keyed HashAggregate
+    val exchanges = p.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.length <= 2,
+      s"expected at most the pair aggregate + norms shuffles:\n$p")
   }
 
   test("q77: the bloom bitmap filters the probe BELOW the exact semi join") {
@@ -461,6 +471,10 @@ class PlanSpec extends SparkSpec {
     // anything bigger looping is a regression
     val loops = p.collect { case n: BroadcastNestedLoopJoinExec => n }
     assert(loops.length <= 1, s"only the one-row stats attach may loop:\n$p")
+    // postings come from the durable bucketed TextIndex artifact — the
+    // per-query re-tokenize is gone
+    assert(scans(p).exists(_.relation.bucketSpec.isDefined),
+      s"postings must read the bucketed TextIndex artifact:\n$p")
   }
 
   test("q91: cohort retention scans only (user_id, ts); joins stay keyed") {
