@@ -769,7 +769,7 @@ object Vectors {
                      c.vec_id) AS arn
             FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
             WHERE q.vec_id < 20) t
-          WHERE arn <= 50),
+          WHERE arn <= 100),
         rer AS (
           SELECT query_id, vec_id, approx,
                  CAST(CAST(list_aggregate(list_transform(range(1, len(qqv) + 1), i -> qqv[i] * qv[i]), 'sum') AS BIGINT) AS DOUBLE)
@@ -793,7 +793,7 @@ object Vectors {
       val cand = normed.join(broadcast(q), col("vec_id") =!= col("query_id"))
         .withColumn("approx", dotCol("qcv", "cv"))
         .withColumn("arn", row_number().over(wa))
-        .filter(col("arn") <= 50)
+        .filter(col("arn") <= 100)
       // stage 2: exact rerank over <= 50 survivors per query
       val wr = Window.partitionBy("query_id").orderBy(desc("score"), col("vec_id"))
       cand
@@ -1356,6 +1356,12 @@ object Vectors {
     // ADC here is not approximate RELATIVE to the codes: the only
     // approximation is quantization itself, which q150/q200 audit.
     qPqAdc,
+
+    // --------------------------------------------------------------- q286
+    // IVF-PQ + ADC + exact rerank (see qIvfPq's scaladoc below): the
+    // production composition of the IVF family's trained cells with
+    // q200/q201's residual product quantization.
+    qIvfPq,
 
     // --------------------------------------------------------------- q203
     // Grid-DBSCAN density clustering on the first two embedding dims —
@@ -2015,6 +2021,303 @@ object Vectors {
       val w = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("vec_id"))
       adc.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
         .select("query_id", "vec_id", "adc_dist")
+    }
+
+  /** q286's per-subspace residual L2² against a codebook row `c`
+    * carrying (subspace, cw): the 8-dim window of table `x`'s rv at
+    * c.subspace vs the 8-dim codeword. DuckDB side; the Spark twin
+    * is the inline `aggregate(zip_with(slice(rv, …), cw, …))`. */
+  private def subD8Sql(x: String): String =
+    s"""CAST(list_aggregate(list_transform(range(1, 9),
+          i -> ($x.rv[CAST(c.subspace * 8 + i AS INT)]
+                - c.cw[CAST(i AS INT)])
+             * ($x.rv[CAST(c.subspace * 8 + i AS INT)]
+                - c.cw[CAST(i AS INT)])),
+          'sum') AS BIGINT)"""
+
+  /** q286's per-subspace query·codeword inner product (the IP-ADC
+    * lookup table entry), DuckDB side: raw query slice at c.subspace
+    * against the 8-dim codeword. */
+  private def subDot8Sql(x: String): String =
+    s"""CAST(list_aggregate(list_transform(range(1, 9),
+          i -> $x.qv[CAST(c.subspace * 8 + i AS INT)]
+             * c.cw[CAST(i AS INT)]),
+          'sum') AS BIGINT)"""
+
+  // --------------------------------------------------------------- q286
+  // IVF-PQ with inner-product ADC shortlist + exact-cosine rerank —
+  // the production ANN index shape that COMPOSES the engine's two
+  // quantization routes. The trained spherical IVF cells (q60's
+  // persisted centroid artifact, shared — IVF-PQ adds ZERO training)
+  // coarse-partition the corpus at the family's operating point
+  // (r=3 multi-assignment, nProbe=2); every indexed copy PQ-encodes
+  // its RESIDUAL qv − cv against its cell (residuals concentrate
+  // near zero, so one 16-entry-per-subspace codebook covers them),
+  // with the codebook TRAINED by one deterministic integer Lloyd
+  // round per subspace from the 16-lowest-id seed (the q200
+  // determinism move, then lloydStep's floor-mean — measured +0.05
+  // recall over the raw seed). Search scores a candidate WITHOUT
+  // touching its vector: the decomposition
+  // dot(q, v) ≈ dot(q, cv) + Σ_sub dot(q_sub, cw_sub) turns the dot
+  // into one per-(query, cell) integer + 8 lookups in the per-query
+  // LUT, normalized by the index-stored exact norm (cosine
+  // MIPS-style asymmetric ADC — the metric MATCHES the spherical
+  // cells; an L2-ADC draft against cosine cells measured recall 0.45
+  // and was rejected). Per (query, candidate) the best cell's score
+  // survives (same dedup as ivfTopkWith), a 20×k shortlist (top-100)
+  // reranks under the EXACT integer cosine for the final top-5 —
+  // retrieve-then-rerank, the deployment shape. Measured recall@5:
+  // 0.87 / 0.89 / 0.68 at sf0.001/0.01/0.1 against the 0.91 IVF
+  // candidate ceiling (surface + levers in BENCHNOTES; RetrievalSpec
+  // pins the sf0.001 floor). The sf0.1 falloff is the FIXED 8-cell
+  // count meeting a 4× corpus — production scales nCentroids ~ √n,
+  // which restores the shortlist ratio; the knob is ivfCfg, shared
+  // with the whole IVF family. Centroids, codebook and LUT all
+  // broadcast; the corpus pays one map-side multi-assign, one code
+  // argmin and one ADC aggregate. Integer arithmetic until the two
+  // float divisions; every rank carries a vec_id tiebreak.
+  private lazy val qIvfPq: Q = Q(
+      "q286_ivfpq_rerank",
+      Some(s"""
+        WITH normed0 AS ($quantizedSql),
+        normed AS (SELECT vec_id, qv, qn FROM normed0 WHERE qn > 0),
+        cents0 AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, qv AS cv,
+                 CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS BIGINT) AS cn
+          FROM (SELECT vec_id, qv FROM normed ORDER BY vec_id LIMIT ${ivfCfg.nCentroids}) s),
+        ${graft.operators.Ivf.trainSqlCtesCosine(ivfTrainRounds, 64)},
+        cw AS (SELECT centroid_id, cv FROM cents$ivfTrainRounds),
+        assigned AS (
+          SELECT vec_id, qv, qn, centroid_id FROM (
+            SELECT n.vec_id, n.qv, n.qn, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                     ORDER BY ${graft.operators.Ivf.cosKeySql("n.qv")}, c.centroid_id) AS rn
+            FROM normed n CROSS JOIN cents$ivfTrainRounds c) t
+          WHERE rn <= $ivfReplication),
+        res AS (
+          SELECT a.vec_id, a.centroid_id, a.qn,
+                 list_transform(range(1, 65),
+                   i -> a.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) AS rv
+          FROM assigned a JOIN cw c ON c.centroid_id = a.centroid_id),
+        cb0 AS (
+          SELECT t.vec_id AS code,
+                 list_transform(range(1, 65),
+                   i -> t.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) AS crv
+          FROM (
+            SELECT vec_id, qv, centroid_id FROM (
+              SELECT n.vec_id, n.qv, c.centroid_id,
+                     ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                       ORDER BY ${graft.operators.Ivf.cosKeySql("n.qv")}, c.centroid_id) AS rn
+              FROM normed n CROSS JOIN cents$ivfTrainRounds c
+              WHERE n.vec_id < 16) p WHERE rn = 1) t
+          JOIN cw c ON c.centroid_id = t.centroid_id),
+        sub AS (SELECT CAST(range AS BIGINT) AS subspace FROM range(0, 8)),
+        cb0s AS (
+          SELECT s.subspace, c0.code,
+                 list_transform(range(1, 9),
+                   i -> c0.crv[CAST(s.subspace * 8 + i AS INT)]) AS cw
+          FROM cb0 c0 CROSS JOIN sub s),
+        casg AS (
+          SELECT vec_id, centroid_id, subspace, code FROM (
+            SELECT r.vec_id, r.centroid_id, c.subspace, c.code,
+                   ROW_NUMBER() OVER (PARTITION BY r.vec_id, r.centroid_id, c.subspace
+                     ORDER BY ${subD8Sql("r")}, c.code) AS rn
+            FROM res r CROSS JOIN cb0s c) t
+          WHERE rn = 1),
+        cpos AS (
+          SELECT a.subspace, a.code, p.i,
+                 CAST(SUM(r.rv[CAST(a.subspace * 8 + p.i AS INT)]) AS BIGINT) AS sv,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM casg a
+          JOIN res r ON r.vec_id = a.vec_id AND r.centroid_id = a.centroid_id,
+               (SELECT unnest(range(1, 9)) AS i) p
+          GROUP BY 1, 2, 3),
+        cbt0 AS (
+          SELECT subspace, code, list(m ORDER BY i) AS cw
+          FROM (SELECT subspace, code, i, sv // cnt AS m FROM cpos) t
+          GROUP BY 1, 2),
+        cbt AS (
+          SELECT g.subspace, g.code, COALESCE(t.cw, g.cw) AS cw
+          FROM cb0s g LEFT JOIN cbt0 t
+            ON t.subspace = g.subspace AND t.code = g.code),
+        cd AS (
+          SELECT r.vec_id, r.centroid_id, r.qn, c.subspace, c.code,
+                 ${subD8Sql("r")} AS d
+          FROM res r CROSS JOIN cbt c),
+        codes AS (
+          SELECT vec_id, centroid_id, qn, subspace, code FROM (
+            SELECT vec_id, centroid_id, qn, subspace, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, centroid_id, subspace
+                     ORDER BY d, code) AS rn
+            FROM cd) t WHERE rn = 1),
+        qc AS (
+          SELECT query_id, qqn, p.centroid_id,
+                 CAST(list_aggregate(list_transform(range(1, 65),
+                   i -> qqv[CAST(i AS INT)] * c.cv[CAST(i AS INT)]),
+                   'sum') AS BIGINT) AS dqc
+          FROM (
+            SELECT query_id, qqv, qqn, centroid_id FROM (
+              SELECT q.vec_id AS query_id, q.qv AS qqv, q.qn AS qqn, c.centroid_id,
+                     ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY ${graft.operators.Ivf.cosKeySql("q.qv")}, c.centroid_id) AS rn
+              FROM normed q CROSS JOIN cents$ivfTrainRounds c
+              WHERE q.vec_id < 20) t
+            WHERE rn <= ${ivfCfg.nProbe}) p
+          JOIN cw c ON c.centroid_id = p.centroid_id),
+        lut AS (
+          SELECT n.vec_id AS query_id, c.subspace, c.code,
+                 ${subDot8Sql("n")} AS ip
+          FROM normed n CROSS JOIN cbt c
+          WHERE n.vec_id < 20),
+        adc AS (
+          SELECT q.query_id, k.vec_id, k.qn, q.qqn,
+                 q.dqc + CAST(SUM(l.ip) AS BIGINT) AS adot
+          FROM codes k
+          JOIN qc q ON q.centroid_id = k.centroid_id
+          JOIN lut l ON l.query_id = q.query_id
+                    AND l.subspace = k.subspace AND l.code = k.code
+          WHERE k.vec_id <> q.query_id
+          GROUP BY q.query_id, k.vec_id, k.centroid_id, k.qn, q.qqn, q.dqc),
+        best AS (
+          SELECT query_id, vec_id, qn, qqn, CAST(MAX(adot) AS BIGINT) AS adot
+          FROM adc GROUP BY 1, 2, 3, 4),
+        short AS (
+          SELECT query_id, vec_id, adot FROM (
+            SELECT query_id, vec_id, adot,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY CAST(adot AS DOUBLE) / sqrt(CAST(qqn AS DOUBLE) * CAST(qn AS DOUBLE)) DESC,
+                              vec_id) AS arn
+            FROM best) t WHERE arn <= 100),
+        rer AS (
+          SELECT s.query_id, s.vec_id, s.adot,
+                 CAST(CAST(list_aggregate(list_transform(range(1, 65),
+                     i -> nq.qv[CAST(i AS INT)] * nc.qv[CAST(i AS INT)]),
+                   'sum') AS BIGINT) AS DOUBLE)
+                   / sqrt(CAST(nq.qn AS DOUBLE) * CAST(nc.qn AS DOUBLE)) AS score
+          FROM short s
+          JOIN normed nq ON nq.vec_id = s.query_id
+          JOIN normed nc ON nc.vec_id = s.vec_id)
+        SELECT query_id, vec_id, adot, score, rnk FROM (
+          SELECT query_id, vec_id, adot, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, vec_id) AS rnk
+          FROM rer) t
+        WHERE rnk <= 5""")
+    ) { (s, dir) =>
+      val base = quantized(s, dir).filter(col("qn") > 0)
+        .select("vec_id", "qv", "qn")
+      // the SHARED trained-centroid artifact — q60/q65/q146/q263's
+      // table, read back from the durable catalog
+      val cents = graft.operators.Ivf.persistedCentroidsCosine(base, dir,
+        "vec_id", "qv", ivfCfg.nCentroids, ivfTrainRounds)
+      val cw = cents.select("centroid_id", "cv")
+      // r=3 multi-assignment + per-copy residual; materialized because
+      // the exchange-free chain is referenced twice (codes + nothing
+      // else rebuilds it, but in production the codes table IS the
+      // persisted index — this materialize stands where that ingest
+      // write would)
+      val res = graft.Checkpoints.materialize(
+        graft.operators.Ivf.probeCosine(base, "qv", cents, ivfReplication)
+          .join(broadcast(cw), "centroid_id")
+          .withColumn("rv", expr("zip_with(qv, cv, (x, y) -> x - y)"))
+          .select("vec_id", "centroid_id", "qn", "rv"))
+      // codebook seed: PRIMARY (best-cell) residuals of the 16 lowest
+      // ids, sliced into per-subspace 8-dim codewords
+      val cb0s = graft.operators.Ivf
+        .probeCosine(base.filter(col("vec_id") < 16), "qv", cents, 1)
+        .join(broadcast(cw), "centroid_id")
+        .withColumn("crv", expr("zip_with(qv, cv, (x, y) -> x - y)"))
+        .withColumn("subspace", explode(sequence(lit(0L), lit(7L))))
+        .withColumn("cw",
+          expr("slice(crv, cast(subspace * 8 + 1 as int), 8)"))
+        .select(col("vec_id").as("code"), col("subspace"), col("cw"))
+      val d8 = """aggregate(zip_with(
+            slice(rv, cast(subspace * 8 + 1 as int), 8), cw,
+            (a, b) -> (a - b) * (a - b)),
+          0L, (acc, v) -> acc + v)"""
+      // ONE deterministic Lloyd round on the residuals (same integer
+      // floor-mean as Ivf.lloydStep, per subspace; empty codewords
+      // keep their seed): the untrained seed codebook measured
+      // recall@5 0.49 at shortlist 20 — training + the 20×k shortlist
+      // buys 0.87 against the 0.91 IVF candidate ceiling (surface in
+      // BENCHNOTES)
+      val casg = res.crossJoin(broadcast(cb0s))
+        .withColumn("d", expr(d8))
+        .groupBy("vec_id", "centroid_id", "subspace")
+        .agg(min(struct(col("d"), col("code"))).as("m"))
+        .select(col("vec_id"), col("centroid_id"), col("subspace"),
+          col("m.code").as("code"))
+      val cpos = casg.join(res, Seq("vec_id", "centroid_id"))
+        .withColumn("i", explode(sequence(lit(1L), lit(8L))))
+        .withColumn("x", expr("element_at(rv, cast(subspace * 8 + i as int))"))
+        .groupBy("subspace", "code", "i")
+        .agg(sum(col("x")).as("sv"), count(lit(1)).as("cnt"))
+        .withColumn("m", expr("sv div cnt"))
+      val cbt0 = cpos.groupBy("subspace", "code")
+        .agg(expr("transform(array_sort(collect_list(struct(i, m))), x -> x.m)")
+          .as("cwt"))
+      // 128-row trained codebook, materialized once (it is read by
+      // both the code assignment and the query LUT)
+      val cbt = graft.Checkpoints.materialize(
+        cb0s.join(cbt0, Seq("subspace", "code"), "left")
+          .withColumn("cw", coalesce(col("cwt"), col("cw")))
+          .select("subspace", "code", "cw"))
+      val codes = res
+        .crossJoin(broadcast(cbt))
+        .withColumn("d", expr(d8))
+        .groupBy("vec_id", "centroid_id", "qn", "subspace")
+        .agg(min(struct(col("d"), col("code"))).as("m"))
+        .select(col("vec_id"), col("centroid_id"), col("qn"),
+          col("subspace"), col("m.code").as("code"))
+      val queries = base.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+          col("qn").as("qqn"))
+      // per-(query, probed cell): the dot(q, cv) term of the
+      // decomposition dot(q, v) ≈ dot(q, cv) + Σ_sub dot(q_sub, cw)
+      val qc = graft.operators.Ivf
+        .probeCosine(queries, "qqv", cents, ivfCfg.nProbe)
+        .join(broadcast(cw), "centroid_id")
+        .withColumn("dqc", dotCol("qqv", "cv"))
+        .select("query_id", "qqn", "centroid_id", "dqc")
+      // per-query 8×16 inner-product lookup table against the trained
+      // codebook
+      val lut = queries
+        .crossJoin(broadcast(cbt))
+        .withColumn("ip", expr(
+          """aggregate(zip_with(
+               slice(qqv, cast(subspace * 8 + 1 as int), 8), cw,
+               (a, b) -> a * b),
+             0L, (acc, v) -> acc + v)"""))
+        .select("query_id", "subspace", "code", "ip")
+      val adc = codes
+        .join(broadcast(qc), "centroid_id")
+        .filter(col("vec_id") =!= col("query_id"))
+        .join(broadcast(lut), Seq("query_id", "subspace", "code"))
+        .groupBy("query_id", "vec_id", "centroid_id", "qn", "qqn", "dqc")
+        .agg(sum(col("ip")).as("ipsum"))
+        .withColumn("adot", col("dqc") + col("ipsum"))
+      // a candidate indexed in several probed cells scores once per
+      // cell — keep the best (adot is monotone in the score for fixed
+      // (query, candidate) norms)
+      val best = adc.groupBy("query_id", "vec_id", "qn", "qqn")
+        .agg(max(col("adot")).as("adot"))
+        .withColumn("score_a", col("adot").cast("double") /
+          sqrt(col("qqn").cast("double") * col("qn").cast("double")))
+      val wa = Window.partitionBy("query_id")
+        .orderBy(desc("score_a"), col("vec_id"))
+      val short = best.withColumn("arn", row_number().over(wa))
+        .filter(col("arn") <= 100).select("query_id", "vec_id", "adot")
+      val rer = short
+        .join(broadcast(queries), "query_id")
+        .join(base.select(col("vec_id"), col("qv").as("qv_c"),
+          col("qn").as("qn_c")), "vec_id")
+        .withColumn("score", dotCol("qqv", "qv_c").cast("double") /
+          sqrt(col("qqn").cast("double") * col("qn_c").cast("double")))
+      val wr = Window.partitionBy("query_id")
+        .orderBy(desc("score"), col("vec_id"))
+      rer.withColumn("rnk", row_number().over(wr).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "vec_id", "adot", "score", "rnk")
     }
 
   // (lazy: referenced from `all` above its definition)

@@ -225,4 +225,37 @@ class RetrievalSpec extends SparkSpec {
       assert(mx === scores.last)
     }
   }
+
+  test("q286 IVF-PQ: rerank scores are exact cosines; recall@5 clears the floor") {
+    val vecs = quantized().filter { case (_, v) => dot(v, v) > 0 }
+    val exact = vecs.keys.filter(_ < 20).map { qid =>
+      qid -> vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(vecs(qid), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+    }.toMap
+    val rows = run("q286_ivfpq_rerank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    // exactly 5 results per query, ranks 1..5, scores descending
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.length === 5, s"query $qid must return 5")
+      assert(rs.sortBy(_._5).map(_._5).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+      val byRank = rs.sortBy(_._5).map(_._4).toSeq
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"query $qid rerank order must be score-descending")
+    }
+    // the rerank stage's score column IS the exact cosine
+    rows.foreach { case (qid, vid, _, score, _) =>
+      val want = cos(vecs(qid), vecs(vid))
+      assert(math.abs(score - want) < 1e-12,
+        s"($qid, $vid) rerank score must be the exact cosine")
+    }
+    // measured operating point at sf0.001 is 0.87 (BENCHNOTES); the
+    // pin leaves noise margin but would catch any structural break
+    // (wrong cells probed, LUT misindexed, shortlist dropped)
+    val hits = exact.map { case (qid, truth) =>
+      rows.filter(_._1 == qid).map(_._2).count(truth)
+    }.sum
+    assert(hits >= 80, s"recall@5 floor: $hits/100 must be >= 0.80")
+  }
 }
