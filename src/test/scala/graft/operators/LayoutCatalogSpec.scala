@@ -25,6 +25,7 @@ class LayoutCatalogSpec extends SparkSpec {
     EdgeLayout.reset()
     Ivf.reset()
     TextIndex.reset()
+    IvfPq.reset()
   }
 
   override def afterAll(): Unit = {
@@ -34,6 +35,7 @@ class LayoutCatalogSpec extends SparkSpec {
     EdgeLayout.reset()
     Ivf.reset()
     TextIndex.reset()
+    IvfPq.reset()
     LayoutCatalog.deleteRecursively(scratch)
     super.afterAll()
   }
@@ -162,6 +164,39 @@ class LayoutCatalogSpec extends SparkSpec {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }.isEmpty, s"df aggregate + idf join over the bucketed postings " +
       s"must not shuffle:\n$p")
+  }
+
+  test("ivf-pq index: built once, re-resolved from disk, bit-identical") {
+    val dir = corpus.getAbsolutePath
+    import org.apache.spark.sql.functions.{col, expr}
+    val base = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VecMath.quantize(col("embedding")).as("qv"))
+      .withColumn("qn", graft.functions.VecMath.qdot(col("qv"), col("qv")))
+      .filter(col("qn") > 0)
+      .select("vec_id", "qv", "qn")
+    val cents = Ivf.persistedCentroidsCosine(base, dir, "vec_id", "qv", 8, 2)
+    val before = LayoutCatalog.buildsPublished.get()
+    val (codes, cb) = IvfPq.persistedIndex(base, dir, cents, 8, 2, 3)
+    val coldCodes = codes.orderBy("vec_id", "centroid_id", "subspace")
+      .collect().map(_.toSeq).toSeq
+    val coldCb = cb.orderBy("subspace", "code").collect().map(_.toSeq).toSeq
+    assert(LayoutCatalog.buildsPublished.get() == before + 1)
+    assert(coldCodes.nonEmpty && coldCb.length === 128)
+
+    IvfPq.reset()
+    val (codes2, cb2) = IvfPq.persistedIndex(base, dir, cents, 8, 2, 3)
+    assert(LayoutCatalog.buildsPublished.get() == before + 1,
+      "warm resolve must NOT rebuild — the index is durable")
+    assert(codes2.orderBy("vec_id", "centroid_id", "subspace")
+      .collect().map(_.toSeq).toSeq == coldCodes)
+    assert(cb2.orderBy("subspace", "code")
+      .collect().map(_.toSeq).toSeq == coldCb)
+    // every indexed copy codes all 8 subspaces; codes are valid ids
+    val perCopy = codes2.groupBy("vec_id", "centroid_id")
+      .count().select("count").distinct().collect().map(_.getLong(0)).toSeq
+    assert(perCopy === Seq(8L))
+    assert(codes2.filter(col("code") < 0 || col("code") > 15).count() === 0)
   }
 
   test("edge layout: weighted pairs carry the exact per-pair line counts") {
