@@ -10,13 +10,13 @@ import org.apache.spark.sql.types._
 
 /** Differential fuzz harness against the DuckDB oracle.
   *
-  * The 285 registry queries pin FIXED paths; this property harness
+  * The 286 registry queries pin FIXED paths; this property harness
   * covers the semantic-drift classes a fixed registry can't — div/mod
   * sign behavior on negative operands, null ordering in window sorts,
   * 3VL IN/NOT IN, cast edges, decimal scale/rounding — by generating
   * random small relations and instantiating parameterized query
-  * templates across six operator families (agg, window, join, string,
-  * div/mod/decimal, date), then running BOTH engines over the same
+  * templates across seven operator families (agg, window, join, string,
+  * div/mod/decimal, date, array/HOF), then running BOTH engines over the same
   * parquet bytes and comparing through the exact canonicalization the
   * driver's gate uses (tools/check_oracle.py: sorted columns, sorted
   * rows, str values).
@@ -42,7 +42,7 @@ class FuzzSpec extends SparkSpec {
     try Process(Seq("python3", "-c", "import duckdb")).! == 0
     catch { case _: java.io.IOException => false }
 
-  test("differential fuzz: 100 random relations × 6 template families match DuckDB") {
+  test("differential fuzz: 100 random relations × 7 template families match DuckDB") {
     assume(duckdbAvailable, "python3+duckdb oracle not available on this host")
     info(s"fuzz seed = $seed (set GRAFT_FUZZ_SEED to replay)")
     val rng = new scala.util.Random(seed)
@@ -187,6 +187,33 @@ class FuzzSpec extends SparkSpec {
         month(dt) AS mo, day(dt) AS dm,
         CAST(datediff('day', DATE '2020-01-01', dt) AS BIGINT) AS dd FROM $t"""
       queries += FQ(f"f6_date_$i%02d", sSql, dSql)
+    }
+
+    // F7 arrays/HOFs: the engine-pair surface the registry leans on
+    // hardest — transform/aggregate vs list_transform/list_aggregate,
+    // sequence vs range (n ≥ 1 constant: an EMPTY list sums to the
+    // init value in Spark but NULL in DuckDB — a real divergence the
+    // registry's length guards exist for), sorted split-join,
+    // element access, membership (all 3VL on null inputs)
+    (0 until perFamily).foreach { i =>
+      val t = rel(); val m = 2 + rng.nextInt(5)
+      val sSql = s"""SELECT id,
+        aggregate(transform(sequence(1, $m),
+          i -> i * COALESCE(a % 10, 0)), 0L, (acc, x) -> acc + x) AS hs,
+        array_join(array_sort(split(s, ' ')), '|') AS sj,
+        element_at(split(s, ' '), 1) AS e1,
+        array_contains(sequence(1, 5), a % 5) AS mem,
+        size(split(s, ' ')) AS np
+        FROM $t"""
+      val dSql = s"""SELECT id,
+        CAST(COALESCE(list_aggregate(list_transform(range(1, $m + 1),
+          i -> i * COALESCE(a % 10, 0)), 'sum'), 0) AS BIGINT) AS hs,
+        array_to_string(list_sort(string_split(s, ' ')), '|') AS sj,
+        string_split(s, ' ')[1] AS e1,
+        list_contains(range(1, 6), a % 5) AS mem,
+        CAST(len(string_split(s, ' ')) AS INT) AS np
+        FROM $t"""
+      queries += FQ(f"f7_arr_$i%02d", sSql, dSql)
     }
 
     // ---- 3. run the Spark side, dump results + oracle SQL in the
