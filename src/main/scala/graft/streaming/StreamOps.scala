@@ -765,6 +765,39 @@ object StreamOps {
       }
   }
 
+  /** A gram's first appearance: the vocabulary-growth event q172's
+    * curve integrates. */
+  final case class FirstSeen(g: Long, first_doc: Long)
+
+  /** Streaming first-seen vocabulary tracker — the streaming half of
+    * batch q172's `fs` table (gram → MIN(doc_id)), the event feed an
+    * online Heaps-curve / novelty monitor consumes: grams arrive
+    * exploded from a chronologically-ordered document stream, state
+    * is one long per DISTINCT gram (vocabulary-sized — exactly what
+    * any online vocabulary tracker must hold, and sublinear in the
+    * corpus by Heaps' law), and a gram emits exactly ONE FirstSeen
+    * event in the micro-batch that first contains it (within-batch
+    * ties resolve to the minimum doc_id, so unordered arrival INSIDE
+    * a batch is fine; cross-batch correctness needs the doc-ordered
+    * replay the parity test stages — the ingest-log order a
+    * production crawl feed has). Input rows: (doc_id, g). */
+  def vocabFirstSeen(grams: Dataset[(Long, Long)]): Dataset[FirstSeen] = {
+    import grams.sparkSession.implicits._
+    grams
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, FirstSeen](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (g: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = rows.map(_._1).min
+            state.update(first)
+            Iterator(FirstSeen(g, first))
+          }
+      }
+  }
+
   /** Streaming incremental near-dup dedup — the streaming half of
     * batch q87 (the ingest-gate a daily crawl actually runs as):
     * incoming documents band against a STATIC corpus band index and

@@ -740,4 +740,60 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(batch.nonEmpty, "batch q87 found no incremental duplicates")
     assert(streamed.toSeq === batch.toSeq)
   }
+
+  test("streaming first-seen vocabulary across 3 micro-batches equals batch q172's curve") {
+    import spark.implicits._
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(length(col("text")) >= 3)
+      .withColumn("ts",
+        timestamp_micros(lit(1700000000000000L) + col("doc_id") * 1000000L))
+      .select("doc_id", "ts", "text")
+
+    // stage 3 doc-ordered files: a gram spanning batches must emit in
+    // its FIRST batch only — the cross-batch dedup the state carries
+    val in = Files.createTempDirectory("graft-vocab-in")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    val tiled = docs.withColumn("__p", ntile(3).over(w))
+    (1 to 3).foreach { i =>
+      val tmp = in.resolve(s"stage$i")
+      tiled.filter(col("__p") === i).drop("__p")
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, in.resolve(s"batch$i.parquet"))
+      in.resolve(s"batch$i.parquet").toFile
+        .setLastModified(System.currentTimeMillis() + (i - 1) * 2000L)
+    }
+
+    val result = runStream(in, docs.schema, st =>
+      StreamOps.vocabFirstSeen(
+        st.select(col("doc_id"),
+          explode(graft.functions.Jaccard.gramCodes3(col("text"))).as("g"))
+          .as[(Long, Long)]).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+
+    // the emitted event set must equal batch q172's fs table exactly
+    val batchFs = docs
+      .select(col("doc_id"),
+        explode(graft.functions.Jaccard.gramCodes3(col("text"))).as("g"))
+      .groupBy("g").agg(min("doc_id").as("first_doc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(batchFs.nonEmpty)
+    assert(result.length === batchFs.length,
+      s"one event per distinct gram: ${result.length} vs ${batchFs.length}")
+    assert(result.toSeq === batchFs.toSeq)
+
+    // and integrating the events reproduces q172's per-bucket new-gram
+    // counts (the oracle-backed curve)
+    val mxd = docs.agg(max("doc_id")).head().getLong(0)
+    val newPerBucket = result.groupBy { case (_, fd) => fd * 10 / (mxd + 1) }
+      .view.mapValues(_.length.toLong).toMap
+    val q172 = SparkEntry.queries("q172_vocab_growth")(
+        spark, "/root/testdata/sf0.001")
+      .select("bucket", "n_new_grams")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    q172.foreach { case (b, n) =>
+      assert(newPerBucket.getOrElse(b, 0L) === n, s"bucket $b new grams")
+    }
+  }
 }
