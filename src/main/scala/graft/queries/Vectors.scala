@@ -1363,6 +1363,11 @@ object Vectors {
     // q200/q201's residual product quantization.
     qIvfPq,
 
+    // --------------------------------------------------------------- q287
+    // IVF-PQ index health audit (see qPqHealth below): per-cell
+    // reconstruction-error profile of the persisted index.
+    qPqHealth,
+
     // --------------------------------------------------------------- q203
     // Grid-DBSCAN density clustering on the first two embedding dims —
     // the cell-level approximation that makes density clustering a
@@ -2076,10 +2081,13 @@ object Vectors {
   // broadcast; the corpus pays one map-side multi-assign, one code
   // argmin and one ADC aggregate. Integer arithmetic until the two
   // float divisions; every rank carries a vec_id tiebreak.
-  private lazy val qIvfPq: Q = Q(
-      "q286_ivfpq_rerank",
-      Some(s"""
-        WITH normed0 AS ($quantizedSql),
+  /** The shared CTE chain replaying operators/IvfPq's index build —
+    * centroid training, r-way assignment, residuals, seed + one-round
+    * trained codebook, and the per-(copy, subspace) code argmin.
+    * q286 (search) and q287 (health audit) both consume `codes`/`cbt`
+    * from this identical text, mirroring how both Spark sides read
+    * the same persisted artifact. */
+  private lazy val ivfPqIndexCtes: String = s"""normed0 AS ($quantizedSql),
         normed AS (SELECT vec_id, qv, qn FROM normed0 WHERE qn > 0),
         cents0 AS (
           SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, qv AS cv,
@@ -2149,7 +2157,12 @@ object Vectors {
             SELECT vec_id, centroid_id, qn, subspace, code,
                    ROW_NUMBER() OVER (PARTITION BY vec_id, centroid_id, subspace
                      ORDER BY d, code) AS rn
-            FROM cd) t WHERE rn = 1),
+            FROM cd) t WHERE rn = 1)"""
+
+  private lazy val qIvfPq: Q = Q(
+      "q286_ivfpq_rerank",
+      Some(s"""
+        WITH $ivfPqIndexCtes,
         qc AS (
           SELECT query_id, qqn, p.centroid_id,
                  CAST(list_aggregate(list_transform(range(1, 65),
@@ -2267,6 +2280,70 @@ object Vectors {
       rer.withColumn("rnk", row_number().over(wr).cast("long"))
         .filter(col("rnk") <= 5)
         .select("query_id", "vec_id", "adot", "score", "rnk")
+    }
+
+  // --------------------------------------------------------------- q287
+  // IVF-PQ index HEALTH audit — the monitoring query a production
+  // deployment runs after each ingest: per cell, the PQ
+  // reconstruction-error profile of the persisted index (err =
+  // Σ_sub ||residual_sub − codeword[code]||², exact integer — the
+  // quantity the code argmin minimized, re-derived from the original
+  // vectors so the audit measures what the index actually LOST).
+  // High mean_err in a cell says its residuals outgrew the codebook
+  // (retrain / split the cell — q150's quantization audit, at the
+  // index grain); n_exact counts losslessly-coded copies. One corpus
+  // pass: codes ⋈ broadcast codebook ⋈ broadcast centroids, per-copy
+  // sum, cell aggregate. The Spark side reads the PERSISTED artifact
+  // (operators/IvfPq — zero rebuild); the oracle replays the full
+  // build + the error recomputation, so a persisted-vs-rebuilt drift
+  // would hash-mismatch here before any search query noticed.
+  private lazy val qPqHealth: Q = Q(
+      "q287_pq_health",
+      Some(s"""
+        WITH $ivfPqIndexCtes,
+        errs AS (
+          SELECT k.vec_id, k.centroid_id,
+                 CAST(SUM(${subD8Sql("r")}) AS BIGINT) AS err
+          FROM codes k
+          JOIN cbt c ON c.subspace = k.subspace AND c.code = k.code
+          JOIN res r ON r.vec_id = k.vec_id
+                    AND r.centroid_id = k.centroid_id
+          GROUP BY 1, 2)
+        SELECT CAST(centroid_id AS BIGINT) AS centroid_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies,
+               CAST(SUM(err) AS BIGINT) AS total_err,
+               CAST(SUM(err) AS BIGINT) // COUNT(*) AS mean_err,
+               CAST(MAX(err) AS BIGINT) AS max_err,
+               CAST(SUM(CASE WHEN err = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_exact
+        FROM errs GROUP BY 1""")
+    ) { (s, dir) =>
+      val base = quantized(s, dir).filter(col("qn") > 0)
+        .select("vec_id", "qv", "qn")
+      val cents = graft.operators.Ivf.persistedCentroidsCosine(base, dir,
+        "vec_id", "qv", ivfCfg.nCentroids, ivfTrainRounds)
+      val (codes, cbt) = graft.operators.IvfPq.persistedIndex(base, dir,
+        cents, ivfCfg.nCentroids, ivfTrainRounds, ivfReplication)
+      val qd = graft.functions.VecMath.qdot _
+      val errs = codes
+        .join(base.select(col("vec_id"), col("qv")), "vec_id")
+        .join(broadcast(cents.select(col("centroid_id"), col("cv"))),
+          "centroid_id")
+        .join(broadcast(cbt), Seq("subspace", "code"))
+        .withColumn("sl", expr(
+          "slice(zip_with(qv, cv, (x, y) -> x - y), " +
+            "cast(subspace * 8 + 1 as int), 8)"))
+        .withColumn("d", qd(col("sl"), col("sl")) + qd(col("cw"), col("cw"))
+          - lit(2L) * qd(col("sl"), col("cw")))
+        .groupBy("vec_id", "centroid_id")
+        .agg(sum(col("d")).as("err"))
+      errs.groupBy(col("centroid_id").cast("long").as("centroid_id"))
+        .agg(count(lit(1)).as("n_copies"), sum(col("err")).as("total_err"),
+          max(col("err")).as("max_err"),
+          sum(when(col("err") === 0, 1L).otherwise(0L)).as("n_exact"))
+        .withColumn("mean_err", expr("total_err div n_copies"))
+        .select("centroid_id", "n_copies", "total_err", "mean_err",
+          "max_err", "n_exact")
     }
 
   // (lazy: referenced from `all` above its definition)

@@ -10,7 +10,7 @@ import org.apache.spark.sql.types._
 
 /** Differential fuzz harness against the DuckDB oracle.
   *
-  * The 286 registry queries pin FIXED paths; this property harness
+  * The 287 registry queries pin FIXED paths; this property harness
   * covers the semantic-drift classes a fixed registry can't — div/mod
   * sign behavior on negative operands, null ordering in window sorts,
   * 3VL IN/NOT IN, cast edges, decimal scale/rounding — by generating
