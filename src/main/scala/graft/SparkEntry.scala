@@ -226,6 +226,15 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q281    graft.queries.TextOps    — Heaps' vocabulary-growth curve
   *   q282    graft.queries.Curation   — exact per-source length bands
   *   q283    graft.queries.Curation   — shard interleave audit
+  *   q284    graft.queries.Graph      — volume-weighted PageRank (shared
+  *            weighted edge layout)
+  *   q285    graft.queries.Multimodal — CRC32-validated PNG round-trip
+  *            (real zlib gray8 encode/decode, tamper quarantine)
+  *   q286    graft.queries.Vectors    — IVF-PQ index: residual coding,
+  *            trained codebook, cosine IP-ADC shortlist, exact rerank
+  *            (durable operators/IvfPq artifact)
+  *   q287    graft.queries.Vectors    — IVF-PQ per-cell
+  *            reconstruction-error health audit
   */
 object SparkEntry {
 

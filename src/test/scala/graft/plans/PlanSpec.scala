@@ -1442,6 +1442,23 @@ class PlanSpec extends SparkSpec {
     assertBucketedEdgeSide(p, minScans = 1)
   }
 
+  test("q286/q287: IVF-PQ reads the persisted index — no cartesian, bounded shuffles") {
+    Seq("q286_ivfpq_rerank", "q287_pq_health").foreach { n =>
+      val p = plan(n)
+      assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+        s"$n must not cartesian:\n$p")
+      // the index build lives in the durable catalog: the query-side
+      // plan is scans + broadcast joins + the candidate aggregate(s)
+      // and per-query windows — a build leaking back in would show up
+      // as a burst of extra exchanges
+      val ex = p.collect { case e: ShuffleExchangeExec => e }
+      assert(ex.length <= 4,
+        s"$n expected the search-side shuffles only (${ex.length}):\n$p")
+      assert(scans(p).nonEmpty,
+        s"$n must read the persisted artifact tables:\n$p")
+    }
+  }
+
   test("q284: weighted rank rounds keep the bucketed edge side; strength is a window, not a join") {
     val p = plan("q284_weighted_pagerank")
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
