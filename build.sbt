@@ -29,3 +29,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] on a 128 GiB box: give the single JVM real headroom
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
+
+// The bench driver captures stdout of `sbt runMain graft.Bench` and
+// parses the LAST line as the result JSON. sbt's trailing
+// "[success] Total time: ..." line lands after the bench's println and
+// breaks that parse (BENCH_r10.json: parsed=null). Suppressing the
+// success/timing trailer (and pinning the forked run's stdout straight
+// through) makes the bare JSON the genuine final stdout line under
+// BOTH invocation paths (sbt and tools/bench.sh).
+ThisBuild / showSuccess := false
+ThisBuild / showTiming := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / excludeLintKeys ++= Set(showTiming, run / outputStrategy)

@@ -377,7 +377,15 @@ object BinaryDecode {
       }
       off += 12L + len
     }
-    val raw = new Array[Byte]((1 + info.width) * info.height)
+    // Hostile-input guard: a CRC-correct IHDR can still declare huge
+    // dimensions (e.g. 65536x65536) whose (1+w)*h overflows Int to a
+    // negative size — reject rather than throw/OOM. The raw buffer
+    // also cannot legitimately need more bytes than ~1032x the IDAT
+    // payload (zlib's max expansion), so bound it by that too.
+    val rawLen = (1L + info.width) * info.height
+    if (rawLen <= 0 || rawLen > Int.MaxValue - 8 ||
+        rawLen > 8L + 1032L * info.idatBytes) return None
+    val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     inf.setInput(z)
     try {

@@ -120,11 +120,13 @@ object EdgeLayout {
     * table: CREATE TABLE over the existing files re-attaches the
     * bucket-spec metadata (Spark recovers each file's bucket id from
     * its name), so a recreated session reads the same artifact
-    * exchange-free without rewriting a byte. */
+    * exchange-free without rewriting a byte. IF NOT EXISTS makes the
+    * check-then-create race-free: two threads resolving the same
+    * layout concurrently in one session must both succeed. */
   private def registerIfAbsent(s: SparkSession, name: String,
       loc: java.io.File, schema: String, key: String): Unit =
     if (!s.catalog.tableExists(name))
-      s.sql(s"""CREATE TABLE $name ($schema) USING PARQUET
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $name ($schema) USING PARQUET
                |CLUSTERED BY ($key) SORTED BY ($key) INTO 32 BUCKETS
                |LOCATION '${loc.getAbsolutePath}'""".stripMargin)
 

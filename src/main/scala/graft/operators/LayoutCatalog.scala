@@ -95,9 +95,11 @@ object LayoutCatalog {
   def publishedDir(kind: String, base: String, fp: String): File =
     new File(new File(root, kind), s"${base}_$fp")
 
-  /** True iff `dir` is a fully published artifact (the `_meta` commit
-    * marker is written by [[publish]] AFTER the data rename — a dir
-    * without it is a torn build and must be rebuilt). */
+  /** True iff `dir` is a fully published artifact. The `_meta` commit
+    * marker is written into the TEMP directory before the atomic
+    * rename, so publication is a single rename: a dir without `_meta`
+    * can only be a torn relic of a pre-v2 builder (or a crashed
+    * non-atomic filesystem move) and must be rebuilt. */
   def isPublished(dir: File): Boolean = new File(dir, "_meta").isFile
 
   /** Build-then-publish: calls `build(tmpDir)` to produce the artifact
@@ -113,13 +115,17 @@ object LayoutCatalog {
     val tmp = new File(parent, s".tmp_${processTag}_${dest.getName}")
     deleteRecursively(tmp)
     build(tmp)
-    // a half-renamed dest from a crashed builder has no _meta: clear it
+    // Stamp the commit marker INSIDE the temp dir so that publication
+    // is the single atomic rename below: a published dest always has
+    // _meta from its first visible instant, and "dest exists without
+    // _meta" can never describe a freshly published artifact — so the
+    // torn-dest cleanup cannot race a concurrent winner's data.
+    Files.write(new File(tmp, "_meta").toPath,
+      s"fp=${dest.getName}\nbuilt_by=$processTag\n"
+        .getBytes(StandardCharsets.UTF_8))
     if (dest.exists() && !isPublished(dest)) deleteRecursively(dest)
     val renamed = tmp.renameTo(dest)
     if (renamed) {
-      Files.write(new File(dest, "_meta").toPath,
-        s"fp=${dest.getName}\nbuilt_by=$processTag\n"
-          .getBytes(StandardCharsets.UTF_8))
       buildsPublished.incrementAndGet()
     } else {
       // lost the publish race (or dest appeared concurrently): the
@@ -133,16 +139,22 @@ object LayoutCatalog {
   }
 
   /** Retention: keep only `published` among its corpus base's
-    * fingerprint siblings, and sweep day-old unpublished temps. */
+    * fingerprint siblings, and sweep day-old unpublished temps. A
+    * sibling counts as a stale fingerprint of the SAME corpus only if
+    * its name is exactly `base + '_' + 16-hex-fingerprint` — a bare
+    * startsWith would make sanitized bases prefix-ambiguous (corpus
+    * `sf1` publishing must not delete the live artifact of corpus
+    * `sf1_b`, whose name also starts with `sf1_`). */
   private def retain(published: File): Unit = {
     val name = published.getName
-    val base = name.substring(0, name.lastIndexOf('_') + 1)
+    val base = name.substring(0, name.lastIndexOf('_'))
+    val sameCorpus =
+      (java.util.regex.Pattern.quote(base) + "_[0-9a-f]{16}").r
     val dayAgo = System.currentTimeMillis() - 24L * 3600 * 1000
     Option(published.getParentFile.listFiles()).getOrElse(Array.empty)
       .foreach { f =>
         val stale =
-          (f.getName.startsWith(base) && f.getName != name &&
-            !f.getName.startsWith(".tmp_")) ||
+          (sameCorpus.matches(f.getName) && f.getName != name) ||
             (f.getName.startsWith(".tmp_") && f.lastModified() < dayAgo)
         if (stale) deleteRecursively(f)
       }

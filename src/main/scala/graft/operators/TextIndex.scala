@@ -96,7 +96,7 @@ object TextIndex {
   private def registerIfAbsent(s: SparkSession, name: String,
       loc: java.io.File): Unit =
     if (!s.catalog.tableExists(name))
-      s.sql(s"""CREATE TABLE $name (doc_id BIGINT, g STRING, tf BIGINT)
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $name (doc_id BIGINT, g STRING, tf BIGINT)
                |USING PARQUET
                |CLUSTERED BY (g) SORTED BY (g) INTO 32 BUCKETS
                |LOCATION '${loc.getAbsolutePath}'""".stripMargin)

@@ -79,6 +79,57 @@ object Vectors {
     * the full r ∈ {1,2,3} curve, q146 the nProbe curve at this r. */
   private val ivfReplication = 3
 
+  /** √n centroid LADDER for the IVF-PQ index (q286/q287): nCentroids
+    * derives from the corpus row count on a pinned rung table, so the
+    * per-cell population — and with it the residual magnitude the PQ
+    * codebook must cover and the shortlist/corpus ratio — stays
+    * roughly constant as the corpus scales, instead of a fixed k
+    * silently degrading recall at every new SF (the round-10 weak
+    * mark: fixed k=8 measured recall@5 = 0.87/0.89/0.68 across
+    * sf0.001/0.01/0.1). k is the smallest power of two with k² ≥ n
+    * (i.e. the pow2-ceiling of √n, floor 8) — integer comparisons
+    * only, so both engines land the same rung with no float-log
+    * boundary risk. nProbe is 2 for tiny k and saturates at 4, so the
+    * probed corpus FRACTION falls as 4/√n while absolute probe work
+    * grows only as √n — the production IVF cost model. PqSweep-
+    * measured at the three SFs (rungs k=32/32/64, p=4): recall@5 =
+    * 0.98 / 0.98 / 0.99 at 0.51 / 0.51 / 0.71 s steady — vs the old
+    * fixed-8's 0.87 / 0.89 / 0.68, and FASTER at sf0.1 (0.71 s vs
+    * 0.83 s) because √n cells shrink both the residuals the codebook
+    * must cover and the probed candidate set. The rung input is the
+    * RAW embeddings row count (cheap parquet-metadata count, memoized
+    * per corpus), which both engines derive identically — the
+    * oracle's `nk` CTE replays this exact rung table (its CASE covers
+    * n ≤ 4^10 ≈ 1M rows, far above any test corpus; the Scala loop is
+    * unbounded for production). The chosen k threads into the
+    * [[graft.operators.Ivf]] / [[graft.operators.IvfPq]] artifact
+    * fingerprints (`_k$k` in the directory name), so each SF trains
+    * and persists its own index. */
+  private def pqK(n: Long): Int = {
+    var k = 8L
+    while (k * k < n && k < (1L << 30)) k <<= 1
+    k.toInt
+  }
+  private def pqProbe(k: Int): Int = math.min(4, math.max(2, k / 8))
+  private val pqKSql =
+    """nk AS (
+          SELECT k, LEAST(4, GREATEST(2, k // 8)) AS p FROM (
+            SELECT CASE WHEN COUNT(*) <= 64 THEN 8
+                        WHEN COUNT(*) <= 256 THEN 16
+                        WHEN COUNT(*) <= 1024 THEN 32
+                        WHEN COUNT(*) <= 4096 THEN 64
+                        WHEN COUNT(*) <= 16384 THEN 128
+                        WHEN COUNT(*) <= 65536 THEN 256
+                        WHEN COUNT(*) <= 262144 THEN 512
+                        WHEN COUNT(*) <= 1048576 THEN 1024
+                        ELSE 2048 END AS k
+            FROM embeddings) t)"""
+  private val pqCorpusN =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def pqN(s: SparkSession, dir: String): Long =
+    pqCorpusN.computeIfAbsent(dir,
+      _ => t(s, dir, "embeddings").count()).longValue()
+
   /** Exact cosine of a candidate pair (tables aliased a/b), DuckDB
     * side: one BIGINT dot, one double division by one sqrt — shared by
     * q39 and q54 so both verify steps use the identical formula. */
@@ -794,7 +845,7 @@ object Vectors {
         .withColumn("approx", dotCol("qcv", "cv"))
         .withColumn("arn", row_number().over(wa))
         .filter(col("arn") <= 100)
-      // stage 2: exact rerank over <= 50 survivors per query
+      // stage 2: exact rerank over <= 100 survivors per query
       val wr = Window.partitionBy("query_id").orderBy(desc("score"), col("vec_id"))
       cand
         .withColumn("score",
@@ -2071,13 +2122,13 @@ object Vectors {
   // and was rejected). Per (query, candidate) the best cell's score
   // survives (same dedup as ivfTopkWith), a 20×k shortlist (top-100)
   // reranks under the EXACT integer cosine for the final top-5 —
-  // retrieve-then-rerank, the deployment shape. Measured recall@5:
-  // 0.87 / 0.89 / 0.68 at sf0.001/0.01/0.1 against the 0.91 IVF
-  // candidate ceiling (surface + levers in BENCHNOTES; RetrievalSpec
-  // pins the sf0.001 floor). The sf0.1 falloff is the FIXED 8-cell
-  // count meeting a 4× corpus — production scales nCentroids ~ √n,
-  // which restores the shortlist ratio; the knob is ivfCfg, shared
-  // with the whole IVF family. Centroids, codebook and LUT all
+  // retrieve-then-rerank, the deployment shape. nCentroids and
+  // nProbe ride the √n LADDER (pqK/pqProbe — the round-10 fixed k=8
+  // measured 0.87/0.89/0.68 across sf0.001/0.01/0.1; the ladder's
+  // rungs measure 0.98/0.98/0.99 at ≤ 0.71 s steady, the PqSweep
+  // operating points — √n cells both shrink residuals, so the PQ
+  // loses less, and shrink the probed candidate set). Shortlist
+  // stays 100 = 20·k_final. Centroids, codebook and LUT all
   // broadcast; the corpus pays one map-side multi-assign, one code
   // argmin and one ADC aggregate. Integer arithmetic until the two
   // float divisions; every rank carries a vec_id tiebreak.
@@ -2087,12 +2138,15 @@ object Vectors {
     * q286 (search) and q287 (health audit) both consume `codes`/`cbt`
     * from this identical text, mirroring how both Spark sides read
     * the same persisted artifact. */
-  private lazy val ivfPqIndexCtes: String = s"""normed0 AS ($quantizedSql),
+  private lazy val ivfPqIndexCtes: String = s"""$pqKSql,
+        normed0 AS ($quantizedSql),
         normed AS (SELECT vec_id, qv, qn FROM normed0 WHERE qn > 0),
         cents0 AS (
-          SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, qv AS cv,
+          SELECT CAST(rn - 1 AS INT) AS centroid_id, qv AS cv,
                  CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS BIGINT) AS cn
-          FROM (SELECT vec_id, qv FROM normed ORDER BY vec_id LIMIT ${ivfCfg.nCentroids}) s),
+          FROM (SELECT qv, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+                FROM normed) s
+          WHERE rn <= (SELECT k FROM nk)),
         ${graft.operators.Ivf.trainSqlCtesCosine(ivfTrainRounds, 64)},
         cw AS (SELECT centroid_id, cv FROM cents$ivfTrainRounds),
         assigned AS (
@@ -2175,7 +2229,7 @@ object Vectors {
                        ORDER BY ${graft.operators.Ivf.cosKeySql("q.qv")}, c.centroid_id) AS rn
               FROM normed q CROSS JOIN cents$ivfTrainRounds c
               WHERE q.vec_id < 20) t
-            WHERE rn <= ${ivfCfg.nProbe}) p
+            WHERE rn <= (SELECT p FROM nk)) p
           JOIN cw c ON c.centroid_id = p.centroid_id),
         lut AS (
           SELECT n.vec_id AS query_id, c.subspace, c.code,
@@ -2219,10 +2273,11 @@ object Vectors {
     ) { (s, dir) =>
       val base = quantized(s, dir).filter(col("qn") > 0)
         .select("vec_id", "qv", "qn")
-      // the SHARED trained-centroid artifact — q60/q65/q146/q263's
-      // table, read back from the durable catalog
+      // nCentroids from the √n ladder — each SF trains its own
+      // centroid + PQ artifacts (k threads into both fingerprints)
+      val k = pqK(pqN(s, dir))
       val cents = graft.operators.Ivf.persistedCentroidsCosine(base, dir,
-        "vec_id", "qv", ivfCfg.nCentroids, ivfTrainRounds)
+        "vec_id", "qv", k, ivfTrainRounds)
       val cw = cents.select("centroid_id", "cv")
       // the durable IVF-PQ index (fourth catalog artifact): r=3
       // assignment, per-copy residuals, one-round trained codebook
@@ -2232,7 +2287,7 @@ object Vectors {
       // 4.6-5.4s steady at sf0.1; the read-back form is the
       // thousand-jobs-one-index production posture)
       val (codes, cbt) = graft.operators.IvfPq.persistedIndex(base, dir,
-        cents, ivfCfg.nCentroids, ivfTrainRounds, ivfReplication)
+        cents, k, ivfTrainRounds, ivfReplication)
       val qd = graft.functions.VecMath.qdot _
       val queries = base.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
@@ -2240,7 +2295,7 @@ object Vectors {
       // per-(query, probed cell): the dot(q, cv) term of the
       // decomposition dot(q, v) ≈ dot(q, cv) + Σ_sub dot(q_sub, cw)
       val qc = graft.operators.Ivf
-        .probeCosine(queries, "qqv", cents, ivfCfg.nProbe)
+        .probeCosine(queries, "qqv", cents, pqProbe(k))
         .join(broadcast(cw), "centroid_id")
         .withColumn("dqc", dotCol("qqv", "cv"))
         .select("query_id", "qqn", "centroid_id", "dqc")
@@ -2320,10 +2375,11 @@ object Vectors {
     ) { (s, dir) =>
       val base = quantized(s, dir).filter(col("qn") > 0)
         .select("vec_id", "qv", "qn")
+      val k = pqK(pqN(s, dir))
       val cents = graft.operators.Ivf.persistedCentroidsCosine(base, dir,
-        "vec_id", "qv", ivfCfg.nCentroids, ivfTrainRounds)
+        "vec_id", "qv", k, ivfTrainRounds)
       val (codes, cbt) = graft.operators.IvfPq.persistedIndex(base, dir,
-        cents, ivfCfg.nCentroids, ivfTrainRounds, ivfReplication)
+        cents, k, ivfTrainRounds, ivfReplication)
       val qd = graft.functions.VecMath.qdot _
       val errs = codes
         .join(base.select(col("vec_id"), col("qv")), "vec_id")

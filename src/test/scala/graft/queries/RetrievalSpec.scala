@@ -13,8 +13,8 @@ class RetrievalSpec extends SparkSpec {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
-  private def quantized(): Map[Long, Array[Long]] =
-    graft.Tables.load(spark, sf, "embeddings").collect().map { r =>
+  private def quantized(dir: String = sf): Map[Long, Array[Long]] =
+    graft.Tables.load(spark, dir, "embeddings").collect().map { r =>
       r.getLong(0) -> r.getSeq[Float](1).map(x =>
         math.floor(x.toDouble * 1000).toLong).toArray
     }.toMap
@@ -250,12 +250,35 @@ class RetrievalSpec extends SparkSpec {
       assert(math.abs(score - want) < 1e-12,
         s"($qid, $vid) rerank score must be the exact cosine")
     }
-    // measured operating point at sf0.001 is 0.87 (BENCHNOTES); the
-    // pin leaves noise margin but would catch any structural break
+    // measured operating point at sf0.001 is 0.98 on the √n ladder's
+    // k=32 rung (PqSweep, round 11; was 0.87 on fixed k=8); the pin
+    // leaves noise margin but would catch any structural break
     // (wrong cells probed, LUT misindexed, shortlist dropped)
     val hits = exact.map { case (qid, truth) =>
       rows.filter(_._1 == qid).map(_._2).count(truth)
     }.sum
     assert(hits >= 80, s"recall@5 floor: $hits/100 must be >= 0.80")
+  }
+
+  test("q286 IVF-PQ recall@5 clears 0.80 at sf0.1 — the √n-ladder scale pin") {
+    // The round-10 weak mark: the FIXED 8-cell index measured 0.68
+    // here. The pqK/pqProbe ladder (k = pow2-ceil √n = 64 at this
+    // corpus, probe 4) measures 0.99 (PqSweep) — this pin holds the
+    // scale story: recall must survive the largest test SF, not just
+    // the toy one.
+    val sfL = "/root/testdata/sf0.1"
+    val vecs = quantized(sfL).filter { case (_, v) => dot(v, v) > 0 }
+    val exact = vecs.keys.filter(_ < 20).map { qid =>
+      qid -> vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(vecs(qid), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+    }.toMap
+    val got = SparkEntry.queries("q286_ivfpq_rerank")(spark, sfL).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, vs) => q -> vs.map(_._2).toSet }
+    val hits = exact.map { case (qid, truth) =>
+      got.getOrElse(qid, Set.empty).count(truth)
+    }.sum
+    assert(hits >= 80, s"sf0.1 recall@5 floor: $hits/100 must be >= 0.80")
   }
 }
