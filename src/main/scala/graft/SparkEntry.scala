@@ -235,6 +235,9 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *            (durable operators/IvfPq artifact)
   *   q287    graft.queries.Vectors    — IVF-PQ per-cell
   *            reconstruction-error health audit
+  *   q288    graft.queries.Matching   — BM25 over the incrementally-
+  *            maintained lexical index (archive postings + delta
+  *            bucket-merge, zero archive re-tokenization)
   */
 object SparkEntry {
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Durable bucketed lexical index of the documents corpus — the third
@@ -30,6 +30,24 @@ import org.apache.spark.sql.functions._
   * result: it is a LAYOUT of the same rows, which is what the DuckDB
   * oracles continue to verify value-for-value.
   *
+  * V2 — DETERMINISTIC BYTES + INCREMENTAL MAINTENANCE. Every file the
+  * artifact writes is now TOTALLY ORDERED (bucket files by
+  * (g, doc_id) — unique per row after the tf aggregate; doclen by
+  * doc_id in one file), so the artifact's bytes are a pure function
+  * of its row set, independent of build provenance. That is what
+  * makes the incremental path ([[incrementalPostings]]) honest: at
+  * 100 TB ingest is append-only — a daily delta of new documents
+  * lands beside an already-indexed archive — and re-paying the full
+  * corpus tokenize + aggregation per append defeats the pay-once
+  * posture. Instead the archive's PUBLISHED postings are read back
+  * as-is (never re-tokenized), only the delta tokenizes, and the
+  * union bucket-merges into the new snapshot's artifact. Because
+  * doc_ids are disjoint across the append boundary, no (doc, gram)
+  * group straddles it, so the merged table is row-identical to a
+  * from-scratch rebuild — and with total ordering, BYTE-identical
+  * (TextIndexSpec pins per-bucket MD5 equality). Daily work is
+  * O(delta tokens + merged-write), not O(corpus tokens).
+  *
   * Trigram phrase postings (q159) deliberately stay inline: one
   * consumer does not earn a 1.5×-the-corpus-tokens artifact; add a
   * `phrases` table here if a second phrase consumer appears.
@@ -37,13 +55,14 @@ import org.apache.spark.sql.functions._
 object TextIndex {
 
   /** Bump when the BUILD semantics change (tokenization, gram order,
-    * bucket count), so an upgraded engine never misreads an old
-    * artifact as current. */
-  val LayoutVersion = 1
+    * bucket count, file ordering), so an upgraded engine never
+    * misreads an old artifact as current. v2: totally-ordered files
+    * (sortBy(g, doc_id); doclen sorted by doc_id). */
+  val LayoutVersion = 2
 
-  /** (catalog root, sf dir) → (postings location, doclen location,
-    * name tag). Memoizes the resolve only — the artifact is on disk
-    * and outlives the process. */
+  /** (catalog root, sf dir, variant) → (postings location, doclen
+    * location, name tag). Memoizes the resolve only — the artifact is
+    * on disk and outlives the process. */
   private val resolved = new java.util.concurrent.ConcurrentHashMap[
     String, (java.io.File, java.io.File, String)]()
 
@@ -55,34 +74,52 @@ object TextIndex {
     * exactly as the inline consumers built them (q76/q90's
     * expression, including the size ≥ 2 guard against Spark's
     * descending `sequence(1, 0)` on single-token docs). */
-  private def bigrams(s: SparkSession, dir: String): DataFrame =
-    graft.Tables.load(s, dir, "documents")
+  private def bigrams(docs: DataFrame): DataFrame =
+    docs
       .withColumn("tk", split(col("text"), " "))
       .filter(size(col("tk")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(tk) - 1), " +
           "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))")).as("g"))
 
-  private def buildInto(s: SparkSession, dir: String,
+  /** (doc_id, g, tf) aggregate of `docs` — the rows the artifact
+    * stores. */
+  private def tfOf(docs: DataFrame): DataFrame =
+    bigrams(docs).groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+
+  /** Write `postings` (doc_id, g, tf) into `tmp` as the artifact's
+    * two tables. DETERMINISTIC BYTES: bucket files are sorted by
+    * (g, doc_id) — a total order, since (doc_id, g) is unique after
+    * the tf aggregate — and doclen is one file sorted by doc_id, so
+    * the output bytes depend only on the row SET, not on which path
+    * (from-scratch or incremental merge) produced it. */
+  private def writeInto(s: SparkSession, postings: DataFrame,
       tmp: java.io.File): Unit = {
     val bt = s"${LayoutCatalog.processTag}_${tmp.getName.hashCode.toHexString}"
     val postingsScratch = s"graft_build_postings_$bt"
     try {
-      val tf = bigrams(s, dir)
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
       // one file per bucket: repartition on the bucket key with the
-      // bucket count so the read-back claims HashPartitioning(g, 32)
-      tf.repartition(32, col("g"))
+      // bucket count so the read-back claims HashPartitioning(g, 32).
+      // coalesce(tf, 0) normalizes NULLABILITY: a fresh aggregate's
+      // count() is non-nullable while a published table reads back
+      // nullable — left as-is the two build paths would write
+      // different parquet schemas/encodings (required vs optional
+      // repetition) and break byte-identity (a .to(schema) widening
+      // is optimized away; coalesce with a literal survives and pins
+      // tf non-nullable on BOTH paths)
+      postings.select(col("doc_id"), col("g"),
+          coalesce(col("tf"), lit(0L)).as("tf"))
+        .repartition(32, col("g"))
         .write.mode("overwrite")
-        .bucketBy(32, "g").sortBy("g")
+        .bucketBy(32, "g").sortBy("g", "doc_id")
         .option("path", new java.io.File(tmp, "postings").getAbsolutePath)
         .saveAsTable(postingsScratch)
       // doc lengths from the postings read-back (a bucketed scan, not
-      // a re-tokenize); doc-count-sized, plain parquet — consumers
-      // broadcast it
+      // a re-tokenize); doc-count-sized, one totally-ordered parquet
+      // file — consumers broadcast it
       s.table(postingsScratch)
         .groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-        .coalesce(1)
+        .repartition(1).sortWithinPartitions("doc_id")
         .write.mode("overwrite")
         .parquet(new java.io.File(tmp, "doclen").getAbsolutePath)
     } finally {
@@ -92,7 +129,8 @@ object TextIndex {
 
   /** Idempotent per-session registration of the published bucketed
     * postings (same contract as [[EdgeLayout]]): CREATE TABLE over
-    * the existing files re-attaches the bucket-spec metadata. */
+    * the existing files re-attaches the bucket-spec metadata.
+    * IF NOT EXISTS makes the check-then-create race-free. */
   private def registerIfAbsent(s: SparkSession, name: String,
       loc: java.io.File): Unit =
     if (!s.catalog.tableExists(name))
@@ -101,13 +139,20 @@ object TextIndex {
                |CLUSTERED BY (g) SORTED BY (g) INTO 32 BUCKETS
                |LOCATION '${loc.getAbsolutePath}'""".stripMargin)
 
-  private def ensure(s: SparkSession, dir: String): (String, java.io.File) = {
-    val key = LayoutCatalog.root.getAbsolutePath + "|" + dir
+  /** Resolve-or-build the artifact for (dir, variant): `variant` is
+    * "" for the full-corpus index and a caller-chosen suffix for
+    * subset/merged artifacts (it lands in the directory base name, so
+    * retention never crosses variants). */
+  private def ensure(s: SparkSession, dir: String, variant: String,
+      build: java.io.File => Unit): (String, java.io.File) = {
+    val key = LayoutCatalog.root.getAbsolutePath + "|" + dir + "|" + variant
     val (postingsLoc, doclenLoc, tag) = resolved.computeIfAbsent(key, _ => {
       val fp = LayoutCatalog.fingerprint(dir, Seq("documents"))
+      val base = LayoutCatalog.sanitize(dir) +
+        (if (variant.isEmpty) "" else s"_$variant")
       val dest = LayoutCatalog.publishedDir(s"lexical_v$LayoutVersion",
-        LayoutCatalog.sanitize(dir), fp)
-      LayoutCatalog.buildAndPublish(dest, tmp => buildInto(s, dir, tmp))
+        base, fp)
+      LayoutCatalog.buildAndPublish(dest, build)
       val md = java.security.MessageDigest.getInstance("SHA-256")
       val kh = md.digest((key + "|" + fp).getBytes("UTF-8"))
         .take(6).map(b => f"${b & 0xff}%02x").mkString
@@ -119,14 +164,43 @@ object TextIndex {
     (name, doclenLoc)
   }
 
+  private def ensureFull(s: SparkSession, dir: String): (String, java.io.File) =
+    ensure(s, dir, "", tmp =>
+      writeInto(s, tfOf(graft.Tables.load(s, dir, "documents")), tmp))
+
   /** (doc_id, g, tf) bigram postings, bucketed by g — exchange-free
     * input for g-keyed aggregates, idf joins, and posting-list
     * self-joins. */
   def bigramPostings(s: SparkSession, dir: String): DataFrame =
-    s.table(ensure(s, dir)._1)
+    s.table(ensureFull(s, dir)._1)
 
   /** (doc_id, dl) total bigram count per document — doc-count-sized;
     * consumers broadcast it. */
   def docLengths(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(ensure(s, dir)._2.getAbsolutePath)
+    s.read.parquet(ensureFull(s, dir)._2.getAbsolutePath)
+
+  /** INCREMENTAL ingest: postings + doclens for the full corpus at
+    * `dir`, built WITHOUT re-tokenizing the archive. `deltaPred`
+    * marks "today's batch" (the newly-arrived documents); everything
+    * else is the archive, whose index is resolved from (or published
+    * to) the durable catalog as its own artifact. The merged
+    * artifact then unions the archive's PUBLISHED postings — read
+    * back as bucketed rows, zero tokenization — with the delta's
+    * freshly-aggregated postings and bucket-merges the union into
+    * the new snapshot's artifact. doc_ids are disjoint across the
+    * append boundary, so no (doc, gram) group straddles it and the
+    * merged table is row-identical — with v2's total file ordering,
+    * BYTE-identical — to a from-scratch rebuild (TextIndexSpec).
+    * `tag` names the split (it keys both artifacts' directories).
+    * Returns (postings frame — bucketed table, doclens frame). */
+  def incrementalPostings(s: SparkSession, dir: String,
+      deltaPred: Column, tag: String): (DataFrame, DataFrame) = {
+    val docs = graft.Tables.load(s, dir, "documents")
+    val (archName, _) = ensure(s, dir, s"${tag}_arch", tmp =>
+      writeInto(s, tfOf(docs.filter(!deltaPred)), tmp))
+    val (mergedName, mergedDl) = ensure(s, dir, s"${tag}_merged", tmp =>
+      writeInto(s,
+        s.table(archName).unionByName(tfOf(docs.filter(deltaPred))), tmp))
+    (s.table(mergedName), s.read.parquet(mergedDl.getAbsolutePath))
+  }
 }

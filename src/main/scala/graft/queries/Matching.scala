@@ -550,5 +550,89 @@ object Matching {
             "ELSE (1000 * n_set_bits * n_set_bits * n_set_bits) " +
             "div 1073741824 END").as("fpr_expected_permille"))
     },
+
+    // --------------------------------------------------------------- q288
+    // Post-ingest retrieval check over the INCREMENTALLY-MAINTAINED
+    // lexical index: doc_id % 10 == 0 stands in for today's crawl
+    // batch (q87's split); the index it searches is the MERGED
+    // artifact TextIndex.incrementalPostings builds by bucket-merging
+    // the archive's PUBLISHED postings with the freshly-tokenized
+    // delta — the archive is never re-tokenized, so the daily index
+    // cost is O(delta), not O(corpus) (the 100 TB append posture; the
+    // byte-identity of merged vs from-scratch is pinned in
+    // LayoutCatalogSpec). The query is the monitoring pass a
+    // production ingest runs after each append: BM25 top-10 per query
+    // (q90's integer-exact scoring — same idf₂ bit-length surrogate,
+    // same 22T·tf/(10T·tf+3T+9·dl·N) fold), with is_new flagging
+    // which of today's documents entered the top-10. The oracle
+    // replays full-corpus BM25 inline — a hash match here IS the
+    // proof that the incrementally-built index answers queries
+    // identically to a from-scratch index.
+    Q(
+      "q288_incremental_bm25",
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        big AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g
+          FROM tok),
+        tf AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS tf FROM big GROUP BY doc_id, g),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM big GROUP BY doc_id),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dl),
+        df AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY g),
+        qt AS (SELECT * FROM (VALUES (1, 'table hash'), (1, 'part filter'),
+                                     (2, 'customer join'), (2, 'slow key'),
+                                     (3, 'merge group'), (3, 'batch scan')) AS v(query_id, term)),
+        scored AS (
+          SELECT q.query_id, tf.doc_id,
+                 CAST(CAST((length(bin(2 * (s.n - df.df) + 1)) - length(bin(2 * df.df + 1)))
+                             * 22 * s.t * tf.tf AS DOUBLE)
+                      / CAST(10 * s.t * tf.tf + 3 * s.t + 9 * dl.dl * s.n AS DOUBLE)
+                      AS DECIMAL(18,4)) AS term_score
+          FROM qt q
+          JOIN tf ON tf.g = q.term
+          JOIN df ON df.g = q.term
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats s),
+        agg AS (
+          SELECT query_id, doc_id, CAST(SUM(term_score) AS DOUBLE) AS score
+          FROM scored GROUP BY query_id, doc_id)
+        SELECT query_id, doc_id, score, rnk, doc_id % 10 = 0 AS is_new FROM (
+          SELECT query_id, doc_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+          FROM agg) t
+        WHERE rnk <= 10""")
+    ) { (s, dir) =>
+      import s.implicits._
+      // the merged index: archive postings read back from the durable
+      // catalog (zero re-tokenization) + today's batch, bucket-merged
+      val (tf, dl) = graft.operators.TextIndex.incrementalPostings(
+        s, dir, col("doc_id") % 10 === 0, "d10")
+      val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+      val df = tf.groupBy("g").agg(count(lit(1)).as("df"))
+      val qt = Seq((1, "table hash"), (1, "part filter"),
+        (2, "customer join"), (2, "slow key"),
+        (3, "merge group"), (3, "batch scan")).toDF("query_id", "term")
+      val idf2 = length(bin(lit(2) * (col("n") - col("df")) + 1)) -
+        length(bin(lit(2) * col("df") + 1))
+      val scored = tf.join(broadcast(qt), col("g") === col("term"))
+        .join(broadcast(df.withColumnRenamed("g", "g2")), col("g") === col("g2"))
+        .join(broadcast(dl), "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("term_score",
+          ((idf2 * 22 * col("t") * col("tf")).cast("double") /
+            (lit(10) * col("t") * col("tf") + lit(3) * col("t") +
+              lit(9) * col("dl") * col("n")).cast("double"))
+            .cast(DecimalType(18, 4)))
+      val agg = scored.groupBy("query_id", "doc_id")
+        .agg(sum(col("term_score")).cast("double").as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("score"), col("doc_id"))
+      agg.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+        .withColumn("is_new", col("doc_id") % 10 === 0)
+        .select("query_id", "doc_id", "score", "rnk", "is_new")
+    },
   )
 }

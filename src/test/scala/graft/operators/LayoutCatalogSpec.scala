@@ -166,6 +166,58 @@ class LayoutCatalogSpec extends SparkSpec {
       s"must not shuffle:\n$p")
   }
 
+  test("lexical index: incremental archive+delta publish equals from-scratch rebuild byte-for-byte") {
+    val dir = corpus.getAbsolutePath
+    TextIndex.reset()
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_postings_"))
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    // from-scratch artifact over the full corpus
+    val full = TextIndex.bigramPostings(spark, dir)
+      .orderBy("doc_id", "g").collect().map(_.toSeq).toSeq
+    // incremental path: doc_id % 10 == 0 is "today's batch"; the
+    // archive indexes separately, then the merged artifact
+    // bucket-merges archive postings + delta postings WITHOUT
+    // re-tokenizing the archive
+    val (inc, incDl) = TextIndex.incrementalPostings(spark, dir,
+      col("doc_id") % 10 === 0, "d10")
+    assert(inc.orderBy("doc_id", "g").collect().map(_.toSeq).toSeq == full,
+      "merged rows must equal the from-scratch table")
+    assert(incDl.orderBy("doc_id").collect().map(_.toSeq).toSeq ==
+      TextIndex.docLengths(spark, dir).orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq)
+    // byte-for-byte: v2 files are totally ordered, so the merged
+    // artifact's parquet bytes must equal the from-scratch build's,
+    // bucket for bucket — the strongest possible no-drift statement
+    val kind = new File(LayoutCatalog.root, s"lexical_v${TextIndex.LayoutVersion}")
+    val pub = kind.listFiles().filterNot(_.getName.startsWith(".tmp_"))
+    val fullDir = pub.find(d => !d.getName.contains("_d10_")).get
+    val mergedDir = pub.find(_.getName.contains("_d10_merged_")).get
+    def bucketBytes(d: File): Map[String, String] = {
+      val re = "_(\\d{5})\\.c000".r
+      Option(new File(d, "postings").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val bucket = re.findFirstMatchIn(f.getName).get.group(1)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          bucket -> md.digest(Files.readAllBytes(f.toPath))
+            .map(b => f"$b%02x").mkString
+        }.toMap
+    }
+    val fb = bucketBytes(fullDir)
+    val mb = bucketBytes(mergedDir)
+    assert(fb.nonEmpty && fb == mb,
+      s"per-bucket parquet bytes must match: full=${fb.keySet} merged=${mb.keySet}")
+    def doclenBytes(d: File): String = {
+      val f = Option(new File(d, "doclen").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+      assert(f.length == 1)
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(Files.readAllBytes(f.head.toPath)).map(b => f"$b%02x").mkString
+    }
+    assert(doclenBytes(fullDir) == doclenBytes(mergedDir),
+      "doclen parquet bytes must match")
+  }
+
   test("ivf-pq index: built once, re-resolved from disk, bit-identical") {
     val dir = corpus.getAbsolutePath
     import org.apache.spark.sql.functions.{col, expr}
