@@ -195,12 +195,24 @@ object TextIndex {
     * Returns (postings frame — bucketed table, doclens frame). */
   def incrementalPostings(s: SparkSession, dir: String,
       deltaPred: Column, tag: String): (DataFrame, DataFrame) = {
+    val (arch, _) = archiveIndex(s, dir, deltaPred, tag)
     val docs = graft.Tables.load(s, dir, "documents")
-    val (archName, _) = ensure(s, dir, s"${tag}_arch", tmp =>
-      writeInto(s, tfOf(docs.filter(!deltaPred)), tmp))
     val (mergedName, mergedDl) = ensure(s, dir, s"${tag}_merged", tmp =>
-      writeInto(s,
-        s.table(archName).unionByName(tfOf(docs.filter(deltaPred))), tmp))
+      writeInto(s, arch.unionByName(tfOf(docs.filter(deltaPred))), tmp))
     (s.table(mergedName), s.read.parquet(mergedDl.getAbsolutePath))
+  }
+
+  /** The ARCHIVE half of an incremental split (documents NOT matching
+    * `deltaPred`), as its own durable artifact: (postings, doclens).
+    * This is both the input [[incrementalPostings]] bucket-merges and
+    * the seed a STREAMING index-maintenance consumer loads its hot
+    * posting lists / global stats from
+    * ([[graft.streaming.StreamOps.incrementalBm25]]). */
+  def archiveIndex(s: SparkSession, dir: String,
+      deltaPred: Column, tag: String): (DataFrame, DataFrame) = {
+    val docs = graft.Tables.load(s, dir, "documents")
+    val (archName, archDl) = ensure(s, dir, s"${tag}_arch", tmp =>
+      writeInto(s, tfOf(docs.filter(!deltaPred)), tmp))
+    (s.table(archName), s.read.parquet(archDl.getAbsolutePath))
   }
 }

@@ -817,6 +817,114 @@ object StreamOps {
     * `incoming` must carry (doc_id, ts, text); `corpus` (doc_id, text).
     * Output: (new_id, corpus_id, n_common, jaccard) in append mode,
     * rows emitted as processed (no window close needed). */
+  /** One arriving document on the ingest stream. */
+  final case class Bm25Doc(doc_id: Long, text: String)
+
+  /** A query-term posting: term `g` occurs `tf` times in `doc_id`. */
+  final case class Bm25Hit(g: String, doc_id: Long, tf: Long)
+
+  /** The serving-node seed loaded from the DURABLE lexical index
+    * (TextIndex.archiveIndex) before the stream starts: global stats
+    * (`n` docs, `t` total bigrams) over the whole archive, the hot
+    * posting lists of the query terms, and the doc lengths of every
+    * document those lists reference. */
+  final case class Bm25Seed(n: Long, t: Long, hits: Seq[Bm25Hit],
+      dl: Map[Long, Long])
+
+  final case class Bm25State(batch: Long, n: Long, t: Long,
+      hits: List[Bm25Hit], dl: Map[Long, Long])
+
+  /** One row of the post-batch top-k snapshot. */
+  final case class Bm25Snap(batch_seq: Long, query_id: Int, doc_id: Long,
+      score: Double, rnk: Long)
+
+  /** Streaming incremental BM25 — the streaming half of batch q288
+    * (the serving shape a production search tier actually runs):
+    * the DURABLE lexical index seeds the state (query-term posting
+    * lists + archive-wide N and T), each micro-batch of arriving
+    * documents tokenizes ONCE and folds into that state (df/tf/dl of
+    * the query terms, global N/T over every arrival — the quantities
+    * BM25 needs are all associative integer updates, which is what
+    * makes the index maintainable incrementally), and after every
+    * batch the operator emits the complete current top-`k` per query
+    * under the EXACT batch arithmetic: the same idf₂ bit-length
+    * surrogate, the same 22T·tf/(10T·tf+3T+9·dl·N) integer fold, the
+    * same HALF_UP DECIMAL(18,4) per-term rounding and exact decimal
+    * sum that q90/q288 compute in Spark and the oracle replays in
+    * DuckDB — so the final snapshot must equal batch q288 row for
+    * row, bit for bit (StreamBatchParitySpec), and every intermediate
+    * snapshot equals a batch replay over archive + arrived-prefix.
+    *
+    * State is bounded: posting lists only of the |queryTerms| query
+    * terms (df-bounded), dl only of docs those lists reference —
+    * never the corpus. All arrivals key to one group because N/T/df
+    * are corpus-global; at production scale the stream fans out per
+    * QUERY-TERM (each term's state is independent) with a tiny
+    * broadcast N/T accumulator — the per-term shape is identical. */
+  def incrementalBm25(incoming: Dataset[Bm25Doc], seed: Bm25Seed,
+      queryTerms: Seq[(Int, String)], topK: Int = 10): Dataset[Bm25Snap] = {
+    import incoming.sparkSession.implicits._
+    val termSet = queryTerms.map(_._2).toSet
+    incoming
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[Bm25State, Bm25Snap](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[Bm25Doc], state: GroupState[Bm25State]) =>
+          val st0 = state.getOption.getOrElse(
+            Bm25State(0L, seed.n, seed.t, seed.hits.toList, seed.dl))
+          var n = st0.n
+          var t = st0.t
+          var hits = st0.hits
+          var dl = st0.dl
+          // fold the batch: same tokenization as the index build
+          // (split on single space keeping empties, adjacent-token
+          // concat, < 2 tokens contributes nothing)
+          rows.toSeq.sortBy(_.doc_id).foreach { d =>
+            val tk = d.text.split(" ", -1)
+            if (tk.length >= 2) {
+              val bigs = (0 until tk.length - 1)
+                .map(i => tk(i) + " " + tk(i + 1))
+              n += 1
+              t += bigs.length
+              val tfm = bigs.filter(termSet).groupBy(identity)
+              if (tfm.nonEmpty) {
+                tfm.foreach { case (g, os) =>
+                  hits = Bm25Hit(g, d.doc_id, os.length.toLong) :: hits
+                }
+                dl += (d.doc_id -> bigs.length.toLong)
+              }
+            }
+          }
+          val st = Bm25State(st0.batch + 1, n, t, hits, dl)
+          state.update(st)
+          // serve the snapshot under the exact batch arithmetic
+          def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+          val df = hits.groupBy(_.g).view.mapValues(_.size.toLong).toMap
+          val snaps = queryTerms.groupBy(_._1).toSeq.flatMap {
+            case (qid, terms) =>
+              val tset = terms.map(_._2).toSet
+              val byDoc = hits.filter(h => tset(h.g)).groupBy(_.doc_id)
+              val scored = byDoc.toSeq.map { case (docId, hs) =>
+                val s4 = hs.map { h =>
+                  val idf2 = bitlen(2L * (n - df(h.g)) + 1L) -
+                    bitlen(2L * df(h.g) + 1L)
+                  val raw = (idf2 * 22L * t * h.tf).toDouble /
+                    (10L * t * h.tf + 3L * t + 9L * dl(docId) * n).toDouble
+                  BigDecimal.decimal(raw)
+                    .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+                }.sum
+                (docId, s4.toDouble)
+              }
+              scored.sortBy { case (docId, sc) => (-sc, docId) }
+                .take(topK).zipWithIndex.map { case ((docId, sc), i) =>
+                  Bm25Snap(st.batch, qid, docId, sc, i + 1L)
+                }
+          }
+          snaps.iterator
+      }
+  }
+
   def incrementalDedup(
       incoming: DataFrame,
       corpus: DataFrame,

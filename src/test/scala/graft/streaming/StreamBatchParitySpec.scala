@@ -741,6 +741,116 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("streaming incremental BM25 over the durable index equals batch q288, snapshot for snapshot") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val qt = Seq((1, "table hash"), (1, "part filter"),
+      (2, "customer join"), (2, "slow key"),
+      (3, "merge group"), (3, "batch scan"))
+
+    // seed the serving state from the DURABLE archive artifact: the
+    // query terms' posting lists, their docs' lengths, archive N/T
+    val (archTf, archDl) = graft.operators.TextIndex.archiveIndex(
+      spark, sf, col("doc_id") % 10 === 0, "d10")
+    val hits = archTf.filter(col("g").isin(qt.map(_._2): _*)).collect()
+      .map(r => StreamOps.Bm25Hit(r.getString(1), r.getLong(0), r.getLong(2)))
+      .toSeq
+    val hitDocs = hits.map(_.doc_id).toSet
+    val dlMap = archDl.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .filter(kv => hitDocs(kv._1)).toMap
+    val st = archDl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head()
+    val seed = StreamOps.Bm25Seed(st.getLong(0), st.getLong(1), hits, dlMap)
+
+    // today's batch arrives across 3 chronological files (known
+    // consecutive doc_id slices, so each prefix is replayable batch-side)
+    val deltaIds = docs.filter(col("doc_id") % 10 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val slice = (deltaIds.length + 2) / 3
+    val parts = deltaIds.grouped(slice).toSeq
+    assert(parts.length === 3)
+    val in = Files.createTempDirectory("graft-bm25-in")
+    parts.zipWithIndex.foreach { case (ids, i) =>
+      val tmp = in.resolve(s"stage${i + 1}")
+      docs.filter(col("doc_id").isin(ids.toSeq: _*))
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, in.resolve(s"batch${i + 1}.parquet"))
+      in.resolve(s"batch${i + 1}.parquet").toFile
+        .setLastModified(System.currentTimeMillis() + i * 2000L)
+    }
+
+    val result = runStream(in, docs.schema, s =>
+      StreamOps.incrementalBm25(
+        s.select("doc_id", "text").as[StreamOps.Bm25Doc], seed, qt).toDF())
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(result.map(_._1).distinct.sorted.toSeq === Seq(1L, 2L, 3L),
+      "one snapshot per micro-batch")
+
+    // the exact q288 scoring chain over an arbitrary corpus frame —
+    // used to replay every prefix snapshot batch-side
+    def bm25Over(corpus: org.apache.spark.sql.DataFrame)
+        : Seq[(Int, Long, Double, Long)] = {
+      val big = corpus.withColumn("tk", split(col("text"), " "))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(tk) - 1), " +
+            "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))")).as("g"))
+      val tf = big.groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+      val dl = big.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+      val df = tf.groupBy("g").agg(count(lit(1)).as("df"))
+      val qtDf = qt.toDF("query_id", "term")
+      val idf2 = length(bin(lit(2) * (col("n") - col("df")) + 1)) -
+        length(bin(lit(2) * col("df") + 1))
+      val scored = tf.join(broadcast(qtDf), col("g") === col("term"))
+        .join(broadcast(df.withColumnRenamed("g", "g2")), col("g") === col("g2"))
+        .join(broadcast(dl), "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("term_score",
+          ((idf2 * 22 * col("t") * col("tf")).cast("double") /
+            (lit(10) * col("t") * col("tf") + lit(3) * col("t") +
+              lit(9) * col("dl") * col("n")).cast("double"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+      val agg = scored.groupBy("query_id", "doc_id")
+        .agg(sum(col("term_score")).cast("double").as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("score"), col("doc_id"))
+      agg.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+    }
+
+    // every intermediate snapshot equals the batch replay over
+    // archive + arrived-prefix — the cross-batch state is live
+    val archive = docs.filter(col("doc_id") % 10 =!= 0)
+    (1 to 3).foreach { b =>
+      val prefixIds = parts.take(b).flatten
+      val corpus = archive.unionByName(
+        docs.filter(col("doc_id").isin(prefixIds.toSeq: _*)))
+      val want = bm25Over(corpus)
+      val got = result.filter(_._1 == b.toLong)
+        .map(t => (t._2, t._3, t._4, t._5)).sortBy(t => (t._1, t._4)).toSeq
+      assert(got === want, s"snapshot $b must equal the batch prefix replay")
+    }
+
+    // and the final snapshot IS batch q288 (the oracle-green query)
+    val q288 = SparkEntry.queries("q288_incremental_bm25")(spark, sf)
+      .select("query_id", "doc_id", "score", "rnk")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val finalSnap = result.filter(_._1 == 3L)
+      .map(t => (t._2, t._3, t._4, t._5)).sortBy(t => (t._1, t._4)).toSeq
+    assert(q288.nonEmpty && finalSnap === q288,
+      "final streamed snapshot must equal oracle-backed batch q288")
+  }
+
   test("streaming first-seen vocabulary across 3 micro-batches equals batch q172's curve") {
     import spark.implicits._
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
