@@ -65,6 +65,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Log.quietAuditedWarnings()
 
     // one warm-up pass of the smallest table read to exclude JVM/session
     // startup from the first measured query

@@ -14,6 +14,7 @@ object Diag {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Log.quietAuditedWarnings()
     val names = args.toSeq
     val qs = SparkEntry.allQueries.filter(q => names.contains(q.name))
     for (q <- qs; i <- 1 to 3) {

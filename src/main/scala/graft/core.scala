@@ -70,3 +70,21 @@ object Det {
   /** Deterministic AVG: exact decimal sum divided by count, in double. */
   def davg(c: Column): Column = sum(dec(c)).cast("double") / count(lit(1))
 }
+
+/** Logging hygiene for the headline mains (Verify / Bench / Diag). */
+object Log {
+  /** Silence WindowExecBase's per-execution "No Partition Defined for
+    * Window operation!" line. Every unpartitioned window in the
+    * registry is STRUCTURALLY audited by PlanSpec's global sweep — a
+    * window with an empty partitionSpec must have a shrinking node
+    * (aggregate/limit) beneath it on its streamed lineage, or sit on
+    * the hand-audited whitelist (q121's survivor-only phase 2), and
+    * the sweep FAILS the build otherwise. That sweep is the real
+    * scale guard; the log line re-raises already-adjudicated sites
+    * 500+ times per full Verify sweep, so the mains quiet the logger
+    * (the structural check, unlike the log, cannot be ignored). */
+  def quietAuditedWarnings(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
+}

@@ -42,7 +42,7 @@ class FuzzSpec extends SparkSpec {
     try Process(Seq("python3", "-c", "import duckdb")).! == 0
     catch { case _: java.io.IOException => false }
 
-  test("differential fuzz: 100 random relations × 7 template families match DuckDB") {
+  test("differential fuzz: 100 random relations × 8 template families match DuckDB") {
     assume(duckdbAvailable, "python3+duckdb oracle not available on this host")
     info(s"fuzz seed = $seed (set GRAFT_FUZZ_SEED to replay)")
     val rng = new scala.util.Random(seed)
@@ -214,6 +214,34 @@ class FuzzSpec extends SparkSpec {
         CAST(len(string_split(s, ' ')) AS INT) AS np
         FROM $t"""
       queries += FQ(f"f7_arr_$i%02d", sSql, dSql)
+    }
+
+    // F8 join semantics — where engine divergence classically hides:
+    // FULL OUTER null-matching (a NULL key matches nothing yet both
+    // sides' rows survive with NULL partners), UNGUARDED null-aware
+    // NOT IN (one NULL in the subquery annihilates every non-match —
+    // honest 3VL, deliberately WITHOUT F3's IS NOT NULL guard),
+    // correlated EXISTS / NOT EXISTS (semi/anti, including NULL-key
+    // probe rows that an anti join must KEEP), and the left-join +
+    // IS NULL anti idiom (distinct-reduced build side)
+    (0 until perFamily).foreach { i =>
+      val (ta, tb) = (rel(), rel()); val c = rng.nextInt(101) - 50
+      val sql = i % 5 match {
+        case 0 => s"""SELECT x.id AS xid, y.id AS yid, x.k AS xk, y.k AS yk,
+          COALESCE(x.b, 0) + COALESCE(y.b, 0) AS sb
+          FROM $ta x FULL JOIN $tb y ON x.k = y.k AND x.id = y.id"""
+        case 1 => s"""SELECT x.id AS id, x.k AS k FROM $ta x
+          WHERE EXISTS (SELECT 1 FROM $tb y WHERE y.k = x.k AND y.b > $c)"""
+        case 2 => s"""SELECT x.id AS id, x.k AS k FROM $ta x
+          WHERE NOT EXISTS (SELECT 1 FROM $tb y WHERE y.k = x.k AND y.b > $c)"""
+        case 3 => s"""SELECT x.id AS id, x.k AS k FROM $ta x
+          WHERE x.k NOT IN (SELECT y.k FROM $tb y WHERE y.b > $c)"""
+        case _ => s"""SELECT x.id AS id, x.k AS k FROM $ta x
+          LEFT JOIN (SELECT DISTINCT k FROM $tb WHERE b > $c) y
+            ON x.k = y.k
+          WHERE y.k IS NULL"""
+      }
+      queries += FQ(f"f8_joinsem_$i%02d", sql, sql)
     }
 
     // ---- 3. run the Spark side, dump results + oracle SQL in the
