@@ -238,6 +238,9 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q288    graft.queries.Matching   — BM25 over the incrementally-
   *            maintained lexical index (archive postings + delta
   *            bucket-merge, zero archive re-tokenization)
+  *   q289    graft.queries.Vectors    — ANN search over the
+  *            incrementally-maintained IVF-PQ index (frozen
+  *            archive-trained centroids/codebook, delta-only coding)
   */
 object SparkEntry {
 

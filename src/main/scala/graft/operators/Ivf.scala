@@ -231,17 +231,23 @@ object Ivf {
     * inline retrain and the DuckDB oracle replays it exactly
     * ([[trainSqlCtesCosine]]). */
   def persistedCentroidsCosine(df: DataFrame, corpusKey: String,
-      idCol: String, qvCol: String, n: Int, rounds: Int): DataFrame = {
+      idCol: String, qvCol: String, n: Int, rounds: Int,
+      variant: String = ""): DataFrame = {
     import graft.operators.{LayoutCatalog => LC}
     val spark = df.sparkSession
-    val key = s"${LC.root.getAbsolutePath}|$corpusKey|$n|$rounds|cos"
+    val key = s"${LC.root.getAbsolutePath}|$corpusKey|$n|$rounds|cos|$variant"
     val path = persistedPaths.computeIfAbsent(key, _ => {
       // corpusKey is the corpus directory for every current caller;
       // fingerprint its embeddings table so a changed snapshot
-      // retrains (an absent table still yields a stable key)
+      // retrains (an absent table still yields a stable key).
+      // `variant` tags a SUBSET training corpus (`df` already
+      // filtered by the caller, e.g. the incremental-index archive) —
+      // it lands in the key and the directory base so subset-trained
+      // centroids never collide with the full-corpus table.
       val fp = LC.fingerprint(corpusKey, Seq("embeddings"))
+      val vtag = if (variant.isEmpty) "" else s"_$variant"
       val dest = LC.publishedDir("ivf_v1",
-        s"${LC.sanitize(corpusKey)}_k${n}_r${rounds}_cos", fp)
+        s"${LC.sanitize(corpusKey)}${vtag}_k${n}_r${rounds}_cos", fp)
       LC.buildAndPublish(dest, tmp =>
         trainCentroidsCosine(df, idCol, qvCol, n, rounds)
           .write.mode("overwrite")
@@ -278,15 +284,17 @@ object Ivf {
 
   /** DuckDB CTE chain replaying [[trainCentroidsCosine]]: like
     * [[trainSqlCtes]] but each round assigns by the spherical key and
-    * every cents CTE carries cn (the seed `cents0` must too). */
-  def trainSqlCtesCosine(rounds: Int, dim: Int): String =
+    * every cents CTE carries cn (the seed `cents0` must too). `src`
+    * names the CTE the training rounds read (default `normed`; an
+    * incremental-index oracle trains on the `arch` subset). */
+  def trainSqlCtesCosine(rounds: Int, dim: Int, src: String = "normed"): String =
     (0 until rounds).map { k =>
       s"""asg$k AS (
           SELECT vec_id, qv, centroid_id FROM (
             SELECT n.vec_id, n.qv, c.centroid_id,
                    ROW_NUMBER() OVER (PARTITION BY n.vec_id
                      ORDER BY ${cosKeySql("n.qv")}, c.centroid_id) AS rn
-            FROM normed n CROSS JOIN cents$k c) t
+            FROM $src n CROSS JOIN cents$k c) t
           WHERE rn = 1),
         pos$k AS (
           SELECT centroid_id, i,

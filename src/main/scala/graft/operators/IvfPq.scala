@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Durable IVF-PQ index — the fourth [[LayoutCatalog]] artifact: the
@@ -21,6 +21,21 @@ import org.apache.spark.sql.functions._
   * rebuild — which is what lets the oracle keep hash-matching a
   * query that reads them.
   *
+  * V2 — DETERMINISTIC BYTES + INCREMENTAL MAINTENANCE (the
+  * TextIndex-v2 treatment, applied to vectors): every file is
+  * totally ordered (codes hashed 32-way on vec_id and sorted by the
+  * unique (vec_id, centroid_id, subspace); codebook one file sorted
+  * by (subspace, code)) and nullability-pinned, so artifact bytes
+  * are a pure function of the row set. [[incrementalIndex]] then
+  * gives appends the production PQ shape: centroids AND codebook are
+  * trained once on the ARCHIVE snapshot and FROZEN (retraining per
+  * append would re-code the world); a delta of new vectors pays only
+  * its own assignment + coding against the frozen tables, and the
+  * merged codes table is BYTE-identical to a frozen-codebook rebuild
+  * over the full corpus (per-vector coding is an independent argmin,
+  * so delta∪archive ≡ code-everything — LayoutCatalogSpec pins the
+  * per-file MD5s).
+  *
   * Schema: `codes` (vec_id, centroid_id, qn, subspace, code) — one
   * row per indexed copy per subspace, carrying the exact self-norm
   * the cosine ADC normalizes by; `codebook` (subspace, code, cw) —
@@ -28,8 +43,10 @@ import org.apache.spark.sql.functions._
   */
 object IvfPq {
 
-  /** Bump when the BUILD semantics change. */
-  val LayoutVersion = 1
+  /** Bump when the BUILD semantics change. v2: totally-ordered,
+    * nullability-pinned files (the byte-determinism the incremental
+    * merge is proven against). */
+  val LayoutVersion = 2
 
   private val resolved = new java.util.concurrent.ConcurrentHashMap[
     String, (java.io.File, java.io.File)]()
@@ -37,38 +54,49 @@ object IvfPq {
   /** Test hook: forget every in-process resolve (disk untouched). */
   def reset(): Unit = resolved.clear()
 
-  private def buildInto(base: DataFrame, cents: DataFrame,
-      replication: Int, tmp: java.io.File): Unit = {
-    val qd = graft.functions.VecMath.qdot _
+  /** r-way cell assignment + per-copy residuals of `base` against the
+    * broadcast centroid table (columns vec_id, centroid_id, qn, rv). */
+  private def residuals(base: DataFrame, cents: DataFrame,
+      replication: Int): DataFrame = {
     val cw = cents.select("centroid_id", "cv")
-    // r-way cell assignment + per-copy residuals
-    val res = graft.Checkpoints.materialize(
+    graft.Checkpoints.materialize(
       Ivf.probeCosine(base, "qv", cents, replication)
         .join(broadcast(cw), "centroid_id")
         .withColumn("rv", expr("zip_with(qv, cv, (x, y) -> x - y)"))
         .select("vec_id", "centroid_id", "qn", "rv"))
-    // codebook seed: PRIMARY (best-cell) residuals of the 16 lowest
-    // ids, sliced into per-subspace 8-dim codewords
-    val cb0s = Ivf.probeCosine(base.filter(col("vec_id") < 16), "qv", cents, 1)
+  }
+
+  /** Per-subspace slices + self-norms of a residual frame. */
+  private def subspaced(res: DataFrame): DataFrame = {
+    val qd = graft.functions.VecMath.qdot _
+    res
+      .withColumn("subspace", explode(sequence(lit(0L), lit(7L))))
+      .withColumn("sl", expr("slice(rv, cast(subspace * 8 + 1 as int), 8)"))
+      .withColumn("sn", qd(col("sl"), col("sl")))
+      .select("vec_id", "centroid_id", "qn", "subspace", "sl", "sn")
+  }
+
+  /** Train the codebook on `trainBase`'s residuals: 16-lowest-id
+    * seeds (within trainBase) sliced per subspace, then ONE
+    * deterministic integer Lloyd round (floor-mean; empty codewords
+    * keep their seed). Returns the materialized (subspace, code, cw)
+    * table. */
+  private def trainCodebook(trainBase: DataFrame, cents: DataFrame,
+      resTrainSub: DataFrame): DataFrame = {
+    val qd = graft.functions.VecMath.qdot _
+    val cw = cents.select("centroid_id", "cv")
+    val cb0s = Ivf.probeCosine(trainBase.filter(col("vec_id") < 16), "qv", cents, 1)
       .join(broadcast(cw), "centroid_id")
       .withColumn("crv", expr("zip_with(qv, cv, (x, y) -> x - y)"))
       .withColumn("subspace", explode(sequence(lit(0L), lit(7L))))
       .withColumn("cw", expr("slice(crv, cast(subspace * 8 + 1 as int), 8)"))
       .select(col("vec_id").as("code"), col("subspace"), col("cw"))
-    // distances as codegen'd kernels: d = sn + cn2 − 2·qdot (the
-    // interpreted HOF form was 6× slower — the q209 lesson)
-    val resSub = res
-      .withColumn("subspace", explode(sequence(lit(0L), lit(7L))))
-      .withColumn("sl", expr("slice(rv, cast(subspace * 8 + 1 as int), 8)"))
-      .withColumn("sn", qd(col("sl"), col("sl")))
-      .select("vec_id", "centroid_id", "qn", "subspace", "sl", "sn")
     def withCn2(cb: DataFrame) = cb.withColumn("cn2", qd(col("cw"), col("cw")))
-    // ONE deterministic Lloyd round on the residual codebook (same
-    // integer floor-mean as Ivf.lloydStep, per subspace; empty
-    // codewords keep their seed). Struct min = lexicographic
-    // (d, code); pairs are unique per group so the carried slice is
-    // never consulted.
-    val casg = resSub.join(broadcast(withCn2(cb0s)), "subspace")
+    // distances as codegen'd kernels: d = sn + cn2 − 2·qdot (the
+    // interpreted HOF form was 6× slower — the q209 lesson). Struct
+    // min = lexicographic (d, code); pairs are unique per group so
+    // the carried slice is never consulted.
+    val casg = resTrainSub.join(broadcast(withCn2(cb0s)), "subspace")
       .withColumn("d",
         col("sn") + col("cn2") - lit(2L) * qd(col("sl"), col("cw")))
       .groupBy("vec_id", "centroid_id", "subspace")
@@ -83,21 +111,66 @@ object IvfPq {
     val cbt0 = cpos.groupBy("subspace", "code")
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
         .as("cwt"))
-    val cbt = graft.Checkpoints.materialize(
+    graft.Checkpoints.materialize(
       cb0s.join(cbt0, Seq("subspace", "code"), "left")
         .withColumn("cw", coalesce(col("cwt"), col("cw")))
         .select("subspace", "code", "cw"))
-    cbt.coalesce(1).write.mode("overwrite")
-      .parquet(new java.io.File(tmp, "codebook").getAbsolutePath)
-    resSub.join(broadcast(withCn2(cbt)), "subspace")
+  }
+
+  /** Code `resCodeSub` against the codebook: per-(copy, subspace)
+    * argmin, ties to the smaller code. */
+  private def codeAgainst(resCodeSub: DataFrame, cbt: DataFrame): DataFrame = {
+    val qd = graft.functions.VecMath.qdot _
+    val cb = cbt.withColumn("cn2", qd(col("cw"), col("cw")))
+    resCodeSub.join(broadcast(cb), "subspace")
       .withColumn("d",
         col("sn") + col("cn2") - lit(2L) * qd(col("sl"), col("cw")))
       .groupBy("vec_id", "centroid_id", "qn", "subspace")
       .agg(min(struct(col("d"), col("code"))).as("m"))
       .select(col("vec_id"), col("centroid_id"), col("qn"),
         col("subspace"), col("m.code").as("code"))
+  }
+
+  /** Deterministic-bytes artifact writer: codes hashed 32-way on
+    * vec_id and totally ordered by the unique (vec_id, centroid_id,
+    * subspace); codebook one file ordered by (subspace, code). Every
+    * column is coalesce-pinned non-nullable so a fresh aggregate and
+    * a published-table read-back write identical parquet schemas
+    * (the TextIndex-v2 lesson: .to(schema) widening is optimized
+    * away; coalesce with a literal survives). */
+  private def writeTables(codes: DataFrame, cbt: DataFrame,
+      tmp: java.io.File): Unit = {
+    codes.select(
+        coalesce(col("vec_id"), lit(0L)).as("vec_id"),
+        coalesce(col("centroid_id"), lit(0)).as("centroid_id"),
+        coalesce(col("qn"), lit(0L)).as("qn"),
+        coalesce(col("subspace"), lit(0L)).as("subspace"),
+        coalesce(col("code"), lit(0L)).as("code"))
+      .repartition(32, col("vec_id"))
+      .sortWithinPartitions("vec_id", "centroid_id", "subspace")
       .write.mode("overwrite")
       .parquet(new java.io.File(tmp, "codes").getAbsolutePath)
+    cbt.select(
+        coalesce(col("subspace"), lit(0L)).as("subspace"),
+        coalesce(col("code"), lit(0L)).as("code"),
+        coalesce(col("cw"), expr("array(0L)")).as("cw"))
+      .repartition(1).sortWithinPartitions("subspace", "code")
+      .write.mode("overwrite")
+      .parquet(new java.io.File(tmp, "codebook").getAbsolutePath)
+  }
+
+  /** Full build: train on `trainBase`, code `codeBase`. The two
+    * coincide for the plain per-snapshot index; the frozen-codebook
+    * rebuild the incremental spec compares against passes
+    * (archive, full). */
+  private[operators] def buildInto(trainBase: DataFrame, codeBase: DataFrame,
+      cents: DataFrame, replication: Int, tmp: java.io.File): Unit = {
+    val resCodeSub = subspaced(residuals(codeBase, cents, replication))
+    val resTrainSub =
+      if (trainBase eq codeBase) resCodeSub
+      else subspaced(residuals(trainBase, cents, replication))
+    val cbt = trainCodebook(trainBase, cents, resTrainSub)
+    writeTables(codeAgainst(resCodeSub, cbt), cbt, tmp)
   }
 
   /** Resolve (codes, codebook) for `dir`'s embeddings under the given
@@ -114,10 +187,57 @@ object IvfPq {
       val fp = LC.fingerprint(dir, Seq("embeddings"))
       val dest = LC.publishedDir(s"ivfpq_v$LayoutVersion",
         s"${LC.sanitize(dir)}_k${nCentroids}_r${rounds}_x$replication", fp)
-      LC.buildAndPublish(dest, tmp => buildInto(base, cents, replication, tmp))
+      LC.buildAndPublish(dest, tmp => buildInto(base, base, cents, replication, tmp))
       (new java.io.File(dest, "codes"), new java.io.File(dest, "codebook"))
     })
     (spark.read.parquet(codesLoc.getAbsolutePath),
       spark.read.parquet(cbLoc.getAbsolutePath))
+  }
+
+  /** INCREMENTAL ingest for the vector index — the production append
+    * path: vectors matching `deltaPred` are "today's batch"; the
+    * archive (everything else) owns the TRAINED state — spherical
+    * centroids ([[Ivf.persistedCentroidsCosine]] under an archive
+    * variant key) and the residual codebook — both trained once per
+    * archive snapshot and FROZEN. The merged artifact codes the delta
+    * against those frozen tables (per-vector assignment + argmin —
+    * independent of every other vector) and unions it with the
+    * archive's PUBLISHED codes, so the append pays
+    * O(delta · (k + 16·8)) integer kernels, never a corpus re-code,
+    * and the result is BYTE-identical to a frozen-codebook rebuild
+    * over the full corpus (LayoutCatalogSpec). Returns
+    * (codes, codebook, centroids) — everything a search consumer
+    * (q289) needs. */
+  def incrementalIndex(base: DataFrame, dir: String, deltaPred: Column,
+      tag: String, nCentroids: Int, rounds: Int, replication: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import graft.operators.{LayoutCatalog => LC}
+    val spark = base.sparkSession
+    val baseArch = base.filter(!deltaPred)
+    val cents = Ivf.persistedCentroidsCosine(baseArch, dir, "vec_id", "qv",
+      nCentroids, rounds, variant = s"${tag}_arch")
+    val key = s"${LC.root.getAbsolutePath}|$dir|$nCentroids|$rounds|$replication|pq|$tag"
+    val (codesLoc, cbLoc) = resolved.computeIfAbsent(key, _ => {
+      val fp = LC.fingerprint(dir, Seq("embeddings"))
+      val archDest = LC.publishedDir(s"ivfpq_v$LayoutVersion",
+        s"${LC.sanitize(dir)}_${tag}_arch_k${nCentroids}_r${rounds}_x$replication", fp)
+      LC.buildAndPublish(archDest, tmp =>
+        buildInto(baseArch, baseArch, cents, replication, tmp))
+      val mergedDest = LC.publishedDir(s"ivfpq_v$LayoutVersion",
+        s"${LC.sanitize(dir)}_${tag}_merged_k${nCentroids}_r${rounds}_x$replication", fp)
+      LC.buildAndPublish(mergedDest, tmp => {
+        val archCodes = spark.read.parquet(
+          new java.io.File(archDest, "codes").getAbsolutePath)
+        val cbt = spark.read.parquet(
+          new java.io.File(archDest, "codebook").getAbsolutePath)
+        val deltaCodes = codeAgainst(
+          subspaced(residuals(base.filter(deltaPred), cents, replication)), cbt)
+        writeTables(archCodes.unionByName(deltaCodes), cbt, tmp)
+      })
+      (new java.io.File(mergedDest, "codes"),
+        new java.io.File(mergedDest, "codebook"))
+    })
+    (spark.read.parquet(codesLoc.getAbsolutePath),
+      spark.read.parquet(cbLoc.getAbsolutePath), cents)
   }
 }

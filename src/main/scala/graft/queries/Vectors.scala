@@ -1419,6 +1419,12 @@ object Vectors {
     // reconstruction-error profile of the persisted index.
     qPqHealth,
 
+    // --------------------------------------------------------------- q289
+    // ANN search over the incrementally-maintained IVF-PQ index (see
+    // qIncrAnn below): frozen archive-trained centroids + codebook,
+    // delta-only coding, is_new retrievability flag.
+    qIncrAnn,
+
     // --------------------------------------------------------------- q203
     // Grid-DBSCAN density clustering on the first two embedding dims —
     // the cell-level approximation that makes density clustering a
@@ -2138,16 +2144,37 @@ object Vectors {
     * q286 (search) and q287 (health audit) both consume `codes`/`cbt`
     * from this identical text, mirroring how both Spark sides read
     * the same persisted artifact. */
-  private lazy val ivfPqIndexCtes: String = s"""$pqKSql,
+  private lazy val ivfPqIndexCtes: String = pqIndexCtes(None)
+
+  /** The CTE chain, parameterized for the INCREMENTAL index oracle
+    * (q289): with `archPred` set, centroid training, codebook seeds
+    * and the codebook Lloyd round all read only the ARCHIVE subset
+    * (the frozen-training contract operators/IvfPq.incrementalIndex
+    * implements), while assignment and the final code argmin still
+    * cover every vector. With `archPred` empty the text is exactly
+    * the per-snapshot chain q286/q287 replay. Restricting `res` to
+    * archive rows (resT) equals building residuals from the archive
+    * alone: a vector's r-way assignment is an argmin over the
+    * broadcast centroids, independent of every other vector. */
+  private def pqIndexCtes(archPred: Option[String]): String = {
+    val train = if (archPred.isDefined) "arch" else "normed"
+    val resT = if (archPred.isDefined) "resT" else "res"
+    val archCtes = archPred.map(p =>
+      s"""arch AS (SELECT vec_id, qv, qn FROM normed WHERE $p),
+        """).getOrElse("")
+    val resTCte = archPred.map(p =>
+      s"""resT AS (SELECT * FROM res WHERE $p),
+        """).getOrElse("")
+    s"""$pqKSql,
         normed0 AS ($quantizedSql),
         normed AS (SELECT vec_id, qv, qn FROM normed0 WHERE qn > 0),
-        cents0 AS (
+        ${archCtes}cents0 AS (
           SELECT CAST(rn - 1 AS INT) AS centroid_id, qv AS cv,
                  CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS BIGINT) AS cn
           FROM (SELECT qv, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
-                FROM normed) s
+                FROM $train) s
           WHERE rn <= (SELECT k FROM nk)),
-        ${graft.operators.Ivf.trainSqlCtesCosine(ivfTrainRounds, 64)},
+        ${graft.operators.Ivf.trainSqlCtesCosine(ivfTrainRounds, 64, train)},
         cw AS (SELECT centroid_id, cv FROM cents$ivfTrainRounds),
         assigned AS (
           SELECT vec_id, qv, qn, centroid_id FROM (
@@ -2161,7 +2188,7 @@ object Vectors {
                  list_transform(range(1, 65),
                    i -> a.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) AS rv
           FROM assigned a JOIN cw c ON c.centroid_id = a.centroid_id),
-        cb0 AS (
+        ${resTCte}cb0 AS (
           SELECT t.vec_id AS code,
                  list_transform(range(1, 65),
                    i -> t.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) AS crv
@@ -2170,7 +2197,7 @@ object Vectors {
               SELECT n.vec_id, n.qv, c.centroid_id,
                      ROW_NUMBER() OVER (PARTITION BY n.vec_id
                        ORDER BY ${graft.operators.Ivf.cosKeySql("n.qv")}, c.centroid_id) AS rn
-              FROM normed n CROSS JOIN cents$ivfTrainRounds c
+              FROM $train n CROSS JOIN cents$ivfTrainRounds c
               WHERE n.vec_id < 16) p WHERE rn = 1) t
           JOIN cw c ON c.centroid_id = t.centroid_id),
         sub AS (SELECT CAST(range AS BIGINT) AS subspace FROM range(0, 8)),
@@ -2184,14 +2211,14 @@ object Vectors {
             SELECT r.vec_id, r.centroid_id, c.subspace, c.code,
                    ROW_NUMBER() OVER (PARTITION BY r.vec_id, r.centroid_id, c.subspace
                      ORDER BY ${subD8Sql("r")}, c.code) AS rn
-            FROM res r CROSS JOIN cb0s c) t
+            FROM $resT r CROSS JOIN cb0s c) t
           WHERE rn = 1),
         cpos AS (
           SELECT a.subspace, a.code, p.i,
                  CAST(SUM(r.rv[CAST(a.subspace * 8 + p.i AS INT)]) AS BIGINT) AS sv,
                  CAST(COUNT(*) AS BIGINT) AS cnt
           FROM casg a
-          JOIN res r ON r.vec_id = a.vec_id AND r.centroid_id = a.centroid_id,
+          JOIN $resT r ON r.vec_id = a.vec_id AND r.centroid_id = a.centroid_id,
                (SELECT unnest(range(1, 9)) AS i) p
           GROUP BY 1, 2, 3),
         cbt0 AS (
@@ -2212,11 +2239,15 @@ object Vectors {
                    ROW_NUMBER() OVER (PARTITION BY vec_id, centroid_id, subspace
                      ORDER BY d, code) AS rn
             FROM cd) t WHERE rn = 1)"""
+  }
 
-  private lazy val qIvfPq: Q = Q(
-      "q286_ivfpq_rerank",
-      Some(s"""
-        WITH $ivfPqIndexCtes,
+  /** The ADC-search CTE tail — probe, per-query LUT, ADC aggregate,
+    * best-cell dedup, shortlist, exact rerank — shared verbatim by
+    * q286 (per-snapshot index) and q289 (incrementally-maintained
+    * index): the two oracles differ only in the index chain prefixed
+    * before it. `extraCols` appends output columns to the final
+    * SELECT (q289's is_new flag). */
+  private def pqSearchSql(extraCols: String): String = s"""
         qc AS (
           SELECT query_id, qqn, p.centroid_id,
                  CAST(list_aggregate(list_transform(range(1, 65),
@@ -2264,12 +2295,17 @@ object Vectors {
           FROM short s
           JOIN normed nq ON nq.vec_id = s.query_id
           JOIN normed nc ON nc.vec_id = s.vec_id)
-        SELECT query_id, vec_id, adot, score, rnk FROM (
+        SELECT query_id, vec_id, adot, score, rnk$extraCols FROM (
           SELECT query_id, vec_id, adot, score,
                  ROW_NUMBER() OVER (PARTITION BY query_id
                    ORDER BY score DESC, vec_id) AS rnk
           FROM rer) t
-        WHERE rnk <= 5""")
+        WHERE rnk <= 5"""
+
+  private lazy val qIvfPq: Q = Q(
+      "q286_ivfpq_rerank",
+      Some(s"""
+        WITH $ivfPqIndexCtes,${pqSearchSql("")}""")
     ) { (s, dir) =>
       val base = quantized(s, dir).filter(col("qn") > 0)
         .select("vec_id", "qv", "qn")
@@ -2288,53 +2324,96 @@ object Vectors {
       // thousand-jobs-one-index production posture)
       val (codes, cbt) = graft.operators.IvfPq.persistedIndex(base, dir,
         cents, k, ivfTrainRounds, ivfReplication)
-      val qd = graft.functions.VecMath.qdot _
-      val queries = base.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
-          col("qn").as("qqn"))
-      // per-(query, probed cell): the dot(q, cv) term of the
-      // decomposition dot(q, v) ≈ dot(q, cv) + Σ_sub dot(q_sub, cw)
-      val qc = graft.operators.Ivf
-        .probeCosine(queries, "qqv", cents, pqProbe(k))
-        .join(broadcast(cw), "centroid_id")
-        .withColumn("dqc", dotCol("qqv", "cv"))
-        .select("query_id", "qqn", "centroid_id", "dqc")
-      // per-query 8×16 inner-product lookup table against the trained
-      // codebook (same codegen'd kernel)
-      val lut = queries
-        .crossJoin(broadcast(cbt))
-        .withColumn("ip", qd(
-          expr("slice(qqv, cast(subspace * 8 + 1 as int), 8)"), col("cw")))
-        .select("query_id", "subspace", "code", "ip")
-      val adc = codes
-        .join(broadcast(qc), "centroid_id")
-        .filter(col("vec_id") =!= col("query_id"))
-        .join(broadcast(lut), Seq("query_id", "subspace", "code"))
-        .groupBy("query_id", "vec_id", "centroid_id", "qn", "qqn", "dqc")
-        .agg(sum(col("ip")).as("ipsum"))
-        .withColumn("adot", col("dqc") + col("ipsum"))
-      // a candidate indexed in several probed cells scores once per
-      // cell — keep the best (adot is monotone in the score for fixed
-      // (query, candidate) norms)
-      val best = adc.groupBy("query_id", "vec_id", "qn", "qqn")
-        .agg(max(col("adot")).as("adot"))
-        .withColumn("score_a", col("adot").cast("double") /
-          sqrt(col("qqn").cast("double") * col("qn").cast("double")))
-      val wa = Window.partitionBy("query_id")
-        .orderBy(desc("score_a"), col("vec_id"))
-      val short = best.withColumn("arn", row_number().over(wa))
-        .filter(col("arn") <= 100).select("query_id", "vec_id", "adot")
-      val rer = short
-        .join(broadcast(queries), "query_id")
-        .join(base.select(col("vec_id"), col("qv").as("qv_c"),
-          col("qn").as("qn_c")), "vec_id")
-        .withColumn("score", dotCol("qqv", "qv_c").cast("double") /
-          sqrt(col("qqn").cast("double") * col("qn_c").cast("double")))
-      val wr = Window.partitionBy("query_id")
-        .orderBy(desc("score"), col("vec_id"))
-      rer.withColumn("rnk", row_number().over(wr).cast("long"))
-        .filter(col("rnk") <= 5)
-        .select("query_id", "vec_id", "adot", "score", "rnk")
+      pqSearch(base, cents, codes, cbt, pqProbe(k))
+    }
+
+  /** The Spark-side ADC search q286 and q289 share — the exact twin
+    * of [[pqSearchSql]]: probe → per-query LUT → ADC aggregate →
+    * best-cell dedup → shortlist-100 → exact rerank top-5. Centroids,
+    * codebook, LUT and probe table all broadcast; the codes scan pays
+    * one hash aggregate. */
+  private def pqSearch(base: DataFrame, cents: DataFrame, codes: DataFrame,
+      cbt: DataFrame, nProbe: Int): DataFrame = {
+    val qd = graft.functions.VecMath.qdot _
+    val cw = cents.select("centroid_id", "cv")
+    val queries = base.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+        col("qn").as("qqn"))
+    // per-(query, probed cell): the dot(q, cv) term of the
+    // decomposition dot(q, v) ≈ dot(q, cv) + Σ_sub dot(q_sub, cw)
+    val qc = graft.operators.Ivf
+      .probeCosine(queries, "qqv", cents, nProbe)
+      .join(broadcast(cw), "centroid_id")
+      .withColumn("dqc", dotCol("qqv", "cv"))
+      .select("query_id", "qqn", "centroid_id", "dqc")
+    // per-query 8×16 inner-product lookup table against the trained
+    // codebook (same codegen'd kernel)
+    val lut = queries
+      .crossJoin(broadcast(cbt))
+      .withColumn("ip", qd(
+        expr("slice(qqv, cast(subspace * 8 + 1 as int), 8)"), col("cw")))
+      .select("query_id", "subspace", "code", "ip")
+    val adc = codes
+      .join(broadcast(qc), "centroid_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id", "subspace", "code"))
+      .groupBy("query_id", "vec_id", "centroid_id", "qn", "qqn", "dqc")
+      .agg(sum(col("ip")).as("ipsum"))
+      .withColumn("adot", col("dqc") + col("ipsum"))
+    // a candidate indexed in several probed cells scores once per
+    // cell — keep the best (adot is monotone in the score for fixed
+    // (query, candidate) norms)
+    val best = adc.groupBy("query_id", "vec_id", "qn", "qqn")
+      .agg(max(col("adot")).as("adot"))
+      .withColumn("score_a", col("adot").cast("double") /
+        sqrt(col("qqn").cast("double") * col("qn").cast("double")))
+    val wa = Window.partitionBy("query_id")
+      .orderBy(desc("score_a"), col("vec_id"))
+    val short = best.withColumn("arn", row_number().over(wa))
+      .filter(col("arn") <= 100).select("query_id", "vec_id", "adot")
+    val rer = short
+      .join(broadcast(queries), "query_id")
+      .join(base.select(col("vec_id"), col("qv").as("qv_c"),
+        col("qn").as("qn_c")), "vec_id")
+      .withColumn("score", dotCol("qqv", "qv_c").cast("double") /
+        sqrt(col("qqn").cast("double") * col("qn_c").cast("double")))
+    val wr = Window.partitionBy("query_id")
+      .orderBy(desc("score"), col("vec_id"))
+    rer.withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "vec_id", "adot", "score", "rnk")
+  }
+
+  // --------------------------------------------------------------- q289
+  // ANN search over the INCREMENTALLY-MAINTAINED IVF-PQ index — the
+  // vector twin of q288's lexical split: vec_id % 10 == 0 is today's
+  // embedding batch; the index it searches keeps centroids AND
+  // codebook trained on the ARCHIVE snapshot and FROZEN (the
+  // production PQ append contract — retraining per append would
+  // re-code the world), while the delta pays only its own assignment
+  // + coding against the frozen tables (operators/IvfPq
+  // .incrementalIndex; merged-vs-frozen-rebuild byte identity pinned
+  // in LayoutCatalogSpec). Search is the identical ADC tail as q286;
+  // is_new flags freshly-ingested vectors in the top-5 — the
+  // post-append check that new data is actually retrievable. The
+  // oracle replays the full frozen-training build inline (training
+  // CTEs read the archive subset, coding covers all), so a
+  // hash-match here proves the incrementally-built index answers
+  // searches identically to its from-scratch equivalent.
+  private lazy val qIncrAnn: Q = Q(
+      "q289_incremental_ann",
+      Some(s"""
+        WITH ${pqIndexCtes(Some("vec_id % 10 <> 0"))},${
+          pqSearchSql(", vec_id % 10 = 0 AS is_new")}""")
+    ) { (s, dir) =>
+      val base = quantized(s, dir).filter(col("qn") > 0)
+        .select("vec_id", "qv", "qn")
+      val k = pqK(pqN(s, dir))
+      val (codes, cbt, cents) = graft.operators.IvfPq.incrementalIndex(
+        base, dir, col("vec_id") % 10 === 0, "d10", k, ivfTrainRounds,
+        ivfReplication)
+      pqSearch(base, cents, codes, cbt, pqProbe(k))
+        .withColumn("is_new", col("vec_id") % 10 === 0)
     }
 
   // --------------------------------------------------------------- q287

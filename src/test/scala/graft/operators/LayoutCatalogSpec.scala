@@ -251,6 +251,56 @@ class LayoutCatalogSpec extends SparkSpec {
     assert(codes2.filter(col("code") < 0 || col("code") > 15).count() === 0)
   }
 
+  test("ivf-pq incremental: archive+delta code-merge equals the frozen-codebook rebuild byte-for-byte") {
+    val dir = corpus.getAbsolutePath
+    IvfPq.reset()
+    Ivf.reset()
+    val base = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VecMath.quantize(col("embedding")).as("qv"))
+      .withColumn("qn", graft.functions.VecMath.qdot(col("qv"), col("qv")))
+      .filter(col("qn") > 0)
+      .select("vec_id", "qv", "qn")
+    val deltaPred = col("vec_id") % 10 === 0
+    val (codes, cbt, cents) = IvfPq.incrementalIndex(
+      base, dir, deltaPred, "d10", 8, 2, 3)
+    // the merged table must cover BOTH sides of the append boundary
+    assert(codes.filter(col("vec_id") % 10 === 0).count() > 0)
+    assert(codes.filter(col("vec_id") % 10 =!= 0).count() > 0)
+    // codebook seeds are the ARCHIVE's sub-16 ids (frozen training
+    // never sees the delta, so delta ids 0 and 10 are not codewords)
+    val nSeeds = base.filter(col("vec_id") < 16 && col("vec_id") % 10 =!= 0)
+      .count()
+    assert(cbt.count() === nSeeds * 8)
+    // frozen-codebook rebuild: train on the archive, code EVERYTHING —
+    // the from-scratch equivalent of the incremental merge
+    val rebuild = Files.createTempDirectory("graft-pq-rebuild").toFile
+    try {
+      IvfPq.buildInto(base.filter(!deltaPred), base, cents, 3, rebuild)
+      val kind = new File(LayoutCatalog.root, s"ivfpq_v${IvfPq.LayoutVersion}")
+      val mergedDir = kind.listFiles()
+        .filter(d => d.getName.contains("_d10_merged_") &&
+          !d.getName.startsWith(".tmp_")).head
+      def partBytes(d: File): Map[String, String] = {
+        val re = "part-(\\d{5})-".r
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet")).map { f =>
+            val p = re.findFirstMatchIn(f.getName).get.group(1)
+            val md = java.security.MessageDigest.getInstance("MD5")
+            p -> md.digest(Files.readAllBytes(f.toPath))
+              .map(b => f"$b%02x").mkString
+          }.toMap
+      }
+      val mc = partBytes(new File(mergedDir, "codes"))
+      val rc = partBytes(new File(rebuild, "codes"))
+      assert(mc.nonEmpty && mc == rc,
+        s"codes parquet bytes must match per partition: merged=${mc.keySet} rebuild=${rc.keySet}")
+      assert(partBytes(new File(mergedDir, "codebook")) ==
+        partBytes(new File(rebuild, "codebook")),
+        "codebook parquet bytes must match")
+    } finally LayoutCatalog.deleteRecursively(rebuild)
+  }
+
   test("edge layout: weighted pairs carry the exact per-pair line counts") {
     val dir = corpus.getAbsolutePath
     val wp = EdgeLayout.weightedPairs(spark, dir)
