@@ -925,6 +925,107 @@ object StreamOps {
       }
   }
 
+  /** One arriving (quantized) embedding on the vector-ingest stream. */
+  final case class PqVec(vec_id: Long, qv: Seq[Long])
+
+  /** A frozen spherical centroid (from the archive-trained artifact). */
+  final case class PqCent(centroid_id: Int, cv: Seq[Long])
+
+  /** A frozen codebook entry: 8-dim integer codeword. */
+  final case class PqCw(subspace: Long, code: Long, cw: Seq[Long])
+
+  /** Running per-cell reconstruction-error aggregate. */
+  final case class PqCellAgg(n: Long, tot: Long, mx: Long, exact: Long)
+
+  final case class PqAuditState(batch: Long, cells: Map[Long, PqCellAgg])
+
+  /** One row of the post-batch per-cell audit snapshot — q287's
+    * output shape plus the batch tag. */
+  final case class PqAuditSnap(batch_seq: Long, centroid_id: Long,
+      n_copies: Long, total_err: Long, mean_err: Long, max_err: Long,
+      n_exact: Long)
+
+  /** Streaming incremental PQ-ingest audit — the streaming half of
+    * the q287 health monitor, run over the INCREMENTALLY-MAINTAINED
+    * index (q289's frozen-training contract): centroids and codebook
+    * are the archive-trained FROZEN tables (tiny; carried in the
+    * closure exactly as a serving node pins them in memory), `seed`
+    * is the archive's per-cell audit, and each arriving vector pays
+    * its own r-way spherical assignment + per-subspace code argmin +
+    * reconstruction error — the identical exact-integer arithmetic
+    * the batch build runs in Spark and the oracle replays in DuckDB
+    * (double only in the assignment key `2.0 − dot/√cn`, the same
+    * IEEE ops as Ivf.cosKeyExpr, so cell choices match bit for bit).
+    * After every micro-batch the operator emits the complete current
+    * per-cell profile. Because per-vector coding is independent, the
+    * snapshot after batch i must equal the batch audit of
+    * archive + arrived-prefix — which is exactly the merged index's
+    * codes filtered to those ids (StreamBatchParitySpec pins every
+    * snapshot, and the final one against the audit of the
+    * byte-pinned incremental artifact itself). State is one bounded
+    * Map of k cells — never the corpus. */
+  def incrementalPqAudit(incoming: Dataset[PqVec], cents: Seq[PqCent],
+      codebook: Seq[PqCw], replication: Int,
+      seed: Map[Long, PqCellAgg]): Dataset[PqAuditSnap] = {
+    import incoming.sparkSession.implicits._
+    // pre-derive the integer self-norms once (driver side)
+    val centArr = cents.map(c =>
+      (c.centroid_id, c.cv.toArray, c.cv.map(x => x * x).sum)).toArray
+    val cwBySub = codebook.groupBy(_.subspace).view.mapValues(_.map(e =>
+      (e.code, e.cw.toArray, e.cw.map(x => x * x).sum)).sortBy(_._1)).toMap
+    def dot(a: Array[Long], b: Array[Long], off: Int): Long = {
+      var s = 0L; var i = 0
+      while (i < b.length) { s += a(off + i) * b(i); i += 1 }
+      s
+    }
+    incoming
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[PqAuditState, PqAuditSnap](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[PqVec], state: GroupState[PqAuditState]) =>
+          val st0 = state.getOption.getOrElse(PqAuditState(0L, seed))
+          var cells = st0.cells
+          rows.toSeq.sortBy(_.vec_id).foreach { v =>
+            val qv = v.qv.toArray
+            // r-way spherical assignment: ascending (2 − dot/√cn, id)
+            val assigned = centArr.map { case (cid, cv, cn) =>
+              val k =
+                if (cn > 0)
+                  2.0 - dot(qv, cv, 0).toDouble / math.sqrt(cn.toDouble)
+                else 1e308
+              (k, cid, cv)
+            }.sortBy { case (k, cid, _) => (k, cid) }.take(replication)
+            assigned.foreach { case (_, cid, cv) =>
+              val rv = Array.tabulate(qv.length)(i => qv(i) - cv(i))
+              var err = 0L
+              var sub = 0L
+              while (sub < 8) {
+                val off = (sub * 8).toInt
+                val sn = dot(rv, rv.slice(off, off + 8), off)
+                // per-subspace argmin over the frozen codebook,
+                // ties to the smaller code (the build's exact rule)
+                var bestD = Long.MaxValue
+                cwBySub(sub).foreach { case (_, cw, cn2) =>
+                  val d = sn + cn2 - 2L * dot(rv, cw, off)
+                  if (d < bestD) bestD = d
+                }
+                err += bestD
+                sub += 1
+              }
+              val a = cells.getOrElse(cid.toLong, PqCellAgg(0, 0, 0, 0))
+              cells += cid.toLong -> PqCellAgg(a.n + 1, a.tot + err,
+                math.max(a.mx, err), a.exact + (if (err == 0) 1L else 0L))
+            }
+          }
+          val st = PqAuditState(st0.batch + 1, cells)
+          state.update(st)
+          cells.toSeq.sortBy(_._1).iterator.map { case (cid, a) =>
+            PqAuditSnap(st.batch, cid, a.n, a.tot, a.tot / a.n, a.mx, a.exact)
+          }
+      }
+  }
+
   def incrementalDedup(
       incoming: DataFrame,
       corpus: DataFrame,

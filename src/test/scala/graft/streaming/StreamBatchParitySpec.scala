@@ -851,6 +851,102 @@ class StreamBatchParitySpec extends SparkSpec {
       "final streamed snapshot must equal oracle-backed batch q288")
   }
 
+  test("streaming PQ-ingest audit across 3 micro-batches equals the incremental-index health profile") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val qd = graft.functions.VecMath.qdot _
+    val base = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VecMath.quantize(col("embedding")).as("qv"))
+      .withColumn("qn", graft.functions.VecMath.qdot(col("qv"), col("qv")))
+      .filter(col("qn") > 0)
+      .select("vec_id", "qv", "qn")
+    // the incrementally-maintained index (q289's artifact at this SF:
+    // ladder k=32): frozen archive-trained centroids + codebook,
+    // merged codes byte-pinned in LayoutCatalogSpec
+    val (codes, cbt, cents) = graft.operators.IvfPq.incrementalIndex(
+      base, sf, col("vec_id") % 10 === 0, "d10", 32, 2, 3)
+
+    // the q287 errs chain over any codes subset — the batch replay
+    // every streamed snapshot is held against
+    def audit(codesF: org.apache.spark.sql.DataFrame)
+        : Map[Long, (Long, Long, Long, Long, Long)] =
+      codesF
+        .join(base.select(col("vec_id"), col("qv")), "vec_id")
+        .join(broadcast(cents.select(col("centroid_id"), col("cv"))),
+          "centroid_id")
+        .join(broadcast(cbt), Seq("subspace", "code"))
+        .withColumn("sl", expr(
+          "slice(zip_with(qv, cv, (x, y) -> x - y), " +
+            "cast(subspace * 8 + 1 as int), 8)"))
+        .withColumn("d", qd(col("sl"), col("sl")) + qd(col("cw"), col("cw"))
+          - lit(2L) * qd(col("sl"), col("cw")))
+        .groupBy("vec_id", "centroid_id")
+        .agg(sum(col("d")).as("err"))
+        .groupBy(col("centroid_id").cast("long").as("cid"))
+        .agg(count(lit(1)).as("n"), sum(col("err")).as("tot"),
+          max(col("err")).as("mx"),
+          sum(when(col("err") === 0, 1L).otherwise(0L)).as("ex"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(2) / r.getLong(1),
+            r.getLong(3), r.getLong(4)))).toMap
+
+    val archIds = base.filter(col("vec_id") % 10 =!= 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val seed = audit(codes.filter(col("vec_id") % 10 =!= 0)).map {
+      case (cid, (n, tot, _, mx, ex)) =>
+        cid -> StreamOps.PqCellAgg(n, tot, mx, ex)
+    }
+    val centsSeq = cents.collect()
+      .map(r => StreamOps.PqCent(r.getInt(0), r.getSeq[Long](1))).toSeq
+    val cbSeq = cbt.collect()
+      .map(r => StreamOps.PqCw(r.getLong(0), r.getLong(1),
+        r.getSeq[Long](2))).toSeq
+
+    // today's embedding batch arrives across 3 known id slices
+    val deltaIds = base.filter(col("vec_id") % 10 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    val parts = deltaIds.grouped((deltaIds.length + 2) / 3).toSeq
+    assert(parts.length === 3)
+    val delta = base.filter(col("vec_id") % 10 === 0).select("vec_id", "qv")
+    val in = Files.createTempDirectory("graft-pqaudit-in")
+    parts.zipWithIndex.foreach { case (ids, i) =>
+      val tmp = in.resolve(s"stage${i + 1}")
+      delta.filter(col("vec_id").isin(ids.toSeq: _*))
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, in.resolve(s"batch${i + 1}.parquet"))
+      in.resolve(s"batch${i + 1}.parquet").toFile
+        .setLastModified(System.currentTimeMillis() + i * 2000L)
+    }
+
+    val result = runStream(in, delta.schema, st =>
+      StreamOps.incrementalPqAudit(
+        st.as[StreamOps.PqVec], centsSeq, cbSeq, 3, seed).toDF())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))))
+    assert(result.map(_._1).distinct.sorted.toSeq === Seq(1L, 2L, 3L))
+
+    // per-vector coding is independent, so the batch replay for a
+    // prefix is the merged codes FILTERED to archive + prefix ids
+    (1 to 3).foreach { b =>
+      val ids = archIds ++ parts.take(b).flatten
+      val want = audit(codes.filter(col("vec_id")
+        .isin(ids.toSeq: _*))).toSeq.sortBy(_._1)
+      val got = result.filter(_._1 == b.toLong)
+        .map(t => t._2 -> t._3).toSeq.sortBy(_._1)
+      assert(got === want, s"snapshot $b must equal the batch prefix audit")
+    }
+    // ... and the final snapshot is the full merged-index profile
+    val full = audit(codes).toSeq.sortBy(_._1)
+    val finalSnap = result.filter(_._1 == 3L)
+      .map(t => t._2 -> t._3).toSeq.sortBy(_._1)
+    assert(full.nonEmpty && finalSnap === full)
+  }
+
   test("streaming first-seen vocabulary across 3 micro-batches equals batch q172's curve") {
     import spark.implicits._
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
