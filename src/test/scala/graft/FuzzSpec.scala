@@ -15,8 +15,8 @@ import org.apache.spark.sql.types._
   * sign behavior on negative operands, null ordering in window sorts,
   * 3VL IN/NOT IN, cast edges, decimal scale/rounding — by generating
   * random small relations and instantiating parameterized query
-  * templates across seven operator families (agg, window, join, string,
-  * div/mod/decimal, date, array/HOF), then running BOTH engines over the same
+  * templates across nine operator families (agg, window, join, string,
+  * div/mod/decimal, date, array/HOF, join semantics, multi-grain/set-op), then running BOTH engines over the same
   * parquet bytes and comparing through the exact canonicalization the
   * driver's gate uses (tools/check_oracle.py: sorted columns, sorted
   * rows, str values).
@@ -42,7 +42,7 @@ class FuzzSpec extends SparkSpec {
     try Process(Seq("python3", "-c", "import duckdb")).! == 0
     catch { case _: java.io.IOException => false }
 
-  test("differential fuzz: 100 random relations × 8 template families match DuckDB") {
+  test("differential fuzz: 100 random relations × 9 template families match DuckDB") {
     assume(duckdbAvailable, "python3+duckdb oracle not available on this host")
     info(s"fuzz seed = $seed (set GRAFT_FUZZ_SEED to replay)")
     val rng = new scala.util.Random(seed)
@@ -242,6 +242,36 @@ class FuzzSpec extends SparkSpec {
           WHERE y.k IS NULL"""
       }
       queries += FQ(f"f8_joinsem_$i%02d", sql, sql)
+    }
+
+    // F9 multi-grain aggregation + set-op NULL semantics: ROLLUP /
+    // CUBE with GROUPING() disambiguation (a rolled-up NULL vs a real
+    // NULL key), COUNT(DISTINCT) across grains, FILTER-clause
+    // aggregates, and INTERSECT/EXCEPT/DISTINCT — where NULLs compare
+    // EQUAL (the 3VL exception every engine must special-case)
+    (0 until perFamily).foreach { i =>
+      val (ta, tb) = (rel(), rel())
+      val m = 2 + rng.nextInt(5); val c = rng.nextInt(101) - 50
+      val sql = i % 5 match {
+        case 0 => s"""SELECT k, g, CAST(GROUPING(k) AS BIGINT) AS gk,
+          CAST(GROUPING(g) AS BIGINT) AS gg, COUNT(*) AS n,
+          CAST(SUM(a) AS BIGINT) AS sa
+          FROM (SELECT k, b % $m AS g, a FROM $ta) t
+          GROUP BY ROLLUP(k, g)"""
+        case 1 => s"""SELECT k, g, CAST(GROUPING(k) AS BIGINT) AS gk,
+          CAST(GROUPING(g) AS BIGINT) AS gg,
+          COUNT(DISTINCT a) AS nda, COUNT(*) AS n
+          FROM (SELECT k, s IS NULL AS g, a FROM $ta) t
+          GROUP BY CUBE(k, g)"""
+        case 2 => s"""SELECT k, b FROM $ta INTERSECT SELECT k, b FROM $tb"""
+        case 3 => s"""SELECT k, b FROM $ta EXCEPT SELECT k, b FROM $tb"""
+        case _ => s"""SELECT k,
+          COUNT(*) FILTER (WHERE a > $c) AS nf,
+          CAST(SUM(a) FILTER (WHERE b % 2 = 0) AS BIGINT) AS sf2,
+          COUNT(*) AS n
+          FROM $ta GROUP BY k"""
+      }
+      queries += FQ(f"f9_grain_$i%02d", sql, sql)
     }
 
     // ---- 3. run the Spark side, dump results + oracle SQL in the
