@@ -357,6 +357,45 @@ class LayoutCatalogSpec extends SparkSpec {
     assert(warm == cold)
   }
 
+  test("retention never deletes a prefix-ambiguous sibling corpus") {
+    // sanitized base names are prefix-ambiguous: corpus "corpA"
+    // publishing a new fingerprint must retire only ITS stale
+    // sibling (base + '_' + 16-hex fingerprint, exactly), never the
+    // live artifact of corpus "corpA_b" whose name shares the prefix
+    def pub(d: File, payload: String): Unit =
+      LayoutCatalog.buildAndPublish(d, tmp => {
+        tmp.mkdirs()
+        Files.writeString(new File(tmp, "p").toPath, payload): Unit
+      })
+    val a1 = LayoutCatalog.publishedDir("retkind", "corpA", "aaaaaaaaaaaaaaaa")
+    val b1 = LayoutCatalog.publishedDir("retkind", "corpA_b", "bbbbbbbbbbbbbbbb")
+    pub(a1, "a1"); pub(b1, "b1")
+    val a2 = LayoutCatalog.publishedDir("retkind", "corpA", "cccccccccccccccc")
+    pub(a2, "a2")
+    assert(!a1.exists(), "same corpus, stale fingerprint: retired")
+    assert(LayoutCatalog.isPublished(a2))
+    assert(LayoutCatalog.isPublished(b1),
+      "prefix-sharing sibling corpus must survive retention")
+    assert(Files.readString(new File(b1, "p").toPath) == "b1")
+  }
+
+  test("publish is atomic: a visible artifact directory always carries _meta") {
+    // _meta is stamped INSIDE the temp dir before the rename, so a
+    // published dest is born committed — there is no rename-to-stamp
+    // window in which a concurrent builder could mistake the winner's
+    // fresh data for a torn build and delete it
+    val d = LayoutCatalog.publishedDir("atomkind", "base", "dddddddddddddddd")
+    LayoutCatalog.buildAndPublish(d, tmp => {
+      tmp.mkdirs()
+      Files.writeString(new File(tmp, "p").toPath, "x")
+      // the commit marker must not exist in the temp until publish
+      // stamps it (the builder callback never writes it)
+      assert(!new File(tmp, "_meta").isFile)
+      ()
+    })
+    assert(LayoutCatalog.isPublished(d))
+  }
+
   test("publish loser of a concurrent race reads the winner's artifact") {
     // two 'processes' racing on one fingerprint: simulate the loser by
     // pre-publishing dest, then calling buildAndPublish — the build
