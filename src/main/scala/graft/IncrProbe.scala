@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch ingest-cost probe for the INCREMENTAL maintenance paths
+  * (not part of the driver contract): at a scale fixture (default the
+  * 25× corpus from tools/gen_scale.py), measures what an append
+  * actually pays vs a from-scratch rebuild, for both incremental
+  * artifacts:
+  *
+  *   - lexical (TextIndex): full tokenize+aggregate+bucket-write vs
+  *     the archive-published bucket-merge (read archive postings +
+  *     tokenize the 10% delta + write) — the saving is the corpus
+  *     re-TOKENIZATION; the merged write is still O(corpus) bytes,
+  *     which the probe reports honestly.
+  *   - IVF-PQ (IvfPq): full train+code vs delta-only coding against
+  *     the frozen archive tables — here assignment + coding dominate,
+  *     so the append-side saving is the corpus re-CODE.
+  *
+  * Protocol: one JVM, the build path warmed on a small corpus first
+  * (ScaleProbe's lesson — the first build absorbs codegen/committer
+  * warm-up), each phase on a fresh scratch layout root. The
+  * merge-only figure re-runs the incremental call after retiring just
+  * the merged directory, so the archive resolves warm from disk —
+  * exactly the production append posture (the archive artifact
+  * already exists when today's delta lands).
+  *
+  * Usage: GRAFT_SCALE_B=/tmp/graft_scale/x25 tools/incr_probe.sh
+  */
+object IncrProbe {
+
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("GRAFT_SCALE_B", "/tmp/graft_scale/x25")
+    val warm = sys.env.getOrElse("GRAFT_SCALE_WARM", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Log.quietAuditedWarnings()
+
+    def freshRoot(): java.io.File = {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-incr-probe").toFile
+      sys.props("graft.layout.root") = d.getAbsolutePath
+      graft.operators.TextIndex.reset()
+      graft.operators.IvfPq.reset()
+      graft.operators.Ivf.reset()
+      d
+    }
+    def timed(label: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[incr] $label: $s%.2f s")
+      s
+    }
+    def retireMerged(root: java.io.File, kind: String, marker: String): Unit = {
+      val k = new java.io.File(root, kind)
+      Option(k.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.contains(marker))
+        .foreach(graft.operators.LayoutCatalog.deleteRecursively)
+      graft.operators.TextIndex.reset()
+      graft.operators.IvfPq.reset()
+      graft.operators.Ivf.reset()
+      // the rebuild writes NEW part files at the same locations: drop
+      // the session's registered postings tables and invalidate the
+      // shared file-status cache, or the re-read serves stale listings
+      spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("graft_postings_"))
+        .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+      spark.catalog.refreshByPath(root.getAbsolutePath)
+    }
+    val pred = col("doc_id") % 10 === 0
+
+    // warm the bucket-write / codegen path on the small corpus
+    freshRoot()
+    graft.operators.TextIndex.bigramPostings(spark, warm)
+      .queryExecution.toRdd.count()
+
+    // ---- lexical: full rebuild vs archive-published merge
+    freshRoot()
+    val lexFull = timed("lexical_full_build")(
+      graft.operators.TextIndex.bigramPostings(spark, dir)
+        .queryExecution.toRdd.count(): Unit)
+    val lexRoot = freshRoot()
+    val lexIncrTotal = timed("lexical_archive_plus_merge")(
+      graft.operators.TextIndex.incrementalPostings(spark, dir, pred, "p")
+        ._1.queryExecution.toRdd.count(): Unit)
+    retireMerged(lexRoot,
+      s"lexical_v${graft.operators.TextIndex.LayoutVersion}", "_p_merged_")
+    val lexMerge = timed("lexical_merge_only")(
+      graft.operators.TextIndex.incrementalPostings(spark, dir, pred, "p")
+        ._1.queryExecution.toRdd.count(): Unit)
+
+    // ---- IVF-PQ: full train+code vs delta-only coding
+    val vpred = col("vec_id") % 10 === 0
+    def base = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VecMath.quantize(col("embedding")).as("qv"))
+      .withColumn("qn", graft.functions.VecMath.qdot(col("qv"), col("qv")))
+      .filter(col("qn") > 0)
+      .select("vec_id", "qv", "qn")
+    val k = 256 // the √n ladder rung for the 50k-vector 25× fixture
+    freshRoot()
+    val pqFull = timed("pq_full_train_plus_code") {
+      val cents = graft.operators.Ivf.persistedCentroidsCosine(
+        base, dir, "vec_id", "qv", k, 2)
+      graft.operators.IvfPq.persistedIndex(base, dir, cents, k, 2, 3)
+        ._1.queryExecution.toRdd.count(): Unit
+    }
+    val pqRoot = freshRoot()
+    val pqIncrTotal = timed("pq_archive_plus_merge")(
+      graft.operators.IvfPq.incrementalIndex(base, dir, vpred, "p", k, 2, 3)
+        ._1.queryExecution.toRdd.count(): Unit)
+    retireMerged(pqRoot,
+      s"ivfpq_v${graft.operators.IvfPq.LayoutVersion}", "_p_merged_")
+    val pqMerge = timed("pq_delta_merge_only")(
+      graft.operators.IvfPq.incrementalIndex(base, dir, vpred, "p", k, 2, 3)
+        ._1.queryExecution.toRdd.count(): Unit)
+
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    spark.stop()
+    println(s"""{"metric":"incr_probe","dir":"$dir","lexical":{"full":${
+      num(lexFull)},"archive_plus_merge":${num(lexIncrTotal)},"merge_only":${
+      num(lexMerge)}},"ivfpq":{"full":${num(pqFull)},"archive_plus_merge":${
+      num(pqIncrTotal)},"merge_only":${num(pqMerge)}}}""")
+    System.out.flush()
+  }
+}

@@ -1459,6 +1459,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q289: incremental ANN reads the merged persisted index — same search plan shape as q286") {
+    val p = plan("q289_incremental_ann")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"q289 must not cartesian:\n$p")
+    // the frozen-training build (archive centroids, archive codebook,
+    // delta coding, bucket merge) all live in the durable catalog —
+    // the query-side plan is the identical ADC search tail as q286
+    val ex = p.collect { case e: ShuffleExchangeExec => e }
+    assert(ex.length <= 4,
+      s"q289 expected the search-side shuffles only (${ex.length}):\n$p")
+    assert(scans(p).nonEmpty,
+      s"q289 must read the persisted artifact tables:\n$p")
+  }
+
+  test("q288: incremental BM25 reads the merged bucketed postings; stats sides broadcast") {
+    val p = plan("q288_incremental_bm25")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"q288 must not cartesian:\n$p")
+    // the archive merge is ingest work in the catalog; the query-side
+    // postings scan is the BUCKETED merged table and every joined
+    // side (query terms, df, dl, corpus stats) is broadcast — the
+    // postings never shuffle for a join
+    val bucketScans = scans(p).filter(_.relation.bucketSpec.isDefined)
+    assert(bucketScans.nonEmpty,
+      s"q288 must scan the bucketed merged postings:\n$p")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+      p.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
+      s"every q288 join side must broadcast:\n$p")
+  }
+
   test("q284: weighted rank rounds keep the bucketed edge side; strength is a window, not a join") {
     val p = plan("q284_weighted_pagerank")
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
