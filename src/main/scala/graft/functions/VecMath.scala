@@ -51,6 +51,53 @@ object VecKernel {
     }
     acc
   }
+
+  /** Top-r spherical probe: the r centroid ids nearest `qv` by COSINE,
+    * ascending by the exact (2 − dot/√cn, centroid_id) key — BIT-FOR-BIT
+    * the `array_sort(transform(__cents, …))` + slice formulation
+    * `operators/Ivf` evaluated interpreted (same IEEE divide/sqrt, same
+    * 2.0− anchor, same 1e308 zero-mass sink, same id tiebreak; the
+    * doubles can never be ±0.0 or NaN by the anchor/cn>0 construction).
+    * `cents` is the broadcast array<struct<centroid_id, cv, cn>>. The
+    * interpreted HOF ran the dim-64 dot as per-element closure calls —
+    * k·dim interpreted ops per ROW, the ingest hot loop once nCentroids
+    * rides the √n ladder; this is one compiled loop with a fixed
+    * r-slot insertion buffer. Returns min(r, k) ids (slice semantics
+    * when training dropped cells below r). */
+  def cosProbe(qv: ArrayData, cents: ArrayData, r: Int): ArrayData = {
+    val n = cents.numElements()
+    val m = if (r < n) r else n
+    val keys = new Array[Double](m)
+    val ids = new Array[Int](m)
+    var filled = 0
+    var i = 0
+    while (i < n) {
+      val row = cents.getStruct(i, 3)
+      val cid = row.getInt(0)
+      val cn = row.getLong(2)
+      val k =
+        if (cn > 0) 2.0 - dot(qv, row.getArray(1)).toDouble /
+          math.sqrt(cn.toDouble)
+        else 1e308
+      // insertion position by (k, cid) ascending
+      var p = filled
+      while (p > 0 && (k < keys(p - 1) ||
+          (k == keys(p - 1) && cid < ids(p - 1)))) p -= 1
+      if (p < m) {
+        val last = if (filled < m) filled else m - 1
+        var j = last
+        while (j > p) { keys(j) = keys(j - 1); ids(j) = ids(j - 1); j -= 1 }
+        keys(p) = k
+        ids(p) = cid
+        if (filled < m) filled += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](filled)
+    var o = 0
+    while (o < filled) { out(o) = ids(o); o += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** `quantize_embedding(array<float>)` → array<bigint>: floor(x·scale),
@@ -96,6 +143,29 @@ case class QDot(left: Expression, right: Expression) extends BinaryExpression {
   override def prettyName: String = "qdot"
 }
 
+/** `cos_probe(array<bigint>, array<struct<centroid_id, cv, cn>>)` →
+  * array<int>: the r nearest centroid ids by cosine (see
+  * [[VecKernel.cosProbe]]). */
+case class CosProbe(left: Expression, right: Expression, r: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernel.cosProbe(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], r)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VecKernel.cosProbe($a, $b, $r)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "cos_probe"
+}
+
 object VecMath {
   import org.apache.spark.sql.graftbridge.Bridge
 
@@ -107,4 +177,7 @@ object VecMath {
 
   def qdot(a: Column, b: Column): Column =
     Bridge.column(QDot(Bridge.expression(a), Bridge.expression(b)))
+
+  def cosProbe(qv: Column, cents: Column, r: Int): Column =
+    Bridge.column(CosProbe(Bridge.expression(qv), Bridge.expression(cents), r))
 }

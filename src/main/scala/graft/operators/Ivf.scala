@@ -148,26 +148,29 @@ object Ivf {
 
   /** [[assign]] with spherical cells: nearest centroid by COSINE
     * (exact-integer dot, [[cosKeyExpr]] key, centroid_id tiebreak).
-    * Same map-side shape — one projection over the broadcast array. */
+    * Same map-side shape — one projection over the broadcast array.
+    * Since round 11 the argmin runs in the codegen'd
+    * [[graft.functions.VecKernel.cosProbe]] kernel (bit-identical to
+    * the interpreted `array_min(transform(...))` it replaces —
+    * `IvfSpec` pins kernel == HOF replay): at √n-ladder cell counts
+    * the k·dim interpreted closure calls per row were the ingest hot
+    * loop (the q209 lesson at the assignment stage — IncrProbe
+    * measured the 25×-fixture k=256 full build at 252 s interpreted). */
   def assignCosine(df: DataFrame, qvCol: String, centroids: DataFrame): DataFrame =
     df.crossJoin(broadcast(centroidArrayCos(centroids)))
-      .withColumn("centroid_id", expr(
-        s"""array_min(transform(__cents, c ->
-              struct(${cosKeyExpr(qvCol)} AS k,
-                     c.centroid_id AS centroid_id))).centroid_id"""))
+      .withColumn("centroid_id",
+        graft.functions.VecMath.cosProbe(col(qvCol), col("__cents"), 1)
+          .getItem(0))
       .drop("__cents")
 
   /** [[probe]] with spherical cells: each query explodes into its
-    * `nProbe` highest-cosine centroids. */
+    * `nProbe` highest-cosine centroids (the same codegen'd kernel —
+    * one compiled top-r pass per row). */
   def probeCosine(queries: DataFrame, qvCol: String, centroids: DataFrame,
       nProbe: Int): DataFrame =
     queries.crossJoin(broadcast(centroidArrayCos(centroids)))
-      .withColumn("centroid_id", explode(expr(
-        s"""transform(
-              slice(array_sort(transform(__cents, c ->
-                struct(${cosKeyExpr(qvCol)} AS k,
-                       c.centroid_id AS centroid_id))), 1, $nProbe),
-              p -> p.centroid_id)""")))
+      .withColumn("centroid_id", explode(
+        graft.functions.VecMath.cosProbe(col(qvCol), col("__cents"), nProbe)))
       .drop("__cents")
 
   /** Deterministic TRAINED centroids: [[seedCentroids]] then `rounds`

@@ -50,6 +50,31 @@ class IvfSpec extends SparkSpec {
       "probing every cell must enumerate the full candidate space")
   }
 
+  test("cosProbe kernel equals the interpreted HOF formulation, id for id") {
+    // the codegen'd top-r kernel (round 11 — the ingest hot loop once
+    // nCentroids rides the √n ladder) must be BIT-identical to the
+    // array_sort(transform(...)) + slice expression it replaced: same
+    // IEEE key 2 − dot/√cn, same 1e308 zero-mass sink, same id
+    // tiebreak, same slice semantics when r exceeds the cell count
+    val cents = Ivf.trainCentroidsCosine(base, "vec_id", "qv", 8, 2)
+    val centArr = cents.agg(collect_list(struct(col("centroid_id"), col("cv"),
+      expr("aggregate(transform(cv, x -> x * x), 0L, (acc, x) -> acc + x)")
+        .as("cn"))).as("__cents"))
+    Seq(1, 2, 4, 8, 16).foreach { r =>
+      val both = base.crossJoin(broadcast(centArr))
+        .withColumn("kernel",
+          graft.functions.VecMath.cosProbe(col("qv"), col("__cents"), r))
+        .withColumn("hof", expr(
+          s"""transform(
+                slice(array_sort(transform(__cents, c ->
+                  struct(${Ivf.cosKeyExpr("qv")} AS k,
+                         c.centroid_id AS centroid_id))), 1, $r),
+                p -> p.centroid_id)"""))
+      assert(both.filter(not(col("kernel") === col("hof"))).count() === 0,
+        s"kernel and HOF probe lists must match at r=$r")
+    }
+  }
+
   test("integer Lloyd step does not worsen the clustering objective") {
     def objective(assigned: DataFrame, cents: DataFrame): Long =
       assigned.select("vec_id", "qv", "centroid_id")
