@@ -241,6 +241,8 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q289    graft.queries.Vectors    — ANN search over the
   *            incrementally-maintained IVF-PQ index (frozen
   *            archive-trained centroids/codebook, delta-only coding)
+  *   q290    graft.queries.Matching   — index delta report: per-gram
+  *            df rise from today's batch, artifact-only arithmetic
   */
 object SparkEntry {
 

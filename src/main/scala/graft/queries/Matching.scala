@@ -634,5 +634,65 @@ object Matching {
         .withColumn("is_new", col("doc_id") % 10 === 0)
         .select("query_id", "doc_id", "score", "rnk", "is_new")
     },
+
+    // --------------------------------------------------------------- q290
+    // Index DELTA report — what did today's batch add to the lexical
+    // index? The post-append monitoring twin of q288's retrieval
+    // check: per bigram, the document-frequency RISE contributed by
+    // the delta (df_merged − df_archive, which equals the delta's own
+    // df because the merged artifact is byte-identical to
+    // archive ∪ delta), flagging grams the archive had never seen.
+    // Top-15 risers by (df_new DESC, g) — the "what's trending in
+    // today's crawl" signal a corpus curator reads after each ingest.
+    // Spark computes it WITHOUT touching documents at all: both
+    // inputs are the bucketed catalog artifacts, so the two df
+    // aggregates AND their join run exchange-free on the g bucket
+    // partitioning, the top-15 is a TakeOrderedAndProject, and the
+    // only exchange is the 15-row rank window (PlanSpec-pinned). The
+    // oracle re-derives both frequency tables from raw text — the
+    // hash match proves the artifact-only arithmetic equals the
+    // corpus-truth delta.
+    Q(
+      "q290_index_delta_report",
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        big AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g
+          FROM tok),
+        tf AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS tf FROM big GROUP BY doc_id, g),
+        dfa AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS df_arch
+          FROM tf WHERE doc_id % 10 <> 0 GROUP BY g),
+        dfn AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS df_new
+          FROM tf WHERE doc_id % 10 = 0 GROUP BY g)
+        SELECT g, COALESCE(a.df_arch, 0) AS df_arch, n.df_new,
+               a.g IS NULL AS is_new_gram, rnk
+        FROM (
+          SELECT g, df_new,
+                 ROW_NUMBER() OVER (ORDER BY df_new DESC, g) AS rnk
+          FROM dfn) n
+        LEFT JOIN dfa a USING (g)
+        WHERE rnk <= 15""")
+    ) { (s, dir) =>
+      val pred = col("doc_id") % 10 === 0
+      val (arch, _) = graft.operators.TextIndex.archiveIndex(s, dir, pred, "d10")
+      val (merged, _) = graft.operators.TextIndex
+        .incrementalPostings(s, dir, pred, "d10")
+      val dfA = arch.groupBy("g").agg(count(lit(1)).as("df_arch"))
+      val dfM = merged.groupBy("g").agg(count(lit(1)).as("df_all"))
+      val rise = dfM.join(dfA, Seq("g"), "left")
+        .withColumn("df_arch", coalesce(col("df_arch"), lit(0L)))
+        .withColumn("df_new", col("df_all") - col("df_arch"))
+        .filter(col("df_new") > 0)
+        .withColumn("is_new_gram", col("df_arch") === 0)
+      val top = rise.orderBy(desc("df_new"), col("g")).limit(15)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("df_new"), col("g"))
+      top.withColumn("rnk", row_number().over(w).cast("long"))
+        .select("g", "df_arch", "df_new", "is_new_gram", "rnk")
+    },
   )
 }

@@ -1489,6 +1489,24 @@ class PlanSpec extends SparkSpec {
       s"every q288 join side must broadcast:\n$p")
   }
 
+  test("q290: delta report joins two bucketed artifacts exchange-free; only the 15-row rank shuffles") {
+    val p = plan("q290_index_delta_report")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"q290 must not cartesian:\n$p")
+    // both df aggregates read bucketed postings tables and the g-keyed
+    // join rides the shared bucket partitioning — the corpus-sized
+    // side never shuffles; the top-15 is a TakeOrderedAndProject and
+    // the only exchange feeds the 15-row rank window
+    val bucketScans = scans(p).filter(_.relation.bucketSpec.isDefined)
+    assert(bucketScans.length >= 2,
+      s"q290 must scan both bucketed artifacts:\n$p")
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      s"top-15 must never global-sort:\n$p")
+    val ex = p.collect { case e: ShuffleExchangeExec => e }
+    assert(ex.length <= 1,
+      s"only the 15-row rank window may exchange (${ex.length}):\n$p")
+  }
+
   test("q284: weighted rank rounds keep the bucketed edge side; strength is a window, not a join") {
     val p = plan("q284_weighted_pagerank")
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
