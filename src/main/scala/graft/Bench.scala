@@ -129,11 +129,28 @@ object Bench {
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(out,
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // compact summary as the TRUE last stdout line: the driver's
+    // stdout capture keeps only a ~2 KB tail and parses its last
+    // line — the full ~8 KB per-query record would truncate mid-line,
+    // so it goes to stdout first (and durably to bench_out/) and the
+    // final line is a summary guaranteed to fit the tail window
+    val ts = results.flatMap(_._2).sorted
+    val median = if (ts.isEmpty) 0.0
+      else (ts(ts.length / 2) + ts((ts.length - 1) / 2)) / 2
+    val slowest = results.collect { case (k, Some(v)) => (k, v) }
+      .sortBy(-_._2).take(8)
+      .map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
+      .mkString("{", ",", "}")
+    // keep the expected "queries" key but bound it to the 8 slowest
+    // so the line stays well under the tail window
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"sf":"$sfDir","failed":$failed,"n_queries":${results.length},"median_sec":${num(median, 3)},"queries_truncated_to":"8 slowest; full map in bench_out/latest.json","canary":$canary}"""
     // stop Spark BEFORE printing so the result JSON is the final
     // stdout line (the driver parses the tail of captured stdout;
     // shutdown logging routes to stderr but must not trail the JSON)
     spark.stop()
     println(json)
+    println(summary)
     System.out.flush()
     if (failed > 0) sys.exit(1)
   }

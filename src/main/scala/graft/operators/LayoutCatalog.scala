@@ -147,6 +147,10 @@ object LayoutCatalog {
     * `sf1_b`, whose name also starts with `sf1_`). */
   private def retain(published: File): Unit = {
     val name = published.getName
+    // publishedDir always appends '_' + fingerprint, but retain must
+    // stay total over arbitrary dest names: skip retention rather
+    // than throw on a name with no underscore
+    if (name.lastIndexOf('_') < 0) return
     val base = name.substring(0, name.lastIndexOf('_'))
     val sameCorpus =
       (java.util.regex.Pattern.quote(base) + "_[0-9a-f]{16}").r

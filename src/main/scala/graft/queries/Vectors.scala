@@ -124,11 +124,18 @@ object Vectors {
                         WHEN COUNT(*) <= 1048576 THEN 1024
                         ELSE 2048 END AS k
             FROM embeddings) t)"""
+  // keyed on (dir, content fingerprint): a corpus path whose data
+  // changes within one JVM (scratch roots in probe harnesses) must
+  // re-derive its ladder rung, or Spark would keep a stale k while
+  // the DuckDB oracle recomputes COUNT(*) live
   private val pqCorpusN =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private def pqN(s: SparkSession, dir: String): Long =
-    pqCorpusN.computeIfAbsent(dir,
+  private def pqN(s: SparkSession, dir: String): Long = {
+    val key = dir + "|" +
+      graft.operators.LayoutCatalog.fingerprint(dir, Seq("embeddings"))
+    pqCorpusN.computeIfAbsent(key,
       _ => t(s, dir, "embeddings").count()).longValue()
+  }
 
   /** Exact cosine of a candidate pair (tables aliased a/b), DuckDB
     * side: one BIGINT dot, one double division by one sqrt — shared by
