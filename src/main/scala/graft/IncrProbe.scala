@@ -10,21 +10,20 @@ import org.apache.spark.sql.functions._
   * artifacts:
   *
   *   - lexical (TextIndex): full tokenize+aggregate+bucket-write vs
-  *     the archive-published bucket-merge (read archive postings +
-  *     tokenize the 10% delta + write) — the saving is the corpus
-  *     re-TOKENIZATION; the merged write is still O(corpus) bytes,
-  *     which the probe reports honestly.
+  *     the LSM append (tokenize the 10% delta + write ONLY its
+  *     segment artifact) — since v3 the append pays O(delta) compute
+  *     AND O(delta) bytes; nothing rewrites the archive.
   *   - IVF-PQ (IvfPq): full train+code vs delta-only coding against
-  *     the frozen archive tables — here assignment + coding dominate,
-  *     so the append-side saving is the corpus re-CODE.
+  *     the frozen archive tables into the delta's own code segment —
+  *     both the corpus re-CODE and the corpus re-WRITE are gone.
   *
   * Protocol: one JVM, the build path warmed on a small corpus first
   * (ScaleProbe's lesson — the first build absorbs codegen/committer
   * warm-up), each phase on a fresh scratch layout root. The
-  * merge-only figure re-runs the incremental call after retiring just
-  * the merged directory, so the archive resolves warm from disk —
-  * exactly the production append posture (the archive artifact
-  * already exists when today's delta lands).
+  * append-only figure re-runs the incremental call after retiring
+  * just the delta segment directory, so the archive resolves warm
+  * from disk — exactly the production append posture (the archive
+  * artifact already exists when today's delta lands).
   *
   * Usage: GRAFT_SCALE_B=/tmp/graft_scale/x25 tools/incr_probe.sh
   */
@@ -89,12 +88,12 @@ object IncrProbe {
       graft.operators.TextIndex.bigramPostings(spark, dir)
         .queryExecution.toRdd.count(): Unit)
     val lexRoot = freshRoot()
-    val lexIncrTotal = timed("lexical_archive_plus_merge")(
+    val lexIncrTotal = timed("lexical_archive_plus_append")(
       graft.operators.TextIndex.incrementalPostings(spark, dir, pred, "p")
         ._1.queryExecution.toRdd.count(): Unit)
     retireMerged(lexRoot,
-      s"lexical_v${graft.operators.TextIndex.LayoutVersion}", "_p_merged_")
-    val lexMerge = timed("lexical_merge_only")(
+      s"lexical_v${graft.operators.TextIndex.LayoutVersion}", "_p_seg0_")
+    val lexMerge = timed("lexical_append_only")(
       graft.operators.TextIndex.incrementalPostings(spark, dir, pred, "p")
         ._1.queryExecution.toRdd.count(): Unit)
 
@@ -115,12 +114,12 @@ object IncrProbe {
         ._1.queryExecution.toRdd.count(): Unit
     }
     val pqRoot = freshRoot()
-    val pqIncrTotal = timed("pq_archive_plus_merge")(
+    val pqIncrTotal = timed("pq_archive_plus_append")(
       graft.operators.IvfPq.incrementalIndex(base, dir, vpred, "p", k, 2, 3)
         ._1.queryExecution.toRdd.count(): Unit)
     retireMerged(pqRoot,
-      s"ivfpq_v${graft.operators.IvfPq.LayoutVersion}", "_p_merged_")
-    val pqMerge = timed("pq_delta_merge_only")(
+      s"ivfpq_v${graft.operators.IvfPq.LayoutVersion}", "_p_seg0_")
+    val pqMerge = timed("pq_append_only")(
       graft.operators.IvfPq.incrementalIndex(base, dir, vpred, "p", k, 2, 3)
         ._1.queryExecution.toRdd.count(): Unit)
 
@@ -128,9 +127,9 @@ object IncrProbe {
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     spark.stop()
     println(s"""{"metric":"incr_probe","dir":"$dir","lexical":{"full":${
-      num(lexFull)},"archive_plus_merge":${num(lexIncrTotal)},"merge_only":${
-      num(lexMerge)}},"ivfpq":{"full":${num(pqFull)},"archive_plus_merge":${
-      num(pqIncrTotal)},"merge_only":${num(pqMerge)}}}""")
+      num(lexFull)},"archive_plus_append":${num(lexIncrTotal)},"append_only":${
+      num(lexMerge)}},"ivfpq":{"full":${num(pqFull)},"archive_plus_append":${
+      num(pqIncrTotal)},"append_only":${num(pqMerge)}}}""")
     System.out.flush()
   }
 }

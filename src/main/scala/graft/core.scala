@@ -39,6 +39,27 @@ object Tables {
       spark.read.parquet(s"$dir/$name.parquet")
     }
   }
+
+  /** Shuffle-partition count scaled to the INPUT, for linear passes
+    * whose per-partition cost is super-linear (sort-merge joins,
+    * sort-based aggregates): one partition per ~64 MB of input
+    * parquet, floored at the session's shuffle-partition default.
+    * At the test SFs this returns the default — plans there are
+    * byte-identical to the fixed-conf ones — while at scale fixtures
+    * (and on a real cluster) the count grows linearly with the data,
+    * holding per-partition sort depth n·log(n/p) ≈ n·log(64 MB)
+    * instead of n·log(n/32): the q192 α=0.85→0.80 fix at the 25×
+    * rung. Static file-size arithmetic — no extra Spark job. */
+  def scaledPartitions(spark: SparkSession, dir: String,
+      tables: Seq[String]): Int = {
+    def bytesOf(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(bytesOf).sum
+      else f.length()
+    val bytes = tables.map(t => bytesOf(new java.io.File(dir, s"$t.parquet"))).sum
+    val default = spark.sessionState.conf.numShufflePartitions
+    math.max(default, (bytes / (64L << 20)).toInt)
+  }
 }
 
 /** The engine's reproducible "random" stream: a salted Knuth

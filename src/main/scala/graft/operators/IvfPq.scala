@@ -30,11 +30,14 @@ import org.apache.spark.sql.functions._
   * gives appends the production PQ shape: centroids AND codebook are
   * trained once on the ARCHIVE snapshot and FROZEN (retraining per
   * append would re-code the world); a delta of new vectors pays only
-  * its own assignment + coding against the frozen tables, and the
-  * merged codes table is BYTE-identical to a frozen-codebook rebuild
-  * over the full corpus (per-vector coding is an independent argmin,
-  * so delta∪archive ≡ code-everything — LayoutCatalogSpec pins the
-  * per-file MD5s).
+  * its own assignment + coding against the frozen tables, published
+  * as its OWN code segment (O(delta) write — the archive codes are
+  * never rewritten), and the read view archive ∪ segments is
+  * row-identical to a frozen-codebook rebuild over the full corpus
+  * (per-vector coding is an independent argmin, so delta∪archive ≡
+  * code-everything). Compaction folds segments into one artifact
+  * whose bytes equal that rebuild's — LayoutCatalogSpec pins the
+  * per-file MD5s.
   *
   * Schema: `codes` (vec_id, centroid_id, qn, subspace, code) — one
   * row per indexed copy per subspace, carrying the exact self-norm
@@ -52,7 +55,7 @@ object IvfPq {
     String, (java.io.File, java.io.File)]()
 
   /** Test hook: forget every in-process resolve (disk untouched). */
-  def reset(): Unit = resolved.clear()
+  def reset(): Unit = { resolved.clear(); segResolved.clear() }
 
   /** r-way cell assignment + per-copy residuals of `base` against the
     * broadcast centroid table (columns vec_id, centroid_id, qn, rv). */
@@ -138,8 +141,7 @@ object IvfPq {
     * a published-table read-back write identical parquet schemas
     * (the TextIndex-v2 lesson: .to(schema) widening is optimized
     * away; coalesce with a literal survives). */
-  private def writeTables(codes: DataFrame, cbt: DataFrame,
-      tmp: java.io.File): Unit = {
+  private def writeCodes(codes: DataFrame, tmp: java.io.File): Unit =
     codes.select(
         coalesce(col("vec_id"), lit(0L)).as("vec_id"),
         coalesce(col("centroid_id"), lit(0)).as("centroid_id"),
@@ -150,6 +152,10 @@ object IvfPq {
       .sortWithinPartitions("vec_id", "centroid_id", "subspace")
       .write.mode("overwrite")
       .parquet(new java.io.File(tmp, "codes").getAbsolutePath)
+
+  private def writeTables(codes: DataFrame, cbt: DataFrame,
+      tmp: java.io.File): Unit = {
+    writeCodes(codes, tmp)
     cbt.select(
         coalesce(col("subspace"), lit(0L)).as("subspace"),
         coalesce(col("code"), lit(0L)).as("code"),
@@ -195,49 +201,160 @@ object IvfPq {
   }
 
   /** INCREMENTAL ingest for the vector index — the production append
-    * path: vectors matching `deltaPred` are "today's batch"; the
-    * archive (everything else) owns the TRAINED state — spherical
-    * centroids ([[Ivf.persistedCentroidsCosine]] under an archive
-    * variant key) and the residual codebook — both trained once per
-    * archive snapshot and FROZEN. The merged artifact codes the delta
+    * path, LSM-style: vectors matching `deltaPred` are "today's
+    * batch"; the archive (everything else) owns the TRAINED state —
+    * spherical centroids ([[Ivf.persistedCentroidsCosine]] under an
+    * archive variant key) and the residual codebook — both trained
+    * once per archive snapshot and FROZEN. The append codes the delta
     * against those frozen tables (per-vector assignment + argmin —
-    * independent of every other vector) and unions it with the
-    * archive's PUBLISHED codes, so the append pays
-    * O(delta · (k + 16·8)) integer kernels, never a corpus re-code,
-    * and the result is BYTE-identical to a frozen-codebook rebuild
-    * over the full corpus (LayoutCatalogSpec). Returns
-    * (codes, codebook, centroids) — everything a search consumer
-    * (q289) needs. */
+    * independent of every other vector) and publishes ONLY the
+    * delta's own code-segment artifact: append compute is
+    * O(delta · (k + 16·8)) integer kernels and append I/O is
+    * O(delta) code rows — the archive's codes are never rewritten.
+    * The returned view unions archive + segment codes, row-identical
+    * to a frozen-codebook rebuild over the full corpus; compaction
+    * ([[segmentedIndex]], segment count > maxSegments) folds the
+    * read-backs into one artifact BYTE-identical to that rebuild
+    * (LayoutCatalogSpec pins both). Returns
+    * (codes view, codebook, centroids) — everything a search
+    * consumer (q289) needs. */
   def incrementalIndex(base: DataFrame, dir: String, deltaPred: Column,
       tag: String, nCentroids: Int, rounds: Int, replication: Int)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) =
+    segmentedIndex(base, dir, Seq(deltaPred), tag, nCentroids, rounds,
+      replication)
+
+  /** Multi-append LSM index: the archive (vectors matching NO
+    * predicate) trains centroids + codebook; each predicate's delta
+    * codes against the frozen tables into its own segment artifact
+    * (O(delta) write). Predicates must be pairwise disjoint. Reads
+    * union archive + segments; when segment count exceeds
+    * `maxSegments` the read path compacts the published read-backs
+    * into one merged artifact (the only O(corpus) write, amortized
+    * over maxSegments appends) whose bytes equal a frozen-codebook
+    * rebuild's. */
+  def segmentedIndex(base: DataFrame, dir: String, deltaPreds: Seq[Column],
+      tag: String, nCentroids: Int, rounds: Int, replication: Int,
+      maxSegments: Int = 4): (DataFrame, DataFrame, DataFrame) = {
     import graft.operators.{LayoutCatalog => LC}
+    require(deltaPreds.nonEmpty, "need at least one delta predicate")
     val spark = base.sparkSession
-    val baseArch = base.filter(!deltaPred)
+    val anyDelta = deltaPreds.reduce(_ || _)
+    val baseArch = base.filter(!anyDelta)
     val cents = Ivf.persistedCentroidsCosine(baseArch, dir, "vec_id", "qv",
       nCentroids, rounds, variant = s"${tag}_arch")
-    val key = s"${LC.root.getAbsolutePath}|$dir|$nCentroids|$rounds|$replication|pq|$tag"
-    val (codesLoc, cbLoc) = resolved.computeIfAbsent(key, _ => {
+    val key = s"${LC.root.getAbsolutePath}|$dir|$nCentroids|$rounds|" +
+      s"$replication|pq|$tag|${deltaPreds.length}|$maxSegments"
+    val (codesLocs, cbLoc) = segResolved.computeIfAbsent(key, _ => {
       val fp = LC.fingerprint(dir, Seq("embeddings"))
-      val archDest = LC.publishedDir(s"ivfpq_v$LayoutVersion",
-        s"${LC.sanitize(dir)}_${tag}_arch_k${nCentroids}_r${rounds}_x$replication", fp)
+      def dest(variant: String) = LC.publishedDir(s"ivfpq_v$LayoutVersion",
+        s"${LC.sanitize(dir)}_${tag}_${variant}_k${nCentroids}_r${rounds}_x$replication", fp)
+      val archDest = dest("arch")
       LC.buildAndPublish(archDest, tmp =>
         buildInto(baseArch, baseArch, cents, replication, tmp))
-      val mergedDest = LC.publishedDir(s"ivfpq_v$LayoutVersion",
-        s"${LC.sanitize(dir)}_${tag}_merged_k${nCentroids}_r${rounds}_x$replication", fp)
-      LC.buildAndPublish(mergedDest, tmp => {
-        val archCodes = spark.read.parquet(
-          new java.io.File(archDest, "codes").getAbsolutePath)
-        val cbt = spark.read.parquet(
-          new java.io.File(archDest, "codebook").getAbsolutePath)
-        val deltaCodes = codeAgainst(
-          subspaced(residuals(base.filter(deltaPred), cents, replication)), cbt)
-        writeTables(archCodes.unionByName(deltaCodes), cbt, tmp)
-      })
-      (new java.io.File(mergedDest, "codes"),
-        new java.io.File(mergedDest, "codebook"))
+      val cbFile = new java.io.File(archDest, "codebook")
+      def cbt = spark.read.parquet(cbFile.getAbsolutePath)
+      val segDests = deltaPreds.zipWithIndex.map { case (p, i) =>
+        val d = dest(s"seg$i")
+        LC.buildAndPublish(d, tmp => writeCodes(codeAgainst(
+          subspaced(residuals(base.filter(p), cents, replication)), cbt), tmp))
+        d
+      }
+      def codesOf(d: java.io.File) = new java.io.File(d, "codes")
+      if (deltaPreds.length > maxSegments) {
+        val mergedDest = dest(s"compacted${deltaPreds.length}")
+        LC.buildAndPublish(mergedDest, tmp => writeTables(
+          (archDest +: segDests)
+            .map(d => spark.read.parquet(codesOf(d).getAbsolutePath))
+            .reduce(_ unionByName _),
+          cbt, tmp))
+        (Seq(codesOf(mergedDest)), cbFile)
+      } else ((archDest +: segDests).map(codesOf), cbFile)
     })
-    (spark.read.parquet(codesLoc.getAbsolutePath),
-      spark.read.parquet(cbLoc.getAbsolutePath), cents)
+    val codes = codesLocs
+      .map(f => spark.read.parquet(f.getAbsolutePath))
+      .reduce(_ unionByName _)
+    (codes, spark.read.parquet(cbLoc.getAbsolutePath), cents)
+  }
+
+  private val segResolved = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[java.io.File], java.io.File)]()
+
+  /** Per-copy PQ reconstruction error of an index: for each
+    * (vec_id, centroid_id) copy, err = Σ_sub ||residual_sub −
+    * codeword[code]||² — the exact integer quantity the code argmin
+    * minimized, re-derived from the original vectors so it measures
+    * what the index actually LOST (q287's audit arithmetic, shared).
+    * Returns (vec_id, centroid_id, err). */
+  def reconErrs(base: DataFrame, codes: DataFrame, cbt: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val qd = graft.functions.VecMath.qdot _
+    codes
+      .join(base.select(col("vec_id"), col("qv")), "vec_id")
+      .join(broadcast(cents.select(col("centroid_id"), col("cv"))),
+        "centroid_id")
+      .join(broadcast(cbt), Seq("subspace", "code"))
+      .withColumn("sl", expr(
+        "slice(zip_with(qv, cv, (x, y) -> x - y), " +
+          "cast(subspace * 8 + 1 as int), 8)"))
+      .withColumn("d", qd(col("sl"), col("sl")) + qd(col("cw"), col("cw"))
+        - lit(2L) * qd(col("sl"), col("cw")))
+      .groupBy("vec_id", "centroid_id")
+      .agg(sum(col("d")).as("err"))
+  }
+
+  /** DRIFT statistic of a frozen-codebook incremental index: the
+    * delta's mean per-copy reconstruction error relative to the
+    * archive's, in permille (1000·deltaMean div archMean — exact
+    * integer). ≈1000 when the delta is distributed like the archive;
+    * grows as the delta drifts away from the frozen centroids /
+    * codebook (they were trained on the archive only, so drift shows
+    * up as reconstruction loss BEFORE it shows up as degraded
+    * recall). Returns (archMean, deltaMean, driftPermille). */
+  def driftStats(base: DataFrame, codes: DataFrame, cbt: DataFrame,
+      cents: DataFrame, deltaPred: Column): (Long, Long, Long) = {
+    val errs = reconErrs(base, codes, cbt, cents)
+    val row = errs.agg(
+      sum(when(!deltaPred, 1L).otherwise(0L)).as("n_arch"),
+      sum(when(!deltaPred, col("err")).otherwise(0L)).as("t_arch"),
+      sum(when(deltaPred, 1L).otherwise(0L)).as("n_delta"),
+      sum(when(deltaPred, col("err")).otherwise(0L)).as("t_delta")).head()
+    val archMean = if (row.getLong(0) == 0) 0L else row.getLong(1) / row.getLong(0)
+    val deltaMean = if (row.getLong(2) == 0) 0L else row.getLong(3) / row.getLong(2)
+    val drift = if (archMean == 0) 1000L else 1000L * deltaMean / archMean
+    (archMean, deltaMean, drift)
+  }
+
+  /** Drift-GATED ingest — the retrain policy the frozen-codebook
+    * append path needs to be honest at production timescales: serve
+    * the O(delta) frozen-training LSM view while the delta's mean
+    * reconstruction error stays within `maxDriftPermille` of the
+    * archive's; when the delta distribution has drifted past it, the
+    * snapshot RETRAINS — centroids and codebook train on the FULL
+    * corpus and everything re-codes (the plain per-snapshot artifact,
+    * durable like every other build) instead of coding new data
+    * against stale centroids forever. The gate statistic is one
+    * integer aggregate over the already-built segment view (an
+    * ingest-time decision, like AQE's runtime stats — not query-path
+    * work). Returns (codes, codebook, centroids, retrained). */
+  def driftGatedIndex(base: DataFrame, dir: String, deltaPred: Column,
+      tag: String, nCentroids: Int, rounds: Int, replication: Int,
+      maxDriftPermille: Long = 1500L)
+      : (DataFrame, DataFrame, DataFrame, Boolean) = {
+    val (codes, cbt, cents) = incrementalIndex(base, dir, deltaPred, tag,
+      nCentroids, rounds, replication)
+    val (_, _, drift) = driftStats(base, codes, cbt, cents, deltaPred)
+    if (drift <= maxDriftPermille) (codes, cbt, cents, false)
+    else {
+      // retrain == the plain per-snapshot build over the full corpus
+      // (train on everything, code everything) — the same durable
+      // artifact the non-incremental search (q286) reads, so a
+      // retrained snapshot and a from-scratch snapshot are one artifact
+      val cents2 = Ivf.persistedCentroidsCosine(base, dir, "vec_id", "qv",
+        nCentroids, rounds)
+      val (c2, cb2) = persistedIndex(base, dir, cents2, nCentroids, rounds,
+        replication)
+      (c2, cb2, cents2, true)
+    }
   }
 }

@@ -18,10 +18,12 @@ import org.apache.spark.sql.functions._
   *     SELF-join that generates sparse-cosine candidate pairs
   *     (q76's `wts a ⋈ wts b ON a.g = b.g`) all run on the bucket
   *     partitioning with ZERO exchange on the postings side.
-  *   - `doclen` — (doc_id, dl) total bigram count per document: a
-  *     doc-count-sized side table consumers broadcast (BM25's length
-  *     normalization); persisting it avoids the doc-keyed shuffle
-  *     that re-deriving it from g-bucketed postings would cost.
+  *   - `doclen` — (doc_id, dl) total bigram count per document: the
+  *     doc-count-sized table the corpus-stats scalar aggregate (N
+  *     docs, T total grams) reads. NEVER broadcast whole — since v3
+  *     the per-posting `dl` consumers need is denormalized into the
+  *     postings rows, so BM25's length normalization is a column
+  *     read, not a join.
   *
   * The bigram definition is character-identical to the inline form
   * the oracles replay (split on single space, adjacent-token concat,
@@ -30,23 +32,30 @@ import org.apache.spark.sql.functions._
   * result: it is a LAYOUT of the same rows, which is what the DuckDB
   * oracles continue to verify value-for-value.
   *
-  * V2 — DETERMINISTIC BYTES + INCREMENTAL MAINTENANCE. Every file the
-  * artifact writes is now TOTALLY ORDERED (bucket files by
-  * (g, doc_id) — unique per row after the tf aggregate; doclen by
-  * doc_id in one file), so the artifact's bytes are a pure function
-  * of its row set, independent of build provenance. That is what
-  * makes the incremental path ([[incrementalPostings]]) honest: at
-  * 100 TB ingest is append-only — a daily delta of new documents
-  * lands beside an already-indexed archive — and re-paying the full
-  * corpus tokenize + aggregation per append defeats the pay-once
-  * posture. Instead the archive's PUBLISHED postings are read back
-  * as-is (never re-tokenized), only the delta tokenizes, and the
-  * union bucket-merges into the new snapshot's artifact. Because
-  * doc_ids are disjoint across the append boundary, no (doc, gram)
-  * group straddles it, so the merged table is row-identical to a
-  * from-scratch rebuild — and with total ordering, BYTE-identical
-  * (TextIndexSpec pins per-bucket MD5 equality). Daily work is
-  * O(delta tokens + merged-write), not O(corpus tokens).
+  * V2 — DETERMINISTIC BYTES. Every file the artifact writes is
+  * TOTALLY ORDERED (bucket files by (g, doc_id) — unique per row
+  * after the tf aggregate; doclen by doc_id in one file), so the
+  * artifact's bytes are a pure function of its row set, independent
+  * of build provenance.
+  *
+  * V3 — LSM SEGMENTS + DENORMALIZED dl. At 100 TB ingest is
+  * append-only: a daily delta of new documents lands beside an
+  * already-indexed archive, and re-paying the corpus per append —
+  * either its tokenize (compute) or its bytes (the v2 merged-write)
+  * — defeats the pay-once posture. [[incrementalPostings]] /
+  * [[segmentedPostings]] therefore publish each delta as its OWN
+  * bucketed segment artifact (tokenize the delta, write the delta —
+  * O(delta) compute AND I/O) and serve reads as a union view over
+  * archive + segments; doc_ids are disjoint across append
+  * boundaries, so no (doc, gram) group straddles a segment and the
+  * view is row-identical to a from-scratch rebuild. A compaction
+  * rung (segment count > maxSegments) folds the published
+  * read-backs into one artifact whose bytes are IDENTICAL to a
+  * from-scratch rebuild (total file order ⇒ bytes are a function of
+  * the row set — LayoutCatalogSpec pins per-bucket MD5 equality).
+  * v3 also denormalizes `dl` into the postings rows, deleting the
+  * doclen join (previously an unbounded broadcast) from every
+  * BM25-family consumer.
   *
   * Trigram phrase postings (q159) deliberately stay inline: one
   * consumer does not earn a 1.5×-the-corpus-tokens artifact; add a
@@ -57,8 +66,14 @@ object TextIndex {
   /** Bump when the BUILD semantics change (tokenization, gram order,
     * bucket count, file ordering), so an upgraded engine never
     * misreads an old artifact as current. v2: totally-ordered files
-    * (sortBy(g, doc_id); doclen sorted by doc_id). */
-  val LayoutVersion = 2
+    * (sortBy(g, doc_id); doclen sorted by doc_id). v3: `dl` (the
+    * document's total bigram count) DENORMALIZED into every postings
+    * row — dl is constant per document, so carrying it beside tf
+    * costs one BIGINT column at build time and deletes the
+    * doc-count-sized `dl` join from every BM25-family consumer
+    * (which previously BROADCAST doclen — a guaranteed OOM at 100 TB
+    * where doclen is one row per document). */
+  val LayoutVersion = 3
 
   /** (catalog root, sf dir, variant) → (postings location, doclen
     * location, name tag). Memoizes the resolve only — the artifact is
@@ -87,12 +102,24 @@ object TextIndex {
   private def tfOf(docs: DataFrame): DataFrame =
     bigrams(docs).groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
 
-  /** Write `postings` (doc_id, g, tf) into `tmp` as the artifact's
-    * two tables. DETERMINISTIC BYTES: bucket files are sorted by
-    * (g, doc_id) — a total order, since (doc_id, g) is unique after
-    * the tf aggregate — and doclen is one file sorted by doc_id, so
-    * the output bytes depend only on the row SET, not on which path
-    * (from-scratch or incremental merge) produced it. */
+  /** Attach the denormalized `dl` column (the document's total bigram
+    * count = Σ tf over its grams) to a (doc_id, g, tf) frame: one
+    * doc-keyed window pass — a single exchange at BUILD time that
+    * deletes the doclen join from every query. A document lives
+    * wholly on one side of any append boundary, so dl computed within
+    * a delta segment equals dl computed over the full corpus. */
+  private def withDl(postings: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    postings.withColumn("dl", sum(col("tf")).over(w))
+  }
+
+  /** Write `postings` (doc_id, g, tf, dl) into `tmp` as the
+    * artifact's two tables. DETERMINISTIC BYTES: bucket files are
+    * sorted by (g, doc_id) — a total order, since (doc_id, g) is
+    * unique after the tf aggregate — and doclen is one file sorted by
+    * doc_id, so the output bytes depend only on the row SET, not on
+    * which path (from-scratch, segment, or compaction merge) produced
+    * it. */
   private def writeInto(s: SparkSession, postings: DataFrame,
       tmp: java.io.File): Unit = {
     val bt = s"${LayoutCatalog.processTag}_${tmp.getName.hashCode.toHexString}"
@@ -108,7 +135,8 @@ object TextIndex {
       // is optimized away; coalesce with a literal survives and pins
       // tf non-nullable on BOTH paths)
       postings.select(col("doc_id"), col("g"),
-          coalesce(col("tf"), lit(0L)).as("tf"))
+          coalesce(col("tf"), lit(0L)).as("tf"),
+          coalesce(col("dl"), lit(0L)).as("dl"))
         .repartition(32, col("g"))
         .write.mode("overwrite")
         .bucketBy(32, "g").sortBy("g", "doc_id")
@@ -116,7 +144,7 @@ object TextIndex {
         .saveAsTable(postingsScratch)
       // doc lengths from the postings read-back (a bucketed scan, not
       // a re-tokenize); doc-count-sized, one totally-ordered parquet
-      // file — consumers broadcast it
+      // file — the corpus-stats (N, T) aggregate input
       s.table(postingsScratch)
         .groupBy("doc_id").agg(sum(col("tf")).as("dl"))
         .repartition(1).sortWithinPartitions("doc_id")
@@ -134,7 +162,7 @@ object TextIndex {
   private def registerIfAbsent(s: SparkSession, name: String,
       loc: java.io.File): Unit =
     if (!s.catalog.tableExists(name))
-      s.sql(s"""CREATE TABLE IF NOT EXISTS $name (doc_id BIGINT, g STRING, tf BIGINT)
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $name (doc_id BIGINT, g STRING, tf BIGINT, dl BIGINT)
                |USING PARQUET
                |CLUSTERED BY (g) SORTED BY (g) INTO 32 BUCKETS
                |LOCATION '${loc.getAbsolutePath}'""".stripMargin)
@@ -166,7 +194,7 @@ object TextIndex {
 
   private def ensureFull(s: SparkSession, dir: String): (String, java.io.File) =
     ensure(s, dir, "", tmp =>
-      writeInto(s, tfOf(graft.Tables.load(s, dir, "documents")), tmp))
+      writeInto(s, withDl(tfOf(graft.Tables.load(s, dir, "documents"))), tmp))
 
   /** (doc_id, g, tf) bigram postings, bucketed by g — exchange-free
     * input for g-keyed aggregates, idf joins, and posting-list
@@ -179,40 +207,92 @@ object TextIndex {
   def docLengths(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(ensureFull(s, dir)._2.getAbsolutePath)
 
-  /** INCREMENTAL ingest: postings + doclens for the full corpus at
-    * `dir`, built WITHOUT re-tokenizing the archive. `deltaPred`
-    * marks "today's batch" (the newly-arrived documents); everything
-    * else is the archive, whose index is resolved from (or published
-    * to) the durable catalog as its own artifact. The merged
-    * artifact then unions the archive's PUBLISHED postings — read
-    * back as bucketed rows, zero tokenization — with the delta's
-    * freshly-aggregated postings and bucket-merges the union into
-    * the new snapshot's artifact. doc_ids are disjoint across the
-    * append boundary, so no (doc, gram) group straddles it and the
-    * merged table is row-identical — with v2's total file ordering,
-    * BYTE-identical — to a from-scratch rebuild (TextIndexSpec).
-    * `tag` names the split (it keys both artifacts' directories).
-    * Returns (postings frame — bucketed table, doclens frame). */
+  /** INCREMENTAL ingest, LSM-style: postings + doclens for the full
+    * corpus at `dir`, built WITHOUT re-tokenizing the archive AND
+    * without rewriting it. `deltaPred` marks "today's batch"; the
+    * append publishes ONLY the delta's own segment artifact —
+    * tokenize the delta, bucket-write its postings — so append
+    * compute AND I/O are O(delta). The returned view unions the
+    * archive's published postings with the segment's: row-identical
+    * to a from-scratch rebuild (doc_ids are disjoint across the
+    * append boundary, so no (doc, gram) group straddles it —
+    * LayoutCatalogSpec pins the row identity, and pins BYTE identity
+    * for the compacted artifact [[segmentedPostings]] folds segments
+    * into). Returns (postings view, doclens view). */
   def incrementalPostings(s: SparkSession, dir: String,
-      deltaPred: Column, tag: String): (DataFrame, DataFrame) = {
-    val (arch, _) = archiveIndex(s, dir, deltaPred, tag)
+      deltaPred: Column, tag: String): (DataFrame, DataFrame) =
+    segmentedPostings(s, dir, Seq(deltaPred), tag)
+
+  /** Multi-append LSM view: the archive (documents matching NO
+    * predicate) plus one delta segment per predicate, each its own
+    * durable artifact, unioned at read. Predicates MUST be pairwise
+    * disjoint (each models one day's batch). Every segment write is
+    * O(that delta); nothing ever rewrites the archive. When the live
+    * segment count exceeds `maxSegments`, the read path COMPACTS:
+    * archive + all segments fold (as published read-backs — zero
+    * re-tokenization) into one merged artifact whose bytes are
+    * identical to a from-scratch rebuild (writeInto's total file
+    * order makes bytes a pure function of the row set), and the view
+    * becomes that single bucketed table. Old segment artifacts stay
+    * on disk until the snapshot fingerprint rolls (concurrent readers
+    * of the pre-compaction view never see files vanish); the next
+    * corpus snapshot's retention sweep retires them. */
+  def segmentedPostings(s: SparkSession, dir: String,
+      deltaPreds: Seq[Column], tag: String, maxSegments: Int = 4)
+      : (DataFrame, DataFrame) = {
+    require(deltaPreds.nonEmpty, "need at least one delta predicate")
     val docs = graft.Tables.load(s, dir, "documents")
-    val (mergedName, mergedDl) = ensure(s, dir, s"${tag}_merged", tmp =>
-      writeInto(s, arch.unionByName(tfOf(docs.filter(deltaPred))), tmp))
-    (s.table(mergedName), s.read.parquet(mergedDl.getAbsolutePath))
+    val anyDelta = deltaPreds.reduce(_ || _)
+    val (archName, archDl) = ensure(s, dir, s"${tag}_arch", tmp =>
+      writeInto(s, withDl(tfOf(docs.filter(!anyDelta))), tmp))
+    val segs = deltaPreds.zipWithIndex.map { case (p, i) =>
+      ensureSegment(s, dir, p, tag, i)
+    }
+    if (deltaPreds.length > maxSegments) {
+      // compaction rung: fold published read-backs — the only
+      // O(corpus) write in the artifact's lifetime, amortized over
+      // maxSegments O(delta) appends
+      val (mName, mDl) = ensure(s, dir, s"${tag}_compacted${deltaPreds.length}", tmp =>
+        writeInto(s,
+          (archName +: segs.map(_._1)).map(s.table).reduce(_ unionByName _),
+          tmp))
+      (s.table(mName), s.read.parquet(mDl.getAbsolutePath))
+    } else {
+      val postings = (archName +: segs.map(_._1)).map(s.table)
+        .reduce(_ unionByName _)
+      val doclens = (archDl +: segs.map(_._2))
+        .map(f => s.read.parquet(f.getAbsolutePath))
+        .reduce(_ unionByName _)
+      (postings, doclens)
+    }
   }
+
+  private def ensureSegment(s: SparkSession, dir: String, pred: Column,
+      tag: String, i: Int): (String, java.io.File) =
+    ensure(s, dir, s"${tag}_seg$i", tmp =>
+      writeInto(s, withDl(tfOf(
+        graft.Tables.load(s, dir, "documents").filter(pred))), tmp))
+
+  /** The i-th delta segment of a segmented split, as its own bucketed
+    * postings table — index-monitoring consumers (q290's delta
+    * report) read the day's segment directly: its per-gram df IS the
+    * document-frequency rise the append contributed (doc-disjoint
+    * segments ⇒ df_merged − df_archive = df_segment). */
+  def deltaSegment(s: SparkSession, dir: String, deltaPred: Column,
+      tag: String, i: Int = 0): DataFrame =
+    s.table(ensureSegment(s, dir, deltaPred, tag, i)._1)
 
   /** The ARCHIVE half of an incremental split (documents NOT matching
     * `deltaPred`), as its own durable artifact: (postings, doclens).
-    * This is both the input [[incrementalPostings]] bucket-merges and
-    * the seed a STREAMING index-maintenance consumer loads its hot
-    * posting lists / global stats from
+    * This is both the base [[segmentedPostings]] unions segments onto
+    * and the seed a STREAMING index-maintenance consumer loads its
+    * hot posting lists / global stats from
     * ([[graft.streaming.StreamOps.incrementalBm25]]). */
   def archiveIndex(s: SparkSession, dir: String,
       deltaPred: Column, tag: String): (DataFrame, DataFrame) = {
     val docs = graft.Tables.load(s, dir, "documents")
     val (archName, archDl) = ensure(s, dir, s"${tag}_arch", tmp =>
-      writeInto(s, tfOf(docs.filter(!deltaPred)), tmp))
+      writeInto(s, withDl(tfOf(docs.filter(!deltaPred))), tmp))
     (s.table(archName), s.read.parquet(archDl.getAbsolutePath))
   }
 }

@@ -257,23 +257,30 @@ object Matching {
     ) { (s, dir) =>
       import s.implicits._
       // the inverted index is the durable TextIndex artifact: the
-      // tokenize + (doc, gram) aggregation is paid once at ingest,
-      // the postings scan is bucketed by g so df aggregates with ZERO
-      // exchange, and dl is the persisted doc-count-sized side table
+      // tokenize + (doc, gram) aggregation is paid once at ingest;
+      // dl rides denormalized on every postings row (v3), so BM25's
+      // length normalization is a column read — no doclen join at all
       val tf = graft.operators.TextIndex.bigramPostings(s, dir)
-      val dl = graft.operators.TextIndex.docLengths(s, dir)
-      val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
-      val df = tf.groupBy("g").agg(count(lit(1)).as("df"))
+      val stats = graft.operators.TextIndex.docLengths(s, dir)
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+      val termStrs = Seq("hash join", "merge join",
+        "stream batch", "batch window", "vector scan")
       val qt = Seq((1, "hash join"), (1, "merge join"),
         (2, "stream batch"), (2, "batch window"),
         (3, "vector scan")).toDF("query_id", "term")
+      // postings of ONLY the query terms: the isin literal pushes
+      // into the parquet scan, and the per-term df aggregate runs
+      // exchange-free on the bucket partitioning over ≤5 groups — so
+      // the ONLY broadcast relations are ≤5 rows (df), 5 rows (qt),
+      // and 1 row (stats). The full vocabulary-sized df table grows
+      // with the corpus (Heaps' law — q281 measures it) and must
+      // never broadcast.
+      val tfq = tf.filter(col("g").isin(termStrs: _*))
+      val df = tfq.groupBy("g").agg(count(lit(1)).as("df"))
       val idf2 = length(bin(lit(2) * (col("n") - col("df")) + 1)) -
         length(bin(lit(2) * col("df") + 1))
-      // df is vocabulary-sized and dl is doc-count-sized — both
-      // broadcast, so the postings side never shuffles for a join
-      val scored = tf.join(broadcast(qt), col("g") === col("term"))
+      val scored = tfq.join(broadcast(qt), col("g") === col("term"))
         .join(broadcast(df.withColumnRenamed("g", "g2")), col("g") === col("g2"))
-        .join(broadcast(dl), "doc_id")
         .crossJoin(broadcast(stats))
         .withColumn("term_score",
           ((idf2 * 22 * col("t") * col("tf")).cast("double") /
@@ -554,13 +561,15 @@ object Matching {
     // --------------------------------------------------------------- q288
     // Post-ingest retrieval check over the INCREMENTALLY-MAINTAINED
     // lexical index: doc_id % 10 == 0 stands in for today's crawl
-    // batch (q87's split); the index it searches is the MERGED
-    // artifact TextIndex.incrementalPostings builds by bucket-merging
-    // the archive's PUBLISHED postings with the freshly-tokenized
-    // delta — the archive is never re-tokenized, so the daily index
-    // cost is O(delta), not O(corpus) (the 100 TB append posture; the
-    // byte-identity of merged vs from-scratch is pinned in
-    // LayoutCatalogSpec). The query is the monitoring pass a
+    // batch (q87's split); the index it searches is the LSM view
+    // TextIndex.incrementalPostings serves — the archive's PUBLISHED
+    // postings ∪ today's segment artifact. The archive is never
+    // re-tokenized NOR rewritten: the append publishes only the
+    // delta's own O(delta) segment, so the daily index cost — compute
+    // AND bytes — is O(delta), not O(corpus) (the 100 TB append
+    // posture; view-vs-rebuild row identity and compaction byte
+    // identity are pinned in LayoutCatalogSpec). The query is the
+    // monitoring pass a
     // production ingest runs after each append: BM25 top-10 per query
     // (q90's integer-exact scoring — same idf₂ bit-length surrogate,
     // same 22T·tf/(10T·tf+3T+9·dl·N) fold), with is_new flagging
@@ -605,20 +614,27 @@ object Matching {
         WHERE rnk <= 10""")
     ) { (s, dir) =>
       import s.implicits._
-      // the merged index: archive postings read back from the durable
-      // catalog (zero re-tokenization) + today's batch, bucket-merged
-      val (tf, dl) = graft.operators.TextIndex.incrementalPostings(
+      // the LSM index view: archive postings read back from the
+      // durable catalog (zero re-tokenization) ∪ today's segment —
+      // the append published only the delta's O(delta) artifact
+      val (tf, dls) = graft.operators.TextIndex.incrementalPostings(
         s, dir, col("doc_id") % 10 === 0, "d10")
-      val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
-      val df = tf.groupBy("g").agg(count(lit(1)).as("df"))
+      val stats = dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+      val termStrs = Seq("table hash", "part filter", "customer join",
+        "slow key", "merge group", "batch scan")
       val qt = Seq((1, "table hash"), (1, "part filter"),
         (2, "customer join"), (2, "slow key"),
         (3, "merge group"), (3, "batch scan")).toDF("query_id", "term")
+      // q90's bounded-broadcast shape over the segmented view: the
+      // isin literal pushes into BOTH segment scans, df aggregates
+      // over ≤6 terms' postings, dl rides denormalized on the rows —
+      // nothing vocabulary- or doc-count-sized ever broadcasts
+      val tfq = tf.filter(col("g").isin(termStrs: _*))
+      val df = tfq.groupBy("g").agg(count(lit(1)).as("df"))
       val idf2 = length(bin(lit(2) * (col("n") - col("df")) + 1)) -
         length(bin(lit(2) * col("df") + 1))
-      val scored = tf.join(broadcast(qt), col("g") === col("term"))
+      val scored = tfq.join(broadcast(qt), col("g") === col("term"))
         .join(broadcast(df.withColumnRenamed("g", "g2")), col("g") === col("g2"))
-        .join(broadcast(dl), "doc_id")
         .crossJoin(broadcast(stats))
         .withColumn("term_score",
           ((idf2 * 22 * col("t") * col("tf")).cast("double") /
@@ -639,9 +655,9 @@ object Matching {
     // Index DELTA report — what did today's batch add to the lexical
     // index? The post-append monitoring twin of q288's retrieval
     // check: per bigram, the document-frequency RISE contributed by
-    // the delta (df_merged − df_archive, which equals the delta's own
-    // df because the merged artifact is byte-identical to
-    // archive ∪ delta), flagging grams the archive had never seen.
+    // the delta (df_merged − df_archive, which equals the delta
+    // SEGMENT's own df because doc-ids are disjoint across the append
+    // boundary), flagging grams the archive had never seen.
     // Top-15 risers by (df_new DESC, g) — the "what's trending in
     // today's crawl" signal a corpus curator reads after each ingest.
     // Spark computes it WITHOUT touching documents at all: both
@@ -679,14 +695,15 @@ object Matching {
     ) { (s, dir) =>
       val pred = col("doc_id") % 10 === 0
       val (arch, _) = graft.operators.TextIndex.archiveIndex(s, dir, pred, "d10")
-      val (merged, _) = graft.operators.TextIndex
-        .incrementalPostings(s, dir, pred, "d10")
+      // the day's LSM segment IS the delta report's input: doc-ids
+      // are disjoint across the append boundary, so the segment's own
+      // per-gram df equals df_merged − df_archive — no merged table
+      // needs to exist, let alone be scanned
+      val seg = graft.operators.TextIndex.deltaSegment(s, dir, pred, "d10")
       val dfA = arch.groupBy("g").agg(count(lit(1)).as("df_arch"))
-      val dfM = merged.groupBy("g").agg(count(lit(1)).as("df_all"))
-      val rise = dfM.join(dfA, Seq("g"), "left")
+      val dfN = seg.groupBy("g").agg(count(lit(1)).as("df_new"))
+      val rise = dfN.join(dfA, Seq("g"), "left")
         .withColumn("df_arch", coalesce(col("df_arch"), lit(0L)))
-        .withColumn("df_new", col("df_all") - col("df_arch"))
-        .filter(col("df_new") > 0)
         .withColumn("is_new_gram", col("df_arch") === 0)
       val top = rise.orderBy(desc("df_new"), col("g")).limit(15)
       val w = org.apache.spark.sql.expressions.Window

@@ -366,9 +366,11 @@ object TextOps {
       // corpus size as a broadcast one-row aggregate (not a driver-side
       // .count(), which would be a second full scan as a separate job)
       val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
-      // the idf table is vocabulary-sized (≪ corpus) — broadcast it so
-      // the per-doc tf rows never shuffle on token
-      val scored = tf.join(broadcast(df), "token")
+      // the idf table is vocabulary-sized — it grows with the corpus
+      // (Heaps' law), so it must NEVER broadcast: shuffle_hash keys
+      // both sides on token, a plain linear shuffle at any scale
+      // (q76's move, documented at Matching.scala's sparse-cosine)
+      val scored = tf.join(df.hint("shuffle_hash"), "token")
         .crossJoin(broadcast(n))
         .withColumn("score", expr("(tf * 1000000 * n_docs) div df"))
         .drop("n_docs")

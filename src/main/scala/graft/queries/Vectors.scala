@@ -1432,6 +1432,12 @@ object Vectors {
     // delta-only coding, is_new retrievability flag.
     qIncrAnn,
 
+    // --------------------------------------------------------------- q291
+    // Codebook-drift audit of the incrementally-maintained index (see
+    // qPqDrift below): delta-vs-archive mean reconstruction error
+    // ratio — the retrain trigger statistic.
+    qPqDrift,
+
     // --------------------------------------------------------------- q203
     // Grid-DBSCAN density clustering on the first two embedding dims —
     // the cell-level approximation that makes density clustering a
@@ -2466,19 +2472,7 @@ object Vectors {
         "vec_id", "qv", k, ivfTrainRounds)
       val (codes, cbt) = graft.operators.IvfPq.persistedIndex(base, dir,
         cents, k, ivfTrainRounds, ivfReplication)
-      val qd = graft.functions.VecMath.qdot _
-      val errs = codes
-        .join(base.select(col("vec_id"), col("qv")), "vec_id")
-        .join(broadcast(cents.select(col("centroid_id"), col("cv"))),
-          "centroid_id")
-        .join(broadcast(cbt), Seq("subspace", "code"))
-        .withColumn("sl", expr(
-          "slice(zip_with(qv, cv, (x, y) -> x - y), " +
-            "cast(subspace * 8 + 1 as int), 8)"))
-        .withColumn("d", qd(col("sl"), col("sl")) + qd(col("cw"), col("cw"))
-          - lit(2L) * qd(col("sl"), col("cw")))
-        .groupBy("vec_id", "centroid_id")
-        .agg(sum(col("d")).as("err"))
+      val errs = graft.operators.IvfPq.reconErrs(base, codes, cbt, cents)
       errs.groupBy(col("centroid_id").cast("long").as("centroid_id"))
         .agg(count(lit(1)).as("n_copies"), sum(col("err")).as("total_err"),
           max(col("err")).as("max_err"),
@@ -2486,6 +2480,76 @@ object Vectors {
         .withColumn("mean_err", expr("total_err div n_copies"))
         .select("centroid_id", "n_copies", "total_err", "mean_err",
           "max_err", "n_exact")
+    }
+
+  // --------------------------------------------------------------- q291
+  // Codebook-DRIFT audit of the incrementally-maintained IVF-PQ index
+  // — the statistic that gates the frozen-training append path's one
+  // honest failure mode: the archive-trained centroids + codebook
+  // never see the delta, so a delta whose distribution drifts from
+  // the archive's is coded against stale geometry, and the loss shows
+  // up FIRST as reconstruction error (the exact integer the code
+  // argmin minimized) before any recall metric notices. The audit
+  // reports mean per-copy reconstruction error on each side of the
+  // append boundary and their ratio in permille; drift_permille ≈
+  // 1000 says the delta looks like the archive (keep appending
+  // O(delta)), > the pinned 1500 threshold says RETRAIN — the next
+  // snapshot trains on everything (operators/IvfPq.driftGatedIndex;
+  // the recall-restoration behavior is pinned at sf0.01 with an
+  // injected shifted delta in IvfSpec). One corpus pass over the
+  // artifact codes ⋈ broadcast codebook/centroids; the oracle replays
+  // the frozen-training build + error recomputation inline, so the
+  // hash match proves the artifact audit equals corpus truth.
+  private lazy val qPqDrift: Q = Q(
+      "q291_pq_drift_audit",
+      Some(s"""
+        WITH ${pqIndexCtes(Some("vec_id % 10 <> 0"))},
+        errs AS (
+          SELECT k.vec_id, k.centroid_id,
+                 CAST(SUM(${subD8Sql("r")}) AS BIGINT) AS err
+          FROM codes k
+          JOIN cbt c ON c.subspace = k.subspace AND c.code = k.code
+          JOIN res r ON r.vec_id = k.vec_id
+                    AND r.centroid_id = k.centroid_id
+          GROUP BY 1, 2),
+        sides AS (
+          SELECT CAST(SUM(CASE WHEN vec_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_arch,
+                 CAST(SUM(CASE WHEN vec_id % 10 <> 0 THEN err ELSE 0 END) AS BIGINT) AS t_arch,
+                 CAST(SUM(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+                 CAST(SUM(CASE WHEN vec_id % 10 = 0 THEN err ELSE 0 END) AS BIGINT) AS t_delta
+          FROM errs),
+        means AS (
+          SELECT n_arch, t_arch // n_arch AS arch_mean_err,
+                 n_delta, t_delta // n_delta AS delta_mean_err
+          FROM sides)
+        SELECT n_arch, arch_mean_err, n_delta, delta_mean_err,
+               drift_permille, drift_permille > 1500 AS retrain_needed
+        FROM (
+          SELECT *, CASE WHEN arch_mean_err = 0 THEN 1000
+                         ELSE (1000 * delta_mean_err) // arch_mean_err
+                    END AS drift_permille
+          FROM means) t""")
+    ) { (s, dir) =>
+      val base = quantized(s, dir).filter(col("qn") > 0)
+        .select("vec_id", "qv", "qn")
+      val k = pqK(pqN(s, dir))
+      val pred = col("vec_id") % 10 === 0
+      val (codes, cbt, cents) = graft.operators.IvfPq.incrementalIndex(
+        base, dir, pred, "d10", k, ivfTrainRounds, ivfReplication)
+      graft.operators.IvfPq.reconErrs(base, codes, cbt, cents)
+        .agg(
+          sum(when(col("vec_id") % 10 =!= 0, 1L).otherwise(0L)).as("n_arch"),
+          sum(when(col("vec_id") % 10 =!= 0, col("err")).otherwise(0L)).as("t_arch"),
+          sum(when(col("vec_id") % 10 === 0, 1L).otherwise(0L)).as("n_delta"),
+          sum(when(col("vec_id") % 10 === 0, col("err")).otherwise(0L)).as("t_delta"))
+        .withColumn("arch_mean_err", expr("t_arch div n_arch"))
+        .withColumn("delta_mean_err", expr("t_delta div n_delta"))
+        .withColumn("drift_permille", expr(
+          "CASE WHEN arch_mean_err = 0 THEN 1000L " +
+            "ELSE (1000L * delta_mean_err) div arch_mean_err END"))
+        .withColumn("retrain_needed", col("drift_permille") > 1500)
+        .select("n_arch", "arch_mean_err", "n_delta", "delta_mean_err",
+          "drift_permille", "retrain_needed")
     }
 
   // (lazy: referenced from `all` above its definition)

@@ -118,7 +118,9 @@ class LayoutCatalogSpec extends SparkSpec {
           "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))")).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
       .orderBy("doc_id", "g").collect().map(_.toSeq).toSeq
-    assert(cold == inline, "artifact postings must equal the inline tf table")
+    // v3 postings carry the denormalized dl as a 4th column
+    assert(cold.map(_.take(3)) == inline,
+      "artifact postings must equal the inline tf table")
 
     // doc lengths: Σ tf per doc, persisted — equal by construction
     val dl = TextIndex.docLengths(spark, dir)
@@ -166,7 +168,26 @@ class LayoutCatalogSpec extends SparkSpec {
       s"must not shuffle:\n$p")
   }
 
-  test("lexical index: incremental archive+delta publish equals from-scratch rebuild byte-for-byte") {
+  private def bucketBytes(d: File): Map[String, String] = {
+    val re = "_(\\d{5})\\.c000".r
+    Option(new File(d, "postings").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map { f =>
+        val bucket = re.findFirstMatchIn(f.getName).get.group(1)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        bucket -> md.digest(Files.readAllBytes(f.toPath))
+          .map(b => f"$b%02x").mkString
+      }.toMap
+  }
+
+  private def doclenBytes(d: File): String = {
+    val f = Option(new File(d, "doclen").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+    assert(f.length == 1)
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(Files.readAllBytes(f.head.toPath)).map(b => f"$b%02x").mkString
+  }
+
+  test("lexical index: LSM append publishes only the delta segment; the view equals a rebuild row-for-row") {
     val dir = corpus.getAbsolutePath
     TextIndex.reset()
     spark.catalog.listTables().collect().map(_.name)
@@ -175,46 +196,72 @@ class LayoutCatalogSpec extends SparkSpec {
     // from-scratch artifact over the full corpus
     val full = TextIndex.bigramPostings(spark, dir)
       .orderBy("doc_id", "g").collect().map(_.toSeq).toSeq
-    // incremental path: doc_id % 10 == 0 is "today's batch"; the
-    // archive indexes separately, then the merged artifact
-    // bucket-merges archive postings + delta postings WITHOUT
-    // re-tokenizing the archive
+    // LSM append: doc_id % 10 == 0 is "today's batch"; the archive
+    // indexes separately, the append writes ONLY the delta's own
+    // segment artifact, and the view unions the two
     val (inc, incDl) = TextIndex.incrementalPostings(spark, dir,
       col("doc_id") % 10 === 0, "d10")
     assert(inc.orderBy("doc_id", "g").collect().map(_.toSeq).toSeq == full,
-      "merged rows must equal the from-scratch table")
+      "the union view's rows must equal the from-scratch table")
     assert(incDl.orderBy("doc_id").collect().map(_.toSeq).toSeq ==
       TextIndex.docLengths(spark, dir).orderBy("doc_id")
         .collect().map(_.toSeq).toSeq)
-    // byte-for-byte: v2 files are totally ordered, so the merged
-    // artifact's parquet bytes must equal the from-scratch build's,
-    // bucket for bucket — the strongest possible no-drift statement
+    // append I/O contract: the delta's segment artifact exists and
+    // holds ONLY delta documents; NO merged/compacted artifact was
+    // written (the O(corpus)-bytes rewrite is gone)
     val kind = new File(LayoutCatalog.root, s"lexical_v${TextIndex.LayoutVersion}")
     val pub = kind.listFiles().filterNot(_.getName.startsWith(".tmp_"))
-    val fullDir = pub.find(d => !d.getName.contains("_d10_")).get
-    val mergedDir = pub.find(_.getName.contains("_d10_merged_")).get
-    def bucketBytes(d: File): Map[String, String] = {
-      val re = "_(\\d{5})\\.c000".r
-      Option(new File(d, "postings").listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".parquet")).map { f =>
-          val bucket = re.findFirstMatchIn(f.getName).get.group(1)
-          val md = java.security.MessageDigest.getInstance("MD5")
-          bucket -> md.digest(Files.readAllBytes(f.toPath))
-            .map(b => f"$b%02x").mkString
-        }.toMap
-    }
+    assert(pub.exists(_.getName.contains("_d10_seg0_")),
+      s"delta segment must publish: ${pub.map(_.getName).toSeq}")
+    assert(!pub.exists(d => d.getName.contains("_d10_merged") ||
+        d.getName.contains("_d10_compacted")),
+      s"a single append must not write an O(corpus) artifact: ${pub.map(_.getName).toSeq}")
+    val segDir = pub.find(_.getName.contains("_d10_seg0_")).get
+    val segRows = spark.read.parquet(
+      new File(segDir, "postings").getAbsolutePath)
+    assert(segRows.filter(col("doc_id") % 10 =!= 0).count() === 0,
+      "segment holds only delta docs")
+    assert(segRows.count() ===
+      inc.filter(col("doc_id") % 10 === 0).count())
+    // dl denormalization: every postings row's dl equals its doc's
+    // total tf — checked against the doclen table
+    val mismatch = TextIndex.bigramPostings(spark, dir).alias("p")
+      .join(TextIndex.docLengths(spark, dir)
+        .withColumnRenamed("dl", "dl2"), "doc_id")
+      .filter(col("dl") =!= col("dl2")).count()
+    assert(mismatch === 0, "denormalized dl must equal the doclen table")
+  }
+
+  test("lexical index: compaction folds archive+segments into an artifact byte-identical to a rebuild") {
+    val dir = corpus.getAbsolutePath
+    TextIndex.reset()
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_postings_"))
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    TextIndex.bigramPostings(spark, dir).queryExecution.toRdd.count()
+    // five disjoint daily deltas (doc_id % 10 ∈ 0..4; archive = 5..9)
+    // exceed maxSegments=4 → the read path compacts
+    val preds = (0 to 4).map(i => col("doc_id") % 10 === i)
+    val (view, viewDl) = TextIndex.segmentedPostings(
+      spark, dir, preds, "lsm", maxSegments = 4)
+    assert(view.orderBy("doc_id", "g").collect().map(_.toSeq).toSeq ==
+      TextIndex.bigramPostings(spark, dir)
+        .orderBy("doc_id", "g").collect().map(_.toSeq).toSeq,
+      "compacted view rows must equal the from-scratch table")
+    assert(viewDl.count() === TextIndex.docLengths(spark, dir).count())
+    val kind = new File(LayoutCatalog.root, s"lexical_v${TextIndex.LayoutVersion}")
+    val pub = kind.listFiles().filterNot(_.getName.startsWith(".tmp_"))
+    val fullDir = pub.find(d => !d.getName.contains("_lsm_") &&
+      !d.getName.contains("_d10_")).get
+    val compDir = pub.find(_.getName.contains("_lsm_compacted5_")).get
+    // byte-for-byte: files are totally ordered, so the compacted
+    // artifact's parquet bytes must equal the from-scratch build's,
+    // bucket for bucket — the strongest possible no-drift statement
     val fb = bucketBytes(fullDir)
-    val mb = bucketBytes(mergedDir)
-    assert(fb.nonEmpty && fb == mb,
-      s"per-bucket parquet bytes must match: full=${fb.keySet} merged=${mb.keySet}")
-    def doclenBytes(d: File): String = {
-      val f = Option(new File(d, "doclen").listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".parquet"))
-      assert(f.length == 1)
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(Files.readAllBytes(f.head.toPath)).map(b => f"$b%02x").mkString
-    }
-    assert(doclenBytes(fullDir) == doclenBytes(mergedDir),
+    val cb = bucketBytes(compDir)
+    assert(fb.nonEmpty && fb == cb,
+      s"per-bucket parquet bytes must match: full=${fb.keySet} compacted=${cb.keySet}")
+    assert(doclenBytes(fullDir) == doclenBytes(compDir),
       "doclen parquet bytes must match")
   }
 
@@ -251,20 +298,34 @@ class LayoutCatalogSpec extends SparkSpec {
     assert(codes2.filter(col("code") < 0 || col("code") > 15).count() === 0)
   }
 
-  test("ivf-pq incremental: archive+delta code-merge equals the frozen-codebook rebuild byte-for-byte") {
-    val dir = corpus.getAbsolutePath
-    IvfPq.reset()
-    Ivf.reset()
-    val base = graft.Tables.load(spark, dir, "embeddings")
+  private def partBytes(d: File): Map[String, String] = {
+    val re = "part-(\\d{5})-".r
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map { f =>
+        val p = re.findFirstMatchIn(f.getName).get.group(1)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        p -> md.digest(Files.readAllBytes(f.toPath))
+          .map(b => f"$b%02x").mkString
+      }.toMap
+  }
+
+  private def pqBase(dir: String) =
+    graft.Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"),
         graft.functions.VecMath.quantize(col("embedding")).as("qv"))
       .withColumn("qn", graft.functions.VecMath.qdot(col("qv"), col("qv")))
       .filter(col("qn") > 0)
       .select("vec_id", "qv", "qn")
+
+  test("ivf-pq incremental: delta codes publish as their own segment; view equals frozen-codebook rebuild") {
+    val dir = corpus.getAbsolutePath
+    IvfPq.reset()
+    Ivf.reset()
+    val base = pqBase(dir)
     val deltaPred = col("vec_id") % 10 === 0
     val (codes, cbt, cents) = IvfPq.incrementalIndex(
       base, dir, deltaPred, "d10", 8, 2, 3)
-    // the merged table must cover BOTH sides of the append boundary
+    // the view must cover BOTH sides of the append boundary
     assert(codes.filter(col("vec_id") % 10 === 0).count() > 0)
     assert(codes.filter(col("vec_id") % 10 =!= 0).count() > 0)
     // codebook seeds are the ARCHIVE's sub-16 ids (frozen training
@@ -272,32 +333,60 @@ class LayoutCatalogSpec extends SparkSpec {
     val nSeeds = base.filter(col("vec_id") < 16 && col("vec_id") % 10 =!= 0)
       .count()
     assert(cbt.count() === nSeeds * 8)
+    // append I/O contract: the delta's codes live in their own
+    // segment artifact; no merged rewrite of the archive happened
+    val kind = new File(LayoutCatalog.root, s"ivfpq_v${IvfPq.LayoutVersion}")
+    val pub = kind.listFiles().filterNot(_.getName.startsWith(".tmp_"))
+    val segDir = pub.find(_.getName.contains("_d10_seg0_"))
+    assert(segDir.isDefined,
+      s"delta code segment must publish: ${pub.map(_.getName).toSeq}")
+    assert(!pub.exists(d => d.getName.contains("_d10_merged") ||
+        d.getName.contains("_d10_compacted")),
+      s"a single append must not write an O(corpus) artifact: ${pub.map(_.getName).toSeq}")
+    val segCodes = spark.read.parquet(
+      new File(segDir.get, "codes").getAbsolutePath)
+    assert(segCodes.filter(col("vec_id") % 10 =!= 0).count() === 0,
+      "segment holds only delta codes")
     // frozen-codebook rebuild: train on the archive, code EVERYTHING —
-    // the from-scratch equivalent of the incremental merge
+    // the from-scratch equivalent of the segmented view
     val rebuild = Files.createTempDirectory("graft-pq-rebuild").toFile
     try {
       IvfPq.buildInto(base.filter(!deltaPred), base, cents, 3, rebuild)
-      val kind = new File(LayoutCatalog.root, s"ivfpq_v${IvfPq.LayoutVersion}")
-      val mergedDir = kind.listFiles()
-        .filter(d => d.getName.contains("_d10_merged_") &&
-          !d.getName.startsWith(".tmp_")).head
-      def partBytes(d: File): Map[String, String] = {
-        val re = "part-(\\d{5})-".r
-        Option(d.listFiles()).getOrElse(Array.empty)
-          .filter(_.getName.endsWith(".parquet")).map { f =>
-            val p = re.findFirstMatchIn(f.getName).get.group(1)
-            val md = java.security.MessageDigest.getInstance("MD5")
-            p -> md.digest(Files.readAllBytes(f.toPath))
-              .map(b => f"$b%02x").mkString
-          }.toMap
-      }
-      val mc = partBytes(new File(mergedDir, "codes"))
+      val rebuilt = spark.read.parquet(
+        new File(rebuild, "codes").getAbsolutePath)
+        .orderBy("vec_id", "centroid_id", "subspace")
+        .collect().map(_.toSeq).toSeq
+      assert(codes.orderBy("vec_id", "centroid_id", "subspace")
+        .collect().map(_.toSeq).toSeq == rebuilt,
+        "view rows must equal the frozen-codebook rebuild")
+    } finally LayoutCatalog.deleteRecursively(rebuild)
+  }
+
+  test("ivf-pq compaction: folded segments byte-identical to the frozen-codebook rebuild") {
+    val dir = corpus.getAbsolutePath
+    IvfPq.reset()
+    Ivf.reset()
+    val base = pqBase(dir)
+    // five disjoint daily deltas exceed maxSegments=4 → compaction
+    val preds = (0 to 4).map(i => col("vec_id") % 10 === i)
+    val anyDelta = preds.reduce(_ || _)
+    val (codes, _, cents) = IvfPq.segmentedIndex(
+      base, dir, preds, "lsm", 8, 2, 3, maxSegments = 4)
+    val kind = new File(LayoutCatalog.root, s"ivfpq_v${IvfPq.LayoutVersion}")
+    val compDir = kind.listFiles()
+      .filter(d => d.getName.contains("_lsm_compacted5_") &&
+        !d.getName.startsWith(".tmp_")).head
+    val rebuild = Files.createTempDirectory("graft-pq-rebuild2").toFile
+    try {
+      IvfPq.buildInto(base.filter(!anyDelta), base, cents, 3, rebuild)
+      val mc = partBytes(new File(compDir, "codes"))
       val rc = partBytes(new File(rebuild, "codes"))
       assert(mc.nonEmpty && mc == rc,
-        s"codes parquet bytes must match per partition: merged=${mc.keySet} rebuild=${rc.keySet}")
-      assert(partBytes(new File(mergedDir, "codebook")) ==
+        s"codes parquet bytes must match per partition: compacted=${mc.keySet} rebuild=${rc.keySet}")
+      assert(partBytes(new File(compDir, "codebook")) ==
         partBytes(new File(rebuild, "codebook")),
         "codebook parquet bytes must match")
+      assert(codes.count() > 0)
     } finally LayoutCatalog.deleteRecursively(rebuild)
   }
 

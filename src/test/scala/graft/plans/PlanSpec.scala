@@ -6,7 +6,8 @@ import org.apache.spark.sql.execution.{FileSourceScanExec, SortExec, SparkPlan, 
 import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec}
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.LocalTableScanExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
 
 /** Plan-regression suite: pins the physical-plan invariants the scale
@@ -41,6 +42,31 @@ class PlanSpec extends SparkSpec {
 
   private def scans(p: SparkPlan) =
     p.collect { case f: FileSourceScanExec => f }
+
+  /** A broadcast subtree is BOUNDED iff its row count provably does
+    * not grow with the corpus: it is a literal table, a grouping-less
+    * (scalar, one-row) aggregate, or an aggregate over scans filtered
+    * by a pushed literal IN-list (≤ |list| groups). A broadcast of a
+    * vocabulary- or doc-count-sized relation fails all three — the
+    * 100 TB OOM pattern this sweep exists to forbid. */
+  private def boundedBroadcast(b: SparkPlan): Boolean = {
+    val hasLocal = b.collectFirst { case l: LocalTableScanExec => l }.isDefined
+    val scalarAgg = b.collectFirst {
+      case a: HashAggregateExec if a.groupingExpressions.isEmpty => a
+      case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty => a
+    }.isDefined
+    val fileScans = b.collect { case f: FileSourceScanExec => f }
+    val inFilteredAgg = fileScans.nonEmpty &&
+      fileScans.forall(_.metadata.get("PushedFilters").exists(_.contains("In("))) &&
+      b.collectFirst { case a: HashAggregateExec => a }.isDefined
+    hasLocal || scalarAgg || inFilteredAgg
+  }
+
+  private def assertBoundedBroadcasts(p: SparkPlan, name: String): Unit = {
+    val bes = p.collect { case b: BroadcastExchangeExec => b }
+    bes.foreach(b => assert(boundedBroadcast(b),
+      s"$name broadcasts a relation whose size grows with the corpus:\n$b"))
+  }
 
   test("q05: every join is broadcast; the only shuffle is the final agg") {
     val p = plan("q05_regional_revenue")
@@ -391,13 +417,18 @@ class PlanSpec extends SparkSpec {
       s"the candidate join must key on (band, band_key):\n$p")
   }
 
-  test("q35: tf-idf joins broadcast the idf table and corpus size — tf never shuffles on token") {
+  test("q35: the vocabulary-sized idf table attaches by shuffle_hash, never broadcast") {
     val p = plan("q35_tfidf_topterms")
+    // df grows with the corpus (Heaps' law): broadcasting it is a
+    // guaranteed OOM at 100× — the only allowed broadcast is the
+    // one-row corpus-size aggregate
+    assert(p.collect { case j: ShuffledHashJoinExec => j }.length === 1,
+      s"idf join must be a shuffled hash join:\n$p")
     assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
-      p.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
-      s"the vocabulary-sized idf table must broadcast:\n$p")
-    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
-      s"idf join must be a broadcast hash join:\n$p")
+      p.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+      s"no broadcast of the vocabulary-sized idf table:\n$p")
+    val loops = p.collect { case n: BroadcastNestedLoopJoinExec => n }
+    assert(loops.length <= 1, s"only the one-row corpus-size attach may loop:\n$p")
   }
 
   test("q85: the count-min sketch attaches by broadcast; counting partially aggregates") {
@@ -461,20 +492,30 @@ class PlanSpec extends SparkSpec {
       s"the pair join must key on centroid_id:\n$p")
   }
 
-  test("q90: BM25 broadcasts the query table; postings never cross-join") {
+  test("q90: BM25 broadcasts only bounded relations; the term IN-list reaches the postings scan") {
     val p = plan("q90_bm25")
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
       s"no cartesian product:\n$p")
     assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
       s"the literal query table must broadcast into the postings:\n$p")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+      p.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
+      s"postings must never shuffle for a join:\n$p")
     // the one-row corpus-stats frame may attach as a broadcast loop;
     // anything bigger looping is a regression
     val loops = p.collect { case n: BroadcastNestedLoopJoinExec => n }
     assert(loops.length <= 1, s"only the one-row stats attach may loop:\n$p")
     // postings come from the durable bucketed TextIndex artifact — the
-    // per-query re-tokenize is gone
-    assert(scans(p).exists(_.relation.bucketSpec.isDefined),
+    // per-query re-tokenize is gone — and the query-term IN-list
+    // pushes into the scan, so df aggregates over ≤5 terms
+    val postScans = scans(p).filter(_.relation.bucketSpec.isDefined)
+    assert(postScans.nonEmpty,
       s"postings must read the bucketed TextIndex artifact:\n$p")
+    assert(postScans.forall(_.metadata("PushedFilters").contains("In(")),
+      s"the term IN-list must push into every postings scan:\n$p")
+    // the round-11 weak mark: NOTHING vocabulary- or doc-count-sized
+    // may broadcast — df is term-filtered, dl rides denormalized
+    assertBoundedBroadcasts(p, "q90")
   }
 
   test("q91: cohort retention scans only (user_id, ts); joins stay keyed") {
@@ -1473,20 +1514,25 @@ class PlanSpec extends SparkSpec {
       s"q289 must read the persisted artifact tables:\n$p")
   }
 
-  test("q288: incremental BM25 reads the merged bucketed postings; stats sides broadcast") {
+  test("q288: incremental BM25 reads the LSM view; every broadcast is bounded") {
     val p = plan("q288_incremental_bm25")
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
       s"q288 must not cartesian:\n$p")
-    // the archive merge is ingest work in the catalog; the query-side
-    // postings scan is the BUCKETED merged table and every joined
-    // side (query terms, df, dl, corpus stats) is broadcast — the
+    // the archive + segment builds are ingest work in the catalog;
+    // the query-side postings view is the union of BUCKETED archive
+    // and segment tables, the term IN-list pushes below the union
+    // into both scans, and every joined side (query terms, term-
+    // filtered df, corpus stats) is a bounded broadcast — the
     // postings never shuffle for a join
     val bucketScans = scans(p).filter(_.relation.bucketSpec.isDefined)
-    assert(bucketScans.nonEmpty,
-      s"q288 must scan the bucketed merged postings:\n$p")
+    assert(bucketScans.length >= 2,
+      s"q288 must scan the bucketed archive AND segment postings:\n$p")
+    assert(bucketScans.forall(_.metadata("PushedFilters").contains("In(")),
+      s"the term IN-list must push into every postings scan:\n$p")
     assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
       p.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
       s"every q288 join side must broadcast:\n$p")
+    assertBoundedBroadcasts(p, "q288")
   }
 
   test("q290: delta report joins two bucketed artifacts exchange-free; only the 15-row rank shuffles") {
