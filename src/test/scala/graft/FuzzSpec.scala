@@ -15,8 +15,10 @@ import org.apache.spark.sql.types._
   * sign behavior on negative operands, null ordering in window sorts,
   * 3VL IN/NOT IN, cast edges, decimal scale/rounding — by generating
   * random small relations and instantiating parameterized query
-  * templates across nine operator families (agg, window, join, string,
-  * div/mod/decimal, date, array/HOF, join semantics, multi-grain/set-op), then running BOTH engines over the same
+  * templates across ten operator families (agg, window, join, string,
+  * div/mod/decimal, date, array/HOF, join semantics,
+  * multi-grain/set-op, window frames), then running BOTH engines over
+  * the same
   * parquet bytes and comparing through the exact canonicalization the
   * driver's gate uses (tools/check_oracle.py: sorted columns, sorted
   * rows, str values).
@@ -42,7 +44,7 @@ class FuzzSpec extends SparkSpec {
     try Process(Seq("python3", "-c", "import duckdb")).! == 0
     catch { case _: java.io.IOException => false }
 
-  test("differential fuzz: 100 random relations × 9 template families match DuckDB") {
+  test("differential fuzz: 100 random relations × 10 template families match DuckDB") {
     assume(duckdbAvailable, "python3+duckdb oracle not available on this host")
     info(s"fuzz seed = $seed (set GRAFT_FUZZ_SEED to replay)")
     val rng = new scala.util.Random(seed)
@@ -272,6 +274,70 @@ class FuzzSpec extends SparkSpec {
           FROM $ta GROUP BY k"""
       }
       queries += FQ(f"f9_grain_$i%02d", sql, sql)
+    }
+
+    // F10 window FRAMES — the classic cross-engine divergence pit the
+    // ranking-oriented F2 doesn't systematically cover: offset RANGE
+    // frames (frame membership by VALUE distance, with NULL order
+    // keys forming their own peer group), the implicit default frame
+    // under ORDER BY (RANGE UNBOUNDED PRECEDING..CURRENT ROW — peers
+    // INCLUDED, so a non-unique sort key is deterministic by
+    // construction), ROWS vs RANGE on the same sort (ROWS carries the
+    // unique id tiebreak — a ROWS frame over a non-unique sort is
+    // nondeterministic by definition), INTERVAL frames over dates,
+    // and FOLLOWING-anchored tails. All framed expressions are
+    // aggregates of the frame SET (never positional picks), so every
+    // output is a pure function of (partition, order-key value).
+    (0 until perFamily).foreach { i =>
+      val t = rel()
+      val x = 1 + rng.nextInt(50); val y = 1 + rng.nextInt(50)
+      val p = rng.nextInt(4); val q = rng.nextInt(4)
+      val d = 1 + rng.nextInt(60)
+      def sql(ivl: String) = i % 5 match {
+        case 0 => s"""SELECT id, k, a,
+          CAST(SUM(b) OVER (PARTITION BY k ORDER BY a ASC NULLS FIRST
+            RANGE BETWEEN $x PRECEDING AND $y FOLLOWING) AS BIGINT) AS rs,
+          COUNT(*) OVER (PARTITION BY k ORDER BY a ASC NULLS FIRST
+            RANGE BETWEEN $x PRECEDING AND CURRENT ROW) AS rc,
+          MIN(a) OVER (PARTITION BY k ORDER BY a ASC NULLS FIRST
+            RANGE BETWEEN $x PRECEDING AND $y FOLLOWING) AS rmn
+          FROM $t"""
+        case 1 => s"""SELECT id, k, a,
+          CAST(SUM(b) OVER (PARTITION BY k ORDER BY a DESC NULLS LAST)
+            AS BIGINT) AS dsum,
+          CAST(SUM(b) OVER (PARTITION BY k ORDER BY a DESC NULLS LAST
+            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS esum,
+          COUNT(*) OVER (PARTITION BY k ORDER BY a DESC NULLS LAST) AS dcnt
+          FROM $t"""
+        case 2 => s"""SELECT id, k, a,
+          CAST(SUM(b) OVER (PARTITION BY k ORDER BY a ASC NULLS FIRST, id
+            ROWS BETWEEN $p PRECEDING AND $q FOLLOWING) AS BIGINT) AS rows_s,
+          CAST(SUM(b) OVER (PARTITION BY k ORDER BY a ASC NULLS FIRST
+            RANGE BETWEEN $p PRECEDING AND $q FOLLOWING) AS BIGINT) AS range_s,
+          COUNT(*) OVER (PARTITION BY k ORDER BY a ASC NULLS FIRST, id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND $q FOLLOWING) AS rows_c
+          FROM $t"""
+        case 3 => s"""SELECT id, k, dt,
+          CAST(SUM(b) OVER (PARTITION BY k ORDER BY dt ASC NULLS FIRST
+            RANGE BETWEEN $ivl PRECEDING AND CURRENT ROW) AS BIGINT) AS ds,
+          COUNT(*) OVER (PARTITION BY k ORDER BY dt ASC NULLS FIRST
+            RANGE BETWEEN $ivl PRECEDING AND CURRENT ROW) AS dc,
+          MIN(dt) OVER (PARTITION BY k ORDER BY dt ASC NULLS FIRST
+            RANGE BETWEEN $ivl PRECEDING AND CURRENT ROW) AS dmn
+          FROM $t"""
+        case _ => s"""SELECT id, k, a,
+          CAST(SUM(b) OVER (PARTITION BY k ORDER BY a ASC NULLS FIRST
+            RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            AS BIGINT) AS tail_s,
+          CAST(SUM(b) OVER (PARTITION BY k ORDER BY a ASC NULLS FIRST, id
+            ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS BIGINT) AS fwd_s,
+          COUNT(*) OVER (PARTITION BY k ORDER BY a ASC NULLS FIRST
+            RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tail_c
+          FROM $t"""
+      }
+      queries += FQ(f"f10_frame_$i%02d",
+        sql(s"INTERVAL $d DAYS"), sql(s"INTERVAL $d DAYS"))
     }
 
     // ---- 3. run the Spark side, dump results + oracle SQL in the
