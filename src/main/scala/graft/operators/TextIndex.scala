@@ -102,6 +102,18 @@ object TextIndex {
   private def tfOf(docs: DataFrame): DataFrame =
     bigrams(docs).groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
 
+  /** Spread the tokenize kernel's input across the executor before
+    * the per-doc map: a single-file corpus scans as ONE task (parquet
+    * splits at row-group granularity), stranding the linear-dominant
+    * tokenize on one core. The repartition moves only raw
+    * (doc_id, text) bytes and its count scales with the input; the
+    * artifact's bytes are unaffected (writeInto's final
+    * repartition + total file order make output bytes a pure function
+    * of the row set). */
+  private def spread(s: SparkSession, dir: String, docs: DataFrame): DataFrame =
+    docs.repartition(
+      graft.Tables.scaledPartitions(s, dir, Seq("documents")), col("doc_id"))
+
   /** Attach the denormalized `dl` column (the document's total bigram
     * count = Σ tf over its grams) to a (doc_id, g, tf) frame: one
     * doc-keyed window pass — a single exchange at BUILD time that
@@ -194,7 +206,8 @@ object TextIndex {
 
   private def ensureFull(s: SparkSession, dir: String): (String, java.io.File) =
     ensure(s, dir, "", tmp =>
-      writeInto(s, withDl(tfOf(graft.Tables.load(s, dir, "documents"))), tmp))
+      writeInto(s, withDl(tfOf(spread(s, dir,
+        graft.Tables.load(s, dir, "documents")))), tmp))
 
   /** (doc_id, g, tf) bigram postings, bucketed by g — exchange-free
     * input for g-keyed aggregates, idf joins, and posting-list
@@ -244,7 +257,7 @@ object TextIndex {
     val docs = graft.Tables.load(s, dir, "documents")
     val anyDelta = deltaPreds.reduce(_ || _)
     val (archName, archDl) = ensure(s, dir, s"${tag}_arch", tmp =>
-      writeInto(s, withDl(tfOf(docs.filter(!anyDelta))), tmp))
+      writeInto(s, withDl(tfOf(spread(s, dir, docs.filter(!anyDelta)))), tmp))
     val segs = deltaPreds.zipWithIndex.map { case (p, i) =>
       ensureSegment(s, dir, p, tag, i)
     }
@@ -270,8 +283,8 @@ object TextIndex {
   private def ensureSegment(s: SparkSession, dir: String, pred: Column,
       tag: String, i: Int): (String, java.io.File) =
     ensure(s, dir, s"${tag}_seg$i", tmp =>
-      writeInto(s, withDl(tfOf(
-        graft.Tables.load(s, dir, "documents").filter(pred))), tmp))
+      writeInto(s, withDl(tfOf(spread(s, dir,
+        graft.Tables.load(s, dir, "documents").filter(pred)))), tmp))
 
   /** The i-th delta segment of a segmented split, as its own bucketed
     * postings table — index-monitoring consumers (q290's delta
@@ -292,7 +305,7 @@ object TextIndex {
       deltaPred: Column, tag: String): (DataFrame, DataFrame) = {
     val docs = graft.Tables.load(s, dir, "documents")
     val (archName, archDl) = ensure(s, dir, s"${tag}_arch", tmp =>
-      writeInto(s, withDl(tfOf(docs.filter(!deltaPred))), tmp))
+      writeInto(s, withDl(tfOf(spread(s, dir, docs.filter(!deltaPred)))), tmp))
     (s.table(archName), s.read.parquet(archDl.getAbsolutePath))
   }
 }

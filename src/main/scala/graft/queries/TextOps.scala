@@ -42,15 +42,24 @@ object TextOps {
   /** The q66 min-label clustering pipeline as a WITH-clause body
     * (b bands × r rows, 3 unrolled propagation rounds): terminates in
     * `banded(doc_id, band, band_key)` and `it3(doc_id, cluster_id)`.
-    * Shared by the q66 oracle (3×2) and q192's leakage-safe split
-    * audit (1×6). */
-  private def minLabelCte(nBands: Int, rowsPerBand: Int): String = {
+    * Shared by the q66 oracle (3×2, md5 family) and q192's
+    * leakage-safe split audit (1×6, universal family — one
+    * multiply-add-mod per shingle per seed where md5 digests the
+    * shingle k times; measured 64 s → 3 s of kernel at the 25×
+    * fixture). */
+  private def minLabelCte(nBands: Int, rowsPerBand: Int,
+      universal: Boolean = false): String = {
     val hashes = (0 until nBands * rowsPerBand).map(j =>
-      s"list_min(list_transform(grams, g -> substr(md5('$j:' || g), 1, 8))) AS h$j")
+      if (universal)
+        s"${graft.operators.MinHashLsh.universalMinSql("grams", j)} AS h$j"
+      else
+        s"list_min(list_transform(grams, g -> substr(md5('$j:' || g), 1, 8))) AS h$j")
       .mkString(",\n                 ")
     val bands = (0 until nBands).map(j =>
       s"SELECT doc_id, $j AS band, " +
-        (0 until rowsPerBand).map(t => s"h${j * rowsPerBand + t}")
+        (0 until rowsPerBand).map(t =>
+          if (universal) s"CAST(h${j * rowsPerBand + t} AS VARCHAR)"
+          else s"h${j * rowsPerBand + t}")
           .mkString(" || '|' || ") +
         " AS band_key FROM mh")
       .mkString("\n          UNION ALL ")
@@ -2230,7 +2239,11 @@ object TextOps {
     // pairs — a pair sharing two buckets counts twice; same
     // monotone signal, no pairwise materialization.)
     //
-    // Banding is 1 band × 6 rows — the near-EXACT end of the LSH
+    // Banding is 1 band × 6 rows from the UNIVERSAL hash family
+    // (q58's Carter–Wegman construction: one multiply-add-mod per
+    // shingle per seed where the md5 family digests the shingle 6
+    // times — the q192 kernel was 64 s of md5 at the 25× fixture and
+    // ~3 s universal) — the near-EXACT end of the LSH
     // dial (all 6 minima must agree): this template-heavy corpus
     // collapses to a handful of mega-clusters under the recall-
     // oriented 3×2 config (q66), which makes any whole-cluster split
@@ -2256,7 +2269,7 @@ object TextOps {
                     GROUP BY 1, 2, 3) per
                   GROUP BY band, band_key) bk) AS n_leak_incidences"""
         s"""
-        WITH ${minLabelCte(1, 6)},
+        WITH ${minLabelCte(1, 6, universal = true)},
         splits AS (
           SELECT doc_id,
                  (${graft.Knuth.sql("cluster_id", 7919L)}) % 10 AS sp_cluster,
@@ -2266,13 +2279,22 @@ object TextOps {
         UNION ALL ${auditSql("sp_cluster", "cluster")}"""
       }
     ) { (s, dir) =>
-      val cfg = graft.operators.MinHashLsh.Config(bands = 1, rowsPerBand = 6)
-      // materialized once: the banding kernel feeds both the 3-round
-      // propagation (which persists its own slim projection) and the
-      // audit joins below
+      val cfg = graft.operators.MinHashLsh.Config(bands = 1, rowsPerBand = 6,
+        universal = true)
+      // SPREAD the signature kernel's input across the executor before
+      // the per-doc minhash map: a single-file corpus scans as one
+      // task (parquet splits at row-group granularity), which strands
+      // the linear-dominant kernel on one core while the rest idle —
+      // measured 68 s of q192's 73 s at the 25× fixture. The
+      // repartition shuffles only the raw (doc_id, text) bytes —
+      // megabytes — and its count scales with the input
+      // (Tables.scaledPartitions), so per-task kernel work stays
+      // bounded at any corpus size.
+      val np = graft.Tables.scaledPartitions(s, dir, Seq("documents"))
       val banded = graft.Checkpoints.materialize(
         graft.operators.MinHashLsh.explodeBands(
-          t(s, dir, "documents").select("doc_id", "text"), "text", cfg)
+          t(s, dir, "documents").select("doc_id", "text")
+            .repartition(np, col("doc_id")), "text", cfg)
           .select("doc_id", "band", "band_key"))
       val clusters = graft.operators.MinHashLsh
         .minLabelClusters(banded, "doc_id", rounds = 3, persistEdges = false)
