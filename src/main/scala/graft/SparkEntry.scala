@@ -236,13 +236,17 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q287    graft.queries.Vectors    — IVF-PQ per-cell
   *            reconstruction-error health audit
   *   q288    graft.queries.Matching   — BM25 over the incrementally-
-  *            maintained lexical index (archive postings + delta
-  *            bucket-merge, zero archive re-tokenization)
+  *            maintained lexical index (LSM view: archive postings ∪
+  *            today's O(delta) segment, zero archive re-tokenization)
   *   q289    graft.queries.Vectors    — ANN search over the
   *            incrementally-maintained IVF-PQ index (frozen
-  *            archive-trained centroids/codebook, delta-only coding)
+  *            archive-trained centroids/codebook, delta-only coding
+  *            into the delta's own segment artifact)
   *   q290    graft.queries.Matching   — index delta report: per-gram
-  *            df rise from today's batch, artifact-only arithmetic
+  *            df rise from today's segment, artifact-only arithmetic
+  *   q291    graft.queries.Vectors    — codebook-drift audit of the
+  *            incremental index: delta-vs-archive mean reconstruction
+  *            error (permille), the retrain-gate statistic
   */
 object SparkEntry {
 
