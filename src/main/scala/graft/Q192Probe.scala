@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
 object Q192Probe {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("GRAFT_SCALE_B", "/tmp/graft_scale/x25")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

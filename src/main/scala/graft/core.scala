@@ -49,14 +49,21 @@ object Tables {
     * (and on a real cluster) the count grows linearly with the data,
     * holding per-partition sort depth n·log(n/p) ≈ n·log(64 MB)
     * instead of n·log(n/32): the q192 α=0.85→0.80 fix at the 25×
-    * rung. Static file-size arithmetic — no extra Spark job. */
+    * rung. Static file-metadata arithmetic through the Hadoop
+    * FileSystem API — no extra Spark job, and the sizing works on any
+    * filesystem the cluster reads (HDFS/S3A/local), not just local
+    * paths; an unreadable or absent table contributes zero bytes and
+    * the floor default applies. */
   def scaledPartitions(spark: SparkSession, dir: String,
       tables: Seq[String]): Int = {
-    def bytesOf(f: java.io.File): Long =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).map(bytesOf).sum
-      else f.length()
-    val bytes = tables.map(t => bytesOf(new java.io.File(dir, s"$t.parquet"))).sum
+    val conf = spark.sessionState.newHadoopConf()
+    val bytes = tables.map { t =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(dir, s"$t.parquet")
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+      } catch { case _: java.io.IOException => 0L }
+    }.sum
     val default = spark.sessionState.conf.numShufflePartitions
     math.max(default, (bytes / (64L << 20)).toInt)
   }

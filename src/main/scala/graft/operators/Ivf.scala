@@ -238,16 +238,18 @@ object Ivf {
       variant: String = ""): DataFrame = {
     import graft.operators.{LayoutCatalog => LC}
     val spark = df.sparkSession
-    val key = s"${LC.root.getAbsolutePath}|$corpusKey|$n|$rounds|cos|$variant"
+    // corpusKey is the corpus directory for every current caller;
+    // fingerprint its embeddings table so a changed snapshot retrains
+    // (an absent table still yields a stable key). The fingerprint is
+    // part of the MEMO key too, so in-JVM corpus changes re-resolve
+    // instead of serving a stale path (the pqN-cache lesson).
+    // `variant` tags a SUBSET training corpus (`df` already filtered
+    // by the caller, e.g. the incremental-index archive) — it lands in
+    // the key and the directory base so subset-trained centroids never
+    // collide with the full-corpus table.
+    val fp = LC.fingerprint(corpusKey, Seq("embeddings"))
+    val key = s"${LC.root.getAbsolutePath}|$corpusKey|$n|$rounds|cos|$variant|$fp"
     val path = persistedPaths.computeIfAbsent(key, _ => {
-      // corpusKey is the corpus directory for every current caller;
-      // fingerprint its embeddings table so a changed snapshot
-      // retrains (an absent table still yields a stable key).
-      // `variant` tags a SUBSET training corpus (`df` already
-      // filtered by the caller, e.g. the incremental-index archive) —
-      // it lands in the key and the directory base so subset-trained
-      // centroids never collide with the full-corpus table.
-      val fp = LC.fingerprint(corpusKey, Seq("embeddings"))
       val vtag = if (variant.isEmpty) "" else s"_$variant"
       val dest = LC.publishedDir("ivf_v1",
         s"${LC.sanitize(corpusKey)}${vtag}_k${n}_r${rounds}_cos", fp)

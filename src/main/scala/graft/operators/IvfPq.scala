@@ -188,9 +188,10 @@ object IvfPq {
       : (DataFrame, DataFrame) = {
     import graft.operators.{LayoutCatalog => LC}
     val spark = base.sparkSession
-    val key = s"${LC.root.getAbsolutePath}|$dir|$nCentroids|$rounds|$replication|pq"
+    // fingerprint in the memo key: in-JVM corpus changes re-resolve
+    val fp = LC.fingerprint(dir, Seq("embeddings"))
+    val key = s"${LC.root.getAbsolutePath}|$dir|$nCentroids|$rounds|$replication|pq|$fp"
     val (codesLoc, cbLoc) = resolved.computeIfAbsent(key, _ => {
-      val fp = LC.fingerprint(dir, Seq("embeddings"))
       val dest = LC.publishedDir(s"ivfpq_v$LayoutVersion",
         s"${LC.sanitize(dir)}_k${nCentroids}_r${rounds}_x$replication", fp)
       LC.buildAndPublish(dest, tmp => buildInto(base, base, cents, replication, tmp))
@@ -224,51 +225,80 @@ object IvfPq {
     segmentedIndex(base, dir, Seq(deltaPred), tag, nCentroids, rounds,
       replication)
 
-  /** Multi-append LSM index: the archive (vectors matching NO
-    * predicate) trains centroids + codebook; each predicate's delta
-    * codes against the frozen tables into its own segment artifact
-    * (O(delta) write). Predicates must be pairwise disjoint. Reads
-    * union archive + segments; when segment count exceeds
-    * `maxSegments` the read path compacts the published read-backs
-    * into one merged artifact (the only O(corpus) write, amortized
-    * over maxSegments appends) whose bytes equal a frozen-codebook
-    * rebuild's. */
+  /** Multi-append LSM index with the archive defined as the
+    * complement of the predicate set — the single-snapshot form
+    * ([[incrementalIndex]] and the specs call it this way). The
+    * archive's membership here DEPENDS on the predicate set, so a
+    * grown list re-derives the archive; day-over-day appenders that
+    * want the trained archive to stay warm should use
+    * [[segmentedIndexFrom]] with an explicit, STABLE archive
+    * predicate. */
   def segmentedIndex(base: DataFrame, dir: String, deltaPreds: Seq[Column],
       tag: String, nCentroids: Int, rounds: Int, replication: Int,
       maxSegments: Int = 4): (DataFrame, DataFrame, DataFrame) = {
+    require(deltaPreds.nonEmpty, "need at least one delta predicate")
+    segmentedIndexFrom(base, dir, !deltaPreds.reduce(_ || _), deltaPreds,
+      tag, nCentroids, rounds, replication, maxSegments)
+  }
+
+  /** Multi-append LSM index: the archive (vectors matching `archPred`)
+    * trains centroids + codebook; each predicate's delta codes against
+    * the frozen tables into its own segment artifact (O(delta) write).
+    * `archPred` and the `deltaPreds` must be pairwise disjoint and
+    * jointly cover the corpus; every split artifact embeds a CONTENT
+    * KEY of its predicate ([[LayoutCatalog.predKey]]), so a changed or
+    * grown split never silently reuses an artifact built for a
+    * different partition — appending day N+1 reuses the trained
+    * archive and days 1..N's code segments and pays O(delta) for the
+    * new segment only. Reads union archive + segments; compaction is
+    * grouped and amortized: the oldest ⌊N/maxSegments⌋·maxSegments
+    * segments fold with the archive into one merged artifact (bytes
+    * equal a frozen-codebook build over the same vectors) — ONE
+    * O(corpus) write per maxSegments appends — and the view is that
+    * table plus the live tail segments. */
+  def segmentedIndexFrom(base: DataFrame, dir: String, archPred: Column,
+      deltaPreds: Seq[Column], tag: String, nCentroids: Int, rounds: Int,
+      replication: Int, maxSegments: Int = 4)
+      : (DataFrame, DataFrame, DataFrame) = {
     import graft.operators.{LayoutCatalog => LC}
     require(deltaPreds.nonEmpty, "need at least one delta predicate")
     val spark = base.sparkSession
-    val anyDelta = deltaPreds.reduce(_ || _)
-    val baseArch = base.filter(!anyDelta)
+    val baseArch = base.filter(archPred)
+    val ak = LC.predKey(Seq(archPred))
     val cents = Ivf.persistedCentroidsCosine(baseArch, dir, "vec_id", "qv",
-      nCentroids, rounds, variant = s"${tag}_arch")
+      nCentroids, rounds, variant = s"${tag}_arch_$ak")
+    // fingerprint + predicate content keys in the MEMO key (not just
+    // the artifact names): in-JVM corpus changes and changed splits
+    // must re-resolve, never serve a stale location (the pqN lesson)
+    val fp = LC.fingerprint(dir, Seq("embeddings"))
+    val segKeys = deltaPreds.map(p => LC.predKey(Seq(p)))
     val key = s"${LC.root.getAbsolutePath}|$dir|$nCentroids|$rounds|" +
-      s"$replication|pq|$tag|${deltaPreds.length}|$maxSegments"
+      s"$replication|pq|$tag|$ak|${segKeys.mkString(",")}|$maxSegments|$fp"
     val (codesLocs, cbLoc) = segResolved.computeIfAbsent(key, _ => {
-      val fp = LC.fingerprint(dir, Seq("embeddings"))
       def dest(variant: String) = LC.publishedDir(s"ivfpq_v$LayoutVersion",
         s"${LC.sanitize(dir)}_${tag}_${variant}_k${nCentroids}_r${rounds}_x$replication", fp)
-      val archDest = dest("arch")
+      val archDest = dest(s"arch_$ak")
       LC.buildAndPublish(archDest, tmp =>
         buildInto(baseArch, baseArch, cents, replication, tmp))
       val cbFile = new java.io.File(archDest, "codebook")
       def cbt = spark.read.parquet(cbFile.getAbsolutePath)
       val segDests = deltaPreds.zipWithIndex.map { case (p, i) =>
-        val d = dest(s"seg$i")
+        val d = dest(s"seg${i}_${segKeys(i)}")
         LC.buildAndPublish(d, tmp => writeCodes(codeAgainst(
           subspaced(residuals(base.filter(p), cents, replication)), cbt), tmp))
         d
       }
       def codesOf(d: java.io.File) = new java.io.File(d, "codes")
-      if (deltaPreds.length > maxSegments) {
-        val mergedDest = dest(s"compacted${deltaPreds.length}")
+      val folded = deltaPreds.length - (deltaPreds.length % maxSegments)
+      if (folded > 0) {
+        val fk = LC.predKey(archPred +: deltaPreds.take(folded))
+        val mergedDest = dest(s"compacted${folded}_$fk")
         LC.buildAndPublish(mergedDest, tmp => writeTables(
-          (archDest +: segDests)
+          (archDest +: segDests.take(folded))
             .map(d => spark.read.parquet(codesOf(d).getAbsolutePath))
             .reduce(_ unionByName _),
           cbt, tmp))
-        (Seq(codesOf(mergedDest)), cbFile)
+        (codesOf(mergedDest) +: segDests.drop(folded).map(codesOf), cbFile)
       } else ((archDest +: segDests).map(codesOf), cbFile)
     })
     val codes = codesLocs
@@ -314,14 +344,22 @@ object IvfPq {
   def driftStats(base: DataFrame, codes: DataFrame, cbt: DataFrame,
       cents: DataFrame, deltaPred: Column): (Long, Long, Long) = {
     val errs = reconErrs(base, codes, cbt, cents)
+    // coalesce: an empty index must yield the zero row, not NULL sums
+    // (sum over zero rows is NULL and getLong would throw)
     val row = errs.agg(
-      sum(when(!deltaPred, 1L).otherwise(0L)).as("n_arch"),
-      sum(when(!deltaPred, col("err")).otherwise(0L)).as("t_arch"),
-      sum(when(deltaPred, 1L).otherwise(0L)).as("n_delta"),
-      sum(when(deltaPred, col("err")).otherwise(0L)).as("t_delta")).head()
+      coalesce(sum(when(!deltaPred, 1L).otherwise(0L)), lit(0L)).as("n_arch"),
+      coalesce(sum(when(!deltaPred, col("err")).otherwise(0L)), lit(0L)).as("t_arch"),
+      coalesce(sum(when(deltaPred, 1L).otherwise(0L)), lit(0L)).as("n_delta"),
+      coalesce(sum(when(deltaPred, col("err")).otherwise(0L)), lit(0L)).as("t_delta")).head()
     val archMean = if (row.getLong(0) == 0) 0L else row.getLong(1) / row.getLong(0)
     val deltaMean = if (row.getLong(2) == 0) 0L else row.getLong(3) / row.getLong(2)
-    val drift = if (archMean == 0) 1000L else 1000L * deltaMean / archMean
+    // archMean = 0 with a NONZERO delta error is infinite drift, not
+    // "no drift": a perfectly-reconstructing (or empty) archive must
+    // never mask a drifted delta from the retrain gate. 1_000_000‰ is
+    // the saturating sentinel both q291's engines encode.
+    val drift =
+      if (archMean == 0) { if (deltaMean == 0) 1000L else 1000000L }
+      else 1000L * deltaMean / archMean
     (archMean, deltaMean, drift)
   }
 

@@ -90,6 +90,21 @@ object LayoutCatalog {
   def sanitize(s: String): String =
     s.replaceAll("[^A-Za-z0-9._-]+", "_").replaceAll("^_+", "")
 
+  /** Deterministic 8-hex content key of a predicate list (the
+    * expressions' SQL forms, hashed). Split-artifact names (LSM
+    * archive / segment / compacted) embed it so two different delta
+    * splits can NEVER resolve to the same artifact: without it, a
+    * grown predicate list silently reused the shorter list's archive
+    * — which still contained the new days' rows — and the union view
+    * double-counted them. */
+  def predKey(preds: Seq[org.apache.spark.sql.Column]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(preds
+        .map(c => org.apache.spark.sql.graftbridge.Bridge.expression(c).sql)
+        .mkString("|").getBytes(StandardCharsets.UTF_8))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+  }
+
   /** The published artifact directory for (kind, corpus base,
     * fingerprint) — e.g. `<root>/edges_v2/sf0.001_ab12cd34ef567890`. */
   def publishedDir(kind: String, base: String, fp: String): File =

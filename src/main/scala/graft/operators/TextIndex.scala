@@ -49,10 +49,15 @@ import org.apache.spark.sql.functions._
   * archive + segments; doc_ids are disjoint across append
   * boundaries, so no (doc, gram) group straddles a segment and the
   * view is row-identical to a from-scratch rebuild. A compaction
-  * rung (segment count > maxSegments) folds the published
-  * read-backs into one artifact whose bytes are IDENTICAL to a
-  * from-scratch rebuild (total file order ⇒ bytes are a function of
-  * the row set — LayoutCatalogSpec pins per-bucket MD5 equality).
+  * rung folds the oldest maxSegments-multiple of segments (published
+  * read-backs) into one artifact whose bytes are IDENTICAL to a
+  * from-scratch build over the same documents (total file order ⇒
+  * bytes are a function of the row set — LayoutCatalogSpec pins
+  * per-bucket MD5 equality), amortizing the fold to one O(corpus)
+  * write per maxSegments appends. Every split artifact embeds a
+  * content key of its predicate, so a grown or changed split always
+  * resolves fresh artifacts — never a stale archive that still
+  * contains a later day's documents.
   * v3 also denormalizes `dl` into the postings rows, deleting the
   * doclen join (previously an unbounded broadcast) from every
   * BM25-family consumer.
@@ -185,9 +190,14 @@ object TextIndex {
     * retention never crosses variants). */
   private def ensure(s: SparkSession, dir: String, variant: String,
       build: java.io.File => Unit): (String, java.io.File) = {
-    val key = LayoutCatalog.root.getAbsolutePath + "|" + dir + "|" + variant
+    // the corpus fingerprint is part of the MEMO key, not just the
+    // artifact name: a corpus path whose data changes within one JVM
+    // (scratch-root probe harnesses) must re-resolve, not serve the
+    // stale pre-change artifact (the pqN-cache lesson)
+    val fp = LayoutCatalog.fingerprint(dir, Seq("documents"))
+    val key = LayoutCatalog.root.getAbsolutePath + "|" + dir + "|" +
+      variant + "|" + fp
     val (postingsLoc, doclenLoc, tag) = resolved.computeIfAbsent(key, _ => {
-      val fp = LayoutCatalog.fingerprint(dir, Seq("documents"))
       val base = LayoutCatalog.sanitize(dir) +
         (if (variant.isEmpty) "" else s"_$variant")
       val dest = LayoutCatalog.publishedDir(s"lexical_v$LayoutVersion",
@@ -236,40 +246,72 @@ object TextIndex {
       deltaPred: Column, tag: String): (DataFrame, DataFrame) =
     segmentedPostings(s, dir, Seq(deltaPred), tag)
 
-  /** Multi-append LSM view: the archive (documents matching NO
-    * predicate) plus one delta segment per predicate, each its own
-    * durable artifact, unioned at read. Predicates MUST be pairwise
-    * disjoint (each models one day's batch). Every segment write is
-    * O(that delta); nothing ever rewrites the archive. When the live
-    * segment count exceeds `maxSegments`, the read path COMPACTS:
-    * archive + all segments fold (as published read-backs — zero
-    * re-tokenization) into one merged artifact whose bytes are
-    * identical to a from-scratch rebuild (writeInto's total file
-    * order makes bytes a pure function of the row set), and the view
-    * becomes that single bucketed table. Old segment artifacts stay
-    * on disk until the snapshot fingerprint rolls (concurrent readers
-    * of the pre-compaction view never see files vanish); the next
-    * corpus snapshot's retention sweep retires them. */
+  /** Multi-append LSM view with the archive defined as the complement
+    * of the predicate set — the single-snapshot form ([[
+    * incrementalPostings]] and the specs call it this way). Because
+    * the archive's membership here DEPENDS on the predicate set, a
+    * grown list re-derives the archive artifact (its row set shrank);
+    * callers that append day-over-day and want the archive to stay
+    * warm should use [[segmentedPostingsFrom]] with an explicit,
+    * STABLE archive predicate instead. */
   def segmentedPostings(s: SparkSession, dir: String,
       deltaPreds: Seq[Column], tag: String, maxSegments: Int = 4)
       : (DataFrame, DataFrame) = {
     require(deltaPreds.nonEmpty, "need at least one delta predicate")
+    segmentedPostingsFrom(s, dir, !deltaPreds.reduce(_ || _), deltaPreds,
+      tag, maxSegments)
+  }
+
+  /** Multi-append LSM view: the archive (documents matching
+    * `archPred`) plus one delta segment per predicate, each its own
+    * durable artifact, unioned at read. `archPred` and the
+    * `deltaPreds` MUST be pairwise disjoint and jointly cover the
+    * corpus (each delta models one day's batch); every artifact name
+    * embeds a CONTENT KEY of its predicate ([[LayoutCatalog.predKey]]),
+    * so a changed or grown split can never silently reuse an artifact
+    * built for a different partition of the corpus — appending day
+    * N+1 reuses the archive and days 1..N's segments untouched and
+    * pays O(delta) compute and I/O for the new segment only.
+    *
+    * COMPACTION is grouped and amortized: the oldest
+    * ⌊N/maxSegments⌋·maxSegments segments fold (as published
+    * read-backs — zero re-tokenization) with the archive into one
+    * merged artifact whose bytes are identical to a from-scratch
+    * build over the same documents (writeInto's total file order
+    * makes bytes a pure function of the row set); the view is that
+    * table plus the still-live tail segments. The fold artifact's
+    * content key covers (archive, folded prefix), so between fold
+    * boundaries every append reuses it — ONE O(corpus) write per
+    * maxSegments appends, not per append. Old segment artifacts stay
+    * on disk until the snapshot fingerprint rolls (concurrent readers
+    * of the pre-compaction view never see files vanish); the next
+    * corpus snapshot's retention sweep retires them. */
+  def segmentedPostingsFrom(s: SparkSession, dir: String,
+      archPred: Column, deltaPreds: Seq[Column], tag: String,
+      maxSegments: Int = 4): (DataFrame, DataFrame) = {
+    require(deltaPreds.nonEmpty, "need at least one delta predicate")
     val docs = graft.Tables.load(s, dir, "documents")
-    val anyDelta = deltaPreds.reduce(_ || _)
-    val (archName, archDl) = ensure(s, dir, s"${tag}_arch", tmp =>
-      writeInto(s, withDl(tfOf(spread(s, dir, docs.filter(!anyDelta)))), tmp))
+    val ak = LayoutCatalog.predKey(Seq(archPred))
+    val (archName, archDl) = ensure(s, dir, s"${tag}_arch_$ak", tmp =>
+      writeInto(s, withDl(tfOf(spread(s, dir, docs.filter(archPred)))), tmp))
     val segs = deltaPreds.zipWithIndex.map { case (p, i) =>
       ensureSegment(s, dir, p, tag, i)
     }
-    if (deltaPreds.length > maxSegments) {
-      // compaction rung: fold published read-backs — the only
-      // O(corpus) write in the artifact's lifetime, amortized over
-      // maxSegments O(delta) appends
-      val (mName, mDl) = ensure(s, dir, s"${tag}_compacted${deltaPreds.length}", tmp =>
-        writeInto(s,
-          (archName +: segs.map(_._1)).map(s.table).reduce(_ unionByName _),
+    val folded = deltaPreds.length - (deltaPreds.length % maxSegments)
+    if (folded > 0) {
+      val fk = LayoutCatalog.predKey(archPred +: deltaPreds.take(folded))
+      val (mName, mDl) = ensure(s, dir, s"${tag}_compacted${folded}_$fk",
+        tmp => writeInto(s,
+          (archName +: segs.take(folded).map(_._1)).map(s.table)
+            .reduce(_ unionByName _),
           tmp))
-      (s.table(mName), s.read.parquet(mDl.getAbsolutePath))
+      val live = segs.drop(folded)
+      val postings = (s.table(mName) +: live.map(x => s.table(x._1)))
+        .reduce(_ unionByName _)
+      val doclens = (mDl +: live.map(_._2))
+        .map(f => s.read.parquet(f.getAbsolutePath))
+        .reduce(_ unionByName _)
+      (postings, doclens)
     } else {
       val postings = (archName +: segs.map(_._1)).map(s.table)
         .reduce(_ unionByName _)
@@ -282,8 +324,8 @@ object TextIndex {
 
   private def ensureSegment(s: SparkSession, dir: String, pred: Column,
       tag: String, i: Int): (String, java.io.File) =
-    ensure(s, dir, s"${tag}_seg$i", tmp =>
-      writeInto(s, withDl(tfOf(spread(s, dir,
+    ensure(s, dir, s"${tag}_seg${i}_${LayoutCatalog.predKey(Seq(pred))}",
+      tmp => writeInto(s, withDl(tfOf(spread(s, dir,
         graft.Tables.load(s, dir, "documents").filter(pred)))), tmp))
 
   /** The i-th delta segment of a segmented split, as its own bucketed
@@ -304,7 +346,11 @@ object TextIndex {
   def archiveIndex(s: SparkSession, dir: String,
       deltaPred: Column, tag: String): (DataFrame, DataFrame) = {
     val docs = graft.Tables.load(s, dir, "documents")
-    val (archName, archDl) = ensure(s, dir, s"${tag}_arch", tmp =>
+    // content-keyed identically to segmentedPostings' single-pred
+    // archive (archPred = ¬deltaPred), so the two paths share the
+    // artifact
+    val ak = LayoutCatalog.predKey(Seq(!deltaPred))
+    val (archName, archDl) = ensure(s, dir, s"${tag}_arch_$ak", tmp =>
       writeInto(s, withDl(tfOf(spread(s, dir, docs.filter(!deltaPred)))), tmp))
     (s.table(archName), s.read.parquet(archDl.getAbsolutePath))
   }

@@ -263,11 +263,15 @@ object Matching {
       val tf = graft.operators.TextIndex.bigramPostings(s, dir)
       val stats = graft.operators.TextIndex.docLengths(s, dir)
         .agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
-      val termStrs = Seq("hash join", "merge join",
-        "stream batch", "batch window", "vector scan")
-      val qt = Seq((1, "hash join"), (1, "merge join"),
+      // single source of truth for the query terms: the isin pushdown
+      // list derives from the (query_id, term) pairs, so the two can
+      // never silently diverge (a term missing from the pushdown would
+      // contribute nothing to its query's scores)
+      val qTerms = Seq((1, "hash join"), (1, "merge join"),
         (2, "stream batch"), (2, "batch window"),
-        (3, "vector scan")).toDF("query_id", "term")
+        (3, "vector scan"))
+      val termStrs = qTerms.map(_._2).distinct
+      val qt = qTerms.toDF("query_id", "term")
       // postings of ONLY the query terms: the isin literal pushes
       // into the parquet scan, and the per-term df aggregate runs
       // exchange-free on the bucket partitioning over ≤5 groups — so
@@ -620,11 +624,13 @@ object Matching {
       val (tf, dls) = graft.operators.TextIndex.incrementalPostings(
         s, dir, col("doc_id") % 10 === 0, "d10")
       val stats = dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
-      val termStrs = Seq("table hash", "part filter", "customer join",
-        "slow key", "merge group", "batch scan")
-      val qt = Seq((1, "table hash"), (1, "part filter"),
+      // pushdown term list derives from the (query_id, term) pairs —
+      // one source of truth (q90's rule)
+      val qTerms = Seq((1, "table hash"), (1, "part filter"),
         (2, "customer join"), (2, "slow key"),
-        (3, "merge group"), (3, "batch scan")).toDF("query_id", "term")
+        (3, "merge group"), (3, "batch scan"))
+      val termStrs = qTerms.map(_._2).distinct
+      val qt = qTerms.toDF("query_id", "term")
       // q90's bounded-broadcast shape over the segmented view: the
       // isin literal pushes into BOTH segment scans, df aggregates
       // over ≤6 terms' postings, dl rides denormalized on the rows —

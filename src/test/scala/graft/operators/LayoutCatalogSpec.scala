@@ -239,9 +239,11 @@ class LayoutCatalogSpec extends SparkSpec {
       .filter(_.startsWith("graft_postings_"))
       .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
     TextIndex.bigramPostings(spark, dir).queryExecution.toRdd.count()
-    // five disjoint daily deltas (doc_id % 10 ∈ 0..4; archive = 5..9)
-    // exceed maxSegments=4 → the read path compacts
-    val preds = (0 to 4).map(i => col("doc_id") % 10 === i)
+    // four disjoint daily deltas (doc_id % 10 ∈ 0..3; archive = 4..9)
+    // reach the maxSegments=4 fold boundary → the oldest
+    // maxSegments-multiple (all four) compacts with the archive,
+    // covering the FULL corpus
+    val preds = (0 to 3).map(i => col("doc_id") % 10 === i)
     val (view, viewDl) = TextIndex.segmentedPostings(
       spark, dir, preds, "lsm", maxSegments = 4)
     assert(view.orderBy("doc_id", "g").collect().map(_.toSeq).toSeq ==
@@ -252,8 +254,8 @@ class LayoutCatalogSpec extends SparkSpec {
     val kind = new File(LayoutCatalog.root, s"lexical_v${TextIndex.LayoutVersion}")
     val pub = kind.listFiles().filterNot(_.getName.startsWith(".tmp_"))
     val fullDir = pub.find(d => !d.getName.contains("_lsm_") &&
-      !d.getName.contains("_d10_")).get
-    val compDir = pub.find(_.getName.contains("_lsm_compacted5_")).get
+      !d.getName.contains("_d10_") && !d.getName.contains("_ml_")).get
+    val compDir = pub.find(_.getName.contains("_lsm_compacted4_")).get
     // byte-for-byte: files are totally ordered, so the compacted
     // artifact's parquet bytes must equal the from-scratch build's,
     // bucket for bucket — the strongest possible no-drift statement
@@ -263,6 +265,40 @@ class LayoutCatalogSpec extends SparkSpec {
       s"per-bucket parquet bytes must match: full=${fb.keySet} compacted=${cb.keySet}")
     assert(doclenBytes(fullDir) == doclenBytes(compDir),
       "doclen parquet bytes must match")
+  }
+
+  test("lexical index: a grown predicate list never double-counts, and appends past the fold boundary reuse the compacted artifact") {
+    val dir = corpus.getAbsolutePath
+    TextIndex.reset()
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_postings_"))
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    val full = TextIndex.bigramPostings(spark, dir)
+    // STABLE archive boundary (docs with doc_id % 10 ∈ 6..9); days
+    // 0..5 arrive one predicate at a time
+    val archPred = col("doc_id") % 10 >= 6
+    def day(i: Int) = col("doc_id") % 10 === i
+    // day 5 state: archive + days 0..4 → folded = 4, seg4 live
+    val (v5, _) = TextIndex.segmentedPostingsFrom(
+      spark, dir, archPred, (0 to 4).map(day), "ml", maxSegments = 4)
+    val expect5 = full.filter(col("doc_id") % 10 =!= 5)
+    assert(v5.count() === expect5.count())
+    assert(v5.count() ===
+      v5.select("doc_id", "g").distinct().count(),
+      "no (doc, gram) group may appear twice in the view")
+    val before = LayoutCatalog.buildsPublished.get()
+    // day 6 append: ONLY the new segment may build — the archive,
+    // days 0..4's segments, and the day-4 fold are all reused (this
+    // is the O(delta) append contract; pre-fix the archive keyed only
+    // by tag and silently reused a row set that still CONTAINED day
+    // 5's documents, double-counting them in the view)
+    val (v6, _) = TextIndex.segmentedPostingsFrom(
+      spark, dir, archPred, (0 to 5).map(day), "ml", maxSegments = 4)
+    assert(LayoutCatalog.buildsPublished.get() === before + 1,
+      "appending one day must publish exactly one new artifact")
+    assert(v6.orderBy("doc_id", "g").collect().map(_.toSeq).toSeq ==
+      full.orderBy("doc_id", "g").collect().map(_.toSeq).toSeq,
+      "the grown view must equal the from-scratch table exactly")
   }
 
   test("ivf-pq index: built once, re-resolved from disk, bit-identical") {
@@ -367,14 +403,15 @@ class LayoutCatalogSpec extends SparkSpec {
     IvfPq.reset()
     Ivf.reset()
     val base = pqBase(dir)
-    // five disjoint daily deltas exceed maxSegments=4 → compaction
-    val preds = (0 to 4).map(i => col("vec_id") % 10 === i)
+    // four disjoint daily deltas reach the maxSegments=4 fold
+    // boundary → the fold covers the full corpus
+    val preds = (0 to 3).map(i => col("vec_id") % 10 === i)
     val anyDelta = preds.reduce(_ || _)
     val (codes, _, cents) = IvfPq.segmentedIndex(
       base, dir, preds, "lsm", 8, 2, 3, maxSegments = 4)
     val kind = new File(LayoutCatalog.root, s"ivfpq_v${IvfPq.LayoutVersion}")
     val compDir = kind.listFiles()
-      .filter(d => d.getName.contains("_lsm_compacted5_") &&
+      .filter(d => d.getName.contains("_lsm_compacted4_") &&
         !d.getName.startsWith(".tmp_")).head
     val rebuild = Files.createTempDirectory("graft-pq-rebuild2").toFile
     try {
@@ -388,6 +425,33 @@ class LayoutCatalogSpec extends SparkSpec {
         "codebook parquet bytes must match")
       assert(codes.count() > 0)
     } finally LayoutCatalog.deleteRecursively(rebuild)
+  }
+
+  test("ivf-pq multi-append: a grown predicate list never double-codes and reuses the fold") {
+    val dir = corpus.getAbsolutePath
+    IvfPq.reset()
+    Ivf.reset()
+    val base = pqBase(dir)
+    val archPred = col("vec_id") % 10 >= 6
+    def day(i: Int) = col("vec_id") % 10 === i
+    val (v5, _, _) = IvfPq.segmentedIndexFrom(
+      base, dir, archPred, (0 to 4).map(day), "ml", 8, 2, 3, maxSegments = 4)
+    assert(v5.count() ===
+      v5.select("vec_id", "centroid_id", "subspace").distinct().count(),
+      "no (copy, subspace) may be coded twice in the view")
+    val before = LayoutCatalog.buildsPublished.get()
+    val (v6, _, _) = IvfPq.segmentedIndexFrom(
+      base, dir, archPred, (0 to 5).map(day), "ml", 8, 2, 3, maxSegments = 4)
+    assert(LayoutCatalog.buildsPublished.get() === before + 1,
+      "appending one day must publish exactly one new code segment")
+    assert(v6.count() ===
+      v6.select("vec_id", "centroid_id", "subspace").distinct().count())
+    // day 5 was absent before the append, present exactly once after,
+    // and the append added nothing else
+    assert(v5.filter(col("vec_id") % 10 === 5).count() === 0)
+    val day5 = v6.filter(col("vec_id") % 10 === 5).count()
+    assert(day5 > 0)
+    assert(v6.count() === v5.count() + day5)
   }
 
   test("edge layout: weighted pairs carry the exact per-pair line counts") {
