@@ -123,12 +123,31 @@ object IncrProbe {
       graft.operators.IvfPq.incrementalIndex(base, dir, vpred, "p", k, 2, 3)
         ._1.queryExecution.toRdd.count(): Unit)
 
+    // ---- lexical multi-append: stable archive, growing day list —
+    // measures (a) the day that crosses the fold boundary (pays its
+    // segment + the grouped compaction) and (b) the day after it
+    // (reuses the fold: pays ONLY its own segment — the amortization
+    // claim, measured)
+    freshRoot()
+    def day(i: Int) = col("doc_id") % 10 === i
+    val archPred = col("doc_id") % 10 >= 6
+    // warm: archive + days 0..2 (3 segments, below the fold boundary)
+    graft.operators.TextIndex.segmentedPostingsFrom(spark, dir, archPred,
+      (0 to 2).map(day), "ma")._1.queryExecution.toRdd.count()
+    val lexFold = timed("lexical_append_day4_with_fold")(
+      graft.operators.TextIndex.segmentedPostingsFrom(spark, dir, archPred,
+        (0 to 3).map(day), "ma")._1.queryExecution.toRdd.count(): Unit)
+    val lexPostFold = timed("lexical_append_day5_reusing_fold")(
+      graft.operators.TextIndex.segmentedPostingsFrom(spark, dir, archPred,
+        (0 to 4).map(day), "ma")._1.queryExecution.toRdd.count(): Unit)
+
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     spark.stop()
     println(s"""{"metric":"incr_probe","dir":"$dir","lexical":{"full":${
       num(lexFull)},"archive_plus_append":${num(lexIncrTotal)},"append_only":${
-      num(lexMerge)}},"ivfpq":{"full":${num(pqFull)},"archive_plus_append":${
+      num(lexMerge)},"append_with_fold":${num(lexFold)},"append_after_fold":${
+      num(lexPostFold)}},"ivfpq":{"full":${num(pqFull)},"archive_plus_append":${
       num(pqIncrTotal)},"append_only":${num(pqMerge)}}}""")
     System.out.flush()
   }

@@ -247,6 +247,12 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q291    graft.queries.Vectors    — codebook-drift audit of the
   *            incremental index: delta-vs-archive mean reconstruction
   *            error (permille), the retrain-gate statistic
+  *   q292    graft.queries.Vectors    — Johnson–Lindenstrauss
+  *            projection distortion audit: 16-plane signed projection
+  *            on pair differences, exact permille ratio percentiles
+  *   q293    graft.queries.Vectors    — int8 scalar-quantization
+  *            audit: per-dimension [min,max] codes, exact
+  *            reconstruction-error profile
   */
 object SparkEntry {
 

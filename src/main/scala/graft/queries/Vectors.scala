@@ -1438,6 +1438,18 @@ object Vectors {
     // ratio — the retrain trigger statistic.
     qPqDrift,
 
+    // --------------------------------------------------------------- q292
+    // Johnson–Lindenstrauss projection distortion audit (see qJl
+    // below): 16-plane deterministic signed projection, pairwise
+    // squared-distance ratio distribution in exact permille.
+    qJl,
+
+    // --------------------------------------------------------------- q293
+    // Int8 scalar-quantization audit (see qSq8 below): per-dimension
+    // global [min, max] → 0..255 codes, exact reconstruction-error
+    // profile per dimension.
+    qSq8,
+
     // --------------------------------------------------------------- q203
     // Grid-DBSCAN density clustering on the first two embedding dims —
     // the cell-level approximation that makes density clustering a
@@ -2525,7 +2537,9 @@ object Vectors {
         SELECT n_arch, arch_mean_err, n_delta, delta_mean_err,
                drift_permille, drift_permille > 1500 AS retrain_needed
         FROM (
-          SELECT *, CASE WHEN arch_mean_err = 0 THEN 1000
+          SELECT *, CASE WHEN arch_mean_err = 0 THEN
+                           CASE WHEN delta_mean_err = 0 THEN 1000
+                                ELSE 1000000 END
                          ELSE (1000 * delta_mean_err) // arch_mean_err
                     END AS drift_permille
           FROM means) t""")
@@ -2544,12 +2558,162 @@ object Vectors {
           sum(when(col("vec_id") % 10 === 0, col("err")).otherwise(0L)).as("t_delta"))
         .withColumn("arch_mean_err", expr("t_arch div n_arch"))
         .withColumn("delta_mean_err", expr("t_delta div n_delta"))
+        // archMean = 0 with nonzero delta error is INFINITE drift
+        // (saturating 1e6‰ sentinel) — a perfectly-reconstructing
+        // archive must never mask a drifted delta from the gate
         .withColumn("drift_permille", expr(
-          "CASE WHEN arch_mean_err = 0 THEN 1000L " +
+          "CASE WHEN arch_mean_err = 0 THEN " +
+            "CASE WHEN delta_mean_err = 0 THEN 1000L ELSE 1000000L END " +
             "ELSE (1000L * delta_mean_err) div arch_mean_err END"))
         .withColumn("retrain_needed", col("drift_permille") > 1500)
         .select("n_arch", "arch_mean_err", "n_delta", "delta_mean_err",
           "drift_permille", "retrain_needed")
+    }
+
+  // --------------------------------------------------------------- q292
+  // Johnson–Lindenstrauss distortion audit — the dimensionality-
+  // reduction half of the ANN toolbox (reduce 64 → 16 dims BEFORE
+  // indexing; JL says pairwise distances concentrate around a single
+  // scale factor). The projection is the SAME deterministic signed
+  // plane family the SRP/LSH operators use (Lsh.planeDotExpr — w(p,i)
+  // ∈ [-5,5], exact BIGINT), applied to pair DIFFERENCES (projection
+  // is linear, so proj(x)−proj(y) = proj(x−y) — one HOF pass per
+  // pair, no per-side projection join). Pairs are a deterministic
+  // 1-in-17 systematic sample, each with its id+1 neighbor — a keyed
+  // equi-join, corpus-linear, no window over raw rows. The audit
+  // aggregates the ratio 1000·‖proj(z)‖² div ‖z‖² into an exact
+  // permille histogram (bounded by the weight family's value range)
+  // and reads exact type-1 percentiles off the cumulative — the
+  // concentration statement (p05 ≈ p95) IS the JL property. Overflow
+  // audit: |z_i| ≤ 2·10³ quantized units ⇒ |dot_p| ≤ 64·2000·5 =
+  // 6.4e5, p2 ≤ 16·4.1e11 = 6.6e12, ×1000 ≪ 2⁶³.
+  private lazy val qJl: Q = Q(
+      "q292_jl_distortion",
+      Some({
+        val zDiff = "list_transform(range(1, len(a.qv) + 1), " +
+          "i -> a.qv[CAST(i AS INT)] - b.qv[CAST(i AS INT)])"
+        val p2 = (0 until 16).map(p =>
+          s"(${graft.operators.Lsh.planeDotSql("z", p)} * " +
+            s"${graft.operators.Lsh.planeDotSql("z", p)})").mkString(" + ")
+        s"""
+        WITH normed AS ($quantizedSql),
+        pairs AS (
+          SELECT a.vec_id AS pid, $zDiff AS z
+          FROM normed a JOIN normed b ON b.vec_id = a.vec_id + 1
+          WHERE a.vec_id % 17 = 0),
+        m AS (
+          SELECT pid,
+                 CAST(list_aggregate(list_transform(range(1, len(z) + 1),
+                   i -> z[CAST(i AS INT)] * z[CAST(i AS INT)]), 'sum')
+                   AS BIGINT) AS d2,
+                 CAST($p2 AS BIGINT) AS p2
+          FROM pairs),
+        rp AS (
+          SELECT (1000 * p2) // d2 AS ratio_pm FROM m WHERE d2 > 0),
+        hist AS (
+          SELECT ratio_pm, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM rp GROUP BY ratio_pm),
+        cum AS (
+          SELECT ratio_pm,
+                 CAST(SUM(cnt) OVER (ORDER BY ratio_pm) AS BIGINT) AS cum,
+                 CAST(SUM(cnt) OVER () AS BIGINT) AS n
+          FROM hist)
+        SELECT MAX(n) AS n_pairs,
+               MIN(CASE WHEN cum * 100 >= n * 5 THEN ratio_pm END) AS p05_pm,
+               MIN(CASE WHEN cum * 100 >= n * 50 THEN ratio_pm END) AS p50_pm,
+               MIN(CASE WHEN cum * 100 >= n * 95 THEN ratio_pm END) AS p95_pm,
+               MAX(ratio_pm) AS max_pm
+        FROM cum"""
+      })
+    ) { (s, dir) =>
+      val qd = graft.functions.VecMath.qdot _
+      val e = quantized(s, dir).select(col("vec_id"), col("qv"))
+      val a = e.filter(col("vec_id") % 17 === 0)
+        .select(col("vec_id").as("pid"), col("qv").as("xa"))
+      val b = e.select((col("vec_id") - 1).as("pid"), col("qv").as("xb"))
+      val pairs = a.join(b, "pid")
+        .withColumn("z", expr("zip_with(xa, xb, (x, y) -> x - y)"))
+      val p2 = (0 until 16).map { p =>
+        val dp = expr(graft.operators.Lsh.planeDotExpr("z", p))
+        dp * dp
+      }.reduce(_ + _)
+      val rp = pairs
+        .withColumn("d2", qd(col("z"), col("z")))
+        .withColumn("p2", p2)
+        .filter(col("d2") > 0)
+        .select(expr("(1000 * p2) div d2").as("ratio_pm"))
+      // exact percentiles via a permille histogram: the only windows
+      // run over the GROUPED (bounded-domain) table, never raw pairs
+      val hist = rp.groupBy("ratio_pm").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("ratio_pm")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+      hist
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .agg(
+          max(col("n")).as("n_pairs"),
+          min(when(col("cum") * 100 >= col("n") * 5, col("ratio_pm")))
+            .as("p05_pm"),
+          min(when(col("cum") * 100 >= col("n") * 50, col("ratio_pm")))
+            .as("p50_pm"),
+          min(when(col("cum") * 100 >= col("n") * 95, col("ratio_pm")))
+            .as("p95_pm"),
+          max(col("ratio_pm")).as("max_pm"))
+    }
+
+  // --------------------------------------------------------------- q293
+  // Int8 scalar-quantization audit — the OTHER production vector-
+  // compression scheme beside PQ (q200/q286): per-dimension global
+  // [min, max] over the corpus (64 groups — a map-side-partial
+  // aggregate whose shuffle is 64 rows at any corpus size), each
+  // value coded to 0..255 by exact integer arithmetic
+  // q = ((x−mn)·255) div (mx−mn), reconstructed x̂ = mn +
+  // (q·(mx−mn)) div 255, and the per-dimension loss profile reported
+  // exactly (err = x − x̂ ∈ [0, step] — floor coding never
+  // overshoots). A flat dimension (mx = mn) codes to 0 with zero
+  // error. This is the audit a 100 TB ingest runs BEFORE switching
+  // the index to SQ8 storage: sum_err/n bounds the expected ADC bias
+  // per dimension, max_err its worst case.
+  private lazy val qSq8: Q = Q(
+      "q293_sq8_audit",
+      Some(s"""
+        WITH normed AS ($quantizedSql),
+        ex AS (
+          SELECT vec_id, CAST(i AS BIGINT) AS i, qv[CAST(i AS INT)] AS x
+          FROM normed, (SELECT unnest(range(1, 65)) AS i) a),
+        st AS (
+          SELECT i, CAST(MIN(x) AS BIGINT) AS mn, CAST(MAX(x) AS BIGINT) AS mx
+          FROM ex GROUP BY i),
+        r AS (
+          SELECT e.i, s.mn, s.mx, e.x,
+                 s.mn + (CASE WHEN s.mx = s.mn THEN 0
+                              ELSE ((e.x - s.mn) * 255) // (s.mx - s.mn)
+                         END * (s.mx - s.mn)) // 255 AS xhat
+          FROM ex e JOIN st s ON s.i = e.i)
+        SELECT i, MIN(mn) AS vmin, MAX(mx) AS vmax,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MAX(x - xhat) AS BIGINT) AS max_err,
+               CAST(SUM(x - xhat) AS BIGINT) AS sum_err
+        FROM r GROUP BY i""")
+    ) { (s, dir) =>
+      val ex = quantized(s, dir)
+        .select(col("vec_id"), posexplode(col("qv")).as(Seq("pos0", "x")))
+        .select((col("pos0") + 1).cast("long").as("i"), col("x"))
+      val st = ex.groupBy("i")
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      ex.join(broadcast(st), "i")
+        .withColumn("q", when(col("mx") === col("mn"), lit(0L))
+          .otherwise(expr("((x - mn) * 255) div (mx - mn)")))
+        .withColumn("xhat", col("mn") + expr("(q * (mx - mn)) div 255"))
+        .groupBy("i")
+        .agg(min(col("mn")).as("vmin"), max(col("mx")).as("vmax"),
+          count(lit(1)).as("n"),
+          max(col("x") - col("xhat")).as("max_err"),
+          sum(col("x") - col("xhat")).as("sum_err"))
     }
 
   // (lazy: referenced from `all` above its definition)

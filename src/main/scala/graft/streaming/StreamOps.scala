@@ -968,16 +968,7 @@ object StreamOps {
       codebook: Seq[PqCw], replication: Int,
       seed: Map[Long, PqCellAgg]): Dataset[PqAuditSnap] = {
     import incoming.sparkSession.implicits._
-    // pre-derive the integer self-norms once (driver side)
-    val centArr = cents.map(c =>
-      (c.centroid_id, c.cv.toArray, c.cv.map(x => x * x).sum)).toArray
-    val cwBySub = codebook.groupBy(_.subspace).view.mapValues(_.map(e =>
-      (e.code, e.cw.toArray, e.cw.map(x => x * x).sum)).sortBy(_._1)).toMap
-    def dot(a: Array[Long], b: Array[Long], off: Int): Long = {
-      var s = 0L; var i = 0
-      while (i < b.length) { s += a(off + i) * b(i); i += 1 }
-      s
-    }
+    val (centArr, cwBySub) = pqFrozen(cents, codebook)
     incoming
       .groupByKey(_ => 0)
       .flatMapGroupsWithState[PqAuditState, PqAuditSnap](
@@ -987,35 +978,11 @@ object StreamOps {
           val st0 = state.getOption.getOrElse(PqAuditState(0L, seed))
           var cells = st0.cells
           rows.toSeq.sortBy(_.vec_id).foreach { v =>
-            val qv = v.qv.toArray
-            // r-way spherical assignment: ascending (2 − dot/√cn, id)
-            val assigned = centArr.map { case (cid, cv, cn) =>
-              val k =
-                if (cn > 0)
-                  2.0 - dot(qv, cv, 0).toDouble / math.sqrt(cn.toDouble)
-                else 1e308
-              (k, cid, cv)
-            }.sortBy { case (k, cid, _) => (k, cid) }.take(replication)
-            assigned.foreach { case (_, cid, cv) =>
-              val rv = Array.tabulate(qv.length)(i => qv(i) - cv(i))
-              var err = 0L
-              var sub = 0L
-              while (sub < 8) {
-                val off = (sub * 8).toInt
-                val sn = dot(rv, rv.slice(off, off + 8), off)
-                // per-subspace argmin over the frozen codebook,
-                // ties to the smaller code (the build's exact rule)
-                var bestD = Long.MaxValue
-                cwBySub(sub).foreach { case (_, cw, cn2) =>
-                  val d = sn + cn2 - 2L * dot(rv, cw, off)
-                  if (d < bestD) bestD = d
-                }
-                err += bestD
-                sub += 1
-              }
-              val a = cells.getOrElse(cid.toLong, PqCellAgg(0, 0, 0, 0))
-              cells += cid.toLong -> PqCellAgg(a.n + 1, a.tot + err,
-                math.max(a.mx, err), a.exact + (if (err == 0) 1L else 0L))
+            pqCopyErrs(v.qv.toArray, centArr, cwBySub, replication).foreach {
+              case (cid, err) =>
+                val a = cells.getOrElse(cid.toLong, PqCellAgg(0, 0, 0, 0))
+                cells += cid.toLong -> PqCellAgg(a.n + 1, a.tot + err,
+                  math.max(a.mx, err), a.exact + (if (err == 0) 1L else 0L))
             }
           }
           val st = PqAuditState(st0.batch + 1, cells)
@@ -1023,6 +990,111 @@ object StreamOps {
           cells.toSeq.sortBy(_._1).iterator.map { case (cid, a) =>
             PqAuditSnap(st.batch, cid, a.n, a.tot, a.tot / a.n, a.mx, a.exact)
           }
+      }
+  }
+
+  /** Driver-side frozen-table prep shared by the PQ stream operators:
+    * centroid (id, vector, self-norm) array and per-subspace codeword
+    * (code, vector, self-norm) lists in code order. */
+  private def pqFrozen(cents: Seq[PqCent], codebook: Seq[PqCw])
+      : (Array[(Int, Array[Long], Long)],
+         Map[Long, Seq[(Long, Array[Long], Long)]]) = (
+    cents.map(c =>
+      (c.centroid_id, c.cv.toArray, c.cv.map(x => x * x).sum)).toArray,
+    codebook.groupBy(_.subspace).view.mapValues(_.map(e =>
+      (e.code, e.cw.toArray, e.cw.map(x => x * x).sum)).sortBy(_._1)).toMap)
+
+  private def pqDot(a: Array[Long], b: Array[Long], off: Int): Long = {
+    var s = 0L; var i = 0
+    while (i < b.length) { s += a(off + i) * b(i); i += 1 }
+    s
+  }
+
+  /** Per-copy (centroid_id, reconstruction error) of ONE vector
+    * against the frozen tables: r-way spherical assignment (ascending
+    * (2 − dot/√cn, id) — the same IEEE ops as Ivf.cosKeyExpr) +
+    * per-subspace codeword argmin with ties to the smaller code — the
+    * exact integer arithmetic of IvfPq.codeAgainst/reconErrs, shared
+    * by the PQ-ingest audit and the drift monitor so the two parities
+    * cannot drift apart. */
+  private def pqCopyErrs(qv: Array[Long],
+      centArr: Array[(Int, Array[Long], Long)],
+      cwBySub: Map[Long, Seq[(Long, Array[Long], Long)]],
+      replication: Int): Seq[(Int, Long)] = {
+    val assigned = centArr.map { case (cid, cv, cn) =>
+      val k =
+        if (cn > 0)
+          2.0 - pqDot(qv, cv, 0).toDouble / math.sqrt(cn.toDouble)
+        else 1e308
+      (k, cid, cv)
+    }.sortBy { case (k, cid, _) => (k, cid) }.take(replication)
+    assigned.toSeq.map { case (_, cid, cv) =>
+      val rv = Array.tabulate(qv.length)(i => qv(i) - cv(i))
+      var err = 0L
+      var sub = 0L
+      while (sub < 8) {
+        val off = (sub * 8).toInt
+        val sn = pqDot(rv, rv.slice(off, off + 8), off)
+        var bestD = Long.MaxValue
+        cwBySub(sub).foreach { case (_, cw, cn2) =>
+          val d = sn + cn2 - 2L * pqDot(rv, cw, off)
+          if (d < bestD) bestD = d
+        }
+        err += bestD
+        sub += 1
+      }
+      (cid, err)
+    }
+  }
+
+  final case class DriftState(batch: Long, nDelta: Long, tDelta: Long)
+
+  final case class DriftSnap(batch_seq: Long, n_arch: Long,
+      arch_mean_err: Long, n_delta: Long, delta_mean_err: Long,
+      drift_permille: Long, retrain_needed: Boolean)
+
+  /** STREAMING codebook-drift monitor — q291's retrain-gate statistic
+    * as a LIVE per-batch emission (the 18th stream/batch parity): the
+    * archive's per-copy error profile (n_arch, t_arch) seeds from the
+    * durable artifact's batch audit; each arriving vector codes
+    * against the FROZEN centroids + codebook ([[pqCopyErrs]] — the
+    * byte-pinned build arithmetic) and folds its copies into running
+    * (n_delta, t_delta); after every micro-batch the operator emits
+    * the complete gate row (means, drift permille, retrain flag) under
+    * q291's exact integer arithmetic — including the saturating 1e6‰
+    * sentinel when a zero-error archive meets a nonzero-error delta.
+    * Every snapshot equals the batch statistic of archive +
+    * arrived-prefix (per-vector coding is independent), and the final
+    * snapshot equals oracle-backed q291 bit for bit. State is three
+    * longs — never the corpus. */
+  def incrementalDriftMonitor(incoming: Dataset[PqVec], cents: Seq[PqCent],
+      codebook: Seq[PqCw], replication: Int, nArch: Long, tArch: Long,
+      maxDriftPermille: Long = 1500L): Dataset[DriftSnap] = {
+    import incoming.sparkSession.implicits._
+    val (centArr, cwBySub) = pqFrozen(cents, codebook)
+    incoming
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[DriftState, DriftSnap](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[PqVec], state: GroupState[DriftState]) =>
+          val st0 = state.getOption.getOrElse(DriftState(0L, 0L, 0L))
+          var n = st0.nDelta
+          var t = st0.tDelta
+          rows.toSeq.sortBy(_.vec_id).foreach { v =>
+            pqCopyErrs(v.qv.toArray, centArr, cwBySub, replication).foreach {
+              case (_, err) => n += 1; t += err
+            }
+          }
+          val st = DriftState(st0.batch + 1, n, t)
+          state.update(st)
+          val archMean = if (nArch == 0) 0L else tArch / nArch
+          val deltaMean = if (n == 0) 0L else t / n
+          val drift =
+            if (archMean == 0) { if (deltaMean == 0) 1000L else 1000000L }
+            else 1000L * deltaMean / archMean
+          Iterator.single(DriftSnap(st.batch, nArch, archMean, n, deltaMean,
+            drift, drift > maxDriftPermille))
       }
   }
 

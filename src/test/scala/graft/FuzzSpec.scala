@@ -15,9 +15,10 @@ import org.apache.spark.sql.types._
   * sign behavior on negative operands, null ordering in window sorts,
   * 3VL IN/NOT IN, cast edges, decimal scale/rounding — by generating
   * random small relations and instantiating parameterized query
-  * templates across ten operator families (agg, window, join, string,
-  * div/mod/decimal, date, array/HOF, join semantics,
-  * multi-grain/set-op, window frames), then running BOTH engines over
+  * templates across eleven operator families (agg, window, join,
+  * string, div/mod/decimal, date, array/HOF, join semantics,
+  * multi-grain/set-op, window frames, string surgery + regex), then
+  * running BOTH engines over
   * the same
   * parquet bytes and comparing through the exact canonicalization the
   * driver's gate uses (tools/check_oracle.py: sorted columns, sorted
@@ -44,7 +45,7 @@ class FuzzSpec extends SparkSpec {
     try Process(Seq("python3", "-c", "import duckdb")).! == 0
     catch { case _: java.io.IOException => false }
 
-  test("differential fuzz: 100 random relations × 10 template families match DuckDB") {
+  test("differential fuzz: 100 random relations × 11 template families match DuckDB") {
     assume(duckdbAvailable, "python3+duckdb oracle not available on this host")
     info(s"fuzz seed = $seed (set GRAFT_FUZZ_SEED to replay)")
     val rng = new scala.util.Random(seed)
@@ -338,6 +339,60 @@ class FuzzSpec extends SparkSpec {
       }
       queries += FQ(f"f10_frame_$i%02d",
         sql(s"INTERVAL $d DAYS"), sql(s"INTERVAL $d DAYS"))
+    }
+
+    // F11 string surgery + regex semantics — the positional /
+    // pattern-matching surface F4's basics don't cover: split_part
+    // indexing, instr positions (0 when absent), multi-char lpad/rpad
+    // truncation, left/right slices, replace/reverse/repeat/translate,
+    // occurrence counting via length arithmetic, GUARDED regexp
+    // extraction (no-match → '' on both engines via an explicit CASE),
+    // regexp_replace (global in Spark by default, needs the 'g' flag
+    // in DuckDB — a genuine dialect gap, spelled per-engine), and
+    // grouped MIN/MAX under binary collation (mixed case + spaces).
+    (0 until perFamily).foreach { i =>
+      val t = rel(); val n = 1 + rng.nextInt(4); val w = 2 + rng.nextInt(12)
+      val r = 1 + rng.nextInt(3)
+      val c = "abcxyz".charAt(rng.nextInt(6))
+      val pat = Seq("[abc]+", "[xyz][xyz]", "a.c", "x[yY]?").apply(rng.nextInt(4))
+      val (sSql, dSql) = i % 4 match {
+        case 0 =>
+          // dialect gap: DuckDB split_part returns '' on NULL input
+          // (PostgreSQL compatibility); Spark propagates NULL — guard
+          // the DuckDB side so the template tests INDEXING semantics
+          val body = s"""instr(s, '$c') AS ip, lpad(s, $w, 'xy') AS lp,
+            rpad(s, $w, '.') AS rp, left(s, $n) AS lf, right(s, $n) AS rt
+            FROM $t"""
+          (s"SELECT id, split_part(s, ' ', $n) AS sp, $body",
+           s"""SELECT id, CASE WHEN s IS NULL THEN NULL
+              ELSE split_part(s, ' ', $n) END AS sp, $body""")
+        case 1 =>
+          val q = s"""SELECT id, replace(s, '$c', '##') AS rep,
+            reverse(s) AS rev, repeat(s, $r) AS rpt,
+            translate(s, 'abc', 'XYZ') AS tr,
+            length(s) - length(replace(s, '$c', '')) AS occ
+            FROM $t"""
+          (q, q)
+        case 2 =>
+          (s"""SELECT id,
+            CASE WHEN s RLIKE '$pat'
+                 THEN regexp_extract(s, '($pat)', 1) ELSE '' END AS rx,
+            regexp_replace(s, '$pat', '#') AS rr,
+            (s RLIKE '$pat') AS rl
+            FROM $t""",
+           s"""SELECT id,
+            CASE WHEN regexp_matches(s, '$pat')
+                 THEN regexp_extract(s, '($pat)', 1) ELSE '' END AS rx,
+            regexp_replace(s, '$pat', '#', 'g') AS rr,
+            regexp_matches(s, '$pat') AS rl
+            FROM $t""")
+        case _ =>
+          val q = s"""SELECT k, MIN(s) AS mns, MAX(s) AS mxs,
+            MIN(LENGTH(s)) AS mnl, MAX(UPPER(s)) AS mxu, COUNT(s) AS ns
+            FROM $t GROUP BY k"""
+          (q, q)
+      }
+      queries += FQ(f"f11_str2_$i%02d", sSql, dSql)
     }
 
     // ---- 3. run the Spark side, dump results + oracle SQL in the

@@ -947,6 +947,85 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(full.nonEmpty && finalSnap === full)
   }
 
+  test("streaming drift monitor across 3 micro-batches equals the q291 retrain-gate statistic") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val base = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VecMath.quantize(col("embedding")).as("qv"))
+      .withColumn("qn", graft.functions.VecMath.qdot(col("qv"), col("qv")))
+      .filter(col("qn") > 0)
+      .select("vec_id", "qv", "qn")
+    val (codes, cbt, cents) = graft.operators.IvfPq.incrementalIndex(
+      base, sf, col("vec_id") % 10 === 0, "d10", 32, 2, 3)
+    // archive per-copy error profile seeds from the durable artifact —
+    // the batch arithmetic every streamed snapshot is held against
+    val errs = graft.operators.IvfPq.reconErrs(base, codes, cbt, cents)
+      .localCheckpoint()
+    val archRow = errs.filter(col("vec_id") % 10 =!= 0)
+      .agg(count(lit(1)).as("n"), sum(col("err")).as("t")).head()
+    val (nArch, tArch) = (archRow.getLong(0), archRow.getLong(1))
+    assert(nArch > 0)
+    val centsSeq = cents.collect()
+      .map(r => StreamOps.PqCent(r.getInt(0), r.getSeq[Long](1))).toSeq
+    val cbSeq = cbt.collect()
+      .map(r => StreamOps.PqCw(r.getLong(0), r.getLong(1),
+        r.getSeq[Long](2))).toSeq
+
+    val deltaIds = base.filter(col("vec_id") % 10 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    val parts = deltaIds.grouped((deltaIds.length + 2) / 3).toSeq
+    assert(parts.length === 3)
+    val delta = base.filter(col("vec_id") % 10 === 0).select("vec_id", "qv")
+    val in = Files.createTempDirectory("graft-drift-in")
+    parts.zipWithIndex.foreach { case (ids, i) =>
+      val tmp = in.resolve(s"stage${i + 1}")
+      delta.filter(col("vec_id").isin(ids.toSeq: _*))
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, in.resolve(s"batch${i + 1}.parquet"))
+      in.resolve(s"batch${i + 1}.parquet").toFile
+        .setLastModified(System.currentTimeMillis() + i * 2000L)
+    }
+
+    val result = runStream(in, delta.schema, st =>
+      StreamOps.incrementalDriftMonitor(
+        st.as[StreamOps.PqVec], centsSeq, cbSeq, 3, nArch, tArch).toDF())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+      .sortBy(_._1)
+    assert(result.map(_._1).toSeq === Seq(1L, 2L, 3L),
+      "one gate row per micro-batch")
+
+    // per-vector coding is independent: snapshot b equals the batch
+    // statistic over archive + the arrived delta prefix
+    (1 to 3).foreach { b =>
+      val ids = parts.take(b).flatten
+      val dRow = errs.filter(col("vec_id").isin(ids.toSeq: _*))
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n"),
+          coalesce(sum(col("err")), lit(0L)).as("t")).head()
+      val (nD, tD) = (dRow.getLong(0), dRow.getLong(1))
+      val archMean = if (nArch == 0) 0L else tArch / nArch
+      val deltaMean = if (nD == 0) 0L else tD / nD
+      val drift =
+        if (archMean == 0) { if (deltaMean == 0) 1000L else 1000000L }
+        else 1000L * deltaMean / archMean
+      val want = (b.toLong, nArch, archMean, nD, deltaMean, drift,
+        drift > 1500L)
+      assert(result(b - 1) === want, s"snapshot $b must equal the " +
+        s"batch prefix statistic")
+    }
+
+    // the final snapshot IS oracle-backed q291, field for field
+    val q291 = SparkEntry.queries("q291_pq_drift_audit")(spark, sf).head()
+    val fin = result.last
+    assert((fin._2, fin._3, fin._4, fin._5, fin._6, fin._7) ===
+      ((q291.getLong(0), q291.getLong(1), q291.getLong(2),
+        q291.getLong(3), q291.getLong(4), q291.getBoolean(5))))
+  }
+
   test("streaming first-seen vocabulary across 3 micro-batches equals batch q172's curve") {
     import spark.implicits._
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
