@@ -253,6 +253,9 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q293    graft.queries.Vectors    — int8 scalar-quantization
   *            audit: per-dimension [min,max] codes, exact
   *            reconstruction-error profile
+  *   q294    graft.queries.Graph      — pointer-jumping connected
+  *            components: O(log d) min-label rounds (label's label +
+  *            neighbor labels), four fixed rounds both engines unroll
   */
 object SparkEntry {
 

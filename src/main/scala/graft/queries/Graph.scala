@@ -983,5 +983,67 @@ object Graph {
       }
       r3.select(col("node"), col("r").as("rank_fp"))
     },
+
+    // --------------------------------------------------------------- q294
+    // Connected components via POINTER-JUMPING min-label — the
+    // O(log d) iteration scheme beside q66's plain O(d) label
+    // propagation (the MapReduce-CC family: each round a node takes
+    // the min of its own label, its LABEL'S label — the jump that
+    // doubles propagation distance per round — and its neighbors'
+    // labels). Four fixed rounds, unrolled identically in both
+    // engines (the q66/q94 bounded-round discipline: the oracle
+    // replays the exact recurrence, so the hash match never depends
+    // on a convergence argument — at the fixture diameters four
+    // doubling rounds converge, and extra rounds are idempotent at
+    // the fixpoint). Each round is two keyed shuffle_hash joins (the
+    // label table is VERTEX-sized — never broadcast) + one min
+    // aggregate; the edge side is the bucketed layout, exchange-free;
+    // rounds 1-3 materialize (triple-referenced loop state — the
+    // 2^steps re-execution trap), the last stays un-truncated so the
+    // executed plan shows the joins.
+    Q(
+      "q294_pointer_jump_components",
+      Some {
+        val rounds = (1 to 4).map { k =>
+          s"""l$k AS (
+          SELECT node, CAST(MIN(lbl) AS BIGINT) AS lbl FROM (
+            SELECT l.node AS node, l.lbl AS lbl FROM l${k - 1} l
+            UNION ALL
+            SELECT l.node, j.lbl FROM l${k - 1} l
+              JOIN l${k - 1} j ON j.node = l.lbl
+            UNION ALL
+            SELECT e.dst, l.lbl FROM edges e
+              JOIN l${k - 1} l ON l.node = e.src
+          ) u GROUP BY node)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH $pairsEdgesCte,
+        l0 AS (
+          SELECT dst AS node,
+                 CAST(LEAST(dst, MIN(src)) AS BIGINT) AS lbl
+          FROM edges GROUP BY dst),
+        $rounds
+        SELECT node, lbl AS comp FROM l4"""
+      }
+    ) { (s, dir) =>
+      val ed = tradingEdges(s, dir)
+      val l0 = ed.groupBy("dst").agg(min(col("src")).as("mn"))
+        .select(col("dst").as("node"), least(col("dst"), col("mn")).as("lbl"))
+      def step(l: DataFrame): DataFrame = {
+        val self = l.select(col("node"), col("lbl"))
+        val jump = l.alias("a")
+          .join(l.alias("b").hint("shuffle_hash"),
+            col("a.lbl") === col("b.node"))
+          .select(col("a.node").as("node"), col("b.lbl").as("lbl"))
+        val nbr = ed.join(l.hint("shuffle_hash"), col("node") === col("src"))
+          .select(col("dst").as("node"), col("lbl"))
+        self.unionByName(jump).unionByName(nbr)
+          .groupBy("node").agg(min(col("lbl")).as("lbl"))
+      }
+      val l4 = (1 to 4).foldLeft(Checkpoints.materialize(l0)) { (l, k) =>
+        if (k < 4) Checkpoints.materialize(step(l)) else step(l)
+      }
+      l4.select(col("node"), col("lbl").as("comp"))
+    },
   )
 }
