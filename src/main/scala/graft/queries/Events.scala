@@ -3477,19 +3477,25 @@ object Events {
         .toDF("scenario")
       val p0 = outs.crossJoin(broadcast(scen))
         .select(col("scenario"), col("s"), lit(0L).as("p"))
+      // both join sides of every sweep are STATE-SPACE-bounded (≤ 6
+      // event types × 4 scenarios ≤ 24 rows for pk; ≤ 6 rows for
+      // outs) — broadcast them so each sweep pays one aggregate
+      // shuffle, not three (join + agg + join): 24 tiny shuffle
+      // stages become 8
+      val outsB = broadcast(graft.Checkpoints.materialize(outs))
       val p8 = (1 to 8).foldLeft(p0) { (pk, _) =>
         val vCase = when(col("t") === "purchase", lit(1000000L))
           .when(col("t") === "END", lit(0L))
           .when(col("t") === col("scenario"), lit(0L))
           .otherwise(coalesce(col("p"), lit(0L)))
         tc.crossJoin(broadcast(scen))
-          .join(pk.withColumnsRenamed(
-            Map("s" -> "ps", "scenario" -> "pscen")),
+          .join(broadcast(pk.withColumnsRenamed(
+            Map("s" -> "ps", "scenario" -> "pscen"))),
             col("t") === col("ps") && col("scenario") === col("pscen"),
             "left")
           .select(col("scenario"), col("s"), col("cnt"), vCase.as("v"))
           .groupBy("scenario", "s").agg(sum(col("cnt") * col("v")).as("num"))
-          .join(outs, "s")
+          .join(outsB, "s")
           .select(col("scenario"), col("s"),
             expr("num div cnt_out").as("p"))
       }

@@ -2851,9 +2851,13 @@ object Vectors {
       // rounds with spec-checked headroom are the honest plan. Core
       // re-aliased per round: the label frame derives from it, and
       // Spark's self-join ambiguity check demands distinct lineage.
+      // The core side BROADCASTS (grid-geometry-bounded ≤ 655² cells —
+      // the same bound that lets the final consumer broadcast r2/nbr;
+      // one broadcast exchange, reused by all 16 rounds), so each
+      // round pays only its min-aggregate shuffle, not a join shuffle.
       val r2 = (1 to 16).foldLeft(l0) { (lab, _) =>
         expand(lab)
-          .join(core.select(col("cx").as("kx"), col("cy").as("ky")),
+          .join(broadcast(core.select(col("cx").as("kx"), col("cy").as("ky"))),
             col("nx") === col("kx") && col("ny") === col("ky"))
           .groupBy(col("kx"), col("ky")).agg(min(col("label")).as("label"))
           .select(col("kx").as("cx"), col("ky").as("cy"), col("label"))
