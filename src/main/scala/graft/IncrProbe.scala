@@ -130,7 +130,12 @@ object IncrProbe {
     // claim, measured)
     freshRoot()
     def day(i: Int) = col("doc_id") % 10 === i
-    val archPred = col("doc_id") % 10 >= 6
+    // archive >= 5 plus days 0..4 JOINTLY COVER the corpus (the
+    // segmentedPostingsFrom contract); day 5 simply never appends.
+    // An earlier >= 6 archive left doc_id % 10 == 5 uncovered, which
+    // made the probed view a strict 90% subset — timing-comparable
+    // only to itself, not to lexical_full above.
+    val archPred = col("doc_id") % 10 >= 5
     // warm: archive + days 0..2 (3 segments, below the fold boundary)
     graft.operators.TextIndex.segmentedPostingsFrom(spark, dir, archPred,
       (0 to 2).map(day), "ma")._1.queryExecution.toRdd.count()

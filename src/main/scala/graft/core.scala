@@ -62,10 +62,34 @@ object Tables {
         val p = new org.apache.hadoop.fs.Path(dir, s"$t.parquet")
         val fs = p.getFileSystem(conf)
         if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
-      } catch { case _: java.io.IOException => 0L }
+        // NonFatal, not just IOException: Path construction throws
+        // IllegalArgumentException on malformed dirs and some Hadoop
+        // filesystems throw UnsupportedOperationException from
+        // getContentSummary — any metadata failure must degrade to
+        // "0 bytes, floor default", as documented above.
+      } catch { case scala.util.control.NonFatal(_) => 0L }
     }.sum
     val default = spark.sessionState.conf.numShufflePartitions
     math.max(default, (bytes / (64L << 20)).toInt)
+  }
+
+  /** Spread a QUERY-PATH linear kernel's input when — and only when —
+    * the corpus outgrows the session's default parallelism: a
+    * single-file corpus scans as one task (parquet splits at
+    * row-group granularity), stranding a per-row kernel (simhash,
+    * shingling) on one core at scale fixtures. When
+    * [[scaledPartitions]] exceeds the session default this inserts a
+    * key-hashed repartition whose width scales with the input; at the
+    * test SFs it is the IDENTITY, so registered-query plans there
+    * stay byte-identical (unlike the build-path spread in
+    * TextIndex, which repartitions unconditionally — ingest owns its
+    * exchanges, queries shouldn't pay one they don't need). */
+  def spreadKernelInput(spark: SparkSession, dir: String,
+      tables: Seq[String], df: DataFrame, key: Column): DataFrame = {
+    val np = scaledPartitions(spark, dir, tables)
+    if (np > spark.sessionState.conf.numShufflePartitions)
+      df.repartition(np, key)
+    else df
   }
 }
 

@@ -65,11 +65,21 @@ object EdgeLayout {
     * sort-merge join on the order key — never a broadcast, which
     * would collect a corpus-sized projection to the driver at 100×. */
   private def derivePairs(s: SparkSession, dir: String): DataFrame = {
+    // input-scaled shuffle width for the fact⋈fact sort-merge join:
+    // one partition per ~64 MB of input holds the per-partition sort
+    // at n·log(64 MB) instead of n·log(n/32) — the q192 fixed-width
+    // cliff, fenced at the ingest join too. At the test SFs this
+    // equals the session default, so the build plan there is
+    // unchanged; the final bucketed write below stays at the
+    // artifact's fixed 32 buckets either way.
+    val np = graft.Tables.scaledPartitions(s, dir, Seq("orders", "lineitem"))
     val orders = graft.Tables.load(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
+      .repartition(np, col("o_orderkey"))
       .hint("merge")
     graft.Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
+      .repartition(np, col("l_orderkey"))
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
       .agg(count(lit(1)).as("n"))

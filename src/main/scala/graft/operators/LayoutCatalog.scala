@@ -90,19 +90,23 @@ object LayoutCatalog {
   def sanitize(s: String): String =
     s.replaceAll("[^A-Za-z0-9._-]+", "_").replaceAll("^_+", "")
 
-  /** Deterministic 8-hex content key of a predicate list (the
+  /** Deterministic 16-hex content key of a predicate list (the
     * expressions' SQL forms, hashed). Split-artifact names (LSM
     * archive / segment / compacted) embed it so two different delta
     * splits can NEVER resolve to the same artifact: without it, a
     * grown predicate list silently reused the shorter list's archive
     * — which still contained the new days' rows — and the union view
-    * double-counted them. */
+    * double-counted them. 64 bits of digest, not 32: a collision at
+    * the same (dir, tag, segment position) would silently resurrect
+    * exactly the double-count bug this key exists to prevent, and
+    * 32-bit birthday risk is non-trivial for long-lived many-split
+    * deployments; name length is not a constraint here. */
   def predKey(preds: Seq[org.apache.spark.sql.Column]): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.digest(preds
         .map(c => org.apache.spark.sql.graftbridge.Bridge.expression(c).sql)
         .mkString("|").getBytes(StandardCharsets.UTF_8))
-      .take(4).map(b => f"${b & 0xff}%02x").mkString
+      .take(8).map(b => f"${b & 0xff}%02x").mkString
   }
 
   /** The published artifact directory for (kind, corpus base,

@@ -328,6 +328,22 @@ object TextIndex {
       tmp => writeInto(s, withDl(tfOf(spread(s, dir,
         graft.Tables.load(s, dir, "documents").filter(pred)))), tmp))
 
+  /** Publish ONE LSM segment artifact from an EXPLICIT row set — the
+    * streaming ingest's entry point ([[graft.streaming.StreamOps
+    * .lsmSegmentIngest]]): a micro-batch of arriving (doc_id, text)
+    * rows IS its own delta, so it goes through the identical
+    * tokenize → tf → dl → deterministic bucketed write as a
+    * predicate-defined segment — same bytes for the same row set —
+    * but keyed by a caller-supplied CONTENT KEY of the batch (the
+    * streaming twin of [[LayoutCatalog.predKey]]; checkpointed
+    * micro-batch replays re-derive the same key and land on the
+    * published artifact — the publish is idempotent). Returns the
+    * registered bucketed postings table name and the doclen file. */
+  def publishSegmentRows(s: SparkSession, dir: String, docs: DataFrame,
+      tag: String, i: Int, key: String): (String, java.io.File) =
+    ensure(s, dir, s"${tag}_seg${i}_$key",
+      tmp => writeInto(s, withDl(tfOf(docs)), tmp))
+
   /** The i-th delta segment of a segmented split, as its own bucketed
     * postings table — index-monitoring consumers (q290's delta
     * report) read the day's segment directly: its per-gram df IS the

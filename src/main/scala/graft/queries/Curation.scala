@@ -153,8 +153,13 @@ object Curation {
           ON a.band = b.band AND a.bv = b.bv AND b.doc_id > a.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""")
     ) { (s, dir) =>
-      val sims = t(s, dir, "documents")
-        .filter(length(col("text")) >= 3)
+      // spread the per-doc simhash kernel when the corpus outgrows
+      // the default parallelism (scale fixtures / real clusters);
+      // identity at the test SFs — the q192 single-file-scan cliff,
+      // fenced for this family too
+      val sims = graft.Tables.spreadKernelInput(s, dir, Seq("documents"),
+          t(s, dir, "documents").filter(length(col("text")) >= 3),
+          col("doc_id"))
         .select(col("doc_id"),
           graft.functions.SimHash.simhash16(col("text")).as("simhash"))
       val vals = sims.select(col("simhash").as("v")).distinct()

@@ -717,5 +717,102 @@ object Matching {
       top.withColumn("rnk", row_number().over(w).cast("long"))
         .select("g", "df_arch", "df_new", "is_new_gram", "rnk")
     },
+
+    // --------------------------------------------------------------- q295
+    // BM25 over the MULTI-APPEND LSM index, past the fold boundary —
+    // the compaction read path under the oracle gate. q288 exercises
+    // a single-delta split; here the index has absorbed FIVE appends
+    // (days doc_id % 10 = 5..9 over a stable doc_id % 10 <= 4
+    // archive), which crosses segmentedPostingsFrom's maxSegments=4
+    // compaction rung: the oldest four segments folded with the
+    // archive into one merged artifact (bytes identical to a
+    // from-scratch build over the same documents — LayoutCatalogSpec
+    // pins the per-bucket MD5s), and the served view is that
+    // compacted table ∪ the live day-9 tail segment — exactly two
+    // bucketed scans, the steady-state shape of a long-lived index
+    // (N appends → ⌊N/4⌋ folds, view always ≤ 1 + 4 scans). Scoring
+    // is q90/q288's integer-exact BM25 (same idf₂ bit-length
+    // surrogate, same 22T·tf/(10T·tf+3T+9·dl·N) fold) over a
+    // different term workload; from_tail flags documents served from
+    // the un-compacted tail segment. The oracle replays full-corpus
+    // BM25 inline from raw text — the hash match IS the proof that
+    // the compacted artifact ∪ tail answers queries identically to a
+    // from-scratch index (the split jointly covers the corpus, so
+    // any fold bug — double-counted rows, a dropped segment, stale
+    // archive reuse — lands here as a score or rank mismatch).
+    Q(
+      "q295_lsm_compacted_bm25",
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        big AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g
+          FROM tok),
+        tf AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS tf FROM big GROUP BY doc_id, g),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM big GROUP BY doc_id),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dl),
+        df AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY g),
+        qt AS (SELECT * FROM (VALUES (1, 'vector small'), (1, 'filter hash'),
+                                     (2, 'sort a'), (2, 'merge order'),
+                                     (3, 'spark big'), (3, 'batch agg')) AS v(query_id, term)),
+        scored AS (
+          SELECT q.query_id, tf.doc_id,
+                 CAST(CAST((length(bin(2 * (s.n - df.df) + 1)) - length(bin(2 * df.df + 1)))
+                             * 22 * s.t * tf.tf AS DOUBLE)
+                      / CAST(10 * s.t * tf.tf + 3 * s.t + 9 * dl.dl * s.n AS DOUBLE)
+                      AS DECIMAL(18,4)) AS term_score
+          FROM qt q
+          JOIN tf ON tf.g = q.term
+          JOIN df ON df.g = q.term
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats s),
+        agg AS (
+          SELECT query_id, doc_id, CAST(SUM(term_score) AS DOUBLE) AS score
+          FROM scored GROUP BY query_id, doc_id)
+        SELECT query_id, doc_id, score, rnk, doc_id % 10 = 9 AS from_tail FROM (
+          SELECT query_id, doc_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+          FROM agg) t
+        WHERE rnk <= 10""")
+    ) { (s, dir) =>
+      import s.implicits._
+      // five appends over a STABLE archive — day 9 is the live tail;
+      // days 5..8 folded with the archive at the maxSegments=4 rung,
+      // so this view reads the compacted artifact ∪ one tail segment
+      val (tf, dls) = graft.operators.TextIndex.segmentedPostingsFrom(
+        s, dir, col("doc_id") % 10 <= 4,
+        (5 to 9).map(i => col("doc_id") % 10 === i), "c10")
+      val stats = dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+      val qTerms = Seq((1, "vector small"), (1, "filter hash"),
+        (2, "sort a"), (2, "merge order"),
+        (3, "spark big"), (3, "batch agg"))
+      val termStrs = qTerms.map(_._2).distinct
+      val qt = qTerms.toDF("query_id", "term")
+      // q90's bounded-broadcast shape: the isin literal pushes into
+      // BOTH the compacted and tail scans, df aggregates over ≤6
+      // terms' postings, dl rides denormalized on the rows — nothing
+      // vocabulary- or doc-count-sized ever broadcasts
+      val tfq = tf.filter(col("g").isin(termStrs: _*))
+      val df = tfq.groupBy("g").agg(count(lit(1)).as("df"))
+      val idf2 = length(bin(lit(2) * (col("n") - col("df")) + 1)) -
+        length(bin(lit(2) * col("df") + 1))
+      val scored = tfq.join(broadcast(qt), col("g") === col("term"))
+        .join(broadcast(df.withColumnRenamed("g", "g2")), col("g") === col("g2"))
+        .crossJoin(broadcast(stats))
+        .withColumn("term_score",
+          ((idf2 * 22 * col("t") * col("tf")).cast("double") /
+            (lit(10) * col("t") * col("tf") + lit(3) * col("t") +
+              lit(9) * col("dl") * col("n")).cast("double"))
+            .cast(DecimalType(18, 4)))
+      val agg = scored.groupBy("query_id", "doc_id")
+        .agg(sum(col("term_score")).cast("double").as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("score"), col("doc_id"))
+      agg.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+        .withColumn("from_tail", col("doc_id") % 10 === 9)
+        .select("query_id", "doc_id", "score", "rnk", "from_tail")
+    },
   )
 }

@@ -1438,6 +1438,18 @@ object Vectors {
     // ratio — the retrain trigger statistic.
     qPqDrift,
 
+    // --------------------------------------------------------------- q296
+    // ANN over the multi-append LSM index past the compaction fold
+    // (see qLsmAnn below): compacted codes artifact ∪ live tail
+    // segment, frozen archive-trained geometry.
+    qLsmAnn,
+
+    // --------------------------------------------------------------- q297
+    // Drift-gated ANN (see qDriftGatedAnn below): the retrain
+    // DECISION acted on end-to-end — the output's generation column
+    // is which index generation served the search.
+    qDriftGatedAnn,
+
     // --------------------------------------------------------------- q292
     // Johnson–Lindenstrauss projection distortion audit (see qJl
     // below): 16-plane deterministic signed projection, pairwise
@@ -2441,6 +2453,106 @@ object Vectors {
         .withColumn("is_new", col("vec_id") % 10 === 0)
     }
 
+  // --------------------------------------------------------------- q296
+  // ANN search over the MULTI-APPEND LSM vector index, past the fold
+  // boundary — the compaction read path under the oracle gate (the
+  // vector twin of q295). q289 exercises a single-delta split; here
+  // the index has absorbed FIVE appends (days vec_id % 10 = 5..9
+  // over a stable vec_id % 10 <= 4 archive) and crossed
+  // segmentedIndexFrom's maxSegments=4 compaction rung: centroids
+  // and codebook trained ONCE on the archive and frozen, days 5..8's
+  // code segments folded with the archive codes into one merged
+  // artifact (bytes identical to a frozen-codebook rebuild —
+  // LayoutCatalogSpec pins the per-file MD5s), and the served view
+  // is that compacted codes table ∪ the live day-9 tail segment.
+  // Search is the identical ADC tail as q286/q289; from_tail flags
+  // results served from the un-compacted tail. The oracle replays
+  // the frozen-training build inline (training CTEs read the
+  // archive subset, coding covers every vector) — per-vector coding
+  // is an independent argmin, so fold ∪ tail ≡ code-everything, and
+  // any fold bug (double-coded copies, a dropped segment, stale
+  // archive) lands here as a score or rank mismatch.
+  private lazy val qLsmAnn: Q = Q(
+      "q296_lsm_compacted_ann",
+      Some(s"""
+        WITH ${pqIndexCtes(Some("vec_id % 10 <= 4"))},${
+          pqSearchSql(", vec_id % 10 = 9 AS from_tail")}""")
+    ) { (s, dir) =>
+      val base = quantized(s, dir).filter(col("qn") > 0)
+        .select("vec_id", "qv", "qn")
+      val k = pqK(pqN(s, dir))
+      val (codes, cbt, cents) = graft.operators.IvfPq.segmentedIndexFrom(
+        base, dir, col("vec_id") % 10 <= 4,
+        (5 to 9).map(i => col("vec_id") % 10 === i), "c10",
+        k, ivfTrainRounds, ivfReplication)
+      pqSearch(base, cents, codes, cbt, pqProbe(k))
+        .withColumn("from_tail", col("vec_id") % 10 === 9)
+    }
+
+  // --------------------------------------------------------------- q297
+  // Drift-GATED ANN search — the retrain DECISION under the oracle
+  // gate, end-to-end. q291 reports the gate statistic;
+  // operators/IvfPq.driftGatedIndex ACTS on it: serve the O(delta)
+  // frozen-training LSM view while the delta's mean reconstruction
+  // error stays within 1500‰ of the archive's, retrain the full
+  // snapshot past it. This query registers the acted-on path: the
+  // search runs over WHICHEVER index generation the gate selected,
+  // and the generation column in the OUTPUT is the gate's actual
+  // decision — so the driver's hash gate now covers the decision,
+  // not just the statistic. The gate itself is one scalar integer
+  // aggregate over the already-built segment view, evaluated at
+  // INGEST time (an AQE-style runtime-stats read, not query-path
+  // work — the same posture driftGatedIndex has always documented).
+  // Oracle: the natural corpus's i.i.d. delta sits at ≈1000‰ ≤ 1500
+  // deterministically, so the oracle replays the FROZEN chain and
+  // derives generation from the same corpus-truth drift statistic
+  // q291 verifies — if Spark's gate ever fired spuriously, the
+  // generation column (and, for any index-visible drift, the scores)
+  // would hash-mismatch. The shifted-delta scenario — gate trips,
+  // retrain restores recall ≥ 0.80 — stays pinned in PqDriftSpec,
+  // where a synthetic drifted corpus can exist.
+  private lazy val qDriftGatedAnn: Q = Q(
+      "q297_drift_gated_ann",
+      Some(s"""
+        WITH ${pqIndexCtes(Some("vec_id % 10 <> 0"))},
+        gerrs AS (
+          SELECT k.vec_id, k.centroid_id,
+                 CAST(SUM(${subD8Sql("r")}) AS BIGINT) AS err
+          FROM codes k
+          JOIN cbt c ON c.subspace = k.subspace AND c.code = k.code
+          JOIN res r ON r.vec_id = k.vec_id
+                    AND r.centroid_id = k.centroid_id
+          GROUP BY 1, 2),
+        gsides AS (
+          SELECT CAST(SUM(CASE WHEN vec_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_arch,
+                 CAST(SUM(CASE WHEN vec_id % 10 <> 0 THEN err ELSE 0 END) AS BIGINT) AS t_arch,
+                 CAST(SUM(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+                 CAST(SUM(CASE WHEN vec_id % 10 = 0 THEN err ELSE 0 END) AS BIGINT) AS t_delta
+          FROM gerrs),
+        gdrift AS (
+          SELECT CASE WHEN arch_mean_err = 0 THEN
+                        CASE WHEN delta_mean_err = 0 THEN 1000
+                             ELSE 1000000 END
+                      ELSE (1000 * delta_mean_err) // arch_mean_err
+                 END AS drift_permille
+          FROM (SELECT t_arch // n_arch AS arch_mean_err,
+                       t_delta // n_delta AS delta_mean_err
+                FROM gsides) m),${
+          pqSearchSql(
+            ", (SELECT CASE WHEN drift_permille > 1500 THEN 'retrained' " +
+              "ELSE 'frozen' END FROM gdrift) AS generation")}""")
+    ) { (s, dir) =>
+      val base = quantized(s, dir).filter(col("qn") > 0)
+        .select("vec_id", "qv", "qn")
+      val k = pqK(pqN(s, dir))
+      val (codes, cbt, cents, retrained) = graft.operators.IvfPq
+        .driftGatedIndex(base, dir, col("vec_id") % 10 === 0, "d10",
+          k, ivfTrainRounds, ivfReplication)
+      pqSearch(base, cents, codes, cbt, pqProbe(k))
+        .withColumn("generation",
+          lit(if (retrained) "retrained" else "frozen"))
+    }
+
   // --------------------------------------------------------------- q287
   // IVF-PQ index HEALTH audit — the monitoring query a production
   // deployment runs after each ingest: per cell, the PQ
@@ -2582,8 +2694,9 @@ object Vectors {
   // 1-in-17 systematic sample, each with its id+1 neighbor — a keyed
   // equi-join, corpus-linear, no window over raw rows. The audit
   // aggregates the ratio 1000·‖proj(z)‖² div ‖z‖² into an exact
-  // permille histogram (bounded by the weight family's value range)
-  // and reads exact type-1 percentiles off the cumulative — the
+  // 8-permille-banded histogram (domain bounded by CONSTRUCTION at
+  // range/8 bands — not merely by JL concentration) and reads
+  // grid-aligned type-1 percentiles off the cumulative — the
   // concentration statement (p05 ≈ p95) IS the JL property. Overflow
   // audit: |z_i| ≤ 2·10³ quantized units ⇒ |dot_p| ≤ 64·2000·5 =
   // 6.4e5, p2 ≤ 16·4.1e11 = 6.6e12, ×1000 ≪ 2⁶³.
@@ -2609,20 +2722,20 @@ object Vectors {
                  CAST($p2 AS BIGINT) AS p2
           FROM pairs),
         rp AS (
-          SELECT (1000 * p2) // d2 AS ratio_pm FROM m WHERE d2 > 0),
+          SELECT ((1000 * p2) // d2) // 8 AS band FROM m WHERE d2 > 0),
         hist AS (
-          SELECT ratio_pm, CAST(COUNT(*) AS BIGINT) AS cnt
-          FROM rp GROUP BY ratio_pm),
+          SELECT band, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM rp GROUP BY band),
         cum AS (
-          SELECT ratio_pm,
-                 CAST(SUM(cnt) OVER (ORDER BY ratio_pm) AS BIGINT) AS cum,
+          SELECT band,
+                 CAST(SUM(cnt) OVER (ORDER BY band) AS BIGINT) AS cum,
                  CAST(SUM(cnt) OVER () AS BIGINT) AS n
           FROM hist)
         SELECT MAX(n) AS n_pairs,
-               MIN(CASE WHEN cum * 100 >= n * 5 THEN ratio_pm END) AS p05_pm,
-               MIN(CASE WHEN cum * 100 >= n * 50 THEN ratio_pm END) AS p50_pm,
-               MIN(CASE WHEN cum * 100 >= n * 95 THEN ratio_pm END) AS p95_pm,
-               MAX(ratio_pm) AS max_pm
+               MIN(CASE WHEN cum * 100 >= n * 5 THEN band * 8 END) AS p05_pm,
+               MIN(CASE WHEN cum * 100 >= n * 50 THEN band * 8 END) AS p50_pm,
+               MIN(CASE WHEN cum * 100 >= n * 95 THEN band * 8 END) AS p95_pm,
+               MAX(band * 8) AS max_pm
         FROM cum"""
       })
     ) { (s, dir) =>
@@ -2641,12 +2754,18 @@ object Vectors {
         .withColumn("d2", qd(col("z"), col("z")))
         .withColumn("p2", p2)
         .filter(col("d2") > 0)
-        .select(expr("(1000 * p2) div d2").as("ratio_pm"))
-      // exact percentiles via a permille histogram: the only windows
+        // 8-permille-wide bands, not raw permilles: the cumulative
+        // window below runs over the banded histogram, whose domain
+        // is bounded BY CONSTRUCTION (ratio range div 8) instead of
+        // by JL concentration — a pathological weight/data mix can
+        // spread raw ratios over ~10⁴–10⁷ distinct permilles, but
+        // never mint more bands than range/8
+        .select(expr("((1000 * p2) div d2) div 8").as("band"))
+      // exact percentiles via the banded histogram: the only windows
       // run over the GROUPED (bounded-domain) table, never raw pairs
-      val hist = rp.groupBy("ratio_pm").agg(count(lit(1)).as("cnt"))
+      val hist = rp.groupBy("band").agg(count(lit(1)).as("cnt"))
       val w = org.apache.spark.sql.expressions.Window
-        .orderBy("ratio_pm")
+        .orderBy("band")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
       val wAll = org.apache.spark.sql.expressions.Window
@@ -2656,13 +2775,13 @@ object Vectors {
         .withColumn("n", sum(col("cnt")).over(wAll))
         .agg(
           max(col("n")).as("n_pairs"),
-          min(when(col("cum") * 100 >= col("n") * 5, col("ratio_pm")))
+          min(when(col("cum") * 100 >= col("n") * 5, col("band") * 8))
             .as("p05_pm"),
-          min(when(col("cum") * 100 >= col("n") * 50, col("ratio_pm")))
+          min(when(col("cum") * 100 >= col("n") * 50, col("band") * 8))
             .as("p50_pm"),
-          min(when(col("cum") * 100 >= col("n") * 95, col("ratio_pm")))
+          min(when(col("cum") * 100 >= col("n") * 95, col("band") * 8))
             .as("p95_pm"),
-          max(col("ratio_pm")).as("max_pm"))
+          max(col("band") * 8).as("max_pm"))
     }
 
   // --------------------------------------------------------------- q293

@@ -1098,6 +1098,53 @@ object StreamOps {
       }
   }
 
+  /** Streaming LSM segment INGEST — the streaming half of the batch
+    * append path ([[graft.operators.TextIndex.segmentedPostingsFrom]],
+    * the 19th stream/batch parity): each arriving micro-batch of
+    * (doc_id, text) documents is ONE delta, and the foreachBatch sink
+    * publishes it as its own durable bucketed O(batch) segment
+    * artifact — tokenize the batch, write the batch; the archive and
+    * earlier segments are never touched. Because the segment writer
+    * is byte-deterministic in its row set (TextIndex writeInto's
+    * total file order), a stream that delivers the same documents in
+    * the same micro-batch partitioning as a batch-side predicate
+    * split produces segment artifacts BYTE-identical to
+    * segmentedPostingsFrom's, and the served view (archive ∪
+    * published segments) is row-identical to the batch LSM view —
+    * StreamBatchParitySpec pins both. The artifact key is a CONTENT
+    * hash of the batch's doc_id set image (count/min/max/sum — one
+    * O(batch) aggregate), so a checkpoint-replayed micro-batch
+    * re-derives the same key and the publish is idempotent, while a
+    * DIFFERENT row set can never silently reuse an existing segment.
+    * State: none — the sink is stateless; exactly-once comes from the
+    * checkpoint's batch-id fencing plus the idempotent publish.
+    * Returns (configured writer, queue of published postings-table
+    * names in publish order) — the caller starts the writer. */
+  def lsmSegmentIngest(docs: DataFrame, dir: String, tag: String)
+      : (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
+         java.util.concurrent.ConcurrentLinkedQueue[String]) = {
+    val published = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val writer = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty) {
+          val sig = batch.agg(
+            count(lit(1)), min(col("doc_id")), max(col("doc_id")),
+            sum(col("doc_id"))).head()
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          val key = md.digest(
+              s"${sig.getLong(0)}|${sig.getLong(1)}|${sig.getLong(2)}|${sig.getLong(3)}"
+                .getBytes("UTF-8"))
+            .take(8).map(b => f"${b & 0xff}%02x").mkString
+          val (name, _) = graft.operators.TextIndex.publishSegmentRows(
+            batch.sparkSession, dir, batch.select("doc_id", "text"),
+            tag, bid.toInt, key)
+          published.add(name): Unit
+        }
+      }
+    (writer, published)
+  }
+
   def incrementalDedup(
       incoming: DataFrame,
       corpus: DataFrame,

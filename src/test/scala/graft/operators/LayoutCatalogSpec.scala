@@ -510,6 +510,46 @@ class LayoutCatalogSpec extends SparkSpec {
     assert(warm == cold)
   }
 
+  test("multi-generation retention: a rolled corpus snapshot retires every old-generation split artifact") {
+    // compaction deliberately leaves superseded segments on disk
+    // within a snapshot (concurrent readers of the pre-fold view must
+    // never see files vanish); the disk-boundedness claim is that the
+    // NEXT corpus fingerprint's re-publish sweep retires the whole
+    // old generation — archive, every segment, and the fold artifact
+    val dir = corpus.getAbsolutePath
+    def resetSession(): Unit = {
+      TextIndex.reset()
+      spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("graft_postings_"))
+        .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    }
+    resetSession()
+    val archPred = col("doc_id") % 10 >= 5
+    def day(i: Int) = col("doc_id") % 10 === i
+    // five appends → past the maxSegments=4 fold: the generation is
+    // archive + seg0..4 + compacted4 = 7 artifacts
+    TextIndex.segmentedPostingsFrom(spark, dir, archPred,
+      (0 to 4).map(day), "mg")._1.queryExecution.toRdd.count()
+    val kind = new File(LayoutCatalog.root,
+      s"lexical_v${TextIndex.LayoutVersion}")
+    def gen(): Set[String] = kind.listFiles().map(_.getName)
+      .filterNot(_.startsWith(".tmp_")).filter(_.contains("_mg_")).toSet
+    val gen1 = gen()
+    assert(gen1.size == 7, s"archive + 5 segments + fold: $gen1")
+
+    // roll the snapshot: same bytes, new mtime — fingerprint moves
+    val doc = new File(corpus, "documents.parquet")
+    assert(doc.setLastModified(doc.lastModified() + 60000))
+    resetSession()
+    TextIndex.segmentedPostingsFrom(spark, dir, archPred,
+      (0 to 4).map(day), "mg")._1.queryExecution.toRdd.count()
+    val gen2 = gen()
+    assert(gen2.size == 7, s"new generation fully re-derived: $gen2")
+    assert(gen2.intersect(gen1).isEmpty,
+      s"every old-generation artifact must be retired: " +
+        s"survivors=${gen2.intersect(gen1)}")
+  }
+
   test("retention never deletes a prefix-ambiguous sibling corpus") {
     // sanitized base names are prefix-ambiguous: corpus "corpA"
     // publishing a new fingerprint must retire only ITS stale

@@ -1535,6 +1535,51 @@ class PlanSpec extends SparkSpec {
     assertBoundedBroadcasts(p, "q288")
   }
 
+  test("q295: compacted-LSM BM25 reads the fold artifact AND the live tail; every broadcast is bounded") {
+    val p = plan("q295_lsm_compacted_bm25")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"q295 must not cartesian:\n$p")
+    // past the maxSegments=4 fold boundary the view is the COMPACTED
+    // artifact ∪ the day-9 tail segment — exactly two bucketed scans
+    // (a view that still unioned five raw segments, or re-read the
+    // archive beside the fold, would show more); the term IN-list
+    // pushes below the union into both, and q288's bounded-broadcast
+    // discipline carries over unchanged
+    val bucketScans = scans(p).filter(_.relation.bucketSpec.isDefined)
+    // the view appears twice in the plan (term-filtered postings +
+    // the df aggregate branch), so count DISTINCT locations, not scans
+    val locs = bucketScans
+      .flatMap(_.relation.location.rootPaths.map(_.toString)).distinct
+    assert(locs.length === 2,
+      s"q295 must scan the compacted artifact and the tail segment " +
+        s"(got ${locs.length}: $locs):\n$p")
+    assert(bucketScans.forall(_.metadata("PushedFilters").contains("In(")),
+      s"the term IN-list must push into both postings scans:\n$p")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+      p.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
+      s"every q295 join side must broadcast:\n$p")
+    assertBoundedBroadcasts(p, "q295")
+  }
+
+  test("q296: compacted-LSM ANN reads the fold codes AND the live tail; search shape matches q286") {
+    val p = plan("q296_lsm_compacted_ann")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"q296 must not cartesian:\n$p")
+    // the codes view past the fold = compacted codes ∪ day-9 tail
+    // segment: the embeddings source feeds queries/rerank, and at
+    // least two separate parquet code locations must scan (the
+    // compacted table and the tail — a view still reading six raw
+    // locations would show more; one would mean the tail was folded
+    // away, i.e. compaction over-reached)
+    val codeScans = scans(p).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("/codes")))
+    assert(codeScans.length === 2,
+      s"q296 must scan compacted codes + tail segment " +
+        s"(got ${codeScans.length}):\n$p")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      s"the ADC side must never sort-merge:\n$p")
+  }
+
   test("q290: delta report joins two bucketed artifacts exchange-free; only the 15-row rank shuffles") {
     val p = plan("q290_index_delta_report")
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty,

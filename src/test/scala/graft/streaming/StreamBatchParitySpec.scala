@@ -1081,4 +1081,86 @@ class StreamBatchParitySpec extends SparkSpec {
       assert(newPerBucket.getOrElse(b, 0L) === n, s"bucket $b new grams")
     }
   }
+
+  test("streaming LSM segment ingest publishes byte-identical segments; the served view equals batch segmentedPostingsFrom") {
+    import scala.jdk.CollectionConverters._
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+
+    // today's crawl (doc_id % 10 == 0) arrives across 3 chronological
+    // micro-batches of consecutive doc_id slices — each slice is also
+    // expressible as a batch-side predicate, so the batch twin can
+    // build the SAME three-segment split
+    val deltaIds = docs.filter(col("doc_id") % 10 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val slice = (deltaIds.length + 2) / 3
+    val parts = deltaIds.grouped(slice).toSeq
+    assert(parts.length === 3)
+    val in = Files.createTempDirectory("graft-lsm-in")
+    parts.zipWithIndex.foreach { case (ids, i) =>
+      val tmp = in.resolve(s"stage${i + 1}")
+      docs.filter(col("doc_id").isin(ids.toSeq: _*))
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, in.resolve(s"batch${i + 1}.parquet"))
+      in.resolve(s"batch${i + 1}.parquet").toFile
+        .setLastModified(System.currentTimeMillis() + i * 2000L)
+    }
+
+    // the streaming ingest: one published O(batch) segment artifact
+    // per micro-batch, archive and earlier segments untouched
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+    val (writer, published) = StreamOps.lsmSegmentIngest(stream, sf, "st19s")
+    val ckpt = Files.createTempDirectory("graft-lsm-ckpt").toString
+    val q = writer.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val segNames = published.asScala.toSeq
+    assert(segNames.length === 3, s"one segment per micro-batch: $segNames")
+
+    // batch twin: the same three deltas as predicates over the same
+    // stable archive (3 < maxSegments — no fold; the fold rung is
+    // q295's oracle-gated territory)
+    val preds = parts.map(ids => col("doc_id").isin(ids.toSeq: _*))
+    val (batchView, _) = graft.operators.TextIndex.segmentedPostingsFrom(
+      spark, sf, col("doc_id") % 10 =!= 0, preds, "st19b")
+    val (arch, _) = graft.operators.TextIndex.archiveIndex(
+      spark, sf, col("doc_id") % 10 === 0, "st19s")
+    val streamedView = (arch +: segNames.map(spark.table))
+      .reduce(_ unionByName _)
+    val sv = streamedView.orderBy("doc_id", "g").collect().map(_.toSeq).toSeq
+    assert(sv.nonEmpty)
+    assert(sv == batchView.orderBy("doc_id", "g").collect().map(_.toSeq).toSeq,
+      "streamed-ingest view must equal the batch LSM view row for row")
+
+    // byte identity per segment: the deterministic writer makes
+    // artifact bytes a pure function of the row set, so the streamed
+    // segment i's bucket files must equal the batch predicate-split's
+    val kind = new java.io.File(graft.operators.LayoutCatalog.root,
+      s"lexical_v${graft.operators.TextIndex.LayoutVersion}")
+    def bucketBytes(d: java.io.File): Map[String, String] = {
+      val re = "_(\\d{5})\\.c000".r
+      Option(new java.io.File(d, "postings").listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val bucket = re.findFirstMatchIn(f.getName).get.group(1)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          bucket -> md.digest(Files.readAllBytes(f.toPath))
+            .map(b => f"$b%02x").mkString
+        }.toMap
+    }
+    val pub = Option(kind.listFiles()).getOrElse(Array.empty)
+      .filterNot(_.getName.startsWith(".tmp_"))
+    (0 until 3).foreach { i =>
+      val sd = pub.find(_.getName.contains(s"_st19s_seg${i}_"))
+      val bd = pub.find(_.getName.contains(s"_st19b_seg${i}_"))
+      assert(sd.isDefined && bd.isDefined,
+        s"segment $i artifacts must exist: ${pub.map(_.getName).toSeq}")
+      val sb = bucketBytes(sd.get)
+      assert(sb.nonEmpty && sb == bucketBytes(bd.get),
+        s"segment $i bucket bytes must match the batch predicate split")
+    }
+  }
 }
