@@ -73,24 +73,23 @@ object Tables {
     math.max(default, (bytes / (64L << 20)).toInt)
   }
 
-  /** Spread a QUERY-PATH linear kernel's input when — and only when —
-    * the corpus outgrows the session's default parallelism: a
-    * single-file corpus scans as one task (parquet splits at
-    * row-group granularity), stranding a per-row kernel (simhash,
-    * shingling) on one core at scale fixtures. When
-    * [[scaledPartitions]] exceeds the session default this inserts a
-    * key-hashed repartition whose width scales with the input; at the
-    * test SFs it is the IDENTITY, so registered-query plans there
-    * stay byte-identical (unlike the build-path spread in
-    * TextIndex, which repartitions unconditionally — ingest owns its
-    * exchanges, queries shouldn't pay one they don't need). */
+  /** Spread a QUERY-PATH linear kernel's input across the executor
+    * before the per-row map (q192's cliff fix, shared): a single-file
+    * corpus scans as ONE task (parquet splits at row-group
+    * granularity — a 15 MB file is one partition under the default
+    * 128 MB split), stranding a CPU-heavy per-row kernel (simhash,
+    * minhash shingling) on one core while the rest idle — 68 of
+    * q192's 73 s at the 25× fixture. The repartition is
+    * UNCONDITIONAL, exactly like q192's: the trigger is kernel cost
+    * per row, not input bytes, so a byte-threshold would skip the
+    * MB-sized fixtures where the stranding is worst; what scales with
+    * the input is the WIDTH ([[scaledPartitions]]). The exchange
+    * moves only the raw (key, text) bytes — sub-0.1 s at the test
+    * SFs, and measured a net win at every scale rung where it
+    * matters. */
   def spreadKernelInput(spark: SparkSession, dir: String,
-      tables: Seq[String], df: DataFrame, key: Column): DataFrame = {
-    val np = scaledPartitions(spark, dir, tables)
-    if (np > spark.sessionState.conf.numShufflePartitions)
-      df.repartition(np, key)
-    else df
-  }
+      tables: Seq[String], df: DataFrame, key: Column): DataFrame =
+    df.repartition(scaledPartitions(spark, dir, tables), key)
 }
 
 /** The engine's reproducible "random" stream: a salted Knuth

@@ -310,6 +310,31 @@ object IvfPq {
   private val segResolved = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[java.io.File], java.io.File)]()
 
+  /** Publish ONE code-segment artifact from an EXPLICIT vector row
+    * set — the streaming ingest's entry point
+    * ([[graft.streaming.StreamOps.pqSegmentIngest]], the vector twin
+    * of [[TextIndex.publishSegmentRows]]): a micro-batch of arriving
+    * (vec_id, qv, qn) rows codes against the FROZEN archive-trained
+    * centroids + codebook through the identical assignment → residual
+    * → argmin → deterministic 32-way ordered write as a
+    * predicate-defined segment — same bytes for the same row set —
+    * keyed by a caller-supplied CONTENT KEY of the batch (checkpoint
+    * replays re-derive the key, so the publish is idempotent; a
+    * different row set can never silently reuse an artifact). Returns
+    * the published codes directory. */
+  def publishCodeSegmentRows(base: DataFrame, dir: String, cents: DataFrame,
+      cbt: DataFrame, nCentroids: Int, rounds: Int, replication: Int,
+      tag: String, i: Int, key: String): java.io.File = {
+    import graft.operators.{LayoutCatalog => LC}
+    val fp = LC.fingerprint(dir, Seq("embeddings"))
+    val dest = LC.publishedDir(s"ivfpq_v$LayoutVersion",
+      s"${LC.sanitize(dir)}_${tag}_seg${i}_${key}_k${nCentroids}_r${rounds}_x$replication",
+      fp)
+    LC.buildAndPublish(dest, tmp => writeCodes(codeAgainst(
+      subspaced(residuals(base, cents, replication)), cbt), tmp))
+    new java.io.File(dest, "codes")
+  }
+
   /** Per-copy PQ reconstruction error of an index: for each
     * (vec_id, centroid_id) copy, err = Σ_sub ||residual_sub −
     * codeword[code]||² — the exact integer quantity the code argmin

@@ -153,10 +153,10 @@ object Curation {
           ON a.band = b.band AND a.bv = b.bv AND b.doc_id > a.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""")
     ) { (s, dir) =>
-      // spread the per-doc simhash kernel when the corpus outgrows
-      // the default parallelism (scale fixtures / real clusters);
-      // identity at the test SFs — the q192 single-file-scan cliff,
-      // fenced for this family too
+      // spread the per-doc simhash kernel across the executor before
+      // the map — the q192 single-file-scan cliff, fenced for this
+      // family too (the corpus scans as one task; the repartition
+      // moves only raw text bytes and its width scales with input)
       val sims = graft.Tables.spreadKernelInput(s, dir, Seq("documents"),
           t(s, dir, "documents").filter(length(col("text")) >= 3),
           col("doc_id"))

@@ -1120,6 +1120,21 @@ object StreamOps {
     * checkpoint's batch-id fencing plus the idempotent publish.
     * Returns (configured writer, queue of published postings-table
     * names in publish order) — the caller starts the writer. */
+  /** Content key of a micro-batch for idempotent segment publishes:
+    * one O(batch) aggregate over the id column's image
+    * (count/min/max/sum), hashed to 16 hex chars — a checkpoint
+    * replay of the same batch re-derives the same key; a different
+    * row set can never silently reuse an existing artifact. */
+  private def batchKey(batch: DataFrame, idCol: String): String = {
+    val sig = batch.agg(
+      count(lit(1)), min(col(idCol)), max(col(idCol)), sum(col(idCol))).head()
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(
+        s"${sig.getLong(0)}|${sig.getLong(1)}|${sig.getLong(2)}|${sig.getLong(3)}"
+          .getBytes("UTF-8"))
+      .take(8).map(b => f"${b & 0xff}%02x").mkString
+  }
+
   def lsmSegmentIngest(docs: DataFrame, dir: String, tag: String)
       : (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
          java.util.concurrent.ConcurrentLinkedQueue[String]) = {
@@ -1128,18 +1143,42 @@ object StreamOps {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (!batch.isEmpty) {
-          val sig = batch.agg(
-            count(lit(1)), min(col("doc_id")), max(col("doc_id")),
-            sum(col("doc_id"))).head()
-          val md = java.security.MessageDigest.getInstance("SHA-256")
-          val key = md.digest(
-              s"${sig.getLong(0)}|${sig.getLong(1)}|${sig.getLong(2)}|${sig.getLong(3)}"
-                .getBytes("UTF-8"))
-            .take(8).map(b => f"${b & 0xff}%02x").mkString
           val (name, _) = graft.operators.TextIndex.publishSegmentRows(
             batch.sparkSession, dir, batch.select("doc_id", "text"),
-            tag, bid.toInt, key)
+            tag, bid.toInt, batchKey(batch, "doc_id"))
           published.add(name): Unit
+        }
+      }
+    (writer, published)
+  }
+
+  /** Streaming PQ segment INGEST — the vector twin of
+    * [[lsmSegmentIngest]] (the 20th stream/batch parity): each
+    * arriving micro-batch of (vec_id, qv, qn) embeddings codes
+    * against the FROZEN archive-trained centroids + codebook (the
+    * q289 contract — training never reruns on the query/ingest path)
+    * and publishes its own durable O(batch) code-segment artifact via
+    * foreachBatch ([[graft.operators.IvfPq.publishCodeSegmentRows]]).
+    * Per-vector coding is an independent argmin, so segment artifacts
+    * are BYTE-identical to a batch predicate split over the same
+    * micro-batch partitioning, and archive ∪ published segments
+    * equals the batch LSM view row for row — StreamBatchParitySpec
+    * pins both. Stateless; exactly-once = checkpoint batch-id fencing
+    * + the content-keyed idempotent publish. */
+  def pqSegmentIngest(vecs: DataFrame, dir: String, cents: DataFrame,
+      cbt: DataFrame, nCentroids: Int, rounds: Int, replication: Int,
+      tag: String)
+      : (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
+         java.util.concurrent.ConcurrentLinkedQueue[java.io.File]) = {
+    val published = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+    val writer = vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty) {
+          published.add(graft.operators.IvfPq.publishCodeSegmentRows(
+            batch.select("vec_id", "qv", "qn"), dir, cents, cbt,
+            nCentroids, rounds, replication, tag, bid.toInt,
+            batchKey(batch, "vec_id"))): Unit
         }
       }
     (writer, published)

@@ -1163,4 +1163,97 @@ class StreamBatchParitySpec extends SparkSpec {
         s"segment $i bucket bytes must match the batch predicate split")
     }
   }
+
+  test("streaming PQ segment ingest publishes byte-identical code segments; the served view equals the batch LSM index") {
+    import scala.jdk.CollectionConverters._
+    val sf = "/root/testdata/sf0.001"
+    val base = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VecMath.quantize(col("embedding")).as("qv"))
+      .withColumn("qn",
+        graft.functions.VecMath.qdot(col("qv"), col("qv")))
+      .filter(col("qn") > 0)
+      .select("vec_id", "qv", "qn")
+    val (k, rounds, repl) = (8, 2, 3)
+
+    // the single-delta batch view is the row-truth twin AND the
+    // source of the frozen archive-trained geometry the serving tier
+    // pins (q289's contract)
+    val (batchView, cbt, cents) = graft.operators.IvfPq.incrementalIndex(
+      base, sf, col("vec_id") % 10 === 0, "p20d", k, rounds, repl)
+
+    // today's embeddings arrive across 3 consecutive-id micro-batches
+    val deltaIds = base.filter(col("vec_id") % 10 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    val slice = (deltaIds.length + 2) / 3
+    val parts = deltaIds.grouped(slice).toSeq
+    assert(parts.length === 3)
+    val in = Files.createTempDirectory("graft-pqseg-in")
+    parts.zipWithIndex.foreach { case (ids, i) =>
+      val tmp = in.resolve(s"stage${i + 1}")
+      base.filter(col("vec_id").isin(ids.toSeq: _*))
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, in.resolve(s"batch${i + 1}.parquet"))
+      in.resolve(s"batch${i + 1}.parquet").toFile
+        .setLastModified(System.currentTimeMillis() + i * 2000L)
+    }
+
+    val stream = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+    val (writer, published) = StreamOps.pqSegmentIngest(
+      stream, sf, cents, cbt, k, rounds, repl, "p20s")
+    val ckpt = Files.createTempDirectory("graft-pqseg-ckpt").toString
+    val q = writer.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val segDirs = published.asScala.toSeq
+    assert(segDirs.length === 3, s"one code segment per micro-batch: $segDirs")
+
+    // rows: archive codes ∪ streamed segments must equal the batch
+    // LSM view (vec_ids are disjoint across the append boundary, so
+    // the view's archive half is exactly its non-delta rows)
+    val cols = Seq("vec_id", "centroid_id", "qn", "subspace", "code")
+    val streamedView = (batchView.filter(col("vec_id") % 10 =!= 0) +:
+        segDirs.map(d => spark.read.parquet(d.getAbsolutePath)))
+      .map(_.select(cols.map(col): _*)).reduce(_ unionByName _)
+    val sv = streamedView.orderBy(cols.map(col): _*)
+      .collect().map(_.toSeq).toSeq
+    assert(sv.nonEmpty)
+    assert(sv == batchView.select(cols.map(col): _*)
+        .orderBy(cols.map(col): _*).collect().map(_.toSeq).toSeq,
+      "streamed-ingest code view must equal the batch LSM index row for row")
+
+    // byte identity per segment vs a batch predicate split over the
+    // same micro-batch partitioning (deterministic 32-way ordered
+    // writer ⇒ bytes are a pure function of the row set)
+    val preds = parts.map(ids => col("vec_id").isin(ids.toSeq: _*))
+    graft.operators.IvfPq.segmentedIndexFrom(base, sf,
+      col("vec_id") % 10 =!= 0, preds, "p20c", k, rounds, repl)
+      ._1.queryExecution.toRdd.count()
+    val kind = new java.io.File(graft.operators.LayoutCatalog.root,
+      s"ivfpq_v${graft.operators.IvfPq.LayoutVersion}")
+    def codeBytes(d: java.io.File): Map[String, String] = {
+      val re = "part-(\\d{5})".r
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val part = re.findFirstMatchIn(f.getName).get.group(1)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          part -> md.digest(Files.readAllBytes(f.toPath))
+            .map(b => f"$b%02x").mkString
+        }.toMap
+    }
+    val pub = Option(kind.listFiles()).getOrElse(Array.empty)
+      .filterNot(_.getName.startsWith(".tmp_"))
+    (0 until 3).foreach { i =>
+      val bd = pub.find(_.getName.contains(s"_p20c_seg${i}_"))
+      assert(bd.isDefined,
+        s"batch split segment $i must exist: ${pub.map(_.getName).toSeq}")
+      val sb = codeBytes(segDirs(i))
+      assert(sb.nonEmpty &&
+          sb == codeBytes(new java.io.File(bd.get, "codes")),
+        s"code segment $i bytes must match the batch predicate split")
+    }
+  }
 }
