@@ -256,6 +256,16 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q294    graft.queries.Graph      — pointer-jumping connected
   *            components: O(log d) min-label rounds (label's label +
   *            neighbor labels), four fixed rounds both engines unroll
+  *   q295    graft.queries.Matching   — BM25 over the multi-append
+  *            LSM view past the compaction fold (compacted artifact ∪
+  *            live tail segment; the fold's read path under the gate)
+  *   q296    graft.queries.Vectors    — ANN over the multi-append
+  *            IVF-PQ index past the fold (compacted codes ∪ tail)
+  *   q297    graft.queries.Vectors    — drift-GATED ANN: the search
+  *            runs over whichever index generation the retrain gate
+  *            selected; the generation column is the acted decision
+  *   q298    graft.queries.Matching   — LSM tier report: per-tier
+  *            doc/gram/posting/tf counts from the artifacts only
   */
 object SparkEntry {
 

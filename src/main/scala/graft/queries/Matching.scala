@@ -814,5 +814,51 @@ object Matching {
         .withColumn("from_tail", col("doc_id") % 10 === 9)
         .select("query_id", "doc_id", "score", "rnk", "from_tail")
     },
+
+    // --------------------------------------------------------------- q298
+    // LSM TIER report — the operability dashboard behind q295's
+    // compaction read path: per storage tier (the compacted fold
+    // artifact vs the live un-compacted tail), how many documents,
+    // distinct grams, posting rows and total term occurrences the
+    // index serves. This is the number an operator reads to decide
+    // whether the tail has grown enough to justify the next fold
+    // (tail n_postings ≈ compacted/maxSegments is the steady state)
+    // and to check the fold lost nothing. Spark computes it from the
+    // ARTIFACTS ONLY — the same two bucketed scans as q295, the
+    // distinct-gram aggregate riding the g bucket partitioning, never
+    // touching raw documents; the oracle re-derives every count from
+    // raw text, so a hash match proves the artifact tiers sum to
+    // corpus truth (a fold that dropped or double-counted a segment
+    // lands here as a count mismatch even if no query term noticed).
+    Q(
+      "q298_lsm_tier_report",
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        big AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g
+          FROM tok),
+        tf AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS tf FROM big GROUP BY doc_id, g)
+        SELECT CASE WHEN doc_id % 10 = 9 THEN 'tail' ELSE 'compacted' END AS tier,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT g) AS BIGINT) AS n_grams,
+               CAST(COUNT(*) AS BIGINT) AS n_postings,
+               CAST(SUM(tf) AS BIGINT) AS total_tf
+        FROM tf GROUP BY 1""")
+    ) { (s, dir) =>
+      val (tf, _) = graft.operators.TextIndex.segmentedPostingsFrom(
+        s, dir, col("doc_id") % 10 <= 4,
+        (5 to 9).map(i => col("doc_id") % 10 === i), "c10")
+      tf.withColumn("tier",
+          when(col("doc_id") % 10 === 9, "tail").otherwise("compacted"))
+        .groupBy("tier")
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          countDistinct(col("g")).as("n_grams"),
+          count(lit(1)).as("n_postings"),
+          sum(col("tf")).as("total_tf"))
+        .select("tier", "n_docs", "n_grams", "n_postings", "total_tf")
+    },
   )
 }

@@ -1580,6 +1580,23 @@ class PlanSpec extends SparkSpec {
       s"the ADC side must never sort-merge:\n$p")
   }
 
+  test("q298: tier report reads only the two tier artifacts; no raw-document scan") {
+    val p = plan("q298_lsm_tier_report")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"q298 must not cartesian:\n$p")
+    // artifacts ONLY: every scan is a bucketed postings table — a
+    // documents.parquet scan here would mean the report re-derived
+    // corpus truth instead of auditing what the index actually serves
+    val all = scans(p)
+    assert(all.nonEmpty && all.forall(_.relation.bucketSpec.isDefined),
+      s"q298 must read only bucketed artifact scans:\n$p")
+    val locs = all
+      .flatMap(_.relation.location.rootPaths.map(_.toString)).distinct
+    assert(locs.length === 2,
+      s"q298 must scan the compacted artifact and the tail segment " +
+        s"(got ${locs.length}: $locs):\n$p")
+  }
+
   test("q290: delta report joins two bucketed artifacts exchange-free; only the 15-row rank shuffles") {
     val p = plan("q290_index_delta_report")
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
