@@ -266,6 +266,19 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *            selected; the generation column is the acted decision
   *   q298    graft.queries.Matching   — LSM tier report: per-tier
   *            doc/gram/posting/tf counts from the artifacts only
+  *   q299    graft.queries.TextOps    — EXACT Jaccard-threshold
+  *            self-join via prefix filtering (PPJoin family): the
+  *            lossless sibling of the MinHash band join
+  *   q300    graft.queries.Matching   — MaxScore-pruned BM25 top-k:
+  *            θ from a seed pass over one term's postings prunes
+  *            docs matching only low-upper-bound terms; result
+  *            provably identical to exhaustive scoring
+  *   q301    graft.queries.Curation   — blocked sorted-neighborhood
+  *            dedup (merge/purge): per-block sort, w=5 sliding
+  *            window as keyed (block, rn+i) probes, kernel verify
+  *   q302    graft.queries.TextOps    — incremental EXACT dedup:
+  *            batch×archive prefix-filtered Jaccard join under the
+  *            frozen archive-df gram order (q87's lossless sibling)
   */
 object SparkEntry {
 

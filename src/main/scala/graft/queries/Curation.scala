@@ -1947,6 +1947,77 @@ object Curation {
         .select(col("shard"), col("n_docs"), col("n_runs"), col("max_run"),
           expr("(1000 * n_docs) div n_runs").as("mean_run_milli"))
     },
+
+    // --------------------------------------------------------------- q301
+    // BLOCKED SORTED-NEIGHBORHOOD dedup (Hernández & Stolfo's
+    // merge/purge, the third classic blocking family next to LSH
+    // banding (q33) and prefix filtering (q299)): sort the corpus by
+    // a domain key, compare each record only to its w−1 successors in
+    // sort order. Here key = the document text itself (near-dup
+    // families in this corpus share long prefixes — q30's
+    // fingerprint evidence), block = the key's first 8 chars, w = 5.
+    // The sliding window is KEYED, not windowed-joined: each row
+    // explodes into w−1 (block, rn+i) probes that equi-join the
+    // successor — O(n·w) candidate rows, no range join, no cross
+    // product. Survivor verification is the one-pass codegen'd
+    // 3-gram Jaccard kernel (q31's), threshold 0.7 compared on the
+    // identical IEEE division both engines produce. The block bound
+    // also caps the sort: no global row_number over the corpus —
+    // each block sorts independently (at 100 TB: a repartition-by-
+    // block + per-block sort; the 8-char prefix keys ~64k blocks).
+    // SNM's recall contract is explicit: only pairs within w in key
+    // order are candidates — the operator trades recall for a
+    // shuffle-free-verify O(n·w) bound, and q299 is its lossless
+    // sibling when the contract must be exact.
+    Q(
+      "q301_sorted_neighborhood",
+      Some {
+        val shA = TextOps.shinglesSql.replace("text", "ta")
+        val shB = TextOps.shinglesSql.replace("text", "tb")
+        s"""
+        WITH b AS (
+          SELECT doc_id, text, substr(text, 1, 8) AS blk,
+                 ROW_NUMBER() OVER (PARTITION BY substr(text, 1, 8)
+                                    ORDER BY text, doc_id) AS rn
+          FROM documents WHERE length(text) >= 3),
+        pr AS (
+          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                 x.text AS ta, y.text AS tb
+          FROM b x JOIN b y ON y.blk = x.blk
+                           AND y.rn BETWEEN x.rn + 1 AND x.rn + 4),
+        j AS (
+          SELECT doc_a, doc_b,
+                 CAST(len(list_filter($shA, g -> list_contains($shB, g))) AS BIGINT) AS c,
+                 CAST(len($shA) AS BIGINT) AS la,
+                 CAST(len($shB) AS BIGINT) AS lb
+          FROM pr)
+        SELECT doc_a, doc_b, c AS n_common,
+               CAST(c AS DOUBLE) / (la + lb - c) AS jaccard,
+               CAST(c AS DOUBLE) / (la + lb - c) >= 0.7 AS is_dup
+        FROM j"""
+      }
+    ) { (s, dir) =>
+      val w = 5
+      val base = t(s, dir, "documents")
+        .filter(length(col("text")) >= 3)
+        .withColumn("blk", substring(col("text"), 1, 8))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("blk").orderBy(col("text"), col("doc_id")))
+          .cast("long"))
+      val probes = base
+        .select(col("blk"), col("doc_id").as("doc_a"), col("text").as("ta"),
+          explode(expr(s"transform(sequence(1, ${w - 1}), i -> rn + i)"))
+            .as("rn_b"))
+      val pairs = probes.join(
+        base.select(col("blk"), col("rn").as("rn_b"),
+          col("doc_id").as("doc_b"), col("text").as("tb")),
+        Seq("blk", "rn_b"))
+      pairs
+        .withColumn("jc", graft.functions.Jaccard.jaccard3(col("ta"), col("tb")))
+        .select(col("doc_a"), col("doc_b"),
+          col("jc.n_common").as("n_common"), col("jc.jaccard").as("jaccard"),
+          (col("jc.jaccard") >= 0.7).as("is_dup"))
+    },
   )
 
   /** q147's per-(doc, shard) rendezvous weight: the Carter–Wegman

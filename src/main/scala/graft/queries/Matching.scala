@@ -860,5 +860,134 @@ object Matching {
           sum(col("tf")).as("total_tf"))
         .select("tier", "n_docs", "n_grams", "n_postings", "total_tf")
     },
+
+    // --------------------------------------------------------------- q300
+    // BM25 top-k with MAXSCORE pruning (Turtle & Flood 1995, the
+    // batch-shaped variant): identical results to exhaustive q90-style
+    // scoring, but the engine FULLY SCORES ONLY docs that contain at
+    // least one "essential" term. Per query: (1) every term's score
+    // UPPER BOUND ub = max over its postings of the exact per-(doc,
+    // term) BM25 contribution; (2) a SEED pass fully scores the docs
+    // of one term — the highest-ub term among those with df ≥ k (so
+    // the seed yields a full top-k; if no term qualifies, the max-df
+    // term, and an absent k-th score disables pruning entirely —
+    // correctness never depends on the seed choice); (3) θ = the
+    // k-th best seed score (exact, since seed docs score over ALL
+    // their query terms); (4) sort terms by ub ascending — the
+    // maximal prefix whose cumulative Σub < θ (strict) is
+    // NON-ESSENTIAL: a doc matching only those terms scores ≤ Σub
+    // < θ while ≥ k seed docs score ≥ θ, so it can never enter the
+    // top-k under any tiebreak; (5) fully score docs with ≥ 1
+    // essential term, rank, keep k. At 100 TB this is the classic
+    // search-engine win: a rare high-idf term's θ prunes the long
+    // posting lists of the common terms — the candidate set shrinks
+    // from Σ df(all terms) to Σ df(essential terms) with zero recall
+    // loss (BlockingSpec pins result ≡
+    // exhaustive). Scoring arithmetic is q90's integer-exact form;
+    // every per-query frame (ub, seed, θ, essential set) is ≤ terms
+    // rows; the oracle scores exhaustively — identical output is the
+    // losslessness proof, hash-checked by the driver.
+    Q(
+      "q300_maxscore_bm25",
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        big AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g
+          FROM tok),
+        tf AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS tf FROM big GROUP BY doc_id, g),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM big GROUP BY doc_id),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dl),
+        df AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY g),
+        qt AS (SELECT * FROM (VALUES (1, 'hash dup'), (1, 'table hash'), (1, 'merge group'),
+                                     (2, 'big dup'), (2, 'slow key'), (2, 'part filter')) AS v(query_id, term)),
+        scored AS (
+          SELECT q.query_id, tf.doc_id,
+                 CAST(CAST((length(bin(2 * (s.n - df.df) + 1)) - length(bin(2 * df.df + 1)))
+                             * 22 * s.t * tf.tf AS DOUBLE)
+                      / CAST(10 * s.t * tf.tf + 3 * s.t + 9 * dl.dl * s.n AS DOUBLE)
+                      AS DECIMAL(18,4)) AS term_score
+          FROM qt q
+          JOIN tf ON tf.g = q.term
+          JOIN df ON df.g = q.term
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats s),
+        agg AS (
+          SELECT query_id, doc_id, CAST(SUM(term_score) AS DOUBLE) AS score
+          FROM scored GROUP BY query_id, doc_id)
+        SELECT query_id, doc_id, score, rnk FROM (
+          SELECT query_id, doc_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+          FROM agg) t
+        WHERE rnk <= 10""")
+    ) { (s, dir) =>
+      import s.implicits._
+      val k = 10
+      val tf = graft.operators.TextIndex.bigramPostings(s, dir)
+      val stats = graft.operators.TextIndex.docLengths(s, dir)
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+      val qTerms = Seq((1, "hash dup"), (1, "table hash"), (1, "merge group"),
+        (2, "big dup"), (2, "slow key"), (2, "part filter"))
+      val termStrs = qTerms.map(_._2).distinct
+      val qt = qTerms.toDF("query_id", "term")
+      // exactly q90's scoring frame: postings of ONLY the query terms
+      // (isin pushdown into the bucketed scan), ≤6-row df aggregate,
+      // broadcasts bounded by the query length — never the corpus
+      val tfq = tf.filter(col("g").isin(termStrs: _*))
+      val dfq = tfq.groupBy("g").agg(count(lit(1)).as("df"))
+      val idf2 = length(bin(lit(2) * (col("n") - col("df")) + 1)) -
+        length(bin(lit(2) * col("df") + 1))
+      val scored = tfq.join(broadcast(qt), col("g") === col("term"))
+        .join(broadcast(dfq.withColumnRenamed("g", "g2")), col("g") === col("g2"))
+        .crossJoin(broadcast(stats))
+        .withColumn("term_score",
+          ((idf2 * 22 * col("t") * col("tf")).cast("double") /
+            (lit(10) * col("t") * col("tf") + lit(3) * col("t") +
+              lit(9) * col("dl") * col("n")).cast("double"))
+            .cast(DecimalType(18, 4)))
+        .select("query_id", "g", "doc_id", "df", "term_score")
+      val wq = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      // (1) per-term exact upper bounds — ≤ query-length rows
+      val ub = scored.groupBy("query_id", "g")
+        .agg(max(col("term_score")).as("ub"), max(col("df")).as("df"))
+      // (2) seed term: highest ub among df ≥ k terms, else max df
+      val seedT = ub
+        .withColumn("has_k", when(col("df") >= k, 1).otherwise(0))
+        .withColumn("srn", row_number().over(
+          wq.orderBy(desc("has_k"), desc("ub"), col("g"))))
+        .filter(col("srn") === 1)
+        .select(col("query_id").as("sq"), col("g").as("seed_g"))
+      // (3) θ = k-th best FULL score over the seed term's docs
+      val seedDocs = scored.join(broadcast(seedT),
+          col("query_id") === col("sq") && col("g") === col("seed_g"))
+        .select(col("query_id"), col("doc_id")).distinct()
+      val seedScores = scored.join(seedDocs, Seq("query_id", "doc_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum(col("term_score")).as("score"))
+      val theta = seedScores
+        .withColumn("rnk", row_number().over(wq.orderBy(desc("score"), col("doc_id"))))
+        .filter(col("rnk") === k)
+        .select(col("query_id"), col("score").as("theta"))
+      // (4) essential = NOT in the maximal ub-ascending prefix with
+      //     cumulative Σub strictly below θ (θ absent → all essential)
+      val ess = ub.join(broadcast(theta), Seq("query_id"), "left")
+        .withColumn("cum", sum(col("ub")).over(
+          wq.orderBy(col("ub"), col("g"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .filter(col("theta").isNull || col("cum") >= col("theta"))
+        .select(col("query_id").as("eq"), col("g").as("eg"))
+      // (5) full scoring restricted to docs matching ≥1 essential term
+      val candDocs = scored.join(broadcast(ess),
+          col("query_id") === col("eq") && col("g") === col("eg"))
+        .select(col("query_id"), col("doc_id")).distinct()
+      val agg = scored.join(candDocs, Seq("query_id", "doc_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum(col("term_score")).cast("double").as("score"))
+      agg.withColumn("rnk", row_number().over(
+          wq.orderBy(desc("score"), col("doc_id"))).cast("long"))
+        .filter(col("rnk") <= k)
+        .select("query_id", "doc_id", "score", "rnk")
+    },
   )
 }

@@ -2600,5 +2600,164 @@ object TextOps {
           when(col("tok_k") > 0, expr("(1000 * v_k) div tok_k"))
             .as("types_per_1000_tok"))
     },
+
+    // --------------------------------------------------------------- q299
+    // EXACT set-similarity self-join with PREFIX FILTERING (the
+    // Chaudhuri/Bayardo/PPJoin family; distributed shape per Vernica
+    // et al., VLDB 2010): all document pairs with word-5-gram Jaccard
+    // ≥ 0.7, computed exactly — the lossless counterpart to the
+    // MinHash-LSH band join (q31–q34), for when the dedup contract is
+    // "every pair above t", not "pairs above t with recall r". The
+    // filter: order the gram vocabulary globally (df ASC, gram ASC —
+    // rarest first), keep only each doc's first
+    // p = sz − ⌈t·sz⌉ + 1 grams; any pair with Jaccard ≥ t MUST
+    // share a prefix gram (if the smallest common gram x were past
+    // a's prefix, common ⊆ a's last ⌈t·sz⌉−1 grams, so
+    // |a∩b| < t·|a| ≤ t·|union| ≤ |a∩b| — contradiction; x in a's
+    // prefix but past b's is symmetric). So candidates = the keyed
+    // prefix self-join — Σ_g prefixdf(g)² pair work over near-unique
+    // rare grams instead of Σ_g df(g)² over the whole vocabulary —
+    // plus the length filter 10·szb ≥ 7·sza (Jaccard ≥ .7 forces
+    // |b| ≥ .7|a|). Survivors verify EXACTLY via a candidate-bounded
+    // gram join; threshold compares in integers (17c ≥ 7(sza+szb) ⟺
+    // c/(sza+szb−c) ≥ 0.7), division only in the reported column.
+    // At 100 TB: every stage is gram- or doc-keyed (vocabulary-sized
+    // df table JOINS on g, never broadcasts); no all-pairs anywhere.
+    // The oracle verifies all-pairs (its corpus is small); the Spark
+    // side's pruning is exercised by BlockingSpec, which pins
+    // candidates ⊆ gram-sharing pairs and result ≡ brute force.
+    Q(
+      "q299_prefix_jaccard_join",
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 3),
+                   i -> md5(array_to_string(list_slice(tk, i, i + 4), ' ')))) AS grams
+          FROM tok WHERE len(tk) >= 5),
+        g AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS sz, unnest(grams) AS g FROM sh),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sza, b.sz AS szb,
+                 CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM g a JOIN g b ON b.g = a.g AND b.doc_id > a.doc_id
+          GROUP BY 1, 2, 3, 4)
+        SELECT doc_a, doc_b, n_common,
+               CAST(n_common AS DOUBLE) / (sza + szb - n_common) AS jaccard
+        FROM p WHERE 17 * n_common >= 7 * (sza + szb)""")
+    ) { (s, dir) =>
+      // docs shorter than 5 tokens filter BEFORE sequence (descending-
+      // sequence trap, exactly as q83)
+      val sh = t(s, dir, "documents")
+        .withColumn("tk", split(col("text"), " "))
+        .filter(size(col("tk")) >= 5)
+        .select(col("doc_id"), expr(
+          "array_distinct(transform(sequence(1, size(tk) - 4), " +
+            "i -> md5(concat_ws(' ', slice(tk, i, 5)))))").as("grams"))
+        .withColumn("sz", size(col("grams")).cast("long"))
+      val g = sh.select(col("doc_id"), col("sz"), explode(col("grams")).as("g"))
+      val dfq = g.groupBy("g").agg(count(lit(1)).as("df"))
+      // prefix = first (sz − ⌈0.7·sz⌉ + 1) grams under (df, g) order;
+      // integer ceil: ⌈7·sz/10⌉ = (7·sz + 9) div 10
+      val prefix = g.join(dfq, "g")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
+        .filter(col("rn") <= col("sz") - expr("(7 * sz + 9) div 10") + 1)
+        .select(col("doc_id"), col("sz"), col("g"))
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.g") === col("b.g") && col("b.doc_id") > col("a.doc_id") &&
+            lit(10) * col("b.sz") >= lit(7) * col("a.sz") &&
+            lit(10) * col("a.sz") >= lit(7) * col("b.sz"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sz").as("sza"), col("b.sz").as("szb"))
+        .distinct()
+      val common = cand
+        .join(g.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+        .join(g.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+        .groupBy("doc_a", "doc_b", "sza", "szb")
+        .agg(count(lit(1)).as("n_common"))
+      common
+        .filter(lit(17) * col("n_common") >= lit(7) * (col("sza") + col("szb")))
+        .select(col("doc_a"), col("doc_b"), col("n_common"),
+          (col("n_common").cast("double") /
+            (col("sza") + col("szb") - col("n_common"))).as("jaccard"))
+    },
+
+    // --------------------------------------------------------------- q302
+    // INCREMENTAL exact dedup — q299's prefix filter on the q87 shape:
+    // today's batch (doc_id % 10 == 0) finds EVERY corpus doc with
+    // word-5-gram Jaccard ≥ 0.7, exactly — where q87's banded version
+    // carries a declared recall < 1 contract, this is the lossless
+    // path for contracts that demand it (e.g. benchmark-contamination
+    // removal, where a missed near-dup is a train/test leak). The
+    // global gram order is (ARCHIVE df ASC, gram ASC) — archive df is
+    // precomputed index metadata in production, batch-only grams rank
+    // rarest at df 0 via the left join; any FIXED total order
+    // satisfies the prefix theorem as long as both sides of a pair
+    // use the same one, so daily batches never need the corpus-wide
+    // df recount. Candidates = prefix(batch) ⋈ prefix(archive) on the
+    // gram key + both length filters; exact verify is candidate-
+    // bounded; threshold in integers. Daily work scales with
+    // Σ_g |batchPrefix(g)|·|archivePrefix(g)| over near-unique rare
+    // grams — never batch × archive, never archive × archive.
+    Q(
+      "q302_incremental_prefix_dedup",
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 3),
+                   i -> md5(array_to_string(list_slice(tk, i, i + 4), ' ')))) AS grams
+          FROM tok WHERE len(tk) >= 5),
+        g AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS sz, unnest(grams) AS g FROM sh),
+        gn AS (SELECT * FROM g WHERE doc_id % 10 = 0),
+        gc AS (SELECT * FROM g WHERE doc_id % 10 <> 0),
+        p AS (
+          SELECT n.doc_id AS new_id, c.doc_id AS corpus_id, n.sz AS szn, c.sz AS szc,
+                 CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM gn n JOIN gc c ON c.g = n.g
+          GROUP BY 1, 2, 3, 4)
+        SELECT new_id, corpus_id, n_common,
+               CAST(n_common AS DOUBLE) / (szn + szc - n_common) AS jaccard
+        FROM p WHERE 17 * n_common >= 7 * (szn + szc)""")
+    ) { (s, dir) =>
+      val sh = t(s, dir, "documents")
+        .withColumn("tk", split(col("text"), " "))
+        .filter(size(col("tk")) >= 5)
+        .select(col("doc_id"), expr(
+          "array_distinct(transform(sequence(1, size(tk) - 4), " +
+            "i -> md5(concat_ws(' ', slice(tk, i, 5)))))").as("grams"))
+        .withColumn("sz", size(col("grams")).cast("long"))
+      val g = sh.select(col("doc_id"), col("sz"), explode(col("grams")).as("g"))
+      val gc = g.filter(col("doc_id") % 10 =!= 0)
+      val gn = g.filter(col("doc_id") % 10 === 0)
+      // archive-df order: vocabulary-sized, JOINS on g (left: batch-only
+      // grams take df 0), never broadcasts
+      val dfArch = gc.groupBy("g").agg(count(lit(1)).as("df"))
+      def prefixOf(side: DataFrame): DataFrame = side
+        .join(dfArch, Seq("g"), "left")
+        .na.fill(0L, Seq("df"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
+        .filter(col("rn") <= col("sz") - expr("(7 * sz + 9) div 10") + 1)
+        .select(col("doc_id"), col("sz"), col("g"))
+      val cand = prefixOf(gn)
+        .select(col("doc_id").as("new_id"), col("sz").as("szn"), col("g"))
+        .join(prefixOf(gc)
+          .select(col("doc_id").as("corpus_id"), col("sz").as("szc"), col("g")),
+          "g")
+        .filter(lit(10) * col("szc") >= lit(7) * col("szn") &&
+          lit(10) * col("szn") >= lit(7) * col("szc"))
+        .select("new_id", "corpus_id", "szn", "szc")
+        .distinct()
+      val common = cand
+        .join(gn.select(col("doc_id").as("new_id"), col("g")), "new_id")
+        .join(gc.select(col("doc_id").as("corpus_id"), col("g")),
+          Seq("corpus_id", "g"))
+        .groupBy("new_id", "corpus_id", "szn", "szc")
+        .agg(count(lit(1)).as("n_common"))
+      common
+        .filter(lit(17) * col("n_common") >= lit(7) * (col("szn") + col("szc")))
+        .select(col("new_id"), col("corpus_id"), col("n_common"),
+          (col("n_common").cast("double") /
+            (col("szn") + col("szc") - col("n_common"))).as("jaccard"))
+    },
   )
 }
