@@ -279,6 +279,9 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q302    graft.queries.TextOps    — incremental EXACT dedup:
   *            batch×archive prefix-filtered Jaccard join under the
   *            frozen archive-df gram order (q87's lossless sibling)
+  *   q303    graft.queries.TextOps    — phrase search over a
+  *            positional index: n-way (doc_id, pos+offset) join of
+  *            term-selected postings; phrase = dominant trigram
   */
 object SparkEntry {
 

@@ -947,9 +947,13 @@ object Matching {
               lit(9) * col("dl") * col("n")).cast("double"))
             .cast(DecimalType(18, 4)))
         .select("query_id", "g", "doc_id", "df", "term_score")
+      // seven downstream references (ub, seed, θ, essential, candidate,
+      // final aggregate ×2 joins) — materialize the Σdf(term)-sized
+      // scoring frame once instead of re-reading the postings per ref
+      val scoredM = graft.Checkpoints.materialize(scored)
       val wq = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
       // (1) per-term exact upper bounds — ≤ query-length rows
-      val ub = scored.groupBy("query_id", "g")
+      val ub = scoredM.groupBy("query_id", "g")
         .agg(max(col("term_score")).as("ub"), max(col("df")).as("df"))
       // (2) seed term: highest ub among df ≥ k terms, else max df
       val seedT = ub
@@ -959,10 +963,10 @@ object Matching {
         .filter(col("srn") === 1)
         .select(col("query_id").as("sq"), col("g").as("seed_g"))
       // (3) θ = k-th best FULL score over the seed term's docs
-      val seedDocs = scored.join(broadcast(seedT),
+      val seedDocs = scoredM.join(broadcast(seedT),
           col("query_id") === col("sq") && col("g") === col("seed_g"))
         .select(col("query_id"), col("doc_id")).distinct()
-      val seedScores = scored.join(seedDocs, Seq("query_id", "doc_id"))
+      val seedScores = scoredM.join(seedDocs, Seq("query_id", "doc_id"))
         .groupBy("query_id", "doc_id")
         .agg(sum(col("term_score")).as("score"))
       val theta = seedScores
@@ -978,10 +982,10 @@ object Matching {
         .filter(col("theta").isNull || col("cum") >= col("theta"))
         .select(col("query_id").as("eq"), col("g").as("eg"))
       // (5) full scoring restricted to docs matching ≥1 essential term
-      val candDocs = scored.join(broadcast(ess),
+      val candDocs = scoredM.join(broadcast(ess),
           col("query_id") === col("eq") && col("g") === col("eg"))
         .select(col("query_id"), col("doc_id")).distinct()
-      val agg = scored.join(candDocs, Seq("query_id", "doc_id"))
+      val agg = scoredM.join(candDocs, Seq("query_id", "doc_id"))
         .groupBy("query_id", "doc_id")
         .agg(sum(col("term_score")).cast("double").as("score"))
       agg.withColumn("rnk", row_number().over(

@@ -1215,4 +1215,64 @@ object StreamOps {
       .select(col("new_id"), col("corpus_id"),
         col("jc.n_common").as("n_common"), col("jc.jaccard").as("jaccard"))
   }
+
+  /** Streaming incremental EXACT dedup — the lossless twin of
+    * [[incrementalDedup]] and the streaming half of batch q302 (the
+    * 21st stream/batch parity): arriving documents find EVERY archive
+    * doc with word-5-gram Jaccard ≥ 0.7, with zero recall loss. The
+    * static side is the archive's PREFIX posting index (q299/q302's
+    * filter under the frozen (archive df ASC, gram ASC) order); the
+    * stream side probes with ALL its grams — the ONE-SIDED prefix
+    * theorem makes that lossless on its own: if the pair qualifies,
+    * |A∩B| ≥ ⌈t·|B|⌉, so were the order-smallest common gram x past
+    * the archive doc's prefix, the common set would fit in its last
+    * ⌈t·|B|⌉−1 grams — contradiction; hence x sits in the archive
+    * prefix the probe joins. This keeps the stream side WINDOW-FREE
+    * (per-doc prefix selection needs a rank — illegal on an append
+    * stream); the probe fan-out is the doc's gram count, and
+    * candidates are bounded by Σ_g |archivePrefix(g)| over the
+    * probed grams. Candidate pairs dedup within the watermark; the
+    * verify is the one-pass codegen'd word-5-gram kernel replaying
+    * q302's integer threshold 17c ≥ 7(szₐ+szᵦ) exactly — no
+    * streaming aggregation anywhere, so the whole pipeline is a
+    * stream-static join Structured Streaming plans natively. The
+    * union of all emissions equals batch q302's rows — the parity
+    * StreamBatchParitySpec pins. */
+  def incrementalExactDedup(
+      incoming: DataFrame,
+      corpus: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    val gram5 = explode(expr(
+      "array_distinct(transform(sequence(1, size(tk) - 4), " +
+        "i -> md5(concat_ws(' ', slice(tk, i, 5)))))")).as("g")
+    // archive prefix index, built once on the static side: per-doc
+    // first sz − ⌈0.7·sz⌉ + 1 grams under (archive df, gram) order
+    val gc = corpus
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 5)
+      .select(col("doc_id").as("corpus_id"), col("text").as("text_c"), gram5)
+    val szc = gc.groupBy("corpus_id").agg(count(lit(1)).as("sz"))
+    val dfArch = gc.groupBy("g").agg(count(lit(1)).as("df"))
+    val index = gc.join(szc, "corpus_id").join(dfArch, "g")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("corpus_id").orderBy(col("df"), col("g"))))
+      .filter(col("rn") <= col("sz") - expr("(7 * sz + 9) div 10") + 1)
+      .select(col("g"), col("corpus_id"), col("text_c"))
+    val ib = incoming.withWatermark("ts", watermark)
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 5)
+      .select(col("ts"), col("doc_id").as("new_id"),
+        col("text").as("text_n"), gram5)
+    ib.join(index, Seq("g"))
+      .select(col("ts"), col("new_id"), col("text_n"),
+        col("corpus_id"), col("text_c"))
+      .dropDuplicatesWithinWatermark("new_id", "corpus_id")
+      .withColumn("jc",
+        graft.functions.Jaccard.jaccard5w(col("text_n"), col("text_c")))
+      .filter(lit(17) * col("jc.n_common") >=
+        lit(7) * (col("jc.sz_a") + col("jc.sz_b")))
+      .select(col("new_id"), col("corpus_id"),
+        col("jc.n_common").as("n_common"), col("jc.jaccard").as("jaccard"))
+  }
 }

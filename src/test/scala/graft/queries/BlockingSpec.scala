@@ -159,6 +159,28 @@ class BlockingSpec extends SparkSpec {
     assert(truth.nonEmpty, "fixture must exercise the incremental join")
   }
 
+  test("q303 phrase matches equal the dominant trigram's occurrences, doc for doc") {
+    // brute force: count trigram occurrences per doc, pick the global
+    // top-1 under (count DESC, trigram ASC), compare doc-level counts
+    // and first positions against the positional-join output
+    val occ = docs.toSeq.flatMap { case (id, t) =>
+      val tk = t.split(" ", -1)
+      (0 to tk.length - 3).map(i =>
+        (tk.slice(i, i + 3).mkString(" "), id, i + 1L))
+    }
+    val top = occ.groupBy(_._1).toSeq
+      .map { case (g, o) => (g, o.size) }
+      .minBy { case (g, n) => (-n, g) }._1
+    val truth = occ.filter(_._1 == top).groupBy(_._2)
+      .map { case (id, o) =>
+        (id, o.size.toLong, o.map(_._3).min)
+      }.toSet
+    val got = run("q303_phrase_search").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === truth, s"got ${got.size} docs, truth ${truth.size}")
+    assert(truth.nonEmpty, "fixture must have a dominant trigram")
+  }
+
   // ------------------------------------------------------------------
   // Randomized property pins for the blocking MATH itself (pure set
   // algebra — no Spark): the fixed-fixture tests above witness one

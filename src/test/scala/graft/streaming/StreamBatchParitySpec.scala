@@ -741,6 +741,52 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("streaming incremental EXACT dedup equals batch q302, pair for pair") {
+    // the 21st parity — the LOSSLESS twin of the q87 parity above:
+    // the archive side serves its prefix posting index, arriving docs
+    // probe with all their grams (one-sided prefix theorem), and the
+    // emitted union must equal oracle-backed q302 exactly — any
+    // missed pair is a recall bug the banded version would tolerate
+    // but this operator's contract forbids
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("ts",
+        timestamp_micros(lit(1700000000000000L) + col("doc_id") * 1000000L))
+      .select("doc_id", "ts", "text")
+
+    val in = Files.createTempDirectory("graft-exact-in")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    val tiled = incoming.withColumn("__p", ntile(3).over(w))
+    (1 to 3).foreach { i =>
+      val tmp = in.resolve(s"stage$i")
+      tiled.filter(col("__p") === i).drop("__p")
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = in.resolve(s"batch$i.parquet")
+      Files.move(part, dst)
+      dst.toFile.setLastModified(System.currentTimeMillis() + (i - 1) * 2000L)
+    }
+
+    val result = runStream(in, incoming.schema, st =>
+      StreamOps.incrementalExactDedup(st, corpus))
+
+    def canon(df: DataFrame) = df
+      .select(col("new_id"), col("corpus_id"), col("n_common"),
+        round(col("jaccard"), 9).as("j"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sorted
+    val streamed = canon(result)
+    val batch = canon(SparkEntry.queries("q302_incremental_prefix_dedup")(
+      spark, "/root/testdata/sf0.001")
+      )
+    assert(batch.nonEmpty, "batch q302 found no incremental duplicates")
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("streaming incremental BM25 over the durable index equals batch q288, snapshot for snapshot") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
