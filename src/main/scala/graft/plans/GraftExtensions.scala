@@ -5,9 +5,10 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{GramCodes3, Jaccard3, MinHashFast, MinHashK,
-  MinHashSignature, PayloadSigExpr, QDot, QuantizeEmbedding, SimHash16,
-  SortedIntersectCount, SrpBuckets, TokenNgrams, Winnow}
+import graft.functions.{GramCodes3, Jaccard3, Jaccard5W, MinHashFast,
+  MinHashK, MinHashSignature, PayloadSigExpr, QDot, QuantizeEmbedding,
+  SimHash16, SortedIntersectCount, SortedIntersectCountStr, SrpBuckets,
+  TokenNgrams, Winnow}
 
 /** SparkSessionExtensions entry point: registers every graft custom
   * expression as a SQL function, so e.g.
@@ -79,6 +80,12 @@ object GraftExtensions {
     },
     descriptor("sorted_intersect_count", classOf[SortedIntersectCount]) {
       case Seq(a, b) => SortedIntersectCount(a, b)
+    },
+    descriptor("sorted_intersect_count_str", classOf[SortedIntersectCountStr]) {
+      case Seq(a, b) => SortedIntersectCountStr(a, b)
+    },
+    descriptor("jaccard5w", classOf[Jaccard5W]) {
+      case Seq(a, b) => Jaccard5W(a, b)
     })
 
   /** Runtime registration on an existing session (no extensions config

@@ -1275,4 +1275,40 @@ object StreamOps {
       .select(col("new_id"), col("corpus_id"),
         col("jc.n_common").as("n_common"), col("jc.jaccard").as("jaccard"))
   }
+
+  /** Streaming phrase matcher — the streaming half of batch q303 (the
+    * 22nd stream/batch parity) and a pinned EQUIVALENCE of two
+    * formulations: the batch side matches the phrase with an n-way
+    * positional-postings JOIN (the inverted-index shape that scales
+    * to a shared index); the stream side matches each arriving doc
+    * LOCALLY — one HOF filter over the doc's own token array, zero
+    * state, zero shuffle — because a phrase match never crosses
+    * document boundaries. Both must produce identical (doc, pos)
+    * rows; the parity pins that the index formulation and the
+    * document-local formulation agree occurrence for occurrence. The
+    * phrase itself derives batch-side from the STATIC corpus frame
+    * (q303's dominant-trigram rule, TakeOrderedAndProject) and enters
+    * the stream as a 1-row broadcast — the standard
+    * small-dimension-against-stream join. */
+  def phraseMatchStream(incoming: DataFrame, corpus: DataFrame): DataFrame = {
+    val tri = corpus
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 2), " +
+          "i -> concat_ws(' ', tk[i-1], tk[i], tk[i+1]))")).as("g"))
+    val top1 = tri.groupBy("g").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("g")).limit(1)
+      .select(element_at(split(col("g"), " "), 1).as("w1"),
+        element_at(split(col("g"), " "), 2).as("w2"),
+        element_at(split(col("g"), " "), 3).as("w3"))
+    incoming
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 3) // BEFORE sequence (q83's trap)
+      .join(broadcast(top1))
+      .select(col("doc_id"), explode(expr(
+        "filter(sequence(1, size(tk) - 2), " +
+          "i -> tk[i-1] = w1 AND tk[i] = w2 AND tk[i+1] = w3)")).as("p0"))
+      .select(col("doc_id"), col("p0").cast("long").as("pos"))
+  }
 }

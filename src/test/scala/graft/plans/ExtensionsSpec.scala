@@ -76,6 +76,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(n === 1L)
   }
 
+  test("jaccard5w and sorted_intersect_count_str usable from SQL after registration") {
+    GraftExtensions.register(spark)
+    // identical 5-token texts: one shared 5-gram, jaccard 1.0
+    val j = spark.sql(
+      "SELECT jaccard5w('a b c d e', 'a b c d e') AS j").head().getStruct(0)
+    assert(j.getLong(0) === 1L && j.getLong(1) === 1L && j.getLong(2) === 1L)
+    assert(j.getDouble(3) === 1.0)
+    // shifted by one token: 2-gram sets {abcde,bcdef} vs {bcdef,cdefg} → 1
+    val j2 = spark.sql(
+      "SELECT jaccard5w('a b c d e f', 'b c d e f g') AS j").head().getStruct(0)
+    assert(j2.getLong(0) === 1L && j2.getDouble(3) === 1.0 / 3.0)
+    // fewer than 5 tokens on either side → null (the shared contract)
+    assert(spark.sql("SELECT jaccard5w('a b', 'a b c d e') AS j").head().isNullAt(0))
+    val n = spark.sql(
+      "SELECT sorted_intersect_count_str(array('a','b','c'), array('b','c','d')) AS n")
+      .head().getLong(0)
+    assert(n === 2L)
+  }
+
   test("payload_sig usable from SQL after registration") {
     GraftExtensions.register(spark)
     // 'aaaa': every sample reads 'a' (97 div 32 = class 3) → 64·128³

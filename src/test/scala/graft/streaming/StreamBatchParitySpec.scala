@@ -787,6 +787,47 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("streaming document-local phrase matching equals batch q303's positional join") {
+    // the 22nd parity — two FORMULATIONS of one operator: q303 matches
+    // via the n-way positional-postings join (the shared-index shape);
+    // the stream matches each doc locally with a HOF over its own
+    // token array (stateless, shuffle-free). Occurrence sets must be
+    // identical; doc-level aggregation of the streamed matches must
+    // reproduce q303's rows exactly.
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val incoming = docs
+      .withColumn("ts",
+        timestamp_micros(lit(1700000000000000L) + col("doc_id") * 1000000L))
+      .select("doc_id", "ts", "text")
+
+    val in = Files.createTempDirectory("graft-phrase-in")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    val tiled = incoming.withColumn("__p", ntile(3).over(w))
+    (1 to 3).foreach { i =>
+      val tmp = in.resolve(s"stage$i")
+      tiled.filter(col("__p") === i).drop("__p")
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = in.resolve(s"batch$i.parquet")
+      Files.move(part, dst)
+      dst.toFile.setLastModified(System.currentTimeMillis() + (i - 1) * 2000L)
+    }
+
+    val result = runStream(in, incoming.schema, st =>
+      StreamOps.phraseMatchStream(st, docs))
+
+    val streamed = result.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val batch = SparkEntry.queries("q303_phrase_search")(
+      spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(batch.nonEmpty, "batch q303 found no phrase matches")
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("streaming incremental BM25 over the durable index equals batch q288, snapshot for snapshot") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
