@@ -282,6 +282,12 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q303    graft.queries.TextOps    — phrase search over a
   *            positional index: n-way (doc_id, pos+offset) join of
   *            term-selected postings; phrase = dominant trigram
+  *   q304    graft.queries.TextOps    — proximity search: |Δpos| ≤ 3
+  *            band unrolled into 6 keyed offsets (no range join);
+  *            terms = the corpus's two most frequent tokens
+  *   q305    graft.queries.Vectors    — greedy k-center coreset
+  *            (farthest-point traversal): 5 materialized rounds,
+  *            argmax min-dist per round in quantized BIGINT space
   */
 object SparkEntry {
 

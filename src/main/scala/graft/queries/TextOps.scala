@@ -2856,5 +2856,72 @@ object TextOps {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
     },
+
+    // --------------------------------------------------------------- q304
+    // PROXIMITY search over the positional index — q303's sibling for
+    // the "terms near each other, either order" contract (IIR §2.4.2):
+    // occurrences of two query terms within ≤ 3 positions. The term
+    // pair derives from the corpus (its two most frequent tokens under
+    // (count DESC, token ASC) — always co-frequent enough to exercise
+    // the window at any SF). Where q303's exact-offset join stays equi
+    // on (doc_id, pos), a |p₁−p₂| ≤ w predicate is a BAND join — the
+    // classic range-join trap — so the window UNROLLS into its 2w
+    // keyed offsets: each w1-occurrence probes (doc_id, pos±δ),
+    // δ ∈ 1…3, every probe a plain equi join on (doc_id, pos) exactly
+    // like the phrase matcher. O(occurrences × 2w) probe rows, no
+    // BroadcastNestedLoop anywhere. Per doc: pair count and tightest
+    // span — the inputs a proximity scorer would feed from.
+    Q(
+      "q304_proximity_search",
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        pos AS (
+          SELECT doc_id, u.tok AS tok, u.pos AS pos FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+                     i -> struct_pack(tok := tk[i], pos := CAST(i AS BIGINT)))) AS u
+            FROM tok)),
+        cnt AS (SELECT tok, COUNT(*) AS n FROM pos GROUP BY tok),
+        top2 AS (
+          SELECT
+            (SELECT tok FROM cnt ORDER BY n DESC, tok LIMIT 1) AS w1,
+            (SELECT tok FROM cnt ORDER BY n DESC, tok LIMIT 1 OFFSET 1) AS w2),
+        m AS (
+          SELECT p1.doc_id, p1.pos AS pos1, p2.pos AS pos2
+          FROM pos p1
+          JOIN pos p2 ON p2.doc_id = p1.doc_id
+                     AND abs(p2.pos - p1.pos) <= 3 AND p2.pos <> p1.pos
+          CROSS JOIN top2 t
+          WHERE p1.tok = t.w1 AND p2.tok = t.w2)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_prox,
+               MIN(abs(pos2 - pos1)) AS min_span
+        FROM m GROUP BY doc_id""")
+    ) { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("tok"))
+      val top2 = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("tok")).limit(2)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(desc("n"), col("tok"))))
+        .groupBy()
+        .agg(max(when(col("rn") === 1, col("tok"))).as("w1"),
+          max(when(col("rn") === 2, col("tok"))).as("w2"))
+      val tagged = toks.crossJoin(broadcast(top2))
+      val occ1 = tagged.filter(col("tok") === col("w1"))
+        .select(col("doc_id"), col("pos").as("pos1"))
+      val occ2 = tagged.filter(col("tok") === col("w2"))
+        .select(col("doc_id"), col("pos").as("pos2"))
+      // band |p1−p2| ≤ 3 unrolled into 6 keyed offsets: probe rows
+      // carry pos2 = pos1 + δ, δ ∈ {−3…−1, 1…3}, equi join on
+      // (doc_id, pos2) — never a range join
+      val probes = occ1.select(col("doc_id"), col("pos1"),
+        explode(expr("transform(array(-3,-2,-1,1,2,3), d -> pos1 + d)"))
+          .as("pos2"))
+      probes.join(occ2, Seq("doc_id", "pos2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_prox"),
+          min(abs(col("pos2") - col("pos1"))).as("min_span"))
+    },
   )
 }

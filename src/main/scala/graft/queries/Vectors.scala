@@ -1711,6 +1711,83 @@ object Vectors {
           col("nb_label").cast("long").as("pred_label"))
         .agg(count(lit(1)).as("n"))
     },
+
+    // --------------------------------------------------------------- q305
+    // GREEDY k-CENTER CORESET (Gonzalez's farthest-point traversal, the
+    // 2-approximation for k-center): select 5 maximally-spread vectors
+    // — the diversity-sampling primitive a training pipeline uses to
+    // pick representative exemplars (coreset seeding, dedup
+    // anchors, eval-set spread). Seed = smallest vec_id with qn > 0;
+    // each round the next center is argmax over the corpus of the
+    // MIN squared distance to the selected set (tie → smaller id),
+    // in exact quantized-BIGINT arithmetic (d² = qnₐ + qn_c −
+    // 2·qdot). The running min-dist column updates against ONLY the
+    // newest center per round — O(n) work per round, k rounds, each
+    // argmax a TakeOrderedAndProject — and every round's frame
+    // MATERIALIZES (two references: the argmax and the next update —
+    // the 2^steps re-execution trap, q219's lesson). The oracle
+    // unrolls the identical 5 rounds as chained CTEs. Output: each
+    // center's rank, id, and its selection distance (the k-center
+    // radius sequence — nonincreasing by construction).
+    Q(
+      "q305_kcenter_coreset",
+      Some {
+        def dist(a: String, c: String) =
+          s"""$a.qn + $c.qn - 2 * CAST(list_aggregate(list_transform(
+             |range(1, len($a.qv) + 1), i -> $a.qv[i] * $c.qv[i]), 'sum') AS BIGINT)""".stripMargin.replace("\n", " ")
+        s"""
+        WITH normed AS ($quantizedSql),
+        base AS (SELECT vec_id, qv, qn FROM normed WHERE qn > 0),
+        c1 AS (SELECT vec_id, qv, qn FROM base ORDER BY vec_id LIMIT 1),
+        d1 AS (SELECT b.vec_id, b.qv, b.qn, ${dist("b", "c")} AS md
+               FROM base b CROSS JOIN c1 c),
+        c2 AS (SELECT vec_id, qv, qn, md FROM d1 ORDER BY md DESC, vec_id LIMIT 1),
+        d2 AS (SELECT d.vec_id, d.qv, d.qn, LEAST(d.md, ${dist("d", "c")}) AS md
+               FROM d1 d CROSS JOIN c2 c),
+        c3 AS (SELECT vec_id, qv, qn, md FROM d2 ORDER BY md DESC, vec_id LIMIT 1),
+        d3 AS (SELECT d.vec_id, d.qv, d.qn, LEAST(d.md, ${dist("d", "c")}) AS md
+               FROM d2 d CROSS JOIN c3 c),
+        c4 AS (SELECT vec_id, qv, qn, md FROM d3 ORDER BY md DESC, vec_id LIMIT 1),
+        d4 AS (SELECT d.vec_id, d.qv, d.qn, LEAST(d.md, ${dist("d", "c")}) AS md
+               FROM d3 d CROSS JOIN c4 c),
+        c5 AS (SELECT vec_id, qv, qn, md FROM d4 ORDER BY md DESC, vec_id LIMIT 1)
+        SELECT CAST(1 AS BIGINT) AS rnk, vec_id, CAST(0 AS BIGINT) AS dist2 FROM c1
+        UNION ALL SELECT CAST(2 AS BIGINT), vec_id, md FROM c2
+        UNION ALL SELECT CAST(3 AS BIGINT), vec_id, md FROM c3
+        UNION ALL SELECT CAST(4 AS BIGINT), vec_id, md FROM c4
+        UNION ALL SELECT CAST(5 AS BIGINT), vec_id, md FROM c5"""
+      }
+    ) { (s, dir) =>
+      import graft.functions.VecMath
+      val k = 5
+      val base = graft.Checkpoints.materialize(
+        quantized(s, dir).filter(col("qn") > 0).select("vec_id", "qv", "qn"))
+      val seed = base.orderBy(col("vec_id")).limit(1)
+        .select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
+          col("qn").as("c_qn"))
+      def distCol = col("qn") + col("c_qn") -
+        lit(2L) * VecMath.qdot(col("qv"), col("c_qv"))
+      var md = graft.Checkpoints.materialize(
+        base.crossJoin(broadcast(seed))
+          .withColumn("md", distCol)
+          .select(col("vec_id"), col("qv"), col("qn"), col("md")))
+      var out = seed.select(lit(1L).as("rnk"), col("c_id").as("vec_id"),
+        lit(0L).as("dist2"))
+      for (r <- 2 to k) {
+        val pick = md.orderBy(desc("md"), col("vec_id")).limit(1)
+        out = out.union(pick.select(lit(r.toLong).as("rnk"),
+          col("vec_id"), col("md").as("dist2")))
+        if (r < k) {
+          val c = pick.select(col("vec_id").as("c_id"),
+            col("qv").as("c_qv"), col("qn").as("c_qn"))
+          md = graft.Checkpoints.materialize(
+            md.crossJoin(broadcast(c))
+              .withColumn("md", least(col("md"), distCol))
+              .select(col("vec_id"), col("qv"), col("qn"), col("md")))
+        }
+      }
+      out
+    },
   )
 
   /** q158's truncated-cosine top-5 at d dims: same candidate universe

@@ -181,6 +181,27 @@ class BlockingSpec extends SparkSpec {
     assert(truth.nonEmpty, "fixture must have a dominant trigram")
   }
 
+  test("q304 proximity pairs equal the brute-force window scan") {
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1) }
+    val counts = toks.values.flatten.groupBy(identity)
+      .map { case (w, o) => w -> o.size }
+    val Seq(w1, w2) = counts.toSeq.sortBy { case (w, n) => (-n, w) }
+      .take(2).map(_._1)
+    val truth = toks.toSeq.flatMap { case (id, tk) =>
+      val spans = for {
+        i <- tk.indices if tk(i) == w1
+        j <- tk.indices if tk(j) == w2
+        d = math.abs(j - i) if d >= 1 && d <= 3
+      } yield d.toLong
+      if (spans.isEmpty) None
+      else Some((id, spans.size.toLong, spans.min))
+    }.toSet
+    val got = run("q304_proximity_search").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === truth, s"got ${got.size} docs, truth ${truth.size}")
+    assert(truth.nonEmpty, "fixture must exercise the proximity window")
+  }
+
   // ------------------------------------------------------------------
   // Randomized property pins for the blocking MATH itself (pure set
   // algebra — no Spark): the fixed-fixture tests above witness one

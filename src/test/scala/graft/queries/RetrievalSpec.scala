@@ -281,4 +281,29 @@ class RetrievalSpec extends SparkSpec {
     }.sum
     assert(hits >= 80, s"sf0.1 recall@5 floor: $hits/100 must be >= 0.80")
   }
+
+  test("q305 equals the sequential greedy k-center traversal, pick for pick") {
+    val vecs = quantized().filter { case (_, v) => dot(v, v) > 0 }
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      dot(a, a) + dot(b, b) - 2 * dot(a, b)
+    // sequential farthest-point: seed = smallest id, then argmax of
+    // min distance to the selected set, ties to the smaller id
+    val seed = vecs.keys.min
+    var centers = List((1L, seed, 0L))
+    var mdist = vecs.map { case (id, v) => id -> d2(v, vecs(seed)) }
+    for (r <- 2 to 5) {
+      val (nid, nd) = mdist.toSeq.maxBy { case (id, d) => (d, -id) }
+      centers ::= ((r.toLong, nid, nd))
+      mdist = mdist.map { case (id, d) =>
+        id -> math.min(d, d2(vecs(id), vecs(nid)))
+      }
+    }
+    val truth = centers.toSet
+    val got = run("q305_kcenter_coreset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === truth, s"got $got, truth $truth")
+    // the radius sequence is nonincreasing by construction
+    val seq = got.toSeq.sortBy(_._1).map(_._3).drop(1)
+    assert(seq === seq.sortBy(-_), s"selection distances must not increase: $seq")
+  }
 }
