@@ -288,6 +288,12 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q305    graft.queries.Vectors    — greedy k-center coreset
   *            (farthest-point traversal): 5 materialized rounds,
   *            argmax min-dist per round in quantized BIGINT space
+  *   q306    graft.queries.Curation   — ε=ln2 DP noisy count release:
+  *            discrete Laplace as a difference of two trailing-zero
+  *            geometrics over salted Knuth words (integer-exact)
+  *   q307    graft.queries.TextOps    — exact dedup groups: min-label
+  *            connected components over q299's lossless pair graph,
+  *            3 unrolled rounds, every round materialized
   */
 object SparkEntry {
 

@@ -2018,6 +2018,55 @@ object Curation {
           col("jc.n_common").as("n_common"), col("jc.jaccard").as("jaccard"),
           (col("jc.jaccard") >= 0.7).as("is_dup"))
     },
+
+    // --------------------------------------------------------------- q306
+    // ε-DIFFERENTIALLY-PRIVATE count release (ε = ln 2 ≈ 0.693 per
+    // unit sensitivity): per-nation customer counts plus DISCRETE
+    // Laplace noise — the third leg of the privacy family beside
+    // k-anonymity (q194) and l-diversity. The noise is the difference
+    // of two iid Geometric(1/2) draws (D = G₁ − G₂ has
+    // P(D = k) = ⅓·2^{−|k|}, exactly the two-sided geometric the
+    // discrete-Laplace mechanism at ε = ln 2 calls for), and each
+    // geometric draw is the TRAILING-ZERO COUNT of a uniform 20-bit
+    // word — pure integer arithmetic, no log()/exp() ulp drift:
+    // ctz(h) = bitlen(h XOR (h−1)) − 1 for h > 0 (the XOR isolates
+    // the trailing-zero run), capped at 20 when h = 0. The uniform
+    // words come from two salted Knuth streams keyed on the group —
+    // DETERMINISTIC pseudo-noise so both engines release identical
+    // values and reruns reproduce; a production release swaps the
+    // group key for a fresh per-release seed and keeps everything
+    // else. One grouped count + O(groups) scalar math — nothing about
+    // the mechanism touches row-space twice.
+    Q(
+      "q306_dp_noisy_release",
+      Some {
+        def ctz(h: String) =
+          s"(CASE WHEN $h = 0 THEN 20 ELSE length(bin(xor($h, $h - 1))) - 1 END)"
+        val h1 = s"((${graft.Knuth.sql("nation", 577L)}) % 1048576)"
+        val h2 = s"((${graft.Knuth.sql("nation", 9241L)}) % 1048576)"
+        s"""
+        WITH cnt AS (
+          SELECT c_nationkey AS nation, CAST(COUNT(*) AS BIGINT) AS n
+          FROM customer GROUP BY 1)
+        SELECT nation,
+               n + ${ctz(h1)} - ${ctz(h2)} AS noisy_count,
+               CAST(${ctz(h1)} - ${ctz(h2)} AS BIGINT) AS noise,
+               CAST(693 AS BIGINT) AS epsilon_milli
+        FROM cnt"""
+      }
+    ) { (s, dir) =>
+      def ctz(h: Column): Column =
+        when(h === 0, lit(20)).otherwise(
+          length(bin(h.bitwiseXOR(h - 1))) - 1)
+      val h1 = graft.Knuth.col(col("nation"), 577L) % 1048576L
+      val h2 = graft.Knuth.col(col("nation"), 9241L) % 1048576L
+      val noise = (ctz(h1) - ctz(h2)).cast("long")
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nation"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("nation"), (col("n") + noise).as("noisy_count"),
+          noise.as("noise"), lit(693L).as("epsilon_milli"))
+    },
   )
 
   /** q147's per-(doc, shard) rendezvous weight: the Carter–Wegman

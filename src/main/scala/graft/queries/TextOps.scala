@@ -36,6 +36,71 @@ object TextOps {
 
   /** Knuth multiplicative 32-bit hash of one 3-gram, from ASCII codes —
     * exact BIGINT arithmetic, identical in both engines. */
+  /** q299's prefix-filtered EXACT Jaccard-0.7 self-join, shared with
+    * q307 (dedup groups over the pair graph). Docs shorter than 5
+    * tokens filter BEFORE sequence (descending-sequence trap, exactly
+    * as q83). ONE materialized doc-array table serves every
+    * downstream reference: the exploded gram stream derives from it
+    * (df aggregate + prefix ranking re-explode cached blocks, not the
+    * tokenize+md5 chain), and the verify step never touches the
+    * gram-row space — it joins the CANDIDATE-sized pair frame to the
+    * doc-count-sized table twice and counts intersections with one
+    * linear merge per pair (codegen'd sorted_intersect_count_str). */
+  private def exactJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 5)
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(1, size(tk) - 4), " +
+          "i -> md5(concat_ws(' ', slice(tk, i, 5)))))").as("grams"))
+      .withColumn("sz", size(col("grams")).cast("long"))
+    val docsArr = graft.Checkpoints.materialize(
+      sh.select(col("doc_id"), col("sz"), sort_array(col("grams")).as("grams")))
+    val g = docsArr.select(col("doc_id"), col("sz"), explode(col("grams")).as("g"))
+    val dfq = g.groupBy("g").agg(count(lit(1)).as("df"))
+    // prefix = first (sz − ⌈0.7·sz⌉ + 1) grams under (df, g) order;
+    // integer ceil: ⌈7·sz/10⌉ = (7·sz + 9) div 10
+    val prefix = g.join(dfq, "g")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
+      .filter(col("rn") <= col("sz") - expr("(7 * sz + 9) div 10") + 1)
+      .select(col("doc_id"), col("sz"), col("g"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("b.doc_id") > col("a.doc_id") &&
+          lit(10) * col("b.sz") >= lit(7) * col("a.sz") &&
+          lit(10) * col("a.sz") >= lit(7) * col("b.sz"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"))
+      .distinct()
+    cand
+      .join(docsArr.select(col("doc_id").as("doc_a"), col("grams").as("ga")),
+        "doc_a")
+      .join(docsArr.select(col("doc_id").as("doc_b"), col("grams").as("gb")),
+        "doc_b")
+      .withColumn("n_common",
+        graft.functions.Jaccard.sortedIntersectCountStr(col("ga"), col("gb")))
+      .filter(lit(17) * col("n_common") >= lit(7) * (col("sza") + col("szb")))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("sza") + col("szb") - col("n_common"))).as("jaccard"))
+  }
+
+  /** The q299 brute-pair SQL body (gram join, integer threshold) as a
+    * WITH-clause fragment ending in `p(doc_a, doc_b, sza, szb,
+    * n_common)` — shared by the q299 oracle and q307's group oracle. */
+  private val exactPairsCte = """
+        tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 3),
+                   i -> md5(array_to_string(list_slice(tk, i, i + 4), ' ')))) AS grams
+          FROM tok WHERE len(tk) >= 5),
+        g AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS sz, unnest(grams) AS g FROM sh),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sza, b.sz AS szb,
+                 CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM g a JOIN g b ON b.g = a.g AND b.doc_id > a.doc_id
+          GROUP BY 1, 2, 3, 4)"""
+
   private def gramHashSql(g: String): String =
     s"((ascii(substr($g, 1, 1)) * 961 + ascii(substr($g, 2, 1)) * 31 + ascii(substr($g, 3, 1))) * 2654435761) % 4294967296"
 
@@ -2628,70 +2693,70 @@ object TextOps {
     // candidates ⊆ gram-sharing pairs and result ≡ brute force.
     Q(
       "q299_prefix_jaccard_join",
-      Some("""
-        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        sh AS (
-          SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 3),
-                   i -> md5(array_to_string(list_slice(tk, i, i + 4), ' ')))) AS grams
-          FROM tok WHERE len(tk) >= 5),
-        g AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS sz, unnest(grams) AS g FROM sh),
-        p AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sza, b.sz AS szb,
-                 CAST(COUNT(*) AS BIGINT) AS n_common
-          FROM g a JOIN g b ON b.g = a.g AND b.doc_id > a.doc_id
-          GROUP BY 1, 2, 3, 4)
+      Some(s"""
+        WITH $exactPairsCte
         SELECT doc_a, doc_b, n_common,
                CAST(n_common AS DOUBLE) / (sza + szb - n_common) AS jaccard
         FROM p WHERE 17 * n_common >= 7 * (sza + szb)""")
+    ) { (s, dir) => exactJaccardPairs(s, dir) },
+
+    // --------------------------------------------------------------- q307
+    // EXACT dedup GROUPS — connected components over q299's lossless
+    // pair graph: where q66 clusters the APPROXIMATE banding graph
+    // (recall < 1 by contract), this assigns a canonical id through
+    // chains of pairs that each genuinely pass Jaccard ≥ 0.7 — the
+    // grouping a keep-one-per-group exact dedup actually deletes by.
+    // Three fixed rounds of min-label propagation over the edge list
+    // (label(v) ← min(label(v), min over neighbors)) — covers
+    // diameter 3; dup families are near-cliques so the fixture
+    // converges in 1–2, and both engines unroll the IDENTICAL rounds
+    // (the q66 determinism contract — production loops to fixpoint or
+    // pointer-jumps like q294). Each round is two keyed hash joins on
+    // the pair-bounded edge/label tables (shuffle_hash — the label
+    // side is vertex-sized and must never broadcast at scale), every
+    // round materialized against the 2^steps re-execution trap.
+    // Output: (doc_id, group_id) for every doc in at least one
+    // qualifying pair; singletons stay out by construction.
+    Q(
+      "q307_exact_dedup_groups",
+      Some {
+        def round(prev: String, cur: String) = s"""
+        $cur AS (
+          SELECT v.doc_id, LEAST(v.lbl, nb.m) AS lbl
+          FROM $prev v JOIN (
+            SELECT e.a AS doc_id, MIN(l.lbl) AS m
+            FROM e JOIN $prev l ON l.doc_id = e.b GROUP BY e.a) nb
+          ON nb.doc_id = v.doc_id)"""
+        s"""
+        WITH $exactPairsCte,
+        q AS (SELECT doc_a, doc_b FROM p WHERE 17 * n_common >= 7 * (sza + szb)),
+        e AS (SELECT doc_a AS a, doc_b AS b FROM q
+              UNION ALL SELECT doc_b, doc_a FROM q),
+        l0 AS (SELECT DISTINCT a AS doc_id, a AS lbl FROM e),
+        ${round("l0", "l1")},
+        ${round("l1", "l2")},
+        ${round("l2", "l3")}
+        SELECT doc_id, lbl AS group_id FROM l3"""
+      }
     ) { (s, dir) =>
-      // docs shorter than 5 tokens filter BEFORE sequence (descending-
-      // sequence trap, exactly as q83)
-      val sh = t(s, dir, "documents")
-        .withColumn("tk", split(col("text"), " "))
-        .filter(size(col("tk")) >= 5)
-        .select(col("doc_id"), expr(
-          "array_distinct(transform(sequence(1, size(tk) - 4), " +
-            "i -> md5(concat_ws(' ', slice(tk, i, 5)))))").as("grams"))
-        .withColumn("sz", size(col("grams")).cast("long"))
-      // ONE materialized doc-array table serves every downstream
-      // reference: the exploded gram stream derives from it (df
-      // aggregate + prefix ranking re-explode cached blocks, not the
-      // tokenize+md5 chain), and the verify step never touches the
-      // gram-row space at all — it joins the CANDIDATE-sized pair
-      // frame to this doc-count-sized table twice and counts the
-      // intersection with one linear merge per pair (the codegen'd
-      // sorted_intersect_count_str kernel over the pre-sorted arrays)
-      // instead of re-shuffling 2× corpus-gram rows through the
-      // verify joins
-      val docsArr = graft.Checkpoints.materialize(
-        sh.select(col("doc_id"), col("sz"), sort_array(col("grams")).as("grams")))
-      val g = docsArr.select(col("doc_id"), col("sz"), explode(col("grams")).as("g"))
-      val dfq = g.groupBy("g").agg(count(lit(1)).as("df"))
-      // prefix = first (sz − ⌈0.7·sz⌉ + 1) grams under (df, g) order;
-      // integer ceil: ⌈7·sz/10⌉ = (7·sz + 9) div 10
-      val prefix = g.join(dfq, "g")
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
-        .filter(col("rn") <= col("sz") - expr("(7 * sz + 9) div 10") + 1)
-        .select(col("doc_id"), col("sz"), col("g"))
-      val cand = prefix.as("a").join(prefix.as("b"),
-          col("a.g") === col("b.g") && col("b.doc_id") > col("a.doc_id") &&
-            lit(10) * col("b.sz") >= lit(7) * col("a.sz") &&
-            lit(10) * col("a.sz") >= lit(7) * col("b.sz"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.sz").as("sza"), col("b.sz").as("szb"))
-        .distinct()
-      cand
-        .join(docsArr.select(col("doc_id").as("doc_a"), col("grams").as("ga")),
-          "doc_a")
-        .join(docsArr.select(col("doc_id").as("doc_b"), col("grams").as("gb")),
-          "doc_b")
-        .withColumn("n_common",
-          graft.functions.Jaccard.sortedIntersectCountStr(col("ga"), col("gb")))
-        .filter(lit(17) * col("n_common") >= lit(7) * (col("sza") + col("szb")))
-        .select(col("doc_a"), col("doc_b"), col("n_common"),
-          (col("n_common").cast("double") /
-            (col("sza") + col("szb") - col("n_common"))).as("jaccard"))
+      val pairs = exactJaccardPairs(s, dir).select("doc_a", "doc_b")
+      val e = graft.Checkpoints.materialize(
+        pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+          .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b"))))
+      var lbl = graft.Checkpoints.materialize(
+        e.select(col("a").as("doc_id")).distinct()
+          .withColumn("lbl", col("doc_id")))
+      for (_ <- 1 to 3) {
+        val nb = e.join(
+            lbl.select(col("doc_id").as("b"), col("lbl").as("nlbl"))
+              .hint("shuffle_hash"), "b")
+          .groupBy(col("a").as("doc_id"))
+          .agg(min(col("nlbl")).as("m"))
+        lbl = graft.Checkpoints.materialize(
+          lbl.join(nb.hint("shuffle_hash"), "doc_id")
+            .select(col("doc_id"), least(col("lbl"), col("m")).as("lbl")))
+      }
+      lbl.select(col("doc_id"), col("lbl").as("group_id"))
     },
 
     // --------------------------------------------------------------- q302

@@ -202,6 +202,58 @@ class BlockingSpec extends SparkSpec {
     assert(truth.nonEmpty, "fixture must exercise the proximity window")
   }
 
+  test("q307 groups equal true connected components of the exact pair graph") {
+    val sets = docs.map { case (id, t) => id -> grams5(t) }
+      .filter(_._2.nonEmpty)
+    val ids = sets.keys.toSeq.sorted
+    val pairs = for {
+      i <- ids.indices
+      j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      c = (sets(a) & sets(b)).size
+      if 17L * c >= 7L * (sets(a).size + sets(b).size)
+    } yield (a, b)
+    // union-find ground truth (full convergence, not 3 rounds): the
+    // test witnesses that 3 min-label rounds SUFFICE on this fixture
+    val parent = collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val truth = members.map(v => (v, find(v))).toSet
+    val got = run("q307_exact_dedup_groups").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === truth, s"got ${got.size} rows, truth ${truth.size}")
+    assert(truth.exists { case (v, g) => v != g }, "fixture must have real groups")
+  }
+
+  test("q306 noise replays the trailing-zero geometric difference; release is consistent") {
+    def knuth(x: Long, salt: Long): Long =
+      (((x + salt) % 2147483648L) * 2654435761L) % 4294967296L
+    def ctz(h: Long): Long =
+      if (h == 0) 20L else java.lang.Long.numberOfTrailingZeros(h).toLong
+    val exact = graft.Tables.load(spark, sf, "customer")
+      .groupBy("c_nationkey").count().collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    val rows = run("q306_dp_noisy_release").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.length === exact.size, "one release row per group")
+    rows.foreach { case (nation, noisy, noise, eps) =>
+      val expect = ctz(knuth(nation, 577L) % 1048576L) -
+        ctz(knuth(nation, 9241L) % 1048576L)
+      assert(noise === expect, s"nation $nation noise")
+      assert(noisy - noise === exact(nation), s"nation $nation consistency")
+      assert(math.abs(noise) <= 20 && eps === 693L)
+    }
+    assert(rows.exists(_._3 != 0L), "fixture must draw some nonzero noise")
+  }
+
   // ------------------------------------------------------------------
   // Randomized property pins for the blocking MATH itself (pure set
   // algebra — no Spark): the fixed-fixture tests above witness one
