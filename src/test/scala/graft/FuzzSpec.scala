@@ -15,9 +15,10 @@ import org.apache.spark.sql.types._
   * sign behavior on negative operands, null ordering in window sorts,
   * 3VL IN/NOT IN, cast edges, decimal scale/rounding — by generating
   * random small relations and instantiating parameterized query
-  * templates across eleven operator families (agg, window, join,
+  * templates across twelve operator families (agg, window, join,
   * string, div/mod/decimal, date, array/HOF, join semantics,
-  * multi-grain/set-op, window frames, string surgery + regex), then
+  * multi-grain/set-op, window frames, string surgery + regex, bitwise
+  * semantics), then
   * running BOTH engines over
   * the same
   * parquet bytes and comparing through the exact canonicalization the
@@ -45,7 +46,7 @@ class FuzzSpec extends SparkSpec {
     try Process(Seq("python3", "-c", "import duckdb")).! == 0
     catch { case _: java.io.IOException => false }
 
-  test("differential fuzz: 100 random relations × 11 template families match DuckDB") {
+  test("differential fuzz: 100 random relations × 12 template families match DuckDB") {
     assume(duckdbAvailable, "python3+duckdb oracle not available on this host")
     info(s"fuzz seed = $seed (set GRAFT_FUZZ_SEED to replay)")
     val rng = new scala.util.Random(seed)
@@ -393,6 +394,57 @@ class FuzzSpec extends SparkSpec {
           (q, q)
       }
       queries += FQ(f"f11_str2_$i%02d", sSql, dSql)
+    }
+
+    // F12 bitwise + bit-string semantics — the integer-bit surface the
+    // q306 discrete-Laplace mechanism leans on: AND/OR/NOT and
+    // two's-complement masks (negative operands included — both
+    // engines are 64-bit two's complement), XOR (a genuine dialect
+    // gap: Spark `a ^ b`, DuckDB `xor(a, b)`), the trailing-zero
+    // idiom ctz(h) = length(bin(xor(h, h−1))) − 1 on guarded
+    // nonnegative words, bit-length via length(bin(h)), popcount
+    // (bit_count both engines), shift/div equivalence on nonneg
+    // (shiftright(h, n) = h div 2^n; Spark spells shiftleft/
+    // shiftright, DuckDB << / >>), and the grouped bit_and / bit_or /
+    // bit_xor aggregates under NULLs.
+    (0 until perFamily).foreach { i =>
+      val t = rel(); val m = rng.nextInt(255) + 1
+      val n = 1 + rng.nextInt(12); val w = 16 + rng.nextInt(5)
+      val (sSql, dSql) = i % 4 match {
+        case 0 =>
+          // masks + NOT on signed values; XOR spelled per engine
+          val body = s"(a & $m) AS am, (a | $m) AS om, (~a) AS na, (b & a) AS ba FROM $t"
+          (s"SELECT id, (a ^ $m) AS xm, $body",
+           s"SELECT id, xor(a, $m) AS xm, $body")
+        case 1 =>
+          // ctz / bitlen / popcount on a guarded nonneg word
+          val h = s"(abs(a) % ${1L << w})"
+          (s"""SELECT id,
+            CASE WHEN a IS NULL THEN NULL WHEN $h = 0 THEN $w
+                 ELSE length(bin($h ^ ($h - 1))) - 1 END AS ctz,
+            CASE WHEN $h > 0 THEN length(bin($h)) ELSE 0 END AS bl,
+            bit_count($h) AS pc FROM $t""",
+           s"""SELECT id,
+            CASE WHEN a IS NULL THEN NULL WHEN $h = 0 THEN $w
+                 ELSE length(bin(xor($h, $h - 1))) - 1 END AS ctz,
+            CASE WHEN $h > 0 THEN length(bin($h)) ELSE 0 END AS bl,
+            bit_count($h) AS pc FROM $t""")
+        case 2 =>
+          // shift/div equivalence on nonneg; per-engine shift spelling
+          val h = s"(abs(a) % 1048576)"
+          (s"""SELECT id, shiftleft($h, $n) AS sl, shiftright($h, $n) AS sr,
+            ($h div ${1L << n}) AS dv,
+            (shiftright($h, $n) = ($h div ${1L << n})) AS eqv FROM $t""",
+           s"""SELECT id, ($h << $n) AS sl, ($h >> $n) AS sr,
+            ($h // ${1L << n}) AS dv,
+            (($h >> $n) = ($h // ${1L << n})) AS eqv FROM $t""")
+        case _ =>
+          val q = s"""SELECT k, bit_and(b) AS ab, bit_or(b) AS ob,
+            bit_xor(b) AS xb, CAST(SUM(bit_count(b)) AS BIGINT) AS spc
+            FROM $t GROUP BY k"""
+          (q, q)
+      }
+      queries += FQ(f"f12_bits_$i%02d", sSql, dSql)
     }
 
     // ---- 3. run the Spark side, dump results + oracle SQL in the
