@@ -1311,4 +1311,51 @@ object StreamOps {
           "i -> tk[i-1] = w1 AND tk[i] = w2 AND tk[i+1] = w3)")).as("p0"))
       .select(col("doc_id"), col("p0").cast("long").as("pos"))
   }
+
+  final case class DpState(batch: Long, counts: Map[Long, Long])
+
+  final case class DpSnap(batch_seq: Long, nation: Long, noisy_count: Long,
+      noise: Long, epsilon_milli: Long)
+
+  /** Streaming ε-DP count release — q306's mechanism as a LIVE
+    * per-batch emission (the 23rd stream/batch parity): running
+    * per-group counts fold in keyed state (one long per group — the
+    * groups are the release's own domain, bounded by definition), and
+    * after every micro-batch the operator emits the complete noisy
+    * release under q306's exact integer mechanism: noise = ctz(h₁) −
+    * ctz(h₂) over the two salted Knuth words of the group key. The
+    * noise is a pure function of the group, so every snapshot equals
+    * the batch release over the arrived prefix, and the final
+    * snapshot equals oracle-backed q306 row for row — the parity
+    * StreamBatchParitySpec pins. (Production caveat carried over from
+    * q306: a real DP release keys the noise on a fresh per-release
+    * seed; only the noise input changes.) */
+  def dpNoisyRelease(incoming: Dataset[(Long, java.sql.Timestamp)])
+      : Dataset[DpSnap] = {
+    import incoming.sparkSession.implicits._
+    def ctz(h: Long): Long =
+      if (h == 0) 20L else java.lang.Long.numberOfTrailingZeros(h).toLong
+    def knuth(x: Long, salt: Long): Long =
+      (((x + salt) % 2147483648L) * 2654435761L) % 4294967296L
+    incoming
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[DpState, DpSnap](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[(Long, java.sql.Timestamp)],
+            state: GroupState[DpState]) =>
+          val st0 = state.getOption.getOrElse(DpState(0L, Map.empty))
+          var counts = st0.counts
+          rows.foreach { case (nation, _) =>
+            counts = counts.updated(nation, counts.getOrElse(nation, 0L) + 1L)
+          }
+          val st = DpState(st0.batch + 1, counts)
+          state.update(st)
+          counts.toSeq.sortBy(_._1).iterator.map { case (nation, n) =>
+            val noise = ctz(knuth(nation, 577L) % 1048576L) -
+              ctz(knuth(nation, 9241L) % 1048576L)
+            DpSnap(st.batch, nation, n + noise, noise, 693L)
+          }
+      }
+  }
 }

@@ -828,6 +828,57 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("streaming DP noisy release across 3 micro-batches equals batch q306") {
+    // the 23rd parity — q306's discrete-Laplace release as a live
+    // per-batch emission: keyed running counts + the deterministic
+    // group-keyed noise; the final snapshot must equal the batch
+    // release row for row, and every snapshot is the batch release of
+    // the arrived prefix (noise is count-independent, so prefix
+    // snapshots differ from the final only in the count term)
+    val cust = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+      .select(col("c_nationkey").cast("long").as("nation"),
+        timestamp_micros(lit(1700000000000000L) + col("c_custkey") * 1000L)
+          .as("ts"))
+    val in = Files.createTempDirectory("graft-dp-in")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ts")
+    val tiled = cust.withColumn("__p", ntile(3).over(w))
+    (1 to 3).foreach { i =>
+      val tmp = in.resolve(s"stage$i")
+      tiled.filter(col("__p") === i).drop("__p")
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = in.resolve(s"batch$i.parquet")
+      Files.move(part, dst)
+      dst.toFile.setLastModified(System.currentTimeMillis() + (i - 1) * 2000L)
+    }
+    val result = runStream(in, cust.schema, { st =>
+      import spark.implicits._
+      StreamOps.dpNoisyRelease(
+        st.as[(Long, java.sql.Timestamp)]).toDF
+    })
+    val snaps = result.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val last = snaps.map(_._1).max
+    assert(last === 3L, "three micro-batches must each emit a release")
+    val streamed = snaps.filter(_._1 == last)
+      .map { case (_, nation, noisy, noise, eps) => (nation, noisy, noise, eps) }
+      .sorted
+    val batch = SparkEntry.queries("q306_dp_noisy_release")(
+      spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+      .sorted
+    assert(streamed.toSeq === batch.toSeq)
+    // prefix property: a group's noise never changes across snapshots
+    val byNation = snaps.groupBy(_._2)
+    byNation.foreach { case (_, s) =>
+      assert(s.map(_._4).distinct.length === 1, "noise must be count-independent")
+    }
+  }
+
   test("streaming incremental BM25 over the durable index equals batch q288, snapshot for snapshot") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
