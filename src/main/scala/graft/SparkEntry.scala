@@ -294,6 +294,8 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *   q307    graft.queries.TextOps    — exact dedup groups: min-label
   *            connected components over q299's lossless pair graph,
   *            3 unrolled rounds, every round materialized
+  *   q308    graft.queries.Matching   — Kendall τ rank agreement
+  *            between BM25 and TF-only rankings on top-10 unions
   */
 object SparkEntry {
 

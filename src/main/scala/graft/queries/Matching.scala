@@ -993,5 +993,142 @@ object Matching {
         .filter(col("rnk") <= k)
         .select("query_id", "doc_id", "score", "rnk")
     },
+
+    // --------------------------------------------------------------- q308
+    // RANK-AGREEMENT eval (Kendall τ-a over top-k unions): how much
+    // does cheap TF-only ranking agree with BM25? — the eval a
+    // retrieval stack runs before swapping a scorer. Per q90 query:
+    // rank matched docs by exact BM25 and by Σtf, take each ranking's
+    // top-10, and on the UNION of the two top sets (≤ 2k docs)
+    // re-rank by both metrics (doc_id tiebreaks make every rank
+    // total, so each pair is strictly concordant or discordant —
+    // τ-a needs no tie terms). τ_milli = 1000·(C − D) / (n(n−1)/2)
+    // in integer arithmetic. Scale: metric computation is the q90
+    // posting-bounded aggregate; the pair stage touches only the
+    // ≤ 2k-row union per query (≤ 190 pairs at k = 10) — eval cost
+    // is query-bounded, independent of corpus size.
+    Q(
+      "q308_rank_agreement",
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        big AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g
+          FROM tok),
+        tf AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS tf FROM big GROUP BY doc_id, g),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM big GROUP BY doc_id),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dl),
+        df AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY g),
+        qt AS (SELECT * FROM (VALUES (1, 'hash join'), (1, 'merge join'),
+                                     (2, 'stream batch'), (2, 'batch window'),
+                                     (3, 'vector scan')) AS v(query_id, term)),
+        scored AS (
+          SELECT q.query_id, tf.doc_id, tf.tf,
+                 CAST(CAST((length(bin(2 * (s.n - df.df) + 1)) - length(bin(2 * df.df + 1)))
+                             * 22 * s.t * tf.tf AS DOUBLE)
+                      / CAST(10 * s.t * tf.tf + 3 * s.t + 9 * dl.dl * s.n AS DOUBLE)
+                      AS DECIMAL(18,4)) AS term_score
+          FROM qt q
+          JOIN tf ON tf.g = q.term
+          JOIN df ON df.g = q.term
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats s),
+        agg AS (
+          SELECT query_id, doc_id,
+                 CAST(SUM(term_score) AS DECIMAL(28,4)) AS bm25,
+                 CAST(SUM(tf) AS BIGINT) AS tfsum
+          FROM scored GROUP BY query_id, doc_id),
+        ra AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY bm25 DESC, doc_id) AS rka
+          FROM agg),
+        rb AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY tfsum DESC, doc_id) AS rkb
+          FROM agg),
+        uni AS (
+          SELECT DISTINCT query_id, doc_id FROM (
+            SELECT query_id, doc_id FROM ra WHERE rka <= 10
+            UNION ALL SELECT query_id, doc_id FROM rb WHERE rkb <= 10)),
+        m AS (
+          SELECT u.query_id, u.doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY u.query_id
+                   ORDER BY a.bm25 DESC, u.doc_id) AS rka,
+                 ROW_NUMBER() OVER (PARTITION BY u.query_id
+                   ORDER BY a.tfsum DESC, u.doc_id) AS rkb
+          FROM uni u JOIN agg a
+            ON a.query_id = u.query_id AND a.doc_id = u.doc_id),
+        prs AS (
+          SELECT x.query_id,
+                 CASE WHEN (x.rka - y.rka) * (x.rkb - y.rkb) > 0
+                      THEN 1 ELSE 0 END AS conc
+          FROM m x JOIN m y
+            ON y.query_id = x.query_id AND y.doc_id > x.doc_id)
+        SELECT query_id,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM m mm
+                WHERE mm.query_id = prs.query_id) AS n_docs,
+               CAST(SUM(conc) AS BIGINT) AS concordant,
+               CAST(COUNT(*) - SUM(conc) AS BIGINT) AS discordant,
+               CAST((1000 * (SUM(conc) - (COUNT(*) - SUM(conc)))) // COUNT(*) AS BIGINT) AS tau_milli
+        FROM prs GROUP BY query_id""")
+    ) { (s, dir) =>
+      import s.implicits._
+      val tf = graft.operators.TextIndex.bigramPostings(s, dir)
+      val stats = graft.operators.TextIndex.docLengths(s, dir)
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+      val qTerms = Seq((1, "hash join"), (1, "merge join"),
+        (2, "stream batch"), (2, "batch window"), (3, "vector scan"))
+      val termStrs = qTerms.map(_._2).distinct
+      val qt = qTerms.toDF("query_id", "term")
+      val tfq = tf.filter(col("g").isin(termStrs: _*))
+      val dfq = tfq.groupBy("g").agg(count(lit(1)).as("df"))
+      val idf2 = length(bin(lit(2) * (col("n") - col("df")) + 1)) -
+        length(bin(lit(2) * col("df") + 1))
+      val scored = tfq.join(broadcast(qt), col("g") === col("term"))
+        .join(broadcast(dfq.withColumnRenamed("g", "g2")), col("g") === col("g2"))
+        .crossJoin(broadcast(stats))
+        .withColumn("term_score",
+          ((idf2 * 22 * col("t") * col("tf")).cast("double") /
+            (lit(10) * col("t") * col("tf") + lit(3) * col("t") +
+              lit(9) * col("dl") * col("n")).cast("double"))
+            .cast(DecimalType(18, 4)))
+      val agg = graft.Checkpoints.materialize(
+        scored.groupBy("query_id", "doc_id")
+          .agg(sum(col("term_score")).cast(DecimalType(28, 4)).as("bm25"),
+            sum(col("tf")).as("tfsum")))
+      val wq = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      val ra = agg.withColumn("rka",
+        row_number().over(wq.orderBy(desc("bm25"), col("doc_id"))))
+      val rb = agg.withColumn("rkb",
+        row_number().over(wq.orderBy(desc("tfsum"), col("doc_id"))))
+      val uni = ra.filter(col("rka") <= 10).select("query_id", "doc_id")
+        .union(rb.filter(col("rkb") <= 10).select("query_id", "doc_id"))
+        .distinct()
+      val m = uni.join(agg, Seq("query_id", "doc_id"))
+        .withColumn("rka",
+          row_number().over(wq.orderBy(desc("bm25"), col("doc_id"))))
+        .withColumn("rkb",
+          row_number().over(wq.orderBy(desc("tfsum"), col("doc_id"))))
+        .select("query_id", "doc_id", "rka", "rkb")
+      val x = m.select(col("query_id"), col("doc_id").as("da"),
+        col("rka").as("ra1"), col("rkb").as("rb1"))
+      val y = m.select(col("query_id"), col("doc_id").as("db"),
+        col("rka").as("ra2"), col("rkb").as("rb2"))
+      val prs = x.join(y, Seq("query_id"))
+        .filter(col("db") > col("da"))
+        .withColumn("conc",
+          when((col("ra1") - col("ra2")) * (col("rb1") - col("rb2")) > 0, 1L)
+            .otherwise(0L))
+      val nDocs = m.groupBy("query_id").agg(count(lit(1)).as("n_docs"))
+      prs.groupBy("query_id")
+        .agg(sum(col("conc")).as("concordant"),
+          (count(lit(1)) - sum(col("conc"))).as("discordant"))
+        .join(broadcast(nDocs), "query_id")
+        .select(col("query_id"), col("n_docs"), col("concordant"),
+          col("discordant"),
+          expr("(1000 * (concordant - discordant)) div (concordant + discordant)")
+            .as("tau_milli"))
+    },
   )
 }

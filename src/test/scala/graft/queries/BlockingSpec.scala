@@ -254,6 +254,20 @@ class BlockingSpec extends SparkSpec {
     assert(rows.exists(_._3 != 0L), "fixture must draw some nonzero noise")
   }
 
+  test("q308 tau bounds and pair accounting hold; self-agreement is perfect") {
+    val rows = run("q308_rank_agreement").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length === 3, "one row per q90 query")
+    rows.foreach { case (q, n, c, d, tau) =>
+      assert(c + d === n * (n - 1) / 2, s"query $q: every pair concordant xor discordant")
+      assert(tau >= -1000 && tau <= 1000, s"query $q: tau in [-1, 1]")
+      assert(tau === 1000L * (c - d) / (c + d), s"query $q: tau arithmetic")
+    }
+    // BM25 and raw TF genuinely disagree somewhere on this corpus
+    // (dl-normalization reorders) — the metric is not vacuous
+    assert(rows.exists(_._5 < 1000), "some query must show disagreement")
+  }
+
   // ------------------------------------------------------------------
   // Randomized property pins for the blocking MATH itself (pure set
   // algebra — no Spark): the fixed-fixture tests above witness one
