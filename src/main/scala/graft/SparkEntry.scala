@@ -296,6 +296,19 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *            3 unrolled rounds, every round materialized
   *   q308    graft.queries.Matching   — Kendall τ rank agreement
   *            between BM25 and TF-only rankings on top-10 unions
+  *   q309    graft.queries.Graph      — connected components to a
+  *            DATA-DRIVEN fixpoint (operators/FixpointCC): pointer
+  *            jumping until a round changes no label, rounds_run
+  *            emitted and hash-gated via a change-detecting
+  *            recursive-CTE oracle
+  *   q310    graft.queries.TextOps    — capped-output exact dedup:
+  *            canonical exemplar + partner count per doc, the pair
+  *            stream collapsed map-side (output O(docs), never
+  *            O(pairs))
+  *   q311    graft.queries.Curation   — capped-output banded
+  *            near-dup: per-doc exemplar computed entirely in
+  *            SimHash value space (≤ 2^16 values), doc pairs never
+  *            formed
   */
 object SparkEntry {
 

@@ -190,6 +190,79 @@ object Curation {
           greatest(col("id_a"), col("id_b")).as("doc_b"), col("hamming"))
     },
 
+    // --------------------------------------------------------------- q311
+    // CAPPED-OUTPUT banded near-dup — canonical exemplar per doc for
+    // q69's SimHash blocking, computed ENTIRELY in fingerprint space:
+    // per-value (min doc, doc count) stats, the bounded banded
+    // value-pair join (≤ 2^16 values whatever the corpus size), a
+    // value-space neighborhood aggregate, then ONE broadcast join
+    // back to docs. Doc pairs are never formed — not even as a
+    // stream: where q69's pair expansion emitted 2.67 B rows at the
+    // 25× rung (quadratic in dup-family density), this emits exactly
+    // one row per doc with exemplar = MIN over {self} ∪ hamming≤3
+    // partners and the partner count, i.e. the keep/drop table a
+    // 100 TB dedup actually consumes. Works because the exemplar/
+    // count of a doc depend only on its VALUE's neighborhood:
+    // min-doc and doc-count per neighbor value aggregate losslessly.
+    // Every doc appears (singletons with exemplar = self,
+    // n_partners = 0): the oracle replays in doc space from the same
+    // brute pair CTE as q69's — identical rows prove the value-space
+    // rewrite lost nothing.
+    Q(
+      "q311_simhash_dedup_exemplar",
+      Some(s"""
+        WITH sims AS (${TextOps.simhashDocsSql}),
+        banded AS (
+          SELECT doc_id, simhash, t.band, (simhash >> (4 * t.band)) & 15 AS bv
+          FROM sims, range(4) t(band)),
+        pr AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bv = b.bv AND b.doc_id > a.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        nbr AS (SELECT da AS d, db AS p FROM pr UNION ALL SELECT db, da FROM pr),
+        agg AS (SELECT d, MIN(p) AS mn, CAST(COUNT(*) AS BIGINT) AS np
+                FROM nbr GROUP BY d)
+        SELECT s.doc_id,
+               LEAST(s.doc_id, COALESCE(a.mn, s.doc_id)) AS exemplar,
+               COALESCE(a.np, 0) AS n_partners
+        FROM sims s LEFT JOIN agg a ON a.d = s.doc_id""")
+    ) { (s, dir) =>
+      // same spread-kernel sims derivation as q69
+      val sims = graft.Tables.spreadKernelInput(s, dir, Seq("documents"),
+          t(s, dir, "documents").filter(length(col("text")) >= 3),
+          col("doc_id"))
+        .select(col("doc_id"),
+          graft.functions.SimHash.simhash16(col("text")).as("simhash"))
+      // per-VALUE stats: min doc id + doc count (≤ 2^16 rows)
+      val vstats = sims.groupBy(col("simhash").as("v"))
+        .agg(min(col("doc_id")).as("mn"), count(lit(1)).as("cnt"))
+      val vstatsM = graft.Checkpoints.materialize(vstats)
+      val banded = vstatsM.select(col("v"),
+        posexplode(array((0 until 4).map(j =>
+          shiftright(col("v"), 4 * j).bitwiseAND(15)): _*))
+          .as(Seq("band", "bv")))
+      // directed value neighborhood incl. self: (v, u) with u ~ v
+      val cross = banded.select(col("v").as("va"), col("band"), col("bv"))
+        .join(banded.select(col("v").as("vb"), col("band"), col("bv")),
+          Seq("band", "bv"))
+        .filter(col("vb") =!= col("va"))
+        .select("va", "vb").distinct()
+        .filter(bit_count(col("va").bitwiseXOR(col("vb"))).cast("long") <= 3)
+      val directed = cross
+        .unionByName(vstatsM.select(col("v").as("va"), col("v").as("vb")))
+      // neighborhood stats per value: min doc + total docs across
+      // N(v) ∪ {v}; partners(d) = that total − 1 (d itself)
+      val nbrStats = directed
+        .join(vstatsM.select(col("v").as("vb"), col("mn"), col("cnt")), "vb")
+        .groupBy(col("va"))
+        .agg(min(col("mn")).as("nmn"), sum(col("cnt")).as("ncnt"))
+      sims.join(broadcast(nbrStats), col("simhash") === col("va"))
+        .select(col("doc_id"),
+          least(col("doc_id"), col("nmn")).as("exemplar"),
+          (col("ncnt") - 1).cast("long").as("n_partners"))
+    },
+
     // ---------------------------------------------------------------- q70
     // PII redaction: scrub emails and phone numbers, report per-doc
     // redaction counts plus a fingerprint of the cleaned text. The test

@@ -869,8 +869,9 @@ object Matching {
     // UPPER BOUND ub = max over its postings of the exact per-(doc,
     // term) BM25 contribution; (2) a SEED pass fully scores the docs
     // of one term — the highest-ub term among those with df ≥ k (so
-    // the seed yields a full top-k; if no term qualifies, the max-df
-    // term, and an absent k-th score disables pruning entirely —
+    // the seed yields a full top-k; if no term qualifies, the
+    // highest-ub term overall, and an absent k-th score disables
+    // pruning entirely —
     // correctness never depends on the seed choice); (3) θ = the
     // k-th best seed score (exact, since seed docs score over ALL
     // their query terms); (4) sort terms by ub ascending — the
@@ -955,7 +956,7 @@ object Matching {
       // (1) per-term exact upper bounds — ≤ query-length rows
       val ub = scoredM.groupBy("query_id", "g")
         .agg(max(col("term_score")).as("ub"), max(col("df")).as("df"))
-      // (2) seed term: highest ub among df ≥ k terms, else max df
+      // (2) seed term: highest ub among df ≥ k terms, else highest ub overall
       val seedT = ub
         .withColumn("has_k", when(col("df") >= k, 1).otherwise(0))
         .withColumn("srn", row_number().over(

@@ -36,54 +36,17 @@ object TextOps {
 
   /** Knuth multiplicative 32-bit hash of one 3-gram, from ASCII codes —
     * exact BIGINT arithmetic, identical in both engines. */
-  /** q299's prefix-filtered EXACT Jaccard-0.7 self-join, shared with
-    * q307 (dedup groups over the pair graph). Docs shorter than 5
-    * tokens filter BEFORE sequence (descending-sequence trap, exactly
-    * as q83). ONE materialized doc-array table serves every
-    * downstream reference: the exploded gram stream derives from it
-    * (df aggregate + prefix ranking re-explode cached blocks, not the
-    * tokenize+md5 chain), and the verify step never touches the
-    * gram-row space — it joins the CANDIDATE-sized pair frame to the
-    * doc-count-sized table twice and counts intersections with one
-    * linear merge per pair (codegen'd sorted_intersect_count_str). */
-  private def exactJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = t(s, dir, "documents")
-      .withColumn("tk", split(col("text"), " "))
-      .filter(size(col("tk")) >= 5)
-      .select(col("doc_id"), expr(
-        "array_distinct(transform(sequence(1, size(tk) - 4), " +
-          "i -> md5(concat_ws(' ', slice(tk, i, 5)))))").as("grams"))
-      .withColumn("sz", size(col("grams")).cast("long"))
-    val docsArr = graft.Checkpoints.materialize(
-      sh.select(col("doc_id"), col("sz"), sort_array(col("grams")).as("grams")))
-    val g = docsArr.select(col("doc_id"), col("sz"), explode(col("grams")).as("g"))
-    val dfq = g.groupBy("g").agg(count(lit(1)).as("df"))
-    // prefix = first (sz − ⌈0.7·sz⌉ + 1) grams under (df, g) order;
-    // integer ceil: ⌈7·sz/10⌉ = (7·sz + 9) div 10
-    val prefix = g.join(dfq, "g")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
-      .filter(col("rn") <= col("sz") - expr("(7 * sz + 9) div 10") + 1)
-      .select(col("doc_id"), col("sz"), col("g"))
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.g") === col("b.g") && col("b.doc_id") > col("a.doc_id") &&
-          lit(10) * col("b.sz") >= lit(7) * col("a.sz") &&
-          lit(10) * col("a.sz") >= lit(7) * col("b.sz"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sz").as("sza"), col("b.sz").as("szb"))
-      .distinct()
-    cand
-      .join(docsArr.select(col("doc_id").as("doc_a"), col("grams").as("ga")),
-        "doc_a")
-      .join(docsArr.select(col("doc_id").as("doc_b"), col("grams").as("gb")),
-        "doc_b")
-      .withColumn("n_common",
-        graft.functions.Jaccard.sortedIntersectCountStr(col("ga"), col("gb")))
-      .filter(lit(17) * col("n_common") >= lit(7) * (col("sza") + col("szb")))
+  /** q299's prefix-filtered EXACT Jaccard-0.7 self-join — since round
+    * 14 resolved from the durable pair-graph artifact
+    * ([[graft.operators.PairGraph]]; derivation unchanged, scaladoc
+    * there), so q299, q307 and q310 share one build per corpus
+    * snapshot instead of each re-paying the tokenize → prefix-join →
+    * verify chain. */
+  private def exactJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.PairGraph.qualifyingPairs(s, dir)
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         (col("n_common").cast("double") /
           (col("sza") + col("szb") - col("n_common"))).as("jaccard"))
-  }
 
   /** The q299 brute-pair SQL body (gram join, integer threshold) as a
     * WITH-clause fragment ending in `p(doc_a, doc_b, sza, szb,
@@ -2739,7 +2702,10 @@ object TextOps {
         SELECT doc_id, lbl AS group_id FROM l3"""
       }
     ) { (s, dir) =>
-      val pairs = exactJaccardPairs(s, dir).select("doc_a", "doc_b")
+      // the shared durable pair graph (operators/PairGraph): CC pays
+      // an artifact scan, not a re-derivation of q299's prefix join
+      val pairs = graft.operators.PairGraph.qualifyingPairs(s, dir)
+        .select("doc_a", "doc_b")
       val e = graft.Checkpoints.materialize(
         pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
           .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b"))))
@@ -2758,6 +2724,28 @@ object TextOps {
       }
       lbl.select(col("doc_id"), col("lbl").as("group_id"))
     },
+
+    // --------------------------------------------------------------- q310
+    // CAPPED-OUTPUT exact dedup — canonical exemplar per doc
+    // (operators/PairGraph.exemplars): q299's verified pair stream
+    // collapses map-side into per-doc MIN/COUNT, so the quadratic
+    // pair set is never materialized, shuffled, or emitted — output
+    // and post-verify shuffle are O(docs). The keep/drop decision a
+    // 100 TB dedup actually executes: keep iff doc_id == exemplar
+    // (within direct neighborhoods; q307 adds transitivity). The
+    // oracle aggregates the same all-pairs frame it verifies q299
+    // with — identical rows prove the fused path lost nothing.
+    Q(
+      "q310_exact_dedup_exemplar",
+      Some(s"""
+        WITH $exactPairsCte,
+        q AS (SELECT doc_a, doc_b FROM p WHERE 17 * n_common >= 7 * (sza + szb)),
+        nbr AS (SELECT doc_a AS d, doc_b AS pr FROM q
+                UNION ALL SELECT doc_b, doc_a FROM q)
+        SELECT d AS doc_id, LEAST(d, MIN(pr)) AS exemplar,
+               CAST(COUNT(*) AS BIGINT) AS n_partners
+        FROM nbr GROUP BY d""")
+    ) { (s, dir) => graft.operators.PairGraph.exemplars(s, dir) },
 
     // --------------------------------------------------------------- q302
     // INCREMENTAL exact dedup — q299's prefix filter on the q87 shape:

@@ -26,6 +26,7 @@ class LayoutCatalogSpec extends SparkSpec {
     Ivf.reset()
     TextIndex.reset()
     IvfPq.reset()
+    PairGraph.reset()
   }
 
   override def afterAll(): Unit = {
@@ -36,6 +37,7 @@ class LayoutCatalogSpec extends SparkSpec {
     Ivf.reset()
     TextIndex.reset()
     IvfPq.reset()
+    PairGraph.reset()
     LayoutCatalog.deleteRecursively(scratch)
     super.afterAll()
   }
@@ -587,6 +589,44 @@ class LayoutCatalogSpec extends SparkSpec {
       ()
     })
     assert(LayoutCatalog.isPublished(d))
+  }
+
+  test("pair graph: built once, re-resolved from disk, retired on a rolled snapshot") {
+    // the round-14 artifact (operators/PairGraph): q299/q307's shared
+    // qualifying-pair list must follow the full catalog contract —
+    // one build per snapshot, warm resolves from disk, retention on
+    // a rolled fingerprint. Runs LAST among the corpus-layout tests
+    // because it rolls documents.parquet's mtime.
+    val dir = corpus.getAbsolutePath
+    PairGraph.reset()
+    val before = LayoutCatalog.buildsPublished.get()
+    val cold = PairGraph.qualifyingPairs(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(LayoutCatalog.buildsPublished.get() == before + 1)
+    assert(cold.nonEmpty, "fixture must contain qualifying pairs")
+
+    PairGraph.reset()
+    val warm = PairGraph.qualifyingPairs(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(LayoutCatalog.buildsPublished.get() == before + 1,
+      "warm resolve must read the published artifact, not re-derive")
+    assert(warm == cold)
+
+    // roll the snapshot: same bytes, new mtime — the fingerprint moves
+    val kind = new File(LayoutCatalog.root,
+      s"pairs07_v${PairGraph.LayoutVersion}")
+    val oldDirs = kind.listFiles().map(_.getName)
+      .filterNot(_.startsWith(".tmp_")).toSet
+    val docs = new File(corpus, "documents.parquet")
+    assert(docs.setLastModified(docs.lastModified() + 60000))
+    PairGraph.reset()
+    PairGraph.qualifyingPairs(spark, dir).queryExecution.toRdd.count()
+    assert(LayoutCatalog.buildsPublished.get() == before + 2,
+      "changed fingerprint must rebuild")
+    val newDirs = kind.listFiles().map(_.getName)
+      .filterNot(_.startsWith(".tmp_")).toSet
+    assert(newDirs.size == 1 && newDirs.intersect(oldDirs).isEmpty,
+      s"retention must keep only the live artifact: old=$oldDirs new=$newDirs")
   }
 
   test("publish loser of a concurrent race reads the winner's artifact") {

@@ -81,14 +81,18 @@ class BlockingSpec extends SparkSpec {
       val tk = t.split(" ", -1)
       id -> tk.indices.dropRight(1).map(i => tk(i) + " " + tk(i + 1))
     }
-    val dl = bigrams.map { case (id, g) => id -> g.size.toLong }
+    // mirror the engines' "GROUP BY doc_id over big" derivation: docs
+    // that produce no bigram (< 2 tokens) contribute to neither dl nor
+    // the corpus stats, so drop them before computing n / tTot / df
+    val withBigrams = bigrams.filter { case (_, g) => g.nonEmpty }
+    val dl = withBigrams.map { case (id, g) => id -> g.size.toLong }
     val n = dl.size.toLong
     val tTot = dl.values.sum
-    val dfMap = bigrams.values.flatMap(_.distinct).groupBy(identity)
+    val dfMap = withBigrams.values.flatMap(_.distinct).groupBy(identity)
       .map { case (g, o) => g -> o.size.toLong }
     def bitlen(x: Long) = 64 - java.lang.Long.numberOfLeadingZeros(x)
     qTerms.groupBy(_._1).flatMap { case (qid, terms) =>
-      val perDoc = bigrams.toSeq.flatMap { case (id, gs) =>
+      val perDoc = withBigrams.toSeq.flatMap { case (id, gs) =>
         terms.flatMap { case (_, term) =>
           val tf = gs.count(_ == term).toLong
           if (tf == 0) None

@@ -770,6 +770,24 @@ class StreamBatchParitySpec extends SparkSpec {
       dst.toFile.setLastModified(System.currentTimeMillis() + (i - 1) * 2000L)
     }
 
+    // md5-injectivity guard (Jaccard.scala jaccard5w): the streaming
+    // side's raw gram-set sizes are equated with the md5-relabeled
+    // sets batch q302 intersects; a collision on this corpus's 5-gram
+    // vocabulary would otherwise show up as an opaque parity mismatch
+    // — make it fail here by name instead
+    val gramCol = expr(
+      """transform(sequence(0, size(split(text, ' ')) - 5),
+        |  i -> concat_ws(' ', slice(split(text, ' '), i + 1, 5)))""".stripMargin)
+    val vocab = docs.filter(size(split(col("text"), " ")) >= 5)
+      .select(explode(gramCol).as("g"))
+      .agg(countDistinct(col("g")).as("raw"),
+        countDistinct(md5(col("g"))).as("hashed"))
+      .head()
+    assert(vocab.getLong(0) === vocab.getLong(1),
+      s"md5 collision on the 5-gram vocabulary: ${vocab.getLong(0)} raw " +
+        s"grams vs ${vocab.getLong(1)} md5 labels — jaccard5w's set-size " +
+        "equivalence no longer holds")
+
     val result = runStream(in, incoming.schema, st =>
       StreamOps.incrementalExactDedup(st, corpus))
 

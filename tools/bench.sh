@@ -32,10 +32,23 @@ OPENS=(
 OPEN_FLAGS=()
 for p in "${OPENS[@]}"; do OPEN_FLAGS+=(--add-opens "$p=ALL-UNNAMED"); done
 
-exec java \
+java \
   "${OPEN_FLAGS[@]}" \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   "-Xmx${SPARK_DRIVER_MEM:-48g}" \
   -cp "$CLASSES:/opt/spark/jars/*" \
   graft.Bench
+rc=$?
+
+# Archive the FULL per-query map per round: BENCH_r{N}.json keeps only
+# the 8-slowest tail (the driver parses Bench's compact summary line),
+# so round-over-round diffs need bench_out/r{N}.json. N = one past the
+# highest archived round (re-runs within a round overwrite, so the last
+# run before the driver's BENCH_r{N}.json lands is what's kept).
+OUT="${SPARK_GRAFT_BENCH_OUT:-bench_out/latest.json}"
+if [ $rc -eq 0 ] && [ -f "$OUT" ]; then
+  last=$(ls BENCH_r*.json 2>/dev/null | sed 's/[^0-9]//g' | sort -n | tail -1)
+  cp "$OUT" "bench_out/r$(( ${last:-0} + 1 )).json"
+fi
+exit $rc
