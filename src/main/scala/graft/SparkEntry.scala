@@ -309,6 +309,11 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *            near-dup: per-doc exemplar computed entirely in
   *            SimHash value space (≤ 2^16 values), doc pairs never
   *            formed
+  *   q312    graft.queries.TextOps    — phrase search over the
+  *            POSITIONAL LSM view (archive ∪ append segments,
+  *            tok-bucketed): the positional-index read path under
+  *            the hash gate; result ≡ q303 by document-local
+  *            positions
   */
 object SparkEntry {
 

@@ -88,7 +88,7 @@ object TextIndex {
 
   /** Test hook: forget every in-process resolve (disk untouched), so
     * a spec can prove the durable read-back path. */
-  def reset(): Unit = resolved.clear()
+  def reset(): Unit = { resolved.clear(); resolvedPos.clear() }
 
   /** The shared derivation: adjacent-token bigrams of every document,
     * exactly as the inline consumers built them (q76/q90's
@@ -369,5 +369,120 @@ object TextIndex {
     val (archName, archDl) = ensure(s, dir, s"${tag}_arch_$ak", tmp =>
       writeInto(s, withDl(tfOf(spread(s, dir, docs.filter(!deltaPred)))), tmp))
     (s.table(archName), s.read.parquet(archDl.getAbsolutePath))
+  }
+
+  // -----------------------------------------------------------------
+  // POSITIONAL postings (round 14): (doc_id, tok, pos) — the
+  // phrase/proximity probe-side schema (q303/q304) as its own
+  // LSM'able artifact family, bucketed by tok so term-selected
+  // posting probes and the n-way (doc_id, pos+offset) joins read
+  // exchange-free on the term key. Same append-only contract as the
+  // bigram family: each delta (or streamed micro-batch) publishes its
+  // own O(delta) segment; positions are DOCUMENT-LOCAL, so a doc's
+  // rows live wholly inside one segment and archive ∪ segments is
+  // row-identical to a from-scratch build. Compaction deliberately
+  // not implemented until a consumer needs it — the fold would follow
+  // the bigram family's pattern verbatim.
+
+  /** Bump when the positional BUILD semantics change. */
+  val PositionalLayoutVersion = 1
+
+  private val resolvedPos = new java.util.concurrent.ConcurrentHashMap[
+    String, (java.io.File, String)]()
+
+  /** The shared positional derivation — exactly q303/q304's inline
+    * form: split on single space, 1-based positions, every doc (no
+    * length guard: a 1-token doc contributes its single position). */
+  private def positionalOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("col").as("tok"),
+        (col("pos") + 1).cast("long").as("pos"))
+
+  /** Deterministic bucketed write of (doc_id, tok, pos): one file per
+    * bucket, rows totally ordered by (tok, doc_id, pos) — bytes a
+    * pure function of the row set, like the bigram writeInto. */
+  private def writeIntoPositional(s: SparkSession, pos: DataFrame,
+      tmp: java.io.File): Unit = {
+    val bt = s"${LayoutCatalog.processTag}_${tmp.getName.hashCode.toHexString}p"
+    val scratch = s"graft_build_pospostings_$bt"
+    try {
+      pos.select(col("doc_id"), col("tok"),
+          coalesce(col("pos"), lit(0L)).as("pos"))
+        .repartition(32, col("tok"))
+        .write.mode("overwrite")
+        .bucketBy(32, "tok").sortBy("tok", "doc_id", "pos")
+        .option("path", new java.io.File(tmp, "pospostings").getAbsolutePath)
+        .saveAsTable(scratch)
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $scratch")
+    }
+  }
+
+  private def registerIfAbsentPositional(s: SparkSession, name: String,
+      loc: java.io.File): Unit =
+    if (!s.catalog.tableExists(name))
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $name (doc_id BIGINT, tok STRING, pos BIGINT)
+               |USING PARQUET
+               |CLUSTERED BY (tok) SORTED BY (tok) INTO 32 BUCKETS
+               |LOCATION '${loc.getAbsolutePath}'""".stripMargin)
+
+  /** Resolve-or-build one positional artifact for (dir, variant);
+    * returns the registered bucketed table name. */
+  private def ensurePositional(s: SparkSession, dir: String,
+      variant: String, build: java.io.File => Unit): String = {
+    val fp = LayoutCatalog.fingerprint(dir, Seq("documents"))
+    val key = LayoutCatalog.root.getAbsolutePath + "|" + dir + "|" +
+      variant + "|" + fp
+    val (loc, tag) = resolvedPos.computeIfAbsent(key, _ => {
+      val base = LayoutCatalog.sanitize(dir) + s"_$variant"
+      val dest = LayoutCatalog.publishedDir(
+        s"positional_v$PositionalLayoutVersion", base, fp)
+      LayoutCatalog.buildAndPublish(dest, build)
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val kh = md.digest((key + "|" + fp).getBytes("UTF-8"))
+        .take(6).map(b => f"${b & 0xff}%02x").mkString
+      (new java.io.File(dest, "pospostings"), s"${fp}_$kh")
+    })
+    val name = s"graft_pospostings_$tag"
+    registerIfAbsentPositional(s, name, loc)
+    name
+  }
+
+  /** Publish ONE positional LSM segment from an EXPLICIT row set —
+    * the streaming ingest entry point ([[graft.streaming.StreamOps
+    * .positionalSegmentIngest]]), keyed by a caller-supplied content
+    * key of the micro-batch so checkpointed replays land on the
+    * published artifact (idempotent). Returns the registered bucketed
+    * table name. */
+  def publishPositionalSegmentRows(s: SparkSession, dir: String,
+      docs: DataFrame, tag: String, i: Int, key: String): String =
+    ensurePositional(s, dir, s"${tag}_pseg${i}_$key",
+      tmp => writeIntoPositional(s, positionalOf(docs), tmp))
+
+  /** The ARCHIVE half of a positional split: documents matching
+    * `archPred`, as a durable bucketed artifact. */
+  def positionalArchive(s: SparkSession, dir: String,
+      archPred: Column, tag: String): DataFrame = {
+    val ak = LayoutCatalog.predKey(Seq(archPred))
+    s.table(ensurePositional(s, dir, s"${tag}_parch_$ak", tmp =>
+      writeIntoPositional(s, positionalOf(spread(s, dir,
+        graft.Tables.load(s, dir, "documents").filter(archPred))), tmp)))
+  }
+
+  /** Multi-append positional LSM view: archive ∪ one segment per
+    * delta predicate (pairwise disjoint, jointly covering the corpus
+    * with the archive). Row-identical to deriving positions from the
+    * full corpus — positions are document-local and doc_ids are
+    * disjoint across the append boundary. */
+  def segmentedPositionalFrom(s: SparkSession, dir: String,
+      archPred: Column, deltaPreds: Seq[Column], tag: String): DataFrame = {
+    val segs = deltaPreds.zipWithIndex.map { case (p, i) =>
+      s.table(ensurePositional(s, dir,
+        s"${tag}_pseg${i}_${LayoutCatalog.predKey(Seq(p))}",
+        tmp => writeIntoPositional(s, positionalOf(spread(s, dir,
+          graft.Tables.load(s, dir, "documents").filter(p))), tmp)))
+    }
+    (positionalArchive(s, dir, archPred, tag) +: segs)
+      .reduce(_ unionByName _)
   }
 }

@@ -2976,5 +2976,75 @@ object TextOps {
         .agg(count(lit(1)).as("n_prox"),
           min(abs(col("pos2") - col("pos1"))).as("min_span"))
     },
+
+    // --------------------------------------------------------------- q312
+    // PHRASE search over the POSITIONAL LSM view — q303's matcher
+    // with the inline position derivation replaced by the multi-append
+    // positional index (TextIndex.segmentedPositionalFrom): archive =
+    // docs with id%10 ≤ 4, five daily append segments for 5…9 — the
+    // same split q295 reads the bigram LSM through. Positions are
+    // document-local, so archive ∪ segments is row-identical to
+    // deriving from the full corpus and the result must equal q303's
+    // exactly: the oracle is q303's corpus-wide SQL verbatim, which
+    // makes this row the hash gate on the positional-index READ PATH
+    // (segment publish + union view + term-pushdown probes). The
+    // probe joins run on the tok-bucketed segment scans; only the
+    // 1-row phrase frame broadcasts.
+    Q(
+      "q312_phrase_search_lsm",
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        pos AS (
+          SELECT doc_id, u.tok AS tok, u.pos AS pos FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+                     i -> struct_pack(tok := tk[i], pos := CAST(i AS BIGINT)))) AS u
+            FROM tok)),
+        tri AS (
+          SELECT unnest(list_transform(range(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+          FROM tok),
+        top1 AS (
+          SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2,
+                 string_split(g, ' ')[3] AS w3
+          FROM (SELECT g, COUNT(*) AS n FROM tri GROUP BY g
+                ORDER BY n DESC, g LIMIT 1)),
+        m AS (
+          SELECT p1.doc_id, p1.pos
+          FROM pos p1
+          JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+          JOIN pos p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
+          CROSS JOIN top1 t
+          WHERE p1.tok = t.w1 AND p2.tok = t.w2 AND p3.tok = t.w3)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+               MIN(pos) AS first_pos
+        FROM m GROUP BY doc_id""")
+    ) { (s, dir) =>
+      val toks = graft.operators.TextIndex.segmentedPositionalFrom(
+        s, dir, col("doc_id") % 10 <= 4,
+        (5 to 9).map(i => col("doc_id") % 10 === i), "c10")
+      // phrase selection identical to q303's (query-side input, not
+      // part of the index read path under test)
+      val tri = t(s, dir, "documents")
+        .withColumn("tk", split(col("text"), " "))
+        .filter(size(col("tk")) >= 3)
+        .select(explode(expr(
+          "transform(sequence(1, size(tk) - 2), " +
+            "i -> concat_ws(' ', tk[i-1], tk[i], tk[i+1]))")).as("g"))
+      val top1 = tri.groupBy("g").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("g")).limit(1)
+        .select(element_at(split(col("g"), " "), 1).as("w1"),
+          element_at(split(col("g"), " "), 2).as("w2"),
+          element_at(split(col("g"), " "), 3).as("w3"))
+      val tagged = toks.crossJoin(broadcast(top1))
+      val m1 = tagged.filter(col("tok") === col("w1"))
+        .select(col("doc_id"), col("pos"))
+      val m2 = tagged.filter(col("tok") === col("w2"))
+        .select(col("doc_id"), (col("pos") - 1).as("pos"))
+      val m3 = tagged.filter(col("tok") === col("w3"))
+        .select(col("doc_id"), (col("pos") - 2).as("pos"))
+      m1.join(m2, Seq("doc_id", "pos")).join(m3, Seq("doc_id", "pos"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+    },
   )
 }

@@ -1152,6 +1152,34 @@ object StreamOps {
     (writer, published)
   }
 
+  /** Streaming POSITIONAL segment ingest — the phrase-index twin of
+    * [[lsmSegmentIngest]] (the 24th stream/batch parity): each
+    * arriving micro-batch of (doc_id, text) documents publishes its
+    * own durable tok-bucketed POSITIONAL postings segment
+    * ([[graft.operators.TextIndex.publishPositionalSegmentRows]]),
+    * so phrase/proximity search serves archive ∪ streamed segments
+    * with no re-tokenization of the archive. Positions are
+    * document-local (a doc lives wholly inside its micro-batch), so
+    * the served view is row-identical to a from-scratch positional
+    * build — StreamBatchParitySpec pins phrase search over the view
+    * ≡ batch q303. Stateless; exactly-once = checkpoint batch-id
+    * fencing + the content-keyed idempotent publish. */
+  def positionalSegmentIngest(docs: DataFrame, dir: String, tag: String)
+      : (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
+         java.util.concurrent.ConcurrentLinkedQueue[String]) = {
+    val published = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val writer = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty) {
+          published.add(graft.operators.TextIndex.publishPositionalSegmentRows(
+            batch.sparkSession, dir, batch.select("doc_id", "text"),
+            tag, bid.toInt, batchKey(batch, "doc_id"))): Unit
+        }
+      }
+    (writer, published)
+  }
+
   /** Streaming PQ segment INGEST — the vector twin of
     * [[lsmSegmentIngest]] (the 20th stream/batch parity): each
     * arriving micro-batch of (vec_id, qv, qn) embeddings codes

@@ -1412,4 +1412,77 @@ class StreamBatchParitySpec extends SparkSpec {
         s"code segment $i bytes must match the batch predicate split")
     }
   }
+
+  test("streaming positional segment ingest serves phrase search equal to batch q303") {
+    // the 24th parity — the POSITIONAL index's LSM read path: today's
+    // crawl streams in as micro-batches, each publishing its own
+    // tok-bucketed positional postings segment
+    // (StreamOps.positionalSegmentIngest); phrase search over
+    // archive ∪ streamed segments must reproduce oracle-backed q303
+    // (and q312, its batch-LSM twin) row for row — positions are
+    // document-local, so the append boundary cannot change any match.
+    import scala.jdk.CollectionConverters._
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+
+    val in = Files.createTempDirectory("graft-pos-in")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    val tiled = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("__p", ntile(3).over(w))
+    (1 to 3).foreach { i =>
+      val tmp = in.resolve(s"stage$i")
+      tiled.filter(col("__p") === i).drop("__p")
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = in.resolve(s"batch$i.parquet")
+      Files.move(part, dst)
+      dst.toFile.setLastModified(System.currentTimeMillis() + (i - 1) * 2000L)
+    }
+
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+    val (writer, published) = StreamOps.positionalSegmentIngest(stream, sf, "st24")
+    val ckpt = Files.createTempDirectory("graft-pos-ckpt").toString
+    val q = writer.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val segNames = published.asScala.toSeq
+    assert(segNames.length === 3, s"one segment per micro-batch: $segNames")
+
+    val arch = graft.operators.TextIndex.positionalArchive(
+      spark, sf, col("doc_id") % 10 =!= 0, "st24")
+    val toks = (arch +: segNames.map(spark.table)).reduce(_ unionByName _)
+
+    // q303's matcher over the served view, phrase selected exactly as
+    // the batch query selects it (corpus-wide top-1 trigram)
+    val tri = docs.withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 2), " +
+          "i -> concat_ws(' ', tk[i-1], tk[i], tk[i+1]))")).as("g"))
+    val top1 = tri.groupBy("g").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("g")).limit(1)
+      .select(element_at(split(col("g"), " "), 1).as("w1"),
+        element_at(split(col("g"), " "), 2).as("w2"),
+        element_at(split(col("g"), " "), 3).as("w3"))
+    val tagged = toks.crossJoin(broadcast(top1))
+    val m1 = tagged.filter(col("tok") === col("w1"))
+      .select(col("doc_id"), col("pos"))
+    val m2 = tagged.filter(col("tok") === col("w2"))
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    val m3 = tagged.filter(col("tok") === col("w3"))
+      .select(col("doc_id"), (col("pos") - 2).as("pos"))
+    val served = m1.join(m2, Seq("doc_id", "pos")).join(m3, Seq("doc_id", "pos"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+
+    def canon(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val got = canon(served)
+    val want = canon(SparkEntry.queries("q303_phrase_search")(spark, sf))
+    assert(want.nonEmpty, "batch q303 must match at least one doc")
+    assert(got === want,
+      "phrase search over archive ∪ streamed positional segments must equal batch q303")
+  }
 }
