@@ -131,17 +131,23 @@ object MinHashLsh {
       else slim
     val docs = edges.select(col(idCol)).distinct()
       .withColumn("cluster_id", col(idCol))
-    (0 until rounds).foldLeft(docs) { (labels, _) =>
+    // each round references the previous labels TWICE (bucket-min
+    // join + the final least) — the 2^rounds re-execution trap
+    // (q219/q294's lesson): materialize every round but the last,
+    // which stays un-truncated so the executed plan keeps the join
+    // shape visible
+    (0 until rounds).foldLeft(docs) { (labels, r) =>
       val bucketMin = edges.join(labels, idCol)
         .groupBy(col("band"), col("band_key"))
         .agg(min(col("cluster_id")).as("bucket_min"))
       val docMin = edges.join(bucketMin, Seq("band", "band_key"))
         .groupBy(col(idCol))
         .agg(min(col("bucket_min")).as("prop_min"))
-      labels.join(docMin, Seq(idCol), "left")
+      val next = labels.join(docMin, Seq(idCol), "left")
         .select(col(idCol),
           least(col("cluster_id"), coalesce(col("prop_min"), col("cluster_id")))
             .as("cluster_id"))
+      if (r < rounds - 1) graft.Checkpoints.materialize(next) else next
     }
   }
 }

@@ -571,8 +571,14 @@ object TextOps {
         SELECT doc_id, cluster_id FROM it3""")
     ) { (s, dir) =>
       val cfg = graft.operators.MinHashLsh.Config(bands = 3, rowsPerBand = 2)
+      // spread the minhash kernel input (q69/q192's single-file-scan
+      // cliff): without it the banding strands on one task — a cost
+      // that was HIDDEN until round 14 by accidental cross-round
+      // CacheManager reuse in the bench (see BENCHNOTES r14)
       val banded = graft.operators.MinHashLsh.explodeBands(
-        t(s, dir, "documents").select("doc_id", "text"), "text", cfg)
+        graft.Tables.spreadKernelInput(s, dir, Seq("documents"),
+          t(s, dir, "documents").select("doc_id", "text"), col("doc_id")),
+        "text", cfg)
       graft.operators.MinHashLsh.minLabelClusters(banded, "doc_id", rounds = 3)
     },
 
@@ -605,9 +611,13 @@ object TextOps {
     ) { (s, dir) =>
       val cfg = graft.operators.MinHashLsh.Config(bands = 3, rowsPerBand = 2)
       val banded = graft.operators.MinHashLsh.explodeBands(
-        t(s, dir, "documents").select("doc_id", "text"), "text", cfg)
-      val cl = graft.operators.MinHashLsh
-        .minLabelClusters(banded, "doc_id", rounds = 3)
+        graft.Tables.spreadKernelInput(s, dir, Seq("documents"),
+          t(s, dir, "documents").select("doc_id", "text"), col("doc_id")),
+        "text", cfg)
+      // cl feeds TWO aggregations (histogram + total) — materialize
+      // so the banding + propagation chain runs once, not per ref
+      val cl = graft.Checkpoints.materialize(graft.operators.MinHashLsh
+        .minLabelClusters(banded, "doc_id", rounds = 3))
       val sz = cl.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
       val tot = cl.agg(count(lit(1)).as("n_docs"))
       sz.groupBy("csize").agg(count(lit(1)).as("n_clusters"))

@@ -923,6 +923,23 @@ class PlanSpec extends SparkSpec {
       }, s"distinct must run before the pair join:\n$p"))
   }
 
+  test("q307/q299 consume the published pair-graph artifact, not a re-derivation") {
+    // round-14 regression guard: q299's derivation (tokenize explode +
+    // df join + prefix-rank window + verify joins) lives in the
+    // PairGraph BUILD; the registered queries read the published
+    // parquet. A window or generate in either plan means someone
+    // reverted to per-query re-derivation — the double-pay the
+    // artifact exists to retire.
+    Seq("q307_exact_dedup_groups", "q299_prefix_jaccard_join").foreach { n =>
+      val p = plan(n)
+      assert(p.collect { case w: WindowExec => w }.isEmpty,
+        s"$n must read PairGraph's artifact (prefix-rank window found)")
+      assert(p.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }.isEmpty, s"$n must not re-tokenize (generate found)")
+    }
+  }
+
   test("global sweep: no unbounded cartesian product in ANY registered query plan") {
     // CartesianProductExec is the catastrophic plan shape (m×n rows
     // with no broadcast bound) — assert it appears in none of the
