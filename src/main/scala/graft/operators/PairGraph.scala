@@ -94,9 +94,13 @@ object PairGraph {
     * Exemplar is the DIRECT-neighbor minimum — the per-doc capped
     * contract; q307 gives the transitive grouping when chains matter. */
   def exemplars(s: SparkSession, dir: String): DataFrame = {
-    val p = derive(s, dir)
-    val directed = p.select(col("doc_a").as("d"), col("doc_b").as("p"))
-      .unionByName(p.select(col("doc_b").as("d"), col("doc_a").as("p")))
+    // both directions via ONE explode over the single verified pair
+    // stream — a self-union of two projections would re-execute the
+    // whole derivation per branch (measured 2× at the 25× rung)
+    val directed = derive(s, dir).select(explode(array(
+        struct(col("doc_a").as("d"), col("doc_b").as("p")),
+        struct(col("doc_b").as("d"), col("doc_a").as("p")))).as("e"))
+      .select(col("e.d").as("d"), col("e.p").as("p"))
     directed.groupBy("d")
       .agg(min(col("p")).as("mn"), count(lit(1)).as("n_partners"))
       .select(col("d").as("doc_id"),
