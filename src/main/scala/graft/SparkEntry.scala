@@ -314,6 +314,10 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *            tok-bucketed): the positional-index read path under
   *            the hash gate; result ≡ q303 by document-local
   *            positions
+  *   q313    graft.queries.TextOps    — exact dedup groups to a
+  *            DATA-DRIVEN fixpoint: q307 without the fixed-round
+  *            witness — FixpointCC over the pair-graph artifact,
+  *            rounds_run oracle-gated
   */
 object SparkEntry {
 

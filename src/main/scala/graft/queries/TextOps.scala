@@ -2757,6 +2757,70 @@ object TextOps {
         FROM nbr GROUP BY d""")
     ) { (s, dir) => graft.operators.PairGraph.exemplars(s, dir) },
 
+    // --------------------------------------------------------------- q313
+    // Exact dedup groups to a DATA-DRIVEN fixpoint — q307 with the
+    // 3-round unroll replaced by convergence detection
+    // (operators/FixpointCC, the q309 discipline on the DOCUMENTS
+    // domain): pointer-jump min-label over the durable pair graph
+    // until a round changes no label, ROUNDS_RUN emitted. q307's
+    // fixed rounds are correct on the fixture because dup families
+    // are near-cliques (diameter ≤ 3 witnessed by spec) — but a
+    // production corpus's chain structure is unknown, and a
+    // too-shallow unroll splits one true group into several with
+    // nothing failing: exactly the silent under-merge an exact-dedup
+    // contract forbids. The oracle replays the recurrence with the
+    // change-detecting recursive CTE (round-indexed rows + EXISTS
+    // guard — see q309), so the hash gate covers the data-driven
+    // round count. Per round: two keyed shuffle_hash joins + a min
+    // aggregate over the pair-bounded edge list; O(log diameter)
+    // driver actions.
+    Q(
+      "q313_dedup_groups_fixpoint",
+      Some(s"""
+        WITH RECURSIVE $exactPairsCte,
+        q AS (SELECT doc_a, doc_b FROM p WHERE 17 * n_common >= 7 * (sza + szb)),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM q
+                  UNION ALL SELECT doc_b, doc_a FROM q),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        lab(d, node, lbl) AS (
+          SELECT 0, node, node FROM nodes
+          UNION
+          SELECT nx.d, nx.node, nx.lbl
+          FROM (
+            SELECT u.d + 1 AS d, u.node, MIN(u.lbl) AS lbl FROM (
+              SELECT d, node, lbl FROM lab
+              UNION ALL
+              SELECT a.d, a.node, b.lbl FROM lab a JOIN lab b ON b.node = a.lbl
+              UNION ALL
+              SELECT l.d, e.dst AS node, l.lbl FROM edges e JOIN lab l ON l.node = e.src
+            ) u GROUP BY u.d, u.node
+          ) nx
+          WHERE EXISTS (
+            SELECT 1 FROM (
+              SELECT u2.node, MIN(u2.lbl) AS lbl FROM (
+                SELECT d, node, lbl FROM lab
+                UNION ALL
+                SELECT a.d, a.node, b.lbl FROM lab a JOIN lab b ON b.node = a.lbl
+                UNION ALL
+                SELECT l.d, e.dst AS node, l.lbl FROM edges e JOIN lab l ON l.node = e.src
+              ) u2 GROUP BY u2.node
+            ) n2 JOIN lab pv ON pv.node = n2.node AND pv.lbl <> n2.lbl)
+        )
+        SELECT node AS doc_id, lbl AS group_id,
+               CAST((SELECT MAX(d) FROM lab) AS BIGINT) AS rounds_run
+        FROM lab WHERE d = (SELECT MAX(d) FROM lab)""")
+    ) { (s, dir) =>
+      val p = graft.operators.PairGraph.qualifyingPairs(s, dir)
+        .select("doc_a", "doc_b")
+      // symmetrize by re-projecting the ARTIFACT scan (cheap parquet
+      // read per branch — nothing re-derives)
+      val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val (labels, rounds) = graft.operators.FixpointCC.run(edges)
+      labels.select(col("node").as("doc_id"), col("lbl").as("group_id"))
+        .withColumn("rounds_run", lit(rounds))
+    },
+
     // --------------------------------------------------------------- q302
     // INCREMENTAL exact dedup — q299's prefix filter on the q87 shape:
     // today's batch (doc_id % 10 == 0) finds EVERY corpus doc with

@@ -65,6 +65,24 @@ class CcFixpointSpec extends SparkSpec {
     }
   }
 
+  test("q313 fixpoint dedup groups equal q307's fixed unroll on the real fixture") {
+    // dup families on the fixture are near-cliques (diameter within
+    // three rounds), so the data-driven loop must land on exactly
+    // q307's grouping — while carrying a rounds_run the fixed unroll
+    // cannot report
+    val dir = "/root/testdata/sf0.001"
+    val fix = SparkEntry.queries("q313_dedup_groups_fixpoint")(spark, dir)
+    val unrolled = SparkEntry.queries("q307_exact_dedup_groups")(spark, dir)
+    val fixMap = fix.select("doc_id", "group_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unrolledMap = unrolled.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixMap === unrolledMap)
+    val rounds = fix.select("rounds_run").distinct().collect().map(_.getLong(0))
+    assert(rounds.length === 1 && rounds.head >= 1 && rounds.head <= 3,
+      s"fixture dup-family rounds_run=${rounds.toSeq} outside the near-clique range")
+  }
+
   test("q309 equals q294's fixed unroll on the real fixture") {
     // the fixture diameter is within four doubling rounds, so the
     // data-driven loop and the pinned unroll must agree label for
