@@ -15,10 +15,10 @@ import org.apache.spark.sql.types._
   * sign behavior on negative operands, null ordering in window sorts,
   * 3VL IN/NOT IN, cast edges, decimal scale/rounding — by generating
   * random small relations and instantiating parameterized query
-  * templates across twelve operator families (agg, window, join,
+  * templates across thirteen operator families (agg, window, join,
   * string, div/mod/decimal, date, array/HOF, join semantics,
   * multi-grain/set-op, window frames, string surgery + regex, bitwise
-  * semantics), then
+  * semantics, recursive-CTE reachability), then
   * running BOTH engines over
   * the same
   * parquet bytes and comparing through the exact canonicalization the
@@ -46,7 +46,7 @@ class FuzzSpec extends SparkSpec {
     try Process(Seq("python3", "-c", "import duckdb")).! == 0
     catch { case _: java.io.IOException => false }
 
-  test("differential fuzz: 100 random relations × 12 template families match DuckDB") {
+  test("differential fuzz: 100 random relations × 13 template families match DuckDB") {
     assume(duckdbAvailable, "python3+duckdb oracle not available on this host")
     info(s"fuzz seed = $seed (set GRAFT_FUZZ_SEED to replay)")
     val rng = new scala.util.Random(seed)
@@ -445,6 +445,44 @@ class FuzzSpec extends SparkSpec {
           (q, q)
       }
       queries += FQ(f"f12_bits_$i%02d", sSql, dSql)
+    }
+
+    // F13 recursion: depth-bounded reachability over a random edge
+    // relation via WITH RECURSIVE — the q104/q309 operator surface
+    // under fuzz: identical UNION ALL multiset semantics, recursive
+    // join scheduling, and walk-count arithmetic in both engines
+    // (Spark 4 recursive CTEs == DuckDB's). Edges are DISTINCT and
+    // the node domain is ≤ 8 × md, so walk counts stay bounded
+    // (Σ deg^d ≤ 8^4) and exactly countable. One SQL text for both
+    // engines — no dialect split.
+    (0 until perFamily).foreach { i =>
+      val t = rel(); val md = 3 + rng.nextInt(6)
+      val d = 2 + rng.nextInt(3); val s1 = rng.nextInt(8)
+      val edge = i % 3 match {
+        case 0 => s"SELECT DISTINCT k AS src, ((a % $md) + $md) % $md AS dst " +
+          s"FROM $t WHERE k IS NOT NULL AND a IS NOT NULL"
+        case 1 => s"SELECT DISTINCT ((a % $md) + $md) % $md AS src, k AS dst " +
+          s"FROM $t WHERE k IS NOT NULL AND a IS NOT NULL"
+        case _ => s"SELECT DISTINCT k AS src, ((b % $md) + $md) % $md AS dst " +
+          s"FROM $t WHERE k IS NOT NULL AND b IS NOT NULL AND k <> ((b % $md) + $md) % $md"
+      }
+      val anchor =
+        if (i % 2 == 0) s"SELECT CAST($s1 AS BIGINT) AS node, 0 AS depth"
+        else {
+          val s2 = rng.nextInt(8)
+          s"SELECT v.node, 0 AS depth FROM (VALUES (CAST($s1 AS BIGINT)), " +
+            s"(CAST($s2 AS BIGINT))) v(node)"
+        }
+      val sql = s"""WITH RECURSIVE e AS ($edge),
+        reach(node, depth) AS (
+          $anchor
+          UNION ALL
+          SELECT e.dst AS node, r.depth + 1 AS depth
+          FROM reach r JOIN e ON e.src = r.node
+          WHERE r.depth < $d)
+        SELECT node, CAST(MIN(depth) AS BIGINT) AS hops, COUNT(*) AS n_walks
+        FROM reach GROUP BY node"""
+      queries += FQ(f"f13_rec_$i%02d", sql, sql)
     }
 
     // ---- 3. run the Spark side, dump results + oracle SQL in the
