@@ -71,7 +71,8 @@ object IncrProbe {
       // the session's registered postings tables and invalidate the
       // shared file-status cache, or the re-read serves stale listings
       spark.catalog.listTables().collect().map(_.name)
-        .filter(_.startsWith("graft_postings_"))
+        .filter(n => n.startsWith("graft_postings_") ||
+          n.startsWith("graft_pospostings_"))
         .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
       spark.catalog.refreshByPath(root.getAbsolutePath)
     }
@@ -96,6 +97,26 @@ object IncrProbe {
     val lexMerge = timed("lexical_append_only")(
       graft.operators.TextIndex.incrementalPostings(spark, dir, pred, "p")
         ._1.queryExecution.toRdd.count(): Unit)
+
+    // ---- positional (round 14): full build vs archive-published
+    // append — the (doc_id, tok, pos) phrase-index family's O(delta)
+    // claim, measured like the bigram family's
+    freshRoot()
+    val posFull = timed("positional_full_build")(
+      graft.operators.TextIndex.positionalArchive(spark, dir, lit(true), "pf")
+        .queryExecution.toRdd.count(): Unit)
+    val posRoot = freshRoot()
+    val posIncrTotal = timed("positional_archive_plus_append")(
+      graft.operators.TextIndex.segmentedPositionalFrom(
+          spark, dir, !pred, Seq(pred), "pp")
+        .queryExecution.toRdd.count(): Unit)
+    retireMerged(posRoot,
+      s"positional_v${graft.operators.TextIndex.PositionalLayoutVersion}",
+      "_pp_pseg0_")
+    val posMerge = timed("positional_append_only")(
+      graft.operators.TextIndex.segmentedPositionalFrom(
+          spark, dir, !pred, Seq(pred), "pp")
+        .queryExecution.toRdd.count(): Unit)
 
     // ---- IVF-PQ: full train+code vs delta-only coding
     val vpred = col("vec_id") % 10 === 0
@@ -152,7 +173,8 @@ object IncrProbe {
     println(s"""{"metric":"incr_probe","dir":"$dir","lexical":{"full":${
       num(lexFull)},"archive_plus_append":${num(lexIncrTotal)},"append_only":${
       num(lexMerge)},"append_with_fold":${num(lexFold)},"append_after_fold":${
-      num(lexPostFold)}},"ivfpq":{"full":${num(pqFull)},"archive_plus_append":${
+      num(lexPostFold)}},"positional":{"full":${num(posFull)},"archive_plus_append":${
+      num(posIncrTotal)},"append_only":${num(posMerge)}},"ivfpq":{"full":${num(pqFull)},"archive_plus_append":${
       num(pqIncrTotal)},"append_only":${num(pqMerge)}}}""")
     System.out.flush()
   }

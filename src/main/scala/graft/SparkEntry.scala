@@ -318,6 +318,9 @@ import graft.queries.{Cleaning, Curation, Events, Graph, Layout, Matching, Multi
   *            DATA-DRIVEN fixpoint: q307 without the fixed-round
   *            witness — FixpointCC over the pair-graph artifact,
   *            rounds_run oracle-gated
+  *   q314    graft.queries.TextOps    — capped incremental dedup:
+  *            per-batch-doc archive exemplar + match count (NULL =
+  *            clean), O(batch) output on q302's batch×archive shape
   */
 object SparkEntry {
 

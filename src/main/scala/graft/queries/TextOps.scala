@@ -48,6 +48,57 @@ object TextOps {
         (col("n_common").cast("double") /
           (col("sza") + col("szb") - col("n_common"))).as("jaccard"))
 
+  /** q302's prefix-filtered batch×archive qualifying pairs — shared
+    * with q314 (the capped per-new-doc exemplar). Returns
+    * (new_id, corpus_id, szn, szc, n_common) for every qualifying
+    * Jaccard-0.7 pair; derivation unchanged from q302 (scaladoc at
+    * the registration site). */
+  private def incrementalExactPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 5)
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(1, size(tk) - 4), " +
+          "i -> md5(concat_ws(' ', slice(tk, i, 5)))))").as("grams"))
+      .withColumn("sz", size(col("grams")).cast("long"))
+    // one materialized doc-array table; exploded gram streams derive
+    // from it and the verify joins stay candidate×doc-sized (the
+    // q299 shape)
+    val docsArr = graft.Checkpoints.materialize(
+      sh.select(col("doc_id"), col("sz"), sort_array(col("grams")).as("grams")))
+    val g = docsArr.select(col("doc_id"), col("sz"), explode(col("grams")).as("g"))
+    val gc = g.filter(col("doc_id") % 10 =!= 0)
+    val gn = g.filter(col("doc_id") % 10 === 0)
+    // archive-df order: vocabulary-sized, JOINS on g (left: batch-only
+    // grams take df 0), never broadcasts
+    val dfArch = gc.groupBy("g").agg(count(lit(1)).as("df"))
+    def prefixOf(side: DataFrame): DataFrame = side
+      .join(dfArch, Seq("g"), "left")
+      .na.fill(0L, Seq("df"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
+      .filter(col("rn") <= col("sz") - expr("(7 * sz + 9) div 10") + 1)
+      .select(col("doc_id"), col("sz"), col("g"))
+    val cand = prefixOf(gn)
+      .select(col("doc_id").as("new_id"), col("sz").as("szn"), col("g"))
+      .join(prefixOf(gc)
+        .select(col("doc_id").as("corpus_id"), col("sz").as("szc"), col("g")),
+        "g")
+      .filter(lit(10) * col("szc") >= lit(7) * col("szn") &&
+        lit(10) * col("szn") >= lit(7) * col("szc"))
+      .select("new_id", "corpus_id", "szn", "szc")
+      .distinct()
+    cand
+      .join(docsArr.select(col("doc_id").as("new_id"), col("grams").as("ga")),
+        "new_id")
+      .join(docsArr.select(col("doc_id").as("corpus_id"), col("grams").as("gb")),
+        "corpus_id")
+      .withColumn("n_common",
+        graft.functions.Jaccard.sortedIntersectCountStr(col("ga"), col("gb")))
+      .filter(lit(17) * col("n_common") >= lit(7) * (col("szn") + col("szc")))
+      .select("new_id", "corpus_id", "szn", "szc", "n_common")
+  }
+
   /** The q299 brute-pair SQL body (gram join, integer threshold) as a
     * WITH-clause fragment ending in `p(doc_a, doc_b, sza, szb,
     * n_common)` — shared by the q299 oracle and q307's group oracle. */
@@ -2858,51 +2909,56 @@ object TextOps {
                CAST(n_common AS DOUBLE) / (szn + szc - n_common) AS jaccard
         FROM p WHERE 17 * n_common >= 7 * (szn + szc)""")
     ) { (s, dir) =>
-      val sh = t(s, dir, "documents")
-        .withColumn("tk", split(col("text"), " "))
-        .filter(size(col("tk")) >= 5)
-        .select(col("doc_id"), expr(
-          "array_distinct(transform(sequence(1, size(tk) - 4), " +
-            "i -> md5(concat_ws(' ', slice(tk, i, 5)))))").as("grams"))
-        .withColumn("sz", size(col("grams")).cast("long"))
-      // one materialized doc-array table; exploded gram streams derive
-      // from it and the verify joins stay candidate×doc-sized (the
-      // q299 shape)
-      val docsArr = graft.Checkpoints.materialize(
-        sh.select(col("doc_id"), col("sz"), sort_array(col("grams")).as("grams")))
-      val g = docsArr.select(col("doc_id"), col("sz"), explode(col("grams")).as("g"))
-      val gc = g.filter(col("doc_id") % 10 =!= 0)
-      val gn = g.filter(col("doc_id") % 10 === 0)
-      // archive-df order: vocabulary-sized, JOINS on g (left: batch-only
-      // grams take df 0), never broadcasts
-      val dfArch = gc.groupBy("g").agg(count(lit(1)).as("df"))
-      def prefixOf(side: DataFrame): DataFrame = side
-        .join(dfArch, Seq("g"), "left")
-        .na.fill(0L, Seq("df"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
-        .filter(col("rn") <= col("sz") - expr("(7 * sz + 9) div 10") + 1)
-        .select(col("doc_id"), col("sz"), col("g"))
-      val cand = prefixOf(gn)
-        .select(col("doc_id").as("new_id"), col("sz").as("szn"), col("g"))
-        .join(prefixOf(gc)
-          .select(col("doc_id").as("corpus_id"), col("sz").as("szc"), col("g")),
-          "g")
-        .filter(lit(10) * col("szc") >= lit(7) * col("szn") &&
-          lit(10) * col("szn") >= lit(7) * col("szc"))
-        .select("new_id", "corpus_id", "szn", "szc")
-        .distinct()
-      cand
-        .join(docsArr.select(col("doc_id").as("new_id"), col("grams").as("ga")),
-          "new_id")
-        .join(docsArr.select(col("doc_id").as("corpus_id"), col("grams").as("gb")),
-          "corpus_id")
-        .withColumn("n_common",
-          graft.functions.Jaccard.sortedIntersectCountStr(col("ga"), col("gb")))
-        .filter(lit(17) * col("n_common") >= lit(7) * (col("szn") + col("szc")))
+      incrementalExactPairs(s, dir)
         .select(col("new_id"), col("corpus_id"), col("n_common"),
           (col("n_common").cast("double") /
             (col("szn") + col("szc") - col("n_common"))).as("jaccard"))
+    },
+
+    // --------------------------------------------------------------- q314
+    // CAPPED-OUTPUT incremental exact dedup — the daily keep/drop
+    // table: for EVERY doc in today's batch, its canonical archive
+    // exemplar (min qualifying archive partner; NULL when clean) and
+    // match count. q310's capped contract on q302's batch×archive
+    // shape: the verified pair stream collapses map-side into a
+    // per-new-doc aggregate, then LEFT-joins the batch id list — so
+    // output and post-verify shuffle are O(batch) even when a batch
+    // doc matches a large archive dup family. keep ⇔ n_matches = 0
+    // is the decision a daily contamination/dedup gate executes.
+    Q(
+      "q314_incremental_dedup_exemplar",
+      Some("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 3),
+                   i -> md5(array_to_string(list_slice(tk, i, i + 4), ' ')))) AS grams
+          FROM tok WHERE len(tk) >= 5),
+        g AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS sz, unnest(grams) AS g FROM sh),
+        gn AS (SELECT * FROM g WHERE doc_id % 10 = 0),
+        gc AS (SELECT * FROM g WHERE doc_id % 10 <> 0),
+        p AS (
+          SELECT n.doc_id AS new_id, c.doc_id AS corpus_id, n.sz AS szn, c.sz AS szc,
+                 CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM gn n JOIN gc c ON c.g = n.g
+          GROUP BY 1, 2, 3, 4),
+        q AS (SELECT new_id, corpus_id FROM p WHERE 17 * n_common >= 7 * (szn + szc)),
+        agg AS (SELECT new_id, MIN(corpus_id) AS mn,
+                       CAST(COUNT(*) AS BIGINT) AS nm
+                FROM q GROUP BY new_id)
+        SELECT d.doc_id AS new_id, a.mn AS exemplar,
+               COALESCE(a.nm, 0) AS n_matches
+        FROM documents d LEFT JOIN agg a ON a.new_id = d.doc_id
+        WHERE d.doc_id % 10 = 0""")
+    ) { (s, dir) =>
+      val agg = incrementalExactPairs(s, dir)
+        .groupBy("new_id")
+        .agg(min(col("corpus_id")).as("exemplar"),
+          count(lit(1)).as("nm"))
+      t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("new_id"))
+        .join(agg, Seq("new_id"), "left")
+        .select(col("new_id"), col("exemplar"),
+          coalesce(col("nm"), lit(0L)).as("n_matches"))
     },
 
     // --------------------------------------------------------------- q303
