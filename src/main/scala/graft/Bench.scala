@@ -63,6 +63,16 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // long-running-driver hygiene: ContextCleaner only releases
+      // executor-side broadcast/RDD blocks after the driver GCs the
+      // owning references, and with a large driver heap a full GC may
+      // never happen inside one bench run — 1256 query executions
+      // then accumulate dead broadcast blocks on the block manager
+      // (the BENCHNOTES r13/r14 late-session iterative-family
+      // inflation). Spark's own knob for exactly this, production-
+      // justified for any many-query driver; it changes BETWEEN-query
+      // state, never a timed region.
+      .config("spark.cleaner.periodicGC.interval", "120s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Log.quietAuditedWarnings()
@@ -93,9 +103,11 @@ object Bench {
       // steady state q94 1.28 s vs 3.55 s in the loaded session).
       // A production job's blocks die with the job; mirror that here.
       // Unpersist is outside the timed window and each round rebuilds
-      // its own checkpoints, so measurements are unaffected.
+      // its own checkpoints, so measurements are unaffected. BLOCKING
+      // removal: the async form enqueued the block deletes and let
+      // them bleed into the NEXT query's timed window.
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       sec
     }
     val times =

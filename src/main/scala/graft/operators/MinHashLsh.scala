@@ -131,23 +131,28 @@ object MinHashLsh {
       else slim
     val docs = edges.select(col(idCol)).distinct()
       .withColumn("cluster_id", col(idCol))
-    // each round references the previous labels TWICE (bucket-min
-    // join + the final least) — the 2^rounds re-execution trap
-    // (q219/q294's lesson): materialize every round but the last,
-    // which stays un-truncated so the executed plan keeps the join
-    // shape visible
-    (0 until rounds).foldLeft(docs) { (labels, r) =>
+    // Per round: bucket-min then doc-min, and NOTHING else. The old
+    // form closed each round with labels ⋈ docMin + least(prev,
+    // prop_min) — provably redundant: every doc is a member of each
+    // of its own buckets, so bucket_min ≤ the doc's previous label
+    // for every bucket it joins, hence prop_min ≤ prev already and
+    // the least() can never pick prev (and no banded doc lacks a
+    // bucket, so the left-join null arm was dead too). Dropping it
+    // removes one labels-sized shuffle join per round. With the
+    // close join gone each round references the previous labels
+    // exactly ONCE (the bucket-min join), so the chain is linear —
+    // no 2^rounds re-execution to fence — and the per-round
+    // materialize barrier goes with it: the whole propagation runs
+    // as one jobful of back-to-back keyed exchanges (edges is
+    // persisted/checkpointed above, so its two references per round
+    // read blocks, not the banding kernel).
+    (0 until rounds).foldLeft(docs) { (labels, _) =>
       val bucketMin = edges.join(labels, idCol)
         .groupBy(col("band"), col("band_key"))
         .agg(min(col("cluster_id")).as("bucket_min"))
-      val docMin = edges.join(bucketMin, Seq("band", "band_key"))
+      edges.join(bucketMin, Seq("band", "band_key"))
         .groupBy(col(idCol))
-        .agg(min(col("bucket_min")).as("prop_min"))
-      val next = labels.join(docMin, Seq(idCol), "left")
-        .select(col(idCol),
-          least(col("cluster_id"), coalesce(col("prop_min"), col("cluster_id")))
-            .as("cluster_id"))
-      if (r < rounds - 1) graft.Checkpoints.materialize(next) else next
+        .agg(min(col("bucket_min")).as("cluster_id"))
     }
   }
 }

@@ -3462,47 +3462,63 @@ object Events {
         .unionByName(steps
           .filter(col("nxt").isNull && col("event_type") =!= "purchase")
           .select(col("event_type").as("s"), lit("END").as("t")))
-      val tc = graft.Checkpoints.materialize(
-        trans.groupBy("s", "t").agg(count(lit(1)).as("cnt")))
-      val outs = tc.groupBy("s").agg(sum(col("cnt")).as("cnt_out"))
       // 8 quantized Jacobi sweeps; the removed channel's value is
-      // forced 0 (its paths die). ALL FOUR scenarios (base + one per
-      // removed channel) ride one dataflow tagged by a scenario
-      // column — one chain of 8 tiny joins over the ≤6-row state
-      // table instead of four chains (the four-chain form spawned
-      // ~60 scheduler-bound jobs and benched 5.6s; this is one job).
-      val scen = outs.sparkSession
-        .createDataFrame(Seq(Tuple1("base"), Tuple1("view"),
-          Tuple1("click"), Tuple1("signup")))
-        .toDF("scenario")
-      val p0 = outs.crossJoin(broadcast(scen))
-        .select(col("scenario"), col("s"), lit(0L).as("p"))
-      // both join sides of every sweep are STATE-SPACE-bounded (≤ 6
-      // event types × 4 scenarios ≤ 24 rows for pk; ≤ 6 rows for
-      // outs) — broadcast them so each sweep pays one aggregate
-      // shuffle, not three (join + agg + join): 24 tiny shuffle
-      // stages become 8
-      val outsB = broadcast(graft.Checkpoints.materialize(outs))
-      val p8 = (1 to 8).foldLeft(p0) { (pk, _) =>
-        val vCase = when(col("t") === "purchase", lit(1000000L))
-          .when(col("t") === "END", lit(0L))
-          .when(col("t") === col("scenario"), lit(0L))
-          .otherwise(coalesce(col("p"), lit(0L)))
-        tc.crossJoin(broadcast(scen))
-          .join(broadcast(pk.withColumnsRenamed(
-            Map("s" -> "ps", "scenario" -> "pscen"))),
-            col("t") === col("ps") && col("scenario") === col("pscen"),
-            "left")
-          .select(col("scenario"), col("s"), col("cnt"), vCase.as("v"))
-          .groupBy("scenario", "s").agg(sum(col("cnt") * col("v")).as("num"))
-          .join(outsB, "s")
-          .select(col("scenario"), col("s"),
-            expr("num div cnt_out").as("p"))
+      // forced 0 (its paths die). The sweeps live entirely in STATE
+      // SPACE (≤ 6 source states × ≤ 7 targets ≤ 42 transition rows,
+      // at ANY corpus size), so the whole iteration folds into ONE
+      // task: the transition table gathers into a single sorted
+      // struct array, the four scenarios explode to four rows, and a
+      // typed map runs the sweeps p'(s0) = (Σ_{(s0,t)} cnt·v(t)) div
+      // out(s0) with v(t) = 10⁶ for purchase, 0 for END and the
+      // removed channel, else the previous sweep's p(t) — the exact
+      // integer recurrence of the previous broadcast-join
+      // formulation (same vCase, same truncating div on non-negative
+      // operands). The 8 per-sweep aggregate shuffles + 2 helper
+      // materializations collapse to zero: the corpus pays its one
+      // transition-count pass, everything after is bounded per-row
+      // work. (A declarative HOF chain was tried first and is a trap
+      // twice over: CollapseProject inlines each sweep's alias into
+      // the next sweep's LAMBDA, so the inlined prev-sweep expression
+      // re-evaluates per array ELEMENT — O(fanout^8) interpreted
+      // eval, measured as a 15-min single-core stall at sf0.001.)
+      val one = trans.groupBy("s", "t").agg(count(lit(1)).as("cnt"))
+        .agg(sort_array(collect_list(struct(col("s"), col("t"),
+          col("cnt")))).as("tr"))
+      val scen = one
+        .withColumn("scenario", explode(array(lit("base"), lit("view"),
+          lit("click"), lit("signup"))))
+        .select(col("scenario"), col("tr"))
+      val swept = {
+        import one.sparkSession.implicits._
+        scen.as[(String, Seq[(String, String, Long)])].map {
+          case (scenario, tr) =>
+            val states = tr.map(_._1).distinct
+            val out = states.map(s0 =>
+              s0 -> tr.filter(_._1 == s0).map(_._3).sum).toMap
+            var p = states.map(_ -> 0L).toMap
+            for (_ <- 1 to 8) {
+              p = states.map { s0 =>
+                val num = tr.iterator.filter(_._1 == s0).map { case (_, t, cnt) =>
+                  val v = t match {
+                    case "purchase" => 1000000L
+                    case "END" => 0L
+                    case `scenario` => 0L
+                    case _ => p.getOrElse(t, 0L)
+                  }
+                  cnt * v
+                }.sum
+                s0 -> num / out(s0)
+              }.toMap
+            }
+            (scenario, p.get("START"))
+        }.toDF("scenario", "p")
       }
       // referenced twice (base row + channel rows) — truncate the
-      // 8-join lineage once; 4 rows
+      // corpus lineage once; 4 rows (a scenario row drops entirely
+      // when the corpus produced no START transitions, matching the
+      // join form's empty starts frame)
       val starts = graft.Checkpoints.materialize(
-        p8.filter(col("s") === "START"))
+        swept.filter(col("p").isNotNull))
       val base = starts.filter(col("scenario") === "base")
         .select(col("p").as("p_base_ppm"))
       starts.filter(col("scenario") =!= "base")
