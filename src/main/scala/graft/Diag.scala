@@ -12,6 +12,9 @@ object Diag {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // match Bench: generated-class cache sized to the registry, so
+      // steady-state numbers here are comparable to measured rounds
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Log.quietAuditedWarnings()
