@@ -16,6 +16,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // generated-class cache sized to the registry (see Bench) — the
+      // sweep compiles 314 query shapes; default 100 entries thrashes
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Log.quietAuditedWarnings()
